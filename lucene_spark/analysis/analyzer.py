@@ -1,0 +1,151 @@
+"""Analysis chain — the StandardAnalyzer equivalent, vectorized for Arrow batches.
+
+Reference semantics (SURVEY.md §2.2):
+
+- StandardAnalyzer = StandardTokenizer (UAX#29 word break) -> LowerCaseFilter
+  -> StopFilter with an EMPTY default stop set
+  (lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:51-53,84-96).
+- maxTokenLength = 255: longer tokens are split at maxTokenLength intervals
+  (StandardAnalyzer.java:37,66-69).
+- LowerCaseFilter = per-codepoint Character.toLowerCase
+  (lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:23,38).
+
+The tokenizer here is a regex approximation of the UAX#29 word-break rules
+covering the classes exercised by the test corpus (FIXTURES.md):
+
+- ALPHANUM runs: unicode letters/digits/underscore (ExtendNumLet `_` joins);
+- MidNum: `.`/`,` joins when BOTH neighbours are digits (`3.14`, `v1.2.3`);
+- MidLetter/MidNumLet: `'`/`’` joins when both neighbours are letters
+  (`don't`);
+- Han and Hiragana emit one token per character; Katakana and Hangul emit
+  runs — matching StandardTokenizer token types IDEOGRAPHIC/HIRAGANA vs
+  KATAKANA/HANGUL (StandardTokenizer.java:43-80).
+
+Known deviations (documented, excluded from fixtures): emoji sequences and
+exotic scripts fall back to letter-run behaviour; Python's str.lower()
+differs from Java Character.toLowerCase for a handful of codepoints
+(e.g. U+0130).
+
+Everything operates on pandas Series (one call per Arrow batch; no
+per-row Python UDF dispatch), per BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import pandas as pd
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
+
+_HAN = "㐀-䶿一-鿿豈-﫿"
+_HIRA = "ぁ-ゖゝ-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿ"
+_HANGUL = "가-힯ᄀ-ᇿ㄰-㆏"
+_CJK = _HAN + _HIRA + _KATA + _HANGUL
+# unicode letters excluding CJK classes above ([^\W\d_] == unicode letter)
+_LETTER = rf"[^\W\d_{_CJK}]"
+_WORDCHAR = rf"(?:[\d_]|{_LETTER})"
+
+_STANDARD_PATTERN = re.compile(
+    rf"[{_HAN}]"  # Han: one token per ideograph
+    rf"|[{_HIRA}]"  # Hiragana: one token per char
+    rf"|[{_KATA}]+"  # Katakana: runs
+    rf"|[{_HANGUL}]+"  # Hangul: runs
+    rf"|(?:{_WORDCHAR}|(?<=\d)[.,](?=\d)|(?<={_LETTER})['’](?={_LETTER}))+",
+    re.UNICODE,
+)
+
+_SIMPLE_PATTERN = re.compile(r"[a-z0-9]+")
+_WS_PATTERN = re.compile(r"\S+")
+
+
+def _chop(tokens: list[str], max_len: int) -> list[str]:
+    """Split tokens longer than max_len at max_len intervals
+    (StandardTokenizer maxTokenLength contract)."""
+    if all(len(t) <= max_len for t in tokens):
+        return tokens
+    out: list[str] = []
+    for t in tokens:
+        if len(t) <= max_len:
+            out.append(t)
+        else:
+            out.extend(t[i : i + max_len] for i in range(0, len(t), max_len))
+    return out
+
+
+class Analyzer:
+    """Base analyzer: a named, picklable tokenize function over Series.
+
+    The Spark analog of Analyzer/TokenStream (CORE/analysis/Analyzer.java):
+    one row in -> many terms out, batch-at-a-time.
+    """
+
+    name = "base"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        raise NotImplementedError
+
+    def tokenize(self, texts: pd.Series) -> pd.Series:
+        """Series[str] -> Series[list[str]] (nulls -> empty list)."""
+        fn = self.tokenize_one
+        return texts.map(lambda t: fn(t) if isinstance(t, str) else [])
+
+
+class StandardAnalyzer(Analyzer):
+    """UAX#29-ish word break -> lowercase -> empty stop set."""
+
+    name = "standard"
+
+    def __init__(self, max_token_length: int = MAX_TOKEN_LENGTH, stopwords: frozenset[str] = frozenset()):
+        self.max_token_length = max_token_length
+        self.stopwords = stopwords
+
+    def tokenize_one(self, text: str) -> list[str]:
+        # Tokenize FIRST, lowercase after — LowerCaseFilter runs downstream
+        # of StandardTokenizer (StandardAnalyzer.java:93-95), and max-length
+        # chopping happens in the tokenizer (pre-lowercase).
+        toks = _STANDARD_PATTERN.findall(text)
+        toks = _chop(toks, self.max_token_length)
+        toks = [t.lower() for t in toks]
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        return toks
+
+
+class SimpleAnalyzer(Analyzer):
+    """lowercase -> runs of [a-z0-9].
+
+    Exactly expressible in ANSI SQL
+    (``regexp_split_to_array(lower(content), '[^a-z0-9]+')``) — used for
+    the driver's DuckDB-oracle correctness gate so both sides tokenize
+    identically.
+    """
+
+    name = "simple"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return _SIMPLE_PATTERN.findall(text.lower())
+
+
+class WhitespaceAnalyzer(Analyzer):
+    name = "whitespace"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return _WS_PATTERN.findall(text)
+
+
+_REGISTRY: dict[str, Callable[[], Analyzer]] = {
+    "standard": StandardAnalyzer,
+    "simple": SimpleAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    """SPI-style lookup by name (AnalysisSPILoader analog)."""
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; have {sorted(_REGISTRY)}") from None
