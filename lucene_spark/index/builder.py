@@ -1,0 +1,269 @@
+"""Distributed index build — the IndexWriter analog, Spark-first.
+
+Pipeline (SURVEY.md §3.1 mapped to Spark):
+
+1. deterministic global doc_id assignment from a total order on the id
+   columns (Lucene analog: insertion order; ours must be reproducible
+   across runs AND cluster sizes, so it derives from data, never from
+   scheduling) — range partition + sortWithinPartitions + per-partition
+   offsets; no single-partition global sort, no window over all rows;
+2. per-partition segment inversion via ``mapInPandas``
+   (segment.build_segment — the DWPT pass). ONE tokenize pass produces
+   both doc rows and posting rows (union schema), because tokenization
+   dominates build cost at 100 TB;
+3. staging parquet is split (shuffle-free filter-write) into
+   ``postings/`` (term-sorted within each segment file) and
+   ``doclens/``;
+4. global ``term_stats``/``field_stats`` aggregation — the only shuffle
+   in the build, map-side-combined by Spark, tiny output
+   (IndexSearcher.java:1119-1149 stats semantics: summed over segments);
+5. two-phase manifest commit (manifest.py) with per-batch lineage +
+   metrics -> checkpoint-resumable: committed batches are skipped on
+   rerun.
+
+Batches: the corpus is split by doc_id range into ``num_batches``
+independent build jobs. Each batch commits its own manifest generation;
+a killed build resumes at the first uncommitted batch. (TieredMergePolicy
+compaction of many small segments is in merge.py.)
+
+The docs registry (doc_id + source columns + sha256) is written purely
+JVM-side (F.sha2) — the per-row content-sha256 invariant never touches
+Python.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.index import manifest as mani
+from lucene_spark.index.segment import STAGING_SCHEMA, build_segment
+
+
+@dataclass
+class IndexConfig:
+    field: str = "content"
+    content_col: str = "content"
+    analyzer: str = "standard"
+    store_positions: bool = True
+    # Lucene slices cap at 250k docs (IndexSearcher.java:106-108); our
+    # segments target the same order of magnitude.
+    docs_per_segment: int = 250_000
+    num_batches: int = 1
+    id_cols: tuple[str, ...] = ("repo", "path", "commit")
+    doc_id_col: str | None = None  # use an existing unique id column
+    k1: float = 1.2
+    b: float = 0.75
+    extra: dict = dc_field(default_factory=dict)
+
+
+def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Deterministic dense doc_id from the total order on id_cols.
+
+    Scalable zipWithIndex: range-partition by the key, sort within
+    partitions, then offset each partition by the cumulative count of the
+    partitions before it (two passes, no global single-partition sort).
+    Partition boundaries do not affect the resulting order, so the ids
+    are stable across cluster sizes.
+    """
+    if cfg.doc_id_col:
+        return df.withColumnRenamed(cfg.doc_id_col, "doc_id") if cfg.doc_id_col != "doc_id" else df
+
+    keys = [F.col(c) for c in cfg.id_cols]
+    n = df.count()
+    parts = max(1, (n + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
+    ordered = df.repartitionByRange(parts, *keys).sortWithinPartitions(*keys)
+
+    def add_local(it):
+        import pandas as pd  # noqa: F401
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_local"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(ordered.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_local", T.LongType())]
+    )
+    with_local = ordered.mapInPandas(add_local, schema=schema)
+    with_local = with_local.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    out = with_local.withColumn(
+        "doc_id", F.element_at(off_df, F.col("_pid")) + F.col("_local")
+    ).drop("_pid", "_local")
+    return out
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    fail_after_batch: int | None = None,
+) -> None:
+    """Build (or resume) the index at index_dir from the source DataFrame.
+
+    ``fail_after_batch`` injects a crash after committing that many
+    batches — used by the resume test (SURVEY.md §5 e2e plan).
+    """
+    cfg = cfg or IndexConfig()
+    analyzer_name = cfg.analyzer
+    fieldname = cfg.field
+    store_pos = cfg.store_positions
+
+    docs = assign_doc_ids(source, cfg)
+    n_docs = docs.count()
+
+    # docs registry with the sha256 invariant column — pure JVM
+    meta_cols = [c for c in docs.columns if c != cfg.content_col]
+    registry = docs.select(
+        *meta_cols, F.sha2(F.col(cfg.content_col), 256).alias("content_sha256")
+    )
+
+    # resume: find already-committed batches
+    done: set[int] = set()
+    try:
+        m = mani.read_manifest(index_dir)
+        done = {b["batch"] for b in m.get("batches", [])}
+    except FileNotFoundError:
+        m = None
+
+    num_batches = max(1, cfg.num_batches)
+    batch_size = (n_docs + num_batches - 1) // num_batches
+    committed = list(m.get("batches", [])) if m else []
+
+    if not done:
+        # write the registry once, first (idempotent overwrite)
+        registry.write.mode("overwrite").parquet(f"{index_dir}/docs")
+
+    def invert(it):
+        pid = TaskContext.get().partitionId()
+        an = get_analyzer(analyzer_name)
+        import pandas as pd
+        bufs = []
+        for pdf in it:
+            bufs.append(pdf)
+        if bufs:
+            pdf = pd.concat(bufs, ignore_index=True)
+            pdf = pdf.sort_values("doc_id")
+            seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
+            yield build_segment(
+                seg_id,
+                pdf["doc_id"].to_numpy(),
+                pdf[cfg.content_col],
+                an,
+                fieldname,
+                store_positions=store_pos,
+            )
+
+    for b in range(num_batches):
+        if b in done:
+            continue
+        t0 = time.time()
+        lo, hi = b * batch_size, min((b + 1) * batch_size, n_docs)
+        batch_df = (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id", cfg.content_col)
+            .withColumn("_batch", F.lit(b))
+        )
+        parts = max(1, (hi - lo + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
+        batch_df = batch_df.repartitionByRange(parts, "doc_id")
+        staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
+        staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={b}")
+
+        st = spark.read.parquet(f"{index_dir}/staging/batch={b}")
+        st.filter("row_type = 1").drop("row_type", "doc_id", "doc_len", "doc_len_code").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/postings/batch={b}")
+        st.filter("row_type = 0").select(
+            "segment_id", "doc_id", "doc_len", "doc_len_code"
+        ).write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={b}")
+
+        seg_metrics = [
+            r.asDict()
+            for r in st.filter("row_type = 0")
+            .groupBy("segment_id")
+            .agg(
+                F.count("*").alias("num_docs"),
+                F.sum("doc_len").alias("sum_doc_len"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+            )
+            .collect()
+        ]
+        committed.append(
+            {
+                "batch": b,
+                "doc_id_range": [int(lo), int(hi)],
+                "segments": sorted(seg_metrics, key=lambda s: s["segment_id"]),
+                "build_sec": round(time.time() - t0, 3),
+                "status": "committed",
+            }
+        )
+        _recompute_stats(spark, index_dir, fieldname)
+        mani.commit_manifest(
+            index_dir,
+            {
+                "field": fieldname,
+                "analyzer": analyzer_name,
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "store_positions": store_pos,
+                "num_docs_total": int(n_docs),
+                "num_batches": num_batches,
+                "id_cols": list(cfg.id_cols),
+                "doc_id_col": cfg.doc_id_col,
+                "batches": committed,
+                "lineage": {"source_count": int(n_docs), **cfg.extra},
+            },
+        )
+        if fail_after_batch is not None and b + 1 >= fail_after_batch:
+            raise RuntimeError(f"injected failure after batch {b}")
+
+
+def _recompute_stats(spark: SparkSession, index_dir: str, fieldname: str) -> None:
+    """Global stats, recomputed after EVERY commit — avgdl must always
+    reflect all committed segments (IndexSearcher.java:1134-1149;
+    SURVEY.md §7 known-hard #3)."""
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    doclens = spark.read.parquet(f"{index_dir}/doclens")
+    (
+        postings.groupBy("field", "term")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("total_term_freq").alias("total_term_freq"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_stats")
+    )
+    (
+        doclens.agg(
+            F.lit(fieldname).alias("field"),
+            F.count("*").alias("doc_count"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_len").alias("sum_total_term_freq"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/field_stats")
+    )

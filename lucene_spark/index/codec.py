@@ -210,6 +210,56 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return doc_ids, freqs
 
 
+def block_layout(blob: bytes) -> list[tuple[int, int, int, int]]:
+    """Scan block headers only -> [(count, doc_bits, freq_bits, offset)]
+    where offset points at the packed doc-delta bytes. The skip-data
+    analog: lets a reader jump to a block without decoding predecessors
+    (two-level skip list role, Lucene104PostingsFormat.java:343-353 —
+    one level suffices since headers are O(n/256) and scanned in numpy
+    time)."""
+    (n,) = struct.unpack_from("<I", blob, 0)
+    pos = 4
+    out = []
+    seen = 0
+    while seen < n:
+        cnt, db, fb = struct.unpack_from("<HBB", blob, pos)
+        pos += 4
+        out.append((cnt, db, fb, pos))
+        pos += (cnt * db + 7) // 8 + (cnt * fb + 7) // 8
+        seen += cnt
+    return out
+
+
+def decode_blocks_selective(
+    blob: bytes, block_last: list[int], mask: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the blocks where mask[j] is True.
+
+    ``block_last`` (the per-block skip metadata stored alongside the
+    posting row) supplies each block's docID base, so skipped blocks
+    never touch the delta chain. Returns (doc_ids, freqs) of the
+    selected blocks only.
+    """
+    layout = block_layout(blob)
+    docs_out: list[np.ndarray] = []
+    freqs_out: list[np.ndarray] = []
+    for j, (cnt, db, fb, off) in enumerate(layout):
+        if not mask[j]:
+            continue
+        dlen = (cnt * db + 7) // 8
+        flen = (cnt * fb + 7) // 8
+        d = unpack_bits(blob[off : off + dlen], cnt, db).astype(np.int64)
+        f = unpack_bits(blob[off + dlen : off + dlen + flen], cnt, fb).astype(np.int64)
+        base = np.int64(-1) if j == 0 else np.int64(block_last[j - 1])
+        np.cumsum(d + 1, out=d)
+        d += base
+        docs_out.append(d)
+        freqs_out.append(f + 1)
+    if not docs_out:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(docs_out), np.concatenate(freqs_out)
+
+
 # ---- positions --------------------------------------------------------------
 
 

@@ -1,0 +1,145 @@
+"""Per-partition segment construction — the DWPT analog.
+
+One Spark partition = one DocumentsWriterPerThread = one segment
+(lucene/core/src/java/org/apache/lucene/index/DocumentsWriter.java:52-58:
+"Multiple threads ... allocates a DWPT ... Each DWPT corresponds to one
+segment being written"). The whole inversion is one vectorized pass per
+partition: tokenize -> lexsort (term, doc, position) -> boundary diffs
+(the IndexingChain.processDocument + FreqProxTermsWriter sort-at-flush
+pipeline, IndexingChain.java:553,1175-1281, FreqProxTermsWriter.java:83-132)
+-> FOR-encoded posting blocks (codec.py).
+
+Norm bytes are stored *inside* each posting row (one uint8 per posting)
+— unlike Lucene's separate .nvd file — so BM25 scoring never joins the
+docs table. This is the single most important 100-TB design choice in
+the query path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lucene_spark.analysis import Analyzer
+from lucene_spark.index import codec
+from lucene_spark.util.smallfloat import int_to_byte4_vec
+
+# Arrow/Spark schema of the union-typed staging rows a segment build emits.
+# row_type: 0 = doc row, 1 = posting row.
+STAGING_SCHEMA = (
+    "segment_id string, row_type int, doc_id long, doc_len int, doc_len_code int, "
+    "field string, term string, doc_freq int, total_term_freq long, "
+    "postings binary, norms binary, positions binary, "
+    "block_last_doc array<long>, impact_freqs array<array<int>>, "
+    "impact_norms array<array<int>>"
+)
+
+_POST_COLS = [
+    "segment_id", "row_type", "doc_id", "doc_len", "doc_len_code", "field", "term",
+    "doc_freq", "total_term_freq", "postings", "norms", "positions",
+    "block_last_doc", "impact_freqs", "impact_norms",
+]
+
+
+def build_segment(
+    segment_id: str,
+    doc_ids: np.ndarray,
+    texts: pd.Series,
+    analyzer: Analyzer,
+    field: str,
+    store_positions: bool = True,
+) -> pd.DataFrame:
+    """Invert one segment. doc_ids must be strictly increasing (the
+    docs-in-order invariant, Lucene104PostingsWriter.java:263-268).
+
+    Returns the union-schema staging frame: one row per doc (doc_len,
+    norm) + one row per distinct term (encoded postings).
+    """
+    n_docs = len(doc_ids)
+    token_lists = analyzer.tokenize(texts)
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
+
+    # --- doc rows: norms (Similarity.computeNorm analog: numTerms encoded
+    # via SmallFloat.intToByte4 — Similarity.java:153-162)
+    norm_codes_per_doc = int_to_byte4_vec(lens)
+    doc_rows = pd.DataFrame(
+        {
+            "segment_id": segment_id,
+            "row_type": 0,
+            "doc_id": doc_ids,
+            "doc_len": lens.astype(np.int32),
+            "doc_len_code": norm_codes_per_doc.astype(np.int32),
+        }
+    )
+
+    def _pad(pdf: pd.DataFrame) -> pd.DataFrame:
+        # missing union-schema columns must be None (not NaN) so the
+        # Arrow conversion of array/binary/int columns sees nulls
+        out = pdf.reindex(columns=_POST_COLS)
+        for c in _POST_COLS:
+            if c not in pdf.columns:
+                out[c] = None
+        return out
+
+    total_tokens = int(lens.sum())
+    if total_tokens == 0:
+        return _pad(doc_rows)
+
+    # --- inversion, fully vectorized
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    # within-doc token position (for phrase queries)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(total_tokens) - np.repeat(starts, lens)
+
+    term_codes, uniq_terms = pd.factorize(flat_terms, sort=True)
+    order = np.lexsort((pos_in_doc, doc_idx, term_codes))
+    t_sorted = term_codes[order]
+    d_sorted = doc_idx[order]
+    p_sorted = pos_in_doc[order]
+
+    # (term, doc) group boundaries
+    pair_change = np.empty(total_tokens, dtype=bool)
+    pair_change[0] = True
+    pair_change[1:] = (t_sorted[1:] != t_sorted[:-1]) | (d_sorted[1:] != d_sorted[:-1])
+    pair_starts = np.where(pair_change)[0]
+    pair_ends = np.concatenate((pair_starts[1:], [total_tokens]))
+    freqs_all = (pair_ends - pair_starts).astype(np.int64)
+    pair_term = t_sorted[pair_starts]
+    pair_doc = d_sorted[pair_starts]
+
+    # term group boundaries over the (term, doc) pairs
+    term_change = np.empty(len(pair_term), dtype=bool)
+    term_change[0] = True
+    term_change[1:] = pair_term[1:] != pair_term[:-1]
+    term_starts = np.where(term_change)[0]
+    term_ends = np.concatenate((term_starts[1:], [len(pair_term)]))
+
+    doc_ids64 = np.asarray(doc_ids, dtype=np.int64)
+    records = []
+    for ts, te in zip(term_starts, term_ends):
+        term = uniq_terms[pair_term[ts]]
+        local_docs = pair_doc[ts:te]
+        g_docs = doc_ids64[local_docs]
+        g_freqs = freqs_all[ts:te]
+        g_norms = norm_codes_per_doc[local_docs].astype(np.int64)
+        blob, block_last, imp_f, imp_n = codec.encode_postings(g_docs, g_freqs, g_norms)
+        if store_positions:
+            pos_lists = [
+                p_sorted[pair_starts[i] : pair_ends[i]] for i in range(ts, te)
+            ]
+            pos_blob = codec.encode_positions(g_freqs, pos_lists)
+        else:
+            pos_blob = None
+        records.append(
+            (
+                segment_id, 1, None, None, None, field, str(term),
+                int(len(g_docs)), int(g_freqs.sum()), blob,
+                g_norms.astype(np.uint8).tobytes(), pos_blob,
+                [int(x) for x in block_last],
+                [[int(v) for v in fs] for fs in imp_f],
+                [[int(v) for v in ns] for ns in imp_n],
+            )
+        )
+    post_rows = pd.DataFrame.from_records(records, columns=_POST_COLS)
+    return pd.concat([_pad(doc_rows), post_rows], ignore_index=True)

@@ -1,0 +1,686 @@
+"""Query execution — IndexReader / IndexSearcher over the parquet index.
+
+Physical plan (SURVEY.md §3.2 mapped to Spark):
+
+  Query AST --rewrite--> canonical AST --compile (driver, binds global
+  stats: the Weight analog)--> per-segment numpy kernel via
+  ``applyInPandas(groupBy segment_id)`` (the per-leaf BulkScorer) -->
+  per-segment top-k --> driver k-way merge (TopDocs.merge semantics:
+  score DESC, doc_id ASC — TopDocs.java:36-45).
+
+Scale properties:
+- the postings scan is filtered by ``term IN (...)`` + field, which
+  Parquet row-group stats prune (terms are sorted within segment files);
+- scoring never touches the docs table (norm bytes ride in the posting
+  rows);
+- only ``segments x k`` candidate rows ever reach the driver;
+- conjunctions lead with the rarest term and later terms decode only
+  blocks whose docID range intersects the candidates (skip-data);
+- pure term-disjunctions use batch block-max pruning (WAND/MAXSCORE
+  analog): per-block score bounds from the stored impacts gate which
+  docs get exact-scored; pruning only skips non-competitive docs, so
+  surviving scores are unchanged (WANDScorer.java:31-58 safety).
+
+Float discipline (rank-identity): every leaf emits float32 scores;
+every boolean combiner sums children in float64 and casts back to
+float32 — exactly the Scorer.score()/DisjunctionSumScorer contract.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.index import codec, manifest as mani
+from lucene_spark.search import query as Q
+from lucene_spark.search.bm25 import BM25Scorer, CollectionStats, TermStats
+
+_OUT_SCHEMA = "segment_id string, doc_id long, score float, seg_total long"
+
+
+# --------------------------------------------------------------------------
+# compiled query representation (the Weight analog) — plain dicts so the
+# closure pickles cheaply to executors
+# --------------------------------------------------------------------------
+
+
+def _leaf(kind: str, field: str, terms: list[str], weight: float, **kw) -> dict:
+    return {"kind": kind, "field": field, "terms": terms, "weight": float(weight), **kw}
+
+
+class IndexReader:
+    """Open the committed index at index_dir (largest manifest generation
+    wins — SegmentInfos semantics)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = mani.read_manifest(index_dir)
+        rows = spark.read.parquet(f"{index_dir}/field_stats").collect()
+        self._field_stats = {
+            r["field"]: CollectionStats(
+                max_doc=r["max_doc_id"] + 1,
+                doc_count=r["doc_count"],
+                sum_total_term_freq=r["sum_total_term_freq"],
+                sum_doc_freq=r["sum_total_term_freq"],
+            )
+            for r in rows
+        }
+
+    # ---- catalogs --------------------------------------------------------
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/postings")
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docs")
+
+    def doclens(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/doclens")
+
+    def term_stats_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/term_stats")
+
+    # ---- stats (the IndexSearcher.termStatistics path) --------------------
+
+    def collection_stats(self, field: str) -> CollectionStats:
+        return self._field_stats[field]
+
+    def term_stats(self, field: str, terms: list[str]) -> dict[str, TermStats]:
+        if not terms:
+            return {}
+        rows = (
+            self.term_stats_df()
+            .filter((F.col("field") == field) & (F.col("term").isin(list(set(terms)))))
+            .collect()
+        )
+        return {
+            r["term"]: TermStats(doc_freq=r["doc_freq"], total_term_freq=r["total_term_freq"])
+            for r in rows
+        }
+
+    # ---- multi-term expansion (MultiTermQuery rewrite) --------------------
+
+    def expand(self, q: Q.Query) -> list[str]:
+        """Expand a multi-term query to its matching terms via the term
+        dictionary — JVM-side string predicates over the sorted term
+        column (PrefixQuery/WildcardQuery/RegexpQuery/FuzzyQuery/
+        TermRangeQuery — SURVEY.md §2.4 Spark mapping)."""
+        ts = self.term_stats_df()
+        if isinstance(q, Q.PrefixQuery):
+            cond = (F.col("field") == q.field) & F.col("term").startswith(q.prefix)
+        elif isinstance(q, Q.WildcardQuery):
+            # build an ANCHORED regex (Spark rlike matches substrings)
+            rx = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                for ch in q.pattern
+            )
+            cond = (F.col("field") == q.field) & F.col("term").rlike(f"^(?:{rx})$")
+        elif isinstance(q, Q.RegexpQuery):
+            # Lucene RegexpQuery is anchored (RegexpQuery.java:44)
+            cond = (F.col("field") == q.field) & F.col("term").rlike(f"^(?:{q.regexp})$")
+        elif isinstance(q, Q.FuzzyQuery):
+            cond = (F.col("field") == q.field) & (
+                F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            )
+            if q.prefix_length:
+                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+        elif isinstance(q, Q.TermRangeQuery):
+            cond = F.col("field") == q.field
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+        else:
+            raise TypeError(f"not a multi-term query: {q}")
+        return [r["term"] for r in ts.filter(cond).select("term").collect()]
+
+
+@dataclass
+class SearchResult:
+    top: Q.TopDocs
+    pruned_segments: int = 0
+
+
+class IndexSearcher:
+    def __init__(self, reader: IndexReader, k1: float | None = None, b: float | None = None):
+        self.reader = reader
+        self.k1 = k1 if k1 is not None else reader.manifest.get("k1", 1.2)
+        self.b = b if b is not None else reader.manifest.get("b", 0.75)
+
+    # ---- compile: AST -> weight tree (binds global stats on the driver) ---
+
+    def _compile(self, q: Q.Query, boost: float = 1.0) -> dict | None:
+        R = self.reader
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return None
+        if isinstance(q, Q.TermQuery):
+            st = R.term_stats(q.field, [q.term])
+            if q.term not in st:
+                return None
+            coll = R.collection_stats(q.field)
+            sc = BM25Scorer(coll, [st[q.term]], self.k1, self.b, boost * q.boost)
+            return _leaf("term", q.field, [q.term], sc.weight, cache=sc.cache)
+        if isinstance(q, Q.SynonymQuery):
+            st = R.term_stats(q.field, list(q.terms))
+            present = [t for t in q.terms if t in st]
+            if not present:
+                return None
+            coll = R.collection_stats(q.field)
+            # SynonymQuery blends: docFreq = max, totalTermFreq = sum
+            blended = TermStats(
+                doc_freq=max(st[t].doc_freq for t in present),
+                total_term_freq=sum(st[t].total_term_freq for t in present),
+            )
+            sc = BM25Scorer(coll, [blended], self.k1, self.b, boost * q.boost)
+            return _leaf("syn", q.field, present, sc.weight, cache=sc.cache)
+        if isinstance(q, Q.PhraseQuery):
+            st = R.term_stats(q.field, list(q.terms))
+            if len(st) < len(set(q.terms)):
+                return None  # a missing term -> no phrase match
+            coll = R.collection_stats(q.field)
+            sc = BM25Scorer(
+                coll, [st[t] for t in q.terms], self.k1, self.b, boost * q.boost
+            )
+            return _leaf(
+                "phrase", q.field, list(q.terms), sc.weight, cache=sc.cache, slop=q.slop
+            )
+        if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
+                          Q.FuzzyQuery, Q.TermRangeQuery)):
+            terms = R.expand(q)
+            if not terms:
+                return None
+            # CONSTANT_SCORE_REWRITE: every matching doc scores boost
+            return _leaf("const_set", q.field, terms, boost * q.boost)
+        if isinstance(q, Q.TermInSetQuery):
+            terms = [t for t in q.terms]
+            return _leaf("const_set", q.field, terms, boost * q.boost)
+        if isinstance(q, Q.ConstantScoreQuery):
+            inner = self._compile(q.query, 1.0)
+            if inner is None:
+                return None
+            return {"kind": "const_wrap", "sub": inner, "weight": float(boost * q.boost)}
+        if isinstance(q, Q.BoostQuery):
+            return self._compile(q.query, boost * q.boost)
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            subs = [self._compile(s, boost) for s in q.queries]
+            subs = [s for s in subs if s is not None]
+            if not subs:
+                return None
+            return {"kind": "dismax", "subs": subs, "tie": float(q.tie_breaker)}
+        if isinstance(q, Q.BooleanQuery):
+            must = [self._compile(s, boost) for s in q.must]
+            if any(m is None for m in must):
+                return None  # missing MUST term -> no hits
+            filt = [self._compile(s, boost) for s in q.filter]
+            if any(f is None for f in filt):
+                return None
+            should = [s for s in (self._compile(x, boost) for x in q.should) if s is not None]
+            must_not = [s for s in (self._compile(x, boost) for x in q.must_not) if s is not None]
+            if q.min_should > len(should):
+                return None
+            if not must and not filt and not should:
+                return None
+            return {
+                "kind": "bool",
+                "must": must,
+                "should": should,
+                "must_not": must_not,
+                "filter": filt,
+                "min_should": int(q.min_should),
+            }
+        raise TypeError(f"cannot compile {type(q).__name__}")
+
+    # ---- search ------------------------------------------------------------
+
+    def search(
+        self,
+        q: Q.Query,
+        k: int = 10,
+        prune: bool = True,
+        search_after: tuple[float, int] | None = None,
+    ) -> Q.TopDocs:
+        q = Q.rewrite_fixpoint(q)
+        if isinstance(q, Q.MatchAllQuery):
+            return self._match_all(k, q.boost, search_after)
+        node = self._compile(q)
+        if node is None:
+            return Q.TopDocs(total_hits=0, hits=[])
+        terms = sorted(_collect_terms(node))
+        field = _collect_field(node)
+        rows = self.reader.postings().filter(
+            (F.col("field") == field) & (F.col("term").isin(terms))
+        )
+        per_seg = rows.groupBy("segment_id").applyInPandas(
+            _make_segment_fn(node, k, prune, search_after), schema=_OUT_SCHEMA
+        )
+        # only segments x k rows reach the driver (TopDocs.merge stage)
+        cand = per_seg.toPandas()
+        if cand.empty:
+            return Q.TopDocs(total_hits=0, hits=[])
+        # seg_total repeats on every row of a segment: sum one per segment.
+        # With prune=True it is a LOWER bound once pruning kicked in — the
+        # TotalHits.GREATER_THAN_OR_EQUAL_TO analog
+        # (TopScoreDocCollector totalHitsThreshold semantics).
+        total = int(cand.groupby("segment_id")["seg_total"].first().sum())
+        scores32 = cand["score"].to_numpy(np.float32)
+        order = np.lexsort((cand["doc_id"].to_numpy(), -scores32))
+        hits = [
+            Q.TopDoc(int(cand["doc_id"].iloc[i]), float(scores32[i]))
+            for i in order[:k]
+        ]
+        return Q.TopDocs(total_hits=total, hits=hits)
+
+    def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
+        dl = self.reader.doclens()
+        total = dl.count()
+        rows = dl.select("doc_id").orderBy("doc_id").limit(k).collect()
+        return Q.TopDocs(
+            total_hits=total,
+            hits=[Q.TopDoc(r["doc_id"], float(np.float32(boost))) for r in rows],
+        )
+
+
+# --------------------------------------------------------------------------
+# term collection helpers
+# --------------------------------------------------------------------------
+
+
+def _collect_terms(node: dict) -> set[str]:
+    k = node["kind"]
+    if k in ("term", "syn", "phrase", "const_set"):
+        return set(node["terms"])
+    if k == "const_wrap":
+        return _collect_terms(node["sub"])
+    if k == "dismax":
+        return set().union(*(_collect_terms(s) for s in node["subs"]))
+    if k == "bool":
+        out: set[str] = set()
+        for key in ("must", "should", "must_not", "filter"):
+            for s in node[key]:
+                out |= _collect_terms(s)
+        return out
+    raise TypeError(k)
+
+
+def _collect_field(node: dict) -> str:
+    k = node["kind"]
+    if k in ("term", "syn", "phrase", "const_set"):
+        return node["field"]
+    if k == "const_wrap":
+        return _collect_field(node["sub"])
+    if k == "dismax":
+        return _collect_field(node["subs"][0])
+    if k == "bool":
+        for key in ("must", "should", "filter", "must_not"):
+            if node[key]:
+                return _collect_field(node[key][0])
+    raise TypeError(k)
+
+
+# --------------------------------------------------------------------------
+# per-segment kernel (runs inside applyInPandas)
+# --------------------------------------------------------------------------
+
+
+def _make_segment_fn(node: dict, k: int, prune: bool, after):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = str(pdf["segment_id"].iat[0])
+        ctx = _SegmentIndex(pdf)
+        docs, scores = _eval(node, ctx, k if prune else None)
+        if after is not None:
+            # searchAfter: keep (score < after) or (== and doc > afterDoc)
+            # (IndexSearcher.java:576-591)
+            a_score, a_doc = np.float32(after[0]), int(after[1])
+            keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+            docs, scores = docs[keep], scores[keep]
+        total = len(docs)
+        if total == 0:
+            return pd.DataFrame(
+                {"segment_id": [], "doc_id": [], "score": [], "seg_total": []}
+            ).astype({"segment_id": "str", "doc_id": "int64",
+                      "score": "float32", "seg_total": "int64"})
+        order = np.lexsort((docs, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "segment_id": seg,
+                "doc_id": docs[order],
+                "score": scores[order].astype(np.float32),
+                "seg_total": np.int64(total),
+            }
+        )
+
+    return fn
+
+
+class _SegmentIndex:
+    """Postings rows of ONE segment, keyed by term."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.rows = {t: i for i, t in enumerate(pdf["term"].tolist())}
+        self.pdf = pdf
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def has(self, term: str) -> bool:
+        return term in self.rows
+
+    def postings(self, term: str, candidates: np.ndarray | None = None):
+        """-> (doc_ids, freqs, norm_codes). With candidates given, decode
+        only blocks whose docID range intersects them (skip-data)."""
+        if term in self._cache:
+            return self._cache[term]
+        if term not in self.rows:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        r = self.pdf.iloc[self.rows[term]]
+        blob = bytes(r["postings"])
+        norms_all = np.frombuffer(bytes(r["norms"]), dtype=np.uint8).astype(np.int64)
+        block_last = list(r["block_last_doc"])
+        if candidates is not None and len(block_last) > 1:
+            # block j covers (block_last[j-1], block_last[j]]
+            lasts = np.asarray(block_last, dtype=np.int64)
+            firsts = np.concatenate(([-1], lasts[:-1])) + 1
+            # keep block if any candidate falls in [first, last]
+            idx = np.searchsorted(candidates, firsts, side="left")
+            mask = (idx < len(candidates)) & (
+                candidates[np.minimum(idx, len(candidates) - 1)] <= lasts
+            )
+            docs, freqs = codec.decode_blocks_selective(blob, block_last, mask)
+            # norms are stored per posting in list order; selective decode
+            # loses alignment — rebuild via searchsorted on full docid list
+            # only when blocks were skipped:
+            if mask.all():
+                norms = norms_all
+            else:
+                full_docs, _ = codec.decode_postings(blob)
+                pos = np.searchsorted(full_docs, docs)
+                norms = norms_all[pos]
+            return docs, freqs, norms
+        docs, freqs = codec.decode_postings(blob)
+        out = (docs, freqs, norms_all)
+        self._cache[term] = out
+        return out
+
+    def positions(self, term: str) -> list[np.ndarray]:
+        r = self.pdf.iloc[self.rows[term]]
+        _, freqs, _ = self.postings(term)
+        return codec.decode_positions(bytes(r["positions"]), freqs)
+
+    def impacts(self, term: str):
+        """-> (block_last, [impact freq arrays], [impact norm arrays])."""
+        r = self.pdf.iloc[self.rows[term]]
+        return (
+            np.asarray(list(r["block_last_doc"]), dtype=np.int64),
+            [np.asarray(x, dtype=np.int64) for x in r["impact_freqs"]],
+            [np.asarray(x, dtype=np.int64) for x in r["impact_norms"]],
+        )
+
+
+def _score_leaf(weight: float, cache: np.ndarray, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+    w = np.float32(weight)
+    inv = np.asarray(cache, dtype=np.float32)[norms]
+    one = np.float32(1.0)
+    return (w - w / (one + freqs.astype(np.float32) * inv)).astype(np.float32)
+
+
+def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray | None = None):
+    """-> (sorted doc_ids int64, scores float32). ``k`` enables top-level
+    pruning for pure term disjunctions."""
+    kind = node["kind"]
+    if kind == "term":
+        d, f, n = ctx.postings(node["terms"][0], candidates)
+        return d, _score_leaf(node["weight"], node["cache"], f, n)
+    if kind == "syn":
+        # union, freqs summed per doc, single blended scorer
+        ds, fs, ns = [], [], []
+        for t in node["terms"]:
+            d, f, n = ctx.postings(t, candidates)
+            ds.append(d); fs.append(f); ns.append(n)
+        dall = np.concatenate(ds)
+        if len(dall) == 0:
+            return dall, dall.astype(np.float32)
+        fall = np.concatenate(fs)
+        nall = np.concatenate(ns)
+        uniq, inv = np.unique(dall, return_inverse=True)
+        fsum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(fsum, inv, fall)
+        norms = np.zeros(len(uniq), dtype=np.int64)
+        norms[inv] = nall  # same doc -> same norm
+        return uniq, _score_leaf(node["weight"], node["cache"], fsum, norms)
+    if kind == "phrase":
+        return _eval_phrase(node, ctx)
+    if kind == "const_set":
+        ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
+        dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
+        return dall, np.full(len(dall), np.float32(node["weight"]), dtype=np.float32)
+    if kind == "const_wrap":
+        d, _ = _eval(node["sub"], ctx, None, candidates)
+        return d, np.full(len(d), np.float32(node["weight"]), dtype=np.float32)
+    if kind == "dismax":
+        ds, ss = zip(*(_eval(s, ctx, None, candidates) for s in node["subs"]))
+        dall = np.concatenate(ds)
+        if len(dall) == 0:
+            return dall, dall.astype(np.float32)
+        uniq, inv = np.unique(dall, return_inverse=True)
+        sall = np.concatenate(ss).astype(np.float64)
+        smax = np.zeros(len(uniq)); ssum = np.zeros(len(uniq))
+        np.maximum.at(smax, inv, sall)
+        np.add.at(ssum, inv, sall)
+        tie = node["tie"]
+        out = (smax + tie * (ssum - smax)).astype(np.float32)
+        return uniq, out
+    if kind == "bool":
+        return _eval_bool(node, ctx, k, candidates)
+    raise TypeError(kind)
+
+
+def _eval_phrase(node: dict, ctx: _SegmentIndex):
+    terms = node["terms"]
+    post = [ctx.postings(t) for t in terms]
+    # conjunction of docs
+    docs = post[0][0]
+    for d, _, _ in post[1:]:
+        docs = docs[np.isin(docs, d, assume_unique=True)]
+    if len(docs) == 0:
+        return docs, docs.astype(np.float32)
+    pos_lists = [ctx.positions(t) for t in terms]
+    idxs = [np.searchsorted(post[i][0], docs) for i in range(len(terms))]
+    freqs = np.zeros(len(docs), dtype=np.int64)
+    for di in range(len(docs)):
+        # consecutive-position intersection (ExactPhraseMatcher semantics)
+        cand = pos_lists[0][idxs[0][di]]
+        for ti in range(1, len(terms)):
+            nxt = pos_lists[ti][idxs[ti][di]]
+            cand = cand[np.isin(cand + ti, nxt)]
+            if len(cand) == 0:
+                break
+        freqs[di] = len(cand)
+    keep = freqs > 0
+    docs, freqs = docs[keep], freqs[keep]
+    norms = post[0][2][np.searchsorted(post[0][0], docs)]
+    return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)
+
+
+def _sum_f32(parts: list[np.ndarray]) -> np.ndarray:
+    """Sum float32 clause scores in float64, cast to float32 (the
+    DisjunctionSumScorer/ConjunctionScorer double-accumulate contract)."""
+    acc = np.zeros(len(parts[0]), dtype=np.float64)
+    for p in parts:
+        acc += p.astype(np.float64)
+    return acc.astype(np.float32)
+
+
+def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
+    must, should = node["must"], node["should"]
+    must_not, filt = node["must_not"], node["filter"]
+    min_should = node["min_should"]
+
+    # ---- matched set from MUST + FILTER (rarest-first conjunction) -------
+    base_docs = None
+    must_scores: list[tuple[np.ndarray, np.ndarray]] = []
+    if must or filt:
+        # evaluate must leaves cheapest-first where they are plain terms
+        ordered = sorted(
+            [("m", s) for s in must] + [("f", s) for s in filt],
+            key=lambda kv: _est_cost(kv[1], ctx),
+        )
+        for tag, sub in ordered:
+            d, s = _eval(sub, ctx, None, base_docs)
+            if tag == "m":
+                must_scores.append((d, s))
+            if base_docs is None:
+                base_docs = d
+            else:
+                base_docs = base_docs[np.isin(base_docs, d, assume_unique=True)]
+            if len(base_docs) == 0:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z.astype(np.float32)
+
+    # ---- SHOULD clauses ---------------------------------------------------
+    sh_results = [_eval(s, ctx, None, base_docs) for s in should]
+
+    if base_docs is None:
+        # pure disjunction: docs matching >= max(1, min_should) shoulds
+        need = max(1, min_should)
+        if (
+            k is not None
+            and need == 1
+            and all(s["kind"] == "term" for s in should)
+            and len(should) > 1
+        ):
+            return _wand_disjunction(node, ctx, k)
+        dall = np.concatenate([d for d, _ in sh_results]) if sh_results else np.zeros(0, np.int64)
+        if len(dall) == 0:
+            return dall, dall.astype(np.float32)
+        uniq, inv = np.unique(dall, return_inverse=True)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        sall = np.concatenate([s for _, s in sh_results]).astype(np.float64)
+        np.add.at(acc, inv, sall)
+        keep = cnt >= need
+        docs = uniq[keep]
+        scores = acc[keep].astype(np.float32)
+    else:
+        docs = base_docs
+        # min_should among shoulds also applies when musts exist
+        if min_should > 0 and sh_results:
+            cnt = np.zeros(len(docs), dtype=np.int64)
+            for d, _ in sh_results:
+                cnt += np.isin(docs, d, assume_unique=True)
+            docs = docs[cnt >= min_should]
+        parts = []
+        for d, s in must_scores:
+            pos = np.searchsorted(d, docs)
+            parts.append(s[pos])
+        for d, s in sh_results:
+            mask = np.isin(docs, d, assume_unique=True)
+            contrib = np.zeros(len(docs), dtype=np.float32)
+            if mask.any():
+                pos = np.searchsorted(d, docs[mask])
+                contrib[mask] = s[pos]
+            parts.append(contrib)
+        scores = _sum_f32(parts) if parts else np.zeros(len(docs), dtype=np.float32)
+
+    # ---- MUST_NOT ----------------------------------------------------------
+    for sub in must_not:
+        d, _ = _eval(sub, ctx, None, None)
+        keep = ~np.isin(docs, d, assume_unique=True)
+        docs, scores = docs[keep], scores[keep]
+    return docs, scores
+
+
+def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
+    if node["kind"] in ("term", "const_set", "syn", "phrase"):
+        c = 0
+        for t in node["terms"]:
+            if ctx.has(t):
+                c += int(ctx.pdf.iloc[ctx.rows[t]]["doc_freq"])
+        return c
+    return 1 << 60
+
+
+def _wand_disjunction(node: dict, ctx: _SegmentIndex, k: int):
+    """Batch block-max pruning for a pure term disjunction.
+
+    Upper-bounds every doc's score by the sum of its terms' block-max
+    bounds (from the stored impacts), exact-scores docs in descending
+    bound order, and stops when the k-th exact score >= the best
+    remaining bound. Never changes surviving scores — the WANDScorer
+    safety property; equality with the unpruned path is asserted in
+    tests (TestWANDScorer pattern).
+    """
+    should = node["should"]
+    # phase 0: per-term docIDs + per-doc block bound (impacts only — no
+    # exact scoring yet). freq/norm arrays kept for the survivors pass.
+    term_data = []
+    for s in should:
+        t = s["terms"][0]
+        d, f, n = ctx.postings(t)
+        if len(d) == 0:
+            continue
+        block_last, imp_f, imp_n = ctx.impacts(t)
+        block_bounds = np.array(
+            [
+                float(_score_leaf(s["weight"], s["cache"], bf, bn).max()) if len(bf) else 0.0
+                for bf, bn in zip(imp_f, imp_n)
+            ],
+            dtype=np.float64,
+        )
+        blk = np.searchsorted(block_last, d, side="left")
+        term_data.append((d, f, n, s, block_bounds[blk]))
+    if not term_data:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.float32)
+
+    # per-doc upper bound = sum over matching terms of the doc's block bound
+    dall = np.concatenate([td[0] for td in term_data])
+    uniq, inv = np.unique(dall, return_inverse=True)
+    ub = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(ub, inv, np.concatenate([td[4] for td in term_data]))
+
+    # phase 1: theta = k-th exact score among the top-4k docs by bound
+    seed = np.argsort(-ub, kind="stable")[: max(4 * k, 64)]
+    seed_docs = np.sort(uniq[seed])
+    seed_scores = _exact_scores_for(term_data, seed_docs)
+    if len(seed_docs) >= k:
+        theta = float(np.sort(seed_scores.astype(np.float32))[::-1][k - 1])
+    else:
+        theta = -np.inf
+
+    # phase 2: survivors = docs whose bound could still be competitive
+    # (>= theta keeps exact ties so the doc_id ASC tie-break stays exact)
+    surv_mask = ub >= theta
+    surv_docs = uniq[surv_mask]
+    # reuse seed scores where already computed
+    extra = surv_docs[~np.isin(surv_docs, seed_docs, assume_unique=True)]
+    extra_scores = _exact_scores_for(term_data, extra)
+    docs_out = np.concatenate([seed_docs, extra])
+    scores_out = np.concatenate([seed_scores, extra_scores])
+    srt = np.argsort(docs_out)
+    return docs_out[srt], scores_out[srt].astype(np.float32)
+
+
+def _exact_scores_for(term_data, docs: np.ndarray) -> np.ndarray:
+    """Exact float32-per-term scores (summed float64, cast) for the given
+    sorted doc set only — the 'score only survivors' half of block-max."""
+    if len(docs) == 0:
+        return np.zeros(0, dtype=np.float32)
+    acc = np.zeros(len(docs), dtype=np.float64)
+    for d, f, n, s, _ in term_data:
+        mask = np.isin(docs, d, assume_unique=True)
+        if not mask.any():
+            continue
+        pos = np.searchsorted(d, docs[mask])
+        acc[mask] += _score_leaf(s["weight"], s["cache"], f[pos], n[pos]).astype(np.float64)
+    return acc.astype(np.float32)

@@ -1,0 +1,223 @@
+"""Query AST + logical rewrites — the Query/rewrite layer.
+
+Dataclass analogs of lucene/core/src/java/org/apache/lucene/search/
+Query subclasses (SURVEY.md §2.4), with the score-preserving boolean
+simplifications of BooleanQuery.rewrite (BooleanQuery.java:269-429):
+single-clause collapse, nested flattening, pure-negation ->
+MatchNoDocs, MatchAll/MatchNone propagation. The fixpoint loop mirrors
+IndexSearcher.rewrite (IndexSearcher.java:860-869).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Several terms scored as one pseudo-term (SynonymQuery.java):
+    freqs summed per doc, docFreq blended to the max of the terms'."""
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0): terms at consecutive positions; freq =
+    number of phrase occurrences; idf = sum of per-term idfs
+    (PhraseQuery.java / BM25Similarity.idfExplain for arrays)."""
+    field: str
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Rewrites to a constant-score term-set over the term dictionary
+    (MultiTermQuery CONSTANT_SCORE_REWRITE; PrefixQuery.java:29)."""
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    field: str
+    pattern: str  # `*` any run, `?` single char (WildcardQuery.java:38)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    field: str
+    regexp: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within Levenshtein distance <= max_edits (FuzzyQuery.java;
+    LevenshteinAutomata.java:31 caps at 2)."""
+    field: str
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        return ConstantScoreQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, TermQuery):
+            return TermQuery(inner.field, inner.term, inner.boost * self.boost)
+        if isinstance(inner, BoostQuery):
+            return BoostQuery(inner.query, inner.boost * self.boost)
+        return BoostQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(sub) + tie_breaker * (sum(sub) - max(sub))
+    (DisjunctionMaxQuery.java)."""
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def rewrite(self) -> Query:
+        subs = tuple(
+            q2 for q in self.queries
+            if not isinstance((q2 := q.rewrite()), MatchNoDocsQuery)
+        )
+        if not subs:
+            return MatchNoDocsQuery()
+        if len(subs) == 1:
+            return subs[0]
+        return DisjunctionMaxQuery(subs, self.tie_breaker)
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: tuple[Query, ...] = ()
+    should: tuple[Query, ...] = ()
+    must_not: tuple[Query, ...] = ()
+    filter: tuple[Query, ...] = ()
+    min_should: int = 0
+
+    def rewrite(self) -> Query:
+        must = tuple(q.rewrite() for q in self.must)
+        should = tuple(q.rewrite() for q in self.should)
+        must_not = tuple(q.rewrite() for q in self.must_not)
+        filt = tuple(q.rewrite() for q in self.filter)
+
+        # a MUST/FILTER MatchNoDocs kills the query (BooleanQuery.java)
+        if any(isinstance(q, MatchNoDocsQuery) for q in must + filt):
+            return MatchNoDocsQuery()
+        should = tuple(q for q in should if not isinstance(q, MatchNoDocsQuery))
+        must_not = tuple(q for q in must_not if not isinstance(q, MatchNoDocsQuery))
+        # MatchAll in must_not -> nothing matches
+        if any(isinstance(q, MatchAllQuery) for q in must_not):
+            return MatchNoDocsQuery()
+        if self.min_should > len(should) and not (must or filt):
+            return MatchNoDocsQuery()
+        if self.min_should > len(should):
+            return MatchNoDocsQuery()
+        # pure negation matches nothing (BooleanQuery rewrite:
+        # MUST_NOT-only queries are unsatisfiable without a positive clause)
+        if not must and not should and not filt:
+            return MatchNoDocsQuery()
+        # single-clause collapse
+        if len(must) == 1 and not should and not must_not and not filt:
+            return must[0]
+        if (
+            len(should) == 1
+            and not must
+            and not must_not
+            and not filt
+            and self.min_should <= 1
+        ):
+            return should[0]
+        return BooleanQuery(must, should, must_not, filt, self.min_should)
+
+
+def rewrite_fixpoint(q: Query, max_iters: int = 10) -> Query:
+    """Repeated rewrite until it reaches a fixpoint
+    (IndexSearcher.java:860-869)."""
+    for _ in range(max_iters):
+        q2 = q.rewrite()
+        if q2 == q:
+            return q
+        q = q2
+    return q
+
+
+@dataclass(frozen=True)
+class TopDoc:
+    doc_id: int
+    score: float
+
+
+@dataclass
+class TopDocs:
+    """Collected hits: score DESC, doc_id ASC tie-break
+    (TopScoreDocCollector.java:23-33); merge across segments keeps the
+    same order (TopDocs.java:36-45)."""
+    total_hits: int
+    hits: list[TopDoc] = dc_field(default_factory=list)
