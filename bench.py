@@ -1,0 +1,103 @@
+"""Benchmark: index-build throughput (files/sec) + BM25 top-10 query
+latency over $SPARK_GRAFT_SF_DIR documents, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+ "build": {"files_per_sec": ..., "num_docs": ...}}
+
+Run at two parallelism levels for the scaling-efficiency evidence:
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from lucene_spark import get_spark
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+    from lucene_spark.search import query as Q
+
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    idx = f"/tmp/lucene_spark_bench_{os.path.basename(SF_DIR.rstrip('/'))}_{CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(
+        field="text", content_col="text", analyzer="simple",
+        doc_id_col="doc_id", docs_per_segment=max(2000, n_docs // (2 * CPUS)),
+        num_batches=1,
+    )
+    t0 = time.time()
+    build_index(spark, docs, idx, cfg)
+    build_sec = time.time() - t0
+    reader = IndexReader(spark, idx)
+    searcher = IndexSearcher(reader)
+
+    F = "text"
+    bench_queries = {
+        "q1_term_hot": lambda: searcher.search(Q.TermQuery(F, "table"), k=10),
+        "q2_term_mid": lambda: searcher.search(Q.TermQuery(F, "spark"), k=10),
+        "q3_and": lambda: searcher.search(
+            Q.BooleanQuery(must=(Q.TermQuery(F, "table"), Q.TermQuery(F, "spark"))), k=10
+        ),
+        "q4_or_hot": lambda: searcher.search(
+            Q.BooleanQuery(should=(
+                Q.TermQuery(F, "table"), Q.TermQuery(F, "query"),
+                Q.TermQuery(F, "value"), Q.TermQuery(F, "row"),
+            )), k=10
+        ),
+        "q5_phrase": lambda: searcher.search(Q.PhraseQuery(F, ("fast", "table")), k=10),
+        "q6_prefix": lambda: searcher.search(Q.PrefixQuery(F, "qu"), k=10),
+        "q7_sql64_bool": lambda: sp.bool_bm25_topk(
+            reader, F, must=["spark"], should=["merge", "customer"], k=10
+        ).collect(),
+        "q8_dismax": lambda: searcher.search(
+            Q.DisjunctionMaxQuery((Q.TermQuery(F, "table"), Q.TermQuery(F, "spark")), 0.3),
+            k=10,
+        ),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        fn()  # warm (plan + code paths)
+        reps = 3
+        t = time.time()
+        for _ in range(reps):
+            fn()
+        timings[name] = round((time.time() - t) / reps, 4)
+
+    total_query_sec = round(sum(timings.values()), 4)
+    out = {
+        "metric": "bm25_bench_total_query_sec",
+        "value": total_query_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "build": {
+            "build_sec": round(build_sec, 3),
+            "num_docs": n_docs,
+            "files_per_sec": round(n_docs / build_sec, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

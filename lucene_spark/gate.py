@@ -1,0 +1,353 @@
+"""Driver correctness-gate queries over the testdata `documents` table.
+
+Each entry pairs a Spark query (routed through the real index + the
+sql64 JVM scoring path, sqlpath.py) with the equivalent ANSI SQL that
+DuckDB runs on the same parquet — the two halves live side by side here
+so they cannot drift.
+
+Tokenization for the gate is SimpleAnalyzer ([a-z0-9]+ runs of
+lower(text)) because it is exactly expressible in SQL; the UAX#29
+StandardAnalyzer is validated separately by pytest golden fixtures.
+Scores are float64 canonical BM25 with Lucene's norm quantization,
+exposed as round(score*1e6) bigint so the row set is bit-stable across
+engines (see sqlpath.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.index.builder import IndexConfig, build_index
+from lucene_spark.index import manifest as mani
+from lucene_spark.search import sqlpath as sp
+from lucene_spark.search import query as Q
+from lucene_spark.search.executor import IndexReader
+from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+FIELD = "text"
+_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (once) and open the index for a testdata documents table."""
+    key = os.path.abspath(sf_dir)
+    if key in _READERS:
+        return _READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_idx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = m.get("num_docs_total") == n
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _READERS[key] = r
+    return r
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB) — must mirror sqlpath.py formulas exactly
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok "
+    "FROM documents) WHERE tok <> '')"
+)
+_DL = "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)"
+
+
+def _sfranges() -> str:
+    """Inline 256-row SmallFloat decode table as (lo, hi, declen) ranges:
+    quantized_len(dl) = declen of the row with lo <= dl <= hi."""
+    rows = []
+    for i, v in enumerate(LENGTH_TABLE):
+        lo = int(v)
+        hi = int(LENGTH_TABLE[i + 1]) - 1 if i + 1 < 256 else 2**31 - 1
+        rows.append(f"({lo},{hi},{int(v)})")
+    return "sfr(lo,hi,declen) AS (SELECT * FROM (VALUES " + ",".join(rows) + "))"
+
+
+_DLQ = (
+    "dlq AS (SELECT dl.doc_id, sfr.declen AS dlq FROM dl "
+    "JOIN sfr ON dl.dl BETWEEN sfr.lo AND sfr.hi)"
+)
+_STATS = (
+    "stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, "
+    "CAST((SELECT coalesce(sum(dl),0) FROM dl) AS DOUBLE) AS sumdl)"
+)
+
+_SCORE = (
+    "ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * tf.freq / "
+    "(tf.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n)))"
+)
+
+
+def _prefix_ctes(extra: list[str] | None = None) -> str:
+    ctes = [_TOKS, _DL, _sfranges(), _DLQ, _STATS] + (extra or [])
+    return "WITH " + ",\n".join(ctes)
+
+
+def _sql_bool(
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should: int = 0,
+    k: int = 10,
+    offset: int = 0,
+) -> str:
+    must, should, must_not = must or [], should or [], must_not or []
+    scoring = sorted(set(must) | set(should))
+    inlist = ",".join(f"'{t}'" for t in scoring)
+    must_list = ",".join(f"'{t}'" for t in must)
+    should_list = ",".join(f"'{t}'" for t in should)
+    conds = []
+    if must:
+        conds.append(
+            f"count(DISTINCT CASE WHEN tf.tok IN ({must_list}) THEN tf.tok END) = {len(must)}"
+        )
+    need = min_should if must else max(1, min_should)
+    if should and (need > 0 or not must):
+        conds.append(
+            f"count(DISTINCT CASE WHEN tf.tok IN ({should_list}) THEN tf.tok END) >= {need}"
+        )
+    having = ("HAVING " + " AND ".join(conds)) if conds else ""
+    anti = ""
+    if must_not:
+        mn = ",".join(f"'{t}'" for t in must_not)
+        anti = (
+            f"WHERE scored.doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM toks WHERE tok IN ({mn}))"
+        )
+    return f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ({inlist}) GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, SUM({_SCORE}) AS score
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
+FROM scored {anti}
+ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k} OFFSET {offset}"""
+
+
+def _sql_const(match_expr: str, k: int = 10) -> str:
+    return f"""WITH {_TOKS}
+SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
+FROM (SELECT DISTINCT doc_id FROM toks WHERE {match_expr})
+ORDER BY doc_id LIMIT {k}"""
+
+
+def _sql_phrase(terms: list[str], k: int = 10) -> str:
+    phrase = " ".join(terms)
+    rx = r"\b" + phrase + r"\b"
+    return f"""{_prefix_ctes([
+        "norm AS (SELECT doc_id, array_to_string(regexp_split_to_array(lower(text), '[^a-z0-9]+'), ' ') AS s FROM documents)",
+        f"tf AS (SELECT doc_id, len(regexp_extract_all(s, '{rx}')) AS freq FROM norm WHERE s LIKE '%{phrase}%')",
+    ])},
+idfs AS (
+  SELECT SUM(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))) AS idf_sum
+  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok IN ({",".join(f"'{t}'" for t in terms)}) GROUP BY tok) d
+  CROSS JOIN stats s
+)
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND(i.idf_sum * tf.freq /
+       (tf.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM tf JOIN dlq q ON tf.doc_id = q.doc_id CROSS JOIN stats s CROSS JOIN idfs i
+WHERE tf.freq > 0
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def _sql_synonym(terms: list[str], k: int = 10) -> str:
+    inlist = ",".join(f"'{t}'" for t in terms)
+    return f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, SUM(freq) AS freq FROM (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ({inlist}) GROUP BY doc_id, tok) GROUP BY doc_id)",
+        f"dfb AS (SELECT CAST(MAX(df) AS DOUBLE) AS df FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM toks WHERE tok IN ({inlist}) GROUP BY tok))",
+    ])}
+SELECT tf.doc_id AS doc_id,
+  CAST(ROUND(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * tf.freq /
+       (tf.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM tf JOIN dlq q ON tf.doc_id = q.doc_id CROSS JOIN stats s CROSS JOIN dfb d
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT {k}"""
+
+
+def _sql_dismax(terms: list[str], tie: float, k: int = 10) -> str:
+    inlist = ",".join(f"'{t}'" for t in terms)
+    return f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ({inlist}) GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, MAX({_SCORE}) AS smax, SUM({_SCORE}) AS ssum
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND((smax + {tie}*(ssum - smax))*1000000) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# the paired query registry
+# ---------------------------------------------------------------------------
+
+# terms chosen from the documents vocabulary (hot: table/query/value;
+# mid: spark/merge; see TESTDATA.md)
+T_HOT, T_HOT2, T_MID, T_MID2, T_RARE = "table", "query", "spark", "merge", "customer"
+
+
+def gate_queries() -> dict[str, object]:
+    """name -> callable(spark, sf_dir) -> DataFrame."""
+
+    def q_term_bm25(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, must=[T_MID])
+
+    def q_bool_and(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, must=[T_HOT, T_MID])
+
+    def q_bool_or(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID, T_RARE])
+
+    def q_bool_not(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, must=[T_MID], must_not=[T_HOT])
+
+    def q_min_should(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(
+            r, FIELD, should=[T_HOT, T_MID, T_RARE], min_should=2
+        )
+
+    def q_must_plus_should(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, must=[T_MID], should=[T_RARE])
+
+    def q_phrase(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.phrase_bm25_topk(r, FIELD, ["fast", "table"])
+
+    def q_synonym(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.synonym_bm25_topk(r, FIELD, [T_MID, T_MID2])
+
+    def q_dismax(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.dismax_topk(r, FIELD, [T_HOT, T_MID], tie=0.3)
+
+    def q_prefix(spark, sf):
+        r = ensure_index(spark, sf)
+        terms = r.expand(Q.PrefixQuery(FIELD, "qu"))
+        return sp.const_score_topk(r, FIELD, terms)
+
+    def q_wildcard(spark, sf):
+        r = ensure_index(spark, sf)
+        terms = r.expand(Q.WildcardQuery(FIELD, "s*k"))
+        return sp.const_score_topk(r, FIELD, terms)
+
+    def q_fuzzy(spark, sf):
+        r = ensure_index(spark, sf)
+        terms = r.expand(Q.FuzzyQuery(FIELD, "sprak", max_edits=2))
+        return sp.const_score_topk(r, FIELD, terms)
+
+    def q_term_range(spark, sf):
+        r = ensure_index(spark, sf)
+        terms = r.expand(Q.TermRangeQuery(FIELD, "scan", "sort"))
+        return sp.const_score_topk(r, FIELD, terms)
+
+    def q_term_in_set(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.const_score_topk(r, FIELD, [T_RARE, "window", "zzzz"])
+
+    def q_count(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.term_count(r, FIELD, T_HOT)
+
+    def q_facet_lang(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.facet_counts(r, FIELD, T_MID, "lang")
+
+    def q_search_after(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=20).offset(10)
+
+    return {
+        "q_term_bm25": q_term_bm25,
+        "q_bool_and": q_bool_and,
+        "q_bool_or": q_bool_or,
+        "q_bool_not": q_bool_not,
+        "q_min_should": q_min_should,
+        "q_must_plus_should": q_must_plus_should,
+        "q_phrase": q_phrase,
+        "q_synonym": q_synonym,
+        "q_dismax": q_dismax,
+        "q_prefix": q_prefix,
+        "q_wildcard": q_wildcard,
+        "q_fuzzy": q_fuzzy,
+        "q_term_range": q_term_range,
+        "q_term_in_set": q_term_in_set,
+        "q_count": q_count,
+        "q_facet_lang": q_facet_lang,
+        "q_search_after": q_search_after,
+    }
+
+
+def gate_oracle_sql() -> dict[str, str]:
+    return {
+        "q_term_bm25": _sql_bool(must=[T_MID]),
+        "q_bool_and": _sql_bool(must=[T_HOT, T_MID]),
+        "q_bool_or": _sql_bool(should=[T_HOT, T_MID, T_RARE]),
+        "q_bool_not": _sql_bool(must=[T_MID], must_not=[T_HOT]),
+        "q_min_should": _sql_bool(should=[T_HOT, T_MID, T_RARE], min_should=2),
+        "q_must_plus_should": _sql_bool(must=[T_MID], should=[T_RARE]),
+        "q_phrase": _sql_phrase(["fast", "table"]),
+        "q_synonym": _sql_synonym([T_MID, T_MID2]),
+        "q_dismax": _sql_dismax([T_HOT, T_MID], 0.3),
+        "q_prefix": _sql_const("tok LIKE 'qu%'"),
+        "q_wildcard": _sql_const("tok LIKE 's%k'"),
+        "q_fuzzy": _sql_const("levenshtein(tok, 'sprak') <= 2"),
+        "q_term_range": _sql_const("tok >= 'scan' AND tok <= 'sort'"),
+        "q_term_in_set": _sql_const(
+            f"tok IN ('{T_RARE}', 'window', 'zzzz')"
+        ),
+        "q_count": (
+            f"WITH {_TOKS} SELECT count(DISTINCT doc_id) AS cnt "
+            f"FROM toks WHERE tok = '{T_HOT}'"
+        ),
+        "q_facet_lang": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang, count(*) AS cnt FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
+        "q_search_after": _sql_bool(should=[T_HOT, T_MID], k=10, offset=10),
+    }
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry() target: boolean BM25 over the sf0.001 documents corpus."""
+    r = ensure_index(spark, sf_dir)
+    return sp.bool_bm25_topk(r, FIELD, must=[T_HOT], should=[T_MID, T_RARE], k=10)

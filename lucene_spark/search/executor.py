@@ -484,20 +484,23 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
     raise TypeError(kind)
 
 
-def _eval_phrase(node: dict, ctx: _SegmentIndex):
-    terms = node["terms"]
+def _phrase_freqs(terms: list[str], ctx: _SegmentIndex):
+    """-> (docs, phrase_freqs, norms): docs where the terms occur at
+    consecutive positions (ExactPhraseMatcher semantics), freq = number
+    of phrase occurrences."""
+    z = np.zeros(0, dtype=np.int64)
+    if not all(ctx.has(t) for t in terms):
+        return z, z, z
     post = [ctx.postings(t) for t in terms]
-    # conjunction of docs
     docs = post[0][0]
     for d, _, _ in post[1:]:
         docs = docs[np.isin(docs, d, assume_unique=True)]
     if len(docs) == 0:
-        return docs, docs.astype(np.float32)
+        return z, z, z
     pos_lists = [ctx.positions(t) for t in terms]
     idxs = [np.searchsorted(post[i][0], docs) for i in range(len(terms))]
     freqs = np.zeros(len(docs), dtype=np.int64)
     for di in range(len(docs)):
-        # consecutive-position intersection (ExactPhraseMatcher semantics)
         cand = pos_lists[0][idxs[0][di]]
         for ti in range(1, len(terms)):
             nxt = pos_lists[ti][idxs[ti][di]]
@@ -508,7 +511,29 @@ def _eval_phrase(node: dict, ctx: _SegmentIndex):
     keep = freqs > 0
     docs, freqs = docs[keep], freqs[keep]
     norms = post[0][2][np.searchsorted(post[0][0], docs)]
+    return docs, freqs, norms
+
+
+def _eval_phrase(node: dict, ctx: _SegmentIndex):
+    docs, freqs, norms = _phrase_freqs(node["terms"], ctx)
+    if len(docs) == 0:
+        return docs, docs.astype(np.float32)
     return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)
+
+
+def _make_phrase_freq_fn(terms: list[str]):
+    """Per-segment (doc_id, phrase_freq, norm_code) extractor for the
+    sql64 phrase path — positional intersection only, no scoring."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        docs, freqs, norms = _phrase_freqs(list(terms), ctx)
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64), "freq": freqs.astype(np.int32),
+             "norm_code": norms.astype(np.int32)}
+        )
+
+    return fn
 
 
 def _sum_f32(parts: list[np.ndarray]) -> np.ndarray:

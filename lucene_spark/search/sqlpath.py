@@ -1,0 +1,273 @@
+"""sql64 execution mode — JVM/codegen scoring path + DuckDB-oracle parity.
+
+The exact32 path (executor.py) replicates Lucene's float32 bit-for-bit.
+This module is the second execution mode: postings are decoded once by a
+vectorized pandas UDF into arrays, exploded JVM-side, and BM25 is
+computed in *float64 Spark SQL expressions* (whole-stage codegen, no
+Python in the scoring loop). The identical formula is expressible in
+ANSI SQL, which is what the driver's DuckDB correctness gate runs.
+
+Scores are exposed as ``score_x1e6`` (round(score*1e6) as bigint) so the
+row set is bit-stable across engines; ranking is (score_x1e6 DESC,
+doc_id ASC).
+
+Formula (canonical BM25, float64; the algebraic form of
+BM25Similarity.java:221-232 without the float32 rewrite):
+
+    idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    dlq  = byte4ToInt(intToByte4(doc_len))        -- quantized, as Lucene
+    score = sum over matched terms of
+            idf * freq / (freq + k1 * (1 - b + b * dlq / avgdl))
+    avgdl = sum_doc_len / N
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from lucene_spark.search.executor import IndexReader
+from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+K1 = 1.2
+B = 0.75
+
+_DECODE_TYPE = T.StructType(
+    [
+        T.StructField("docs", T.ArrayType(T.LongType())),
+        T.StructField("freqs", T.ArrayType(T.IntegerType())),
+        T.StructField("norms", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(_DECODE_TYPE)
+def _decode_udf(blobs: pd.Series, norm_blobs: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
+    from lucene_spark.index import codec
+
+    docs, freqs, norms = [], [], []
+    for blob, nb in zip(blobs, norm_blobs):
+        d, f = codec.decode_postings(bytes(blob))
+        docs.append(d.tolist())
+        freqs.append(f.astype(np.int32).tolist())
+        norms.append(np.frombuffer(bytes(nb), dtype=np.uint8).astype(np.int32).tolist())
+    return pd.DataFrame({"docs": docs, "freqs": freqs, "norms": norms})
+
+
+def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> DataFrame:
+    """-> DataFrame(term, doc_id, freq, norm_code): decode once in Python
+    (Arrow-batched), explode JVM-side."""
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
+    )
+    dec = rows.select("term", _decode_udf("postings", "norms").alias("p"))
+    z = dec.select(
+        "term", F.explode(F.arrays_zip("p.docs", "p.freqs", "p.norms")).alias("e")
+    )
+    return z.select(
+        "term",
+        F.col("e.docs").alias("doc_id"),
+        F.col("e.freqs").alias("freq"),
+        F.col("e.norms").alias("norm_code"),
+    )
+
+
+def _length_table_col(code: Column) -> Column:
+    """Quantized doc length from a norm code — the 256-entry decode table
+    as a JVM literal array (BM25Similarity LENGTH_TABLE analog)."""
+    arr = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
+    return F.element_at(arr, code + 1)
+
+
+def _score_col(freq: Column, dlq: Column, df: Column, n_docs: Column, avgdl: Column) -> Column:
+    idf = F.log(F.lit(1.0) + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * freq / (freq + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / avgdl))
+
+
+def _with_stats(reader: IndexReader, field: str, scored_terms: list[str]) -> tuple[DataFrame, Column, Column]:
+    """(df per term broadcast frame, N literal, avgdl literal)."""
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, scored_terms)
+    df_rows = [(t, int(st[t].doc_freq)) for t in scored_terms if t in st]
+    spark = reader.spark
+    df_df = spark.createDataFrame(df_rows or [("", 0)], "term string, df long")
+    n = F.lit(float(coll.doc_count))
+    avgdl = F.lit(coll.sum_total_term_freq / float(coll.doc_count))
+    return df_df, n, avgdl
+
+
+def bool_bm25_topk(
+    reader: IndexReader,
+    field: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Boolean BM25 top-k, all-JVM scoring -> (doc_id, score_x1e6).
+
+    MUST terms must all match; SHOULD terms optional (>= min_should, or
+    >=1 if there are no MUST clauses); MUST_NOT excludes; score = sum of
+    matched scoring clauses.
+    """
+    must, should, must_not = must or [], should or [], must_not or []
+    scoring = sorted(set(must) | set(should))
+    ep = exploded_postings(reader, field, scoring)
+    df_df, n, avgdl = _with_stats(reader, field, scoring)
+    dlq = _length_table_col(F.col("norm_code"))
+    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+        "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
+    )
+    is_must = F.col("term").isin(must) if must else F.lit(False)
+    is_should = F.col("term").isin(should) if should else F.lit(False)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"),
+        F.count_distinct(F.when(is_must, F.col("term"))).alias("n_must"),
+        F.count_distinct(F.when(is_should, F.col("term"))).alias("n_should"),
+    )
+    cond = F.lit(True)
+    if must:
+        cond = cond & (F.col("n_must") == len(must))
+    need = min_should if must else max(1, min_should)
+    if should and (need > 0 or not must):
+        cond = cond & (F.col("n_should") >= need)
+    out = agg.filter(cond)
+    if must_not:
+        mn = exploded_postings(reader, field, must_not).select("doc_id").distinct()
+        out = out.join(mn, "doc_id", "left_anti")
+    return (
+        out.select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("long").alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def const_score_topk(reader: IndexReader, field: str, terms: list[str], k: int = 10) -> DataFrame:
+    """Constant-score multi-term (prefix/wildcard/fuzzy/range/set rewrite
+    target): matching docs ordered by doc_id."""
+    if not terms:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    ep = exploded_postings(reader, field, terms)
+    return (
+        ep.select("doc_id")
+        .distinct()
+        .withColumn("score_x1e6", F.lit(1_000_000).cast("long"))
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int = 10) -> DataFrame:
+    """Exact-phrase BM25: phrase freq from the positional index (pandas
+    kernel per segment), scored in float64 JVM expressions.
+    idf = sum of per-term idfs (BM25Similarity.idfExplain array form)."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import _make_phrase_freq_fn
+
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, terms)
+    if len(st) < len(set(terms)):
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
+    )
+    freqs = rows.groupBy("segment_id").applyInPandas(
+        _make_phrase_freq_fn(terms), schema="doc_id long, freq int, norm_code int"
+    )
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (coll.doc_count - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5))
+        for t in terms
+    )
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    dlq = _length_table_col(F.col("norm_code"))
+    score = F.lit(idf_sum) * F.col("freq") / (
+        F.col("freq") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / F.lit(avgdl))
+    )
+    return (
+        freqs.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def synonym_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int = 10) -> DataFrame:
+    """SynonymQuery semantics: freqs summed per doc, df blended to max."""
+    ep = exploded_postings(reader, field, terms)
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, terms)
+    present = [t for t in terms if t in st]
+    if not present:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    df_blend = max(st[t].doc_freq for t in present)
+    n = F.lit(float(coll.doc_count))
+    avgdl = F.lit(coll.sum_total_term_freq / float(coll.doc_count))
+    agg = ep.groupBy("doc_id").agg(
+        F.sum("freq").alias("freq"), F.first("norm_code").alias("norm_code")
+    )
+    dlq = _length_table_col(F.col("norm_code"))
+    score = _score_col(F.col("freq"), dlq, F.lit(float(df_blend)), n, avgdl)
+    return (
+        agg.select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def dismax_topk(
+    reader: IndexReader, field: str, terms: list[str], tie: float = 0.0, k: int = 10
+) -> DataFrame:
+    """DisjunctionMax over single-term queries:
+    score = max + tie*(sum-max)."""
+    ep = exploded_postings(reader, field, terms)
+    df_df, n, avgdl = _with_stats(reader, field, sorted(set(terms)))
+    dlq = _length_table_col(F.col("norm_code"))
+    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+        "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.max("tscore").alias("smax"), F.sum("tscore").alias("ssum")
+    )
+    score = F.col("smax") + F.lit(tie) * (F.col("ssum") - F.col("smax"))
+    return (
+        agg.select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def term_count(reader: IndexReader, field: str, term: str) -> DataFrame:
+    """Hit count answered from stats WITHOUT touching postings — the
+    Weight#count shortcut (Weight.java:198, TermQuery.java:260)."""
+    return (
+        reader.term_stats_df()
+        .filter((F.col("field") == field) & (F.col("term") == term))
+        .groupBy()
+        .agg(F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("cnt"))
+    )
+
+
+def facet_counts(
+    reader: IndexReader, field: str, term: str, facet_col: str, k: int = 20
+) -> DataFrame:
+    """Facet counting: docs matching `term`, counted per category of the
+    docs-registry column (FastTaxonomyFacetCounts analog: groupBy+count,
+    broadcast-joined on the matched doc set)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs()
+    return (
+        docs.join(matched, "doc_id", "left_semi")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(facet_col).asc())
+        .limit(k)
+    )
