@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_spark.index.builder import IndexConfig, build_index
 from lucene_spark.index import manifest as mani
+from lucene_spark.pipeline import dedup as dd
+from lucene_spark.pipeline import similarity as sim
+from lucene_spark.pipeline import textstats as ts
 from lucene_spark.search import sqlpath as sp
 from lucene_spark.search import query as Q
 from lucene_spark.search.executor import IndexReader
@@ -296,7 +299,59 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         return sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=20).offset(10)
 
+    # --- training-data pipeline operators (documents / embeddings) ---
+
+    def _docs(spark, sf):
+        return spark.read.parquet(f"{sf}/documents.parquet")
+
+    def _emb(spark, sf):
+        return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def q_token_stats(spark, sf):
+        return ts.token_stats(_docs(spark, sf))
+
+    def q_quality(spark, sf):
+        return ts.quality_scores(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return ts.lang_id(_docs(spark, sf))
+
+    def q_fingerprint(spark, sf):
+        return ts.fingerprints(_docs(spark, sf))
+
+    def q_dedup_exact(spark, sf):
+        return dd.exact_dedup(_docs(spark, sf))
+
+    def q_dedup_ngram(spark, sf):
+        return dd.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.15)
+
+    def q_dedup_minhash(spark, sf):
+        return dd.minhash_lsh_pairs(_docs(spark, sf), threshold=0.1)
+
+    def q_dedup_simhash(spark, sf):
+        return dd.simhash_pairs(_docs(spark, sf), max_hamming=6)
+
+    def q_dedup_embcos(spark, sf):
+        return dd.embedding_near_dups(_emb(spark, sf), threshold=0.4)
+
+    def q_ann_cosine(spark, sf):
+        return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
+
+    def q_ann_lsh(spark, sf):
+        return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
+
     return {
+        "q_token_stats": q_token_stats,
+        "q_quality": q_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embcos": q_dedup_embcos,
+        "q_ann_cosine": q_ann_cosine,
+        "q_ann_lsh": q_ann_lsh,
         "q_term_bm25": q_term_bm25,
         "q_bool_and": q_bool_and,
         "q_bool_or": q_bool_or,
@@ -319,6 +374,17 @@ def gate_queries() -> dict[str, object]:
 
 def gate_oracle_sql() -> dict[str, str]:
     return {
+        "q_token_stats": ts.token_stats_sql(),
+        "q_quality": ts.quality_scores_sql(),
+        "q_lang_id": ts.lang_id_sql(),
+        "q_fingerprint": ts.fingerprints_sql(),
+        "q_dedup_exact": dd.exact_dedup_sql(),
+        "q_dedup_ngram": dd.ngram_jaccard_sql(n=3, threshold=0.15),
+        "q_dedup_minhash": dd.minhash_lsh_sql(threshold=0.1),
+        "q_dedup_simhash": dd.simhash_pairs_sql(max_hamming=6),
+        "q_dedup_embcos": dd.embedding_near_dups_sql(threshold=0.4),
+        "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
+        "q_ann_lsh": sim.ann_lsh_topk_sql(query_id=0, k=10, n_planes=6),
         "q_term_bm25": _sql_bool(must=[T_MID]),
         "q_bool_and": _sql_bool(must=[T_HOT, T_MID]),
         "q_bool_or": _sql_bool(should=[T_HOT, T_MID, T_RARE]),

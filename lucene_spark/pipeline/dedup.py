@@ -1,0 +1,491 @@
+"""Deduplication operators — the curation core of a 100 TB text pipeline.
+
+Five dedup families, each JVM-side with a paired DuckDB oracle:
+
+- exact:            md5(text) groupBy, canonical = min doc_id
+- n-gram Jaccard:   word-shingle inverted join -> exact Jaccard >= t
+- MinHash + LSH:    H hash-min signatures -> B band buckets -> candidate
+                    join -> exact-Jaccard verification (the standard
+                    shingle->minhash->band->bucket-join pipeline)
+- SimHash:          tf-weighted 32-bit sign-hash; banded byte buckets
+                    (pigeonhole: hamming<=3 pairs share one of 4 bytes)
+                    -> hamming verification
+- embedding cosine: near-dup pairs over ``embeddings`` (see
+                    similarity.py for the top-k search variants)
+
+Scale notes (100 TB): every candidate-generation step is a shuffle on a
+*bucket key* (shingle hash, band key, simhash byte), never an O(n^2)
+cross join; hot buckets (boilerplate shingles) are the skew risk — the
+shingle join drops shingles with document-frequency above
+``max_shingle_df`` (boilerplate carries no dedup signal but creates
+quadratic candidate blowup; same rationale as Lucene's hot-term salting,
+SURVEY.md §4.2). Hashes are md5-derived 32-bit ints so the identical
+integers are computable in ANSI SQL on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lucene_spark.pipeline.textstats import TOKEN_RX
+
+# ---------------------------------------------------------------------------
+# shared helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _hexint(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint — identical in
+    DuckDB as CAST('0x'||substr(md5(x),1,8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def _toks_sql_expr() -> str:
+    return (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def _shingles(docs: DataFrame, n: int) -> DataFrame:
+    """-> (doc_id, sh): distinct word n-gram strings per doc."""
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_RX), lambda t: t != "")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n} + 1), "
+            f"i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.withColumn("_toks", toks)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    )
+
+
+def _shingles_sql(n: int) -> str:
+    """CTE `shingles(doc_id, sh)` — must mirror _shingles exactly."""
+    return f"""tl AS (SELECT doc_id, {_toks_sql_expr()} AS toks FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= {n}
+      THEN list_transform(generate_series(1, len(toks) - {n} + 1),
+                          i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))
+      ELSE [] END) AS sh
+    FROM tl)
+)"""
+
+
+def _jaccard_pairs(
+    cand: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify candidate (a, b) pairs with exact Jaccard over shingle sets.
+    cand: (a, b) distinct, a < b. -> (a, b, jaccard_x1e6)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = shingles.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        cand.join(a_sh, "a").join(b_sh, ["b", "sh"]).groupBy("a", "b").agg(
+            F.count("*").alias("inter")
+        )
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "a",
+        "b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_x1e6"),
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Exact dedup by content hash: canonical row = min doc_id per group.
+
+    -> (doc_id, content_hash, group_size, is_canonical)
+
+    Scale: one shuffle on the 128-bit hash (uniform by construction, no
+    skew); group state is two longs — holds at any corpus size.
+    """
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("canon_id")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "group_size",
+            (F.col("doc_id") == F.col("canon_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def exact_dedup_sql(k: int = 200) -> str:
+    return f"""WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+groups AS (
+  SELECT content_hash, count(*) AS group_size, min(doc_id) AS canon_id
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.group_size,
+       h.doc_id = g.canon_id AS is_canonical
+FROM hashed h JOIN groups g USING (content_hash)
+ORDER BY h.doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 1000,
+    k: int = 200,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram-shingle Jaccard similarity.
+
+    Candidates come from the shingle inverted join (docs sharing >= 1
+    shingle); shingles with df > max_shingle_df are dropped before the
+    join (boilerplate skew guard). -> (a, b, jaccard_x1e6).
+    """
+    sh = _shingles(docs, n)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh")
+    )
+    sh_j = sh.join(rare, "sh", "left_semi")
+    cand = (
+        sh_j.alias("x")
+        .join(sh_j.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh, threshold).limit(k)
+
+
+def ngram_jaccard_sql(
+    n: int = 3, threshold: float = 0.2, max_shingle_df: int = 1000, k: int = 200
+) -> str:
+    return f"""WITH {_shingles_sql(n)},
+rare AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {max_shingle_df}),
+shj AS (SELECT s.doc_id, s.sh FROM shingles s JOIN rare USING (sh)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+  CAST(ROUND(i.inter::DOUBLE / (za.sz + zb.sz - i.inter) * 1000000) AS BIGINT)
+    AS jaccard_x1e6
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter) >= {threshold}
+ORDER BY i.a, i.b LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    k: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: H min-hash signatures per doc, banded
+    into B buckets; docs sharing a band bucket are candidates, verified
+    with exact shingle Jaccard >= threshold.
+
+    -> (a, b, jaccard_x1e6)
+
+    Scale: the signature build is ONE groupBy(doc_id) with H min()
+    aggregates (map-side combined); the bucket join shuffles on
+    (band, band_key) — uniform md5 buckets, no skew. Candidate count is
+    controlled by B/H (the standard S-curve), not corpus size.
+    """
+    rows = num_hashes // bands
+    sh = _shingles(docs, n)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_hexint(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return _jaccard_pairs(cand, sh, threshold).limit(k)
+
+
+def minhash_lsh_sql(
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    k: int = 200,
+) -> str:
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(CAST(('0x'||substr(md5('{i}|'||sh),1,8)) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key="||'_'||".join(
+                f"CAST(h{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_shingles_sql(n)},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM shingles GROUP BY doc_id
+),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+  CAST(ROUND(i.inter::DOUBLE / (za.sz + zb.sz - i.inter) * 1000000) AS BIGINT)
+    AS jaccard_x1e6
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter) >= {threshold}
+ORDER BY i.a, i.b LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bytes; hamming<=3 pairs must share >=1 byte
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """tf-weighted 32-bit SimHash per doc. -> (doc_id, simhash)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_RX), lambda t: t != "")
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hexint(F.col("tok")))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(h >> {j}) & 1") == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 200) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming,
+    candidates from banded byte buckets (any pair within hamming 3 of a
+    32-bit hash agrees on at least one of its 4 bytes — pigeonhole).
+
+    -> (a, b, hamming)
+    """
+    sh = simhash(docs)
+    bands = []
+    for b in range(SIMHASH_BANDS):
+        bands.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {8 * b}) & 255").alias("bval"),
+            )
+        )
+    banded = bands[0]
+    for br in bands[1:]:
+        banded = banded.unionByName(br)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bval"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+        .limit(k)
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3, k: int = 200) -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bval FROM sh"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""WITH toks AS (SELECT doc_id, tok FROM (SELECT doc_id,
+    unnest({_toks_sql_expr()}) AS tok FROM documents) WHERE tok <> ''),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf,
+         CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h
+  FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tf GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+ORDER BY a, b LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup (pairs; top-k search lives in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.9, k: int = 200
+) -> DataFrame:
+    """Pairs of embedding rows with cosine similarity >= threshold.
+
+    -> (a, b, cos_x1e6)
+
+    This exact variant joins on vector-component position (one shuffle
+    keyed (pos), then groupBy pair) — correct but O(n^2 d) at the
+    candidate step; at 100 TB use the LSH-bucketed variant
+    (similarity.lsh_buckets) to restrict candidate pairs first.
+    """
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    a = comp.select(F.col("vec_id").alias("a"), "pos", F.col("v").alias("va"))
+    b = comp.select(F.col("vec_id").alias("b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("b"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return (
+        out.select("a", "b", F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"))
+        .orderBy("a", "b")
+        .limit(k)
+    )
+
+
+def embedding_near_dups_sql(threshold: float = 0.9, k: int = 200) -> str:
+    return f"""WITH comp AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.v * y.v) AS dot
+  FROM comp x JOIN comp y ON x.pos = y.pos AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+)
+SELECT d.a, d.b, CAST(ROUND(d.dot/(na.nrm*nb.nrm)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+WHERE d.dot/(na.nrm*nb.nrm) >= {threshold}
+ORDER BY d.a, d.b LIMIT {k}"""

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[], label).
+
+Two execution strategies:
+
+- ``cosine_topk``  — exact brute-force: the query vector is collected
+  once and inlined as a JVM literal array; every row computes
+  dot/(|a||q|) inside whole-stage codegen (zip_with + aggregate — no
+  Python, no shuffle; the only exchange is the final
+  TakeOrderedAndProject). This is the O(n·d) scan baseline — at 100 TB
+  it is a single narrow map stage, embarrassingly parallel.
+
+- ``ann_lsh_topk`` — random-hyperplane LSH: P deterministic integer
+  hyperplanes (md5-derived, so the identical planes are computable in
+  ANSI SQL); each vector's bucket is the P-bit sign pattern of its
+  plane dots. Candidates = rows in the query's bucket; exact cosine
+  re-rank inside the bucket. At scale the bucket id becomes the table's
+  partition key, so a query touches 1/2^P of the data.
+
+Oracle SQL twins are generated alongside each operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# plane weights are integers in [-1000, 1000] derived from md5 — exact
+# in both engines, no float-literal drift
+_PLANE_MOD = 2001
+_PLANE_OFF = 1000
+
+
+def _emb_double(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _query_vec(emb: DataFrame, query_id: int) -> list[float]:
+    row = emb.filter(F.col("vec_id") == query_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"query vec_id {query_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk(emb: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k for the row with vec_id=query_id
+    (self excluded). -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
+    qv = _query_vec(emb, query_id)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    nq = math.sqrt(sum(float(x) * float(x) for x in qv))
+    v = _emb_double()
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (na * F.lit(nq))
+    return (
+        emb.filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(cos * 1e6).cast("long").alias("cos_x1e6"))
+        .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+_COMP_SQL = """comp AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)"""
+
+
+def cosine_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    return f"""WITH {_COMP_SQL},
+qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+dots AS (
+  SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN qc q USING (pos)
+  WHERE c.vec_id <> {query_id}
+  GROUP BY c.vec_id
+)
+SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d CROSS JOIN nq
+ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""
+
+
+def _planes_df(spark, n_planes: int, dims: int) -> DataFrame:
+    """(p, pos, w): deterministic integer hyperplane components."""
+    rows = spark.range(n_planes * dims).select(
+        (F.col("id") / dims).cast("int").alias("p"),
+        (F.col("id") % dims).cast("int").alias("pos"),
+    )
+    key = F.concat(F.col("p").cast("string"), F.lit("_"), F.col("pos").cast("string"))
+    w = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _PLANE_MOD
+        - _PLANE_OFF
+    )
+    return rows.withColumn("w", w.cast("double"))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """-> (vec_id, bucket): P-bit random-hyperplane sign bucket.
+    Plane dots via a broadcast join on component position + one
+    groupBy(vec_id) — a single shuffle, map-side combined."""
+    spark = emb.sparkSession
+    dims = len(emb.select("embedding").head()[0])
+    planes = _planes_df(spark, n_planes, dims)
+    comp = emb.select(
+        "vec_id", F.posexplode(_emb_double()).alias("pos", "v")
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bucket = F.sum(
+        F.when(F.col("dot") > 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))
+    )
+    return dots.groupBy("vec_id").agg(bucket.cast("long").alias("bucket"))
+
+
+def ann_lsh_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Approximate NN: exact cosine re-rank restricted to the query's
+    LSH bucket. -> (vec_id, cos_x1e6)."""
+    buckets = lsh_buckets(emb, n_planes)
+    qb = buckets.filter(F.col("vec_id") == query_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id")
+        .filter(F.col("vec_id") != query_id)
+    )
+    restricted = emb.join(cand, "vec_id", "left_semi")
+    return cosine_topk(
+        restricted.unionByName(emb.filter(F.col("vec_id") == query_id)),
+        query_id,
+        k,
+    )
+
+
+def ann_lsh_topk_sql(query_id: int = 0, k: int = 10, n_planes: int = 8) -> str:
+    return f"""WITH {_COMP_SQL},
+planes AS (
+  SELECT p, pos,
+    CAST((CAST(('0x'||substr(md5(CAST(p AS VARCHAR)||'_'||CAST(pos AS VARCHAR)),1,8))
+      AS BIGINT) % {_PLANE_MOD}) - {_PLANE_OFF} AS DOUBLE) AS w
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p),
+       (SELECT unnest(generate_series(0,
+          (SELECT len(embedding) FROM embeddings LIMIT 1) - 1)) AS pos)
+),
+pdots AS (
+  SELECT c.vec_id, pl.p, SUM(c.v * pl.w) AS dot
+  FROM comp c JOIN planes pl USING (pos)
+  GROUP BY c.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_id}),
+cand AS (
+  SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket
+  WHERE b.vec_id <> {query_id}
+),
+qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+dots AS (
+  SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN qc q USING (pos) JOIN cand ON c.vec_id = cand.vec_id
+  GROUP BY c.vec_id
+)
+SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d CROSS JOIN nq
+ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""

@@ -1,0 +1,148 @@
+"""Semantic tests of the training-data pipeline operators: planted
+duplicates must be found by every dedup family, and similarity search
+must return the planted nearest neighbor. (Cross-engine value parity
+with DuckDB is covered separately by test_gate_parity.py.)"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark builds distributed inverted index postings with merge policy",
+        "every document gets tokenized scored and ranked by bm25 weights",
+        "completely unrelated text about cooking pasta with tomato sauce",
+    ]
+    rows = []
+    # 0..3 distinct; 4 = exact dup of 0; 5 = near dup of 0 (one word
+    # changed); 6 = near dup of 1 (one word appended); 7 = shuffled 2
+    rows.append((0, base[0]))
+    rows.append((1, base[1]))
+    rows.append((2, base[2]))
+    rows.append((3, base[3]))
+    rows.append((4, base[0]))
+    rows.append((5, base[0].replace("lazy", "sleepy")))
+    rows.append((6, base[1] + " daily"))
+    rows.append((7, "ranked bm25 by weights and scored gets tokenized every document"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype("float32")
+    vecs[4] = vecs[0] + rng.randn(16).astype("float32") * 0.01  # near-dup of 0
+    rows = [(int(i), [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_dedup_finds_planted_dup(docs_df):
+    from lucene_spark.pipeline.dedup import exact_dedup
+
+    out = {r["doc_id"]: r for r in exact_dedup(docs_df).collect()}
+    assert out[0]["group_size"] == 2 and out[0]["is_canonical"]
+    assert out[4]["group_size"] == 2 and not out[4]["is_canonical"]
+    assert out[1]["group_size"] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs_df):
+    from lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard_x1e6"] for r in
+             ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()}
+    assert pairs[(0, 4)] == 1_000_000  # exact dup -> jaccard 1
+    assert (0, 5) in pairs  # one-word change shares most 3-shingles
+    assert (1, 6) in pairs
+    assert (2, 7) not in pairs  # word order destroyed -> low 3-gram overlap
+    assert all(a != 3 and b != 3 for a, b in pairs)  # unrelated doc clean
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs_df, n=3, threshold=0.3).collect()}
+    assert (0, 4) in pairs
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_minhash_is_subset_of_exact_jaccard(docs_df):
+    """LSH candidates are verified with exact Jaccard, so minhash pairs
+    must be a subset of the exhaustive n-gram Jaccard pairs."""
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    mh = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs_df, n=3, threshold=0.3).collect()}
+    ex = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()}
+    assert mh <= ex
+
+
+def test_simhash_near_dup_low_hamming(docs_df):
+    from lucene_spark.pipeline.dedup import simhash_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             simhash_pairs(docs_df, max_hamming=8).collect()}
+    assert pairs[(0, 4)] == 0  # identical text -> identical simhash
+    assert (0, 5) in pairs  # one-word change -> few bits flip
+
+
+def test_embedding_near_dups(emb_df):
+    from lucene_spark.pipeline.dedup import embedding_near_dups
+
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dups(emb_df, threshold=0.95).collect()}
+    assert (0, 4) in pairs
+
+
+def test_cosine_topk_finds_planted_neighbor(emb_df):
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    top = cosine_topk(emb_df, query_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 4
+    assert top[0]["cos_x1e6"] > 990_000
+    # ranking is (cos DESC, vec_id ASC)
+    scores = [r["cos_x1e6"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_recalls_planted_neighbor(emb_df):
+    """A near-identical vector lands in the same hyperplane bucket, so
+    the ANN path must recall it as the top hit."""
+    from lucene_spark.pipeline.similarity import ann_lsh_topk, cosine_topk, lsh_buckets
+
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb_df, 8).collect()}
+    assert b[0] == b[4]
+    top = ann_lsh_topk(emb_df, query_id=0, k=3, n_planes=8).collect()
+    assert top and top[0]["vec_id"] == 4
+    # ANN scores agree exactly with brute force for returned ids
+    brute = {r["vec_id"]: r["cos_x1e6"] for r in cosine_topk(emb_df, 0, 20).collect()}
+    for r in top:
+        assert brute[r["vec_id"]] == r["cos_x1e6"]
+
+
+def test_lang_id_and_quality_shapes(spark):
+    from lucene_spark.pipeline.textstats import lang_id, quality_scores, token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog is a pet"), (1, "der hund und die katze ist nicht da")],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[1] == "de"
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert 0 < q[0]["quality_x1e6"] <= 1_000_000
+    t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert t[0]["n_tok"] == 8 and t[0]["n_distinct"] == 7  # 'the' twice
+
+
+def test_fingerprint_word_order_invariant(spark):
+    from lucene_spark.pipeline.textstats import fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma  ALPHA beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert fp[0]["canon_fp"] == fp[1]["canon_fp"]
+    assert fp[0]["canon_fp"] != fp[2]["canon_fp"]
+    assert fp[0]["content_hash"] != fp[1]["content_hash"]
