@@ -197,6 +197,72 @@ FROM tf JOIN dlq q ON tf.doc_id = q.doc_id CROSS JOIN stats s CROSS JOIN dfb d
 ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def _scored_ctes(term: str) -> str:
+    """CTE prefix ending in `scored(doc_id, score_x1e6)` for one term —
+    the single-term building block for collector oracles (ranks taken
+    over the integer score are engine-independent)."""
+    return f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok = '{term}' GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, CAST(ROUND(SUM({_SCORE})*1000000) AS BIGINT) AS score_x1e6
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)"""
+
+
+def _sql_grouped(term: str, group_col: str, per_group: int, k: int) -> str:
+    return f"""{_scored_ctes(term)},
+ranked AS (
+  SELECT d.{group_col} AS grp, s.doc_id, s.score_x1e6,
+         row_number() OVER (PARTITION BY d.{group_col}
+                            ORDER BY s.score_x1e6 DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT grp, doc_id, score_x1e6, rn FROM ranked
+WHERE rn <= {per_group} ORDER BY grp, rn LIMIT {k}"""
+
+
+def _scored_suffixed(term: str, sfx: str) -> list[str]:
+    """tf/dfx/scored CTEs with a name suffix (shared stats CTEs from
+    _prefix_ctes are reused by both terms of a fusion query)."""
+    return [
+        f"tf{sfx} AS (SELECT doc_id, tok, count(*) AS freq FROM toks "
+        f"WHERE tok = '{term}' GROUP BY doc_id, tok)",
+        f"dfx{sfx} AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf{sfx} GROUP BY tok)",
+        f"""scored{sfx} AS (
+  SELECT tf.doc_id, CAST(ROUND(SUM({_SCORE})*1000000) AS BIGINT) AS score_x1e6
+  FROM tf{sfx} tf JOIN dfx{sfx} d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)""",
+    ]
+
+
+def _sql_rrf(term_a: str, term_b: str, kconst: int, k: int, depth: int) -> str:
+    ranked = (
+        "r{sfx} AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score_x1e6 DESC, doc_id ASC) AS rank FROM "
+        "(SELECT * FROM scored{sfx} ORDER BY score_x1e6 DESC, doc_id ASC "
+        f"LIMIT {depth}))"
+    )
+    ctes = (
+        _scored_suffixed(term_a, "_a")
+        + _scored_suffixed(term_b, "_b")
+        + [ranked.format(sfx="_a"), ranked.format(sfx="_b")]
+    )
+    return f"""{_prefix_ctes(ctes)},
+both_r AS (SELECT doc_id, rank FROM r_a UNION ALL SELECT doc_id, rank FROM r_b)
+SELECT doc_id,
+  CAST(ROUND(SUM(1.0/({kconst} + rank))*1000000) AS BIGINT) AS rrf_x1e6
+FROM both_r GROUP BY doc_id
+ORDER BY rrf_x1e6 DESC, doc_id ASC LIMIT {k}"""
+
+
 def _sql_dismax(terms: list[str], tie: float, k: int = 10) -> str:
     inlist = ",".join(f"'{t}'" for t in terms)
     return f"""{_prefix_ctes([
@@ -299,6 +365,62 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         return sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=20).offset(10)
 
+    # --- collectors / joins / fusion (SURVEY.md §2.5-2.7) ---
+
+    def q_regexp(spark, sf):
+        r = ensure_index(spark, sf)
+        terms = r.expand(Q.RegexpQuery(FIELD, "cu.*er"))
+        return sp.const_score_topk(r, FIELD, terms)
+
+    def q_match_all(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.match_all_topk(r)
+
+    def q_field_sort(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.field_sort_topk(r, FIELD, T_MID, "n_chars", ascending=False)
+
+    def q_range_facet(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.range_facet_counts(
+            r, FIELD, T_MID, "n_chars", [0, 150, 300, 450, 600]
+        )
+
+    def q_grouped_topk(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.grouped_topk(r, FIELD, T_MID, "lang", per_group=2, k=20)
+
+    def q_rrf(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.rrf_topk(r, FIELD, T_HOT, T_MID, kconst=60, k=10, depth=100)
+
+    def q_rescore(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.rescore_topk(r, FIELD, T_MID, "n_chars", weight=1.0, first_n=40)
+
+    def q_feature(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.feature_topk(r, FIELD, T_MID, "n_chars", weight=0.5)
+
+    def q_block_join(spark, sf):
+        from lucene_spark.search.joins import to_parent_block_join
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return to_parent_block_join(
+            li, F.col("l_quantity") >= 49, F.col("l_extendedprice"),
+            "l_orderkey", score_mode="max",
+        )
+
+    def q_join_util(spark, sf):
+        from lucene_spark.search.joins import join_util_semi
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        return join_util_semi(
+            orders, F.col("o_totalprice") > 450000, "o_custkey",
+            cust, "c_custkey", ["c_custkey", "c_name"], "c_custkey", k=20,
+        )
+
     # --- training-data pipeline operators (documents / embeddings) ---
 
     def _docs(spark, sf):
@@ -341,6 +463,16 @@ def gate_queries() -> dict[str, object]:
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
     return {
+        "q_regexp": q_regexp,
+        "q_match_all": q_match_all,
+        "q_field_sort": q_field_sort,
+        "q_range_facet": q_range_facet,
+        "q_grouped_topk": q_grouped_topk,
+        "q_rrf": q_rrf,
+        "q_rescore": q_rescore,
+        "q_feature": q_feature,
+        "q_block_join": q_block_join,
+        "q_join_util": q_join_util,
         "q_token_stats": q_token_stats,
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
@@ -373,7 +505,52 @@ def gate_queries() -> dict[str, object]:
 
 
 def gate_oracle_sql() -> dict[str, str]:
+    edges = [0, 150, 300, 450, 600]
+    bucket_case = " ".join(
+        f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN '{lo:06d}_{hi:06d}'"
+        for lo, hi in zip(edges, edges[1:])
+    )
     return {
+        "q_regexp": _sql_const("regexp_full_match(tok, 'cu.*er')"),
+        "q_match_all": (
+            "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
+            "FROM documents ORDER BY doc_id LIMIT 10"
+        ),
+        "q_field_sort": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+        "q_range_facet": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT bucket, count(*) AS cnt FROM (
+  SELECT CASE {bucket_case} END AS bucket
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+) WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""",
+        "q_grouped_topk": _sql_grouped(T_MID, "lang", 2, 20),
+        "q_rrf": _sql_rrf(T_HOT, T_MID, 60, 10, 100),
+        "q_rescore": f"""{_scored_ctes(T_MID)},
+first_n AS (SELECT * FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 40)
+SELECT f.doc_id,
+  CAST(ROUND((f.score_x1e6/1000000.0 + 1.0*ln(1 + CAST(d.n_chars AS DOUBLE)))*1000000)
+       AS BIGINT) AS rescored_x1e6
+FROM first_n f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY rescored_x1e6 DESC, f.doc_id ASC LIMIT 10""",
+        "q_feature": f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0 + 0.5*ln(1 + CAST(d.n_chars AS DOUBLE)))*1000000)
+       AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10""",
+        "q_block_join": """SELECT l_orderkey AS parent_id,
+  CAST(ROUND(MAX(l_extendedprice)*1000000) AS BIGINT) AS score_x1e6,
+  count(*) AS n_children
+FROM lineitem WHERE l_quantity >= 49
+GROUP BY l_orderkey
+ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
+        "q_join_util": """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+ORDER BY c_custkey LIMIT 20""",
         "q_token_stats": ts.token_stats_sql(),
         "q_quality": ts.quality_scores_sql(),
         "q_lang_id": ts.lang_id_sql(),

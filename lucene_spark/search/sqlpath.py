@@ -271,3 +271,211 @@ def facet_counts(
         .orderBy(F.col("cnt").desc(), F.col(facet_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# collector / ranking extensions: field sort, grouping, range facets,
+# RRF fusion, rescoring, feature scoring, match-all
+# ---------------------------------------------------------------------------
+
+
+def term_scored(reader: IndexReader, field: str, term: str) -> DataFrame:
+    """Single-term BM25 as (doc_id, score_x1e6) WITHOUT top-k cut — the
+    scored-docs building block for collectors below. Integer scores make
+    downstream ranks engine-independent."""
+    ep = exploded_postings(reader, field, [term])
+    df_df, n, avgdl = _with_stats(reader, field, [term])
+    dlq = _length_table_col(F.col("norm_code"))
+    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+        "score", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
+    )
+    return scored.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_x1e6")
+    )
+
+
+def match_all_topk(reader: IndexReader, k: int = 10) -> DataFrame:
+    """MatchAllDocsQuery (MatchAllDocsQuery.java:23): every live doc,
+    constant score 1, doc_id order."""
+    return (
+        reader.docs()
+        .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def field_sort_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    sort_col: str,
+    ascending: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """TopFieldCollector analog (SortField.java:59-119): docs matching
+    `term`, ordered by a docvalues column with doc_id tie-break.
+    -> (doc_id, sort_val). Spark plans this as TakeOrderedAndProject —
+    the same O(k) per-partition heap Lucene uses per leaf."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    order = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    return (
+        docs.select("doc_id", F.col(sort_col).cast("long").alias("sort_val"))
+        .orderBy(order, F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def range_facet_counts(
+    reader: IndexReader, field: str, term: str, num_col: str, edges: list[int]
+) -> DataFrame:
+    """LongRangeFacetCounts analog: count matched docs per numeric range
+    [edges[i], edges[i+1]). -> (bucket, cnt) ordered by bucket."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    c = F.col(num_col)
+    bucket = F.lit(None).cast("string")
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        lab = f"{lo:06d}_{hi:06d}"
+        bucket = F.when((c >= lo) & (c < hi), F.lit(lab)).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def grouped_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    group_col: str,
+    per_group: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Two-pass grouping collector analog (FirstPass/SecondPass
+    GroupingCollector): top `per_group` docs per group by BM25.
+    -> (group, doc_id, score_x1e6, rn). One shuffle keyed by group;
+    the rank window runs per group partition (no global sort)."""
+    from pyspark.sql.window import Window
+
+    scored = term_scored(reader, field, term)
+    docs = reader.docs().select("doc_id", F.col(group_col).alias("grp"))
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_x1e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_group)
+        .select(F.col("grp").alias("grp"), "doc_id", "score_x1e6", "rn")
+        .orderBy("grp", "rn")
+        .limit(k)
+    )
+
+
+def rrf_topk(
+    reader: IndexReader,
+    field: str,
+    term_a: str,
+    term_b: str,
+    kconst: int = 60,
+    k: int = 10,
+    depth: int = 100,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two single-term rankings
+    (TopDocs.rrf, TopDocs.java:372): score = sum over rankings of
+    1/(kconst + rank); ranks from (score_x1e6 DESC, doc_id ASC).
+    -> (doc_id, rrf_x1e6).
+
+    Each input ranking is first cut to `depth` hits (TopDocs are always
+    finite collections), so the rank window runs over <=depth rows —
+    never a global sort of all matches."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+
+    def ranked(term: str) -> DataFrame:
+        top = (
+            term_scored(reader, field, term)
+            .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+            .limit(depth)
+        )
+        return top.withColumn("rank", F.row_number().over(w))
+
+    ra = ranked(term_a)
+    rb = ranked(term_b)
+    both = ra.select("doc_id", "rank").unionByName(rb.select("doc_id", "rank"))
+    rrf = both.groupBy("doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(kconst)) + F.col("rank"))).alias("rrf")
+    )
+    return (
+        rrf.select(
+            "doc_id", F.round(F.col("rrf") * 1e6).cast("long").alias("rrf_x1e6")
+        )
+        .orderBy(F.col("rrf_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def rescore_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    num_col: str,
+    weight: float = 1.0,
+    first_n: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """QueryRescorer analog (QueryRescorer.java): first-pass top
+    `first_n` by BM25, re-ranked by score + weight*ln(1 + num_col).
+    -> (doc_id, rescored_x1e6). The expensive second pass touches only
+    first_n rows — at scale that's a broadcast-sized frame."""
+    first = (
+        term_scored(reader, field, term)
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(first_n)
+    )
+    docs = reader.docs().select("doc_id", F.col(num_col).cast("double").alias("feat"))
+    re2 = first.join(docs, "doc_id").withColumn(
+        "rescored",
+        F.col("score_x1e6") / 1e6 + F.lit(weight) * F.log(F.lit(1.0) + F.col("feat")),
+    )
+    return (
+        re2.select(
+            "doc_id",
+            F.round(F.col("rescored") * 1e6).cast("long").alias("rescored_x1e6"),
+        )
+        .orderBy(F.col("rescored_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def feature_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    num_col: str,
+    weight: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """FeatureField/FeatureQuery analog (FeatureField.java): BM25 term
+    score plus a static per-doc feature folded in as
+    weight * ln(1 + feature). -> (doc_id, score_x1e6)."""
+    scored = term_scored(reader, field, term)
+    docs = reader.docs().select("doc_id", F.col(num_col).cast("double").alias("feat"))
+    j = scored.join(docs, "doc_id").withColumn(
+        "total",
+        F.col("score_x1e6") / 1e6 + F.lit(weight) * F.log(F.lit(1.0) + F.col("feat")),
+    )
+    return (
+        j.select(
+            "doc_id", F.round(F.col("total") * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
