@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from lucene_spark.index.builder import IndexConfig, build_index
 from lucene_spark.index import manifest as mani
 from lucene_spark.pipeline import dedup as dd
+from lucene_spark.pipeline import multimodal as mm
 from lucene_spark.pipeline import similarity as sim
 from lucene_spark.pipeline import textstats as ts
 from lucene_spark.search import sqlpath as sp
@@ -462,7 +463,26 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_media_meta(spark, sf):
+        from lucene_spark.pipeline.multimodal import media_meta
+
+        return media_meta(_docs(spark, sf))
+
+    def q_media_decode(spark, sf):
+        # pandas-UDF byte-stat decode: not SQL-expressible (no blob
+        # iteration in ANSI SQL) -> rows-only driver check; full value
+        # coverage lives in tests/test_multimodal.py
+        from lucene_spark.pipeline.multimodal import decode_media, synthesize_media
+
+        return (
+            decode_media(synthesize_media(_docs(spark, sf)))
+            .orderBy("media_id")
+            .limit(200)
+        )
+
     return {
+        "q_media_meta": q_media_meta,
+        "q_media_decode": q_media_decode,
         "q_regexp": q_regexp,
         "q_match_all": q_match_all,
         "q_field_sort": q_field_sort,
@@ -551,6 +571,7 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_media_meta": mm.media_meta_sql(),
         "q_token_stats": ts.token_stats_sql(),
         "q_quality": ts.quality_scores_sql(),
         "q_lang_id": ts.lang_id_sql(),

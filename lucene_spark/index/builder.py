@@ -115,6 +115,37 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return out
 
 
+def make_invert_fn(
+    analyzer_name: str, content_col: str, fieldname: str, store_pos: bool
+):
+    """The DWPT pass as a mapInPandas closure: one partition -> one
+    segment (tokenize, count freqs, sort terms once). Shared by the
+    batch builder and the streaming NRT appender."""
+
+    def invert(it):
+        pid = TaskContext.get().partitionId()
+        an = get_analyzer(analyzer_name)
+        import pandas as pd
+
+        bufs = []
+        for pdf in it:
+            bufs.append(pdf)
+        if bufs:
+            pdf = pd.concat(bufs, ignore_index=True)
+            pdf = pdf.sort_values("doc_id")
+            seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
+            yield build_segment(
+                seg_id,
+                pdf["doc_id"].to_numpy(),
+                pdf[content_col],
+                an,
+                fieldname,
+                store_positions=store_pos,
+            )
+
+    return invert
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -157,25 +188,7 @@ def build_index(
         # write the registry once, first (idempotent overwrite)
         registry.write.mode("overwrite").parquet(f"{index_dir}/docs")
 
-    def invert(it):
-        pid = TaskContext.get().partitionId()
-        an = get_analyzer(analyzer_name)
-        import pandas as pd
-        bufs = []
-        for pdf in it:
-            bufs.append(pdf)
-        if bufs:
-            pdf = pd.concat(bufs, ignore_index=True)
-            pdf = pdf.sort_values("doc_id")
-            seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
-            yield build_segment(
-                seg_id,
-                pdf["doc_id"].to_numpy(),
-                pdf[cfg.content_col],
-                an,
-                fieldname,
-                store_positions=store_pos,
-            )
+    invert = make_invert_fn(analyzer_name, cfg.content_col, fieldname, store_pos)
 
     for b in range(num_batches):
         if b in done:
