@@ -255,12 +255,22 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {b}")
 
 
-def _recompute_stats(spark: SparkSession, index_dir: str, fieldname: str) -> None:
+def _recompute_stats(
+    spark: SparkSession,
+    index_dir: str,
+    fieldname: str,
+    live_ids: set[str] | None = None,
+) -> None:
     """Global stats, recomputed after EVERY commit — avgdl must always
-    reflect all committed segments (IndexSearcher.java:1134-1149;
-    SURVEY.md §7 known-hard #3)."""
+    reflect all committed LIVE segments (IndexSearcher.java:1134-1149;
+    SURVEY.md §7 known-hard #3). ``live_ids`` excludes merged-away
+    segments (None = everything is live, the pure-append case)."""
     postings = spark.read.parquet(f"{index_dir}/postings")
     doclens = spark.read.parquet(f"{index_dir}/doclens")
+    if live_ids is not None:
+        sel = F.col("segment_id").isin(sorted(live_ids))
+        postings = postings.filter(sel)
+        doclens = doclens.filter(sel)
     (
         postings.groupBy("field", "term")
         .agg(

@@ -41,6 +41,26 @@ def read_manifest(index_dir: str, generation: int | None = None) -> dict[str, An
         return json.load(f)
 
 
+def live_segment_ids(manifest: dict[str, Any]) -> set[str] | None:
+    """Segments a reader may see: every segment from `batches` plus
+    every merge output, minus every merge input. Returns None when no
+    merge ever ran (= everything is live; readers skip the filter).
+
+    This is the IndexFileDeleter model (CORE/index/IndexFileDeleter.java):
+    replaced segment files stay on disk until GC; the manifest alone
+    decides visibility."""
+    merges = manifest.get("merges") or []
+    if not merges:
+        return None
+    live = {
+        s["segment_id"] for b in manifest.get("batches", []) for s in b["segments"]
+    }
+    for m in merges:
+        live |= {s["segment_id"] for s in m["segments"]}
+        live -= set(m["inputs"])
+    return live
+
+
 def commit_manifest(index_dir: str, manifest: dict[str, Any]) -> int:
     """Two-phase commit: write pending, fsync, rename to manifest-<gen>."""
     os.makedirs(index_dir, exist_ok=True)

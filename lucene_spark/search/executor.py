@@ -75,14 +75,27 @@ class IndexReader:
 
     # ---- catalogs --------------------------------------------------------
 
+    def _live_filter(self, df: DataFrame) -> DataFrame:
+        """Restrict to live segments (post-merge manifests only; a pure
+        append-only index has no filter — SegmentInfos visibility via
+        IndexFileDeleter semantics, manifest.live_segment_ids)."""
+        live = mani.live_segment_ids(self.manifest)
+        if live is None:
+            return df
+        return df.filter(F.col("segment_id").isin(sorted(live)))
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/postings")
+        return self._live_filter(
+            self.spark.read.parquet(f"{self.index_dir}/postings")
+        )
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docs")
 
     def doclens(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/doclens")
+        return self._live_filter(
+            self.spark.read.parquet(f"{self.index_dir}/doclens")
+        )
 
     def term_stats_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/term_stats")

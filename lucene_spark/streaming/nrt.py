@@ -53,7 +53,10 @@ def append_batch(
     try:
         m = mani.read_manifest(index_dir)
         offset = int(m["num_docs_total"])
-        next_b = 1 + max(b["batch"] for b in m["batches"])
+        next_b = 1 + max(
+            [b["batch"] for b in m["batches"]]
+            + [mg["batch"] for mg in m.get("merges", [])]
+        )
         committed = list(m["batches"])
     except FileNotFoundError:
         m = None
@@ -113,7 +116,6 @@ def append_batch(
             "status": "committed",
         }
     )
-    _recompute_stats(spark, index_dir, cfg.field)
     base = {
         "field": cfg.field,
         "analyzer": cfg.analyzer,
@@ -126,8 +128,11 @@ def append_batch(
     }
     if m:
         base["lineage"] = m.get("lineage", {})
+        if m.get("merges"):
+            base["merges"] = m["merges"]
     base["num_docs_total"] = int(offset + n_new)
     base["batches"] = committed
+    _recompute_stats(spark, index_dir, cfg.field, mani.live_segment_ids(base))
     return mani.commit_manifest(index_dir, base)
 
 

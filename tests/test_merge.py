@@ -1,0 +1,113 @@
+"""Tiered merge tests: merging must be invisible to queries (identical
+BM25 top-k and stats), force_merge(1) must converge to one live
+segment, and post-merge NRT appends must keep working."""
+
+import pytest
+
+
+def _build(spark, corpus, path, docs_per_segment=60):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    cfg = IndexConfig(docs_per_segment=docs_per_segment, num_batches=2)
+    build_index(spark, spark.createDataFrame(corpus), str(path), cfg)
+    return IndexReader(spark, str(path))
+
+
+def _topk(reader, must):
+    from lucene_spark.search import sqlpath as sp
+
+    return [
+        (r["doc_id"], r["score_x1e6"])
+        for r in sp.bool_bm25_topk(reader, "content", must=must).collect()
+    ]
+
+
+def _live_count(reader):
+    from lucene_spark.index import manifest as mani
+
+    m = reader.manifest
+    ids = {s["segment_id"] for b in m["batches"] for s in b["segments"]}
+    for mg in m.get("merges", []):
+        ids |= {s["segment_id"] for s in mg["segments"]}
+    live = mani.live_segment_ids(m)
+    return len(ids if live is None else ids & live)
+
+
+def test_find_merges_policy():
+    from lucene_spark.index.merge import find_merges
+
+    segs = [{"segment_id": f"s{i}", "num_docs": 10 * (i + 1)} for i in range(12)]
+    groups = find_merges(segs, segs_per_tier=4, max_merge_at_once=5)
+    assert groups and all(len(g) >= 2 for g in groups)
+    # smallest segments are merged first
+    assert "s0" in groups[0] and "s1" in groups[0]
+    # cap respected
+    groups2 = find_merges(segs, segs_per_tier=2, max_merged_docs=50)
+    for g in groups2:
+        assert sum(int(s[1:]) * 10 + 10 for s in g) <= 50 or len(g) >= 2
+
+
+def test_merge_preserves_results_and_stats(spark, corpus, tmp_path):
+    from lucene_spark.index.merge import merge_round
+    from lucene_spark.search.executor import IndexReader
+
+    r0 = _build(spark, corpus, tmp_path / "idx")
+    before = {m: _topk(r0, list(m)) for m in (("def",), ("return", "import"))}
+    stats_before = r0.collection_stats("content")
+    n_before = _live_count(r0)
+    assert n_before > 2
+
+    did = merge_round(spark, str(tmp_path / "idx"), segs_per_tier=2)
+    assert did >= 1
+    r1 = IndexReader(spark, str(tmp_path / "idx"))
+    assert _live_count(r1) < n_before
+    assert r1.collection_stats("content") == stats_before
+    for m, want in before.items():
+        assert _topk(r1, list(m)) == want
+
+
+def test_force_merge_to_one_segment(spark, corpus, tmp_path):
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.executor import IndexReader
+
+    r0 = _build(spark, corpus, tmp_path / "idx")
+    want = _topk(r0, ["def"])
+    force_merge(spark, str(tmp_path / "idx"), max_segments=1)
+    r1 = IndexReader(spark, str(tmp_path / "idx"))
+    assert _live_count(r1) == 1
+    assert _topk(r1, ["def"]) == want
+    # postings of the merged segment still satisfy the CheckIndex
+    # invariant: doc_freq == decoded length, docIDs strictly increasing
+    import numpy as np
+
+    from lucene_spark.index import codec
+
+    for row in r1.postings().limit(50).collect():
+        d, f = codec.decode_postings(bytes(row["postings"]))
+        assert len(d) == row["doc_freq"]
+        assert (np.diff(d) > 0).all() if len(d) > 1 else True
+        assert int(f.sum()) == row["total_term_freq"]
+
+
+def test_append_after_merge(spark, corpus, tmp_path):
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.executor import IndexReader
+    from lucene_spark.streaming.nrt import append_batch
+
+    srt = corpus.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    h1, h2 = srt.iloc[: len(srt) // 2], srt.iloc[len(srt) // 2 :]
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_segment=60)
+
+    append_batch(spark, spark.createDataFrame(h1), idx, cfg)
+    force_merge(spark, idx, max_segments=1)
+    append_batch(spark, spark.createDataFrame(h2), idx, cfg)
+    r = IndexReader(spark, idx)
+    assert r.manifest["num_docs_total"] == len(srt)
+
+    # full-corpus bulk build gives identical results
+    rb = _build(spark, corpus, tmp_path / "bulk")
+    assert r.collection_stats("content") == rb.collection_stats("content")
+    assert _topk(r, ["def"]) == _topk(rb, ["def"])
