@@ -82,3 +82,87 @@ def generate_source_files(n_files: int, seed: int = 42) -> pd.DataFrame:
             content = " ".join(toks)
         rows.append((repo, path, commit, lang, content))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+# ---------------------------------------------------------------------------
+# distributed corpus generation (scaling benchmarks)
+# ---------------------------------------------------------------------------
+
+_STEMS = ["parse", "build", "index", "merge", "score", "token", "block", "fetch"]
+_NOUNS = ["writer", "reader", "buffer", "cache", "queue", "graph", "node", "term"]
+
+
+def _ident_vocab() -> list[str]:
+    out = []
+    for a in _STEMS:
+        for b in _NOUNS:
+            for r in range(7):
+                out.append(f"{a}_{b}_{r}")
+                out.append(f"{a}{b.capitalize()}{r}")
+    return out
+
+
+def generate_source_files_distributed(
+    spark, n_files: int, seed: int = 42, parts: int = 64
+):
+    """Same source_files shape as generate_source_files, but vectorized
+    and generated ON the executors (mapInPandas over spark.range) so
+    million-file corpora take seconds. Deterministic in (n_files, seed,
+    parts): partition p is seeded (seed, p) and generates its own row
+    range — independent of cluster size or scheduling.
+
+    Token mix: 60% hot keywords, 30% mid-df identifiers, 10% unique
+    hex tokens (same hot/mid/rare df shape as the loop generator)."""
+    import numpy as np
+    import pandas as pd
+
+    idents = np.array(_ident_vocab(), dtype=object)
+    keywords = np.array(KEYWORDS, dtype=object)
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            pid = int(ids[0] // ((n_files + parts - 1) // parts))
+            rng = np.random.default_rng(seed * 1_000_003 + pid)
+            n = len(ids)
+            lens = rng.integers(20, 200, n)
+            total = int(lens.sum())
+            doc_idx = np.repeat(np.arange(n), lens)
+            u = rng.random(total)
+            tok = np.empty(total, dtype=object)
+            hot = u < 0.6
+            mid = (u >= 0.6) & (u < 0.9)
+            rare = u >= 0.9
+            tok[hot] = keywords[rng.integers(0, len(keywords), int(hot.sum()))]
+            tok[mid] = idents[rng.integers(0, len(idents), int(mid.sum()))]
+            rare_vals = rng.integers(0, 1 << 40, int(rare.sum()))
+            tok[rare] = [f"u{v:010x}" for v in rare_vals]
+            content = (
+                pd.Series(tok).groupby(doc_idx).agg(" ".join).reindex(
+                    np.arange(n), fill_value=""
+                )
+            )
+            rid = rng.integers(0, max(2, n_files // 50), n)
+            lang = np.array(LANGS, dtype=object)[
+                rng.integers(0, len(LANGS), n)
+            ]
+            commits = rng.integers(0, 1 << 60, n)
+            yield pd.DataFrame(
+                {
+                    "repo": [f"org{int(r) % 13}/proj{int(r)}" for r in rid],
+                    "path": [
+                        f"src/pkg{int(r) % 20}/file{int(i)}.py"
+                        for r, i in zip(rid, ids)
+                    ],
+                    "commit": [f"{int(c):015x}" for c in commits],
+                    "lang": lang,
+                    "content": content.to_numpy(),
+                }
+            )
+
+    return (
+        spark.range(0, n_files, 1, parts)
+        .mapInPandas(gen, schema="repo string, path string, commit string, lang string, content string")
+    )

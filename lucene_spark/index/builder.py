@@ -146,6 +146,70 @@ def make_invert_fn(
     return invert
 
 
+def _make_fused_fn(
+    analyzer_name: str,
+    content_col: str,
+    fieldname: str,
+    store_pos: bool,
+    meta_cols: list[str],
+    offsets: dict[int, int] | None,
+):
+    """The fused DWPT pass: ONE Python crossing per partition that
+    (a) assigns dense deterministic doc_ids from the per-partition
+    offsets (None = a pre-assigned doc_id column exists), (b) computes
+    the content sha256 invariant, (c) inverts the segment. Doc rows
+    carry registry metadata; posting rows carry the index."""
+
+    def run(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        an = get_analyzer(analyzer_name)
+        bufs = list(it)
+        if not bufs:
+            return
+        pdf = pd.concat(bufs, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pid = int(pdf["_pid"].iat[0])
+        if offsets is None:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            doc_ids = pdf["doc_id"].to_numpy()
+        else:
+            # rows arrive in sortWithinPartitions order — already the
+            # total (id_cols) order within this range partition
+            doc_ids = offsets[pid] + np.arange(len(pdf), dtype=np.int64)
+        batch_no = int(pdf["_batch"].iat[0])
+        seg_id = f"b{batch_no:04d}p{pid:05d}"
+        out = build_segment(
+            seg_id,
+            doc_ids,
+            pdf[content_col],
+            an,
+            fieldname,
+            store_positions=store_pos,
+        )
+        # attach registry columns to the doc rows (aligned: build_segment
+        # emits doc rows first, in doc_id order == pdf order)
+        is_doc = out["row_type"] == 0
+        n_docs = int(is_doc.sum())
+        sha = pdf[content_col].map(
+            lambda s: hashlib.sha256(str(s).encode("utf-8")).hexdigest()
+        )
+        for c in meta_cols:
+            vals = pd.Series([None] * len(out), dtype=object)
+            vals.iloc[:n_docs] = pdf[c].astype(object).to_numpy()
+            out[c] = vals
+        sha_col = pd.Series([None] * len(out), dtype=object)
+        sha_col.iloc[:n_docs] = sha.to_numpy()
+        out["content_sha256"] = sha_col
+        yield out
+
+    return run
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -155,6 +219,13 @@ def build_index(
 ) -> None:
     """Build (or resume) the index at index_dir from the source DataFrame.
 
+    Single-pass design (the 100 TB shape): ONE shuffle (range partition
+    by the doc order key), one cheap JVM-only count per partition, then
+    ONE fused mapInPandas pass per batch that assigns doc_ids, computes
+    the sha256 invariant, and inverts — emitting docs-registry, doclens
+    and postings rows together. No staging table, no second shuffle, no
+    extra Arrow crossing of the content column.
+
     ``fail_after_batch`` injects a crash after committing that many
     batches — used by the resume test (SURVEY.md §5 e2e plan).
     """
@@ -163,15 +234,6 @@ def build_index(
     fieldname = cfg.field
     store_pos = cfg.store_positions
 
-    docs = assign_doc_ids(source, cfg)
-    n_docs = docs.count()
-
-    # docs registry with the sha256 invariant column — pure JVM
-    meta_cols = [c for c in docs.columns if c != cfg.content_col]
-    registry = docs.select(
-        *meta_cols, F.sha2(F.col(cfg.content_col), 256).alias("content_sha256")
-    )
-
     # resume: find already-committed batches
     done: set[int] = set()
     try:
@@ -179,80 +241,128 @@ def build_index(
         done = {b["batch"] for b in m.get("batches", [])}
     except FileNotFoundError:
         m = None
-
-    num_batches = max(1, cfg.num_batches)
-    batch_size = (n_docs + num_batches - 1) // num_batches
     committed = list(m.get("batches", [])) if m else []
 
-    if not done:
-        # write the registry once, first (idempotent overwrite)
-        registry.write.mode("overwrite").parquet(f"{index_dir}/docs")
+    if cfg.doc_id_col and cfg.doc_id_col != "doc_id":
+        source = source.withColumnRenamed(cfg.doc_id_col, "doc_id")
+    preassigned = bool(cfg.doc_id_col)
+    keys = ["doc_id"] if preassigned else list(cfg.id_cols)
 
-    invert = make_invert_fn(analyzer_name, cfg.content_col, fieldname, store_pos)
+    n_docs = source.count()
+    parts = max(1, (n_docs + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
+    num_batches = max(1, min(cfg.num_batches, parts))
+    pids_per_batch = (parts + num_batches - 1) // num_batches
 
-    for b in range(num_batches):
-        if b in done:
-            continue
-        t0 = time.time()
-        lo, hi = b * batch_size, min((b + 1) * batch_size, n_docs)
-        batch_df = (
-            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            .select("doc_id", cfg.content_col)
-            .withColumn("_batch", F.lit(b))
+    from pyspark.storagelevel import StorageLevel
+
+    ordered = (
+        source.repartitionByRange(parts, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_batch", (F.col("_pid") / pids_per_batch).cast("int")
         )
-        parts = max(1, (hi - lo + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
-        batch_df = batch_df.repartitionByRange(parts, "doc_id")
-        staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
-        staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={b}")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # JVM-only partition counts -> dense doc_id offsets (scalable
+    # zipWithIndex: no global sort, stable across cluster sizes because
+    # the order derives from data, never from scheduling)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
 
-        st = spark.read.parquet(f"{index_dir}/staging/batch={b}")
-        st.filter("row_type = 1").drop("row_type", "doc_id", "doc_len", "doc_len_code").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/postings/batch={b}")
-        st.filter("row_type = 0").select(
-            "segment_id", "doc_id", "doc_len", "doc_len_code"
-        ).write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={b}")
+    meta_cols = [
+        c for c in source.columns if c not in (cfg.content_col, "doc_id")
+    ]
+    fused = _make_fused_fn(
+        analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
+        None if preassigned else offsets,
+    )
+    meta_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in source.schema.fields
+        if f.name in meta_cols
+    )
+    staging_schema = STAGING_SCHEMA + ", " + meta_ddl + ", content_sha256 string" if meta_ddl else (
+        STAGING_SCHEMA + ", content_sha256 string"
+    )
 
-        seg_metrics = [
-            r.asDict()
-            for r in st.filter("row_type = 0")
-            .groupBy("segment_id")
-            .agg(
-                F.count("*").alias("num_docs"),
-                F.sum("doc_len").alias("sum_doc_len"),
-                F.min("doc_id").alias("first_doc_id"),
-                F.max("doc_id").alias("last_doc_id"),
+    try:
+        for b in range(num_batches):
+            if b in done:
+                continue
+            t0 = time.time()
+            lo_pid = b * pids_per_batch
+            hi_pid = min((b + 1) * pids_per_batch, parts)
+            subset = ordered.filter(
+                (F.col("_pid") >= lo_pid) & (F.col("_pid") < hi_pid)
             )
-            .collect()
-        ]
-        committed.append(
-            {
-                "batch": b,
-                "doc_id_range": [int(lo), int(hi)],
-                "segments": sorted(seg_metrics, key=lambda s: s["segment_id"]),
-                "build_sec": round(time.time() - t0, 3),
-                "status": "committed",
-            }
-        )
-        _recompute_stats(spark, index_dir, fieldname)
-        mani.commit_manifest(
-            index_dir,
-            {
-                "field": fieldname,
-                "analyzer": analyzer_name,
-                "k1": cfg.k1,
-                "b": cfg.b,
-                "store_positions": store_pos,
-                "num_docs_total": int(n_docs),
-                "num_batches": num_batches,
-                "id_cols": list(cfg.id_cols),
-                "doc_id_col": cfg.doc_id_col,
-                "batches": committed,
-                "lineage": {"source_count": int(n_docs), **cfg.extra},
-            },
-        )
-        if fail_after_batch is not None and b + 1 >= fail_after_batch:
-            raise RuntimeError(f"injected failure after batch {b}")
+            staging = subset.mapInPandas(fused, schema=staging_schema).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            staging.filter("row_type = 1").select(
+                "segment_id", "field", "term", "doc_freq", "total_term_freq",
+                "postings", "norms", "positions", "block_last_doc",
+                "impact_freqs", "impact_norms",
+            ).write.mode("overwrite").parquet(f"{index_dir}/postings/batch={b}")
+            staging.filter("row_type = 0").select(
+                "segment_id", "doc_id", "doc_len", "doc_len_code"
+            ).write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={b}")
+            staging.filter("row_type = 0").select(
+                "doc_id", *meta_cols, "content_sha256"
+            ).write.mode("overwrite").parquet(f"{index_dir}/docs/batch={b}")
+
+            seg_metrics = [
+                r.asDict()
+                for r in staging.filter("row_type = 0")
+                .groupBy("segment_id")
+                .agg(
+                    F.count("*").alias("num_docs"),
+                    F.sum("doc_len").alias("sum_doc_len"),
+                    F.min("doc_id").alias("first_doc_id"),
+                    F.max("doc_id").alias("last_doc_id"),
+                )
+                .collect()
+            ]
+            staging.unpersist()
+            lo = min((s["first_doc_id"] for s in seg_metrics), default=0)
+            hi = max((s["last_doc_id"] + 1 for s in seg_metrics), default=0)
+            committed.append(
+                {
+                    "batch": b,
+                    "doc_id_range": [int(lo), int(hi)],
+                    "segments": sorted(seg_metrics, key=lambda s: s["segment_id"]),
+                    "build_sec": round(time.time() - t0, 3),
+                    "status": "committed",
+                }
+            )
+            _recompute_stats(spark, index_dir, fieldname)
+            mani.commit_manifest(
+                index_dir,
+                {
+                    "field": fieldname,
+                    "analyzer": analyzer_name,
+                    "k1": cfg.k1,
+                    "b": cfg.b,
+                    "store_positions": store_pos,
+                    "num_docs_total": int(n_docs),
+                    "num_batches": num_batches,
+                    "id_cols": list(cfg.id_cols),
+                    "doc_id_col": cfg.doc_id_col,
+                    "batches": committed,
+                    "lineage": {"source_count": int(n_docs), **cfg.extra},
+                },
+            )
+            if fail_after_batch is not None and b + 1 >= fail_after_batch:
+                raise RuntimeError(f"injected failure after batch {b}")
+    finally:
+        ordered.unpersist()
 
 
 def _recompute_stats(

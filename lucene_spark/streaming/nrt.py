@@ -75,7 +75,7 @@ def append_batch(
     registry = ids.select(
         *meta_cols, F.sha2(F.col(cfg.content_col), 256).alias("content_sha256")
     )
-    registry.write.mode("append").parquet(f"{index_dir}/docs")
+    registry.write.mode("overwrite").parquet(f"{index_dir}/docs/batch={next_b}")
 
     batch_df = (
         ids.select("doc_id", cfg.content_col)

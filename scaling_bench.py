@@ -1,0 +1,187 @@
+"""Scaling-efficiency evidence run (BASELINE.md "Scaling efficiency").
+
+The north rule requires throughput scaling efficiency >= 0.8 from N to
+4N executors; the sandbox proxy (per driver instruction) is the SAME
+job at two parallelism levels — local[8] vs local[32] — on identical
+input. This script:
+
+1. synthesizes (once, cached) a deterministic source-code corpus large
+   enough that the build is compute-bound, not overhead-bound
+   (fixtures.generate_source_files_distributed, seed=42, no external data);
+2. runs the full index build + a fixed BM25 query set in a fresh
+   subprocess per parallelism level (one JVM cannot change master);
+3. computes efficiency = (files/sec @ 32) / (4 x files/sec @ 8) and
+   writes BENCH/BASELINE.md.
+
+Usage: python scaling_bench.py   (env SCALING_DOCS=200000 default)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+N_DOCS = int(os.environ.get("SCALING_DOCS", "200000"))
+LEVELS = (8, 32)
+REPS = 5
+
+
+def corpus_path(n: int) -> str:
+    return f"/tmp/lucene_spark_scaling_corpus_{n}"
+
+
+def ensure_corpus(n: int) -> str:
+    """Generate (once, in a subprocess with its own Spark) the corpus
+    via the distributed vectorized generator (fixtures.py) — million-file
+    corpora in seconds, deterministic in (n, seed)."""
+    path = corpus_path(n)
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    print(f"generating {n}-doc corpus ...", file=sys.stderr)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--gen"],
+        env={**os.environ, "SCALING_DOCS": str(n)},
+        check=True,
+    )
+    return path
+
+
+def gen_worker() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from lucene_spark import get_spark
+    from lucene_spark.fixtures import generate_source_files_distributed
+
+    spark = get_spark("gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = corpus_path(N_DOCS)
+    shutil.rmtree(path, ignore_errors=True)
+    df = generate_source_files_distributed(spark, N_DOCS, seed=42)
+    df.write.mode("overwrite").parquet(path)
+
+
+def worker(cpus: int) -> None:
+    """Run the measured job at local[cpus]; print one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from lucene_spark import get_spark
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    spark = get_spark(f"scaling_{cpus}", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the Python worker pool so one-time process spin-up is not
+    # measured as build time (both levels would otherwise pay a fixed
+    # startup that skews the efficiency ratio)
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    src = spark.read.parquet(corpus_path(N_DOCS))
+    n = src.count()
+
+    idx = f"/tmp/lucene_spark_scaling_idx_{cpus}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(docs_per_segment=max(2000, n // (2 * cpus)), num_batches=1)
+    t0 = time.time()
+    build_index(spark, src, idx, cfg)
+    build_sec = time.time() - t0
+
+    reader = IndexReader(spark, idx)
+    queries = [
+        ("term_hot", dict(must=["import"])),
+        ("term_mid", dict(must=["parsewriter0"])),
+        ("bool_and", dict(must=["class", "return"])),
+        ("bool_or", dict(should=["def", "static", "struct"])),
+    ]
+    lats = []
+    for _name, kw in queries:
+        sp.bool_bm25_topk(reader, "content", **kw).collect()  # warm
+    for _ in range(REPS):
+        for _name, kw in queries:
+            t = time.time()
+            sp.bool_bm25_topk(reader, "content", **kw).collect()
+            lats.append(time.time() - t)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[int(len(lats) * 0.95)]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "num_docs": n,
+                "build_sec": round(build_sec, 2),
+                "files_per_sec": round(n / build_sec, 1),
+                "query_p50_sec": round(p50, 4),
+                "query_p95_sec": round(p95, 4),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        gen_worker()
+        return
+    ensure_corpus(N_DOCS)
+    results = {}
+    for cpus in LEVELS:
+        print(f"=== local[{cpus}] ===", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SCALING_DOCS": str(N_DOCS)},
+            check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    ratio = LEVELS[1] // LEVELS[0]
+    eff = hi["files_per_sec"] / (ratio * lo["files_per_sec"])
+    report = {
+        "levels": results,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": f">= 0.8 from local[{LEVELS[0]}] to local[{LEVELS[1]}]",
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+Sandbox proxy for the N vs 4N-executor criterion (per driver
+instruction): the identical index-build + BM25-query job at two
+parallelism levels on identical input.
+
+- corpus: deterministic synthetic source_files, {N_DOCS} docs
+  (fixtures.generate_source_files_distributed, seed=42)
+- job: full index build (tokenize -> invert -> postings/doclens ->
+  stats -> manifest commit), then 4 BM25 boolean queries x {REPS} reps
+- machine: single host, Spark local mode ({LEVELS[0]} vs {LEVELS[1]} worker threads)
+
+| level | build sec | files/sec | query p50 s | query p95 s |
+|---|---|---|---|---|
+| local[{LEVELS[0]}] | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_p50_sec']} | {lo['query_p95_sec']} |
+| local[{LEVELS[1]}] | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_p50_sec']} | {hi['query_p95_sec']} |
+
+**Scaling efficiency** = files/sec@{LEVELS[1]} / ({ratio} x files/sec@{LEVELS[0]})
+= {hi['files_per_sec']} / ({ratio} x {lo['files_per_sec']}) = **{eff:.3f}**
+(criterion >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Regenerate with `python scaling_bench.py`.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()
