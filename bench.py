@@ -31,9 +31,13 @@ def main() -> None:
     from lucene_spark.search.executor import IndexReader, IndexSearcher
     from lucene_spark.search import query as Q
 
+    from lucene_spark.pipeline import dedup as dd
+    from lucene_spark.pipeline import similarity as sim
+
     spark = get_spark("bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_docs = docs.count()
 
     idx = f"/tmp/lucene_spark_bench_{os.path.basename(SF_DIR.rstrip('/'))}_{CPUS}"
@@ -71,6 +75,8 @@ def main() -> None:
             Q.DisjunctionMaxQuery((Q.TermQuery(F, "table"), Q.TermQuery(F, "spark")), 0.3),
             k=10,
         ),
+        "q9_minhash_dedup": lambda: dd.minhash_lsh_pairs(docs, threshold=0.1).collect(),
+        "q10_ann_cosine": lambda: sim.cosine_topk(emb, query_id=0, k=10).collect(),
     }
 
     timings: dict[str, float] = {}
