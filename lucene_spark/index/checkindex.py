@@ -1,0 +1,210 @@
+"""CheckIndex — the index invariant walker (SURVEY.md §5 pillar 3).
+
+Mirrors the checks of lucene/core/src/java/org/apache/lucene/index/
+CheckIndex.java:571,1108-1121,2665, re-expressed over the table layout:
+
+per posting row (distributed, applyInPandas per segment):
+  - terms strictly increasing within (segment, field) — the term-dict
+    sort invariant (FreqProxTermsWriter sorts once at flush);
+  - decoded docIDs strictly increasing; doc_freq == decoded length;
+    total_term_freq == sum(freqs); freqs >= 1;
+  - norms blob length == doc_freq;
+  - block_last_doc matches decoded block boundaries; impacts equal the
+    recomputed competitive skyline (block-max WAND correctness rests on
+    this);
+  - positions: per-doc count == freq, strictly increasing,
+    all < 2^31.
+
+per segment (doclens):
+  - doc_ids unique and dense within [first_doc_id, last_doc_id];
+  - doc_len_code == SmallFloat.intToByte4(doc_len);
+  - sum(doc_len) over docs == sum(total_term_freq) over postings.
+
+global:
+  - term_stats / field_stats tables equal a recomputation from live
+    postings/doclens (the IndexSearcher stats contract);
+  - docs registry doc_ids unique, count == manifest num_docs_total.
+
+``check_index`` returns a report dict {ok, violations: [...], counts};
+it never mutates the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from lucene_spark.index import manifest as mani
+
+
+def check_segment_postings(pdf) -> list[str]:
+    """Per-(segment) pandas kernel -> list of violation strings."""
+    import numpy as np
+
+    from lucene_spark.index import codec
+
+    out: list[str] = []
+    seg = pdf["segment_id"].iat[0] if len(pdf) else "?"
+    for field, grp in pdf.groupby("field"):
+        terms = grp["term"].tolist()
+        if terms != sorted(terms):
+            out.append(f"{seg}/{field}: terms not sorted")
+        if len(set(terms)) != len(terms):
+            out.append(f"{seg}/{field}: duplicate terms")
+    for row in pdf.itertuples():
+        tag = f"{seg}/{row.field}/{row.term}"
+        try:
+            docs, freqs = codec.decode_postings(bytes(row.postings))
+        except Exception as e:  # noqa: BLE001
+            out.append(f"{tag}: postings decode failed: {e}")
+            continue
+        if len(docs) != row.doc_freq:
+            out.append(f"{tag}: doc_freq {row.doc_freq} != decoded {len(docs)}")
+        if len(docs) > 1 and not (np.diff(docs) > 0).all():
+            out.append(f"{tag}: docIDs not strictly increasing")
+        if (freqs < 1).any():
+            out.append(f"{tag}: freq < 1")
+        if int(freqs.sum()) != row.total_term_freq:
+            out.append(
+                f"{tag}: total_term_freq {row.total_term_freq} != {int(freqs.sum())}"
+            )
+        norms = np.frombuffer(bytes(row.norms), dtype=np.uint8)
+        if len(norms) != len(docs):
+            out.append(f"{tag}: norms length {len(norms)} != doc_freq {len(docs)}")
+            continue  # downstream impact checks need aligned norms
+        # block metadata
+        starts = list(range(0, len(docs), codec.BLOCK_SIZE))
+        want_last = [int(docs[min(s + codec.BLOCK_SIZE, len(docs)) - 1]) for s in starts]
+        if list(row.block_last_doc) != want_last:
+            out.append(f"{tag}: block_last_doc mismatch")
+        imp_f = [list(x) for x in row.impact_freqs]
+        imp_n = [list(x) for x in row.impact_norms]
+        for j, s in enumerate(starts):
+            e = min(s + codec.BLOCK_SIZE, len(docs))
+            sf, sn = codec.impacts_skyline(
+                freqs[s:e], norms[s:e].astype(np.int64)
+            )
+            if j >= len(imp_f) or imp_f[j] != sf or imp_n[j] != sn:
+                out.append(f"{tag}: impacts mismatch at block {j}")
+                break
+        if row.positions is not None:
+            try:
+                pos = codec.decode_positions(bytes(row.positions), freqs)
+            except Exception as e:  # noqa: BLE001
+                out.append(f"{tag}: positions decode failed: {e}")
+                continue
+            for p, f_ in zip(pos, freqs):
+                if len(p) != f_:
+                    out.append(f"{tag}: position count != freq")
+                    break
+                if len(p) > 1 and not (np.diff(p) > 0).all():
+                    out.append(f"{tag}: positions not increasing")
+                    break
+                if len(p) and int(p[-1]) >= 1 << 31:
+                    out.append(f"{tag}: position overflow")
+                    break
+    return out
+
+
+def check_segment_doclens(pdf) -> list[str]:
+    import numpy as np
+
+    from lucene_spark.util.smallfloat import int_to_byte4_vec
+
+    out: list[str] = []
+    seg = pdf["segment_id"].iat[0] if len(pdf) else "?"
+    ids = pdf["doc_id"].to_numpy()
+    if len(np.unique(ids)) != len(ids):
+        out.append(f"{seg}: duplicate doc_ids")
+    ids_sorted = np.sort(ids)
+    if len(ids) and not (
+        ids_sorted[0] + len(ids) - 1 == ids_sorted[-1]
+        and (np.diff(ids_sorted) == 1).all()
+    ):
+        out.append(f"{seg}: doc_ids not dense")
+    want = int_to_byte4_vec(pdf["doc_len"].to_numpy().astype(np.int64))
+    if not (want.astype(np.int64) == pdf["doc_len_code"].to_numpy()).all():
+        out.append(f"{seg}: doc_len_code != intToByte4(doc_len)")
+    return out
+
+
+def _collect_violations(df, kernel) -> list[str]:
+    import pandas as pd
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"violation": kernel(pdf)})
+
+    return [
+        r["violation"]
+        for r in df.groupBy("segment_id")
+        .applyInPandas(run, schema="violation string")
+        .collect()
+    ]
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    """Walk the committed index; return {ok, violations, counts}."""
+    from lucene_spark.search.executor import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    m = reader.manifest
+    violations: list[str] = []
+
+    postings = reader.postings()
+    doclens = reader.doclens()
+    violations += _collect_violations(postings, check_segment_postings)
+    violations += _collect_violations(doclens, check_segment_doclens)
+
+    # per-segment cross-check: sum(doc_len) == sum(total_term_freq)
+    a = doclens.groupBy("segment_id").agg(F.sum("doc_len").alias("s1"))
+    b = postings.groupBy("segment_id").agg(F.sum("total_term_freq").alias("s2"))
+    for r in a.join(b, "segment_id", "full").collect():
+        if (r["s1"] or 0) != (r["s2"] or 0):
+            violations.append(
+                f"{r['segment_id']}: sum(doc_len) {r['s1']} != sum(ttf) {r['s2']}"
+            )
+
+    # stats tables vs recomputation
+    ts = reader.term_stats_df()
+    re_ts = postings.groupBy("field", "term").agg(
+        F.sum("doc_freq").alias("doc_freq"),
+        F.sum("total_term_freq").alias("total_term_freq"),
+    )
+    if ts.exceptAll(re_ts).count() or re_ts.exceptAll(ts).count():
+        violations.append("term_stats != recomputed from live postings")
+    fs = {
+        (r["field"]): (r["doc_count"], r["sum_total_term_freq"])
+        for r in spark.read.parquet(f"{index_dir}/field_stats").collect()
+    }
+    re_fs = doclens.agg(
+        F.count("*").alias("dc"), F.sum("doc_len").alias("sttf")
+    ).collect()[0]
+    got = fs.get(m["field"])
+    if got != (re_fs["dc"], re_fs["sttf"]):
+        violations.append(f"field_stats {got} != recomputed {(re_fs['dc'], re_fs['sttf'])}")
+
+    # docs registry
+    docs = reader.docs()
+    n_docs = docs.count()
+    n_distinct = docs.select("doc_id").distinct().count()
+    if n_distinct != n_docs:
+        violations.append("docs registry has duplicate doc_ids")
+    if n_docs != m["num_docs_total"]:
+        violations.append(
+            f"docs registry count {n_docs} != manifest {m['num_docs_total']}"
+        )
+    live = mani.live_segment_ids(m)
+    n_doclens = doclens.count()
+    if n_doclens != m["num_docs_total"]:
+        violations.append(
+            f"live doclens count {n_doclens} != manifest {m['num_docs_total']}"
+        )
+
+    return {
+        "ok": not violations,
+        "violations": violations,
+        "counts": {
+            "docs": int(n_docs),
+            "posting_rows": int(postings.count()),
+            "live_segments": None if live is None else len(live),
+        },
+    }

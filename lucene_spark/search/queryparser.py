@@ -1,0 +1,241 @@
+r"""Classic query-string parser -> Query AST (SURVEY.md §3.3).
+
+A hand-rolled recursive-descent parser for the subset of Lucene's
+classic QueryParser grammar the reference query sets use
+(queryparser/src/java/org/apache/lucene/queryparser/classic/
+QueryParser.jj; clause factories QueryParserBase.java:456-792):
+
+    query   := clause*
+    clause  := [AND|OR|&&|\|\|] [+|-|NOT] atom [^boost]
+    atom    := '(' query ')' | '"' phrase '"' | [field ':'] termish
+    termish := word            -> TermQuery (analyzed)
+             | word*           -> PrefixQuery (trailing * only)
+             | w*rd / w?rd     -> WildcardQuery
+             | word~N          -> FuzzyQuery (max_edits N, default 2)
+             | [a TO b]        -> TermRangeQuery inclusive
+             | {a TO b}        -> TermRangeQuery exclusive
+
+Clause algebra matches QueryParserBase#addClause with the default OR
+operator: bare terms are SHOULD; `+`/`AND` promote to MUST (AND also
+promotes the previous non-prohibited clause); `-`/`NOT` are MUST_NOT.
+Term text runs through the analyzer (getFieldQuery analyzes text —
+QueryParserBase.java:456); multi-token analysis of a bare word yields a
+PhraseQuery exactly like the classic parser.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from lucene_spark.search import query as Q
+
+_TOKEN_RX = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<and>AND\b|&&) |
+        (?P<or>OR\b|\|\|) |
+        (?P<not>NOT\b) |
+        (?P<plus>\+) |
+        (?P<minus>-) |
+        (?P<quoted>"(?P<qtext>[^"]*)"(?:~(?P<pslop>\d+))?) |
+        (?P<range>(?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])) |
+        (?P<term>[^\s()^+\-][^\s()^]*)
+    )""",
+    re.VERBOSE,
+)
+
+_BOOST_RX = re.compile(r"\^(\d+(?:\.\d+)?)")
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _default_analyze(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+class QueryParser:
+    """parse(s) -> Query. ``analyze`` maps raw text to index terms and
+    must match the analyzer the index was built with."""
+
+    def __init__(
+        self,
+        default_field: str,
+        analyze: Callable[[str], list[str]] | None = None,
+    ):
+        self.default_field = default_field
+        self.analyze = analyze or _default_analyze
+
+    # ---- lexer -----------------------------------------------------------
+
+    def _lex(self, s: str):
+        pos = 0
+        out = []
+        while pos < len(s):
+            m = _TOKEN_RX.match(s, pos)
+            if not m:
+                if s[pos:].strip() == "":
+                    break
+                raise ParseError(f"cannot lex at: {s[pos:]!r}")
+            pos = m.end()
+            kind = m.lastgroup if m.lastgroup != "qtext" else "quoted"
+            for k in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
+                if m.group(k):
+                    out.append((k, m.group(k)))
+                    break
+            else:
+                if m.group("quoted") is not None:
+                    tok = {"text": m.group("qtext"), "slop": int(m.group("pslop") or 0)}
+                    boost, pos = self._trailing_boost(s, pos)
+                    out.append(("phrase", tok, boost))
+                elif m.group("range") is not None:
+                    tok = {
+                        "lo": m.group("lo"),
+                        "hi": m.group("hi"),
+                        "inc_lo": m.group("lb") == "[",
+                        "inc_hi": m.group("rb") == "]",
+                    }
+                    boost, pos = self._trailing_boost(s, pos)
+                    out.append(("rangeq", tok, boost))
+                else:
+                    word = m.group("term")
+                    boost, pos = self._trailing_boost(s, pos)
+                    out.append(("word", word, boost))
+        return out
+
+    @staticmethod
+    def _trailing_boost(s: str, pos: int) -> tuple[float, int]:
+        m = _BOOST_RX.match(s, pos)
+        if m:
+            return float(m.group(1)), m.end()
+        return 1.0, pos
+
+    # ---- parser ----------------------------------------------------------
+
+    def parse(self, s: str) -> Q.Query:
+        toks = self._lex(s)
+        q, rest = self._parse_query(toks)
+        if rest:
+            raise ParseError(f"unconsumed input: {rest}")
+        return Q.rewrite_fixpoint(q)
+
+    def _parse_query(self, toks):
+        """clause* with QueryParserBase#addClause occur promotion."""
+        clauses: list[tuple[str, Q.Query]] = []  # (occur, query)
+        conj = None
+        mod = None
+        while toks:
+            kind = toks[0][0]
+            if kind == "rparen":
+                break
+            if kind in ("and", "or"):
+                conj = kind
+                toks = toks[1:]
+                continue
+            if kind == "not":
+                mod = "-"
+                toks = toks[1:]
+                continue
+            if kind == "plus":
+                mod = "+"
+                toks = toks[1:]
+                continue
+            if kind == "minus":
+                mod = "-"
+                toks = toks[1:]
+                continue
+            sub, toks = self._parse_atom(toks)
+            if sub is None:
+                continue
+            # addClause: AND promotes previous non-prohibited to MUST
+            if conj == "and" and clauses and clauses[-1][0] != "must_not":
+                clauses[-1] = ("must", clauses[-1][1])
+            if mod == "-":
+                occur = "must_not"
+            elif mod == "+" or conj == "and":
+                occur = "must"
+            else:
+                occur = "should"
+            clauses.append((occur, sub))
+            conj = None
+            mod = None
+
+        if not clauses:
+            return Q.MatchNoDocsQuery(), toks
+        if len(clauses) == 1 and clauses[0][0] != "must_not":
+            return clauses[0][1], toks
+        return (
+            Q.BooleanQuery(
+                must=tuple(q for o, q in clauses if o == "must"),
+                should=tuple(q for o, q in clauses if o == "should"),
+                must_not=tuple(q for o, q in clauses if o == "must_not"),
+            ),
+            toks,
+        )
+
+    def _parse_atom(self, toks):
+        kind = toks[0][0]
+        if kind == "lparen":
+            sub, rest = self._parse_query(toks[1:])
+            if not rest or rest[0][0] != "rparen":
+                raise ParseError("unbalanced parenthesis")
+            return sub, rest[1:]
+        if kind == "phrase":
+            _k, tok, boost = toks[0]
+            terms = self.analyze(tok["text"])
+            if not terms:
+                return None, toks[1:]
+            q: Q.Query
+            if len(terms) == 1:
+                q = Q.TermQuery(self.default_field, terms[0])
+            else:
+                q = Q.PhraseQuery(
+                    self.default_field, tuple(terms), slop=tok["slop"]
+                )
+            return self._boost(q, boost), toks[1:]
+        if kind == "rangeq":
+            _k, tok, boost = toks[0]
+            lo = None if tok["lo"] == "*" else tok["lo"].lower()
+            hi = None if tok["hi"] == "*" else tok["hi"].lower()
+            q = Q.TermRangeQuery(
+                self.default_field, lo, hi, tok["inc_lo"], tok["inc_hi"]
+            )
+            return self._boost(q, boost), toks[1:]
+        if kind == "word":
+            _k, word, boost = toks[0]
+            field = self.default_field
+            if ":" in word:
+                field, word = word.split(":", 1)
+                if not word:
+                    raise ParseError(f"empty term for field {field}")
+            q = self._termish(field, word)
+            return self._boost(q, boost), toks[1:]
+        raise ParseError(f"unexpected token {toks[0]}")
+
+    def _termish(self, field: str, word: str) -> Q.Query:
+        fz = re.fullmatch(r"(.+)~(\d*)", word)
+        if fz:
+            base = fz.group(1).lower()
+            edits = int(fz.group(2)) if fz.group(2) else 2
+            return Q.FuzzyQuery(field, base, max_edits=min(edits, 2))
+        if "*" in word or "?" in word:
+            w = word.lower()
+            if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                return Q.PrefixQuery(field, w[:-1])
+            return Q.WildcardQuery(field, w)
+        terms = self.analyze(word)
+        if not terms:
+            return Q.MatchNoDocsQuery()
+        if len(terms) == 1:
+            return Q.TermQuery(field, terms[0])
+        # multi-token analysis of one word -> phrase (getFieldQuery)
+        return Q.PhraseQuery(field, tuple(terms))
+
+    @staticmethod
+    def _boost(q: Q.Query, boost: float) -> Q.Query:
+        if boost == 1.0:
+            return q
+        return Q.BoostQuery(q, boost)

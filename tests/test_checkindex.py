@@ -1,0 +1,95 @@
+"""CheckIndex tests: a freshly built (and a merged) index is clean, and
+the kernels catch every class of planted corruption."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_clean_index_passes(spark, built_index):
+    from lucene_spark.index.checkindex import check_index
+
+    rep = check_index(spark, built_index.index_dir)
+    assert rep["ok"], rep["violations"][:5]
+    assert rep["counts"]["docs"] == built_index.manifest["num_docs_total"]
+
+
+def test_merged_index_passes(spark, corpus, tmp_path):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.merge import force_merge
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus), idx, IndexConfig(docs_per_segment=60))
+    force_merge(spark, idx, max_segments=1)
+    rep = check_index(spark, idx)
+    assert rep["ok"], rep["violations"][:5]
+    assert rep["counts"]["live_segments"] == 1
+
+
+def _posting_frame(built_index):
+    pdf = (
+        built_index.postings()
+        .filter("term = 'def'")
+        .limit(1)
+        .toPandas()
+    )
+    assert len(pdf) == 1
+    return pdf
+
+
+def test_kernel_catches_corruptions(built_index):
+    from lucene_spark.index import codec
+    from lucene_spark.index.checkindex import check_segment_postings
+
+    base = _posting_frame(built_index)
+    assert check_segment_postings(base) == []
+
+    # wrong doc_freq
+    bad = base.copy()
+    bad["doc_freq"] = bad["doc_freq"] + 1
+    assert any("doc_freq" in v for v in check_segment_postings(bad))
+
+    # wrong total_term_freq
+    bad = base.copy()
+    bad["total_term_freq"] = bad["total_term_freq"] + 5
+    assert any("total_term_freq" in v for v in check_segment_postings(bad))
+
+    # truncated norms
+    bad = base.copy()
+    bad["norms"] = [bytes(bad["norms"].iat[0])[:-1]]
+    assert any("norms length" in v for v in check_segment_postings(bad))
+
+    # tampered block_last_doc
+    bad = base.copy()
+    bad["block_last_doc"] = [[x + 1 for x in bad["block_last_doc"].iat[0]]]
+    assert any("block_last_doc" in v for v in check_segment_postings(bad))
+
+    # tampered impacts
+    bad = base.copy()
+    imp = [list(x) for x in bad["impact_freqs"].iat[0]]
+    imp[0] = [f + 1 for f in imp[0]]
+    bad["impact_freqs"] = [imp]
+    assert any("impacts" in v for v in check_segment_postings(bad))
+
+    # unsorted terms within a segment/field
+    two = pd.concat([base, base], ignore_index=True)
+    two.loc[1, "term"] = "aaa"  # after 'def' -> unsorted
+    assert any("not sorted" in v for v in check_segment_postings(two))
+
+
+def test_doclens_kernel_catches_corruptions(built_index):
+    from lucene_spark.index.checkindex import check_segment_doclens
+
+    pdf = built_index.doclens().limit(50).toPandas()
+    seg = pdf["segment_id"].iat[0]
+    pdf = pdf[pdf["segment_id"] == seg].reset_index(drop=True)
+    assert check_segment_doclens(pdf) == []
+
+    bad = pdf.copy()
+    bad.loc[0, "doc_id"] = bad["doc_id"].iat[1]
+    assert any("duplicate" in v for v in check_segment_doclens(bad))
+
+    bad = pdf.copy()
+    bad.loc[0, "doc_len_code"] = 255
+    assert any("doc_len_code" in v for v in check_segment_doclens(bad))

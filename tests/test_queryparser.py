@@ -1,0 +1,121 @@
+"""Classic query-parser tests — grammar and clause-occur semantics
+mirror queryparser/classic (TestQueryParser patterns)."""
+
+import pytest
+
+from lucene_spark.search import query as Q
+from lucene_spark.search.queryparser import ParseError, QueryParser
+
+P = QueryParser("body")
+
+
+def test_single_term():
+    assert P.parse("Hello") == Q.TermQuery("body", "hello")
+
+
+def test_two_terms_default_or():
+    q = P.parse("hello world")
+    assert isinstance(q, Q.BooleanQuery)
+    assert q.should == (Q.TermQuery("body", "hello"), Q.TermQuery("body", "world"))
+    assert not q.must
+
+
+def test_and_promotes_both_sides():
+    q = P.parse("a AND b")
+    assert q.must == (Q.TermQuery("body", "a"), Q.TermQuery("body", "b"))
+    assert not q.should
+
+
+def test_plus_minus():
+    q = P.parse("+a -b c")
+    assert q.must == (Q.TermQuery("body", "a"),)
+    assert q.must_not == (Q.TermQuery("body", "b"),)
+    assert q.should == (Q.TermQuery("body", "c"),)
+
+
+def test_not_keyword():
+    q = P.parse("a NOT b")
+    assert q.should == (Q.TermQuery("body", "a"),)
+    assert q.must_not == (Q.TermQuery("body", "b"),)
+    q2 = P.parse("a AND NOT b")
+    assert q2.must == (Q.TermQuery("body", "a"),)
+    assert q2.must_not == (Q.TermQuery("body", "b"),)
+
+
+def test_field_prefix():
+    assert P.parse("title:Spark") == Q.TermQuery("title", "spark")
+
+
+def test_phrase_and_slop():
+    q = P.parse('"Quick Fox"')
+    assert q == Q.PhraseQuery("body", ("quick", "fox"))
+    q2 = P.parse('"quick fox"~2')
+    assert q2 == Q.PhraseQuery("body", ("quick", "fox"), slop=2)
+
+
+def test_single_word_phrase_collapses_to_term():
+    assert P.parse('"spark"') == Q.TermQuery("body", "spark")
+
+
+def test_prefix_wildcard_fuzzy():
+    assert P.parse("spar*") == Q.PrefixQuery("body", "spar")
+    assert P.parse("s?ark*") == Q.WildcardQuery("body", "s?ark*")
+    assert P.parse("spark~1") == Q.FuzzyQuery("body", "spark", max_edits=1)
+    assert P.parse("spark~") == Q.FuzzyQuery("body", "spark", max_edits=2)
+
+
+def test_range_queries():
+    assert P.parse("[aaa TO bbb]") == Q.TermRangeQuery("body", "aaa", "bbb", True, True)
+    assert P.parse("{aaa TO bbb}") == Q.TermRangeQuery("body", "aaa", "bbb", False, False)
+    assert P.parse("[* TO bbb]") == Q.TermRangeQuery("body", None, "bbb", True, True)
+
+
+def test_boost():
+    # BoostQuery folds into TermQuery.boost at rewrite (BoostQuery.rewrite)
+    assert P.parse("spark^2") == Q.TermQuery("body", "spark", boost=2.0)
+    q = P.parse('"quick fox"^3')
+    assert isinstance(q, Q.BoostQuery) and q.boost == 3.0
+
+
+def test_grouping_parens():
+    q = P.parse("(a OR b) AND c")
+    assert isinstance(q, Q.BooleanQuery)
+    assert len(q.must) == 2
+    inner, c = q.must
+    assert isinstance(inner, Q.BooleanQuery)
+    assert inner.should == (Q.TermQuery("body", "a"), Q.TermQuery("body", "b"))
+    assert c == Q.TermQuery("body", "c")
+
+
+def test_multi_token_word_becomes_phrase():
+    # analyzer splits foo-bar into two tokens -> phrase (getFieldQuery)
+    assert P.parse("foo-bar") == Q.PhraseQuery("body", ("foo", "bar"))
+
+
+def test_pure_negation_rewrites_to_match_none():
+    assert isinstance(P.parse("-a"), Q.MatchNoDocsQuery)
+
+
+def test_unbalanced_paren_raises():
+    with pytest.raises(ParseError):
+        P.parse("(a OR b")
+
+
+def test_parsed_query_executes(spark):
+    """End-to-end: parse -> execute through the engine matches the
+    directly-constructed AST result."""
+    from lucene_spark.gate import ensure_index
+    from lucene_spark.search.executor import IndexSearcher
+
+    r = ensure_index(spark, "/root/testdata/sf0.001")
+    s = IndexSearcher(r)
+    parsed = QueryParser("text").parse("table AND spark")
+    direct = Q.BooleanQuery(
+        must=(Q.TermQuery("text", "table"), Q.TermQuery("text", "spark"))
+    )
+    got = s.search(parsed, k=10)
+    want = s.search(direct, k=10)
+    assert [(h.doc_id, h.score) for h in got.hits] == [
+        (h.doc_id, h.score) for h in want.hits
+    ]
+    assert got.hits
