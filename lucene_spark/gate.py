@@ -26,6 +26,7 @@ from lucene_spark.pipeline import multimodal as mm
 from lucene_spark.pipeline import similarity as sim
 from lucene_spark.pipeline import textstats as ts
 from lucene_spark.search import sqlpath as sp
+from lucene_spark.streaming import windows as sw
 from lucene_spark.search import query as Q
 from lucene_spark.search.executor import IndexReader
 from lucene_spark.util.smallfloat import LENGTH_TABLE
@@ -463,6 +464,21 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_window_tumbling(spark, sf):
+        from lucene_spark.streaming.windows import tumbling_counts
+
+        return tumbling_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_window_sliding(spark, sf):
+        from lucene_spark.streaming.windows import sliding_counts
+
+        return sliding_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_window_session(spark, sf):
+        from lucene_spark.streaming.windows import session_counts
+
+        return session_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_media_meta(spark, sf):
         from lucene_spark.pipeline.multimodal import media_meta
 
@@ -481,6 +497,9 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_window_tumbling": q_window_tumbling,
+        "q_window_sliding": q_window_sliding,
+        "q_window_session": q_window_session,
         "q_media_meta": q_media_meta,
         "q_media_decode": q_media_decode,
         "q_regexp": q_regexp,
@@ -571,6 +590,9 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_window_tumbling": sw.tumbling_counts_sql(),
+        "q_window_sliding": sw.sliding_counts_sql(),
+        "q_window_session": sw.session_counts_sql(),
         "q_media_meta": mm.media_meta_sql(),
         "q_token_stats": ts.token_stats_sql(),
         "q_quality": ts.quality_scores_sql(),
