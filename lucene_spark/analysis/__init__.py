@@ -1,5 +1,6 @@
 from lucene_spark.analysis.analyzer import (  # noqa: F401
     Analyzer,
+    CodeAnalyzer,
     SimpleAnalyzer,
     StandardAnalyzer,
     WhitespaceAnalyzer,

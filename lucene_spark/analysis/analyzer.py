@@ -136,10 +136,63 @@ class WhitespaceAnalyzer(Analyzer):
         return _WS_PATTERN.findall(text)
 
 
+_CAMEL_SPLIT = re.compile(
+    r"""
+      \d+                 # digit runs are their own parts
+    | [A-Z]+(?![a-z])     # ALLCAPS run not followed by lowercase (HTTPServer -> HTTP)
+    | [A-Z][a-z]*         # Capitalized word
+    | [a-z]+              # lowercase run
+    """,
+    re.VERBOSE,
+)
+_CODE_TOKEN = re.compile(r"[A-Za-z0-9_]+")
+
+
+class CodeAnalyzer(Analyzer):
+    """Source-code identifier analyzer — the WordDelimiterGraphFilter
+    role (analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java;
+    SURVEY.md §2.2 notes it as the natural code-identifier splitter).
+
+    `parseHTTPResponse_v2` emits the original token (preserveOriginal)
+    plus its parts split on case transitions, underscores, and
+    letter/digit boundaries: [parsehttpresponse_v2, parse, http,
+    response, v, 2]. Subtokens follow the original so phrase positions
+    stay anchored on original-token order (one position per source
+    identifier would need full graph positions; like Lucene's filter
+    with adjustOffsets, parts share the original's position slot here —
+    positions are assigned downstream by list order, documented
+    approximation for phrase queries over code)."""
+
+    name = "code"
+
+    def __init__(self, preserve_original: bool = True, min_part: int = 1):
+        self.preserve_original = preserve_original
+        self.min_part = min_part
+
+    def tokenize_one(self, text: str) -> list[str]:
+        out: list[str] = []
+        for raw in _CODE_TOKEN.findall(text):
+            parts = [
+                p.lower()
+                for seg in raw.split("_")
+                for p in _CAMEL_SPLIT.findall(seg)
+                if len(p) >= self.min_part
+            ]
+            low = raw.lower()
+            if self.preserve_original:
+                out.append(low)
+                if parts != [low]:
+                    out.extend(parts)
+            else:
+                out.extend(parts if parts else [low])
+        return out
+
+
 _REGISTRY: dict[str, Callable[[], Analyzer]] = {
     "standard": StandardAnalyzer,
     "simple": SimpleAnalyzer,
     "whitespace": WhitespaceAnalyzer,
+    "code": CodeAnalyzer,
 }
 
 

@@ -464,6 +464,21 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_phrase_sloppy(spark, sf):
+        # SloppyPhraseMatcher greedy (float32 sloppyFreq) is not
+        # SQL-expressible -> rows-only driver check; kernel values are
+        # verified in tests/test_sloppy_phrase.py
+        from lucene_spark.search.executor import IndexSearcher
+
+        r = ensure_index(spark, sf)
+        top = IndexSearcher(r).search(
+            Q.PhraseQuery(FIELD, ("fast", "table"), slop=2), k=10
+        )
+        rows = [(h.doc_id, int(round(h.score * 1e6))) for h in top.hits]
+        return spark.createDataFrame(
+            rows or [], "doc_id long, score_x1e6 long"
+        )
+
     def q_window_tumbling(spark, sf):
         from lucene_spark.streaming.windows import tumbling_counts
 
@@ -497,6 +512,7 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_phrase_sloppy": q_phrase_sloppy,
         "q_window_tumbling": q_window_tumbling,
         "q_window_sliding": q_window_sliding,
         "q_window_session": q_window_session,

@@ -527,8 +527,79 @@ def _phrase_freqs(terms: list[str], ctx: _SegmentIndex):
     return docs, freqs, norms
 
 
+def _sloppy_phrase_freqs(terms: list[str], slop: int, ctx: _SegmentIndex):
+    """Sloppy phrase matching — the classic SloppyPhraseMatcher greedy
+    (CORE/search/SloppyPhraseMatcher.java:37-78 semantics for
+    non-repeating terms): offset-adjusted positions per term feed a
+    min-heap; each round the lagging term advances as far as possible
+    without overtaking the next-smallest, a window with
+    matchLength = end - start <= slop contributes
+    sloppyFreq = 1/(1+matchLength) (accumulated in float32, the Java
+    `float freq` contract). Phrases with repeated terms use the same
+    greedy (documented approximation of the repeats machinery).
+
+    -> (docs, float32 freqs, norms)
+    """
+    import heapq
+
+    z = np.zeros(0, dtype=np.int64)
+    zf = np.zeros(0, dtype=np.float32)
+    if not all(ctx.has(t) for t in terms):
+        return z, zf, z
+    post = [ctx.postings(t) for t in terms]
+    docs = post[0][0]
+    for d, _, _ in post[1:]:
+        docs = docs[np.isin(docs, d, assume_unique=True)]
+    if len(docs) == 0:
+        return z, zf, z
+    pos_lists = [ctx.positions(t) for t in terms]
+    idxs = [np.searchsorted(post[i][0], docs) for i in range(len(terms))]
+    freqs = np.zeros(len(docs), dtype=np.float32)
+    one = np.float32(1.0)
+    for di in range(len(docs)):
+        lists = [
+            pos_lists[ti][idxs[ti][di]].astype(np.int64) - ti
+            for ti in range(len(terms))
+        ]
+        ptrs = [0] * len(terms)
+        heap = [(int(lists[ti][0]), ti) for ti in range(len(terms))]
+        heapq.heapify(heap)
+        end = max(p for p, _ in heap)
+        freq = np.float32(0.0)
+        done = False
+        while not done:
+            pos, ti = heapq.heappop(heap)
+            start = pos
+            nxt = heap[0][0] if heap else pos
+            while True:
+                ptrs[ti] += 1
+                if ptrs[ti] >= len(lists[ti]):
+                    done = True
+                    break
+                pos = int(lists[ti][ptrs[ti]])
+                if pos <= nxt:
+                    start = pos
+                    continue
+                break
+            match_length = end - start
+            if match_length <= slop:
+                freq = np.float32(freq + one / np.float32(1 + match_length))
+            if not done:
+                end = max(end, pos)
+                heapq.heappush(heap, (pos, ti))
+        freqs[di] = freq
+    keep = freqs > 0
+    docs, freqs = docs[keep], freqs[keep]
+    norms = post[0][2][np.searchsorted(post[0][0], docs)]
+    return docs, freqs, norms
+
+
 def _eval_phrase(node: dict, ctx: _SegmentIndex):
-    docs, freqs, norms = _phrase_freqs(node["terms"], ctx)
+    slop = int(node.get("slop") or 0)
+    if slop > 0:
+        docs, freqs, norms = _sloppy_phrase_freqs(node["terms"], slop, ctx)
+    else:
+        docs, freqs, norms = _phrase_freqs(node["terms"], ctx)
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
     return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)

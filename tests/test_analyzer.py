@@ -66,3 +66,67 @@ def test_registry():
     import pytest
     with pytest.raises(ValueError):
         get_analyzer("nope")
+
+
+# ---------------------------------------------------------------------------
+# CodeAnalyzer (WordDelimiterGraph role)
+# ---------------------------------------------------------------------------
+
+
+def test_code_analyzer_camel_snake_digits():
+    from lucene_spark.analysis.analyzer import CodeAnalyzer
+
+    a = CodeAnalyzer()
+    assert a.tokenize_one("parseHTTPResponse_v2") == [
+        "parsehttpresponse_v2", "parse", "http", "response", "v", "2",
+    ]
+    assert a.tokenize_one("snake_case_name") == [
+        "snake_case_name", "snake", "case", "name",
+    ]
+    # a plain lowercase word emits only itself (parts == original)
+    assert a.tokenize_one("simple") == ["simple"]
+    assert a.tokenize_one("XMLHttpRequest") == [
+        "xmlhttprequest", "xml", "http", "request",
+    ]
+    assert a.tokenize_one("utf8Decoder") == ["utf8decoder", "utf", "8", "decoder"]
+
+
+def test_code_analyzer_no_preserve():
+    from lucene_spark.analysis.analyzer import CodeAnalyzer
+
+    a = CodeAnalyzer(preserve_original=False)
+    assert a.tokenize_one("buildIndexFast x") == ["build", "index", "fast", "x"]
+
+
+def test_code_analyzer_indexes_and_searches(spark, tmp_path):
+    """End-to-end: an index built with the code analyzer matches
+    identifier parts."""
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    rows = pd.DataFrame(
+        {
+            "repo": ["r"] * 3,
+            "path": [f"f{i}" for i in range(3)],
+            "commit": ["c"] * 3,
+            "content": [
+                "def parseHTTPResponse(): pass",
+                "class IndexWriter: flushBuffer()",
+                "plain words only",
+            ],
+        }
+    )
+    idx = str(tmp_path / "codeidx")
+    build_index(
+        spark, spark.createDataFrame(rows), idx,
+        IndexConfig(analyzer="code", docs_per_segment=10),
+    )
+    s = IndexSearcher(IndexReader(spark, idx))
+    # part term matches the camelCase identifier's document
+    hits = s.search(Q.TermQuery("content", "http"), k=5).hits
+    assert [h.doc_id for h in hits] == [0]
+    hits2 = s.search(Q.TermQuery("content", "flushbuffer"), k=5).hits
+    assert [h.doc_id for h in hits2] == [1]
