@@ -127,6 +127,7 @@ def merge_round(
     segs_per_tier: int = 8,
     max_merge_at_once: int = 10,
     max_merged_docs: int = 5_000_000,
+    salt_max_docs: int = 1_000_000,
 ) -> int:
     """Run one merge round: apply every group find_merges picks, commit
     one new manifest generation. Returns the number of merges executed."""
@@ -166,8 +167,34 @@ def merge_round(
             )
         }
         rows = postings_all.filter(F.col("segment_id").isin(group))
+        # hot-term skew salting (SURVEY.md §4.2, north rule): a term whose
+        # cumulative doc_freq exceeds salt_max_docs is merged as SEVERAL
+        # sub-posting rows over disjoint doc ranges — the shuffle key
+        # becomes (field, term, salt), so no single reducer ever decodes
+        # more than ~salt_max_docs postings for one term. Readers
+        # concatenate the parts in doc order (_SegmentIndex multi-row).
+        from pyspark.sql.window import Window
+
+        rank_expr = F.create_map(
+            *[x for sid, rk in order.items() for x in (F.lit(sid), F.lit(rk))]
+        )
+        w = (
+            Window.partitionBy("field", "term")
+            .orderBy(F.col("_rank"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        salted = (
+            rows.withColumn("_rank", F.element_at(rank_expr, F.col("segment_id")))
+            .withColumn(
+                "_salt",
+                (
+                    F.coalesce(F.sum("doc_freq").over(w), F.lit(0))
+                    / salt_max_docs
+                ).cast("int"),
+            )
+        )
         merged = (
-            rows.groupBy("field", "term")
+            salted.groupBy("field", "term", "_salt")
             .applyInPandas(_merge_postings_fn(order), schema=_MERGED_SCHEMA)
             .withColumn("segment_id", F.lit(new_sid))
         )

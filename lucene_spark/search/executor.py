@@ -377,25 +377,30 @@ def _make_segment_fn(node: dict, k: int, prune: bool, after):
 
 
 class _SegmentIndex:
-    """Postings rows of ONE segment, keyed by term."""
+    """Postings rows of ONE segment, keyed by term.
+
+    A term may span SEVERAL rows (salted hot-term merge, SURVEY.md §4.2:
+    sub-postings per salt over disjoint doc ranges, concatenated in doc
+    order at read) — all accessors transparently concatenate row parts
+    ordered by their first docID."""
 
     def __init__(self, pdf: pd.DataFrame):
-        self.rows = {t: i for i, t in enumerate(pdf["term"].tolist())}
+        self.rows: dict[str, list[int]] = {}
+        for i, t in enumerate(pdf["term"].tolist()):
+            self.rows.setdefault(t, []).append(i)
         self.pdf = pdf
+        # order multi-row terms by first docID (block_last of a 1-block
+        # part is its last doc — ordering by first block's last works for
+        # disjoint ranges)
+        for t, idxs in self.rows.items():
+            if len(idxs) > 1:
+                idxs.sort(key=lambda i: pdf["block_last_doc"].iloc[i][0])
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def has(self, term: str) -> bool:
         return term in self.rows
 
-    def postings(self, term: str, candidates: np.ndarray | None = None):
-        """-> (doc_ids, freqs, norm_codes). With candidates given, decode
-        only blocks whose docID range intersects them (skip-data)."""
-        if term in self._cache:
-            return self._cache[term]
-        if term not in self.rows:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, z
-        r = self.pdf.iloc[self.rows[term]]
+    def _row_postings(self, r, candidates: np.ndarray | None):
         blob = bytes(r["postings"])
         norms_all = np.frombuffer(bytes(r["norms"]), dtype=np.uint8).astype(np.int64)
         block_last = list(r["block_last_doc"])
@@ -420,23 +425,53 @@ class _SegmentIndex:
                 norms = norms_all[pos]
             return docs, freqs, norms
         docs, freqs = codec.decode_postings(blob)
-        out = (docs, freqs, norms_all)
-        self._cache[term] = out
+        return docs, freqs, norms_all
+
+    def postings(self, term: str, candidates: np.ndarray | None = None):
+        """-> (doc_ids, freqs, norm_codes). With candidates given, decode
+        only blocks whose docID range intersects them (skip-data)."""
+        cacheable = candidates is None
+        if cacheable and term in self._cache:
+            return self._cache[term]
+        if term not in self.rows:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        parts = [
+            self._row_postings(self.pdf.iloc[i], candidates)
+            for i in self.rows[term]
+        ]
+        if len(parts) == 1:
+            out = parts[0]
+        else:
+            out = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+        if cacheable:
+            self._cache[term] = out
         return out
 
     def positions(self, term: str) -> list[np.ndarray]:
-        r = self.pdf.iloc[self.rows[term]]
-        _, freqs, _ = self.postings(term)
-        return codec.decode_positions(bytes(r["positions"]), freqs)
+        out: list[np.ndarray] = []
+        for i in self.rows[term]:
+            r = self.pdf.iloc[i]
+            _d, freqs = codec.decode_postings(bytes(r["postings"]))
+            out.extend(codec.decode_positions(bytes(r["positions"]), freqs))
+        return out
 
     def impacts(self, term: str):
-        """-> (block_last, [impact freq arrays], [impact norm arrays])."""
-        r = self.pdf.iloc[self.rows[term]]
-        return (
-            np.asarray(list(r["block_last_doc"]), dtype=np.int64),
-            [np.asarray(x, dtype=np.int64) for x in r["impact_freqs"]],
-            [np.asarray(x, dtype=np.int64) for x in r["impact_norms"]],
-        )
+        """-> (block_last, [impact freq arrays], [impact norm arrays]);
+        parts concatenate block-wise (ranges are disjoint and ordered)."""
+        bl: list[np.ndarray] = []
+        fs: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        for i in self.rows[term]:
+            r = self.pdf.iloc[i]
+            bl.append(np.asarray(list(r["block_last_doc"]), dtype=np.int64))
+            fs.extend(np.asarray(x, dtype=np.int64) for x in r["impact_freqs"])
+            ns.extend(np.asarray(x, dtype=np.int64) for x in r["impact_norms"])
+        return np.concatenate(bl), fs, ns
 
 
 def _score_leaf(weight: float, cache: np.ndarray, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:

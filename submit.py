@@ -1,0 +1,137 @@
+"""spark-submit entrypoint (north rule: `spark-submit --py-files`).
+
+Usage on a cluster (the --py-files zip ships the package to executors;
+lucene_spark.session.make_pyfiles_zip builds it):
+
+    ZIP=$(python -c 'from lucene_spark.session import make_pyfiles_zip as z; print(z())')
+    spark-submit --master <master> --py-files "$ZIP" submit.py \
+        build --source /data/source_files --index /data/index \
+        [--analyzer standard] [--content-col content] [--field content] \
+        [--docs-per-segment 250000] [--num-batches 1] [--doc-id-col NAME]
+
+    spark-submit ... submit.py merge  --index /data/index [--force 1]
+    spark-submit ... submit.py search --index /data/index --query 'a AND b' [--k 10]
+    spark-submit ... submit.py check  --index /data/index
+
+Under spark-submit the session comes from the submit context
+(SparkSession.builder.getOrCreate picks up the submitted conf); run
+standalone it falls back to lucene_spark.get_spark() local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from lucene_spark import get_spark
+
+    return get_spark("lucene_spark_submit")
+
+
+def cmd_build(args) -> None:
+    from lucene_spark.index.builder import IndexConfig, build_index
+
+    spark = _spark()
+    src = spark.read.parquet(args.source)
+    cfg = IndexConfig(
+        field=args.field,
+        content_col=args.content_col,
+        analyzer=args.analyzer,
+        docs_per_segment=args.docs_per_segment,
+        num_batches=args.num_batches,
+        doc_id_col=args.doc_id_col,
+    )
+    t0 = time.time()
+    build_index(spark, src, args.index, cfg)
+    n = spark.read.parquet(f"{args.index}/docs").count()
+    sec = time.time() - t0
+    print(json.dumps({
+        "cmd": "build", "index": args.index, "num_docs": n,
+        "build_sec": round(sec, 2), "files_per_sec": round(n / sec, 1),
+    }))
+
+
+def cmd_merge(args) -> None:
+    from lucene_spark.index.merge import force_merge, merge_round
+
+    spark = _spark()
+    if args.force:
+        rounds = force_merge(spark, args.index, max_segments=args.force)
+        print(json.dumps({"cmd": "force_merge", "rounds": rounds}))
+    else:
+        n = merge_round(spark, args.index)
+        print(json.dumps({"cmd": "merge_round", "merges": n}))
+
+
+def cmd_search(args) -> None:
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+    from lucene_spark.search.queryparser import QueryParser
+
+    spark = _spark()
+    reader = IndexReader(spark, args.index)
+    field = reader.manifest["field"]
+    q = QueryParser(field).parse(args.query)
+    top = IndexSearcher(reader).search(q, k=args.k)
+    print(json.dumps({
+        "cmd": "search", "query": args.query, "total_hits": top.total_hits,
+        "hits": [{"doc_id": h.doc_id, "score": float(h.score)} for h in top.hits],
+    }))
+
+
+def cmd_check(args) -> None:
+    from lucene_spark.index.checkindex import check_index
+
+    rep = check_index(_spark(), args.index)
+    print(json.dumps(rep))
+    if not rep["ok"]:
+        sys.exit(2)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="submit.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--field", default="content")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--docs-per-segment", type=int, default=250_000)
+    b.add_argument("--num-batches", type=int, default=1)
+    b.add_argument("--doc-id-col", default=None)
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--force", type=int, default=0)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("check")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_check)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

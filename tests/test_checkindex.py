@@ -72,10 +72,10 @@ def test_kernel_catches_corruptions(built_index):
     bad["impact_freqs"] = [imp]
     assert any("impacts" in v for v in check_segment_postings(bad))
 
-    # unsorted terms within a segment/field
+    # two rows for the same term with OVERLAPPING doc ranges (a salted
+    # merge must produce disjoint parts)
     two = pd.concat([base, base], ignore_index=True)
-    two.loc[1, "term"] = "aaa"  # after 'def' -> unsorted
-    assert any("not sorted" in v for v in check_segment_postings(two))
+    assert any("salted parts overlap" in v for v in check_segment_postings(two))
 
 
 def test_doclens_kernel_catches_corruptions(built_index):

@@ -111,3 +111,43 @@ def test_append_after_merge(spark, corpus, tmp_path):
     rb = _build(spark, corpus, tmp_path / "bulk")
     assert r.collection_stats("content") == rb.collection_stats("content")
     assert _topk(r, ["def"]) == _topk(rb, ["def"])
+
+
+def test_salted_merge_of_hot_terms(spark, corpus, tmp_path):
+    """Forcing a tiny salt_max_docs salts every hot term: the merged
+    segment holds SEVERAL posting rows per hot term over disjoint doc
+    ranges, readers concatenate them transparently (identical BM25
+    results), and CheckIndex accepts the salted layout."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.merge import merge_round
+    from lucene_spark.search.executor import IndexReader
+
+    idx = str(tmp_path / "idx")
+    r0 = _build(spark, corpus, idx)
+    want = {m: _topk(r0, list(m)) for m in (("def",), ("return", "import"))}
+
+    did = merge_round(
+        spark, idx, segs_per_tier=1, max_merge_at_once=100,
+        max_merged_docs=1 << 40, salt_max_docs=50,
+    )
+    assert did == 1
+    r1 = IndexReader(spark, idx)
+    assert _live_count(r1) == 1
+
+    # hot terms ('def' appears in most docs) must be split across rows
+    dup = (
+        r1.postings()
+        .groupBy("field", "term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup > 0
+
+    for m, w in want.items():
+        assert _topk(r1, list(m)) == w
+
+    rep = check_index(spark, idx)
+    assert rep["ok"], rep["violations"][:5]

@@ -1,0 +1,71 @@
+"""End-to-end spark-submit test: the real `spark-submit --py-files`
+launch path (north-rule run mode) builds, merges, searches, and checks
+an index from a clean subprocess."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+pytestmark = pytest.mark.skipif(
+    SPARK_SUBMIT is None, reason="spark-submit not on PATH"
+)
+
+
+def _submit(pyfiles, *args):
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", pyfiles,
+        os.path.join(REPO, "submit.py"),
+        *args,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, out.stdout[-2000:]
+    return json.loads(lines[-1])
+
+
+@pytest.fixture(scope="module")
+def pyfiles():
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from lucene_spark.session import make_pyfiles_zip as z; print(z())" % REPO],
+        capture_output=True, text=True, check=True,
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def test_spark_submit_build_search_check(pyfiles, corpus, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(corpus), f"{src}/part0.parquet")
+
+    rep = _submit(
+        pyfiles, "build", "--source", src, "--index", idx,
+        "--docs-per-segment", "100", "--num-batches", "2",
+    )
+    assert rep["num_docs"] == len(corpus)
+
+    rep = _submit(pyfiles, "merge", "--index", idx, "--force", "1")
+    assert rep["rounds"] >= 1
+
+    rep = _submit(pyfiles, "search", "--index", idx, "--query", "def AND return")
+    assert rep["hits"] and rep["total_hits"] > 0
+
+    rep = _submit(pyfiles, "check", "--index", idx)
+    assert rep["ok"], rep["violations"][:5]
