@@ -464,6 +464,20 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_suggest(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
+
+    def q_mlt(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.mlt_topk(r, _docs(spark, sf), doc_id=7, max_terms=5, k=10)
+
+    def q_common_terms(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.common_terms_topk(
+            r, FIELD, [T_HOT, T_MID, "dup"], max_doc_ratio=0.3
+        )
+
     def q_phrase_sloppy(spark, sf):
         # SloppyPhraseMatcher greedy (float32 sloppyFreq) is not
         # SQL-expressible -> rows-only driver check; kernel values are
@@ -512,6 +526,9 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_suggest": q_suggest,
+        "q_mlt": q_mlt,
+        "q_common_terms": q_common_terms,
         "q_phrase_sloppy": q_phrase_sloppy,
         "q_window_tumbling": q_window_tumbling,
         "q_window_sliding": q_window_sliding,
@@ -606,6 +623,44 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_suggest": f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
+SELECT term, levenshtein(term, 'spork') AS distance, doc_freq
+FROM dfs WHERE levenshtein(term, 'spork') <= 2 AND term <> 'spork'
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5""",
+        "q_mlt": f"""{_prefix_ctes([
+        "seedtf AS (SELECT tok AS term, count(*) AS tf FROM toks WHERE doc_id = 7 GROUP BY tok)",
+        "dfs AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY tok)",
+        ("sel AS (SELECT st2.term FROM seedtf st2 JOIN dfs d2 USING (term) CROSS JOIN stats s2 "
+         "ORDER BY st2.tf * ln(1 + (s2.n - d2.df + 0.5)/(d2.df + 0.5)) DESC, st2.term ASC LIMIT 5)"),
+        "tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN (SELECT term FROM sel) GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, SUM({_SCORE}) AS score
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
+FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
+        "q_common_terms": f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ('{T_HOT}', '{T_MID}', 'dup') GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+        "rare AS (SELECT tok FROM dfx CROSS JOIN stats s WHERE df / s.n <= 0.3)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, SUM({_SCORE}) AS score,
+    COUNT(DISTINCT CASE WHEN tf.tok IN (SELECT tok FROM rare) THEN tf.tok END) AS n_rare
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
+FROM scored WHERE n_rare >= 1
+ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
         "q_window_tumbling": sw.tumbling_counts_sql(),
         "q_window_sliding": sw.sliding_counts_sql(),
         "q_window_session": sw.session_counts_sql(),

@@ -87,12 +87,20 @@ def _score_col(freq: Column, dlq: Column, df: Column, n_docs: Column, avgdl: Col
 
 
 def _with_stats(reader: IndexReader, field: str, scored_terms: list[str]) -> tuple[DataFrame, Column, Column]:
-    """(df per term broadcast frame, N literal, avgdl literal)."""
+    """(df per term broadcast frame, N literal, avgdl literal).
+
+    Per-term docFreq stays a LAZY broadcast join against the term_stats
+    table (no driver collect — one less job per query); collection
+    stats are cached at reader construction."""
     coll = reader.collection_stats(field)
-    st = reader.term_stats(field, scored_terms)
-    df_rows = [(t, int(st[t].doc_freq)) for t in scored_terms if t in st]
-    spark = reader.spark
-    df_df = spark.createDataFrame(df_rows or [("", 0)], "term string, df long")
+    df_df = (
+        reader.term_stats_df()
+        .filter(
+            (F.col("field") == field)
+            & (F.col("term").isin(list(set(scored_terms))))
+        )
+        .select("term", F.col("doc_freq").cast("double").alias("df"))
+    )
     n = F.lit(float(coll.doc_count))
     avgdl = F.lit(coll.sum_total_term_freq / float(coll.doc_count))
     return df_df, n, avgdl
@@ -475,6 +483,127 @@ def feature_topk(
     return (
         j.select(
             "doc_id", F.round(F.col("total") * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# suggest / more-like-this / common-terms
+# ---------------------------------------------------------------------------
+
+
+def suggest_terms(
+    reader: IndexReader, field: str, word: str, max_edits: int = 2, k: int = 5
+) -> DataFrame:
+    """Spell suggestions from the term dictionary — the DirectSpellChecker
+    analog (suggest/.../DirectSpellChecker.java): candidate terms within
+    levenshtein distance <= max_edits of `word`, ranked by
+    (distance ASC, doc_freq DESC, term ASC).
+    -> (term, distance, doc_freq). JVM-only scan of the tiny term-stats
+    table (at 100 TB this is the one table small enough to broadcast)."""
+    ts = reader.term_stats_df().filter(F.col("field") == field)
+    dist = F.levenshtein(F.col("term"), F.lit(word))
+    return (
+        ts.withColumn("distance", dist)
+        .filter((F.col("distance") <= max_edits) & (F.col("term") != word))
+        .groupBy("term", "distance")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .orderBy(F.col("distance").asc(), F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def mlt_select_terms(
+    reader: IndexReader,
+    docs_src: DataFrame,
+    doc_id: int,
+    content_col: str = "text",
+    max_terms: int = 5,
+) -> list[str]:
+    """MoreLikeThis term selection (queries/mlt/MoreLikeThis.java): the
+    seed doc's terms ranked by tf*idf, top max_terms, ties by term ASC.
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) from the global stats."""
+    from lucene_spark.pipeline.textstats import tokens_col
+
+    coll = reader.collection_stats(reader.manifest["field"])
+    toks = (
+        docs_src.filter(F.col("doc_id") == doc_id)
+        .select(F.explode(tokens_col(F.col(content_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ts = reader.term_stats_df().filter(
+        F.col("field") == reader.manifest["field"]
+    ).select("term", "doc_freq")
+    n = float(coll.doc_count)
+    scored = toks.join(ts, "term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * F.log(F.lit(1.0) + (F.lit(n) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)),
+    )
+    rows = (
+        scored.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def mlt_topk(
+    reader: IndexReader,
+    docs_src: DataFrame,
+    doc_id: int,
+    content_col: str = "text",
+    max_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """MoreLikeThis: select the seed doc's top tf*idf terms, then run
+    them as a SHOULD boolean BM25 query. -> (doc_id, score_x1e6)."""
+    field = reader.manifest["field"]
+    terms = mlt_select_terms(reader, docs_src, doc_id, content_col, max_terms)
+    if not terms:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    return bool_bm25_topk(reader, field, should=terms, k=k)
+
+
+def common_terms_topk(
+    reader: IndexReader,
+    field: str,
+    terms: list[str],
+    max_doc_ratio: float = 0.3,
+    k: int = 10,
+) -> DataFrame:
+    """CommonTermsQuery (queries/CommonTermsQuery.java): terms with
+    df/N > max_doc_ratio are "common" — they only CONTRIBUTE SCORE to
+    docs that match at least one rare term; rare terms drive matching
+    (default SHOULD semantics, minShouldMatch=1 on the rare group).
+    With no rare terms the query degrades to a plain disjunction.
+    -> (doc_id, score_x1e6)."""
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, terms)
+    n = float(coll.doc_count)
+    present = [t for t in terms if t in st]
+    rare = [t for t in present if st[t].doc_freq / n <= max_doc_ratio]
+    if not rare:
+        return bool_bm25_topk(reader, field, should=present, k=k)
+    ep = exploded_postings(reader, field, present)
+    df_df, n_col, avgdl = _with_stats(reader, field, present)
+    dlq = _length_table_col(F.col("norm_code"))
+    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+        "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n_col, avgdl)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"),
+        F.count_distinct(
+            F.when(F.col("term").isin(rare), F.col("term"))
+        ).alias("n_rare"),
+    )
+    return (
+        agg.filter(F.col("n_rare") >= 1)
+        .select(
+            "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_x1e6")
         )
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -1,0 +1,68 @@
+"""Semantic tests for suggest / MoreLikeThis / CommonTermsQuery (the
+value-parity with DuckDB runs in test_gate_parity)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reader(spark):
+    from lucene_spark.gate import ensure_index
+
+    return ensure_index(spark, SF)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_suggest_ranks_by_distance_then_df(reader):
+    from lucene_spark.search.sqlpath import suggest_terms
+
+    rows = suggest_terms(reader, "text", "spork", max_edits=2, k=5).collect()
+    assert rows
+    assert rows[0]["term"] == "spark"  # distance 1 beats distance 2
+    assert rows[0]["distance"] == 1
+    keys = [(r["distance"], -r["doc_freq"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["term"] != "spork" for r in rows)
+
+
+def test_mlt_seed_doc_ranks_first(reader, docs):
+    from lucene_spark.search.sqlpath import mlt_select_terms, mlt_topk
+
+    terms = mlt_select_terms(reader, docs, doc_id=7, max_terms=5)
+    assert len(terms) == 5 and len(set(terms)) == 5
+    top = mlt_topk(reader, docs, doc_id=7, max_terms=5, k=10).collect()
+    assert top
+    # the seed document should be highly similar to itself
+    assert 7 in [r["doc_id"] for r in top[:3]]
+
+
+def test_common_terms_requires_rare_match(reader):
+    from lucene_spark.search.sqlpath import common_terms_topk
+    from lucene_spark.search.sqlpath import exploded_postings
+
+    out = common_terms_topk(
+        reader, "text", ["table", "spark", "dup"], max_doc_ratio=0.3
+    ).collect()
+    assert out
+    rare_docs = {
+        r["doc_id"]
+        for r in exploded_postings(reader, "text", ["dup"]).select("doc_id").collect()
+    }
+    assert all(r["doc_id"] in rare_docs for r in out)
+
+
+def test_common_terms_degrades_without_rare(reader):
+    from lucene_spark.search.sqlpath import bool_bm25_topk, common_terms_topk
+
+    got = common_terms_topk(
+        reader, "text", ["table", "spark"], max_doc_ratio=0.3
+    ).collect()
+    want = bool_bm25_topk(reader, "text", should=["table", "spark"]).collect()
+    assert [(r["doc_id"], r["score_x1e6"]) for r in got] == [
+        (r["doc_id"], r["score_x1e6"]) for r in want
+    ]
