@@ -127,12 +127,12 @@ def check_segment_doclens(pdf) -> list[str]:
     ids = pdf["doc_id"].to_numpy()
     if len(np.unique(ids)) != len(ids):
         out.append(f"{seg}: duplicate doc_ids")
+    # doc_ids are globally stable (never remapped — unlike Lucene, which
+    # renumbers at merge); purged deletions leave holes, so the invariant
+    # is uniqueness within a bounded range, not density
     ids_sorted = np.sort(ids)
-    if len(ids) and not (
-        ids_sorted[0] + len(ids) - 1 == ids_sorted[-1]
-        and (np.diff(ids_sorted) == 1).all()
-    ):
-        out.append(f"{seg}: doc_ids not dense")
+    if len(ids) and ids_sorted[-1] - ids_sorted[0] + 1 < len(ids):
+        out.append(f"{seg}: doc_id range narrower than count")
     want = int_to_byte4_vec(pdf["doc_len"].to_numpy().astype(np.int64))
     if not (want.astype(np.int64) == pdf["doc_len_code"].to_numpy()).all():
         out.append(f"{seg}: doc_len_code != intToByte4(doc_len)")
@@ -206,9 +206,10 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         )
     live = mani.live_segment_ids(m)
     n_doclens = doclens.count()
-    if n_doclens != m["num_docs_total"]:
+    expect_live = m["num_docs_total"] - int(m.get("purged_docs", 0))
+    if n_doclens != expect_live:
         violations.append(
-            f"live doclens count {n_doclens} != manifest {m['num_docs_total']}"
+            f"live doclens count {n_doclens} != manifest total-purged {expect_live}"
         )
 
     return {

@@ -67,11 +67,14 @@ def find_merges(
     return groups
 
 
-def _merge_postings_fn(order: dict[str, int]):
+def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
     """applyInPandas kernel: merge one (field, term)'s posting rows from
     the input segments into a single row. `order` maps segment_id ->
     rank by first doc_id (ranges are disjoint, so concatenation in rank
-    order preserves the strictly-increasing docID invariant)."""
+    order preserves the strictly-increasing docID invariant). `purge`
+    holds tombstoned doc ids to drop physically (Lucene merges purge
+    deletions — SegmentMerger over liveDocs); position lists of purged
+    docs are re-encoded out, surviving bytes are untouched."""
 
     def run(pdf):
         import numpy as np
@@ -82,18 +85,39 @@ def _merge_postings_fn(order: dict[str, int]):
         pdf = pdf.copy()
         pdf["_rank"] = pdf["segment_id"].map(order)
         pdf = pdf.sort_values("_rank")
-        docs_l, freqs_l = [], []
-        for blob in pdf["postings"]:
-            d, f = codec.decode_postings(bytes(blob))
+        docs_l, freqs_l, pos_l = [], [], []
+        have_pos = pdf["positions"].notna().all()
+        decode_pos = have_pos and bool(purge)  # else raw byte concat
+        for row in pdf.itertuples():
+            d, f = codec.decode_postings(bytes(row.postings))
             docs_l.append(d)
             freqs_l.append(f)
+            if decode_pos:
+                pos_l.extend(codec.decode_positions(bytes(row.positions), f))
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)
         norms_b = b"".join(bytes(b) for b in pdf["norms"])
         norms = np.frombuffer(norms_b, dtype=np.uint8).astype(np.int64)
+        if purge:
+            keep = ~np.isin(docs, np.fromiter(purge, dtype=np.int64))
+            if not keep.all():
+                docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
+                if have_pos:
+                    pos_l = [p for p, kp in zip(pos_l, keep) if kp]
+        if len(docs) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "field", "term", "doc_freq", "total_term_freq", "postings",
+                    "norms", "positions", "block_last_doc", "impact_freqs",
+                    "impact_norms",
+                ]
+            )
         blob, block_last, imp_f, imp_n = codec.encode_postings(docs, freqs, norms)
-        pos = None
-        if pdf["positions"].notna().all():
+        if not have_pos:
+            pos = None
+        elif decode_pos:
+            pos = codec.encode_positions(freqs, pos_l)
+        else:
             pos = b"".join(bytes(b) for b in pdf["positions"])
         return pd.DataFrame(
             {
@@ -102,7 +126,7 @@ def _merge_postings_fn(order: dict[str, int]):
                 "doc_freq": [int(len(docs))],
                 "total_term_freq": [int(freqs.sum())],
                 "postings": [blob],
-                "norms": [norms_b],
+                "norms": [norms_b if not purge else norms.astype(np.uint8).tobytes()],
                 "positions": [pos],
                 "block_last_doc": [[int(x) for x in block_last]],
                 "impact_freqs": [[[int(v) for v in fs] for fs in imp_f]],
@@ -157,6 +181,19 @@ def merge_round(
     postings_all = spark.read.parquet(f"{index_dir}/postings")
     doclens_all = spark.read.parquet(f"{index_dir}/doclens")
 
+    # tombstones covered by merged segments get PURGED (dropped from the
+    # merged postings/doclens and removed from the tombstone set) — the
+    # Lucene merge-applies-deletes contract
+    from lucene_spark.index.deletes import deleted_ids_df
+
+    dels_df = deleted_ids_df(spark, index_dir, m)
+    all_deleted = (
+        frozenset(r["doc_id"] for r in dels_df.collect())
+        if dels_df is not None
+        else frozenset()
+    )
+    purged_now: set[int] = set()
+
     for gi, group in enumerate(groups):
         t0 = time.time()
         new_sid = f"m{gen + 1:04d}g{gi:03d}"
@@ -193,9 +230,17 @@ def merge_round(
                 ).cast("int"),
             )
         )
+        # restrict the purge set to this group's doc ranges
+        group_purge = frozenset()
+        if all_deleted:
+            lo = min(seg_metrics[s]["first_doc_id"] for s in group)
+            hi = max(seg_metrics[s]["last_doc_id"] for s in group)
+            group_purge = frozenset(d for d in all_deleted if lo <= d <= hi)
         merged = (
             salted.groupBy("field", "term", "_salt")
-            .applyInPandas(_merge_postings_fn(order), schema=_MERGED_SCHEMA)
+            .applyInPandas(
+                _merge_postings_fn(order, group_purge), schema=_MERGED_SCHEMA
+            )
             .withColumn("segment_id", F.lit(new_sid))
         )
         out_b = next_b + gi
@@ -203,6 +248,11 @@ def merge_round(
         dl = doclens_all.filter(F.col("segment_id").isin(group)).withColumn(
             "segment_id", F.lit(new_sid)
         )
+        if group_purge:
+            dl = dl.filter(
+                ~F.col("doc_id").isin([int(x) for x in group_purge])
+            )
+            purged_now |= group_purge
         dl.write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={out_b}")
         metrics = (
             spark.read.parquet(f"{index_dir}/doclens/batch={out_b}")
@@ -230,11 +280,28 @@ def merge_round(
     out.pop("generation", None)
     out.pop("committed_at", None)
     out["merges"] = merges
+    if purged_now:
+        # rewrite remaining tombstones as one fresh batch
+        remaining = sorted(all_deleted - purged_now)
+        nb = _next_tombstone_batch(out)
+        if remaining:
+            spark.createDataFrame(
+                [(int(d),) for d in remaining], "doc_id long"
+            ).write.mode("overwrite").parquet(f"{index_dir}/deletes/batch={nb}")
+            out["delete_batches"] = [{"batch": nb, "num_docs": len(remaining)}]
+        else:
+            out["delete_batches"] = []
+        out["num_deleted"] = len(remaining)
+        out["purged_docs"] = int(m.get("purged_docs", 0)) + len(purged_now)
     from lucene_spark.index.builder import _recompute_stats
 
     _recompute_stats(spark, index_dir, m["field"], mani.live_segment_ids(out))
     mani.commit_manifest(index_dir, out)
     return len(groups)
+
+
+def _next_tombstone_batch(m: dict) -> int:
+    return 1 + max([d["batch"] for d in m.get("delete_batches", [])], default=-1)
 
 
 def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1) -> int:

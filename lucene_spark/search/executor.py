@@ -100,6 +100,27 @@ class IndexReader:
     def term_stats_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/term_stats")
 
+    # ---- live docs (tombstone deletes — Lucene90LiveDocsFormat role) -----
+
+    def deleted_df(self) -> DataFrame | None:
+        """Committed tombstones as DataFrame(doc_id), None if none."""
+        from lucene_spark.index.deletes import deleted_ids_df
+
+        return deleted_ids_df(self.spark, self.index_dir, self.manifest)
+
+    def deleted_ids(self) -> frozenset | None:
+        """Tombstoned doc ids as a frozenset for per-segment kernels
+        (collected once per reader; at real scale shard this per
+        segment-range instead of broadcasting the full set)."""
+        if not self.manifest.get("delete_batches"):
+            return None
+        if not hasattr(self, "_deleted_ids"):
+            df = self.deleted_df()
+            self._deleted_ids = frozenset(
+                r["doc_id"] for r in df.collect()
+            ) if df is not None else None
+        return self._deleted_ids
+
     # ---- stats (the IndexSearcher.termStatistics path) --------------------
 
     def collection_stats(self, field: str) -> CollectionStats:
@@ -275,7 +296,10 @@ class IndexSearcher:
             (F.col("field") == field) & (F.col("term").isin(terms))
         )
         per_seg = rows.groupBy("segment_id").applyInPandas(
-            _make_segment_fn(node, k, prune, search_after), schema=_OUT_SCHEMA
+            _make_segment_fn(
+                node, k, prune, search_after, self.reader.deleted_ids()
+            ),
+            schema=_OUT_SCHEMA,
         )
         # only segments x k rows reach the driver (TopDocs.merge stage)
         cand = per_seg.toPandas()
@@ -296,6 +320,9 @@ class IndexSearcher:
 
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
         dl = self.reader.doclens()
+        dels = self.reader.deleted_df()
+        if dels is not None:
+            dl = dl.join(dels, "doc_id", "left_anti")
         total = dl.count()
         rows = dl.select("doc_id").orderBy("doc_id").limit(k).collect()
         return Q.TopDocs(
@@ -346,11 +373,17 @@ def _collect_field(node: dict) -> str:
 # --------------------------------------------------------------------------
 
 
-def _make_segment_fn(node: dict, k: int, prune: bool, after):
+def _make_segment_fn(node: dict, k: int, prune: bool, after, deleted=None):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = str(pdf["segment_id"].iat[0])
         ctx = _SegmentIndex(pdf)
         docs, scores = _eval(node, ctx, k if prune else None)
+        if deleted and len(docs):
+            # liveDocs filter: deleted docs are skipped, scores of
+            # surviving docs are untouched (stats still count deletions
+            # until merge — the Lucene docFreq contract)
+            keep = ~np.isin(docs, np.fromiter(deleted, dtype=np.int64))
+            docs, scores = docs[keep], scores[keep]
         if after is not None:
             # searchAfter: keep (score < after) or (== and doc > afterDoc)
             # (IndexSearcher.java:576-591)

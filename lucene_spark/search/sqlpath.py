@@ -58,7 +58,8 @@ def _decode_udf(blobs: pd.Series, norm_blobs: pd.Series) -> pd.DataFrame:
 
 def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> DataFrame:
     """-> DataFrame(term, doc_id, freq, norm_code): decode once in Python
-    (Arrow-batched), explode JVM-side."""
+    (Arrow-batched), explode JVM-side. Tombstoned docs are anti-joined
+    out (liveDocs role); BM25 stats still count them until merge."""
     rows = reader.postings().filter(
         (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
     )
@@ -66,12 +67,16 @@ def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> Data
     z = dec.select(
         "term", F.explode(F.arrays_zip("p.docs", "p.freqs", "p.norms")).alias("e")
     )
-    return z.select(
+    out = z.select(
         "term",
         F.col("e.docs").alias("doc_id"),
         F.col("e.freqs").alias("freq"),
         F.col("e.norms").alias("norm_code"),
     )
+    dels = reader.deleted_df()
+    if dels is not None:
+        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+    return out
 
 
 def _length_table_col(code: Column) -> Column:
@@ -188,6 +193,9 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     freqs = rows.groupBy("segment_id").applyInPandas(
         _make_phrase_freq_fn(terms), schema="doc_id long, freq int, norm_code int"
     )
+    dels = reader.deleted_df()
+    if dels is not None:
+        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
     import math
 
     idf_sum = sum(
@@ -255,7 +263,16 @@ def dismax_topk(
 
 def term_count(reader: IndexReader, field: str, term: str) -> DataFrame:
     """Hit count answered from stats WITHOUT touching postings — the
-    Weight#count shortcut (Weight.java:198, TermQuery.java:260)."""
+    Weight#count shortcut (Weight.java:198, TermQuery.java:260). With
+    tombstones present the shortcut is unavailable (Weight#count
+    returns -1 when deletions exist) and the count falls back to the
+    live posting stream."""
+    if reader.manifest.get("delete_batches"):
+        return (
+            exploded_postings(reader, field, [term])
+            .groupBy()
+            .agg(F.count_distinct("doc_id").alias("cnt"))
+        )
     return (
         reader.term_stats_df()
         .filter((F.col("field") == field) & (F.col("term") == term))
@@ -304,10 +321,14 @@ def term_scored(reader: IndexReader, field: str, term: str) -> DataFrame:
 
 def match_all_topk(reader: IndexReader, k: int = 10) -> DataFrame:
     """MatchAllDocsQuery (MatchAllDocsQuery.java:23): every live doc,
-    constant score 1, doc_id order."""
+    constant score 1, doc_id order. Live = doclens minus tombstones
+    (purged docs have already left doclens)."""
+    out = reader.doclens().select("doc_id")
+    dels = reader.deleted_df()
+    if dels is not None:
+        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
     return (
-        reader.docs()
-        .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+        out.select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
         .orderBy("doc_id")
         .limit(k)
     )

@@ -128,8 +128,9 @@ def append_batch(
     }
     if m:
         base["lineage"] = m.get("lineage", {})
-        if m.get("merges"):
-            base["merges"] = m["merges"]
+        for carry in ("merges", "delete_batches", "num_deleted", "purged_docs"):
+            if m.get(carry):
+                base[carry] = m[carry]
     base["num_docs_total"] = int(offset + n_new)
     base["batches"] = committed
     _recompute_stats(spark, index_dir, cfg.field, mani.live_segment_ids(base))

@@ -1,0 +1,143 @@
+"""Delete/update tests — the Lucene tombstone contract:
+- deleted docs vanish from every query path immediately;
+- scores of surviving docs are UNCHANGED (stats count deletions until
+  merge — the docFreq contract);
+- merge purges tombstones physically and stats then shrink;
+- update = atomic delete-by-term + append.
+"""
+
+import pytest
+
+
+@pytest.fixture()
+def idx(spark, corpus, tmp_path):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    p = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus), p, IndexConfig(docs_per_segment=100))
+    return p, IndexReader(spark, p)
+
+
+def _topk(reader, must, k=10):
+    from lucene_spark.search import sqlpath as sp
+
+    return [
+        (r["doc_id"], r["score_x1e6"])
+        for r in sp.bool_bm25_topk(reader, "content", must=must, k=k).collect()
+    ]
+
+
+def test_delete_hides_docs_but_keeps_scores(spark, idx):
+    from lucene_spark.index.deletes import delete_by_ids, live_doc_count
+    from lucene_spark.search.executor import IndexReader
+
+    path, r0 = idx
+    before = _topk(r0, ["def"], k=20)
+    victims = [before[0][0], before[2][0]]
+    delete_by_ids(spark, path, spark.createDataFrame([(v,) for v in victims], "doc_id long"))
+    r1 = IndexReader(spark, path)
+    after = _topk(r1, ["def"], k=20)
+    after_ids = [d for d, _ in after]
+    assert all(v not in after_ids for v in victims)
+    # surviving docs keep their exact scores and relative order
+    survivors = [(d, s) for d, s in before if d not in victims]
+    assert after[: len(survivors[:18])] == survivors[: len(after)]
+    assert live_doc_count(spark, path) == r1.manifest["num_docs_total"] - 2
+
+
+def test_exact32_searcher_skips_deleted(spark, idx):
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    path, r0 = idx
+    s0 = IndexSearcher(r0)
+    before = s0.search(Q.TermQuery("content", "def"), k=5).hits
+    victim = before[0].doc_id
+    delete_by_ids(spark, path, spark.createDataFrame([(victim,)], "doc_id long"))
+    r1 = IndexReader(spark, path)
+    after = IndexSearcher(r1).search(Q.TermQuery("content", "def"), k=5).hits
+    assert victim not in [h.doc_id for h in after]
+    # survivors keep identical float32 scores
+    b = {h.doc_id: h.score for h in before}
+    for h in after:
+        if h.doc_id in b:
+            assert h.score == b[h.doc_id]
+    # match-all honours live docs
+    total = IndexSearcher(r1).search(Q.MatchAllQuery(), k=1).total_hits
+    assert total == r1.manifest["num_docs_total"] - 1
+
+
+def test_delete_by_term_then_merge_purges(spark, idx):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.deletes import delete_by_term, deleted_ids_df
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    path, r0 = idx
+    stats_before = r0.collection_stats("content")
+    n_del = (
+        sp.exploded_postings(r0, "content", ["import"]).select("doc_id").distinct().count()
+    )
+    assert n_del > 0
+    delete_by_term(spark, path, "content", "import")
+
+    r1 = IndexReader(spark, path)
+    # stats UNCHANGED until merge (docFreq counts deletions)
+    assert r1.collection_stats("content") == stats_before
+    assert sp.bool_bm25_topk(r1, "content", must=["import"]).count() == 0
+    # Weight#count falls back to live counting under deletes
+    assert sp.term_count(r1, "content", "import").collect()[0]["cnt"] == 0
+
+    force_merge(spark, path, max_segments=1)
+    r2 = IndexReader(spark, path)
+    m = r2.manifest
+    assert m["purged_docs"] == n_del
+    assert deleted_ids_df(spark, path, m) is None  # tombstones cleared
+    # stats now exclude purged docs
+    assert r2.collection_stats("content").doc_count == m["num_docs_total"] - n_del
+    # the term is physically gone from live postings
+    assert (
+        r2.postings().filter(F.col("term") == "import").count() == 0
+    )
+    rep = check_index(spark, path)
+    assert rep["ok"], rep["violations"][:5]
+
+
+def test_update_document(spark, idx, corpus):
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.index.deletes import update_document
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    path, r0 = idx
+    # replace every doc containing the unique-ish token of doc X with one new doc
+    import pandas as pd
+
+    new_doc = pd.DataFrame(
+        {
+            "repo": ["zzz/updated"],
+            "path": ["src/new.py"],
+            "commit": ["deadbeef"],
+            "lang": ["py"],
+            "content": ["freshly updated replacement xyzreplacement def"],
+        }
+    )
+    n_old = sp.exploded_postings(r0, "content", ["import"]).select("doc_id").distinct().count()
+    update_document(
+        spark, path, "content", "import",
+        spark.createDataFrame(new_doc), IndexConfig(docs_per_segment=100),
+    )
+    r1 = IndexReader(spark, path)
+    # old docs gone, replacement searchable
+    assert sp.bool_bm25_topk(r1, "content", must=["import"]).count() == 0
+    got = sp.bool_bm25_topk(r1, "content", must=["xyzreplacement"]).collect()
+    assert len(got) == 1
+    from lucene_spark.index.deletes import live_doc_count
+
+    assert live_doc_count(spark, path) == r0.manifest["num_docs_total"] - n_old + 1
