@@ -199,6 +199,50 @@ FROM tf JOIN dlq q ON tf.doc_id = q.doc_id CROSS JOIN stats s CROSS JOIN dfb d
 ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT {k}"""
 
 
+def _sql_multi_phrase(alts: list[str], second: str, k: int = 10) -> str:
+    """Two-slot multi-phrase oracle: slot0 = any of `alts`, slot1 =
+    `second`; slots must be disjoint so non-overlapping regex count ==
+    alignment count."""
+    rx = r"\b(?:" + "|".join(alts) + ") " + second + r"\b"
+    terms = sorted(set(alts) | {second})
+    inlist = ",".join(f"'{t}'" for t in terms)
+    ctes = _prefix_ctes([
+        "norm AS (SELECT doc_id, array_to_string(regexp_split_to_array(lower(text), '[^a-z0-9]+'), ' ') AS s FROM documents)",
+        f"tfm AS (SELECT doc_id, len(regexp_extract_all(s, '{rx}')) AS freq FROM norm)",
+    ])
+    return f"""{ctes},
+idfs AS (
+  SELECT SUM(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))) AS idf_sum
+  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok IN ({inlist}) GROUP BY tok) d
+  CROSS JOIN stats s
+)
+SELECT t.doc_id AS doc_id,
+  CAST(ROUND(i.idf_sum * t.freq /
+       (t.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM tfm t JOIN dlq q ON t.doc_id = q.doc_id CROSS JOIN stats s CROSS JOIN idfs i
+WHERE t.freq > 0
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT {k}"""
+
+
+def _sql_near(term_a: str, term_b: str, window: int, k: int = 10) -> str:
+    return f"""WITH tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl
+)
+SELECT DISTINCT a.doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.tok = '{term_a}' AND b.tok = '{term_b}' AND b.p - a.p BETWEEN 1 AND {window}
+ORDER BY a.doc_id LIMIT {k}"""
+
+
 def _scored_ctes(term: str) -> str:
     """CTE prefix ending in `scored(doc_id, score_x1e6)` for one term —
     the single-term building block for collector oracles (ranks taken
@@ -464,6 +508,18 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_multi_phrase(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.multi_phrase_bm25_topk(
+            r, FIELD, [["fast", "slow"], ["table"]]
+        )
+
+    def q_near(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.near_match_topk(
+            r, FIELD, "fast", "table", window=3, ordered=True
+        )
+
     def q_suggest(spark, sf):
         r = ensure_index(spark, sf)
         return sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
@@ -526,6 +582,8 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_multi_phrase": q_multi_phrase,
+        "q_near": q_near,
         "q_suggest": q_suggest,
         "q_mlt": q_mlt,
         "q_common_terms": q_common_terms,
@@ -623,6 +681,8 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_multi_phrase": _sql_multi_phrase(["fast", "slow"], "table"),
+        "q_near": _sql_near("fast", "table", 3),
         "q_suggest": f"""WITH {_TOKS},
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, levenshtein(term, 'spork') AS distance, doc_freq

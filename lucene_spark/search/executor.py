@@ -229,6 +229,41 @@ class IndexSearcher:
             return _leaf(
                 "phrase", q.field, list(q.terms), sc.weight, cache=sc.cache, slop=q.slop
             )
+        if isinstance(q, Q.MultiPhraseQuery):
+            all_terms = [t for slot in q.slots for t in slot]
+            st = R.term_stats(q.field, all_terms)
+            slots = tuple(
+                tuple(t for t in slot if t in st) for slot in q.slots
+            )
+            if any(not s for s in slots):
+                return None  # a slot with no present terms -> no match
+            coll = R.collection_stats(q.field)
+            # MultiPhraseQuery sums idf over every present term of every
+            # slot (idfExplain over the term array)
+            present = [t for slot in slots for t in slot]
+            sc = BM25Scorer(
+                coll, [st[t] for t in present], self.k1, self.b, boost * q.boost
+            )
+            return {
+                "kind": "multi_phrase",
+                "field": q.field,
+                "terms": present,
+                "slots": slots,
+                "weight": sc.weight,
+                "cache": sc.cache,
+            }
+        if isinstance(q, Q.NearQuery):
+            st = R.term_stats(q.field, [q.term_a, q.term_b])
+            if q.term_a not in st or q.term_b not in st:
+                return None
+            return {
+                "kind": "near",
+                "field": q.field,
+                "terms": [q.term_a, q.term_b],
+                "window": int(q.window),
+                "ordered": bool(q.ordered),
+                "weight": float(boost * q.boost),
+            }
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.FuzzyQuery, Q.TermRangeQuery)):
             terms = R.expand(q)
@@ -338,7 +373,7 @@ class IndexSearcher:
 
 def _collect_terms(node: dict) -> set[str]:
     k = node["kind"]
-    if k in ("term", "syn", "phrase", "const_set"):
+    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set"):
         return set(node["terms"])
     if k == "const_wrap":
         return _collect_terms(node["sub"])
@@ -355,7 +390,7 @@ def _collect_terms(node: dict) -> set[str]:
 
 def _collect_field(node: dict) -> str:
     k = node["kind"]
-    if k in ("term", "syn", "phrase", "const_set"):
+    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set"):
         return node["field"]
     if k == "const_wrap":
         return _collect_field(node["sub"])
@@ -540,6 +575,10 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         return uniq, _score_leaf(node["weight"], node["cache"], fsum, norms)
     if kind == "phrase":
         return _eval_phrase(node, ctx)
+    if kind == "multi_phrase":
+        return _eval_multi_phrase(node, ctx)
+    if kind == "near":
+        return _eval_near(node, ctx)
     if kind == "const_set":
         ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
         dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
@@ -662,6 +701,153 @@ def _sloppy_phrase_freqs(terms: list[str], slop: int, ctx: _SegmentIndex):
     return docs, freqs, norms
 
 
+def _multi_phrase_freqs(slots, ctx: _SegmentIndex):
+    """MultiPhraseQuery matching: per-slot union of term
+    postings/positions, then exact-adjacency intersection
+    (MultiPhraseQuery.java UnionPostings semantics).
+    -> (docs, freqs, norms)."""
+    z = np.zeros(0, dtype=np.int64)
+    if not all(any(ctx.has(t) for t in slot) for slot in slots):
+        return z, z, z
+    # candidate docs: per slot, union of the slot's term docs; intersect
+    slot_docs = []
+    for slot in slots:
+        ds = [ctx.postings(t)[0] for t in slot if ctx.has(t)]
+        slot_docs.append(np.unique(np.concatenate(ds)) if ds else z)
+    docs = slot_docs[0]
+    for d in slot_docs[1:]:
+        docs = docs[np.isin(docs, d, assume_unique=True)]
+    if len(docs) == 0:
+        return z, z, z
+    # per-slot per-doc position lookup tables
+    slot_pos: list[dict[int, np.ndarray]] = []
+    for slot in slots:
+        table: dict[int, list[np.ndarray]] = {}
+        for t in slot:
+            if not ctx.has(t):
+                continue
+            tdocs, _, _ = ctx.postings(t)
+            tpos = ctx.positions(t)
+            sel = np.searchsorted(tdocs, docs)
+            ok = (sel < len(tdocs)) & (tdocs[np.minimum(sel, len(tdocs) - 1)] == docs)
+            for di in np.where(ok)[0]:
+                table.setdefault(int(docs[di]), []).append(tpos[sel[di]])
+        slot_pos.append(
+            {d: np.unique(np.concatenate(ps)) for d, ps in table.items()}
+        )
+    freqs = np.zeros(len(docs), dtype=np.int64)
+    for di, d in enumerate(docs):
+        cand = slot_pos[0].get(int(d))
+        if cand is None:
+            continue
+        for si in range(1, len(slots)):
+            nxt = slot_pos[si].get(int(d))
+            if nxt is None:
+                cand = None
+                break
+            cand = cand[np.isin(cand + si, nxt)]
+            if len(cand) == 0:
+                break
+        freqs[di] = 0 if cand is None else len(cand)
+    keep = freqs > 0
+    docs, freqs = docs[keep], freqs[keep]
+    if len(docs) == 0:
+        return z, z, z
+    # norms are per-doc (identical for every term of the doc), gathered
+    # from whichever slot-0 term contains the doc
+    norms = np.zeros(len(docs), dtype=np.int64)
+    remaining = np.ones(len(docs), dtype=bool)
+    for t in slots[0]:
+        if not ctx.has(t) or not remaining.any():
+            break
+        tdocs, _, tnorms = ctx.postings(t)
+        sel = np.searchsorted(tdocs, docs)
+        ok = (
+            remaining
+            & (sel < len(tdocs))
+            & (tdocs[np.minimum(sel, len(tdocs) - 1)] == docs)
+        )
+        norms[ok] = tnorms[sel[ok]]
+        remaining &= ~ok
+    return docs, freqs, norms
+
+
+def _eval_multi_phrase(node: dict, ctx: _SegmentIndex):
+    docs, freqs, norms = _multi_phrase_freqs(node["slots"], ctx)
+    if len(docs) == 0:
+        return docs, docs.astype(np.float32)
+    return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)
+
+
+def _make_multi_phrase_freq_fn(slots):
+    """Per-segment (doc_id, freq, norm_code) extractor for the sql64
+    multi-phrase path."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        docs, freqs, norms = _multi_phrase_freqs(
+            tuple(tuple(s) for s in slots), ctx
+        )
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64), "freq": freqs.astype(np.int32),
+             "norm_code": norms.astype(np.int32)}
+        )
+
+    return fn
+
+
+def _make_near_fn(term_a: str, term_b: str, window: int, ordered: bool):
+    """Per-segment (doc_id) extractor for the sql64 NEAR path."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        node = {"terms": [term_a, term_b], "window": window,
+                "ordered": ordered, "weight": 1.0}
+        docs, _ = _eval_near(node, ctx)
+        return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+    return fn
+
+
+def _eval_near(node: dict, ctx: _SegmentIndex):
+    """NEAR(a, b, window, ordered): constant-score proximity matching
+    (Intervals.ordered/unordered with maxwidth, intervals module role)."""
+    z = np.zeros(0, dtype=np.int64)
+    zf = z.astype(np.float32)
+    ta, tb = node["terms"]
+    if not (ctx.has(ta) and ctx.has(tb)):
+        return z, zf
+    da, _, _ = ctx.postings(ta)
+    db, _, _ = ctx.postings(tb)
+    docs = da[np.isin(da, db, assume_unique=True)]
+    if len(docs) == 0:
+        return z, zf
+    pa_all = ctx.positions(ta)
+    pb_all = ctx.positions(tb)
+    ia = np.searchsorted(da, docs)
+    ib = np.searchsorted(db, docs)
+    window = node["window"]
+    ordered = node["ordered"]
+    out = []
+    for di in range(len(docs)):
+        pa = pa_all[ia[di]]
+        pb = pb_all[ib[di]]
+        # ordered: exists pb - pa in [1, window]
+        lo = np.searchsorted(pb, pa + 1, side="left")
+        hi = np.searchsorted(pb, pa + window, side="right")
+        hit = bool((hi > lo).any())
+        if not hit and not ordered:
+            lo = np.searchsorted(pa, pb + 1, side="left")
+            hi = np.searchsorted(pa, pb + window, side="right")
+            hit = bool((hi > lo).any())
+        if hit:
+            out.append(docs[di])
+    if not out:
+        return z, zf
+    docs = np.asarray(out, dtype=np.int64)
+    return docs, np.full(len(docs), np.float32(node["weight"]), dtype=np.float32)
+
+
 def _eval_phrase(node: dict, ctx: _SegmentIndex):
     slop = int(node.get("slop") or 0)
     if slop > 0:
@@ -778,11 +964,11 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
 
 
 def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
-    if node["kind"] in ("term", "const_set", "syn", "phrase"):
+    if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase", "near"):
         c = 0
         for t in node["terms"]:
-            if ctx.has(t):
-                c += int(ctx.pdf.iloc[ctx.rows[t]]["doc_freq"])
+            for i in ctx.rows.get(t, ()):
+                c += int(ctx.pdf.iloc[i]["doc_freq"])
         return c
     return 1 << 60
 

@@ -46,6 +46,30 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with alternatives per position (MultiPhraseQuery.java):
+    slot i matches if ANY of slots[i]'s terms occurs there; freq =
+    number of phrase alignments; idf = sum over all terms of all slots
+    (MultiPhraseQuery idf array semantics)."""
+    field: str
+    slots: tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NearQuery(Query):
+    """Proximity match (intervals-lite, Intervals.ordered/unordered
+    maxwidth analog): both terms within `window` positions, optionally
+    in order; constant-score matching."""
+    field: str
+    term_a: str
+    term_b: str
+    window: int = 3
+    ordered: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0
 

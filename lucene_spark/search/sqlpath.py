@@ -629,3 +629,87 @@ def common_terms_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def multi_phrase_bm25_topk(
+    reader: IndexReader,
+    field: str,
+    slots: list[list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """MultiPhraseQuery (per-position alternatives), float64 scoring:
+    freq = number of phrase alignments where slot i matches any of its
+    terms; idf = sum over all PRESENT terms of all slots
+    (MultiPhraseQuery.java idf array semantics).
+    -> (doc_id, score_x1e6)."""
+    import math
+
+    from lucene_spark.search.executor import _make_multi_phrase_freq_fn
+
+    coll = reader.collection_stats(field)
+    all_terms = [t for slot in slots for t in slot]
+    st = reader.term_stats(field, all_terms)
+    pruned = [[t for t in slot if t in st] for slot in slots]
+    if any(not s for s in pruned):
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    present = [t for slot in pruned for t in slot]
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(list(set(present))))
+    )
+    freqs = rows.groupBy("segment_id").applyInPandas(
+        _make_multi_phrase_freq_fn(pruned),
+        schema="doc_id long, freq int, norm_code int",
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
+    idf_sum = sum(
+        math.log(1.0 + (coll.doc_count - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5))
+        for t in present
+    )
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    dlq = _length_table_col(F.col("norm_code"))
+    score = F.lit(idf_sum) * F.col("freq") / (
+        F.col("freq") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / F.lit(avgdl))
+    )
+    return (
+        freqs.select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def near_match_topk(
+    reader: IndexReader,
+    field: str,
+    term_a: str,
+    term_b: str,
+    window: int = 3,
+    ordered: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """NEAR proximity matching (intervals-lite): docs where term_b
+    occurs within `window` positions after term_a (ordered) or within
+    `window` in either direction (unordered); constant score.
+    -> (doc_id, score_x1e6) ordered by doc_id."""
+    from lucene_spark.search.executor import _make_near_fn
+
+    st = reader.term_stats(field, [term_a, term_b])
+    if term_a not in st or term_b not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin([term_a, term_b]))
+    )
+    matched = rows.groupBy("segment_id").applyInPandas(
+        _make_near_fn(term_a, term_b, window, ordered), schema="doc_id long"
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        matched = matched.join(F.broadcast(dels), "doc_id", "left_anti")
+    return (
+        matched.select(
+            "doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6")
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
