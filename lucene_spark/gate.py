@@ -508,6 +508,17 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_highlight(spark, sf):
+        # best-passage highlighting over the top-10 of a term query:
+        # presentation op (pandas UDF), rows-only driver check; passage
+        # selection is unit-tested in tests/test_explain_highlight.py
+        from lucene_spark.search.highlight import highlight
+
+        r = ensure_index(spark, sf)
+        top = sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=10)
+        docs = _docs(spark, sf).join(top.select("doc_id"), "doc_id", "left_semi")
+        return highlight(docs, [T_HOT, T_MID]).orderBy("doc_id")
+
     def q_multi_phrase(spark, sf):
         r = ensure_index(spark, sf)
         return sp.multi_phrase_bm25_topk(
@@ -582,6 +593,7 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_highlight": q_highlight,
         "q_multi_phrase": q_multi_phrase,
         "q_near": q_near,
         "q_suggest": q_suggest,

@@ -353,6 +353,49 @@ class IndexSearcher:
         ]
         return Q.TopDocs(total_hits=total, hits=hits)
 
+    def explain(self, q: Q.Query, doc_id: int) -> dict:
+        """Score explanation for one document — the Explanation tree of
+        IndexSearcher.explain (CheckHits contract: the explained value
+        equals the collected score bit-for-bit; asserted in
+        tests/test_explain.py).
+
+        -> {match: bool, value: float, description: str, details: [...]}
+        """
+        q = Q.rewrite_fixpoint(q)
+        if isinstance(q, Q.MatchAllQuery):
+            return {
+                "match": True,
+                "value": float(np.float32(q.boost)),
+                "description": "MatchAllDocsQuery",
+                "details": [],
+            }
+        node = self._compile(q)
+        if node is None:
+            return {"match": False, "value": 0.0, "description": "no match", "details": []}
+        terms = sorted(_collect_terms(node))
+        field = _collect_field(node)
+        deleted = self.reader.deleted_ids()
+        if deleted and doc_id in deleted:
+            return {"match": False, "value": 0.0, "description": "deleted doc", "details": []}
+        seg_row = (
+            self.reader.doclens().filter(F.col("doc_id") == doc_id).head()
+        )
+        if seg_row is None:
+            return {"match": False, "value": 0.0, "description": "unknown doc", "details": []}
+        pdf = (
+            self.reader.postings()
+            .filter(
+                (F.col("segment_id") == seg_row["segment_id"])
+                & (F.col("field") == field)
+                & (F.col("term").isin(terms))
+            )
+            .toPandas()
+        )
+        if pdf.empty:
+            return {"match": False, "value": 0.0, "description": "no terms in segment", "details": []}
+        ctx = _SegmentIndex(pdf)
+        return _explain_node(node, ctx, int(doc_id))
+
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
         dl = self.reader.doclens()
         dels = self.reader.deleted_df()
@@ -1047,3 +1090,63 @@ def _exact_scores_for(term_data, docs: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(d, docs[mask])
         acc[mask] += _score_leaf(s["weight"], s["cache"], f[pos], n[pos]).astype(np.float64)
     return acc.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# explanation trees (IndexSearcher.explain / CheckHits)
+# --------------------------------------------------------------------------
+
+
+def _node_value(node: dict, ctx: _SegmentIndex, doc_id: int) -> float | None:
+    """Exact score of `doc_id` under `node` via the real evaluator
+    restricted to the one candidate — guarantees explain == score."""
+    docs, scores = _eval(node, ctx, None, np.asarray([doc_id], dtype=np.int64))
+    sel = np.where(docs == doc_id)[0]
+    if len(sel) == 0:
+        return None
+    return float(scores[sel[0]])
+
+
+def _explain_node(node: dict, ctx: _SegmentIndex, doc_id: int) -> dict:
+    kind = node["kind"]
+    value = _node_value(node, ctx, doc_id)
+    if value is None:
+        return {
+            "match": False, "value": 0.0,
+            "description": f"{kind}: no match on doc {doc_id}", "details": [],
+        }
+    details: list[dict] = []
+    if kind == "term":
+        t = node["terms"][0]
+        docs, freqs, norms = ctx.postings(t)
+        i = int(np.searchsorted(docs, doc_id))
+        details = [
+            {"match": True, "value": float(freqs[i]),
+             "description": f"freq, occurrences of '{t}'", "details": []},
+            {"match": True, "value": float(node["weight"]),
+             "description": "weight = boost * idf (BM25Similarity)", "details": []},
+            {"match": True, "value": float(node["cache"][int(norms[i])]),
+             "description": f"normInverse from norm code {int(norms[i])} "
+                            "(1/(k1*((1-b)+b*dl/avgdl)))", "details": []},
+        ]
+        desc = f"TermQuery({t}): score = weight - weight/(1 + freq*normInverse)"
+    elif kind in ("syn", "phrase", "multi_phrase"):
+        desc = f"{kind} over {node['terms']}"
+    elif kind in ("const_set", "const_wrap", "near"):
+        desc = f"{kind}: constant score"
+    elif kind == "dismax":
+        desc = f"DisjunctionMax(tie={node['tie']}): max + tie*(sum-max) of:"
+        details = [
+            e for s in node["subs"]
+            if (e := _explain_node(s, ctx, doc_id))["match"]
+        ]
+    elif kind == "bool":
+        desc = "BooleanQuery: sum of matching scoring clauses:"
+        details = [
+            e
+            for s in list(node["must"]) + list(node["should"])
+            if (e := _explain_node(s, ctx, doc_id))["match"]
+        ]
+    else:
+        desc = kind
+    return {"match": True, "value": value, "description": desc, "details": details}
