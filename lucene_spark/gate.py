@@ -508,6 +508,16 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_drill_sideways(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.drill_sideways(
+            r, FIELD, T_MID, {"lang": "en"}, ["lang", "source"], k_per_dim=8
+        )
+
+    def q_grouped_distinct(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.grouped_distinct_values(r, FIELD, T_MID, "lang", "source")
+
     def q_highlight(spark, sf):
         # best-passage highlighting over the top-10 of a term query:
         # presentation op (pandas UDF), rows-only driver check; passage
@@ -593,6 +603,8 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_drill_sideways": q_drill_sideways,
+        "q_grouped_distinct": q_grouped_distinct,
         "q_highlight": q_highlight,
         "q_multi_phrase": q_multi_phrase,
         "q_near": q_near,
@@ -693,6 +705,24 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_drill_sideways": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+md AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id),
+lang_counts AS (
+  SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+  FROM md GROUP BY lang ORDER BY cnt DESC, value ASC LIMIT 8
+),
+src_counts AS (
+  SELECT 'source' AS dim, source AS value, count(*) AS cnt
+  FROM md WHERE lang = 'en' GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 8
+)
+SELECT dim, value, cnt FROM (SELECT * FROM lang_counts UNION ALL SELECT * FROM src_counts)
+ORDER BY dim, cnt DESC, value""",
+        "q_grouped_distinct": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang AS grp, count(DISTINCT d.source) AS n_distinct
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY grp LIMIT 50""",
         "q_multi_phrase": _sql_multi_phrase(["fast", "slow"], "table"),
         "q_near": _sql_near("fast", "table", 3),
         "q_suggest": f"""WITH {_TOKS},

@@ -713,3 +713,65 @@ def near_match_topk(
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+def drill_sideways(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    selections: dict[str, str],
+    dims: list[str],
+    k_per_dim: int = 10,
+) -> DataFrame:
+    """DrillSideways (facet/DrillSideways.java): given a base query and
+    per-dimension selections, count each dimension's values with every
+    OTHER dimension's filter applied but its own removed — the counts a
+    faceted UI shows next to the selected value.
+
+    -> (dim, value, cnt) ordered by (dim, cnt DESC, value).
+    One pass per dimension over the matched set (Lucene runs one
+    DrillSidewaysScorer pass; relationally each dim is an independent
+    groupBy over a differently-filtered semi-join — still
+    broadcast-sized filters over one base match)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    outs = []
+    for dim in dims:
+        d = docs
+        for sdim, sval in selections.items():
+            if sdim != dim:
+                d = d.filter(F.col(sdim) == sval)
+        outs.append(
+            d.groupBy(F.col(dim).alias("value"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("dim", F.lit(dim))
+            .orderBy(F.col("cnt").desc(), F.col("value").asc())
+            .limit(k_per_dim)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("dim", "value", "cnt").orderBy(
+        "dim", F.col("cnt").desc(), "value"
+    )
+
+
+def grouped_distinct_values(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    group_col: str,
+    value_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """DistinctValuesCollector (grouping module): per group, the count
+    of distinct values of another field among matched docs.
+    -> (grp, n_distinct)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    return (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count_distinct(F.col(value_col)).alias("n_distinct"))
+        .orderBy("grp")
+        .limit(k)
+    )
