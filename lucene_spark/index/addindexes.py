@@ -1,0 +1,148 @@
+"""addIndexes — bulk import of a foreign index (IndexWriter.addIndexes,
+CORE/index/IndexWriter.java; benchmark task AddIndexesTask.java).
+
+Lucene rebases the incoming segments' docIDs onto the destination's
+docBase and registers the segment files. Table mapping: the source
+index's postings are decoded and re-encoded with ``offset = dest
+num_docs_total`` added to every docID (one mapInPandas pass over the
+source posting rows — no shuffle at all, parallel per source file),
+doclens/docs shift the same offset JVM-side, everything lands in a
+fresh batch directory, stats are recomputed over the union, and one
+manifest generation publishes the import (two-phase as always).
+
+Source tombstones, if any, are imported shifted as well.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from lucene_spark.index import manifest as mani
+
+
+def _rebase_postings_fn(offset: int):
+    def run(it):
+        import pandas as pd
+
+        from lucene_spark.index import codec
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            blobs, blasts = [], []
+            for row in pdf.itertuples():
+                docs, freqs = codec.decode_postings(bytes(row.postings))
+                docs = docs + offset
+                import numpy as np
+
+                norms = np.frombuffer(bytes(row.norms), dtype=np.uint8).astype(
+                    np.int64
+                )
+                blob, block_last, _f, _n = codec.encode_postings(docs, freqs, norms)
+                blobs.append(blob)
+                blasts.append([int(x) for x in block_last])
+            out["postings"] = blobs
+            out["block_last_doc"] = blasts
+            yield out
+
+    return run
+
+
+def add_indexes(spark: SparkSession, dest_dir: str, src_dir: str) -> int:
+    """Import src index into dest; returns the new manifest generation."""
+    dm = mani.read_manifest(dest_dir)
+    sm = mani.read_manifest(src_dir)
+    if sm["field"] != dm["field"] or sm["analyzer"] != dm["analyzer"]:
+        raise ValueError(
+            f"incompatible indexes: field/analyzer "
+            f"{sm['field']}/{sm['analyzer']} vs {dm['field']}/{dm['analyzer']}"
+        )
+    offset = int(dm["num_docs_total"])
+    next_b = 1 + max(
+        [b["batch"] for b in dm["batches"]]
+        + [mg["batch"] for mg in dm.get("merges", [])]
+    )
+    t0 = time.time()
+
+    from lucene_spark.search.executor import IndexReader
+
+    src = IndexReader(spark, src_dir)
+    prefix = f"x{next_b:04d}"  # imported segment ids get a fresh prefix
+
+    postings = src.postings().withColumn(
+        "segment_id", F.concat(F.lit(prefix), F.col("segment_id"))
+    )
+    rebased = postings.mapInPandas(
+        _rebase_postings_fn(offset), schema=postings.schema
+    )
+    rebased.write.mode("overwrite").parquet(f"{dest_dir}/postings/batch={next_b}")
+
+    doclens = (
+        src.doclens()
+        .withColumn("segment_id", F.concat(F.lit(prefix), F.col("segment_id")))
+        .withColumn("doc_id", F.col("doc_id") + offset)
+    )
+    doclens.write.mode("overwrite").parquet(f"{dest_dir}/doclens/batch={next_b}")
+
+    docs = src.docs().withColumn("doc_id", F.col("doc_id") + offset)
+    docs.drop("batch").write.mode("overwrite").parquet(
+        f"{dest_dir}/docs/batch={next_b}"
+    )
+
+    seg_metrics = [
+        r.asDict()
+        for r in spark.read.parquet(f"{dest_dir}/doclens/batch={next_b}")
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.sum("doc_len").alias("sum_doc_len"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .collect()
+    ]
+    n_src_live = sum(s["num_docs"] for s in seg_metrics)
+
+    out = dict(dm)
+    out.pop("generation", None)
+    out.pop("committed_at", None)
+    out["batches"] = list(dm["batches"]) + [
+        {
+            "batch": next_b,
+            "doc_id_range": [offset, offset + int(sm["num_docs_total"])],
+            "segments": sorted(seg_metrics, key=lambda s: s["segment_id"]),
+            "build_sec": round(time.time() - t0, 3),
+            "status": "committed",
+            "imported_from": src_dir,
+        }
+    ]
+    out["num_docs_total"] = int(dm["num_docs_total"] + sm["num_docs_total"])
+    if int(sm.get("purged_docs", 0)):
+        out["purged_docs"] = int(dm.get("purged_docs", 0)) + int(sm["purged_docs"])
+
+    # imported tombstones shift with the docs
+    src_dels = None
+    if sm.get("delete_batches"):
+        from lucene_spark.index.deletes import deleted_ids_df
+
+        src_dels = deleted_ids_df(spark, src_dir, sm)
+    if src_dels is not None:
+        from lucene_spark.index.deletes import _next_delete_batch
+
+        db = _next_delete_batch(out)
+        src_dels.withColumn("doc_id", F.col("doc_id") + offset).write.mode(
+            "overwrite"
+        ).parquet(f"{dest_dir}/deletes/batch={db}")
+        n = src_dels.count()
+        out["delete_batches"] = list(dm.get("delete_batches", [])) + [
+            {"batch": db, "num_docs": int(n)}
+        ]
+        out["num_deleted"] = int(dm.get("num_deleted", 0) + n)
+
+    from lucene_spark.index.builder import _recompute_stats
+
+    _recompute_stats(spark, dest_dir, dm["field"], mani.live_segment_ids(out))
+    return mani.commit_manifest(dest_dir, out)

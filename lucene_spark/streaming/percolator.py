@@ -1,0 +1,151 @@
+"""Percolator — the monitor module (reverse search): register standing
+queries, stream documents through, emit (doc, query_id) matches.
+
+Reference semantics (monitor/src/java/org/apache/lucene/monitor/
+Monitor.java, CandidateMatcher.java, presearcher pruning): thousands of
+registered queries; each incoming doc is matched only against the
+queries whose term fingerprint intersects the doc's terms (the
+QueryTermFilter presearcher), then candidates are evaluated exactly.
+
+Spark mapping: the compiled query table (query_id -> AST + a term ->
+query_ids prefilter map) is broadcast; documents stream through ONE
+``mapInPandas`` that tokenizes, looks up candidate query ids from the
+doc's term set, and exactly evaluates just those — a stream-static
+join shape with no shuffle. Works identically on a batch DataFrame and
+a Structured Streaming source (tested with availableNow).
+
+Supported standing queries: Term, Boolean (must/should/must_not/filter
++ minShouldMatch), Phrase (slop 0), Prefix, Near.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from lucene_spark.analysis import get_analyzer
+from lucene_spark.search import query as Q
+
+
+def _required_terms(q: Q.Query) -> set[str]:
+    """Presearcher fingerprint: terms at least one of which MUST appear
+    in any matching doc (QueryTermFilter semantics — a safe
+    overapproximation: returning any non-empty 'one of these is
+    necessary' set keeps recall 1.0)."""
+    if isinstance(q, Q.TermQuery):
+        return {q.term}
+    if isinstance(q, Q.PhraseQuery):
+        return {q.terms[0]}
+    if isinstance(q, Q.NearQuery):
+        return {q.term_a}
+    if isinstance(q, Q.PrefixQuery):
+        return set()  # cannot fingerprint by exact term -> always candidate
+    if isinstance(q, Q.BooleanQuery):
+        if q.must:
+            return _required_terms(q.must[0])
+        if q.filter:
+            return _required_terms(q.filter[0])
+        out: set[str] = set()
+        for s in q.should:
+            sub = _required_terms(s)
+            if not sub:
+                return set()
+            out |= sub
+        return out
+    return set()
+
+
+def _matches(q: Q.Query, toks: list[str], tokset: set[str]) -> bool:
+    if isinstance(q, Q.TermQuery):
+        return q.term in tokset
+    if isinstance(q, Q.PrefixQuery):
+        return any(t.startswith(q.prefix) for t in tokset)
+    if isinstance(q, Q.PhraseQuery):
+        n = len(q.terms)
+        if any(t not in tokset for t in q.terms):
+            return False
+        first = q.terms[0]
+        for i, t in enumerate(toks):
+            if t == first and toks[i : i + n] == list(q.terms):
+                return True
+        return False
+    if isinstance(q, Q.NearQuery):
+        if q.term_a not in tokset or q.term_b not in tokset:
+            return False
+        pa = [i for i, t in enumerate(toks) if t == q.term_a]
+        pb = [i for i, t in enumerate(toks) if t == q.term_b]
+        for a in pa:
+            for b in pb:
+                d = b - a
+                if 1 <= d <= q.window:
+                    return True
+                if not q.ordered and 1 <= -d <= q.window:
+                    return True
+        return False
+    if isinstance(q, Q.BooleanQuery):
+        if any(not _matches(s, toks, tokset) for s in q.must):
+            return False
+        if any(not _matches(s, toks, tokset) for s in q.filter):
+            return False
+        if any(_matches(s, toks, tokset) for s in q.must_not):
+            return False
+        if q.should:
+            n = sum(1 for s in q.should if _matches(s, toks, tokset))
+            need = q.min_should if (q.must or q.filter) else max(1, q.min_should)
+            if q.min_should == 0 and (q.must or q.filter):
+                return True
+            return n >= need
+        return bool(q.must or q.filter)
+    raise TypeError(f"unsupported standing query {type(q).__name__}")
+
+
+class Monitor:
+    """Standing-query registry + batch/stream matcher."""
+
+    def __init__(self, analyzer: str = "standard"):
+        self.analyzer_name = analyzer
+        self.queries: dict[str, Q.Query] = {}
+
+    def register(self, query_id: str, q: Q.Query | str, default_field: str = "content") -> None:
+        if isinstance(q, str):
+            from lucene_spark.search.queryparser import QueryParser
+
+            q = QueryParser(default_field).parse(q)
+        self.queries[query_id] = Q.rewrite_fixpoint(q)
+
+    def match_df(self, docs: DataFrame, content_col: str = "content") -> DataFrame:
+        """-> (doc_id, query_id) for every (live doc, matching standing
+        query) pair. Same code path for batch and streaming inputs."""
+        queries = dict(self.queries)
+        analyzer_name = self.analyzer_name
+        # presearcher: term -> query ids; queries with empty fingerprint
+        # are always candidates
+        prefilter: dict[str, set[str]] = {}
+        always: set[str] = set()
+        for qid, q in queries.items():
+            req = _required_terms(q)
+            if not req:
+                always.add(qid)
+            for t in req:
+                prefilter.setdefault(t, set()).add(qid)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            an = get_analyzer(analyzer_name)
+            for pdf in batches:
+                rows = []
+                tok_series = an.tokenize(pdf[content_col])
+                for did, toks in zip(pdf["doc_id"], tok_series):
+                    tokset = set(toks)
+                    cands = set(always)
+                    for t in tokset:
+                        cands |= prefilter.get(t, set())
+                    for qid in sorted(cands):
+                        if _matches(queries[qid], toks, tokset):
+                            rows.append((int(did), qid))
+                yield pd.DataFrame(rows, columns=["doc_id", "query_id"])
+
+        return docs.select("doc_id", content_col).mapInPandas(
+            run, schema="doc_id long, query_id string"
+        )

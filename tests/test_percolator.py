@@ -1,0 +1,97 @@
+"""Percolator tests: standing-query matching semantics, presearcher
+recall, and the real Structured Streaming path."""
+
+import os
+
+import pytest
+
+from lucene_spark.search import query as Q
+
+
+@pytest.fixture(scope="module")
+def monitor():
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor(analyzer="standard")
+    m.register("q_term", Q.TermQuery("content", "alert"))
+    m.register("q_bool", "error AND (disk OR network)")
+    m.register("q_phrase", Q.PhraseQuery("content", ("out", "of", "memory")))
+    m.register("q_not", "warning NOT ignored")
+    m.register("q_prefix", Q.PrefixQuery("content", "auth"))
+    m.register("q_near", Q.NearQuery("content", "failed", "login", window=3))
+    return m
+
+
+@pytest.fixture(scope="module")
+def doc_rows(spark):
+    rows = [
+        (0, "ALERT something happened"),
+        (1, "error on the disk array"),
+        (2, "error over the network link"),
+        (3, "plain error without cause"),
+        (4, "process ran out of memory yesterday"),
+        (5, "memory of out order words"),
+        (6, "warning raised and handled"),
+        (7, "warning safely ignored here"),
+        (8, "authentication subsystem booted"),
+        (9, "failed user login attempt"),
+        (10, "login never failed today"),
+        (11, "nothing interesting"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _pairs(monitor, docs):
+    return {(r["doc_id"], r["query_id"]) for r in monitor.match_df(docs).collect()}
+
+
+def test_percolator_semantics(monitor, doc_rows):
+    got = _pairs(monitor, doc_rows)
+    assert (0, "q_term") in got            # lowercased by the analyzer
+    assert (1, "q_bool") in got and (2, "q_bool") in got
+    assert (3, "q_bool") not in got        # neither disk nor network
+    assert (4, "q_phrase") in got
+    assert (5, "q_phrase") not in got      # words present, order wrong
+    assert (6, "q_not") in got
+    assert (7, "q_not") not in got         # 'ignored' vetoes
+    assert (8, "q_prefix") in got
+    assert (9, "q_near") in got            # failed ... login within 3
+    assert (10, "q_near") not in got       # reversed, ordered query
+    assert all(d != 11 for d, _ in got)
+
+
+def test_presearcher_is_safe(monitor, doc_rows):
+    """Brute-force evaluation (no prefilter) must produce the same
+    pairs — the presearcher only prunes, never drops a match."""
+    from lucene_spark.streaming.percolator import _matches
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("standard")
+    want = set()
+    for r in doc_rows.collect():
+        toks = an.tokenize_one(r["content"])
+        for qid, q in monitor.queries.items():
+            if _matches(q, toks, set(toks)):
+                want.add((r["doc_id"], qid))
+    assert _pairs(monitor, doc_rows) == want
+
+
+def test_percolator_streaming(monitor, doc_rows, spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    doc_rows.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(doc_rows.schema).parquet(src)
+    out = monitor.match_df(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM perc_test").collect()
+    }
+    assert got == _pairs(monitor, doc_rows)
