@@ -112,11 +112,13 @@ def _sql_bool(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
+    filter_terms: list[str] | None = None,
     min_should: int = 0,
     k: int = 10,
     offset: int = 0,
 ) -> str:
     must, should, must_not = must or [], should or [], must_not or []
+    filter_terms = filter_terms or []
     scoring = sorted(set(must) | set(should))
     inlist = ",".join(f"'{t}'" for t in scoring)
     must_list = ",".join(f"'{t}'" for t in must)
@@ -132,13 +134,17 @@ def _sql_bool(
             f"count(DISTINCT CASE WHEN tf.tok IN ({should_list}) THEN tf.tok END) >= {need}"
         )
     having = ("HAVING " + " AND ".join(conds)) if conds else ""
-    anti = ""
+    clauses = []
+    for ft in filter_terms:
+        clauses.append(
+            f"scored.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE tok = '{ft}')"
+        )
     if must_not:
         mn = ",".join(f"'{t}'" for t in must_not)
-        anti = (
-            f"WHERE scored.doc_id NOT IN "
-            f"(SELECT DISTINCT doc_id FROM toks WHERE tok IN ({mn}))"
+        clauses.append(
+            f"scored.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE tok IN ({mn}))"
         )
+    anti = ("WHERE " + " AND ".join(clauses)) if clauses else ""
     return f"""{_prefix_ctes([
         f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ({inlist}) GROUP BY doc_id, tok)",
         "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
@@ -508,6 +514,12 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_bool_filter(spark, sf):
+        r = ensure_index(spark, sf)
+        return sp.bool_bm25_topk(
+            r, FIELD, must=[T_MID], filter_terms=[T_HOT]
+        )
+
     def q_drill_sideways(spark, sf):
         r = ensure_index(spark, sf)
         return sp.drill_sideways(
@@ -603,6 +615,7 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_bool_filter": q_bool_filter,
         "q_drill_sideways": q_drill_sideways,
         "q_grouped_distinct": q_grouped_distinct,
         "q_highlight": q_highlight,
@@ -705,6 +718,7 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_bool_filter": _sql_bool(must=[T_MID], filter_terms=[T_HOT]),
         "q_drill_sideways": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
 md AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id),

@@ -117,16 +117,20 @@ def bool_bm25_topk(
     must: list[str] | None = None,
     should: list[str] | None = None,
     must_not: list[str] | None = None,
+    filter_terms: list[str] | None = None,
     min_should: int = 0,
     k: int = 10,
 ) -> DataFrame:
     """Boolean BM25 top-k, all-JVM scoring -> (doc_id, score_x1e6).
 
     MUST terms must all match; SHOULD terms optional (>= min_should, or
-    >=1 if there are no MUST clauses); MUST_NOT excludes; score = sum of
-    matched scoring clauses.
+    >=1 if there are no MUST clauses); MUST_NOT excludes; FILTER terms
+    must match but do NOT contribute score (BooleanClause.Occur.FILTER)
+    — a semi-join on the matched set; score = sum of matched scoring
+    clauses.
     """
     must, should, must_not = must or [], should or [], must_not or []
+    filter_terms = filter_terms or []
     scoring = sorted(set(must) | set(should))
     ep = exploded_postings(reader, field, scoring)
     df_df, n, avgdl = _with_stats(reader, field, scoring)
@@ -148,6 +152,9 @@ def bool_bm25_topk(
     if should and (need > 0 or not must):
         cond = cond & (F.col("n_should") >= need)
     out = agg.filter(cond)
+    for ft in filter_terms:
+        fm = exploded_postings(reader, field, [ft]).select("doc_id").distinct()
+        out = out.join(fm, "doc_id", "left_semi")
     if must_not:
         mn = exploded_postings(reader, field, must_not).select("doc_id").distinct()
         out = out.join(mn, "doc_id", "left_anti")
