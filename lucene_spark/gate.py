@@ -514,6 +514,41 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_point_range(spark, sf):
+        # PointRangeQuery analog (SURVEY §2.4: numeric range = plain
+        # column predicate over the docvalues column; Catalyst/parquet
+        # stats do the BKD's pruning job)
+        r = ensure_index(spark, sf)
+        return (
+            r.docs()
+            .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 200))
+            .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+            .orderBy("doc_id")
+            .limit(20)
+        )
+
+    def q_field_exists(spark, sf):
+        # FieldExistsQuery via norms: docs with >= 1 indexed token
+        r = ensure_index(spark, sf)
+        return (
+            r.doclens()
+            .filter(F.col("doc_len") > 0)
+            .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+            .orderBy("doc_id")
+            .limit(20)
+        )
+
+    def q_fetch_stored(spark, sf):
+        # stored-fields fetch: top-k + join back to the docs registry
+        # (content/metadata fetched by doc_id join — SURVEY §1.1)
+        r = ensure_index(spark, sf)
+        top = sp.bool_bm25_topk(r, FIELD, must=[T_MID], k=10)
+        return (
+            top.join(r.docs().select("doc_id", "lang", "source"), "doc_id")
+            .select("doc_id", "score_x1e6", "lang", "source")
+            .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        )
+
     def q_bool_filter(spark, sf):
         r = ensure_index(spark, sf)
         return sp.bool_bm25_topk(
@@ -615,6 +650,9 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_point_range": q_point_range,
+        "q_field_exists": q_field_exists,
+        "q_fetch_stored": q_fetch_stored,
         "q_bool_filter": q_bool_filter,
         "q_drill_sideways": q_drill_sideways,
         "q_grouped_distinct": q_grouped_distinct,
@@ -718,6 +756,21 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_point_range": (
+            "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM documents "
+            "WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id LIMIT 20"
+        ),
+        "q_field_exists": f"""WITH {_TOKS}
+SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
+FROM (SELECT DISTINCT doc_id FROM toks) ORDER BY doc_id LIMIT 20""",
+        "q_fetch_stored": _sql_bool(must=[T_MID]).replace(
+            "SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6\nFROM scored ",
+            "SELECT scored.doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6, "
+            "d2.lang, d2.source FROM scored JOIN documents d2 ON d2.doc_id = scored.doc_id ",
+        ).replace(
+            "ORDER BY score_x1e6 DESC, doc_id ASC",
+            "ORDER BY score_x1e6 DESC, scored.doc_id ASC",
+        ),
         "q_bool_filter": _sql_bool(must=[T_MID], filter_terms=[T_HOT]),
         "q_drill_sideways": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
