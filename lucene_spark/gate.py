@@ -33,6 +33,7 @@ from lucene_spark.util.smallfloat import LENGTH_TABLE
 
 FIELD = "text"
 _READERS: dict[str, IndexReader] = {}
+_MF_READERS: dict[str, IndexReader] = {}
 
 
 def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
@@ -62,6 +63,44 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
         build_index(spark, docs, idx, cfg)
     r = IndexReader(spark, idx)
     _READERS[key] = r
+    return r
+
+
+def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Multi-field index over documents: primary `text` + keyword field
+    `lang_kw` from the lang column (KeywordField shape, SURVEY §1.2)."""
+    key = os.path.abspath(sf_dir)
+    if key in _MF_READERS:
+        return _MF_READERS[key]
+    from lucene_spark.index.builder import LAYOUT_VERSION
+
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_mfidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n
+            and m.get("layout_version") == LAYOUT_VERSION
+            and m.get("fields") == ["text", "lang_kw"]
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            extra_fields={"lang_kw": "lang"},
+            analyzer="simple",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _MF_READERS[key] = r
     return r
 
 
@@ -514,6 +553,18 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_mf_keyword(spark, sf):
+        # keyword-field search on the multi-field index (lang_kw)
+        r = ensure_mf_index(spark, sf)
+        return sp.bool_bm25_topk(r, "lang_kw", must=["de"], k=100)
+
+    def q_combined_field(spark, sf):
+        # BM25F across text (w=1) and lang_kw (w=2) for one term
+        r = ensure_mf_index(spark, sf)
+        return sp.combined_field_topk(
+            r, {"text": 1.0, "lang_kw": 2.0}, "en", k=10
+        )
+
     def q_point_range(spark, sf):
         # PointRangeQuery analog (SURVEY §2.4: numeric range = plain
         # column predicate over the docvalues column; Catalyst/parquet
@@ -532,7 +583,7 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         return (
             r.doclens()
-            .filter(F.col("doc_len") > 0)
+            .filter((F.col("field") == FIELD) & (F.col("doc_len") > 0))
             .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
             .orderBy("doc_id")
             .limit(20)
@@ -650,6 +701,8 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_mf_keyword": q_mf_keyword,
+        "q_combined_field": q_combined_field,
         "q_point_range": q_point_range,
         "q_field_exists": q_field_exists,
         "q_fetch_stored": q_fetch_stored,
@@ -756,6 +809,46 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_mf_keyword": """WITH lt AS (SELECT doc_id, lower(lang) AS tok FROM documents),
+dfl AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM lt WHERE tok = 'de'),
+statsl AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS sumdl)
+SELECT lt.doc_id,
+  CAST(ROUND(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * 1.0 /
+       (1.0 + 1.2*(0.25 + 0.75*1.0/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM lt CROSS JOIN dfl d CROSS JOIN statsl s
+WHERE lt.tok = 'de'
+ORDER BY score_x1e6 DESC, lt.doc_id ASC LIMIT 100""",
+        "q_combined_field": f"""WITH {_TOKS},
+{_DL},
+{_sfranges()},
+{_DLQ},
+lt AS (SELECT doc_id, lower(lang) AS tok FROM documents),
+freqs AS (
+  SELECT doc_id, SUM(wf) AS freq FROM (
+    SELECT doc_id, 1.0 * count(*) AS wf FROM toks WHERE tok = 'en' GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 2.0 AS wf FROM lt WHERE tok = 'en'
+  ) GROUP BY doc_id
+),
+dlw AS (
+  SELECT d.doc_id, 1.0 * q.dlq + 2.0 * 1 AS dlc
+  FROM documents d JOIN dlq q ON q.doc_id = d.doc_id
+),
+cstats AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+    (1.0 * (SELECT coalesce(sum(dl),0) FROM dl)
+     + 2.0 * (SELECT count(*) FROM documents))
+    / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl,
+    CAST((SELECT count(*) FROM freqs) AS DOUBLE) AS dfp
+)
+SELECT f.doc_id,
+  CAST(ROUND(ln(1 + (s.n - s.dfp + 0.5)/(s.dfp + 0.5)) * f.freq /
+       (f.freq + 1.2*(0.25 + 0.75*w.dlc/s.avgdl)) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM freqs f JOIN dlw w ON w.doc_id = f.doc_id CROSS JOIN cstats s
+ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
         "q_point_range": (
             "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM documents "
             "WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id LIMIT 20"

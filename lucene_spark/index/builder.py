@@ -44,12 +44,21 @@ from lucene_spark.index import manifest as mani
 from lucene_spark.index.segment import STAGING_SCHEMA, build_segment
 
 
+LAYOUT_VERSION = 2  # bump when table schemas change (doclens gained `field`)
+
+
 @dataclass
 class IndexConfig:
     field: str = "content"
     content_col: str = "content"
     analyzer: str = "standard"
     store_positions: bool = True
+    # multi-field indexing (Document = bag of fields, SURVEY §1.1):
+    # extra fields as {field_name: content_column}; the primary
+    # `field`/`content_col` pair carries the sha256 invariant and the
+    # manifest doc counts. One analyzer for all fields (PerFieldAnalyzer
+    # is a later extension).
+    extra_fields: dict | None = None
     # Lucene slices cap at 250k docs (IndexSearcher.java:106-108); our
     # segments target the same order of magnitude.
     docs_per_segment: int = 250_000
@@ -59,6 +68,14 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     extra: dict = dc_field(default_factory=dict)
+
+    def all_fields(self) -> dict:
+        out = {self.field: self.content_col}
+        if self.extra_fields:
+            for f, c in self.extra_fields.items():
+                if f != self.field:
+                    out[f] = c
+        return out
 
 
 def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -115,12 +132,30 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return out
 
 
+def _invert_fields(seg_id, doc_ids, pdf, an, fields: dict, store_pos: bool):
+    """Invert every (field, content_col) of one segment; doc rows carry
+    their field so doclens are per (doc, field) — a Document is a bag of
+    fields (SURVEY §1.1)."""
+    import pandas as pd
+
+    frames = []
+    for fname, col in fields.items():
+        seg = build_segment(
+            seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos
+        )
+        seg.loc[seg["row_type"] == 0, "field"] = fname
+        frames.append(seg)
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+
 def make_invert_fn(
-    analyzer_name: str, content_col: str, fieldname: str, store_pos: bool
+    analyzer_name: str, content_col: str, fieldname: str, store_pos: bool,
+    fields: dict | None = None,
 ):
     """The DWPT pass as a mapInPandas closure: one partition -> one
     segment (tokenize, count freqs, sort terms once). Shared by the
     batch builder and the streaming NRT appender."""
+    fields = fields or {fieldname: content_col}
 
     def invert(it):
         pid = TaskContext.get().partitionId()
@@ -134,13 +169,8 @@ def make_invert_fn(
             pdf = pd.concat(bufs, ignore_index=True)
             pdf = pdf.sort_values("doc_id")
             seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
-            yield build_segment(
-                seg_id,
-                pdf["doc_id"].to_numpy(),
-                pdf[content_col],
-                an,
-                fieldname,
-                store_positions=store_pos,
+            yield _invert_fields(
+                seg_id, pdf["doc_id"].to_numpy(), pdf, an, fields, store_pos
             )
 
     return invert
@@ -153,6 +183,7 @@ def _make_fused_fn(
     store_pos: bool,
     meta_cols: list[str],
     offsets: dict[int, int] | None,
+    fields: dict | None = None,
 ):
     """The fused DWPT pass: ONE Python crossing per partition that
     (a) assigns dense deterministic doc_ids from the per-partition
@@ -183,18 +214,14 @@ def _make_fused_fn(
             doc_ids = offsets[pid] + np.arange(len(pdf), dtype=np.int64)
         batch_no = int(pdf["_batch"].iat[0])
         seg_id = f"b{batch_no:04d}p{pid:05d}"
-        out = build_segment(
-            seg_id,
-            doc_ids,
-            pdf[content_col],
-            an,
-            fieldname,
-            store_positions=store_pos,
+        out = _invert_fields(
+            seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
+            store_pos,
         )
-        # attach registry columns to the doc rows (aligned: build_segment
-        # emits doc rows first, in doc_id order == pdf order)
-        is_doc = out["row_type"] == 0
-        n_docs = int(is_doc.sum())
+        # attach registry columns to the PRIMARY field's doc rows
+        # (aligned: build_segment emits doc rows first in doc_id order ==
+        # pdf order, and the primary field is inverted first)
+        n_docs = len(pdf)
         sha = pdf[content_col].map(
             lambda s: hashlib.sha256(str(s).encode("utf-8")).hexdigest()
         )
@@ -277,12 +304,14 @@ def build_index(
         offsets[pid] = acc
         acc += counts.get(pid, 0)
 
+    fields = cfg.all_fields()
+    content_cols = set(fields.values())
     meta_cols = [
-        c for c in source.columns if c not in (cfg.content_col, "doc_id")
+        c for c in source.columns if c not in content_cols and c != "doc_id"
     ]
     fused = _make_fused_fn(
         analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
-        None if preassigned else offsets,
+        None if preassigned else offsets, fields,
     )
     meta_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -312,15 +341,19 @@ def build_index(
                 "impact_freqs", "impact_norms",
             ).write.mode("overwrite").parquet(f"{index_dir}/postings/batch={b}")
             staging.filter("row_type = 0").select(
-                "segment_id", "doc_id", "doc_len", "doc_len_code"
+                "segment_id", "field", "doc_id", "doc_len", "doc_len_code"
             ).write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={b}")
-            staging.filter("row_type = 0").select(
+            staging.filter(
+                (F.col("row_type") == 0) & (F.col("field") == fieldname)
+            ).select(
                 "doc_id", *meta_cols, "content_sha256"
             ).write.mode("overwrite").parquet(f"{index_dir}/docs/batch={b}")
 
             seg_metrics = [
                 r.asDict()
-                for r in staging.filter("row_type = 0")
+                for r in staging.filter(
+                    (F.col("row_type") == 0) & (F.col("field") == fieldname)
+                )
                 .groupBy("segment_id")
                 .agg(
                     F.count("*").alias("num_docs"),
@@ -352,6 +385,8 @@ def build_index(
                     "b": cfg.b,
                     "store_positions": store_pos,
                     "num_docs_total": int(n_docs),
+                    "layout_version": LAYOUT_VERSION,
+                    "fields": list(fields),
                     "num_batches": num_batches,
                     "id_cols": list(cfg.id_cols),
                     "doc_id_col": cfg.doc_id_col,
@@ -390,9 +425,12 @@ def _recompute_stats(
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_stats")
     )
+    if "field" in doclens.columns:
+        per_field = doclens.groupBy("field")
+    else:  # pre-multi-field layout: one implicit field
+        per_field = doclens.withColumn("field", F.lit(fieldname)).groupBy("field")
     (
-        doclens.agg(
-            F.lit(fieldname).alias("field"),
+        per_field.agg(
             F.count("*").alias("doc_count"),
             F.max("doc_id").alias("max_doc_id"),
             F.sum("doc_len").alias("sum_total_term_freq"),

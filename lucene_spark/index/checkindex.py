@@ -124,18 +124,22 @@ def check_segment_doclens(pdf) -> list[str]:
 
     out: list[str] = []
     seg = pdf["segment_id"].iat[0] if len(pdf) else "?"
-    ids = pdf["doc_id"].to_numpy()
-    if len(np.unique(ids)) != len(ids):
-        out.append(f"{seg}: duplicate doc_ids")
-    # doc_ids are globally stable (never remapped — unlike Lucene, which
-    # renumbers at merge); purged deletions leave holes, so the invariant
-    # is uniqueness within a bounded range, not density
-    ids_sorted = np.sort(ids)
-    if len(ids) and ids_sorted[-1] - ids_sorted[0] + 1 < len(ids):
-        out.append(f"{seg}: doc_id range narrower than count")
-    want = int_to_byte4_vec(pdf["doc_len"].to_numpy().astype(np.int64))
-    if not (want.astype(np.int64) == pdf["doc_len_code"].to_numpy()).all():
-        out.append(f"{seg}: doc_len_code != intToByte4(doc_len)")
+    groups = (
+        pdf.groupby("field") if "field" in pdf.columns else [("", pdf)]
+    )
+    for fld, grp in groups:
+        ids = grp["doc_id"].to_numpy()
+        if len(np.unique(ids)) != len(ids):
+            out.append(f"{seg}/{fld}: duplicate doc_ids")
+        # doc_ids are globally stable (never remapped — unlike Lucene,
+        # which renumbers at merge); purged deletions leave holes, so the
+        # invariant is uniqueness within a bounded range, not density
+        ids_sorted = np.sort(ids)
+        if len(ids) and ids_sorted[-1] - ids_sorted[0] + 1 < len(ids):
+            out.append(f"{seg}/{fld}: doc_id range narrower than count")
+        want = int_to_byte4_vec(grp["doc_len"].to_numpy().astype(np.int64))
+        if not (want.astype(np.int64) == grp["doc_len_code"].to_numpy()).all():
+            out.append(f"{seg}/{fld}: doc_len_code != intToByte4(doc_len)")
     return out
 
 
@@ -166,13 +170,19 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     violations += _collect_violations(postings, check_segment_postings)
     violations += _collect_violations(doclens, check_segment_doclens)
 
-    # per-segment cross-check: sum(doc_len) == sum(total_term_freq)
-    a = doclens.groupBy("segment_id").agg(F.sum("doc_len").alias("s1"))
-    b = postings.groupBy("segment_id").agg(F.sum("total_term_freq").alias("s2"))
-    for r in a.join(b, "segment_id", "full").collect():
+    # per-(segment, field) cross-check: sum(doc_len) == sum(total_term_freq)
+    dl_keyed = (
+        doclens if "field" in doclens.columns
+        else doclens.withColumn("field", F.lit(m["field"]))
+    )
+    a = dl_keyed.groupBy("segment_id", "field").agg(F.sum("doc_len").alias("s1"))
+    b = postings.groupBy("segment_id", "field").agg(
+        F.sum("total_term_freq").alias("s2")
+    )
+    for r in a.join(b, ["segment_id", "field"], "full").collect():
         if (r["s1"] or 0) != (r["s2"] or 0):
             violations.append(
-                f"{r['segment_id']}: sum(doc_len) {r['s1']} != sum(ttf) {r['s2']}"
+                f"{r['segment_id']}/{r['field']}: sum(doc_len) {r['s1']} != sum(ttf) {r['s2']}"
             )
 
     # stats tables vs recomputation
@@ -187,12 +197,16 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         (r["field"]): (r["doc_count"], r["sum_total_term_freq"])
         for r in spark.read.parquet(f"{index_dir}/field_stats").collect()
     }
-    re_fs = doclens.agg(
-        F.count("*").alias("dc"), F.sum("doc_len").alias("sttf")
-    ).collect()[0]
-    got = fs.get(m["field"])
-    if got != (re_fs["dc"], re_fs["sttf"]):
-        violations.append(f"field_stats {got} != recomputed {(re_fs['dc'], re_fs['sttf'])}")
+    for r in (
+        dl_keyed.groupBy("field")
+        .agg(F.count("*").alias("dc"), F.sum("doc_len").alias("sttf"))
+        .collect()
+    ):
+        got = fs.get(r["field"])
+        if got != (r["dc"], r["sttf"]):
+            violations.append(
+                f"field_stats[{r['field']}] {got} != recomputed {(r['dc'], r['sttf'])}"
+            )
 
     # docs registry
     docs = reader.docs()
@@ -205,7 +219,9 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
             f"docs registry count {n_docs} != manifest {m['num_docs_total']}"
         )
     live = mani.live_segment_ids(m)
-    n_doclens = doclens.count()
+    n_doclens = (
+        dl_keyed.filter(F.col("field") == m["field"]).count()
+    )
     expect_live = m["num_docs_total"] - int(m.get("purged_docs", 0))
     if n_doclens != expect_live:
         violations.append(

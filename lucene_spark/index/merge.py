@@ -256,6 +256,7 @@ def merge_round(
         dl.write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={out_b}")
         metrics = (
             spark.read.parquet(f"{index_dir}/doclens/batch={out_b}")
+            .filter(F.col("field") == m["field"])
             .groupBy("segment_id")
             .agg(
                 F.count("*").alias("num_docs"),

@@ -397,12 +397,13 @@ class IndexSearcher:
         return _explain_node(node, ctx, int(doc_id))
 
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
-        dl = self.reader.doclens()
+        # distinct: doclens hold one row per (doc, field)
+        dl = self.reader.doclens().select("doc_id").distinct()
         dels = self.reader.deleted_df()
         if dels is not None:
             dl = dl.join(dels, "doc_id", "left_anti")
         total = dl.count()
-        rows = dl.select("doc_id").orderBy("doc_id").limit(k).collect()
+        rows = dl.orderBy("doc_id").limit(k).collect()
         return Q.TopDocs(
             total_hits=total,
             hits=[Q.TopDoc(r["doc_id"], float(np.float32(boost))) for r in rows],
@@ -431,19 +432,32 @@ def _collect_terms(node: dict) -> set[str]:
     raise TypeError(k)
 
 
-def _collect_field(node: dict) -> str:
+def _collect_fields(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set"):
-        return node["field"]
+        return {node["field"]}
     if k == "const_wrap":
-        return _collect_field(node["sub"])
+        return _collect_fields(node["sub"])
     if k == "dismax":
-        return _collect_field(node["subs"][0])
+        return set().union(*(_collect_fields(s) for s in node["subs"]))
     if k == "bool":
+        out: set[str] = set()
         for key in ("must", "should", "filter", "must_not"):
-            if node[key]:
-                return _collect_field(node[key][0])
+            for s in node[key]:
+                out |= _collect_fields(s)
+        return out
     raise TypeError(k)
+
+
+def _collect_field(node: dict) -> str:
+    fields = _collect_fields(node)
+    if len(fields) != 1:
+        raise NotImplementedError(
+            "cross-field queries are not supported in the exact32 searcher "
+            f"(saw fields {sorted(fields)}); use the sql64 per-field ops or "
+            "sqlpath.combined_field_topk (BM25F)"
+        )
+    return next(iter(fields))
 
 
 # --------------------------------------------------------------------------

@@ -330,7 +330,7 @@ def match_all_topk(reader: IndexReader, k: int = 10) -> DataFrame:
     """MatchAllDocsQuery (MatchAllDocsQuery.java:23): every live doc,
     constant score 1, doc_id order. Live = doclens minus tombstones
     (purged docs have already left doclens)."""
-    out = reader.doclens().select("doc_id")
+    out = reader.doclens().select("doc_id").distinct()
     dels = reader.deleted_df()
     if dels is not None:
         out = out.join(F.broadcast(dels), "doc_id", "left_anti")
@@ -780,5 +780,64 @@ def grouped_distinct_values(
         docs.groupBy(F.col(group_col).alias("grp"))
         .agg(F.count_distinct(F.col(value_col)).alias("n_distinct"))
         .orderBy("grp")
+        .limit(k)
+    )
+
+
+def combined_field_topk(
+    reader: IndexReader,
+    field_weights: dict[str, float],
+    term: str,
+    k: int = 10,
+) -> DataFrame:
+    """CombinedFieldQuery / BM25F-lite (CORE/search/CombinedFieldQuery):
+    one term scored as if the weighted fields were a single field:
+
+        freq'  = sum_f w_f * freq_{f,d}
+        dl'_d  = sum_f w_f * dlq_{f,d}      (per-field quantized lengths)
+        avgdl' = sum_f w_f * sum_ttf_f / N  (true lengths, field_stats)
+        df'    = |docs matching in ANY field|
+        score  = idf(df') * freq' / (freq' + k1*(1-b + b*dl'/avgdl'))
+
+    (Deviation from Lucene documented: dl' uses the stored quantized
+    per-field lengths rather than re-quantizing the weighted sum.)
+    -> (doc_id, score_x1e6)."""
+    fields = sorted(field_weights)
+    coll0 = reader.collection_stats(fields[0])
+    n = float(coll0.doc_count)
+    avgdl = sum(
+        field_weights[f] * reader.collection_stats(f).sum_total_term_freq / n
+        for f in fields
+    )
+    # weighted freq per doc across fields
+    parts = []
+    for f in fields:
+        ep = exploded_postings(reader, f, [term]).select(
+            "doc_id", (F.col("freq") * F.lit(field_weights[f])).alias("wfreq")
+        )
+        parts.append(ep)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    freqs = union.groupBy("doc_id").agg(F.sum("wfreq").alias("freq"))
+    # weighted quantized doc length across fields (doclens join)
+    dl = reader.doclens().filter(F.col("field").isin(fields))
+    dlq = _length_table_col(F.col("doc_len_code"))
+    wmap = F.create_map(*[x for f in fields for x in (F.lit(f), F.lit(field_weights[f]))])
+    dlw = (
+        dl.select("doc_id", (dlq * F.element_at(wmap, F.col("field"))).alias("wdl"))
+        .groupBy("doc_id")
+        .agg(F.sum("wdl").alias("dlc"))
+    )
+    df_prime = freqs.count()
+    idf = F.log(F.lit(1.0) + (F.lit(n) - df_prime + 0.5) / (df_prime + 0.5))
+    j = freqs.join(dlw, "doc_id")
+    score = idf * F.col("freq") / (
+        F.col("freq")
+        + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dlc") / F.lit(avgdl))
+    )
+    return (
+        j.select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -71,19 +71,24 @@ def append_batch(
     if not cfg.doc_id_col:
         ids = ids.withColumn("doc_id", F.col("doc_id") + offset)
 
-    meta_cols = [c for c in ids.columns if c != cfg.content_col]
+    fields = cfg.all_fields()
+    content_cols = set(fields.values())
+    meta_cols = [c for c in ids.columns if c not in content_cols]
     registry = ids.select(
         *meta_cols, F.sha2(F.col(cfg.content_col), 256).alias("content_sha256")
     )
     registry.write.mode("overwrite").parquet(f"{index_dir}/docs/batch={next_b}")
 
     batch_df = (
-        ids.select("doc_id", cfg.content_col)
+        ids.select("doc_id", *sorted(content_cols))
         .withColumn("_batch", F.lit(next_b))
     )
     parts = max(1, (n_new + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
     batch_df = batch_df.repartitionByRange(parts, "doc_id")
-    invert = make_invert_fn(cfg.analyzer, cfg.content_col, cfg.field, cfg.store_positions)
+    invert = make_invert_fn(
+        cfg.analyzer, cfg.content_col, cfg.field, cfg.store_positions,
+        fields=cfg.all_fields(),
+    )
     staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
     staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={next_b}")
 
@@ -92,12 +97,14 @@ def append_batch(
         "row_type", "doc_id", "doc_len", "doc_len_code"
     ).write.mode("overwrite").parquet(f"{index_dir}/postings/batch={next_b}")
     st.filter("row_type = 0").select(
-        "segment_id", "doc_id", "doc_len", "doc_len_code"
+        "segment_id", "field", "doc_id", "doc_len", "doc_len_code"
     ).write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={next_b}")
 
     seg_metrics = [
         r.asDict()
-        for r in st.filter("row_type = 0")
+        for r in st.filter(
+            (F.col("row_type") == 0) & (F.col("field") == cfg.field)
+        )
         .groupBy("segment_id")
         .agg(
             F.count("*").alias("num_docs"),
@@ -116,8 +123,12 @@ def append_batch(
             "status": "committed",
         }
     )
+    from lucene_spark.index.builder import LAYOUT_VERSION
+
     base = {
         "field": cfg.field,
+        "layout_version": LAYOUT_VERSION,
+        "fields": list(cfg.all_fields()),
         "analyzer": cfg.analyzer,
         "k1": cfg.k1,
         "b": cfg.b,

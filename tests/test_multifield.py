@@ -1,0 +1,130 @@
+"""Multi-field index tests: per-field postings/doclens/stats, keyword
+fields, BM25F, cross-field guard, and merge/NRT/CheckIndex over the
+multi-field layout."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_path_factory):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    docs = pd.DataFrame(
+        {
+            "repo": ["r"] * 6,
+            "path": [f"f{i}" for i in range(6)],
+            "commit": ["c"] * 6,
+            "title": ["alpha intro", "beta intro", "alpha deep",
+                      "gamma", "beta alpha", "delta"],
+            "body": [
+                "the alpha body text here",
+                "body about beta things",
+                "deep dive body alpha alpha",
+                "gamma gamma gamma body",
+                "mixed content body",
+                "unrelated words entirely",
+            ],
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("mf") / "idx")
+    cfg = IndexConfig(
+        field="body", content_col="body",
+        extra_fields={"title": "title"},
+        docs_per_segment=10,
+    )
+    build_index(spark, spark.createDataFrame(docs), idx, cfg)
+    return IndexReader(spark, idx)
+
+
+def test_per_field_postings_and_stats(mf_index):
+    from pyspark.sql import functions as F
+
+    fields = {r["field"] for r in mf_index.postings().select("field").distinct().collect()}
+    assert fields == {"body", "title"}
+    cb = mf_index.collection_stats("body")
+    ct = mf_index.collection_stats("title")
+    assert cb.doc_count == ct.doc_count == 6
+    assert cb.sum_total_term_freq > ct.sum_total_term_freq  # bodies longer
+    # doclens per (doc, field)
+    n = mf_index.doclens().groupBy("field").count().collect()
+    assert {r["field"]: r["count"] for r in n} == {"body": 6, "title": 6}
+
+
+def test_search_each_field_independently(mf_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(mf_index)
+    t_hits = {h.doc_id for h in s.search(Q.TermQuery("title", "alpha"), k=10).hits}
+    b_hits = {h.doc_id for h in s.search(Q.TermQuery("body", "alpha"), k=10).hits}
+    assert t_hits == {0, 2, 4}
+    assert b_hits == {0, 2}
+    # same term, different field stats -> different scores
+    ts = s.search(Q.TermQuery("title", "alpha"), k=1).hits[0].score
+    bs = s.search(Q.TermQuery("body", "alpha"), k=1).hits[0].score
+    assert ts != bs
+
+
+def test_cross_field_exact32_raises(mf_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(mf_index)
+    with pytest.raises(NotImplementedError, match="cross-field"):
+        s.search(
+            Q.BooleanQuery(
+                must=(Q.TermQuery("title", "alpha"), Q.TermQuery("body", "beta"))
+            ),
+            k=5,
+        )
+
+
+def test_combined_field_bm25f(mf_index):
+    from lucene_spark.search.sqlpath import combined_field_topk
+
+    rows = combined_field_topk(
+        mf_index, {"title": 2.0, "body": 1.0}, "alpha", k=10
+    ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert set(ids) == {0, 2, 4}  # union of both fields' matches
+    # doc 2 matches alpha in title AND twice in body -> highest combined freq
+    assert ids[0] == 2
+
+
+def test_merge_and_checkindex_multifield(spark, mf_index):
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    rep0 = check_index(spark, mf_index.index_dir)
+    assert rep0["ok"], rep0["violations"][:5]
+    # NRT append then force-merge; both fields must survive
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.streaming.nrt import append_batch
+
+    extra = pd.DataFrame(
+        {
+            "repo": ["r2"],
+            "path": ["g0"],
+            "commit": ["c"],
+            "title": ["alpha fresh"],
+            "body": ["fresh appended body"],
+        }
+    )
+    cfg = IndexConfig(
+        field="body", content_col="body",
+        extra_fields={"title": "title"}, docs_per_segment=10,
+    )
+    append_batch(spark, spark.createDataFrame(extra), mf_index.index_dir, cfg)
+    force_merge(spark, mf_index.index_dir, max_segments=1)
+    r = IndexReader(spark, mf_index.index_dir)
+    s = IndexSearcher(r)
+    hits = {h.doc_id for h in s.search(Q.TermQuery("title", "alpha"), k=10).hits}
+    assert hits == {0, 2, 4, 6}
+    rep = check_index(spark, r.index_dir)
+    assert rep["ok"], rep["violations"][:5]
