@@ -553,6 +553,10 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_blended_term(spark, sf):
+        r = ensure_mf_index(spark, sf)
+        return sp.blended_term_topk(r, ["text", "lang_kw"], "en", k=10)
+
     def q_mf_keyword(spark, sf):
         # keyword-field search on the multi-field index (lang_kw)
         r = ensure_mf_index(spark, sf)
@@ -701,6 +705,7 @@ def gate_queries() -> dict[str, object]:
         )
 
     return {
+        "q_blended_term": q_blended_term,
         "q_mf_keyword": q_mf_keyword,
         "q_combined_field": q_combined_field,
         "q_point_range": q_point_range,
@@ -809,6 +814,36 @@ ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",
+        "q_blended_term": f"""WITH {_TOKS},
+{_DL},
+{_sfranges()},
+{_DLQ},
+lt AS (SELECT doc_id, lower(lang) AS tok FROM documents),
+dfb AS (
+  SELECT CAST(greatest(
+    (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'en'),
+    (SELECT count(*) FROM lt WHERE tok = 'en')) AS DOUBLE) AS df
+),
+nstats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                  CAST((SELECT coalesce(sum(dl),0) FROM dl) AS DOUBLE) AS sumdl),
+st AS (
+  SELECT t.doc_id,
+    ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * t.freq /
+    (t.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) AS sc
+  FROM (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = 'en' GROUP BY doc_id) t
+  JOIN dlq q ON q.doc_id = t.doc_id CROSS JOIN dfb d CROSS JOIN nstats s
+),
+sl AS (
+  SELECT l.doc_id,
+    ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * 1.0 /
+    (1.0 + 1.2*(0.25 + 0.75*1.0/1.0)) AS sc
+  FROM lt l CROSS JOIN dfb d
+       CROSS JOIN (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n) s
+  WHERE l.tok = 'en'
+)
+SELECT doc_id, CAST(ROUND(SUM(sc)*1000000) AS BIGINT) AS score_x1e6
+FROM (SELECT * FROM st UNION ALL SELECT * FROM sl)
+GROUP BY doc_id ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
         "q_mf_keyword": """WITH lt AS (SELECT doc_id, lower(lang) AS tok FROM documents),
 dfl AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM lt WHERE tok = 'de'),
 statsl AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,

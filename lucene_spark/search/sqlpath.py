@@ -841,3 +841,49 @@ def combined_field_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def blended_term_topk(
+    reader: IndexReader,
+    fields: list[str],
+    term: str,
+    k: int = 10,
+) -> DataFrame:
+    """BlendedTermQuery (CORE/search/BlendedTermQuery.java): one term
+    across several fields with docFreq blended to the MAX across fields
+    (so a rare field doesn't make its copy of the term look more
+    important); per-field BM25 scores then sum (BooleanQueryRewrite).
+    -> (doc_id, score_x1e6)."""
+    import math
+
+    dfs = {}
+    for f in fields:
+        st = reader.term_stats(f, [term])
+        dfs[f] = st[term].doc_freq if term in st else 0
+    df_blend = max(dfs.values() or [0])
+    if df_blend == 0:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    parts = []
+    for f in fields:
+        if dfs[f] == 0:
+            continue
+        coll = reader.collection_stats(f)
+        n = float(coll.doc_count)
+        avgdl = coll.sum_total_term_freq / n
+        idf = math.log(1.0 + (n - df_blend + 0.5) / (df_blend + 0.5))
+        ep = exploded_postings(reader, f, [term])
+        dlq = _length_table_col(F.col("norm_code"))
+        score = F.lit(idf) * F.col("freq") / (
+            F.col("freq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / F.lit(avgdl))
+        )
+        parts.append(ep.select("doc_id", score.alias("s")))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy("doc_id")
+        .agg(F.round(F.sum("s") * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
