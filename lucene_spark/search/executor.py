@@ -126,9 +126,38 @@ class IndexReader:
     def collection_stats(self, field: str) -> CollectionStats:
         return self._field_stats[field]
 
+    # term dictionaries up to this many rows are cached on the driver
+    # (the .tip-in-RAM analog); larger dictionaries stay Spark-side
+    TERM_CACHE_MAX_ROWS = 2_000_000
+
+    def _term_cache(self):
+        """Driver-side term dictionary {(field, term): TermStats} — the
+        block-tree index-in-heap analog. Loaded once per reader; saves a
+        Spark job on every query compile / multi-term expansion. None if
+        the dictionary exceeds TERM_CACHE_MAX_ROWS (query paths then
+        fall back to filtered Spark scans)."""
+        if not hasattr(self, "_tc"):
+            df = self.term_stats_df()
+            if df.count() > self.TERM_CACHE_MAX_ROWS:
+                self._tc = None
+            else:
+                self._tc = {
+                    (r["field"], r["term"]): TermStats(
+                        doc_freq=r["doc_freq"],
+                        total_term_freq=r["total_term_freq"],
+                    )
+                    for r in df.collect()
+                }
+        return self._tc
+
     def term_stats(self, field: str, terms: list[str]) -> dict[str, TermStats]:
         if not terms:
             return {}
+        tc = self._term_cache()
+        if tc is not None:
+            return {
+                t: tc[(field, t)] for t in set(terms) if (field, t) in tc
+            }
         rows = (
             self.term_stats_df()
             .filter((F.col("field") == field) & (F.col("term").isin(list(set(terms)))))
@@ -145,7 +174,53 @@ class IndexReader:
         """Expand a multi-term query to its matching terms via the term
         dictionary — JVM-side string predicates over the sorted term
         column (PrefixQuery/WildcardQuery/RegexpQuery/FuzzyQuery/
-        TermRangeQuery — SURVEY.md §2.4 Spark mapping)."""
+        TermRangeQuery — SURVEY.md §2.4 Spark mapping). With the
+        driver-side term cache warm, string-pattern expansions run
+        locally over the sorted term list (the SegmentTermsEnum-on-heap
+        analog); fuzzy keeps the JVM levenshtein path."""
+        tc = self._term_cache()
+        if tc is not None and not isinstance(q, Q.FuzzyQuery):
+            if not hasattr(self, "_tc_by_field"):
+                by_field: dict[str, list[str]] = {}
+                for (f, t) in tc:
+                    by_field.setdefault(f, []).append(t)
+                self._tc_by_field = {f: sorted(v) for f, v in by_field.items()}
+            terms = self._tc_by_field.get(q.field, [])
+            if isinstance(q, Q.PrefixQuery):
+                import bisect
+
+                lo = bisect.bisect_left(terms, q.prefix)
+                hi = bisect.bisect_left(terms, q.prefix + "￿")
+                return terms[lo:hi]
+            if isinstance(q, Q.WildcardQuery):
+                rx = re.compile(
+                    "".join(
+                        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                        for ch in q.pattern
+                    )
+                )
+                return [t for t in terms if rx.fullmatch(t)]
+            if isinstance(q, Q.RegexpQuery):
+                rx = re.compile(q.regexp)
+                return [t for t in terms if rx.fullmatch(t)]
+            if isinstance(q, Q.TermRangeQuery):
+                import bisect
+
+                lo = 0
+                hi = len(terms)
+                if q.lower is not None:
+                    lo = (
+                        bisect.bisect_left(terms, q.lower)
+                        if q.include_lower
+                        else bisect.bisect_right(terms, q.lower)
+                    )
+                if q.upper is not None:
+                    hi = (
+                        bisect.bisect_right(terms, q.upper)
+                        if q.include_upper
+                        else bisect.bisect_left(terms, q.upper)
+                    )
+                return terms[lo:hi]
         ts = self.term_stats_df()
         if isinstance(q, Q.PrefixQuery):
             cond = (F.col("field") == q.field) & F.col("term").startswith(q.prefix)
