@@ -201,38 +201,42 @@ def _make_fused_fn(
         bufs = list(it)
         if not bufs:
             return
-        pdf = pd.concat(bufs, ignore_index=True)
-        if len(pdf) == 0:
+        full = pd.concat(bufs, ignore_index=True)
+        if len(full) == 0:
             return
-        pid = int(pdf["_pid"].iat[0])
-        if offsets is None:
-            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-            doc_ids = pdf["doc_id"].to_numpy()
-        else:
-            # rows arrive in sortWithinPartitions order — already the
-            # total (id_cols) order within this range partition
-            doc_ids = offsets[pid] + np.arange(len(pdf), dtype=np.int64)
-        batch_no = int(pdf["_batch"].iat[0])
-        seg_id = f"b{batch_no:04d}p{pid:05d}"
-        out = _invert_fields(
-            seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
-            store_pos,
-        )
-        # attach registry columns to the PRIMARY field's doc rows
-        # (aligned: build_segment emits doc rows first in doc_id order ==
-        # pdf order, and the primary field is inverted first)
-        n_docs = len(pdf)
-        sha = pdf[content_col].map(
-            lambda s: hashlib.sha256(str(s).encode("utf-8")).hexdigest()
-        )
-        for c in meta_cols:
-            vals = pd.Series([None] * len(out), dtype=object)
-            vals.iloc[:n_docs] = pdf[c].astype(object).to_numpy()
-            out[c] = vals
-        sha_col = pd.Series([None] * len(out), dtype=object)
-        sha_col.iloc[:n_docs] = sha.to_numpy()
-        out["content_sha256"] = sha_col
-        yield out
+        # a physical partition may hold several pid groups (hash
+        # placement of the explicit range ids) — one segment per pid
+        for pid, pdf in full.groupby("_pid", sort=True):
+            pid = int(pid)
+            pdf = pdf.reset_index(drop=True)
+            if offsets is None:
+                pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+                doc_ids = pdf["doc_id"].to_numpy()
+            else:
+                # rows arrive in sortWithinPartitions (_pid, keys) order —
+                # already the total key order within this range group
+                doc_ids = offsets[pid] + np.arange(len(pdf), dtype=np.int64)
+            batch_no = int(pdf["_batch"].iat[0])
+            seg_id = f"b{batch_no:04d}p{pid:05d}"
+            out = _invert_fields(
+                seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
+                store_pos,
+            )
+            # attach registry columns to the PRIMARY field's doc rows
+            # (aligned: build_segment emits doc rows first in doc_id
+            # order == pdf order, and the primary field is inverted first)
+            n_docs = len(pdf)
+            sha = pdf[content_col].map(
+                lambda s: hashlib.sha256(str(s).encode("utf-8")).hexdigest()
+            )
+            for c in meta_cols:
+                vals = pd.Series([None] * len(out), dtype=object)
+                vals.iloc[:n_docs] = pdf[c].astype(object).to_numpy()
+                out[c] = vals
+            sha_col = pd.Series([None] * len(out), dtype=object)
+            sha_col.iloc[:n_docs] = sha.to_numpy()
+            out["content_sha256"] = sha_col
+            yield out
 
     return run
 
@@ -282,27 +286,62 @@ def build_index(
 
     from pyspark.storagelevel import StorageLevel
 
-    ordered = (
-        source.repartitionByRange(parts, *[F.col(c) for c in keys])
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_batch", (F.col("_pid") / pids_per_batch).cast("int")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Deterministic range boundaries from a seeded sample of the KEY
+    # columns (a column-pruned parquet scan — a fraction of the data).
+    # Explicit boundaries (instead of repartitionByRange's private
+    # sampling) let the doc-count pass also run over keys only, so the
+    # full text crosses the cluster exactly ONCE (the data shuffle) with
+    # no persist. doc_ids stay data-derived and cluster-size-stable:
+    # order comes from the key values, never from scheduling.
+    if preassigned:
+        sort_key = F.col("doc_id").cast("double")
+    else:
+        # lexicographic tuple order via \x01-joined key string (safe for
+        # keys above control characters, which repo/path/commit are)
+        sort_key = F.concat_ws("\x01", *[F.col(c) for c in keys])
+    keyed = source.select(sort_key.alias("_sk"))
+    frac = min(1.0, (200.0 * parts) / max(1, n_docs))
+    sample = sorted(
+        r["_sk"] for r in keyed.sample(fraction=frac, seed=42).collect()
     )
-    # JVM-only partition counts -> dense doc_id offsets (scalable
-    # zipWithIndex: no global sort, stable across cluster sizes because
-    # the order derives from data, never from scheduling)
+    if parts > 1 and sample:
+        step = len(sample) / parts
+        bounds = [sample[int(i * step)] for i in range(1, parts)]
+    else:
+        bounds = []
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid_expr = F.size(F.filter(barr, lambda b: F.col("_sk") >= b))
+    else:
+        pid_expr = F.lit(0)
+
+    # doc-count pass over keys only (column pruning keeps it tiny)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in keyed.withColumn("_pid", pid_expr)
+        .groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
     for pid in range(parts):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
+
+    ordered = (
+        source.withColumn("_sk", sort_key)
+        .withColumn("_pid", pid_expr)
+        .withColumn("_batch", (F.col("_pid") / pids_per_batch).cast("int"))
+        .drop("_sk")
+        # range-place the integer pids (near-identity: one pid per task;
+        # hash placement would collide pids and create 2x stragglers)
+        .repartitionByRange(parts, F.col("_pid"))
+        .sortWithinPartitions("_pid", *keys)
+    )
+    if num_batches > 1:
+        # multi-batch builds re-read the shuffled frame once per batch
+        ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
 
     fields = cfg.all_fields()
     content_cols = set(fields.values())
@@ -363,7 +402,20 @@ def build_index(
                 )
                 .collect()
             ]
-            staging.unpersist()
+            if not done and num_batches == 1:
+                # fresh single-batch build: stats straight from the
+                # cached staging (no disk re-read of postings/doclens)
+                _recompute_stats(
+                    spark, index_dir, fieldname,
+                    postings_df=staging.filter("row_type = 1"),
+                    doclens_df=staging.filter("row_type = 0").select(
+                        "segment_id", "field", "doc_id", "doc_len"
+                    ),
+                )
+                stats_done = True
+            else:
+                stats_done = False
+            staging.unpersist(blocking=False)
             lo = min((s["first_doc_id"] for s in seg_metrics), default=0)
             hi = max((s["last_doc_id"] + 1 for s in seg_metrics), default=0)
             committed.append(
@@ -375,7 +427,8 @@ def build_index(
                     "status": "committed",
                 }
             )
-            _recompute_stats(spark, index_dir, fieldname)
+            if not stats_done:
+                _recompute_stats(spark, index_dir, fieldname)
             mani.commit_manifest(
                 index_dir,
                 {
@@ -405,13 +458,26 @@ def _recompute_stats(
     index_dir: str,
     fieldname: str,
     live_ids: set[str] | None = None,
+    postings_df: DataFrame | None = None,
+    doclens_df: DataFrame | None = None,
 ) -> None:
     """Global stats, recomputed after EVERY commit — avgdl must always
     reflect all committed LIVE segments (IndexSearcher.java:1134-1149;
     SURVEY.md §7 known-hard #3). ``live_ids`` excludes merged-away
-    segments (None = everything is live, the pure-append case)."""
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    doclens = spark.read.parquet(f"{index_dir}/doclens")
+    segments (None = everything is live, the pure-append case).
+    ``postings_df``/``doclens_df`` short-circuit the parquet re-read
+    when the caller already holds the full live row set in memory
+    (fresh single-batch builds)."""
+    postings = (
+        postings_df
+        if postings_df is not None
+        else spark.read.parquet(f"{index_dir}/postings")
+    )
+    doclens = (
+        doclens_df
+        if doclens_df is not None
+        else spark.read.parquet(f"{index_dir}/doclens")
+    )
     if live_ids is not None:
         sel = F.col("segment_id").isin(sorted(live_ids))
         postings = postings.filter(sel)
