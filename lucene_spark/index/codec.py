@@ -101,6 +101,30 @@ def _clz64(vals: np.ndarray) -> np.ndarray:
     return res
 
 
+def encode_varints_offsets(arr: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """encode_varints for a whole stream at once, returning the buffer
+    AND the per-value END byte offsets, so callers can slice out any
+    contiguous sub-range's bytes without re-encoding (the segment
+    builder encodes ALL position deltas in one call and slices per-term
+    blobs — the 100x-fewer-numpy-calls path)."""
+    arr = np.asarray(arr, dtype=np.uint64)
+    if arr.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.maximum(1, np.ceil((64 - _clz64(arr)) / 7).astype(np.int64))
+    ends = np.cumsum(nbytes)
+    buf = np.zeros(int(ends[-1]), dtype=np.uint8)
+    offsets = ends - nbytes
+    vals = arr.copy()
+    for layer in range(int(nbytes.max())):
+        sel = nbytes > layer
+        more = nbytes[sel] > layer + 1
+        buf[offsets[sel] + layer] = (vals[sel] & np.uint64(0x7F)).astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+        vals[sel] >>= np.uint64(7)
+    return buf.tobytes(), ends
+
+
 def decode_varints(buf: bytes, n: int) -> np.ndarray:
     """Decode n LEB128 varints."""
     if n == 0:

@@ -116,26 +116,61 @@ def build_segment(
     term_ends = np.concatenate((term_starts[1:], [len(pair_term)]))
 
     doc_ids64 = np.asarray(doc_ids, dtype=np.int64)
+
+    # --- positions: ONE vectorized delta + varint pass over the whole
+    # token stream (per-term blobs are byte slices; identical bytes to
+    # per-doc encode_positions — within-doc deltas with 0-prepend)
+    pos_buf = b""
+    tok_byte_ends = None
+    if store_positions and total_tokens:
+        deltas = p_sorted.astype(np.int64).copy()
+        deltas[1:] -= p_sorted[:-1]
+        deltas[pair_starts] = p_sorted[pair_starts]  # doc boundaries reset
+        pos_buf, tok_byte_ends = codec.encode_varints_offsets(deltas)
+
+    def term_pos_blob(ts: int, te: int):
+        if not store_positions:
+            return None
+        tok_lo = pair_starts[ts]
+        tok_hi = pair_ends[te - 1]
+        lo = 0 if tok_lo == 0 else int(tok_byte_ends[tok_lo - 1])
+        return pos_buf[lo : int(tok_byte_ends[tok_hi - 1])]
+
     records = []
     for ts, te in zip(term_starts, term_ends):
         term = uniq_terms[pair_term[ts]]
+        if te - ts == 1:
+            # df==1 fast path: hand-rolled byte layout identical to
+            # encode_postings for a single posting (no numpy calls)
+            doc = int(doc_ids64[pair_doc[ts]])
+            f = int(freqs_all[ts])
+            nrm = int(norm_codes_per_doc[pair_doc[ts]])
+            db = doc.bit_length()
+            fb = (f - 1).bit_length()
+            blob = (
+                b"\x01\x00\x00\x00"
+                + bytes((1, 0, db, fb))
+                + doc.to_bytes((db + 7) // 8, "little")
+                + (f - 1).to_bytes((fb + 7) // 8, "little")
+            )
+            records.append(
+                (
+                    segment_id, 1, None, None, None, field, str(term),
+                    1, f, blob, bytes((nrm,)), term_pos_blob(ts, te),
+                    [doc], [[f]], [[nrm]],
+                )
+            )
+            continue
         local_docs = pair_doc[ts:te]
         g_docs = doc_ids64[local_docs]
         g_freqs = freqs_all[ts:te]
         g_norms = norm_codes_per_doc[local_docs].astype(np.int64)
         blob, block_last, imp_f, imp_n = codec.encode_postings(g_docs, g_freqs, g_norms)
-        if store_positions:
-            pos_lists = [
-                p_sorted[pair_starts[i] : pair_ends[i]] for i in range(ts, te)
-            ]
-            pos_blob = codec.encode_positions(g_freqs, pos_lists)
-        else:
-            pos_blob = None
         records.append(
             (
                 segment_id, 1, None, None, None, field, str(term),
                 int(len(g_docs)), int(g_freqs.sum()), blob,
-                g_norms.astype(np.uint8).tobytes(), pos_blob,
+                g_norms.astype(np.uint8).tobytes(), term_pos_blob(ts, te),
                 [int(x) for x in block_last],
                 [[int(v) for v in fs] for fs in imp_f],
                 [[int(v) for v in ns] for ns in imp_n],
