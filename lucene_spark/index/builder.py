@@ -226,8 +226,12 @@ def _make_fused_fn(
             # (aligned: build_segment emits doc rows first in doc_id
             # order == pdf order, and the primary field is inverted first)
             n_docs = len(pdf)
+            # null content hashes to NULL — parity with the JVM path's
+            # F.sha2(NULL) = NULL (NRT appender, registry invariant)
             sha = pdf[content_col].map(
-                lambda s: hashlib.sha256(str(s).encode("utf-8")).hexdigest()
+                lambda s: None
+                if s is None or (isinstance(s, float) and pd.isna(s))
+                else hashlib.sha256(str(s).encode("utf-8")).hexdigest()
             )
             for c in meta_cols:
                 vals = pd.Series([None] * len(out), dtype=object)

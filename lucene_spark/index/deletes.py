@@ -83,13 +83,18 @@ def update_document(
 ) -> int:
     """updateDocuments semantics (IndexWriter.java:1538-1558): atomic
     delete-by-term + append of the replacement docs. The tombstone
-    commit and the append commit are successive manifest generations;
-    readers see either the old doc or (tombstone + new doc), never
-    neither."""
+    parquet and the appended segment parquet are both staged first, then
+    published by ONE manifest commit — readers see either the old doc or
+    (tombstone + new doc), never neither."""
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
     from lucene_spark.streaming.nrt import append_batch
 
-    delete_by_term(spark, index_dir, field, term)
-    return append_batch(spark, new_docs, index_dir, cfg)
+    reader = IndexReader(spark, index_dir)
+    matched = sp.exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    return append_batch(
+        spark, new_docs, index_dir, cfg, pending_deletes=matched
+    )
 
 
 def live_doc_count(spark: SparkSession, index_dir: str) -> int:

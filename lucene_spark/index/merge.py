@@ -84,7 +84,11 @@ def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
 
         pdf = pdf.copy()
         pdf["_rank"] = pdf["segment_id"].map(order)
-        pdf = pdf.sort_values("_rank")
+        # tie-break equal ranks (salted multi-part rows of one already-
+        # merged segment share a segment_id) by each part's first docID
+        # proxy: block_last_doc[0] is monotone across disjoint doc ranges
+        pdf["_tie"] = pdf["block_last_doc"].map(lambda b: int(b[0]))
+        pdf = pdf.sort_values(["_rank", "_tie"])
         docs_l, freqs_l, pos_l = [], [], []
         have_pos = pdf["positions"].notna().all()
         decode_pos = have_pos and bool(purge)  # else raw byte concat
@@ -217,7 +221,7 @@ def merge_round(
         )
         w = (
             Window.partitionBy("field", "term")
-            .orderBy(F.col("_rank"))
+            .orderBy(F.col("_rank"), F.element_at(F.col("block_last_doc"), 1))
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         salted = (
@@ -230,12 +234,21 @@ def merge_round(
                 ).cast("int"),
             )
         )
-        # restrict the purge set to this group's doc ranges
+        # restrict the purge set to the group's PER-SEGMENT doc ranges —
+        # find_merges picks smallest segments, which need not be doc-id
+        # contiguous; a hull test would purge (and un-tombstone) docs of
+        # NON-merged segments, resurrecting them (merge-applies-deletes
+        # contract violation)
         group_purge = frozenset()
         if all_deleted:
-            lo = min(seg_metrics[s]["first_doc_id"] for s in group)
-            hi = max(seg_metrics[s]["last_doc_id"] for s in group)
-            group_purge = frozenset(d for d in all_deleted if lo <= d <= hi)
+            ranges = [
+                (seg_metrics[s]["first_doc_id"], seg_metrics[s]["last_doc_id"])
+                for s in group
+            ]
+            group_purge = frozenset(
+                d for d in all_deleted
+                if any(lo <= d <= hi for lo, hi in ranges)
+            )
         merged = (
             salted.groupBy("field", "term", "_salt")
             .applyInPandas(

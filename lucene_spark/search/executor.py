@@ -109,9 +109,10 @@ class IndexReader:
         return deleted_ids_df(self.spark, self.index_dir, self.manifest)
 
     def deleted_ids(self) -> frozenset | None:
-        """Tombstoned doc ids as a frozenset for per-segment kernels
-        (collected once per reader; at real scale shard this per
-        segment-range instead of broadcasting the full set)."""
+        """Tombstoned doc ids as a frozenset — DRIVER-SIDE, used only by
+        point lookups (explain). The search path never collects
+        tombstones: it cogroups deleted_by_segment_df into the
+        per-segment kernel (scales with per-segment churn, not total)."""
         if not self.manifest.get("delete_batches"):
             return None
         if not hasattr(self, "_deleted_ids"):
@@ -120,6 +121,44 @@ class IndexReader:
                 r["doc_id"] for r in df.collect()
             ) if df is not None else None
         return self._deleted_ids
+
+    def _live_segment_ranges(self) -> list[tuple[str, int, int]]:
+        """(segment_id, first_doc_id, last_doc_id) for every live
+        segment, from the manifest (tiny, driver-side)."""
+        m = self.manifest
+        live = mani.live_segment_ids(m)
+        out: list[tuple[str, int, int]] = []
+        for coll in (m.get("batches", []), m.get("merges", []) or []):
+            for b in coll:
+                for s in b["segments"]:
+                    if live is None or s["segment_id"] in live:
+                        out.append(
+                            (
+                                s["segment_id"],
+                                int(s["first_doc_id"]),
+                                int(s["last_doc_id"]),
+                            )
+                        )
+        return out
+
+    def deleted_by_segment_df(self) -> DataFrame | None:
+        """Tombstones tagged with their owning segment_id: a broadcast
+        range-join of the tombstone table against the (tiny) manifest
+        segment ranges. Stays fully distributed — no driver collect."""
+        dels = self.deleted_df()
+        if dels is None:
+            return None
+        rdf = self.spark.createDataFrame(
+            self._live_segment_ranges(),
+            "segment_id string, first_doc_id long, last_doc_id long",
+        )
+        return (
+            dels.join(
+                F.broadcast(rdf),
+                (F.col("doc_id") >= F.col("first_doc_id"))
+                & (F.col("doc_id") <= F.col("last_doc_id")),
+            ).select("segment_id", "doc_id")
+        )
 
     # ---- stats (the IndexSearcher.termStatistics path) --------------------
 
@@ -405,12 +444,24 @@ class IndexSearcher:
         rows = self.reader.postings().filter(
             (F.col("field") == field) & (F.col("term").isin(terms))
         )
-        per_seg = rows.groupBy("segment_id").applyInPandas(
-            _make_segment_fn(
-                node, k, prune, search_after, self.reader.deleted_ids()
-            ),
-            schema=_OUT_SCHEMA,
-        )
+        if self.reader.manifest.get("delete_batches"):
+            # tombstones ride in as cogrouped per-segment rows (never a
+            # driver-collected set); the kernel masks them out of the
+            # postings BEFORE scoring so WAND's theta only sees live docs
+            dels = self.reader.deleted_by_segment_df()
+            per_seg = (
+                rows.groupBy("segment_id")
+                .cogroup(dels.groupBy("segment_id"))
+                .applyInPandas(
+                    _make_segment_cogroup_fn(node, k, prune, search_after),
+                    schema=_OUT_SCHEMA,
+                )
+            )
+        else:
+            per_seg = rows.groupBy("segment_id").applyInPandas(
+                _make_segment_fn(node, k, prune, search_after),
+                schema=_OUT_SCHEMA,
+            )
         # only segments x k rows reach the driver (TopDocs.merge stage)
         cand = per_seg.toPandas()
         if cand.empty:
@@ -540,38 +591,64 @@ def _collect_field(node: dict) -> str:
 # --------------------------------------------------------------------------
 
 
-def _make_segment_fn(node: dict, k: int, prune: bool, after, deleted=None):
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"segment_id": [], "doc_id": [], "score": [], "seg_total": []}
+    ).astype({"segment_id": "str", "doc_id": "int64",
+              "score": "float32", "seg_total": "int64"})
+
+
+def _segment_topk(
+    node: dict, k: int, prune: bool, after, pdf: pd.DataFrame,
+    deleted: np.ndarray | None,
+) -> pd.DataFrame:
+    """Shared per-segment kernel body. `deleted` (sorted int64 or None)
+    is masked out of the postings INSIDE _SegmentIndex, so every scorer
+    — including WAND's theta — only ever sees live docs (liveDocs
+    semantics; stats still count deletions until merge, the Lucene
+    docFreq contract)."""
+    seg = str(pdf["segment_id"].iat[0])
+    ctx = _SegmentIndex(pdf, deleted=deleted)
+    docs, scores = _eval(node, ctx, k if prune else None)
+    if after is not None:
+        # searchAfter: keep (score < after) or (== and doc > afterDoc)
+        # (IndexSearcher.java:576-591)
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+        docs, scores = docs[keep], scores[keep]
+    total = len(docs)
+    if total == 0:
+        return _empty_topk()
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame(
+        {
+            "segment_id": seg,
+            "doc_id": docs[order],
+            "score": scores[order].astype(np.float32),
+            "seg_total": np.int64(total),
+        }
+    )
+
+
+def _make_segment_fn(node: dict, k: int, prune: bool, after):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = str(pdf["segment_id"].iat[0])
-        ctx = _SegmentIndex(pdf)
-        docs, scores = _eval(node, ctx, k if prune else None)
-        if deleted and len(docs):
-            # liveDocs filter: deleted docs are skipped, scores of
-            # surviving docs are untouched (stats still count deletions
-            # until merge — the Lucene docFreq contract)
-            keep = ~np.isin(docs, np.fromiter(deleted, dtype=np.int64))
-            docs, scores = docs[keep], scores[keep]
-        if after is not None:
-            # searchAfter: keep (score < after) or (== and doc > afterDoc)
-            # (IndexSearcher.java:576-591)
-            a_score, a_doc = np.float32(after[0]), int(after[1])
-            keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
-            docs, scores = docs[keep], scores[keep]
-        total = len(docs)
-        if total == 0:
-            return pd.DataFrame(
-                {"segment_id": [], "doc_id": [], "score": [], "seg_total": []}
-            ).astype({"segment_id": "str", "doc_id": "int64",
-                      "score": "float32", "seg_total": "int64"})
-        order = np.lexsort((docs, -scores))[:k]
-        return pd.DataFrame(
-            {
-                "segment_id": seg,
-                "doc_id": docs[order],
-                "score": scores[order].astype(np.float32),
-                "seg_total": np.int64(total),
-            }
+        return _segment_topk(node, k, prune, after, pdf, None)
+
+    return fn
+
+
+def _make_segment_cogroup_fn(node: dict, k: int, prune: bool, after):
+    """Cogrouped variant: (postings rows, tombstone rows) per segment.
+    The tombstone side scales with per-segment churn, never the global
+    delete count — no driver broadcast."""
+
+    def fn(pdf: pd.DataFrame, dels: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return _empty_topk()  # segment has deletes but no query terms
+        deleted = (
+            np.sort(dels["doc_id"].to_numpy(np.int64)) if len(dels) else None
         )
+        return _segment_topk(node, k, prune, after, pdf, deleted)
 
     return fn
 
@@ -584,7 +661,7 @@ class _SegmentIndex:
     order at read) — all accessors transparently concatenate row parts
     ordered by their first docID."""
 
-    def __init__(self, pdf: pd.DataFrame):
+    def __init__(self, pdf: pd.DataFrame, deleted: np.ndarray | None = None):
         self.rows: dict[str, list[int]] = {}
         for i, t in enumerate(pdf["term"].tolist()):
             self.rows.setdefault(t, []).append(i)
@@ -596,11 +673,28 @@ class _SegmentIndex:
             if len(idxs) > 1:
                 idxs.sort(key=lambda i: pdf["block_last_doc"].iloc[i][0])
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.deleted: np.ndarray | None = None
+        if deleted is not None and len(deleted):
+            self.deleted = np.sort(np.asarray(deleted, dtype=np.int64))
 
     def has(self, term: str) -> bool:
         return term in self.rows
 
+    def _live(self, docs: np.ndarray) -> np.ndarray | None:
+        """Keep-mask dropping tombstoned docs; None = all live."""
+        if self.deleted is None or len(docs) == 0:
+            return None
+        keep = ~np.isin(docs, self.deleted)
+        return None if keep.all() else keep
+
     def _row_postings(self, r, candidates: np.ndarray | None):
+        docs, freqs, norms = self._row_postings_raw(r, candidates)
+        keep = self._live(docs)
+        if keep is not None:
+            docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
+        return docs, freqs, norms
+
+    def _row_postings_raw(self, r, candidates: np.ndarray | None):
         blob = bytes(r["postings"])
         norms_all = np.frombuffer(bytes(r["norms"]), dtype=np.uint8).astype(np.int64)
         block_last = list(r["block_last_doc"])
@@ -653,11 +747,17 @@ class _SegmentIndex:
         return out
 
     def positions(self, term: str) -> list[np.ndarray]:
+        """Per-doc position arrays, aligned with postings() — i.e. with
+        tombstoned docs' lists dropped by the same live mask."""
         out: list[np.ndarray] = []
         for i in self.rows[term]:
             r = self.pdf.iloc[i]
-            _d, freqs = codec.decode_postings(bytes(r["postings"]))
-            out.extend(codec.decode_positions(bytes(r["positions"]), freqs))
+            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            plist = codec.decode_positions(bytes(r["positions"]), freqs)
+            keep = self._live(d)
+            if keep is not None:
+                plist = [p for p, kp in zip(plist, keep) if kp]
+            out.extend(plist)
         return out
 
     def impacts(self, term: str):

@@ -46,9 +46,16 @@ def append_batch(
     batch: DataFrame,
     index_dir: str,
     cfg: IndexConfig,
+    pending_deletes: DataFrame | None = None,
 ) -> int:
     """Index one micro-batch as a new segment batch; returns the new
-    manifest generation (or the current one for an empty batch)."""
+    manifest generation (or the current one for an empty batch).
+
+    ``pending_deletes`` (a doc_id DataFrame) is staged as a tombstone
+    batch and published in the SAME manifest commit as the appended
+    segments — the IndexWriter.updateDocuments atomicity contract
+    (IndexWriter.java:1538-1558): readers see either the pre-update
+    state or (tombstone + replacement) together, never neither."""
     n_new = batch.count()
     try:
         m = mani.read_manifest(index_dir)
@@ -64,9 +71,29 @@ def append_batch(
         next_b = 0
         committed = []
     if n_new == 0:
+        if pending_deletes is not None and m is not None:
+            from lucene_spark.index.deletes import delete_by_ids
+
+            return delete_by_ids(spark, index_dir, pending_deletes)
         return m["generation"] if m else -1
 
     t0 = time.time()
+    # stage pending tombstones FIRST: the delete set is defined against
+    # the pre-append index, so it must materialize before the new
+    # batch's parquet lands (and staging before the manifest commit is
+    # crash-safe — orphaned files are invisible to readers)
+    del_entry = None
+    if pending_deletes is not None and m is not None:
+        from lucene_spark.index.deletes import _next_delete_batch
+
+        del_ids = pending_deletes.select("doc_id").distinct()
+        n_del = del_ids.count()
+        if n_del:
+            nb = _next_delete_batch(m)
+            del_ids.write.mode("overwrite").parquet(
+                f"{index_dir}/deletes/batch={nb}"
+            )
+            del_entry = {"batch": nb, "num_docs": int(n_del)}
     ids = assign_doc_ids(batch, cfg)
     if not cfg.doc_id_col:
         ids = ids.withColumn("doc_id", F.col("doc_id") + offset)
@@ -144,6 +171,11 @@ def append_batch(
                 base[carry] = m[carry]
     base["num_docs_total"] = int(offset + n_new)
     base["batches"] = committed
+    if del_entry is not None:
+        # publish the staged tombstones with THIS commit (one generation
+        # carries both the delete batch and the appended segments)
+        base["delete_batches"] = list(m.get("delete_batches", [])) + [del_entry]
+        base["num_deleted"] = int(m.get("num_deleted", 0) + del_entry["num_docs"])
     _recompute_stats(spark, index_dir, cfg.field, mani.live_segment_ids(base))
     return mani.commit_manifest(index_dir, base)
 

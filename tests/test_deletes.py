@@ -141,3 +141,79 @@ def test_update_document(spark, idx, corpus):
     from lucene_spark.index.deletes import live_doc_count
 
     assert live_doc_count(spark, path) == r0.manifest["num_docs_total"] - n_old + 1
+
+
+def test_wand_prune_respects_deletes(spark, idx):
+    """ADVICE r01 (high): WAND theta must be computed over LIVE docs —
+    deleting docs that rank in a segment's top-k must not prune live
+    docs that belong in the live top-k. prune == no-prune under deletes."""
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    path, r0 = idx
+    dis = Q.BooleanQuery(
+        should=(Q.TermQuery("content", "def"), Q.TermQuery("content", "import"))
+    )
+    before = IndexSearcher(r0).search(dis, k=5, prune=True).hits
+    victims = [h.doc_id for h in before[:3]]
+    delete_by_ids(
+        spark, path, spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    r1 = IndexReader(spark, path)
+    s1 = IndexSearcher(r1)
+    pruned = s1.search(dis, k=5, prune=True).hits
+    full = s1.search(dis, k=5, prune=False).hits
+    assert [(h.doc_id, h.score) for h in pruned] == [
+        (h.doc_id, h.score) for h in full
+    ]
+    assert not set(victims) & {h.doc_id for h in pruned}
+    assert len(pruned) == 5
+
+
+def test_merge_purge_respects_segment_ranges(spark, corpus, tmp_path):
+    """ADVICE r01 (high): a tombstone on a NON-merged segment's doc that
+    falls inside the merged group's doc-id hull must survive the merge
+    (not be silently un-tombstoned without a postings rewrite)."""
+    from lucene_spark.fixtures import generate_source_files
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.deletes import delete_by_ids, deleted_ids_df
+    from lucene_spark.index.merge import merge_round
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+    from lucene_spark.streaming.nrt import append_batch
+
+    path = str(tmp_path / "idx")
+    cfg = IndexConfig(docs_per_segment=100)
+    # seg layout: base [0,100), append A -> 3 segs [100,400), append B
+    # -> 1 small seg [400,420). Smallest-first merge picks {B, base}:
+    # doc-id hull [0,420) COVERS the non-merged A segments.
+    build_index(spark, spark.createDataFrame(corpus.iloc[:100]), path, cfg)
+    append_batch(
+        spark, spark.createDataFrame(generate_source_files(300, seed=7)), path, cfg
+    )
+    append_batch(
+        spark, spark.createDataFrame(generate_source_files(20, seed=9)), path, cfg
+    )
+    victim = 150  # lives in an A segment — not part of the merge group
+    delete_by_ids(spark, path, spark.createDataFrame([(victim,)], "doc_id long"))
+
+    n = merge_round(spark, path, segs_per_tier=4, max_merge_at_once=2)
+    assert n == 1
+    r = IndexReader(spark, path)
+    m = r.manifest
+    merged_inputs = set(m["merges"][-1]["inputs"])
+    victim_seg = {
+        s["segment_id"]
+        for b in m["batches"]
+        for s in b["segments"]
+        if s["first_doc_id"] <= victim <= s["last_doc_id"]
+    }
+    assert not victim_seg & merged_inputs, "test setup: victim must be outside the group"
+    # the tombstone must survive (victim's postings were never rewritten)
+    dels = deleted_ids_df(spark, path, m)
+    assert dels is not None and victim in {r_["doc_id"] for r_ in dels.collect()}
+    assert int(m.get("purged_docs", 0)) == 0
+    # and the doc stays invisible to search
+    total = IndexSearcher(r).search(Q.MatchAllQuery(), k=1).total_hits
+    assert total == m["num_docs_total"] - 1
