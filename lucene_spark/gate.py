@@ -288,6 +288,66 @@ WHERE a.tok = '{term_a}' AND b.tok = '{term_b}' AND b.p - a.p BETWEEN 1 AND {win
 ORDER BY a.doc_id LIMIT {k}"""
 
 
+def _sql_intervals() -> str:
+    """Oracle for q_intervals. Positional CTE as in _sql_near; the
+    `within` branch replicates minimal-interval construction exactly:
+    candidates anchored at term occurrences with left-anchored greedy
+    ends, reduced to max(s) per distinct end (the no-nesting set)."""
+    return """WITH tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl
+),
+ord3 AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         JOIN pos c ON a.doc_id = c.doc_id
+    WHERE a.tok = 'fast' AND b.tok = 'table' AND c.tok = 'scan'
+      AND a.p < b.p AND b.p < c.p AND c.p - a.p + 1 - 3 <= 4
+  ) ORDER BY doc_id LIMIT 10
+),
+unord2 AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'merge' AND b.tok = 'sort'
+      AND greatest(a.p, b.p) - least(a.p, b.p) + 1 <= 3
+  ) ORDER BY doc_id LIMIT 10
+),
+cand AS (
+  SELECT u.doc_id, u.p AS s,
+    (SELECT min(a.p) FROM pos a
+      WHERE a.doc_id = u.doc_id AND a.tok = 'fast' AND a.p >= u.p) AS ea,
+    (SELECT min(b.p) FROM pos b
+      WHERE b.doc_id = u.doc_id AND b.tok = 'table' AND b.p >= u.p) AS eb
+  FROM pos u WHERE u.tok IN ('fast', 'table')
+),
+valid AS (
+  SELECT doc_id, s, greatest(ea, eb) AS e FROM cand
+  WHERE ea IS NOT NULL AND eb IS NOT NULL
+),
+minimal AS (SELECT doc_id, e, max(s) AS s FROM valid GROUP BY doc_id, e),
+wid AS (SELECT * FROM minimal WHERE e - s + 1 <= 5),
+within_m AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT c.doc_id
+    FROM pos c JOIN wid m ON c.doc_id = m.doc_id AND c.p BETWEEN m.s AND m.e
+    WHERE c.tok = 'key'
+  ) ORDER BY doc_id LIMIT 10
+)
+SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
+  SELECT 'ord3' AS tag, doc_id FROM ord3
+  UNION ALL SELECT 'unord2' AS tag, doc_id FROM unord2
+  UNION ALL SELECT 'within' AS tag, doc_id FROM within_m
+)"""
+
+
 def _scored_ctes(term: str) -> str:
     """CTE prefix ending in `scored(doc_id, score_x1e6)` for one term —
     the single-term building block for collector oracles (ranks taken
@@ -643,6 +703,34 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, "fast", "table", window=3, ordered=True
         )
 
+    def q_intervals(spark, sf):
+        # intervals algebra (queries/intervals/Intervals.java subset):
+        # n-term ordered with max_gaps, unordered with max_width, and
+        # term-containedBy-unordered — one tagged union entry
+        r = ensure_index(spark, sf)
+        specs = {
+            "ord3": Q.IOrdered(
+                (Q.ITerm("fast"), Q.ITerm("table"), Q.ITerm("scan")),
+                max_gaps=4,
+            ),
+            "unord2": Q.IUnordered(
+                (Q.ITerm("merge"), Q.ITerm("sort")), max_width=3
+            ),
+            "within": Q.IContainedBy(
+                Q.ITerm("key"),
+                Q.IUnordered((Q.ITerm("fast"), Q.ITerm("table")), max_width=5),
+            ),
+        }
+        parts = [
+            sp.intervals_match_topk(r, FIELD, src, k=10)
+            .withColumn("tag", F.lit(tag))
+            for tag, src in specs.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("tag", "doc_id", "score_x1e6")
+
     def q_suggest(spark, sf):
         r = ensure_index(spark, sf)
         return sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
@@ -717,6 +805,7 @@ def gate_queries() -> dict[str, object]:
         "q_highlight": q_highlight,
         "q_multi_phrase": q_multi_phrase,
         "q_near": q_near,
+        "q_intervals": q_intervals,
         "q_suggest": q_suggest,
         "q_mlt": q_mlt,
         "q_common_terms": q_common_terms,
@@ -920,6 +1009,7 @@ FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY grp LIMIT 50""",
         "q_multi_phrase": _sql_multi_phrase(["fast", "slow"], "table"),
         "q_near": _sql_near("fast", "table", 3),
+        "q_intervals": _sql_intervals(),
         "q_suggest": f"""WITH {_TOKS},
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, levenshtein(term, 'spork') AS distance, doc_freq

@@ -378,6 +378,18 @@ class IndexSearcher:
                 "ordered": bool(q.ordered),
                 "weight": float(boost * q.boost),
             }
+        if isinstance(q, Q.IntervalQuery):
+            terms = sorted(set(q.source.terms()))
+            st = R.term_stats(q.field, terms)
+            if len(st) < len(terms):
+                return None  # a missing term -> no intervals anywhere
+            return {
+                "kind": "intervals",
+                "field": q.field,
+                "terms": terms,
+                "source": q.source,
+                "weight": float(boost * q.boost),
+            }
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.FuzzyQuery, Q.TermRangeQuery)):
             terms = R.expand(q)
@@ -543,7 +555,8 @@ class IndexSearcher:
 
 def _collect_terms(node: dict) -> set[str]:
     k = node["kind"]
-    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set"):
+    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
+             "intervals"):
         return set(node["terms"])
     if k == "const_wrap":
         return _collect_terms(node["sub"])
@@ -560,7 +573,8 @@ def _collect_terms(node: dict) -> set[str]:
 
 def _collect_fields(node: dict) -> set[str]:
     k = node["kind"]
-    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set"):
+    if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
+             "intervals"):
         return {node["field"]}
     if k == "const_wrap":
         return _collect_fields(node["sub"])
@@ -760,6 +774,29 @@ class _SegmentIndex:
             out.extend(plist)
         return out
 
+    def flat_positions(self, term: str):
+        """-> (flat int64 positions, starts, lens) — every doc's position
+        list concatenated, aligned with postings(term)'s doc order.
+        Cached per term; the basis of the vectorized phrase/NEAR kernels
+        (no per-doc Python loops in the hot path)."""
+        if not hasattr(self, "_flat_cache"):
+            self._flat_cache = {}
+        if term in self._flat_cache:
+            return self._flat_cache[term]
+        plist = self.positions(term)
+        lens = np.fromiter(
+            (len(p) for p in plist), dtype=np.int64, count=len(plist)
+        )
+        flat = (
+            np.concatenate(plist).astype(np.int64)
+            if plist
+            else np.zeros(0, dtype=np.int64)
+        )
+        ends = np.cumsum(lens)
+        out = (flat, ends - lens, lens)
+        self._flat_cache[term] = out
+        return out
+
     def impacts(self, term: str):
         """-> (block_last, [impact freq arrays], [impact norm arrays]);
         parts concatenate block-wise (ranges are disjoint and ordered)."""
@@ -811,6 +848,8 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         return _eval_multi_phrase(node, ctx)
     if kind == "near":
         return _eval_near(node, ctx)
+    if kind == "intervals":
+        return _eval_intervals(node, ctx)
     if kind == "const_set":
         ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
         dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
@@ -836,10 +875,47 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
     raise TypeError(kind)
 
 
+def _gather_pos_keys(ctx: _SegmentIndex, term: str, docs: np.ndarray, large: int) -> np.ndarray:
+    """Positions of `term` restricted to the sorted candidate `docs`,
+    encoded as sorted global keys ``doc_index * large + position``
+    (doc_index = index into `docs`). Entirely vectorized: a flat-array
+    range-gather via repeat/cumsum — no per-doc Python loop. Docs not
+    containing the term contribute nothing."""
+    tdocs, _, _ = ctx.postings(term)
+    if len(tdocs) == 0 or len(docs) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.searchsorted(tdocs, docs)
+    ok = (idx < len(tdocs)) & (tdocs[np.minimum(idx, len(tdocs) - 1)] == docs)
+    idx = idx[ok]
+    doc_pos = np.where(ok)[0]
+    flat, starts, lens = ctx.flat_positions(term)
+    sel = lens[idx]
+    total = int(sel.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    rep_starts = np.repeat(starts[idx], sel)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(sel) - sel, sel)
+    pos = flat[rep_starts + within]
+    return np.repeat(doc_pos, sel) * large + pos
+
+
+def _pos_key_base(ctx: _SegmentIndex, terms, span: int) -> int:
+    """Key stride: > max position + span so offset-shifted keys stay
+    inside their doc's block."""
+    mx = 0
+    for t in terms:
+        flat, _, _ = ctx.flat_positions(t)
+        if len(flat):
+            mx = max(mx, int(flat.max()))
+    return mx + span + 2
+
+
 def _phrase_freqs(terms: list[str], ctx: _SegmentIndex):
     """-> (docs, phrase_freqs, norms): docs where the terms occur at
     consecutive positions (ExactPhraseMatcher semantics), freq = number
-    of phrase occurrences."""
+    of phrase occurrences. Vectorized: global position keys + np.isin
+    adjacency — the whole segment's candidates advance in one numpy op
+    per phrase slot."""
     z = np.zeros(0, dtype=np.int64)
     if not all(ctx.has(t) for t in terms):
         return z, z, z
@@ -849,17 +925,14 @@ def _phrase_freqs(terms: list[str], ctx: _SegmentIndex):
         docs = docs[np.isin(docs, d, assume_unique=True)]
     if len(docs) == 0:
         return z, z, z
-    pos_lists = [ctx.positions(t) for t in terms]
-    idxs = [np.searchsorted(post[i][0], docs) for i in range(len(terms))]
-    freqs = np.zeros(len(docs), dtype=np.int64)
-    for di in range(len(docs)):
-        cand = pos_lists[0][idxs[0][di]]
-        for ti in range(1, len(terms)):
-            nxt = pos_lists[ti][idxs[ti][di]]
-            cand = cand[np.isin(cand + ti, nxt)]
-            if len(cand) == 0:
-                break
-        freqs[di] = len(cand)
+    large = _pos_key_base(ctx, terms, len(terms))
+    cand = _gather_pos_keys(ctx, terms[0], docs, large)
+    for ti in range(1, len(terms)):
+        nxt = _gather_pos_keys(ctx, terms[ti], docs, large)
+        cand = cand[np.isin(cand + ti, nxt, assume_unique=True)]
+        if len(cand) == 0:
+            return z, z, z
+    freqs = np.bincount(cand // large, minlength=len(docs)).astype(np.int64)
     keep = freqs > 0
     docs, freqs = docs[keep], freqs[keep]
     norms = post[0][2][np.searchsorted(post[0][0], docs)]
@@ -951,36 +1024,27 @@ def _multi_phrase_freqs(slots, ctx: _SegmentIndex):
         docs = docs[np.isin(docs, d, assume_unique=True)]
     if len(docs) == 0:
         return z, z, z
-    # per-slot per-doc position lookup tables
-    slot_pos: list[dict[int, np.ndarray]] = []
+    # per-slot union of position keys over the slot's terms, then one
+    # vectorized adjacency pass (UnionPostings semantics, no per-doc loop)
+    all_terms = [t for slot in slots for t in slot if ctx.has(t)]
+    large = _pos_key_base(ctx, all_terms, len(slots))
+    slot_keys: list[np.ndarray] = []
     for slot in slots:
-        table: dict[int, list[np.ndarray]] = {}
-        for t in slot:
-            if not ctx.has(t):
-                continue
-            tdocs, _, _ = ctx.postings(t)
-            tpos = ctx.positions(t)
-            sel = np.searchsorted(tdocs, docs)
-            ok = (sel < len(tdocs)) & (tdocs[np.minimum(sel, len(tdocs) - 1)] == docs)
-            for di in np.where(ok)[0]:
-                table.setdefault(int(docs[di]), []).append(tpos[sel[di]])
-        slot_pos.append(
-            {d: np.unique(np.concatenate(ps)) for d, ps in table.items()}
+        parts = [
+            _gather_pos_keys(ctx, t, docs, large) for t in slot if ctx.has(t)
+        ]
+        keys = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.zeros(0, dtype=np.int64)
         )
-    freqs = np.zeros(len(docs), dtype=np.int64)
-    for di, d in enumerate(docs):
-        cand = slot_pos[0].get(int(d))
-        if cand is None:
-            continue
-        for si in range(1, len(slots)):
-            nxt = slot_pos[si].get(int(d))
-            if nxt is None:
-                cand = None
-                break
-            cand = cand[np.isin(cand + si, nxt)]
-            if len(cand) == 0:
-                break
-        freqs[di] = 0 if cand is None else len(cand)
+        slot_keys.append(keys)
+    cand = slot_keys[0]
+    for si in range(1, len(slots)):
+        cand = cand[np.isin(cand + si, slot_keys[si], assume_unique=True)]
+        if len(cand) == 0:
+            return z, z, z
+    freqs = np.bincount(cand // large, minlength=len(docs)).astype(np.int64)
     keep = freqs > 0
     docs, freqs = docs[keep], freqs[keep]
     if len(docs) == 0:
@@ -1054,30 +1118,196 @@ def _eval_near(node: dict, ctx: _SegmentIndex):
     docs = da[np.isin(da, db, assume_unique=True)]
     if len(docs) == 0:
         return z, zf
-    pa_all = ctx.positions(ta)
-    pb_all = ctx.positions(tb)
-    ia = np.searchsorted(da, docs)
-    ib = np.searchsorted(db, docs)
-    window = node["window"]
+    window = int(node["window"])
     ordered = node["ordered"]
-    out = []
-    for di in range(len(docs)):
-        pa = pa_all[ia[di]]
-        pb = pb_all[ib[di]]
-        # ordered: exists pb - pa in [1, window]
-        lo = np.searchsorted(pb, pa + 1, side="left")
-        hi = np.searchsorted(pb, pa + window, side="right")
-        hit = bool((hi > lo).any())
-        if not hit and not ordered:
-            lo = np.searchsorted(pa, pb + 1, side="left")
-            hi = np.searchsorted(pa, pb + window, side="right")
-            hit = bool((hi > lo).any())
-        if hit:
-            out.append(docs[di])
-    if not out:
+    # vectorized over the whole segment: global position keys keep doc
+    # alignment (stride > max_pos + window, so pa+window never crosses
+    # into the next doc's key block)
+    large = _pos_key_base(ctx, [ta, tb], window)
+    ka = _gather_pos_keys(ctx, ta, docs, large)
+    kb = _gather_pos_keys(ctx, tb, docs, large)
+
+    def _hit_docs(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        # exists dst - src in [1, window]; keys are sorted
+        lo = np.searchsorted(dst, src + 1, side="left")
+        hi = np.searchsorted(dst, src + window, side="right")
+        return np.unique(src[hi > lo] // large)
+
+    hit = _hit_docs(ka, kb)
+    if not ordered:
+        hit = np.union1d(hit, _hit_docs(kb, ka))
+    if len(hit) == 0:
         return z, zf
-    docs = np.asarray(out, dtype=np.int64)
+    docs = docs[hit]
     return docs, np.full(len(docs), np.float32(node["weight"]), dtype=np.float32)
+
+
+# --------------------------------------------------------------------------
+# intervals (queries/intervals minimal-interval semantics, vectorized)
+# --------------------------------------------------------------------------
+
+
+def _minimalize_intervals(s: np.ndarray, e: np.ndarray):
+    """Keep only minimal intervals (no other interval nested inside —
+    IntervalIterator contract). Inputs sorted by start with ends
+    non-decreasing; an interval is non-minimal iff the next one shares
+    its end (then the next has a larger start inside it), so keep the
+    LAST start per distinct end."""
+    if len(s) == 0:
+        return s, e
+    keep = np.ones(len(s), dtype=bool)
+    keep[:-1] = e[:-1] != e[1:]
+    return s[keep], e[keep]
+
+
+def _intervals_chain_ordered(subs, large: int):
+    """Ordered combination: each child's interval starts strictly after
+    the previous child interval's end (OrderedIntervalsSource). Child
+    interval lists are minimal => starts and ends both increase, so the
+    first child interval starting after X carries the minimal end —
+    one searchsorted per child, whole segment at once."""
+    s0, e0 = subs[0]
+    if len(s0) == 0:
+        return s0, e0
+    cur_e = e0.copy()
+    valid = np.ones(len(s0), dtype=bool)
+    sentinel = np.int64(2**62)
+    for cs, ce in subs[1:]:
+        if len(cs) == 0:
+            return s0[:0], e0[:0]
+        probe = np.where(valid, cur_e, sentinel) + 1
+        idx = np.searchsorted(cs, probe, side="left")
+        ok = idx < len(cs)
+        sel = np.minimum(idx, len(cs) - 1)
+        ok &= (cs[sel] // large) == (s0 // large)  # stay in the doc
+        valid &= ok
+        cur_e = np.where(valid, ce[sel], cur_e)
+    return s0[valid], cur_e[valid]
+
+
+def _intervals_cover_unordered(subs, large: int):
+    """Unordered combination (UnorderedIntervalsSource, overlaps
+    allowed): candidate span start = some child-interval start (else it
+    could shrink); span end = max over children of the end of their
+    first interval starting >= the anchor."""
+    anchors = np.unique(np.concatenate([s for s, _ in subs]))
+    if len(anchors) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    e = anchors.copy()
+    valid = np.ones(len(anchors), dtype=bool)
+    for cs, ce in subs:
+        if len(cs) == 0:
+            return anchors[:0], anchors[:0]
+        idx = np.searchsorted(cs, anchors, side="left")
+        ok = idx < len(cs)
+        sel = np.minimum(idx, len(cs) - 1)
+        ok &= (cs[sel] // large) == (anchors // large)
+        valid &= ok
+        e = np.maximum(e, np.where(ok, ce[sel], e))
+    return anchors[valid], e[valid]
+
+
+def _intervals_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
+    """-> (starts, ends) minimal-interval key arrays, sorted by start,
+    restricted to the candidate docs."""
+    if isinstance(src, Q.ITerm):
+        k = _gather_pos_keys(ctx, src.term, docs, large)
+        return k, k
+    if isinstance(src, (Q.IOrdered, Q.IUnordered)):
+        subs = [_intervals_eval(c, ctx, docs, large) for c in src.sources]
+        if isinstance(src, Q.IOrdered):
+            s, e = _intervals_chain_ordered(subs, large)
+        else:
+            s, e = _intervals_cover_unordered(subs, large)
+        s, e = _minimalize_intervals(s, e)
+        width = e - s + 1
+        if src.max_width >= 0:
+            keep = width <= src.max_width
+            s, e, width = s[keep], e[keep], width[keep]
+        if src.max_gaps >= 0:
+            if not all(isinstance(c, Q.ITerm) for c in src.sources):
+                raise NotImplementedError(
+                    "max_gaps is supported for term children only "
+                    "(gaps = width - n_terms, Intervals.maxgaps)"
+                )
+            keep = (width - len(src.sources)) <= src.max_gaps
+            s, e = s[keep], e[keep]
+        return s, e
+    if isinstance(src, Q.IContainedBy):
+        ss, se = _intervals_eval(src.small, ctx, docs, large)
+        bs, be = _intervals_eval(src.big, ctx, docs, large)
+        if len(ss) == 0 or len(bs) == 0:
+            return ss[:0], ss[:0]
+        # big minimal => bs and be both increase, so the LAST big
+        # interval with bs <= ss has the largest end among candidates
+        idx = np.searchsorted(bs, ss, side="right") - 1
+        ok = idx >= 0
+        sel = np.maximum(idx, 0)
+        ok &= (bs[sel] // large) == (ss // large)
+        ok &= be[sel] >= se
+        return ss[ok], se[ok]
+    if isinstance(src, Q.IContaining):
+        bs, be = _intervals_eval(src.big, ctx, docs, large)
+        ss, se = _intervals_eval(src.small, ctx, docs, large)
+        if len(ss) == 0 or len(bs) == 0:
+            return bs[:0], bs[:0]
+        # small minimal => the FIRST small interval with ss >= bs has
+        # the smallest end
+        idx = np.searchsorted(ss, bs, side="left")
+        ok = idx < len(ss)
+        sel = np.minimum(idx, len(ss) - 1)
+        ok &= (ss[sel] // large) == (bs // large)
+        ok &= se[sel] <= be
+        return bs[ok], be[ok]
+    raise TypeError(f"unknown intervals source {type(src).__name__}")
+
+
+def _intervals_span(src) -> int:
+    """Upper bound on any width filter in the tree (for the key stride)."""
+    mx = 1
+    if isinstance(src, (Q.IOrdered, Q.IUnordered)):
+        own = max(src.max_width, src.max_gaps + len(src.sources), 1)
+        mx = max(own, *(_intervals_span(c) for c in src.sources))
+    elif isinstance(src, Q.IContainedBy):
+        mx = max(_intervals_span(src.small), _intervals_span(src.big))
+    elif isinstance(src, Q.IContaining):
+        mx = max(_intervals_span(src.small), _intervals_span(src.big))
+    return mx
+
+
+def _eval_intervals(node: dict, ctx: _SegmentIndex):
+    """Matching docs of an IntervalQuery (constant score)."""
+    z = np.zeros(0, dtype=np.int64)
+    zf = z.astype(np.float32)
+    terms = node["terms"]
+    if not all(ctx.has(t) for t in terms):
+        return z, zf
+    post = [ctx.postings(t) for t in terms]
+    docs = post[0][0]
+    for d, _, _ in post[1:]:
+        docs = docs[np.isin(docs, d, assume_unique=True)]
+    if len(docs) == 0:
+        return z, zf
+    src = node["source"]
+    large = _pos_key_base(ctx, terms, _intervals_span(src) + len(terms))
+    s, _e = _intervals_eval(src, ctx, docs, large)
+    if len(s) == 0:
+        return z, zf
+    docs = docs[np.unique(s // large)]
+    return docs, np.full(len(docs), np.float32(node["weight"]), dtype=np.float32)
+
+
+def _make_intervals_fn(source, terms: list[str]):
+    """Per-segment (doc_id) extractor for the sql64 intervals path."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        node = {"terms": list(terms), "source": source, "weight": 1.0}
+        docs, _ = _eval_intervals(node, ctx)
+        return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+    return fn
 
 
 def _eval_phrase(node: dict, ctx: _SegmentIndex):
@@ -1196,7 +1426,8 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
 
 
 def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
-    if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase", "near"):
+    if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase",
+                        "near", "intervals"):
         c = 0
         for t in node["terms"]:
             for i in ctx.rows.get(t, ()):

@@ -69,6 +69,84 @@ class NearQuery(Query):
     boost: float = 1.0
 
 
+class IntervalsSource:
+    """Interval-source algebra (queries/intervals/Intervals.java
+    factory surface, minimal-interval semantics after Clarke et al. as
+    implemented by OrderedIntervalsSource / UnorderedIntervalsSource /
+    ContainedByIntervalsSource). Subset shipped: term sources, n-term
+    ordered / unordered with max_gaps (term children) and max_width,
+    CONTAINED_BY and CONTAINING combinators. Gaps follow the term-child
+    definition gaps = width - n_terms (Intervals.maxgaps)."""
+
+    def terms(self) -> tuple[str, ...]:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class ITerm(IntervalsSource):
+    term: str
+
+    def terms(self):
+        return (self.term,)
+
+
+@dataclass(frozen=True)
+class IOrdered(IntervalsSource):
+    """Sources matched in order, each strictly after the previous
+    interval's end (Intervals.ordered)."""
+    sources: tuple[IntervalsSource, ...]
+    max_gaps: int = -1   # -1 = unbounded; term children only
+    max_width: int = -1  # -1 = unbounded
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+
+@dataclass(frozen=True)
+class IUnordered(IntervalsSource):
+    """Sources matched in any order within one span, overlaps allowed
+    (Intervals.unordered)."""
+    sources: tuple[IntervalsSource, ...]
+    max_gaps: int = -1
+    max_width: int = -1
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+
+@dataclass(frozen=True)
+class IContainedBy(IntervalsSource):
+    """Minimal intervals of `small` lying inside an interval of `big`
+    (Intervals.containedBy)."""
+    small: IntervalsSource
+    big: IntervalsSource
+
+    def terms(self):
+        return self.small.terms() + self.big.terms()
+
+
+@dataclass(frozen=True)
+class IContaining(IntervalsSource):
+    """Minimal intervals of `big` that contain an interval of `small`
+    (Intervals.containing)."""
+    big: IntervalsSource
+    small: IntervalsSource
+
+    def terms(self):
+        return self.big.terms() + self.small.terms()
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """IntervalQuery over one field. Deviation (documented): matching
+    docs score a constant `boost` (the reference scores by an
+    IntervalScoreFunction over total interval width; our gate contract
+    is match-set identity, like NearQuery)."""
+    field: str
+    source: IntervalsSource
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0

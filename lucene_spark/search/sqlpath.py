@@ -722,6 +722,40 @@ def near_match_topk(
     )
 
 
+def intervals_match_topk(
+    reader: IndexReader,
+    field: str,
+    source,
+    k: int = 10,
+) -> DataFrame:
+    """IntervalQuery matching (queries/intervals/Intervals.java subset:
+    n-term ordered/unordered with max_gaps/max_width, containedBy /
+    containing): docs with >= 1 minimal interval of `source`; constant
+    score. -> (doc_id, score_x1e6) ordered by doc_id."""
+    from lucene_spark.search.executor import _make_intervals_fn
+
+    terms = sorted(set(source.terms()))
+    st = reader.term_stats(field, terms)
+    if len(st) < len(terms):
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(terms))
+    )
+    matched = rows.groupBy("segment_id").applyInPandas(
+        _make_intervals_fn(source, terms), schema="doc_id long"
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        matched = matched.join(F.broadcast(dels), "doc_id", "left_anti")
+    return (
+        matched.select(
+            "doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6")
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
 def drill_sideways(
     reader: IndexReader,
     field: str,

@@ -1,0 +1,171 @@
+"""Intervals algebra vs a brute-force minimal-interval reference.
+
+The reference enumerates EVERY valid combination interval and reduces
+to the minimal set by the generic definition (no other interval nested
+inside) — the IntervalIterator contract of
+queries/intervals/IntervalsSource. The engine's vectorized left-anchored
+construction must produce exactly that set on every doc.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_spark.search import query as Q
+
+
+# --------------------------------------------------------------------------
+# brute-force reference (per doc, positions per term)
+# --------------------------------------------------------------------------
+
+
+def _ref_eval(src, pos: dict[str, list[int]]):
+    """-> set of (start, end) minimal intervals for one doc."""
+    if isinstance(src, Q.ITerm):
+        return {(p, p) for p in pos.get(src.term, [])}
+    if isinstance(src, (Q.IOrdered, Q.IUnordered)):
+        subs = [_ref_eval(c, pos) for c in src.sources]
+        if any(not s for s in subs):
+            return set()
+        cands = set()
+        import itertools
+
+        for combo in itertools.product(*subs):
+            if isinstance(src, Q.IOrdered):
+                ok = all(
+                    combo[i + 1][0] > combo[i][1] for i in range(len(combo) - 1)
+                )
+                if not ok:
+                    continue
+                s, e = combo[0][0], combo[-1][1]
+            else:
+                s = min(c[0] for c in combo)
+                e = max(c[1] for c in combo)
+            cands.add((s, e))
+        out = _minimal(cands)
+        if src.max_width >= 0:
+            out = {(s, e) for s, e in out if e - s + 1 <= src.max_width}
+        if src.max_gaps >= 0:
+            n = len(src.sources)
+            out = {(s, e) for s, e in out if (e - s + 1) - n <= src.max_gaps}
+        return out
+    if isinstance(src, Q.IContainedBy):
+        small = _ref_eval(src.small, pos)
+        big = _ref_eval(src.big, pos)
+        return {
+            (ss, se)
+            for ss, se in small
+            if any(bs <= ss and se <= be for bs, be in big)
+        }
+    if isinstance(src, Q.IContaining):
+        small = _ref_eval(src.small, pos)
+        big = _ref_eval(src.big, pos)
+        return {
+            (bs, be)
+            for bs, be in big
+            if any(bs <= ss and se <= be for ss, se in small)
+        }
+    raise TypeError(src)
+
+
+def _minimal(cands: set) -> set:
+    return {
+        (s, e)
+        for s, e in cands
+        if not any(
+            (s2, e2) != (s, e) and s <= s2 and e2 <= e for s2, e2 in cands
+        )
+    }
+
+
+def _ref_match(src, toks: list[str]) -> bool:
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        pos.setdefault(t, []).append(i)
+    return bool(_ref_eval(src, pos))
+
+
+# --------------------------------------------------------------------------
+# random corpus
+# --------------------------------------------------------------------------
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@pytest.fixture(scope="module")
+def interval_index(spark, tmp_path_factory):
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    rng = np.random.default_rng(7)
+    docs = [
+        " ".join(rng.choice(VOCAB, size=rng.integers(4, 40)))
+        for _ in range(120)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    path = str(tmp_path_factory.mktemp("iv") / "idx")
+    cfg = IndexConfig(
+        field="text", content_col="text", analyzer="simple",
+        doc_id_col="doc_id", docs_per_segment=40,
+    )
+    build_index(spark, spark.createDataFrame(pdf), path, cfg)
+    return IndexReader(spark, path), docs
+
+
+SOURCES = [
+    Q.IOrdered((Q.ITerm("aa"), Q.ITerm("bb")), max_gaps=2),
+    Q.IOrdered((Q.ITerm("aa"), Q.ITerm("bb"), Q.ITerm("cc")), max_gaps=3),
+    Q.IOrdered((Q.ITerm("bb"), Q.ITerm("aa"), Q.ITerm("dd")), max_width=8),
+    Q.IUnordered((Q.ITerm("aa"), Q.ITerm("cc")), max_width=4),
+    Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb"), Q.ITerm("dd")), max_width=7),
+    Q.IContainedBy(
+        Q.ITerm("cc"), Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=6)
+    ),
+    Q.IContaining(
+        Q.IUnordered((Q.ITerm("aa"), Q.ITerm("dd")), max_width=9), Q.ITerm("ee")
+    ),
+    Q.IOrdered(
+        (Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=4), Q.ITerm("cc")),
+        max_width=10,
+    ),
+]
+
+
+@pytest.mark.parametrize("si", range(len(SOURCES)))
+def test_intervals_match_reference(interval_index, si):
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, docs = interval_index
+    src = SOURCES[si]
+    top = IndexSearcher(reader).search(
+        Q.IntervalQuery("text", src), k=1000, prune=False
+    )
+    got = sorted(h.doc_id for h in top.hits)
+    want = [d for d, txt in enumerate(docs) if _ref_match(src, txt.split())]
+    assert got == want, f"source {si}: {got} vs {want}"
+
+
+def test_intervals_sqlpath_matches_exact32(interval_index):
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, _docs = interval_index
+    src = SOURCES[1]
+    df = sp.intervals_match_topk(reader, "text", src, k=1000)
+    got = [r["doc_id"] for r in df.collect()]
+    top = IndexSearcher(reader).search(
+        Q.IntervalQuery("text", src), k=1000, prune=False
+    )
+    assert got == sorted(h.doc_id for h in top.hits)
+
+
+def test_intervals_missing_term_is_empty(interval_index):
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, _docs = interval_index
+    src = Q.IOrdered((Q.ITerm("aa"), Q.ITerm("zzzz")), max_gaps=5)
+    top = IndexSearcher(reader).search(Q.IntervalQuery("text", src), k=10)
+    assert top.total_hits == 0
