@@ -6,3 +6,19 @@ from lucene_spark.analysis.analyzer import (  # noqa: F401
     WhitespaceAnalyzer,
     get_analyzer,
 )
+from lucene_spark.analysis.filters import (  # noqa: F401  (registers the
+    ASCIIFoldingFilter,  # composite analyzers as an import side effect)
+    EdgeNGramFilter,
+    EnglishMinimalStemFilter,
+    FilteredAnalyzer,
+    PorterStemFilter,
+    ShingleFilter,
+    StopFilter,
+    SynonymCanonicalFilter,
+    TokenFilter,
+    ascii_fold,
+    english_minimal_stem,
+    english_minimal_stem_sql,
+    porter_stem,
+    register_analyzer,
+)

@@ -1,0 +1,409 @@
+"""Token filters — the analysis/common zoo essentials, composable on
+the batch-vectorized Analyzer chain (SURVEY.md §2.2).
+
+Every filter here is ONE-TO-ONE per token (stemming, folding, synonym
+canonicalization, stop removal) or emits a fresh stream (shingles,
+edge n-grams), so position semantics stay exact: one-to-one filters
+preserve the token-list index that segment.py turns into positions;
+stream-rewriting filters are meant for their own field (the Lucene
+pattern of analyzer-per-field).
+
+Reference semantics:
+- PorterStemFilter: analysis/common/src/java/org/apache/lucene/analysis/
+  en/PorterStemFilter.java + PorterStemmer.java — the official Porter
+  algorithm including the published departures (bli->ble, logi->log).
+- EnglishMinimalStemFilter: en/EnglishMinimalStemFilter.java
+  (Harman's S-stemmer) — also exactly expressible in ANSI SQL, so it
+  carries the driver's stemmed-index correctness gate.
+- ASCIIFoldingFilter: miscellaneous/ASCIIFoldingFilter.java — here via
+  NFKD decomposition + combining-mark strip + an explicit table for the
+  non-decomposable Latin supplements the reference folds by switch.
+- SynonymGraphFilter: synonym/SynonymGraphFilter.java — single-token
+  canonicalization form (map every synonym to its group's canonical
+  term at index AND query time; the multi-token graph-insertion form is
+  replaced by query-time SynonymQuery expansion, SURVEY §2.4).
+- StopFilter: core StopFilter (positions of survivors keep their
+  original slots? — Lucene increments position gaps; here survivors
+  re-pack, a documented deviation acceptable because StopFilter defaults
+  to OFF, as in StandardAnalyzer).
+- ShingleFilter: shingle/ShingleFilter.java word-ngram emission.
+- EdgeNGramTokenFilter: ngram/EdgeNGramTokenFilter.java (completion /
+  suggest prefix surface).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from lucene_spark.analysis.analyzer import (
+    Analyzer,
+    SimpleAnalyzer,
+    StandardAnalyzer,
+    _REGISTRY,
+)
+
+
+class TokenFilter:
+    """list[str] -> list[str] per document (batch loop lives in the
+    analyzer; filters are pure token-list transforms)."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        raise NotImplementedError
+
+
+class FilteredAnalyzer(Analyzer):
+    """Tokenizer + filter chain — the Analyzer.TokenStreamComponents
+    composition (Analyzer.java createComponents)."""
+
+    def __init__(self, base: Analyzer, filters: list[TokenFilter], name: str):
+        self.base = base
+        self.filters = list(filters)
+        self.name = name
+
+    def tokenize_one(self, text: str) -> list[str]:
+        toks = self.base.tokenize_one(text)
+        for f in self.filters:
+            toks = f.apply(toks)
+        return toks
+
+
+# --------------------------------------------------------------------------
+# Porter stemmer (PorterStemmer.java contract: official algorithm with
+# the published departures)
+# --------------------------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V] over the given stem."""
+    m = 0
+    i = 0
+    n = len(w)
+    while i < n and _is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(w, i):
+            i += 1
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _ends_cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    if not (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)):
+        return False
+    return w[-1] not in "wxy"
+
+
+def _replace_if(w: str, rules: list[tuple[str, str]], min_m: int) -> str:
+    """First suffix in `rules` that matches decides; replace when the
+    remaining stem has measure > min_m (the step-2/3/4 pattern)."""
+    for suf, rep in rules:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > min_m:
+                return stem + rep
+            return w
+    return w
+
+
+def porter_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w = w + "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2 (departures: bli->ble instead of abli->able; logi->log)
+    w = _replace_if(
+        w,
+        [
+            ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+            ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
+            ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+            ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+            ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+            ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+            ("iviti", "ive"), ("biliti", "ble"), ("logi", "log"),
+        ],
+        0,
+    )
+    # step 3
+    w = _replace_if(
+        w,
+        [
+            ("icate", "ic"), ("ative", ""), ("alize", "al"),
+            ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+        ],
+        0,
+    )
+    # step 4 (ion only after s/t)
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+        "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+class PorterStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [porter_stem(t) for t in tokens]
+
+
+# --------------------------------------------------------------------------
+# EnglishMinimalStemFilter (Harman S-stemmer; SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer.java: plural-only stemming.
+    s-suffix removal except -us/-ss; -ies -> -y (not after a/e);
+    -Ves kept when V in {i,a,o,e} and the ies-rule did not apply."""
+    if len(w) < 3 or not w.endswith("s"):
+        return w
+    p = w[-2]
+    if p in ("u", "s"):
+        return w
+    if p == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]
+
+
+def english_minimal_stem_sql(col: str) -> str:
+    """The same mapping as ANSI SQL (drives the DuckDB gate oracle)."""
+    return f"""CASE
+  WHEN length({col}) < 3 OR {col} NOT LIKE '%s' THEN {col}
+  WHEN substr({col}, -2, 1) IN ('u', 's') THEN {col}
+  WHEN substr({col}, -2, 1) = 'e' AND length({col}) > 3
+       AND substr({col}, -3, 1) = 'i'
+       AND substr({col}, -4, 1) NOT IN ('a', 'e')
+    THEN substr({col}, 1, length({col}) - 3) || 'y'
+  WHEN substr({col}, -2, 1) = 'e'
+       AND substr({col}, -3, 1) IN ('i', 'a', 'o', 'e') THEN {col}
+  ELSE substr({col}, 1, length({col}) - 1)
+END"""
+
+
+class EnglishMinimalStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [english_minimal_stem(t) for t in tokens]
+
+
+# --------------------------------------------------------------------------
+# ASCII folding
+# --------------------------------------------------------------------------
+
+_FOLD_TABLE = str.maketrans(
+    {
+        "ß": "ss", "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O",
+        "œ": "oe", "Œ": "OE", "þ": "th", "Þ": "TH", "ð": "d",
+        "Ð": "D", "đ": "d", "Đ": "D", "ł": "l", "Ł": "L",
+        "ħ": "h", "Ħ": "H", "ı": "i", "ĸ": "q", "ŋ": "n", "Ŋ": "N",
+        "ŧ": "t", "Ŧ": "T", "ƒ": "f",
+    }
+)
+
+
+def ascii_fold(text: str) -> str:
+    """ASCIIFoldingFilter mapping: NFKD-decompose, drop combining
+    marks, apply the explicit table for non-decomposable Latin letters;
+    characters with no ASCII equivalent pass through unchanged (the
+    reference's default for unmapped blocks)."""
+    out = []
+    for ch in text.translate(_FOLD_TABLE):
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        dec = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in dec if not unicodedata.combining(c))
+        out.append(kept if kept and all(ord(c) < 128 for c in kept) else ch)
+    return "".join(out)
+
+
+class ASCIIFoldingFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [ascii_fold(t) for t in tokens]
+
+
+# --------------------------------------------------------------------------
+# synonyms (canonicalization form) + stop
+# --------------------------------------------------------------------------
+
+
+class SynonymCanonicalFilter(TokenFilter):
+    """Map every member of a synonym group to the group's canonical
+    term. Applying the same filter at index and query time gives
+    SynonymGraphFilter's single-token semantics without graph
+    positions; multi-token rules are out of scope (query-time
+    SynonymQuery covers the scoring side)."""
+
+    def __init__(self, groups: list[list[str]]):
+        self.mapping = {}
+        for group in groups:
+            canon = group[0]
+            for t in group:
+                self.mapping[t] = canon
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        m = self.mapping
+        return [m.get(t, t) for t in tokens]
+
+
+class StopFilter(TokenFilter):
+    def __init__(self, stopwords: frozenset[str]):
+        self.stopwords = frozenset(stopwords)
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        sw = self.stopwords
+        return [t for t in tokens if t not in sw]
+
+
+# --------------------------------------------------------------------------
+# stream-rewriting filters (use in their own field)
+# --------------------------------------------------------------------------
+
+
+class ShingleFilter(TokenFilter):
+    """Word n-grams (shingle/ShingleFilter.java): contiguous token
+    windows of size min_size..max_size joined by `sep`. Unigrams kept
+    when output_unigrams (the reference default)."""
+
+    def __init__(self, min_size: int = 2, max_size: int = 2,
+                 sep: str = " ", output_unigrams: bool = True):
+        if min_size < 2 or max_size < min_size:
+            raise ValueError("need 2 <= min_size <= max_size")
+        self.min_size = min_size
+        self.max_size = max_size
+        self.sep = sep
+        self.output_unigrams = output_unigrams
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = list(tokens) if self.output_unigrams else []
+        for n in range(self.min_size, self.max_size + 1):
+            out.extend(
+                self.sep.join(tokens[i : i + n])
+                for i in range(len(tokens) - n + 1)
+            )
+        return out
+
+
+class EdgeNGramFilter(TokenFilter):
+    """Leading-edge n-grams (ngram/EdgeNGramTokenFilter.java),
+    preserve_original per the keepShortTerm flag."""
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 5,
+                 preserve_original: bool = True):
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in tokens:
+            hi = min(len(t), self.max_gram)
+            out.extend(t[:n] for n in range(self.min_gram, hi + 1))
+            if self.preserve_original and len(t) > self.max_gram:
+                out.append(t)
+        return out
+
+
+# --------------------------------------------------------------------------
+# registry wiring (SPI: named composite analyzers + custom registration)
+# --------------------------------------------------------------------------
+
+
+def register_analyzer(name: str, factory) -> None:
+    """Custom-analyzer extension point (§2.10): factory() -> Analyzer."""
+    _REGISTRY[name] = factory
+
+
+register_analyzer(
+    "english",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [PorterStemFilter()], "english"),
+)
+register_analyzer(
+    "simple_porter",
+    lambda: FilteredAnalyzer(SimpleAnalyzer(), [PorterStemFilter()], "simple_porter"),
+)
+register_analyzer(
+    "simple_en_min",
+    lambda: FilteredAnalyzer(
+        SimpleAnalyzer(), [EnglishMinimalStemFilter()], "simple_en_min"
+    ),
+)
+register_analyzer(
+    "folding",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [ASCIIFoldingFilter()], "folding"),
+)

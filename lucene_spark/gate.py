@@ -104,6 +104,46 @@ def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_STEM_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text with the simple_porter analyzer
+    (SimpleAnalyzer -> PorterStemFilter) — the analysis-zoo gate index.
+    The oracle stays non-circular: Porter maps the gate's query terms'
+    preimages exactly (table->tabl, query->queri; pytest-golden
+    algorithm coverage in tests/test_filters.py), so the DuckDB side
+    scores the UNSTEMMED corpus for the preimage terms."""
+    key = os.path.abspath(sf_dir)
+    if key in _STEM_READERS:
+        return _STEM_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_stemidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n and m.get("analyzer") == "simple_porter"
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple_porter",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _STEM_READERS[key] = r
+    return r
+
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB) — must mirror sqlpath.py formulas exactly
 # ---------------------------------------------------------------------------
@@ -703,6 +743,12 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, "fast", "table", window=3, ordered=True
         )
 
+    def q_stemmed_term(spark, sf):
+        # analysis zoo: Porter-stemmed index (simple_porter); query
+        # pre-stemmed terms — the en/PorterStemFilter.java role
+        r = ensure_stem_index(spark, sf)
+        return sp.bool_bm25_topk(r, FIELD, must=["tabl"], should=["queri"])
+
     def q_intervals(spark, sf):
         # intervals algebra (queries/intervals/Intervals.java subset):
         # n-term ordered with max_gaps, unordered with max_width, and
@@ -806,6 +852,7 @@ def gate_queries() -> dict[str, object]:
         "q_multi_phrase": q_multi_phrase,
         "q_near": q_near,
         "q_intervals": q_intervals,
+        "q_stemmed_term": q_stemmed_term,
         "q_suggest": q_suggest,
         "q_mlt": q_mlt,
         "q_common_terms": q_common_terms,
@@ -1010,6 +1057,10 @@ GROUP BY d.lang ORDER BY grp LIMIT 50""",
         "q_multi_phrase": _sql_multi_phrase(["fast", "slow"], "table"),
         "q_near": _sql_near("fast", "table", 3),
         "q_intervals": _sql_intervals(),
+        # Porter maps table->tabl, query->queri and nothing else in the
+        # corpus vocabulary stems onto those terms, so scoring the
+        # unstemmed corpus for the preimages is value-identical
+        "q_stemmed_term": _sql_bool(must=["table"], should=["query"]),
         "q_suggest": f"""WITH {_TOKS},
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, levenshtein(term, 'spork') AS distance, doc_freq

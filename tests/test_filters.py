@@ -1,0 +1,160 @@
+"""Analysis-zoo filter tests: Porter golden pairs (from the published
+algorithm's worked examples), minimal-stemmer rules, ASCII folding,
+synonyms, shingles, edge n-grams, and chain composition."""
+
+import pytest
+
+from lucene_spark.analysis import (
+    ASCIIFoldingFilter,
+    EdgeNGramFilter,
+    EnglishMinimalStemFilter,
+    FilteredAnalyzer,
+    PorterStemFilter,
+    ShingleFilter,
+    SimpleAnalyzer,
+    StopFilter,
+    SynonymCanonicalFilter,
+    ascii_fold,
+    english_minimal_stem,
+    get_analyzer,
+    porter_stem,
+)
+
+# worked examples from the algorithm definition (Porter 1980, steps
+# 1-5) plus departure cases — the PorterStemmer.java contract
+PORTER_GOLDEN = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("digitizer", "digit"),
+    ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("callousness", "callous"), ("formality", "formal"),
+    ("sensitivity", "sensit"),
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"),
+    # full-pipeline outputs: step 3 gives electric, step 4 strips -ic
+    # at m>1 (the paper lists electrical->electric as a step-3-only
+    # illustration)
+    ("electricity", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"),
+    ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"),
+    ("inference", "infer"), ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"),
+    ("replacement", "replac"), ("adjustment", "adjust"),
+    ("dependent", "depend"), ("adoption", "adopt"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("effective", "effect"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controlled", "control"), ("rolled", "roll"),
+    # departures (official C version): bli->ble, logi->log
+    ("conformably", "conform"), ("analogical", "analog"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PORTER_GOLDEN)
+def test_porter_golden(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_porter_short_words_untouched():
+    for w in ["a", "is", "be", "at"]:
+        assert porter_stem(w) == w
+
+
+def test_minimal_stem_rules():
+    assert english_minimal_stem("tables") == "table"
+    assert english_minimal_stem("queries") == "query"
+    assert english_minimal_stem("bus") == "bus"
+    assert english_minimal_stem("pass") == "pass"
+    assert english_minimal_stem("goes") == "goes"  # -oes kept
+    assert english_minimal_stem("sees") == "sees"  # -ees kept
+    assert english_minimal_stem("dies") == "dy"  # -ies rule fires (d not a/e)
+    assert english_minimal_stem("windows") == "window"
+    assert english_minimal_stem("is") == "is"
+
+
+def test_minimal_stem_matches_sql():
+    """The python filter and its SQL rendering must agree token-for-
+    token (this equality is what makes the stemmed gate oracle-able)."""
+    import duckdb
+
+    from lucene_spark.analysis.filters import english_minimal_stem_sql
+
+    words = [
+        "tables", "queries", "cats", "bus", "pass", "is", "dies",
+        "goes", "sees", "pies", "windows", "focus", "scans", "merges",
+        "sorts", "joins", "filters", "values", "hashes", "lines",
+        "keys", "streams", "batches", "was", "its", "this", "ss",
+        "aes", "ies", "us", "s", "queried", "query",
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    got = con.execute(
+        f"SELECT {english_minimal_stem_sql('w')} FROM (VALUES {vals}) t(w)"
+    ).fetchall()
+    assert [g[0] for g in got] == [english_minimal_stem(w) for w in words]
+
+
+def test_ascii_folding():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("Ångström") == "Angstrom"
+    assert ascii_fold("señor") == "senor"
+    assert ascii_fold("Mötörhead") == "Motorhead"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("Łódź") == "Lodz"
+    assert ascii_fold("smørrebrød") == "smorrebrod"
+    assert ascii_fold("plain ascii 123") == "plain ascii 123"
+    # no ASCII equivalent -> unchanged (reference default)
+    assert ascii_fold("北京") == "北京"
+
+
+def test_synonym_canonical_and_stop():
+    syn = SynonymCanonicalFilter([["fast", "quick", "rapid"], ["big", "large"]])
+    assert syn.apply(["a", "quick", "rapid", "large", "dog"]) == [
+        "a", "fast", "fast", "big", "dog"
+    ]
+    stop = StopFilter(frozenset({"a", "the"}))
+    assert stop.apply(["a", "dog", "the", "cat"]) == ["dog", "cat"]
+
+
+def test_shingles_and_edge_ngrams():
+    sh = ShingleFilter(2, 3)
+    assert sh.apply(["a", "b", "c"]) == [
+        "a", "b", "c", "a b", "b c", "a b c"
+    ]
+    eg = EdgeNGramFilter(2, 4)
+    assert eg.apply(["spark"]) == ["sp", "spa", "spar", "spark"]
+    assert eg.apply(["go"]) == ["go"]
+
+
+def test_registry_composites():
+    en = get_analyzer("english")
+    assert en.tokenize_one("The Troubled controlled Plastering") == [
+        "the", "troubl", "control", "plaster"
+    ]
+    mi = get_analyzer("simple_en_min")
+    assert mi.tokenize_one("Tables and queries") == ["table", "and", "query"]
+    fo = get_analyzer("folding")
+    assert fo.tokenize_one("Café naïve") == ["cafe", "naive"]
+
+
+def test_filtered_analyzer_chain_order():
+    an = FilteredAnalyzer(
+        SimpleAnalyzer(),
+        [SynonymCanonicalFilter([["fast", "quick"]]), PorterStemFilter()],
+        "chain",
+    )
+    # synonym first (quick -> fast), then stem (fast -> fast)
+    assert an.tokenize_one("Quick tables") == ["fast", "tabl"]
