@@ -645,7 +645,15 @@ def gate_queries() -> dict[str, object]:
         return dd.simhash_pairs(_docs(spark, sf), max_hamming=6)
 
     def q_dedup_embcos(spark, sf):
-        return dd.embedding_near_dups(_emb(spark, sf), threshold=0.4)
+        # the SCALE path gates: multi-table LSH candidates -> exact
+        # verify (all-pairs variant stays as the library baseline)
+        return dd.embedding_near_dups_lsh(
+            _emb(spark, sf), threshold=0.4, n_planes=4, n_tables=6
+        )
+
+    def q_ann_recall(spark, sf):
+        # LSH recall@10 vs brute force — the HNSW-quality evidence slot
+        return sim.ann_recall(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
@@ -742,6 +750,21 @@ def gate_queries() -> dict[str, object]:
         return sp.near_match_topk(
             r, FIELD, "fast", "table", window=3, ordered=True
         )
+
+    def q_facet_hier(spark, sf):
+        # hierarchical taxonomy facets: source/lang two-level dim
+        r = ensure_index(spark, sf)
+        return sp.taxonomy_facet_counts(r, FIELD, T_MID, ["source", "lang"], k=50)
+
+    def q_facet_assoc(spark, sf):
+        # sum/max int associations per category (n_chars under lang)
+        r = ensure_index(spark, sf)
+        return sp.facet_associations(r, FIELD, T_MID, "lang", "n_chars")
+
+    def q_facet_sampled(spark, sf):
+        # sampled facet counts (deterministic doc_id % 4 subsample)
+        r = ensure_index(spark, sf)
+        return sp.sampled_facet_counts(r, FIELD, T_MID, "lang", sample_mod=4)
 
     def q_stemmed_term(spark, sf):
         # analysis zoo: Porter-stemmed index (simple_porter); query
@@ -853,6 +876,9 @@ def gate_queries() -> dict[str, object]:
         "q_near": q_near,
         "q_intervals": q_intervals,
         "q_stemmed_term": q_stemmed_term,
+        "q_facet_hier": q_facet_hier,
+        "q_facet_assoc": q_facet_assoc,
+        "q_facet_sampled": q_facet_sampled,
         "q_suggest": q_suggest,
         "q_mlt": q_mlt,
         "q_common_terms": q_common_terms,
@@ -883,6 +909,7 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_embcos": q_dedup_embcos,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_recall": q_ann_recall,
         "q_term_bm25": q_term_bm25,
         "q_bool_and": q_bool_and,
         "q_bool_or": q_bool_or,
@@ -1061,6 +1088,29 @@ GROUP BY d.lang ORDER BY grp LIMIT 50""",
         # corpus vocabulary stems onto those terms, so scoring the
         # unstemmed corpus for the preimages is value-identical
         "q_stemmed_term": _sql_bool(must=["table"], should=["query"]),
+        "q_facet_hier": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+md AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id)
+SELECT path, cnt FROM (
+  SELECT source AS path, count(*) AS cnt FROM md GROUP BY source
+  UNION ALL
+  SELECT source || '/' || lang AS path, count(*) AS cnt
+  FROM md GROUP BY source, lang
+) ORDER BY path LIMIT 50""",
+        "q_facet_assoc": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang AS category,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_assoc,
+       CAST(MAX(d.n_chars) AS BIGINT) AS max_assoc
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY category LIMIT 20""",
+        "q_facet_sampled": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang AS category, count(*) AS sampled_cnt,
+       CAST(count(*) * 4 AS BIGINT) AS scaled_cnt
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+WHERE d.doc_id % 4 = 0
+GROUP BY d.lang ORDER BY category LIMIT 20""",
         "q_suggest": f"""WITH {_TOKS},
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, levenshtein(term, 'spork') AS distance, doc_freq
@@ -1111,9 +1161,12 @@ ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
         "q_dedup_ngram": dd.ngram_jaccard_sql(n=3, threshold=0.15),
         "q_dedup_minhash": dd.minhash_lsh_sql(threshold=0.1),
         "q_dedup_simhash": dd.simhash_pairs_sql(max_hamming=6),
-        "q_dedup_embcos": dd.embedding_near_dups_sql(threshold=0.4),
+        "q_dedup_embcos": dd.embedding_near_dups_lsh_sql(
+            threshold=0.4, n_planes=4, n_tables=6
+        ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
         "q_ann_lsh": sim.ann_lsh_topk_sql(query_id=0, k=10, n_planes=6),
+        "q_ann_recall": sim.ann_recall_sql(query_id=0, k=10, n_planes=6),
         "q_term_bm25": _sql_bool(must=[T_MID]),
         "q_bool_and": _sql_bool(must=[T_HOT, T_MID]),
         "q_bool_or": _sql_bool(should=[T_HOT, T_MID, T_RARE]),

@@ -473,6 +473,117 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    k: int = 200,
+) -> DataFrame:
+    """Scale-path embedding near-dup: multi-table random-hyperplane LSH
+    candidates -> exact cosine verification. Same output contract as
+    embedding_near_dups (a, b, cos_x1e6 with cos >= threshold), but
+    candidate generation is a bucket equi-join on (table, bucket) —
+    pairs per reducer bounded by bucket occupancy, never all-pairs.
+    Deterministic md5-integer planes, so the identical candidate set is
+    computable in the SQL oracle (both engines agree exactly; recall of
+    the table bank is evidenced separately by q_ann_recall)."""
+    from lucene_spark.pipeline.similarity import lsh_table_buckets
+
+    buckets = lsh_table_buckets(emb, n_planes, n_tables)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    ca = comp.select(F.col("vec_id").alias("a"), "pos", F.col("v").alias("va"))
+    cb = comp.select(F.col("vec_id").alias("b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        cand.join(ca, "a")
+        .join(cb, ["b", "pos"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("b"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return (
+        out.select(
+            "a", "b", F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6")
+        )
+        .orderBy("a", "b")
+        .limit(k)
+    )
+
+
+def embedding_near_dups_lsh_sql(
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    k: int = 200,
+) -> str:
+    from lucene_spark.pipeline.similarity import _PLANE_MOD, _PLANE_OFF
+
+    total = n_planes * n_tables
+    return f"""WITH comp AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+planes AS (
+  SELECT p, pos,
+    CAST((CAST(('0x'||substr(md5(CAST(p AS VARCHAR)||'_'||CAST(pos AS VARCHAR)),1,8))
+      AS BIGINT) % {_PLANE_MOD}) - {_PLANE_OFF} AS DOUBLE) AS w
+  FROM (SELECT unnest(generate_series(0, {total - 1})) AS p),
+       (SELECT unnest(generate_series(0,
+          (SELECT len(embedding) FROM embeddings LIMIT 1) - 1)) AS pos)
+),
+pdots AS (
+  SELECT c.vec_id, pl.p, SUM(c.v * pl.w) AS dot
+  FROM comp c JOIN planes pl USING (pos)
+  GROUP BY c.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, CAST(p // {n_planes} AS INT) AS t,
+    CAST(SUM(CASE WHEN dot > 0 THEN 1 << (p % {n_planes}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT cd.a, cd.b, SUM(x.v * y.v) AS dot
+  FROM cand cd JOIN comp x ON x.vec_id = cd.a
+       JOIN comp y ON y.vec_id = cd.b AND y.pos = x.pos
+  GROUP BY cd.a, cd.b
+)
+SELECT d.a, d.b, CAST(ROUND(d.dot/(na.nrm*nb.nrm)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+WHERE d.dot/(na.nrm*nb.nrm) >= {threshold}
+ORDER BY d.a, d.b LIMIT {k}"""
+
+
 def embedding_near_dups_sql(threshold: float = 0.9, k: int = 200) -> str:
     return f"""WITH comp AS (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,

@@ -144,6 +144,55 @@ def ann_lsh_topk(
     )
 
 
+def lsh_table_buckets(
+    emb: DataFrame, n_planes: int = 4, n_tables: int = 6
+) -> DataFrame:
+    """-> (vec_id, t, bucket): one sign-bucket per hash TABLE (the
+    multi-table LSH layout; table t uses planes [t*n_planes,
+    (t+1)*n_planes)). All n_planes*n_tables plane dots come from ONE
+    broadcast join + ONE groupBy — map-side combined, single shuffle."""
+    spark = emb.sparkSession
+    dims = len(emb.select("embedding").head()[0])
+    planes = _planes_df(spark, n_planes * n_tables, dims)
+    comp = emb.select("vec_id", F.posexplode(_emb_double()).alias("pos", "v"))
+    dots = (
+        comp.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+    bucket = F.sum(
+        F.when(
+            F.col("dot") > 0,
+            F.expr(f"shiftleft(1L, CAST(p % {n_planes} AS INT))"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        dots.withColumn("t", (F.col("p") / n_planes).cast("int"))
+        .groupBy("vec_id", "t")
+        .agg(bucket.cast("long").alias("bucket"))
+    )
+
+
+def ann_recall(
+    emb: DataFrame, query_id: int = 0, k: int = 10, n_planes: int = 6
+) -> DataFrame:
+    """Recall@k of the LSH path against the exact brute-force top-k —
+    the quality evidence the reference gets from HnswGraphSearcher
+    recall tests. -> one row (recall_x1e6)."""
+    exact = cosine_topk(emb, query_id, k).select("vec_id")
+    approx = ann_lsh_topk(emb, query_id, k, n_planes).select("vec_id")
+    return exact.join(approx, "vec_id", "left_semi").agg(
+        F.round(F.count("*") * 1e6 / k).cast("long").alias("recall_x1e6")
+    )
+
+
+def ann_recall_sql(query_id: int = 0, k: int = 10, n_planes: int = 6) -> str:
+    return f"""WITH exact_k AS ({cosine_topk_sql(query_id, k)}),
+approx_k AS ({ann_lsh_topk_sql(query_id, k, n_planes)})
+SELECT CAST(ROUND(count(*) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+FROM exact_k JOIN approx_k USING (vec_id)"""
+
+
 def ann_lsh_topk_sql(query_id: int = 0, k: int = 10, n_planes: int = 8) -> str:
     return f"""WITH {_COMP_SQL},
 planes AS (

@@ -305,6 +305,91 @@ def facet_counts(
     )
 
 
+def taxonomy_facet_counts(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    dim_cols: list[str],
+    k: int = 50,
+) -> DataFrame:
+    """Hierarchical taxonomy facets (facet/taxonomy/
+    FastTaxonomyFacetCounts.java): the dim hierarchy is the column list
+    (e.g. [source, lang] = path source/lang), counts at EVERY level.
+
+    Spark shape: ONE rollup aggregation over the matched docs — a
+    single shuffle produces all levels (the taxonomy ordinal-counting
+    pass); paths render as '/'-joined prefixes. -> (path, cnt) ordered
+    by path."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    rolled = docs.rollup(*dim_cols).agg(F.count("*").alias("cnt"))
+    path = F.concat_ws("/", *[F.col(c) for c in dim_cols])
+    return (
+        rolled.filter(F.col(dim_cols[0]).isNotNull())  # drop the grand total
+        .select(path.alias("path"), "cnt")
+        .orderBy("path")
+        .limit(k)
+    )
+
+
+def facet_associations(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    facet_col: str,
+    value_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Facet associations (facet/taxonomy/
+    TaxonomyFacetIntAssociations.java, AssociationAggregationFunction
+    SUM/MAX): aggregate a per-doc integer association under each
+    category of the matched docs. -> (category, sum_assoc, max_assoc)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    return (
+        docs.groupBy(F.col(facet_col).alias("category"))
+        .agg(
+            F.sum(value_col).cast("long").alias("sum_assoc"),
+            F.max(value_col).cast("long").alias("max_assoc"),
+        )
+        .orderBy("category")
+        .limit(k)
+    )
+
+
+def sampled_facet_counts(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    facet_col: str,
+    sample_mod: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Sampled facet counting (facet/RandomSamplingFacetsCollector.java
+    role): count facets over a deterministic 1/sample_mod subsample of
+    the matched docs and amortize (scale) the counts back up — the
+    collector's sampled-then-corrected contract. Sampling here is
+    doc_id % sample_mod == 0 (deterministic, partition-local, and
+    exactly reproducible by the SQL oracle) rather than the reference's
+    seeded XORShift; the statistical contract is the same.
+    -> (category, sampled_cnt, scaled_cnt)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi").filter(
+        F.col("doc_id") % sample_mod == 0
+    )
+    return (
+        docs.groupBy(F.col(facet_col).alias("category"))
+        .agg(F.count("*").alias("sampled_cnt"))
+        .select(
+            "category",
+            "sampled_cnt",
+            (F.col("sampled_cnt") * sample_mod).cast("long").alias("scaled_cnt"),
+        )
+        .orderBy("category")
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # collector / ranking extensions: field sort, grouping, range facets,
 # RRF fusion, rescoring, feature scoring, match-all
