@@ -328,6 +328,74 @@ WHERE a.tok = '{term_a}' AND b.tok = '{term_b}' AND b.p - a.p BETWEEN 1 AND {win
 ORDER BY a.doc_id LIMIT {k}"""
 
 
+def _sql_sloppy_phrase(term_a: str, term_b: str, slop: int, k: int = 10) -> str:
+    """Oracle for the 2-term sloppy phrase: a recursive CTE replays the
+    greedy SloppyPhraseMatcher step-for-step — state (ia, ib, end,
+    float32 freq); each step pops the lagging list (ties pop list A, as
+    the kernel's (pos, term_index) heap does), catches it up to the
+    other's current position, and adds 1/(1+matchLength) in FLOAT
+    (float32) when matchLength <= slop. Positions of term_b are offset
+    by -1 (phrase slot adjustment). Scoring mirrors _sql_phrase."""
+    return f"""WITH RECURSIVE tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl
+),
+la_t AS (SELECT doc_id, list_sort(list(p)) AS la FROM pos WHERE tok = '{term_a}' GROUP BY doc_id),
+lb_t AS (SELECT doc_id, list_sort(list(p - 1)) AS lb FROM pos WHERE tok = '{term_b}' GROUP BY doc_id),
+both_t AS (SELECT la_t.doc_id, la, lb FROM la_t JOIN lb_t USING (doc_id)),
+sim AS (
+  SELECT doc_id, la, lb, 1 AS ia, 1 AS ib,
+         greatest(la[1], lb[1]) AS e, CAST(0 AS FLOAT) AS freq, false AS done
+  FROM both_t
+  UNION ALL
+  SELECT doc_id, la, lb,
+    CASE WHEN popa THEN ja + 1 ELSE ia END AS ia,
+    CASE WHEN popa THEN ib ELSE jb + 1 END AS ib,
+    CASE WHEN popa AND ja + 1 <= len(la) THEN greatest(e, la[ja + 1])
+         WHEN NOT popa AND jb + 1 <= len(lb) THEN greatest(e, lb[jb + 1])
+         ELSE e END AS e,
+    CAST(CASE WHEN ml <= {slop}
+         THEN freq + CAST(1 AS FLOAT) / CAST(1 + ml AS FLOAT)
+         ELSE freq END AS FLOAT) AS freq,
+    CASE WHEN popa THEN ja + 1 > len(la) ELSE jb + 1 > len(lb) END AS done
+  FROM (
+    SELECT doc_id, la, lb, ia, ib, e, freq,
+      (la[ia] <= lb[ib]) AS popa,
+      len(list_filter(la, x -> x <= lb[ib])) AS ja,
+      len(list_filter(lb, x -> x <= la[ia])) AS jb,
+      CASE WHEN la[ia] <= lb[ib]
+           THEN e - la[len(list_filter(la, x -> x <= lb[ib]))]
+           ELSE e - lb[len(list_filter(lb, x -> x <= la[ia]))] END AS ml
+    FROM sim WHERE NOT done
+  )
+),
+sloppy AS (SELECT doc_id, CAST(freq AS DOUBLE) AS freq FROM sim WHERE done AND freq > 0),
+{_TOKS},
+{_DL},
+{_sfranges()},
+{_DLQ},
+{_STATS},
+idfs AS (
+  SELECT SUM(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))) AS idf_sum
+  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok IN ('{term_a}', '{term_b}') GROUP BY tok) d
+  CROSS JOIN stats s
+)
+SELECT t.doc_id AS doc_id,
+  CAST(ROUND(i.idf_sum * t.freq /
+       (t.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM sloppy t JOIN dlq q ON t.doc_id = q.doc_id
+     CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT {k}"""
+
+
 def _sql_intervals() -> str:
     """Oracle for q_intervals. Positional CTE as in _sql_near; the
     `within` branch replicates minimal-interval construction exactly:
@@ -729,15 +797,19 @@ def gate_queries() -> dict[str, object]:
         return sp.grouped_distinct_values(r, FIELD, T_MID, "lang", "source")
 
     def q_highlight(spark, sf):
-        # best-passage highlighting over the top-10 of a term query:
-        # presentation op (pandas UDF), rows-only driver check; passage
-        # selection is unit-tested in tests/test_explain_highlight.py
+        # best-passage highlighting over the top-10 of a term query;
+        # value-compared on the deterministic passage identity
+        # (doc_id, n_hits, passage_start) — markup is presentation-only
         from lucene_spark.search.highlight import highlight
 
         r = ensure_index(spark, sf)
         top = sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=10)
         docs = _docs(spark, sf).join(top.select("doc_id"), "doc_id", "left_semi")
-        return highlight(docs, [T_HOT, T_MID]).orderBy("doc_id")
+        return (
+            highlight(docs, [T_HOT, T_MID])
+            .select("doc_id", "n_hits", "passage_start")
+            .orderBy("doc_id")
+        )
 
     def q_multi_phrase(spark, sf):
         r = ensure_index(spark, sf)
@@ -815,19 +887,11 @@ def gate_queries() -> dict[str, object]:
         )
 
     def q_phrase_sloppy(spark, sf):
-        # SloppyPhraseMatcher greedy (float32 sloppyFreq) is not
-        # SQL-expressible -> rows-only driver check; kernel values are
-        # verified in tests/test_sloppy_phrase.py
-        from lucene_spark.search.executor import IndexSearcher
-
+        # sql64 sloppy phrase: float32 sloppyFreq from the greedy
+        # kernel, float64 canonical scoring; the oracle replays the
+        # greedy in a recursive CTE (value-verified, no more rows-only)
         r = ensure_index(spark, sf)
-        top = IndexSearcher(r).search(
-            Q.PhraseQuery(FIELD, ("fast", "table"), slop=2), k=10
-        )
-        rows = [(h.doc_id, int(round(h.score * 1e6))) for h in top.hits]
-        return spark.createDataFrame(
-            rows or [], "doc_id long, score_x1e6 long"
-        )
+        return sp.sloppy_phrase_bm25_topk(r, FIELD, ["fast", "table"], slop=2)
 
     def q_window_tumbling(spark, sf):
         from lucene_spark.streaming.windows import tumbling_counts
@@ -850,9 +914,9 @@ def gate_queries() -> dict[str, object]:
         return media_meta(_docs(spark, sf))
 
     def q_media_decode(spark, sf):
-        # pandas-UDF byte-stat decode: not SQL-expressible (no blob
-        # iteration in ANSI SQL) -> rows-only driver check; full value
-        # coverage lives in tests/test_multimodal.py
+        # pandas-UDF byte-stat decode over mapInPandas; the payload is
+        # a deterministic md5-chain so the byte stats have an exact
+        # hex-splitting SQL oracle (multimodal.decode_media_sql)
         from lucene_spark.pipeline.multimodal import decode_media, synthesize_media
 
         return (
@@ -1149,10 +1213,38 @@ scored AS (
 SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
 FROM scored WHERE n_rare >= 1
 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
+        "q_phrase_sloppy": _sql_sloppy_phrase("fast", "table", 2),
+        "q_highlight": f"""WITH topd AS ({_sql_bool(should=[T_HOT, T_MID])}),
+tl AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM topd)
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl
+),
+hits AS (SELECT doc_id, p, tok FROM pos WHERE tok IN ('{T_HOT}', '{T_MID}')),
+wins AS (
+  SELECT a.doc_id, a.p AS s, count(DISTINCT h.tok) AS nd, count(*) AS nt
+  FROM pos a JOIN hits h
+    ON h.doc_id = a.doc_id AND h.p >= a.p AND h.p < a.p + 8
+  GROUP BY a.doc_id, a.p
+),
+best AS (
+  SELECT doc_id, s, nt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nd DESC, nt DESC, s ASC) AS rn
+  FROM wins
+)
+SELECT doc_id, CAST(nt AS INT) AS n_hits, CAST(s AS INT) AS passage_start
+FROM best WHERE rn = 1 ORDER BY doc_id""",
         "q_window_tumbling": sw.tumbling_counts_sql(),
         "q_window_sliding": sw.sliding_counts_sql(),
         "q_window_session": sw.session_counts_sql(),
         "q_media_meta": mm.media_meta_sql(),
+        "q_media_decode": mm.decode_media_sql(),
         "q_token_stats": ts.token_stats_sql(),
         "q_quality": ts.quality_scores_sql(),
         "q_lang_id": ts.lang_id_sql(),

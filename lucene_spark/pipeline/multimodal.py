@@ -100,6 +100,37 @@ SELECT media_id, kind, width, height,
 FROM m ORDER BY media_id LIMIT {k}"""
 
 
+def decode_media_sql(k: int = 200) -> str:
+    """Oracle for the fake-decode path: the synthesized payload is an
+    md5-chain hex string, so its byte statistics are pure SQL — split
+    the hex into 2-char bytes and aggregate. mean_byte_x1e6 uses
+    integer math (sum*1e6 // n) exactly like the pandas kernel."""
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+    substr(md5(text)||md5(text||'_1')||md5(text||'_2')||md5(text||'_3'),
+           1, 2*(n_chars % 25 + 40)) AS payload_hex
+  FROM documents
+),
+b AS (
+  SELECT media_id, kind,
+    unnest(generate_series(0, length(payload_hex)//2 - 1)) AS i,
+    payload_hex
+  FROM m
+),
+bytes AS (
+  SELECT media_id, kind,
+    CAST(('0x'||substr(payload_hex, 2*i + 1, 2)) AS INT) AS bv
+  FROM b
+)
+SELECT media_id, kind, CAST(count(*) AS INT) AS n_bytes,
+  CAST(SUM(bv) * 1000000 // count(*) AS BIGINT) AS mean_byte_x1e6,
+  CAST(MAX(bv) AS INT) AS max_byte,
+  CAST(SUM(bv) AS BIGINT) AS checksum
+FROM bytes GROUP BY media_id, kind
+ORDER BY media_id LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # pandas-UDF transforms (the real multimodal plumbing)
 # ---------------------------------------------------------------------------
@@ -134,14 +165,17 @@ def decode_media(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 a = np.frombuffer(payload, dtype=np.uint8)
+                s = int(a.astype(np.int64).sum())
                 out.append(
                     (
                         int(mid),
                         kind,
                         int(a.size),
-                        int(round(float(a.mean(dtype=np.float64)) * 1e6)),
+                        # integer mean (sum*1e6 // n): float-free, so
+                        # the SQL oracle reproduces it exactly
+                        s * 1_000_000 // int(a.size),
                         int(a.max()),
-                        int(a.astype(np.int64).sum()),
+                        s,
                     )
                 )
             yield pd.DataFrame(

@@ -1336,6 +1336,22 @@ def _make_phrase_freq_fn(terms: list[str]):
     return fn
 
 
+def _make_sloppy_phrase_freq_fn(terms: list[str], slop: int):
+    """Per-segment (doc_id, float32 sloppyFreq, norm_code) extractor for
+    the sql64 sloppy-phrase path."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        docs, freqs, norms = _sloppy_phrase_freqs(list(terms), slop, ctx)
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64),
+             "freq": freqs.astype(np.float32),
+             "norm_code": norms.astype(np.int32)}
+        )
+
+    return fn
+
+
 def _sum_f32(parts: list[np.ndarray]) -> np.ndarray:
     """Sum float32 clause scores in float64, cast to float32 (the
     DisjunctionSumScorer/ConjunctionScorer double-accumulate contract)."""

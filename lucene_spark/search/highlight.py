@@ -27,14 +27,16 @@ def best_passage(
     pre: str = "<b>",
     post: str = "</b>",
 ) -> tuple[str, int]:
-    """-> (highlighted snippet of <= window tokens, n term hits).
-    Token matching is lowercase (SimpleAnalyzer parity)."""
+    """-> (highlighted snippet of <= window tokens, n term hits,
+    1-based token index of the passage start). Token matching is
+    lowercase (SimpleAnalyzer parity); the (start, n_hits) pair is the
+    value-comparable passage identity the driver oracle checks."""
     spans = [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text)]
     if not spans:
-        return "", 0
+        return "", 0, 0
     hits = [i for i, (_s, _e, t) in enumerate(spans) if t in terms]
     if not hits:
-        return "", 0
+        return "", 0, 0
     best = (0, 0, 0)  # (n_distinct, n_total, -start) maximized
     best_start = 0
     n = len(spans)
@@ -64,7 +66,7 @@ def best_passage(
         if t in terms:
             out = out[: s - lo] + pre + out[s - lo : e - lo] + post + out[e - lo :]
     n_total = sum(1 for i in hits if start <= i < end)
-    return out, n_total
+    return out, n_total, start + 1
 
 
 def highlight(
@@ -75,18 +77,21 @@ def highlight(
     pre: str = "<b>",
     post: str = "</b>",
 ) -> DataFrame:
-    """-> (doc_id, snippet, n_hits) for docs with >= 1 hit."""
+    """-> (doc_id, snippet, n_hits, passage_start) for docs with >= 1
+    hit; passage_start is the 1-based token index of the best window."""
     tset = {t.lower() for t in terms}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf[content_col]):
-                snip, nh = best_passage(str(text), tset, window, pre, post)
+                snip, nh, ps = best_passage(str(text), tset, window, pre, post)
                 if nh:
-                    rows.append((int(did), snip, nh))
-            yield pd.DataFrame(rows, columns=["doc_id", "snippet", "n_hits"])
+                    rows.append((int(did), snip, nh, ps))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "snippet", "n_hits", "passage_start"]
+            )
 
     return docs.select("doc_id", content_col).mapInPandas(
-        run, schema="doc_id long, snippet string, n_hits int"
+        run, schema="doc_id long, snippet string, n_hits int, passage_start int"
     )

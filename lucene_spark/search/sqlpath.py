@@ -223,6 +223,51 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     )
 
 
+def sloppy_phrase_bm25_topk(
+    reader: IndexReader, field: str, terms: list[str], slop: int, k: int = 10
+) -> DataFrame:
+    """Sloppy-phrase BM25: float32 sloppyFreq from the greedy matcher
+    (SloppyPhraseMatcher.java semantics, executor._sloppy_phrase_freqs)
+    per segment, scored in float64 JVM expressions like the exact
+    phrase. The DuckDB oracle replays the SAME greedy step-for-step in
+    a recursive CTE (gate._sql_sloppy_phrase), so freqs — including
+    their float32 accumulation — are value-identical."""
+    from lucene_spark.search.executor import _make_sloppy_phrase_freq_fn
+
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, terms)
+    if len(st) < len(set(terms)):
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
+    )
+    freqs = rows.groupBy("segment_id").applyInPandas(
+        _make_sloppy_phrase_freq_fn(terms, slop),
+        schema="doc_id long, freq float, norm_code int",
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (coll.doc_count - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5))
+        for t in terms
+    )
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    dlq = _length_table_col(F.col("norm_code"))
+    f64 = F.col("freq").cast("double")
+    score = F.lit(idf_sum) * f64 / (
+        f64 + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / F.lit(avgdl))
+    )
+    return (
+        freqs.filter(F.col("freq") > 0)
+        .select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def synonym_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int = 10) -> DataFrame:
     """SynonymQuery semantics: freqs summed per doc, df blended to max."""
     ep = exploded_postings(reader, field, terms)

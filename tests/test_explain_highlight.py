@@ -77,17 +77,18 @@ def test_best_passage_picks_densest_window():
     from lucene_spark.search.highlight import best_passage
 
     text = "alpha beta gamma delta FOX epsilon fox zeta fox eta theta"
-    snip, n = best_passage(text, {"fox"}, window=4)
+    snip, n, start = best_passage(text, {"fox"}, window=4)
     # window containing two 'fox' tokens beats single-hit windows
     assert n >= 2
     assert snip.count("<b>") == n
     assert "<b>FOX</b>" in snip or "<b>fox</b>" in snip
+    assert start >= 1
 
 
 def test_best_passage_no_hit():
     from lucene_spark.search.highlight import best_passage
 
-    assert best_passage("nothing to see", {"fox"}, 5) == ("", 0)
+    assert best_passage("nothing to see", {"fox"}, 5) == ("", 0, 0)
 
 
 def test_highlight_dataframe(spark):

@@ -40,7 +40,7 @@ def test_decode_features_match_numpy(media):
         assert f["n_bytes"] == a.size
         assert f["max_byte"] == int(a.max())
         assert f["checksum"] == int(a.sum())
-        assert f["mean_byte_x1e6"] == int(round(float(a.mean()) * 1e6))
+        assert f["mean_byte_x1e6"] == int(a.astype("int64").sum()) * 1_000_000 // a.size
 
 
 def test_real_decode_path_is_stubbed(media):
