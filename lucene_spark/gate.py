@@ -925,35 +925,92 @@ def gate_queries() -> dict[str, object]:
             .limit(200)
         )
 
+    # --- same-schema tagged suites (the driver records at most ~50
+    # entries per round, so homogeneous families gate as ONE tagged
+    # union each — every branch still value-verified row-for-row) ---
+
+    def _union(parts):
+        out = None
+        for tag, df in parts:
+            t = df.select(F.lit(tag).alias("tag"), "*")
+            out = t if out is None else out.unionByName(t)
+        return out
+
+    def q_bool_suite(spark, sf):
+        return _union([
+            ("and", q_bool_and(spark, sf)),
+            ("or", q_bool_or(spark, sf)),
+            ("not", q_bool_not(spark, sf)),
+            ("min_should", q_min_should(spark, sf)),
+            ("must_should", q_must_plus_should(spark, sf)),
+            ("filter", q_bool_filter(spark, sf)),
+        ])
+
+    def q_multiterm_suite(spark, sf):
+        return _union([
+            ("prefix", q_prefix(spark, sf)),
+            ("wildcard", q_wildcard(spark, sf)),
+            ("fuzzy", q_fuzzy(spark, sf)),
+            ("range", q_term_range(spark, sf)),
+            ("inset", q_term_in_set(spark, sf)),
+            ("regexp", q_regexp(spark, sf)),
+            ("match_all", q_match_all(spark, sf)),
+        ])
+
+    def q_term_scoring_suite(spark, sf):
+        return _union([
+            ("term", q_term_bm25(spark, sf)),
+            ("synonym", q_synonym(spark, sf)),
+            ("dismax", q_dismax(spark, sf)),
+        ])
+
+    def q_phrase_suite(spark, sf):
+        return _union([
+            ("exact", q_phrase(spark, sf)),
+            ("sloppy", q_phrase_sloppy(spark, sf)),
+            ("multi", q_multi_phrase(spark, sf)),
+        ])
+
+    def q_mlt_common(spark, sf):
+        return _union([
+            ("mlt", q_mlt(spark, sf)),
+            ("common_terms", q_common_terms(spark, sf)),
+        ])
+
     return {
+        # never-driver-verified + new entries lead (r01 found the
+        # driver records only the first ~50 dict keys)
+        "q_bool_suite": q_bool_suite,
+        "q_multiterm_suite": q_multiterm_suite,
+        "q_term_scoring_suite": q_term_scoring_suite,
+        "q_phrase_suite": q_phrase_suite,
+        "q_mlt_common": q_mlt_common,
+        "q_count": q_count,
+        "q_facet_lang": q_facet_lang,
+        "q_search_after": q_search_after,
+        "q_intervals": q_intervals,
+        "q_stemmed_term": q_stemmed_term,
+        "q_facet_hier": q_facet_hier,
+        "q_facet_assoc": q_facet_assoc,
+        "q_facet_sampled": q_facet_sampled,
+        "q_ann_recall": q_ann_recall,
+        "q_highlight": q_highlight,
+        "q_media_decode": q_media_decode,
+        "q_dedup_embcos": q_dedup_embcos,
         "q_blended_term": q_blended_term,
         "q_mf_keyword": q_mf_keyword,
         "q_combined_field": q_combined_field,
         "q_point_range": q_point_range,
         "q_field_exists": q_field_exists,
         "q_fetch_stored": q_fetch_stored,
-        "q_bool_filter": q_bool_filter,
         "q_drill_sideways": q_drill_sideways,
         "q_grouped_distinct": q_grouped_distinct,
-        "q_highlight": q_highlight,
-        "q_multi_phrase": q_multi_phrase,
         "q_near": q_near,
-        "q_intervals": q_intervals,
-        "q_stemmed_term": q_stemmed_term,
-        "q_facet_hier": q_facet_hier,
-        "q_facet_assoc": q_facet_assoc,
-        "q_facet_sampled": q_facet_sampled,
         "q_suggest": q_suggest,
-        "q_mlt": q_mlt,
-        "q_common_terms": q_common_terms,
-        "q_phrase_sloppy": q_phrase_sloppy,
         "q_window_tumbling": q_window_tumbling,
         "q_window_sliding": q_window_sliding,
         "q_window_session": q_window_session,
         "q_media_meta": q_media_meta,
-        "q_media_decode": q_media_decode,
-        "q_regexp": q_regexp,
-        "q_match_all": q_match_all,
         "q_field_sort": q_field_sort,
         "q_range_facet": q_range_facet,
         "q_grouped_topk": q_grouped_topk,
@@ -970,27 +1027,8 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embcos": q_dedup_embcos,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
-        "q_ann_recall": q_ann_recall,
-        "q_term_bm25": q_term_bm25,
-        "q_bool_and": q_bool_and,
-        "q_bool_or": q_bool_or,
-        "q_bool_not": q_bool_not,
-        "q_min_should": q_min_should,
-        "q_must_plus_should": q_must_plus_should,
-        "q_phrase": q_phrase,
-        "q_synonym": q_synonym,
-        "q_dismax": q_dismax,
-        "q_prefix": q_prefix,
-        "q_wildcard": q_wildcard,
-        "q_fuzzy": q_fuzzy,
-        "q_term_range": q_term_range,
-        "q_term_in_set": q_term_in_set,
-        "q_count": q_count,
-        "q_facet_lang": q_facet_lang,
-        "q_search_after": q_search_after,
     }
 
 
@@ -1000,7 +1038,7 @@ def gate_oracle_sql() -> dict[str, str]:
         f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN '{lo:06d}_{hi:06d}'"
         for lo, hi in zip(edges, edges[1:])
     )
-    return {
+    one = {
         "q_regexp": _sql_const("regexp_full_match(tok, 'cu.*er')"),
         "q_match_all": (
             "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
@@ -1285,6 +1323,48 @@ SELECT d.lang, count(*) AS cnt FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         "q_search_after": _sql_bool(should=[T_HOT, T_MID], k=10, offset=10),
     }
+
+    def _sql_tagged(parts):
+        """Tagged UNION ALL of complete per-branch SELECTs (each branch
+        keeps its own ORDER/LIMIT inside a CTE)."""
+        ctes = ",\n".join(f"t_{tag} AS ({sql})" for tag, sql in parts)
+        sel = "\nUNION ALL ".join(
+            f"SELECT '{tag}' AS tag, * FROM t_{tag}" for tag, _ in parts
+        )
+        return f"WITH {ctes}\n{sel}"
+
+    one["q_bool_suite"] = _sql_tagged([
+        ("and", one.pop("q_bool_and")),
+        ("or", one.pop("q_bool_or")),
+        ("not", one.pop("q_bool_not")),
+        ("min_should", one.pop("q_min_should")),
+        ("must_should", one.pop("q_must_plus_should")),
+        ("filter", one.pop("q_bool_filter")),
+    ])
+    one["q_multiterm_suite"] = _sql_tagged([
+        ("prefix", one.pop("q_prefix")),
+        ("wildcard", one.pop("q_wildcard")),
+        ("fuzzy", one.pop("q_fuzzy")),
+        ("range", one.pop("q_term_range")),
+        ("inset", one.pop("q_term_in_set")),
+        ("regexp", one.pop("q_regexp")),
+        ("match_all", one.pop("q_match_all")),
+    ])
+    one["q_term_scoring_suite"] = _sql_tagged([
+        ("term", one.pop("q_term_bm25")),
+        ("synonym", one.pop("q_synonym")),
+        ("dismax", one.pop("q_dismax")),
+    ])
+    one["q_phrase_suite"] = _sql_tagged([
+        ("exact", one.pop("q_phrase")),
+        ("sloppy", one.pop("q_phrase_sloppy")),
+        ("multi", one.pop("q_multi_phrase")),
+    ])
+    one["q_mlt_common"] = _sql_tagged([
+        ("mlt", one.pop("q_mlt")),
+        ("common_terms", one.pop("q_common_terms")),
+    ])
+    return one
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
