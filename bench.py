@@ -67,6 +67,17 @@ def main() -> None:
             )), k=10
         ),
         "q5_phrase": lambda: searcher.search(Q.PhraseQuery(F, ("fast", "table")), k=10),
+        # high-df phrase: both terms near the top of the df histogram —
+        # exercises the vectorized positional kernel at its worst case
+        "q5b_phrase_hot": lambda: searcher.search(
+            Q.PhraseQuery(F, ("scan", "column")), k=10
+        ),
+        "q5c_near_hot": lambda: searcher.search(
+            Q.IntervalQuery(F, Q.IOrdered(
+                (Q.ITerm("scan"), Q.ITerm("column"), Q.ITerm("window")),
+                max_gaps=4,
+            )), k=10
+        ),
         "q6_prefix": lambda: searcher.search(Q.PrefixQuery(F, "qu"), k=10),
         "q7_sql64_bool": lambda: sp.bool_bm25_topk(
             reader, F, must=["spark"], should=["merge", "customer"], k=10

@@ -823,10 +823,18 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, "fast", "table", window=3, ordered=True
         )
 
-    def q_facet_hier(spark, sf):
-        # hierarchical taxonomy facets: source/lang two-level dim
+    def q_facet_suite(spark, sf):
+        # hierarchical taxonomy facets (source/lang two-level dim) +
+        # flat sorted-set facet counts, one tagged union (tag, path, cnt)
         r = ensure_index(spark, sf)
-        return sp.taxonomy_facet_counts(r, FIELD, T_MID, ["source", "lang"], k=50)
+        hier = sp.taxonomy_facet_counts(r, FIELD, T_MID, ["source", "lang"], k=50)
+        flat = sp.facet_counts(r, FIELD, T_MID, "lang").select(
+            F.col("lang").alias("path"), "cnt"
+        )
+        return (
+            hier.select(F.lit("hier").alias("tag"), "path", "cnt")
+            .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
+        )
 
     def q_facet_assoc(spark, sf):
         # sum/max int associations per category (n_chars under lang)
@@ -875,6 +883,41 @@ def gate_queries() -> dict[str, object]:
     def q_suggest(spark, sf):
         r = ensure_index(spark, sf)
         return sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
+
+    def q_suggest_suite(spark, sf):
+        # spell-correct + completion-FST prefix + infix suggester,
+        # one tagged union (shared schema: term, distance, doc_freq)
+        r = ensure_index(spark, sf)
+        spell = sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
+        prefix = sp.prefix_complete(r, FIELD, "s", k=5).select(
+            "term", F.lit(0).cast("int").alias("distance"), "doc_freq"
+        )
+        infix = sp.infix_suggest(r, FIELD, "ndo", k=5).select(
+            "term", F.lit(0).cast("int").alias("distance"), "doc_freq"
+        )
+        parts = [
+            ("spell", spell), ("prefix", prefix), ("infix", infix),
+        ]
+        out = None
+        for tag, df in parts:
+            t = df.select(F.lit(tag).alias("tag"), "*")
+            out = t if out is None else out.unionByName(t)
+        return out
+
+    def q_geo_box(spark, sf):
+        # LatLonPoint.newBoxQuery over deterministic synthesized coords
+        from lucene_spark.search import geo
+
+        return geo.geo_box(_docs(spark, sf), 10.0, 55.0, -40.0, 60.0, k=50)
+
+    def q_geo_distance(spark, sf):
+        # LatLonPointDistanceQuery + distance sort (box prune + exact
+        # haversine refine)
+        from lucene_spark.search import geo
+
+        return geo.geo_distance_topk(
+            _docs(spark, sf), qlat=35.0, qlon=10.0, radius_km=3000.0, k=20
+        )
 
     def q_mlt(spark, sf):
         r = ensure_index(spark, sf)
@@ -986,11 +1029,13 @@ def gate_queries() -> dict[str, object]:
         "q_phrase_suite": q_phrase_suite,
         "q_mlt_common": q_mlt_common,
         "q_count": q_count,
-        "q_facet_lang": q_facet_lang,
         "q_search_after": q_search_after,
         "q_intervals": q_intervals,
         "q_stemmed_term": q_stemmed_term,
-        "q_facet_hier": q_facet_hier,
+        "q_facet_suite": q_facet_suite,
+        "q_geo_box": q_geo_box,
+        "q_geo_distance": q_geo_distance,
+        "q_suggest_suite": q_suggest_suite,
         "q_facet_assoc": q_facet_assoc,
         "q_facet_sampled": q_facet_sampled,
         "q_ann_recall": q_ann_recall,
@@ -1006,7 +1051,6 @@ def gate_queries() -> dict[str, object]:
         "q_drill_sideways": q_drill_sideways,
         "q_grouped_distinct": q_grouped_distinct,
         "q_near": q_near,
-        "q_suggest": q_suggest,
         "q_window_tumbling": q_window_tumbling,
         "q_window_sliding": q_window_sliding,
         "q_window_session": q_window_session,
@@ -1364,6 +1408,28 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         ("mlt", one.pop("q_mlt")),
         ("common_terms", one.pop("q_common_terms")),
     ])
+    one["q_facet_suite"] = _sql_tagged([
+        ("hier", one.pop("q_facet_hier")),
+        ("lang", one.pop("q_facet_lang").replace(
+            "SELECT d.lang, count(*) AS cnt",
+            "SELECT d.lang AS path, count(*) AS cnt",
+        )),
+    ])
+    one["q_suggest_suite"] = _sql_tagged([
+        ("spell", one.pop("q_suggest")),
+        ("prefix", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
+SELECT term, CAST(0 AS INT) AS distance, doc_freq FROM dfs
+WHERE term LIKE 's%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+        ("infix", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
+SELECT term, CAST(0 AS INT) AS distance, doc_freq FROM dfs
+WHERE term LIKE '%ndo%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+    ])
+    from lucene_spark.search import geo as _geo
+
+    one["q_geo_box"] = _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)
+    one["q_geo_distance"] = _geo.geo_distance_sql(35.0, 10.0, 3000.0, k=20)
     return one
 
 

@@ -1,0 +1,148 @@
+"""Geo queries — the LatLonPoint surface (SURVEY.md §2.4 geo row).
+
+Reference semantics:
+- LatLonPoint.newBoxQuery (core/document/LatLonBoundingBoxQuery role):
+  docs whose point falls in a lat/lon rectangle. BKD pruning's job is
+  done by Catalyst + parquet min/max stats over plain double columns —
+  at 100 TB the table would be additionally laid out with a space-
+  filling-curve sort key (e.g. z-order on (lat, lon)) so row groups
+  prune tightly; the predicate itself stays a pair of range filters.
+- LatLonPoint.newDistanceQuery (search/LatLonPointDistanceQuery role):
+  docs within radius_m of a center, ranked by haversine distance. The
+  reference prunes with the BKD tree and refines with exact haversine;
+  here a cheap bounding-box pre-filter (the same prune geometry) feeds
+  the exact haversine refinement, so the scan prunes identically.
+
+The corpus has no coordinates, so `synthesize_geo` derives a
+deterministic (lat, lon) per doc from md5 integers — reproducible in
+ANSI SQL for the oracle (same pattern as pipeline/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # mean earth radius, the SloppyMath value
+
+
+def synthesize_geo(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, lat, lon): deterministic pseudo-coordinates.
+    lat in [-90, 90), lon in [-180, 180), 3 decimal places (exact in
+    double, so both engines compare equal)."""
+    key = F.col("doc_id").cast("string")
+    h1 = F.conv(F.substring(F.md5(F.concat(key, F.lit("_lat"))), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(key, F.lit("_lon"))), 1, 8), 16, 10).cast("long")
+    return docs.select(
+        "doc_id",
+        ((h1 % 180000) / 1000.0 - 90.0).alias("lat"),
+        ((h2 % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+
+
+def geo_box(
+    docs: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    k: int = 50,
+) -> DataFrame:
+    """LatLonPoint.newBoxQuery: points inside the rectangle.
+    -> (doc_id, lat_x1e3, lon_x1e3) ordered by doc_id."""
+    g = synthesize_geo(docs)
+    return (
+        g.filter(
+            (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat)
+            & (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("lat") * 1e3).cast("long").alias("lat_x1e3"),
+            F.round(F.col("lon") * 1e3).cast("long").alias("lon_x1e3"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def _haversine_km(lat, lon, qlat: float, qlon: float):
+    """Haversine distance column (SloppyMath.haversinMeters formula,
+    exact double trig)."""
+    rl1 = F.radians(F.lit(qlat))
+    rl2 = F.radians(lat)
+    dlat = F.radians(lat - qlat)
+    dlon = F.radians(lon - qlon)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_topk(
+    docs: DataFrame, qlat: float, qlon: float, radius_km: float, k: int = 20
+) -> DataFrame:
+    """LatLonPoint.newDistanceQuery + distance sort: docs within
+    radius_km of (qlat, qlon), nearest first. A bounding-box pre-filter
+    (partition/row-group prunable) wraps the exact haversine refine —
+    the BKD prune-then-refine shape. Distance is emitted at 0.1 km
+    granularity so double-trig ulp differences between engines cannot
+    flip the rounded value. -> (doc_id, dist_x10km)."""
+    g = synthesize_geo(docs)
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    # longitude shrinks with cos(lat); clamp for the pre-filter only
+    coslat = max(0.01, math.cos(math.radians(abs(qlat) + dlat)))
+    dlon = dlat / coslat
+    pre = g.filter(
+        (F.col("lat") >= qlat - dlat) & (F.col("lat") <= qlat + dlat)
+        & (F.col("lon") >= qlon - dlon) & (F.col("lon") <= qlon + dlon)
+    )
+    dist = _haversine_km(F.col("lat"), F.col("lon"), qlat, qlon)
+    return (
+        pre.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select(
+            "doc_id", F.round(F.col("dist_km") * 10).cast("long").alias("dist_x10km")
+        )
+        .orderBy(F.col("dist_x10km").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+_GEO_SQL = """g AS (
+  SELECT doc_id,
+    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'_lat'),1,8)) AS BIGINT) % 180000 / 1000.0 - 90.0 AS lat,
+    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'_lon'),1,8)) AS BIGINT) % 360000 / 1000.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+
+def geo_box_sql(
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float, k: int = 50
+) -> str:
+    return f"""WITH {_GEO_SQL}
+SELECT doc_id, CAST(ROUND(lat*1000) AS BIGINT) AS lat_x1e3,
+       CAST(ROUND(lon*1000) AS BIGINT) AS lon_x1e3
+FROM g
+WHERE lat BETWEEN {min_lat} AND {max_lat}
+  AND lon BETWEEN {min_lon} AND {max_lon}
+ORDER BY doc_id LIMIT {k}"""
+
+
+def geo_distance_sql(qlat: float, qlon: float, radius_km: float, k: int = 20) -> str:
+    r = EARTH_RADIUS_KM
+    return f"""WITH {_GEO_SQL},
+d AS (
+  SELECT doc_id,
+    2 * {r} * asin(sqrt(
+      sin(radians(lat - {qlat})/2) * sin(radians(lat - {qlat})/2)
+      + cos(radians({qlat})) * cos(radians(lat))
+        * sin(radians(lon - {qlon})/2) * sin(radians(lon - {qlon})/2)
+    )) AS dist_km
+  FROM g
+)
+SELECT doc_id, CAST(ROUND(dist_km * 10) AS BIGINT) AS dist_x10km
+FROM d WHERE dist_km <= {radius_km}
+ORDER BY dist_x10km ASC, doc_id ASC LIMIT {k}"""

@@ -152,8 +152,18 @@ def bool_bm25_topk(
     if should and (need > 0 or not must):
         cond = cond & (F.col("n_should") >= need)
     out = agg.filter(cond)
-    for ft in filter_terms:
-        fm = exploded_postings(reader, field, [ft]).select("doc_id").distinct()
+    if filter_terms:
+        # ONE postings scan + ONE semi-join for all FILTER terms: a doc
+        # passes iff it matches every filter term (count distinct terms
+        # per doc == number of filter terms) — no per-term join chain
+        fts = sorted(set(filter_terms))
+        fm = (
+            exploded_postings(reader, field, fts)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nf"))
+            .filter(F.col("_nf") == len(fts))
+            .select("doc_id")
+        )
         out = out.join(fm, "doc_id", "left_semi")
     if must_not:
         mn = exploded_postings(reader, field, must_not).select("doc_id").distinct()
@@ -673,6 +683,38 @@ def suggest_terms(
     )
 
 
+def prefix_complete(
+    reader: IndexReader, field: str, prefix: str, k: int = 5
+) -> DataFrame:
+    """Completion suggester (suggest/document/CompletionQuery / FST
+    role): terms starting with `prefix`, best-weight-first (weight =
+    doc_freq, the default popularity weight). JVM-side predicate over
+    the sorted term dictionary — the FST's prefix walk becomes a
+    row-group-pruned range scan. -> (term, doc_freq)."""
+    return (
+        reader.term_stats_df()
+        .filter((F.col("field") == field) & F.col("term").startswith(prefix))
+        .select("term", "doc_freq")
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def infix_suggest(
+    reader: IndexReader, field: str, needle: str, k: int = 5
+) -> DataFrame:
+    """AnalyzingInfixSuggester role (suggest/analyzing/
+    AnalyzingInfixSuggester.java): suggestions whose text CONTAINS the
+    typed fragment anywhere, popularity-ranked. -> (term, doc_freq)."""
+    return (
+        reader.term_stats_df()
+        .filter((F.col("field") == field) & F.col("term").contains(needle))
+        .select("term", "doc_freq")
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def mlt_select_terms(
     reader: IndexReader,
     docs_src: DataFrame,
@@ -993,9 +1035,11 @@ def combined_field_topk(
         .groupBy("doc_id")
         .agg(F.sum("wdl").alias("dlc"))
     )
-    df_prime = freqs.count()
-    idf = F.log(F.lit(1.0) + (F.lit(n) - df_prime + 0.5) / (df_prime + 0.5))
-    j = freqs.join(dlw, "doc_id")
+    # df' as a LAZY broadcast scalar (no eager .count() job mid-plan —
+    # one Spark job for the whole query instead of two)
+    dfp = freqs.agg(F.count("*").cast("double").alias("dfp"))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("dfp") + 0.5) / (F.col("dfp") + 0.5))
+    j = freqs.join(dlw, "doc_id").crossJoin(F.broadcast(dfp))
     score = idf * F.col("freq") / (
         F.col("freq")
         + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dlc") / F.lit(avgdl))
