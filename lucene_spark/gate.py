@@ -657,6 +657,25 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         return sp.rescore_topk(r, FIELD, T_MID, "n_chars", weight=1.0, first_n=40)
 
+    def q_function_suite(spark, sf):
+        # generic value-source composition (FunctionScoreQuery + 59
+        # value sources via expr()) + the two fixed shapes, one union
+        r = ensure_index(spark, sf)
+        fs = sp.function_score_topk(
+            r, FIELD, T_MID,
+            "ln(1 + n_chars) * 0.5 + sqrt(n_chars) / 10", mode="mult",
+        )
+        resc = q_rescore(spark, sf).select(
+            "doc_id", F.col("rescored_x1e6").alias("score_x1e6")
+        )
+        feat = q_feature(spark, sf)
+        parts = [("fscore", fs), ("rescore", resc), ("feature", feat)]
+        out = None
+        for tag, df in parts:
+            t = df.select(F.lit(tag).alias("tag"), "*")
+            out = t if out is None else out.unionByName(t)
+        return out
+
     def q_feature(spark, sf):
         r = ensure_index(spark, sf)
         return sp.feature_topk(r, FIELD, T_MID, "n_chars", weight=0.5)
@@ -1059,8 +1078,7 @@ def gate_queries() -> dict[str, object]:
         "q_range_facet": q_range_facet,
         "q_grouped_topk": q_grouped_topk,
         "q_rrf": q_rrf,
-        "q_rescore": q_rescore,
-        "q_feature": q_feature,
+        "q_function_suite": q_function_suite,
         "q_block_join": q_block_join,
         "q_join_util": q_join_util,
         "q_token_stats": q_token_stats,
@@ -1425,6 +1443,18 @@ WHERE term LIKE 's%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, CAST(0 AS INT) AS distance, doc_freq FROM dfs
 WHERE term LIKE '%ndo%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+    ])
+    one["q_function_suite"] = _sql_tagged([
+        ("fscore", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0)
+       * (ln(1 + CAST(d.n_chars AS DOUBLE)) * 0.5 + sqrt(CAST(d.n_chars AS DOUBLE)) / 10)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("rescore", one.pop("q_rescore").replace("AS rescored_x1e6", "AS score_x1e6")
+            .replace("ORDER BY rescored_x1e6", "ORDER BY score_x1e6")),
+        ("feature", one.pop("q_feature")),
     ])
     from lucene_spark.search import geo as _geo
 

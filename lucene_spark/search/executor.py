@@ -90,7 +90,14 @@ class IndexReader:
         )
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        """Docs registry with committed in-place DV updates overlaid
+        (ReadersAndUpdates role — see index/dvupdates.py)."""
+        base = self.spark.read.parquet(f"{self.index_dir}/docs")
+        if self.manifest.get("dv_update_batches"):
+            from lucene_spark.index.dvupdates import apply_dv_overlays
+
+            base = apply_dv_overlays(self.spark, base, self.index_dir, self.manifest)
+        return base
 
     def doclens(self) -> DataFrame:
         return self._live_filter(

@@ -598,6 +598,37 @@ def rrf_topk(
     )
 
 
+def function_score_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    value_expr: str,
+    mode: str = "mult",
+    k: int = 10,
+) -> DataFrame:
+    """Generic FunctionScoreQuery (queries/function/
+    FunctionScoreQuery.java + the 59 value sources): the value source
+    is an ARBITRARY SQL expression over the docs-registry columns —
+    Spark's `expr()` is the DoubleValuesSource surface (SURVEY §2.8
+    mapping), so any composition the reference builds from value
+    sources is a one-liner here, ANSI-portable to the oracle.
+
+    mode: 'mult' = boostByValue (score * v), 'sum' = score + v,
+    'replace' = v (pure FunctionQuery). -> (doc_id, score_x1e6)."""
+    scored = term_scored(reader, field, term)
+    base = scored.join(reader.docs(), "doc_id")
+    v = F.expr(value_expr).cast("double")
+    s = F.col("score_x1e6") / 1e6
+    new = {"mult": s * v, "sum": s + v, "replace": v}[mode]
+    return (
+        base.select(
+            "doc_id", F.round(new * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def rescore_topk(
     reader: IndexReader,
     field: str,
