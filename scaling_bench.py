@@ -21,7 +21,8 @@ ENGINE's scaling rather than the host's ceiling. This script:
 3. computes efficiency = (files/sec @ 32) / (4 x files/sec @ 8) and
    writes BENCH/BASELINE.md.
 
-Usage: python scaling_bench.py   (env SCALING_DOCS=200000 default)
+Usage: python scaling_bench.py   (env SCALING_DOCS=600000 default; sized so
+the parallel build dominates the fixed per-job driver overhead)
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "200000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "600000"))
 LEVELS = (2, 8)
 REPS = 5
 
