@@ -298,15 +298,27 @@ def encode_positions(freqs: np.ndarray, positions: list[np.ndarray]) -> bytes:
     return encode_varints(np.concatenate(deltas))
 
 
-def decode_positions(blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
-    """Decode -> list of per-doc position arrays (len == freq per doc)."""
+def decode_positions_flat(blob: bytes, freqs: np.ndarray):
+    """Decode -> (flat absolute positions, per-doc lens) with NO
+    per-doc Python loop: one global cumsum of the deltas, then each
+    doc's base (the cumsum just before its range) is repeated and
+    subtracted — a segmented cumsum in three numpy ops."""
     freqs = np.asarray(freqs, dtype=np.int64)
     total = int(freqs.sum())
     flat = decode_varints(blob, total).astype(np.int64)
-    out: list[np.ndarray] = []
-    off = 0
-    for f in freqs:
-        seg = flat[off : off + f]
-        out.append(np.cumsum(seg))
-        off += int(f)
-    return out
+    if total == 0:
+        return flat, freqs
+    c = np.cumsum(flat)
+    starts = np.cumsum(freqs) - freqs
+    base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+    return c - np.repeat(base, freqs), freqs
+
+
+def decode_positions(blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
+    """Decode -> list of per-doc position arrays (len == freq per doc).
+    Thin per-doc view over decode_positions_flat (use the flat form in
+    hot paths)."""
+    flat, lens = decode_positions_flat(blob, freqs)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return [flat[s:e] for s, e in zip(starts, ends)]

@@ -769,34 +769,52 @@ class _SegmentIndex:
 
     def positions(self, term: str) -> list[np.ndarray]:
         """Per-doc position arrays, aligned with postings() — i.e. with
-        tombstoned docs' lists dropped by the same live mask."""
-        out: list[np.ndarray] = []
-        for i in self.rows[term]:
-            r = self.pdf.iloc[i]
-            d, freqs = codec.decode_postings(bytes(r["postings"]))
-            plist = codec.decode_positions(bytes(r["positions"]), freqs)
-            keep = self._live(d)
-            if keep is not None:
-                plist = [p for p, kp in zip(plist, keep) if kp]
-            out.extend(plist)
-        return out
+        tombstoned docs' lists dropped by the same live mask. Views
+        over the flat cache (no copies); only the sloppy-phrase kernel
+        needs the per-doc form."""
+        flat, starts, lens = self.flat_positions(term)
+        ends = starts + lens
+        return [flat[s:e] for s, e in zip(starts, ends)]
 
     def flat_positions(self, term: str):
-        """-> (flat int64 positions, starts, lens) — every doc's position
-        list concatenated, aligned with postings(term)'s doc order.
-        Cached per term; the basis of the vectorized phrase/NEAR kernels
-        (no per-doc Python loops in the hot path)."""
+        """-> (flat int64 positions, starts, lens) — every live doc's
+        positions concatenated, aligned with postings(term)'s doc
+        order. Fully vectorized decode (codec.decode_positions_flat:
+        one varint pass + segmented cumsum); the live mask drops
+        tombstoned docs' ranges with a flat-array gather. Cached per
+        term; the basis of the phrase/NEAR/intervals kernels."""
         if not hasattr(self, "_flat_cache"):
             self._flat_cache = {}
         if term in self._flat_cache:
             return self._flat_cache[term]
-        plist = self.positions(term)
-        lens = np.fromiter(
-            (len(p) for p in plist), dtype=np.int64, count=len(plist)
-        )
+        flats: list[np.ndarray] = []
+        lens_parts: list[np.ndarray] = []
+        for i in self.rows.get(term, ()):
+            r = self.pdf.iloc[i]
+            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            flat, lens = codec.decode_positions_flat(
+                bytes(r["positions"]), freqs
+            )
+            keep = self._live(d)
+            if keep is not None:
+                idx = np.where(keep)[0]
+                sel = lens[idx]
+                starts = np.cumsum(lens) - lens
+                total = int(sel.sum())
+                rep = np.repeat(starts[idx], sel)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(sel) - sel, sel
+                )
+                flat = flat[rep + within]
+                lens = sel
+            flats.append(flat)
+            lens_parts.append(lens)
         flat = (
-            np.concatenate(plist).astype(np.int64)
-            if plist
+            np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+        )
+        lens = (
+            np.concatenate(lens_parts)
+            if lens_parts
             else np.zeros(0, dtype=np.int64)
         )
         ends = np.cumsum(lens)
