@@ -742,6 +742,13 @@ def gate_queries() -> dict[str, object]:
         # LSH recall@10 vs brute force — the HNSW-quality evidence slot
         return sim.ann_recall(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_ann_ivf(spark, sf):
+        # IVF-flat: deterministic coarse quantizer -> probe nearest
+        # inverted lists -> exact re-rank (the scalable ANN index shape)
+        return sim.ann_ivf_topk(
+            _emb(spark, sf), query_id=0, k=10, n_centroids=16, n_probe=4
+        )
+
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
 
@@ -1058,6 +1065,7 @@ def gate_queries() -> dict[str, object]:
         "q_facet_assoc": q_facet_assoc,
         "q_facet_sampled": q_facet_sampled,
         "q_ann_recall": q_ann_recall,
+        "q_ann_ivf": q_ann_ivf,
         "q_highlight": q_highlight,
         "q_media_decode": q_media_decode,
         "q_dedup_embcos": q_dedup_embcos,
@@ -1359,6 +1367,7 @@ FROM best WHERE rn = 1 ORDER BY doc_id""",
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
         "q_ann_lsh": sim.ann_lsh_topk_sql(query_id=0, k=10, n_planes=6),
         "q_ann_recall": sim.ann_recall_sql(query_id=0, k=10, n_planes=6),
+        "q_ann_ivf": sim.ann_ivf_topk_sql(query_id=0, k=10, n_centroids=16, n_probe=4),
         "q_term_bm25": _sql_bool(must=[T_MID]),
         "q_bool_and": _sql_bool(must=[T_HOT, T_MID]),
         "q_bool_or": _sql_bool(should=[T_HOT, T_MID, T_RARE]),

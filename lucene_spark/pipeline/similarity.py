@@ -144,6 +144,151 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the centroids are the
+    n_centroids corpus vectors with the smallest md5(vec_id) rank — a
+    seeded sample, no Lloyd iterations, so both engines derive the
+    IDENTICAL quantizer (float-sum-order-free). -> (cid, cvec)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("_c"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    picked = (
+        emb.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select("vec_id")
+    )
+    return emb.join(picked, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+
+def _cos_cols(vcol: Column, ccol: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(vcol, ccol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(vcol, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(ccol, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """-> (vec_id, cid): each vector assigned to its nearest centroid
+    by cosine (argmax cos, ties to the smaller cid). One broadcast
+    nested-loop against the tiny centroid table + a window argmax —
+    shuffle only by vec_id. At 100 TB the assignment IS the table's
+    partition key (the inverted-file layout)."""
+    from pyspark.sql.window import Window
+
+    pairs = emb.select("vec_id", _emb_double().alias("v")).crossJoin(
+        F.broadcast(cents.select("cid", F.col("cvec").cast("array<double>").alias("c")))
+    )
+    scored = pairs.select(
+        "vec_id", "cid", _cos_cols(F.col("v"), F.col("c")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate NN (the scalable coarse-quantize-then-
+    refine shape; HnswGraphSearcher's quality slot): probe the n_probe
+    nearest inverted lists, exact cosine re-rank inside them. A query
+    touches ~n_probe/n_centroids of the data. -> (vec_id, cos_x1e6)."""
+    cents = ivf_centroids(emb, n_centroids)
+    assign = ivf_assign(emb, cents)
+    qv = _query_vec(emb, query_id)
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    probe = (
+        cents.select(
+            "cid",
+            _cos_cols(F.col("cvec").cast("array<double>"), q).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cid")
+        .select("vec_id")
+        .filter(F.col("vec_id") != query_id)
+    )
+    restricted = emb.join(cand, "vec_id", "left_semi")
+    return cosine_topk(
+        restricted.unionByName(emb.filter(F.col("vec_id") == query_id)),
+        query_id,
+        k,
+    )
+
+
+def ann_ivf_topk_sql(
+    query_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    return f"""WITH {_COMP_SQL},
+cent AS (
+  SELECT vec_id AS cid FROM (
+    SELECT vec_id,
+      CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'_c'),1,8)) AS BIGINT) AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {n_centroids}
+  )
+),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM comp GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id, c.vec_id AS cid, SUM(e.v * c.v) AS dot
+  FROM comp e JOIN comp c USING (pos) JOIN cent ON c.vec_id = cent.cid
+  GROUP BY e.vec_id, c.vec_id
+),
+ccos AS (
+  SELECT d.vec_id, d.cid, d.dot/(ne.nrm*nc.nrm) AS cos
+  FROM cdots d JOIN norms ne ON ne.vec_id = d.vec_id
+       JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM ccos
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM ccos WHERE vec_id = {query_id}
+  ORDER BY cos DESC, cid ASC LIMIT {n_probe}
+),
+cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe USING (cid)
+  WHERE a.vec_id <> {query_id}
+),
+qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+dots AS (
+  SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN qc q USING (pos) JOIN cand ON c.vec_id = cand.vec_id
+  GROUP BY c.vec_id
+)
+SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d CROSS JOIN nq
+ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""
+
+
 def lsh_table_buckets(
     emb: DataFrame, n_planes: int = 4, n_tables: int = 6
 ) -> DataFrame:
