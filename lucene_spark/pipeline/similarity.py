@@ -123,16 +123,29 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def ann_lsh_topk(
-    emb: DataFrame, query_id: int = 0, k: int = 10, n_planes: int = 8
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate NN: exact cosine re-rank restricted to the query's
-    LSH bucket. -> (vec_id, cos_x1e6)."""
+    LSH bucket. ``multiprobe=1`` additionally probes every bucket at
+    hamming distance 1 (the classic multi-probe LSH recall lever —
+    n_planes+1 buckets instead of 1, still a bucket equi/IN join).
+    -> (vec_id, cos_x1e6)."""
     buckets = lsh_buckets(emb, n_planes)
     qb = buckets.filter(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket")
     )
+    cond = F.col("bucket") == F.col("qbucket")
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            cond = cond | (
+                F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+            )
     cand = (
-        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        buckets.join(F.broadcast(qb), cond)
         .select("vec_id")
         .filter(F.col("vec_id") != query_id)
     )
@@ -321,24 +334,49 @@ def lsh_table_buckets(
 def ann_recall(
     emb: DataFrame, query_id: int = 0, k: int = 10, n_planes: int = 6
 ) -> DataFrame:
-    """Recall@k of the LSH path against the exact brute-force top-k —
-    the quality evidence the reference gets from HnswGraphSearcher
-    recall tests. -> one row (recall_x1e6)."""
+    """Recall@k of every approximate path against the exact brute-force
+    top-k — the quality evidence the reference gets from
+    HnswGraphSearcher recall tests, measured rather than assumed.
+    -> (method, recall_x1e6) for lsh / lsh_mp (multi-probe) / ivf."""
     exact = cosine_topk(emb, query_id, k).select("vec_id")
-    approx = ann_lsh_topk(emb, query_id, k, n_planes).select("vec_id")
-    return exact.join(approx, "vec_id", "left_semi").agg(
-        F.round(F.count("*") * 1e6 / k).cast("long").alias("recall_x1e6")
-    )
+    methods = {
+        "lsh": ann_lsh_topk(emb, query_id, k, n_planes).select("vec_id"),
+        "lsh_mp": ann_lsh_topk(emb, query_id, k, 4, multiprobe=1).select("vec_id"),
+        "ivf": ann_ivf_topk(emb, query_id, k, 16, 4).select("vec_id"),
+    }
+    out = None
+    for m, approx in methods.items():
+        r = exact.join(approx, "vec_id", "left_semi").agg(
+            F.lit(m).alias("method"),
+            F.round(F.count("*") * 1e6 / k).cast("long").alias("recall_x1e6"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def ann_recall_sql(query_id: int = 0, k: int = 10, n_planes: int = 6) -> str:
     return f"""WITH exact_k AS ({cosine_topk_sql(query_id, k)}),
-approx_k AS ({ann_lsh_topk_sql(query_id, k, n_planes)})
-SELECT CAST(ROUND(count(*) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
-FROM exact_k JOIN approx_k USING (vec_id)"""
+lsh_k AS ({ann_lsh_topk_sql(query_id, k, n_planes)}),
+lshmp_k AS ({ann_lsh_topk_sql(query_id, k, 4, multiprobe=1)}),
+ivf_k AS ({ann_ivf_topk_sql(query_id, k, 16, 4)})
+SELECT 'lsh' AS method,
+  CAST(ROUND((SELECT count(*) FROM exact_k JOIN lsh_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+UNION ALL
+SELECT 'lsh_mp' AS method,
+  CAST(ROUND((SELECT count(*) FROM exact_k JOIN lshmp_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+UNION ALL
+SELECT 'ivf' AS method,
+  CAST(ROUND((SELECT count(*) FROM exact_k JOIN ivf_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6"""
 
 
-def ann_lsh_topk_sql(query_id: int = 0, k: int = 10, n_planes: int = 8) -> str:
+def ann_lsh_topk_sql(
+    query_id: int = 0, k: int = 10, n_planes: int = 8, multiprobe: int = 0
+) -> str:
+    probe_cond = "b.bucket = qb.bucket"
+    if multiprobe >= 1:
+        probe_cond += "".join(
+            f" OR b.bucket = xor(qb.bucket, {1 << i})" for i in range(n_planes)
+        )
     return f"""WITH {_COMP_SQL},
 planes AS (
   SELECT p, pos,
@@ -360,7 +398,7 @@ buckets AS (
 ),
 qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_id}),
 cand AS (
-  SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket
+  SELECT b.vec_id FROM buckets b JOIN qb ON ({probe_cond})
   WHERE b.vec_id <> {query_id}
 ),
 qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
