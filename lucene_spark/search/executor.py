@@ -397,6 +397,23 @@ class IndexSearcher:
                 "source": q.source,
                 "weight": float(boost * q.boost),
             }
+        if isinstance(q, Q.ScoringRewriteQuery):
+            # SCORING_BOOLEAN_REWRITE: expansion terms become scoring
+            # SHOULD TermQueries (MultiTermQuery.ScoringRewrite)
+            terms = R.expand(q.query)
+            if len(terms) > q.max_clause_count:
+                raise Q.TooManyClauses(
+                    f"{len(terms)} expanded terms > {q.max_clause_count}"
+                )
+            if not terms:
+                return None
+            field = q.query.field
+            return self._compile(
+                Q.BooleanQuery(
+                    should=tuple(Q.TermQuery(field, t) for t in terms)
+                ),
+                boost * q.boost,
+            )
         if isinstance(q, (Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
                           Q.FuzzyQuery, Q.TermRangeQuery)):
             terms = R.expand(q)

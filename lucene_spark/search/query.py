@@ -208,6 +208,23 @@ class TermInSetQuery(Query):
     boost: float = 1.0
 
 
+class TooManyClauses(Exception):
+    """IndexSearcher.TooManyClauses: a scoring rewrite expanded past
+    max_clause_count (BooleanQuery.java maxClauseCount, default 1024)."""
+
+
+@dataclass(frozen=True)
+class ScoringRewriteQuery(Query):
+    """MultiTermQuery.SCORING_BOOLEAN_REWRITE: expand the wrapped
+    multi-term query's matching terms into a SHOULD disjunction of
+    scoring TermQueries (each hit scored by real BM25 instead of the
+    constant-score default). Raises TooManyClauses past
+    max_clause_count — the BooleanQuery contract."""
+    query: Query  # a multi-term query (prefix/wildcard/regexp/fuzzy/range)
+    max_clause_count: int = 1024
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query

@@ -95,3 +95,31 @@ def test_near_sqlpath_matches_executor(prox_index):
         ).collect()
     )
     assert a == b
+
+
+def test_scoring_rewrite_equals_expanded_bool(built_index):
+    """SCORING_BOOLEAN_REWRITE == explicit SHOULD of the expanded
+    terms, float32-identical; TooManyClauses past the cap."""
+    import pytest
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    r = built_index
+    s = IndexSearcher(r)
+    pq = Q.PrefixQuery("content", "s")
+    terms = r.expand(pq)
+    assert len(terms) > 1
+    a = s.search(Q.ScoringRewriteQuery(pq), k=10)
+    b = s.search(
+        Q.BooleanQuery(should=tuple(Q.TermQuery("content", t) for t in terms)),
+        k=10,
+    )
+    assert [(h.doc_id, h.score) for h in a.hits] == [
+        (h.doc_id, h.score) for h in b.hits
+    ]
+    # constant-score default differs (all matches score boost)
+    c = s.search(pq, k=10)
+    assert all(h.score == 1.0 for h in c.hits)
+    with pytest.raises(Q.TooManyClauses):
+        s.search(Q.ScoringRewriteQuery(pq, max_clause_count=1), k=10)
