@@ -1027,10 +1027,13 @@ def gate_queries() -> dict[str, object]:
         ])
 
     def q_term_scoring_suite(spark, sf):
+        r = ensure_index(spark, sf)
         return _union([
             ("term", q_term_bm25(spark, sf)),
             ("synonym", q_synonym(spark, sf)),
             ("dismax", q_dismax(spark, sf)),
+            # pluggable Similarity beyond BM25 (LMDirichletSimilarity)
+            ("lm_dirichlet", sp.lm_dirichlet_topk(r, FIELD, T_MID, mu=2000.0)),
         ])
 
     def q_phrase_suite(spark, sf):
@@ -1425,6 +1428,16 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         ("term", one.pop("q_term_bm25")),
         ("synonym", one.pop("q_synonym")),
         ("dismax", one.pop("q_dismax")),
+        ("lm_dirichlet", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"pw AS (SELECT CAST((SELECT count(*) FROM toks WHERE tok = '{T_MID}') AS DOUBLE) / CAST((SELECT count(*) FROM toks) AS DOUBLE) AS p)",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND((ln(1 + tf.freq / (2000.0 * pw.p))
+       + ln(2000.0 / (CAST(q.dlq AS DOUBLE) + 2000.0))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN pw
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),

@@ -233,6 +233,36 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     )
 
 
+def lm_dirichlet_topk(
+    reader: IndexReader, field: str, term: str, mu: float = 2000.0, k: int = 10
+) -> DataFrame:
+    """LMDirichletSimilarity (search/similarities/
+    LMDirichletSimilarity.java): pluggable-Similarity evidence beyond
+    BM25. score = log(1 + freq/(mu*P(w|C))) + log(mu/(dl + mu)), with
+    P(w|C) = totalTermFreq / sumTotalTermFreq and dl the QUANTIZED doc
+    length (norms are shared across similarities — the reference decode
+    path). Scores can be negative for long docs; the reference clamps
+    at 0 via `Math.max` in scorers that require it — we keep the raw
+    value (documented). -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, [term])
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, [term])
+    if term not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    p_w = st[term].total_term_freq / float(coll.sum_total_term_freq)
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    score = F.log(F.lit(1.0) + F.col("freq") / (F.lit(mu) * F.lit(p_w))) + F.log(
+        F.lit(mu) / (dlq + F.lit(mu))
+    )
+    return (
+        ep.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def sloppy_phrase_bm25_topk(
     reader: IndexReader, field: str, terms: list[str], slop: int, k: int = 10
 ) -> DataFrame:
