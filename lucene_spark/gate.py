@@ -448,11 +448,23 @@ within_m AS (
     FROM pos c JOIN wid m ON c.doc_id = m.doc_id AND c.p BETWEEN m.s AND m.e
     WHERE c.tok = 'key'
   ) ORDER BY doc_id LIMIT 10
+),
+atleast2 AS (
+  -- atLeast(2 of {fast,table,scan}, width<=4): a minimal 2-of span
+  -- exists iff two distinct-term positions sit within the width
+  SELECT doc_id FROM (
+    SELECT DISTINCT x.doc_id
+    FROM pos x JOIN pos y ON x.doc_id = y.doc_id
+    WHERE x.tok IN ('fast','table','scan') AND y.tok IN ('fast','table','scan')
+      AND x.tok < y.tok
+      AND greatest(x.p, y.p) - least(x.p, y.p) + 1 <= 4
+  ) ORDER BY doc_id LIMIT 10
 )
 SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
   SELECT 'ord3' AS tag, doc_id FROM ord3
   UNION ALL SELECT 'unord2' AS tag, doc_id FROM unord2
   UNION ALL SELECT 'within' AS tag, doc_id FROM within_m
+  UNION ALL SELECT 'atleast' AS tag, doc_id FROM atleast2
 )"""
 
 
@@ -894,6 +906,10 @@ def gate_queries() -> dict[str, object]:
             "within": Q.IContainedBy(
                 Q.ITerm("key"),
                 Q.IUnordered((Q.ITerm("fast"), Q.ITerm("table")), max_width=5),
+            ),
+            "atleast": Q.IAtLeast(
+                (Q.ITerm("fast"), Q.ITerm("table"), Q.ITerm("scan")),
+                n=2, max_width=4,
             ),
         }
         parts = [

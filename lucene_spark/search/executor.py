@@ -388,8 +388,10 @@ class IndexSearcher:
         if isinstance(q, Q.IntervalQuery):
             terms = sorted(set(q.source.terms()))
             st = R.term_stats(q.field, terms)
-            if len(st) < len(terms):
-                return None  # a missing term -> no intervals anywhere
+            if not st:
+                return None  # no term present anywhere
+            # missing terms are fine for atLeast sources; the evaluator's
+            # structure-aware candidate pass handles absences exactly
             return {
                 "kind": "intervals",
                 "field": q.field,
@@ -1250,12 +1252,74 @@ def _intervals_cover_unordered(subs, large: int):
     return anchors[valid], e[valid]
 
 
+def _intervals_candidates(src, ctx: _SegmentIndex) -> np.ndarray:
+    """Docs that could possibly match `src` — structure-aware:
+    intersection for ordered/unordered/contain combinators, count >= n
+    for atLeast (MinimumShouldMatch semantics doesn't need every term)."""
+    z = np.zeros(0, dtype=np.int64)
+    if isinstance(src, Q.ITerm):
+        return ctx.postings(src.term)[0] if ctx.has(src.term) else z
+    if isinstance(src, (Q.IOrdered, Q.IUnordered)):
+        out = None
+        for c in src.sources:
+            d = _intervals_candidates(c, ctx)
+            out = d if out is None else out[np.isin(out, d, assume_unique=True)]
+            if len(out) == 0:
+                return z
+        return out if out is not None else z
+    if isinstance(src, Q.IAtLeast):
+        ds = [_intervals_candidates(c, ctx) for c in src.sources]
+        if src.n > len(ds):
+            return z
+        alld = np.concatenate(ds) if ds else z
+        if len(alld) == 0:
+            return z
+        uniq, counts = np.unique(alld, return_counts=True)
+        return uniq[counts >= src.n]
+    if isinstance(src, (Q.IContainedBy, Q.IContaining)):
+        a = _intervals_candidates(src.small, ctx)
+        b = _intervals_candidates(src.big, ctx)
+        return a[np.isin(a, b, assume_unique=True)]
+    raise TypeError(type(src).__name__)
+
+
 def _intervals_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
     """-> (starts, ends) minimal-interval key arrays, sorted by start,
     restricted to the candidate docs."""
     if isinstance(src, Q.ITerm):
+        if not ctx.has(src.term):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
         k = _gather_pos_keys(ctx, src.term, docs, large)
         return k, k
+    if isinstance(src, Q.IAtLeast):
+        subs = [_intervals_eval(c, ctx, docs, large) for c in src.sources]
+        z = np.zeros(0, dtype=np.int64)
+        if src.n > len(subs):
+            return z, z
+        starts_all = [s for s, _ in subs if len(s)]
+        if not starts_all:
+            return z, z
+        anchors = np.unique(np.concatenate(starts_all))
+        INF = np.int64(2**62)
+        ends = np.full((len(subs), len(anchors)), INF, dtype=np.int64)
+        for ci, (cs, ce) in enumerate(subs):
+            if len(cs) == 0:
+                continue
+            idx = np.searchsorted(cs, anchors, side="left")
+            ok = idx < len(cs)
+            sel = np.minimum(idx, len(cs) - 1)
+            ok &= (cs[sel] // large) == (anchors // large)
+            ends[ci, ok] = ce[sel][ok]
+        # span end = n-th smallest per-child minimal end at this anchor
+        nth = np.partition(ends, src.n - 1, axis=0)[src.n - 1]
+        valid = nth < INF
+        s, e = anchors[valid], nth[valid]
+        s, e = _minimalize_intervals(s, e)
+        if src.max_width >= 0:
+            keep = (e - s + 1) <= src.max_width
+            s, e = s[keep], e[keep]
+        return s, e
     if isinstance(src, (Q.IOrdered, Q.IUnordered)):
         subs = [_intervals_eval(c, ctx, docs, large) for c in src.sources]
         if isinstance(src, Q.IOrdered):
@@ -1311,6 +1375,8 @@ def _intervals_span(src) -> int:
     if isinstance(src, (Q.IOrdered, Q.IUnordered)):
         own = max(src.max_width, src.max_gaps + len(src.sources), 1)
         mx = max(own, *(_intervals_span(c) for c in src.sources))
+    elif isinstance(src, Q.IAtLeast):
+        mx = max(src.max_width, 1, *(_intervals_span(c) for c in src.sources))
     elif isinstance(src, Q.IContainedBy):
         mx = max(_intervals_span(src.small), _intervals_span(src.big))
     elif isinstance(src, Q.IContaining):
@@ -1323,15 +1389,10 @@ def _eval_intervals(node: dict, ctx: _SegmentIndex):
     z = np.zeros(0, dtype=np.int64)
     zf = z.astype(np.float32)
     terms = node["terms"]
-    if not all(ctx.has(t) for t in terms):
-        return z, zf
-    post = [ctx.postings(t) for t in terms]
-    docs = post[0][0]
-    for d, _, _ in post[1:]:
-        docs = docs[np.isin(docs, d, assume_unique=True)]
+    src = node["source"]
+    docs = _intervals_candidates(src, ctx)
     if len(docs) == 0:
         return z, zf
-    src = node["source"]
     large = _pos_key_base(ctx, terms, _intervals_span(src) + len(terms))
     s, _e = _intervals_eval(src, ctx, docs, large)
     if len(s) == 0:

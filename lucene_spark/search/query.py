@@ -115,6 +115,18 @@ class IUnordered(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class IAtLeast(IntervalsSource):
+    """Minimal spans containing intervals of at least `n` of the
+    sources (Intervals.atLeast / MinimumShouldMatchIntervalsSource)."""
+    sources: tuple[IntervalsSource, ...]
+    n: int
+    max_width: int = -1
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+
+@dataclass(frozen=True)
 class IContainedBy(IntervalsSource):
     """Minimal intervals of `small` lying inside an interval of `big`
     (Intervals.containedBy)."""

@@ -48,6 +48,23 @@ def _ref_eval(src, pos: dict[str, list[int]]):
             n = len(src.sources)
             out = {(s, e) for s, e in out if (e - s + 1) - n <= src.max_gaps}
         return out
+    if isinstance(src, Q.IAtLeast):
+        import itertools
+
+        subs = [_ref_eval(c, pos) for c in src.sources]
+        cands = set()
+        for combo_idx in itertools.combinations(range(len(subs)), src.n):
+            chosen = [subs[i] for i in combo_idx]
+            if any(not s for s in chosen):
+                continue
+            for combo in itertools.product(*chosen):
+                s = min(c[0] for c in combo)
+                e = max(c[1] for c in combo)
+                cands.add((s, e))
+        out = _minimal(cands)
+        if src.max_width >= 0:
+            out = {(s, e) for s, e in out if e - s + 1 <= src.max_width}
+        return out
     if isinstance(src, Q.IContainedBy):
         small = _ref_eval(src.small, pos)
         big = _ref_eval(src.big, pos)
@@ -131,6 +148,10 @@ SOURCES = [
         (Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=4), Q.ITerm("cc")),
         max_width=10,
     ),
+    Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("bb"), Q.ITerm("cc")), n=2, max_width=3),
+    Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("dd"), Q.ITerm("ee"), Q.ITerm("cc")), n=3, max_width=6),
+    # a missing term must not kill atLeast when n others can still match
+    Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("zzzz"), Q.ITerm("bb")), n=2, max_width=4),
 ]
 
 
