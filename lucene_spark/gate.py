@@ -1029,6 +1029,11 @@ def gate_queries() -> dict[str, object]:
             ("min_should", q_min_should(spark, sf)),
             ("must_should", q_must_plus_should(spark, sf)),
             ("filter", q_bool_filter(spark, sf)),
+            # CoveringQuery: per-doc dynamic minimum-should-match
+            ("covering", sp.covering_topk(
+                ensure_index(spark, sf), FIELD, [T_HOT, T_MID, T_RARE],
+                "1 + n_chars % 2",
+            )),
         ])
 
     def q_multiterm_suite(spark, sf):
@@ -1423,6 +1428,21 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         )
         return f"WITH {ctes}\n{sel}"
 
+    covering_sql = f"""{_prefix_ctes([
+        f"tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN ('{T_HOT}','{T_MID}','{T_RARE}') GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, SUM({_SCORE}) AS score, count(DISTINCT tf.tok) AS nm
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
+FROM scored sc JOIN documents dd ON dd.doc_id = sc.doc_id
+WHERE sc.nm >= 1 + dd.n_chars % 2
+ORDER BY score_x1e6 DESC, sc.doc_id ASC LIMIT 10"""
     one["q_bool_suite"] = _sql_tagged([
         ("and", one.pop("q_bool_and")),
         ("or", one.pop("q_bool_or")),
@@ -1430,6 +1450,7 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         ("min_should", one.pop("q_min_should")),
         ("must_should", one.pop("q_must_plus_should")),
         ("filter", one.pop("q_bool_filter")),
+        ("covering", covering_sql),
     ])
     one["q_multiterm_suite"] = _sql_tagged([
         ("prefix", one.pop("q_prefix")),

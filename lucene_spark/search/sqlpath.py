@@ -233,6 +233,44 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     )
 
 
+def covering_topk(
+    reader: IndexReader,
+    field: str,
+    terms: list[str],
+    min_match_expr: str,
+    k: int = 10,
+) -> DataFrame:
+    """CoveringQuery (sandbox/search/CoveringQuery.java): a disjunction
+    whose minimum-should-match is a PER-DOCUMENT value source rather
+    than a constant — here any SQL expression over the docs registry
+    (e.g. a stored `required_matches` column, or a derived one). Score =
+    sum of matching clause scores, like the reference. ->
+    (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, sorted(set(terms)))
+    df_df, n, avgdl = _with_stats(reader, field, sorted(set(terms)))
+    dlq = _length_table_col(F.col("norm_code"))
+    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+        "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"),
+        F.count_distinct("term").alias("n_matched"),
+    )
+    need = reader.docs().select(
+        "doc_id", F.expr(min_match_expr).cast("long").alias("_need")
+    )
+    return (
+        agg.join(need, "doc_id")
+        .filter(F.col("n_matched") >= F.col("_need"))
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("long").alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def lm_dirichlet_topk(
     reader: IndexReader, field: str, term: str, mu: float = 2000.0, k: int = 10
 ) -> DataFrame:
