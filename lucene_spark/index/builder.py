@@ -56,9 +56,12 @@ class IndexConfig:
     # multi-field indexing (Document = bag of fields, SURVEY §1.1):
     # extra fields as {field_name: content_column}; the primary
     # `field`/`content_col` pair carries the sha256 invariant and the
-    # manifest doc counts. One analyzer for all fields (PerFieldAnalyzer
-    # is a later extension).
+    # manifest doc counts.
     extra_fields: dict | None = None
+    # PerFieldAnalyzerWrapper role (analysis/miscellaneous/
+    # PerFieldAnalyzerWrapper.java): per-field analyzer-name overrides;
+    # fields absent from the map use `analyzer`.
+    field_analyzers: dict | None = None
     # Lucene slices cap at 250k docs (IndexSearcher.java:106-108); our
     # segments target the same order of magnitude.
     docs_per_segment: int = 250_000
@@ -68,6 +71,11 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
     extra: dict = dc_field(default_factory=dict)
+
+    def analyzer_for(self, field: str) -> str:
+        if self.field_analyzers and field in self.field_analyzers:
+            return self.field_analyzers[field]
+        return self.analyzer
 
     def all_fields(self) -> dict:
         out = {self.field: self.content_col}
@@ -132,14 +140,16 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return out
 
 
-def _invert_fields(seg_id, doc_ids, pdf, an, fields: dict, store_pos: bool):
+def _invert_fields(seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool):
     """Invert every (field, content_col) of one segment; doc rows carry
     their field so doclens are per (doc, field) — a Document is a bag of
-    fields (SURVEY §1.1)."""
+    fields (SURVEY §1.1). ``ans``: field -> Analyzer (the
+    PerFieldAnalyzerWrapper role), or a single Analyzer for all."""
     import pandas as pd
 
     frames = []
     for fname, col in fields.items():
+        an = ans[fname] if isinstance(ans, dict) else ans
         seg = build_segment(
             seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos
         )
@@ -150,7 +160,7 @@ def _invert_fields(seg_id, doc_ids, pdf, an, fields: dict, store_pos: bool):
 
 def make_invert_fn(
     analyzer_name: str, content_col: str, fieldname: str, store_pos: bool,
-    fields: dict | None = None,
+    fields: dict | None = None, field_analyzers: dict | None = None,
 ):
     """The DWPT pass as a mapInPandas closure: one partition -> one
     segment (tokenize, count freqs, sort terms once). Shared by the
@@ -159,7 +169,10 @@ def make_invert_fn(
 
     def invert(it):
         pid = TaskContext.get().partitionId()
-        an = get_analyzer(analyzer_name)
+        an = {
+            f: get_analyzer((field_analyzers or {}).get(f, analyzer_name))
+            for f in fields
+        }
         import pandas as pd
 
         bufs = []
@@ -184,6 +197,7 @@ def _make_fused_fn(
     meta_cols: list[str],
     offsets: dict[int, int] | None,
     fields: dict | None = None,
+    field_analyzers: dict | None = None,
 ):
     """The fused DWPT pass: ONE Python crossing per partition that
     (a) assigns dense deterministic doc_ids from the per-partition
@@ -197,7 +211,11 @@ def _make_fused_fn(
         import numpy as np
         import pandas as pd
 
-        an = get_analyzer(analyzer_name)
+        flds = fields or {fieldname: content_col}
+        an = {
+            f: get_analyzer((field_analyzers or {}).get(f, analyzer_name))
+            for f in flds
+        }
         bufs = list(it)
         if not bufs:
             return
@@ -354,7 +372,7 @@ def build_index(
     ]
     fused = _make_fused_fn(
         analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
-        None if preassigned else offsets, fields,
+        None if preassigned else offsets, fields, cfg.field_analyzers,
     )
     meta_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -444,6 +462,7 @@ def build_index(
                     "num_docs_total": int(n_docs),
                     "layout_version": LAYOUT_VERSION,
                     "fields": list(fields),
+                    "field_analyzers": cfg.field_analyzers,
                     "num_batches": num_batches,
                     "id_cols": list(cfg.id_cols),
                     "doc_id_col": cfg.doc_id_col,

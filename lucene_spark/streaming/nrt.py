@@ -114,7 +114,7 @@ def append_batch(
     batch_df = batch_df.repartitionByRange(parts, "doc_id")
     invert = make_invert_fn(
         cfg.analyzer, cfg.content_col, cfg.field, cfg.store_positions,
-        fields=cfg.all_fields(),
+        fields=cfg.all_fields(), field_analyzers=cfg.field_analyzers,
     )
     staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
     staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={next_b}")
@@ -163,10 +163,12 @@ def append_batch(
         "num_batches": len(committed),
         "id_cols": list(cfg.id_cols),
         "doc_id_col": cfg.doc_id_col,
+        "field_analyzers": cfg.field_analyzers,
     }
     if m:
         base["lineage"] = m.get("lineage", {})
-        for carry in ("merges", "delete_batches", "num_deleted", "purged_docs"):
+        for carry in ("merges", "delete_batches", "num_deleted",
+                      "purged_docs", "dv_update_batches"):
             if m.get(carry):
                 base[carry] = m[carry]
     base["num_docs_total"] = int(offset + n_new)

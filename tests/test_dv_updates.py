@@ -89,3 +89,30 @@ def test_dv_update_requires_columns(spark, idx):
     path, _ = idx
     with pytest.raises(ValueError):
         update_doc_values(spark, path, spark.createDataFrame([(1,)], "doc_id long"))
+
+
+def test_dv_updates_survive_nrt_append(spark, corpus, idx):
+    """An NRT append after a DV update must carry the overlay forward
+    (manifest dv_update_batches persists across generations)."""
+    from lucene_spark.fixtures import generate_source_files
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.index.dvupdates import update_doc_values
+    from lucene_spark.search.executor import IndexReader
+    from lucene_spark.streaming.nrt import append_batch
+
+    path, r0 = idx
+    victim = r0.docs().select("doc_id").orderBy("doc_id").head()["doc_id"]
+    update_doc_values(
+        spark, path,
+        spark.createDataFrame([(victim, "zzz")], "doc_id long, lang string"),
+    )
+    append_batch(
+        spark,
+        spark.createDataFrame(generate_source_files(30, seed=99)),
+        path,
+        IndexConfig(docs_per_segment=200),
+    )
+    r1 = IndexReader(spark, path)
+    assert r1.manifest.get("dv_update_batches")
+    row = r1.docs().filter(F.col("doc_id") == victim).head()
+    assert row["lang"] == "zzz"

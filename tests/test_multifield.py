@@ -128,3 +128,39 @@ def test_merge_and_checkindex_multifield(spark, mf_index):
     assert hits == {0, 2, 4, 6}
     rep = check_index(spark, r.index_dir)
     assert rep["ok"], rep["violations"][:5]
+
+
+def test_per_field_analyzers(spark, tmp_path):
+    """PerFieldAnalyzerWrapper role: each field tokenizes with its own
+    analyzer (code identifiers split only in the code-analyzed field)."""
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "body": ["plain words here", "parseHTTPResponse mention"],
+            "src": ["parseHTTPResponse_v2 = 1", "x = 2"],
+        }
+    )
+    path = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        field="body",
+        content_col="body",
+        analyzer="simple",
+        extra_fields={"code": "src"},
+        field_analyzers={"code": "code"},
+        doc_id_col="doc_id",
+    )
+    build_index(spark, spark.createDataFrame(pdf), path, cfg)
+    r = IndexReader(spark, path)
+    assert r.manifest["field_analyzers"] == {"code": "code"}
+    # the code analyzer split the identifier into subtokens in `code`...
+    hits = sp.bool_bm25_topk(r, "code", must=["http"], k=10).collect()
+    assert [h["doc_id"] for h in hits] == [0]
+    # ...but the simple analyzer did NOT split it in `body`
+    assert sp.bool_bm25_topk(r, "body", must=["http"], k=10).count() == 0
+    assert sp.bool_bm25_topk(r, "body", must=["parsehttpresponse"], k=10).count() == 1
