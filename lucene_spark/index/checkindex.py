@@ -228,6 +228,52 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
             f"live doclens count {n_doclens} != manifest total-purged {expect_live}"
         )
 
+    # tombstones: every committed tombstone refers to a registry doc
+    # and lies inside a LIVE segment's doc range (a tombstone outside
+    # every live range means the merge purge dropped a segment without
+    # rewriting it — the resurrection bug class)
+    from lucene_spark.index.deletes import deleted_ids_df
+
+    dels = deleted_ids_df(spark, index_dir, m)
+    if dels is not None:
+        orphan = dels.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+        if orphan:
+            violations.append(f"{orphan} tombstones not in the docs registry")
+        ranges = []
+        for coll in (m.get("batches", []), m.get("merges", []) or []):
+            for b in coll:
+                for s in b["segments"]:
+                    if live is None or s["segment_id"] in live:
+                        ranges.append(
+                            (int(s["first_doc_id"]), int(s["last_doc_id"]))
+                        )
+        in_range = None
+        for lo, hi in ranges:
+            c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            in_range = c if in_range is None else (in_range | c)
+        if in_range is not None:
+            outside = dels.filter(~in_range).count()
+            if outside:
+                violations.append(
+                    f"{outside} tombstones outside every live segment range"
+                )
+
+    # dv updates: batch doc_ids must exist; declared columns must exist
+    for b in m.get("dv_update_batches", []):
+        upd = spark.read.parquet(f"{index_dir}/dv_updates/batch={b['batch']}")
+        missing_cols = [c for c in b["columns"] if c not in docs.columns]
+        if missing_cols:
+            violations.append(
+                f"dv batch {b['batch']} updates unknown columns {missing_cols}"
+            )
+        orphan = upd.select("doc_id").join(
+            docs.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        if orphan:
+            violations.append(
+                f"dv batch {b['batch']} has {orphan} doc_ids not in the registry"
+            )
+
     return {
         "ok": not violations,
         "violations": violations,

@@ -93,3 +93,38 @@ def test_doclens_kernel_catches_corruptions(built_index):
     bad = pdf.copy()
     bad.loc[0, "doc_len_code"] = 255
     assert any("doc_len_code" in v for v in check_segment_doclens(bad))
+
+
+def test_checkindex_validates_tombstones_and_dv(spark, corpus, tmp_path):
+    """The walker accepts a healthy index with deletes + DV updates and
+    flags planted orphan tombstones / dv rows."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.index.dvupdates import update_doc_values
+
+    path = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(corpus), path, IndexConfig(docs_per_segment=200))
+    delete_by_ids(spark, path, spark.createDataFrame([(3,)], "doc_id long"))
+    update_doc_values(
+        spark, path, spark.createDataFrame([(5, "xx")], "doc_id long, lang string")
+    )
+    rep = check_index(spark, path)
+    assert rep["ok"], rep["violations"][:5]
+
+    # plant an orphan tombstone (doc_id far outside the corpus)
+    m = mani.read_manifest(path)
+    nb = 1 + max(d["batch"] for d in m["delete_batches"])
+    spark.createDataFrame([(10**9,)], "doc_id long").write.parquet(
+        f"{path}/deletes/batch={nb}"
+    )
+    out = dict(m)
+    out.pop("generation", None); out.pop("committed_at", None)
+    out["delete_batches"] = m["delete_batches"] + [{"batch": nb, "num_docs": 1}]
+    mani.commit_manifest(path, out)
+    rep2 = check_index(spark, path)
+    assert not rep2["ok"]
+    assert any("tombstone" in v for v in rep2["violations"])
