@@ -78,6 +78,11 @@ def main() -> None:
                 max_gaps=4,
             )), k=10
         ),
+        # high-df sloppy phrase: the batched-greedy kernel at its worst
+        # case (every round advances thousands of docs in lockstep)
+        "q5d_sloppy_hot": lambda: searcher.search(
+            Q.PhraseQuery(F, ("scan", "column"), slop=4), k=10
+        ),
         "q6_prefix": lambda: searcher.search(Q.PrefixQuery(F, "qu"), k=10),
         "q7_sql64_bool": lambda: sp.bool_bm25_topk(
             reader, F, must=["spark"], should=["merge", "customer"], k=10

@@ -322,7 +322,13 @@ def build_index(
         # keys above control characters, which repo/path/commit are)
         sort_key = F.concat_ws("\x01", *[F.col(c) for c in keys])
     keyed = source.select(sort_key.alias("_sk"))
-    frac = min(1.0, (200.0 * parts) / max(1, n_docs))
+    # bound the driver-side boundary sample: 200 keys/part until the
+    # total would exceed ~1M keys, then shrink per-part (>= 20) so the
+    # collect stays O(1M) regardless of parts (the RangePartitioner
+    # sample-cap analog). parts <= 5000 is unchanged -> doc ids on all
+    # existing fixtures are byte-identical.
+    per_part = 200.0 if parts <= 5000 else max(20.0, 1_000_000.0 / parts)
+    frac = min(1.0, (per_part * parts) / max(1, n_docs))
     sample = sorted(
         r["_sk"] for r in keyed.sample(fraction=frac, seed=42).collect()
     )
@@ -332,8 +338,37 @@ def build_index(
     else:
         bounds = []
     if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        pid_expr = F.size(F.filter(barr, lambda b: F.col("_sk") >= b))
+        # vectorized partition assignment: pid = #bounds <= key, i.e.
+        # np.searchsorted(bounds, key, side="right") — O(log parts) per
+        # row on an Arrow batch, vs the O(parts)-per-row array-literal
+        # scan this replaces (builds at 10^12 files have parts ~ 4M:
+        # a linear scan per row is O(n*parts); this is O(n log parts)).
+        # Bounds ride a Spark broadcast: shipped once per executor, not
+        # embedded in the plan as a 4M-element literal.
+        from pyspark.sql.functions import pandas_udf
+
+        b_bc = spark.sparkContext.broadcast(bounds)
+        numeric_key = preassigned
+
+        @pandas_udf("int")
+        def _pid_udf(sk):
+            import numpy as np
+            import pandas as pd
+
+            bs = b_bc.value
+            if numeric_key:
+                barr = np.asarray(bs, dtype="float64")
+                vals = sk.to_numpy(dtype="float64")
+            else:
+                # python-str comparison == UTF-8 byte order (UTF-8 is
+                # code-point-order preserving), matching Spark's string
+                # ordering that produced the sample
+                barr = np.asarray(bs, dtype=object)
+                vals = sk.to_numpy(dtype=object)
+            pid = np.searchsorted(barr, vals, side="right")
+            return pd.Series(pid.astype("int32"))
+
+        pid_expr = _pid_udf(F.col("_sk"))
     else:
         pid_expr = F.lit(0)
 

@@ -67,14 +67,14 @@ def find_merges(
     return groups
 
 
-def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
+def _merge_postings_fn(order: dict[str, int]):
     """applyInPandas kernel: merge one (field, term)'s posting rows from
     the input segments into a single row. `order` maps segment_id ->
     rank by first doc_id (ranges are disjoint, so concatenation in rank
-    order preserves the strictly-increasing docID invariant). `purge`
-    holds tombstoned doc ids to drop physically (Lucene merges purge
-    deletions — SegmentMerger over liveDocs); position lists of purged
-    docs are re-encoded out, surviving bytes are untouched."""
+    order preserves the strictly-increasing docID invariant). Tombstone
+    purging happens BEFORE this kernel in a distributed per-segment
+    cogroup (_purge_segment_fn), so norm bytes and position varints
+    concatenate raw with no decode — the streaming-merge property."""
 
     def run(pdf):
         import numpy as np
@@ -89,40 +89,18 @@ def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
         # proxy: block_last_doc[0] is monotone across disjoint doc ranges
         pdf["_tie"] = pdf["block_last_doc"].map(lambda b: int(b[0]))
         pdf = pdf.sort_values(["_rank", "_tie"])
-        docs_l, freqs_l, pos_l = [], [], []
+        docs_l, freqs_l = [], []
         have_pos = pdf["positions"].notna().all()
-        decode_pos = have_pos and bool(purge)  # else raw byte concat
         for row in pdf.itertuples():
             d, f = codec.decode_postings(bytes(row.postings))
             docs_l.append(d)
             freqs_l.append(f)
-            if decode_pos:
-                pos_l.extend(codec.decode_positions(bytes(row.positions), f))
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)
         norms_b = b"".join(bytes(b) for b in pdf["norms"])
         norms = np.frombuffer(norms_b, dtype=np.uint8).astype(np.int64)
-        if purge:
-            keep = ~np.isin(docs, np.fromiter(purge, dtype=np.int64))
-            if not keep.all():
-                docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
-                if have_pos:
-                    pos_l = [p for p, kp in zip(pos_l, keep) if kp]
-        if len(docs) == 0:
-            return pd.DataFrame(
-                columns=[
-                    "field", "term", "doc_freq", "total_term_freq", "postings",
-                    "norms", "positions", "block_last_doc", "impact_freqs",
-                    "impact_norms",
-                ]
-            )
         blob, block_last, imp_f, imp_n = codec.encode_postings(docs, freqs, norms)
-        if not have_pos:
-            pos = None
-        elif decode_pos:
-            pos = codec.encode_positions(freqs, pos_l)
-        else:
-            pos = b"".join(bytes(b) for b in pdf["positions"])
+        pos = b"".join(bytes(b) for b in pdf["positions"]) if have_pos else None
         return pd.DataFrame(
             {
                 "field": [pdf["field"].iat[0]],
@@ -130,7 +108,7 @@ def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
                 "doc_freq": [int(len(docs))],
                 "total_term_freq": [int(freqs.sum())],
                 "postings": [blob],
-                "norms": [norms_b if not purge else norms.astype(np.uint8).tobytes()],
+                "norms": [norms_b],
                 "positions": [pos],
                 "block_last_doc": [[int(x) for x in block_last]],
                 "impact_freqs": [[[int(v) for v in fs] for fs in imp_f]],
@@ -139,6 +117,85 @@ def _merge_postings_fn(order: dict[str, int], purge: frozenset = frozenset()):
         )
 
     return run
+
+
+_POSTING_COLS = [
+    "segment_id", "field", "term", "doc_freq", "total_term_freq",
+    "postings", "norms", "positions", "block_last_doc", "impact_freqs",
+    "impact_norms",
+]
+
+
+def _purge_segment_fn(left, right):
+    """Cogrouped applyInPandas kernel (SegmentMerger-over-liveDocs role):
+    drop tombstoned docs from ONE segment's posting rows. ``left`` is the
+    segment's posting rows, ``right`` its tombstones — delivered by a
+    distributed equi-join, never a driver collect, so a 100x-churn index
+    purges with memory proportional to one segment's tombstones.
+    Membership test is a vectorized searchsorted against the sorted
+    tombstone array; untouched rows pass through without re-encoding."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.index import codec
+
+    if len(left) == 0:
+        return left[_POSTING_COLS]
+    if len(right) == 0:
+        return left[_POSTING_COLS]
+    dels = np.unique(right["doc_id"].to_numpy(dtype=np.int64))
+    out = {c: [] for c in _POSTING_COLS}
+
+    def emit(row, docs=None, freqs=None, postings=None, norms=None,
+             positions=None, block_last=None, imp_f=None, imp_n=None):
+        out["segment_id"].append(row.segment_id)
+        out["field"].append(row.field)
+        out["term"].append(row.term)
+        if docs is None:
+            out["doc_freq"].append(row.doc_freq)
+            out["total_term_freq"].append(row.total_term_freq)
+            out["postings"].append(row.postings)
+            out["norms"].append(row.norms)
+            out["positions"].append(row.positions)
+            out["block_last_doc"].append(row.block_last_doc)
+            out["impact_freqs"].append(row.impact_freqs)
+            out["impact_norms"].append(row.impact_norms)
+        else:
+            out["doc_freq"].append(int(len(docs)))
+            out["total_term_freq"].append(int(freqs.sum()))
+            out["postings"].append(postings)
+            out["norms"].append(norms)
+            out["positions"].append(positions)
+            out["block_last_doc"].append([int(x) for x in block_last])
+            out["impact_freqs"].append([[int(v) for v in fs] for fs in imp_f])
+            out["impact_norms"].append([[int(v) for v in ns] for ns in imp_n])
+
+    for row in left.itertuples():
+        docs, freqs = codec.decode_postings(bytes(row.postings))
+        idx = np.searchsorted(dels, docs)
+        hit = (idx < len(dels)) & (dels[np.minimum(idx, len(dels) - 1)] == docs)
+        if not hit.any():
+            emit(row)
+            continue
+        keep = ~hit
+        if not keep.any():
+            continue  # every doc purged — the term row disappears
+        norms = np.frombuffer(bytes(row.norms), dtype=np.uint8).astype(np.int64)
+        pos_blob = None
+        if row.positions is not None:
+            pos_l = codec.decode_positions(bytes(row.positions), freqs)
+            pos_l = [p for p, kp in zip(pos_l, keep) if kp]
+        docs2, freqs2, norms2 = docs[keep], freqs[keep], norms[keep]
+        blob, block_last, imp_f, imp_n = codec.encode_postings(
+            docs2, freqs2, norms2
+        )
+        if row.positions is not None:
+            pos_blob = codec.encode_positions(freqs2, pos_l)
+        emit(
+            row, docs2, freqs2, blob, norms2.astype(np.uint8).tobytes(),
+            pos_blob, block_last, imp_f, imp_n,
+        )
+    return pd.DataFrame(out) if out["term"] else left.iloc[0:0][_POSTING_COLS]
 
 
 _MERGED_SCHEMA = (
@@ -187,16 +244,15 @@ def merge_round(
 
     # tombstones covered by merged segments get PURGED (dropped from the
     # merged postings/doclens and removed from the tombstone set) — the
-    # Lucene merge-applies-deletes contract
+    # Lucene merge-applies-deletes contract. The tombstone set stays a
+    # DataFrame end-to-end: membership is an equi-join against each
+    # group's doclens, purging is a per-segment cogroup kernel, and the
+    # surviving set is rewritten by an anti-join — no driver collect of
+    # doc ids anywhere on this path (100x-churn safe).
     from lucene_spark.index.deletes import deleted_ids_df
 
     dels_df = deleted_ids_df(spark, index_dir, m)
-    all_deleted = (
-        frozenset(r["doc_id"] for r in dels_df.collect())
-        if dels_df is not None
-        else frozenset()
-    )
-    purged_now: set[int] = set()
+    covered_frames: list[DataFrame] = []
 
     for gi, group in enumerate(groups):
         t0 = time.time()
@@ -207,7 +263,29 @@ def merge_round(
                 sorted(group, key=lambda s: seg_metrics[s]["first_doc_id"])
             )
         }
-        rows = postings_all.filter(F.col("segment_id").isin(group))
+        rows = postings_all.filter(F.col("segment_id").isin(group)).select(
+            *_POSTING_COLS
+        )
+        group_doclens = doclens_all.filter(F.col("segment_id").isin(group))
+        if dels_df is not None:
+            # tombstones tagged with their OWNING segment via exact
+            # doc-membership (doclens equi-join) — never a doc-id-range
+            # hull, which can overlap other live segments after
+            # non-contiguous merges and would purge (= resurrect) their
+            # tombstones
+            seg_dels = dels_df.join(
+                group_doclens.select("segment_id", "doc_id").distinct(),
+                "doc_id",
+            ).select("segment_id", "doc_id")
+            rows = (
+                rows.groupBy("segment_id")
+                .cogroup(seg_dels.groupBy("segment_id"))
+                .applyInPandas(
+                    _purge_segment_fn,
+                    schema=f"segment_id string, {_MERGED_SCHEMA}",
+                )
+            )
+            covered_frames.append(seg_dels.select("doc_id"))
         # hot-term skew salting (SURVEY.md §4.2, north rule): a term whose
         # cumulative doc_freq exceeds salt_max_docs is merged as SEVERAL
         # sub-posting rows over disjoint doc ranges — the shuffle key
@@ -234,38 +312,16 @@ def merge_round(
                 ).cast("int"),
             )
         )
-        # restrict the purge set to the group's PER-SEGMENT doc ranges —
-        # find_merges picks smallest segments, which need not be doc-id
-        # contiguous; a hull test would purge (and un-tombstone) docs of
-        # NON-merged segments, resurrecting them (merge-applies-deletes
-        # contract violation)
-        group_purge = frozenset()
-        if all_deleted:
-            ranges = [
-                (seg_metrics[s]["first_doc_id"], seg_metrics[s]["last_doc_id"])
-                for s in group
-            ]
-            group_purge = frozenset(
-                d for d in all_deleted
-                if any(lo <= d <= hi for lo, hi in ranges)
-            )
         merged = (
             salted.groupBy("field", "term", "_salt")
-            .applyInPandas(
-                _merge_postings_fn(order, group_purge), schema=_MERGED_SCHEMA
-            )
+            .applyInPandas(_merge_postings_fn(order), schema=_MERGED_SCHEMA)
             .withColumn("segment_id", F.lit(new_sid))
         )
         out_b = next_b + gi
         merged.write.mode("overwrite").parquet(f"{index_dir}/postings/batch={out_b}")
-        dl = doclens_all.filter(F.col("segment_id").isin(group)).withColumn(
-            "segment_id", F.lit(new_sid)
-        )
-        if group_purge:
-            dl = dl.filter(
-                ~F.col("doc_id").isin([int(x) for x in group_purge])
-            )
-            purged_now |= group_purge
+        dl = group_doclens.withColumn("segment_id", F.lit(new_sid))
+        if dels_df is not None:
+            dl = dl.join(dels_df, "doc_id", "left_anti")
         dl.write.mode("overwrite").parquet(f"{index_dir}/doclens/batch={out_b}")
         metrics = (
             spark.read.parquet(f"{index_dir}/doclens/batch={out_b}")
@@ -294,19 +350,31 @@ def merge_round(
     out.pop("generation", None)
     out.pop("committed_at", None)
     out["merges"] = merges
-    if purged_now:
-        # rewrite remaining tombstones as one fresh batch
-        remaining = sorted(all_deleted - purged_now)
-        nb = _next_tombstone_batch(out)
-        if remaining:
-            spark.createDataFrame(
-                [(int(d),) for d in remaining], "doc_id long"
-            ).write.mode("overwrite").parquet(f"{index_dir}/deletes/batch={nb}")
-            out["delete_batches"] = [{"batch": nb, "num_docs": len(remaining)}]
-        else:
-            out["delete_batches"] = []
-        out["num_deleted"] = len(remaining)
-        out["purged_docs"] = int(m.get("purged_docs", 0)) + len(purged_now)
+    if dels_df is not None and covered_frames:
+        # rewrite surviving tombstones as one fresh batch — a distributed
+        # anti-join against everything the merges just purged; only
+        # scalar counts ever reach the driver
+        covered = covered_frames[0]
+        for cf in covered_frames[1:]:
+            covered = covered.unionByName(cf)
+        n_total = dels_df.count()
+        remaining_df = dels_df.join(covered.distinct(), "doc_id", "left_anti")
+        n_remaining = remaining_df.count()
+        if n_remaining != n_total:
+            nb = _next_tombstone_batch(out)
+            if n_remaining:
+                remaining_df.write.mode("overwrite").parquet(
+                    f"{index_dir}/deletes/batch={nb}"
+                )
+                out["delete_batches"] = [
+                    {"batch": nb, "num_docs": int(n_remaining)}
+                ]
+            else:
+                out["delete_batches"] = []
+            out["num_deleted"] = int(n_remaining)
+            out["purged_docs"] = int(m.get("purged_docs", 0)) + int(
+                n_total - n_remaining
+            )
     from lucene_spark.index.builder import _recompute_stats
 
     _recompute_stats(spark, index_dir, m["field"], mani.live_segment_ids(out))

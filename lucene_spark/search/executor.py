@@ -115,19 +115,13 @@ class IndexReader:
 
         return deleted_ids_df(self.spark, self.index_dir, self.manifest)
 
-    def deleted_ids(self) -> frozenset | None:
-        """Tombstoned doc ids as a frozenset — DRIVER-SIDE, used only by
-        point lookups (explain). The search path never collects
-        tombstones: it cogroups deleted_by_segment_df into the
-        per-segment kernel (scales with per-segment churn, not total)."""
-        if not self.manifest.get("delete_batches"):
-            return None
-        if not hasattr(self, "_deleted_ids"):
-            df = self.deleted_df()
-            self._deleted_ids = frozenset(
-                r["doc_id"] for r in df.collect()
-            ) if df is not None else None
-        return self._deleted_ids
+    def is_deleted(self, doc_id: int) -> bool:
+        """Point tombstone lookup (explain path) — a filtered scan of the
+        tombstone parquet, never a collect of the full delete set."""
+        dels = self.deleted_df()
+        if dels is None:
+            return False
+        return dels.filter(F.col("doc_id") == int(doc_id)).head() is not None
 
     def _live_segment_ranges(self) -> list[tuple[str, int, int]]:
         """(segment_id, first_doc_id, last_doc_id) for every live
@@ -538,8 +532,7 @@ class IndexSearcher:
             return {"match": False, "value": 0.0, "description": "no match", "details": []}
         terms = sorted(_collect_terms(node))
         field = _collect_field(node)
-        deleted = self.reader.deleted_ids()
-        if deleted and doc_id in deleted:
+        if self.reader.is_deleted(doc_id):
             return {"match": False, "value": 0.0, "description": "deleted doc", "details": []}
         seg_row = (
             self.reader.doclens().filter(F.col("doc_id") == doc_id).head()
@@ -991,13 +984,19 @@ def _sloppy_phrase_freqs(terms: list[str], slop: int, ctx: _SegmentIndex):
     without overtaking the next-smallest, a window with
     matchLength = end - start <= slop contributes
     sloppyFreq = 1/(1+matchLength) (accumulated in float32, the Java
-    `float freq` contract). Phrases with repeated terms use the same
-    greedy (documented approximation of the repeats machinery).
+    `float freq` contract).
+
+    Default path is VECTORIZED over the doc axis: every candidate doc
+    runs the identical greedy, but each round's pop/advance/score is one
+    batched numpy op over all still-active docs (flat position keys +
+    searchsorted, the same representation as the exact-phrase kernel).
+    The per-doc float32 accumulation order is unchanged, so scores are
+    bit-identical to the scalar greedy. Phrases with REPEATED terms keep
+    the scalar per-doc heap (documented approximation of the repeats
+    machinery — rare shape, bounded work).
 
     -> (docs, float32 freqs, norms)
     """
-    import heapq
-
     z = np.zeros(0, dtype=np.int64)
     zf = np.zeros(0, dtype=np.float32)
     if not all(ctx.has(t) for t in terms):
@@ -1008,6 +1007,107 @@ def _sloppy_phrase_freqs(terms: list[str], slop: int, ctx: _SegmentIndex):
         docs = docs[np.isin(docs, d, assume_unique=True)]
     if len(docs) == 0:
         return z, zf, z
+    if len(set(terms)) == len(terms):
+        freqs = _sloppy_freqs_vectorized(terms, slop, ctx, docs, post)
+    else:
+        freqs = _sloppy_freqs_scalar(terms, slop, ctx, docs, post)
+    keep = freqs > 0
+    docs, freqs = docs[keep], freqs[keep]
+    norms = post[0][2][np.searchsorted(post[0][0], docs)]
+    return docs, freqs, norms
+
+
+def _sloppy_freqs_vectorized(
+    terms: list[str], slop: int, ctx: _SegmentIndex,
+    docs: np.ndarray, post,
+) -> np.ndarray:
+    """Batched greedy: state matrices over (doc, term); each round is a
+    handful of numpy ops over the active docs. Rounds are the sequential
+    axis (bounded by the busiest doc's position count); docs are the
+    parallel axis."""
+    k = len(terms)
+    D = len(docs)
+    # per-term flat arrays over the candidate docs, as GLOBAL sorted keys
+    # doc_index*stride + adjusted_pos + k (the +k keeps pos-ti >= 0)
+    stride = _pos_key_base(ctx, terms, 2 * k) + k
+    flat_adj: list[np.ndarray] = []   # adjusted positions, doc-major
+    flat_keys: list[np.ndarray] = []  # global keys (sorted)
+    seg_start: list[np.ndarray] = []  # per-doc segment start, global idx
+    seg_end: list[np.ndarray] = []
+    for ti, t in enumerate(terms):
+        tdocs = post[ti][0]
+        idx = np.searchsorted(tdocs, docs)  # every candidate contains t
+        flat, starts, lens = ctx.flat_positions(t)
+        sel = lens[idx]
+        total = int(sel.sum())
+        rep_starts = np.repeat(starts[idx], sel)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(sel) - sel, sel
+        )
+        adj = flat[rep_starts + within] - ti
+        dix = np.repeat(np.arange(D, dtype=np.int64), sel)
+        flat_adj.append(adj)
+        flat_keys.append(dix * stride + adj + k)
+        st = np.cumsum(sel) - sel
+        seg_start.append(st)
+        seg_end.append(st + sel)
+    gptr = np.stack([seg_start[t] for t in range(k)], axis=1)  # (D, k)
+    cur = np.stack(
+        [flat_adj[t][seg_start[t]] for t in range(k)], axis=1
+    )  # (D, k) current adjusted positions
+    end = cur.max(axis=1)
+    freq = np.zeros(D, dtype=np.float32)
+    one = np.float32(1.0)
+    active = np.arange(D, dtype=np.int64)
+    while len(active):
+        ca = cur[active]
+        ti_a = np.argmin(ca, axis=1)  # ties -> smallest term index,
+        # matching heapq's (pos, ti) tuple order
+        pos_a = ca[np.arange(len(active)), ti_a]
+        if k == 1:
+            nxt_a = pos_a
+        else:
+            nxt_a = np.partition(ca, 1, axis=1)[:, 1]
+        start_a = np.empty(len(active), dtype=np.int64)
+        done_a = np.zeros(len(active), dtype=bool)
+        newpos_a = np.zeros(len(active), dtype=np.int64)
+        jg_a = np.zeros(len(active), dtype=np.int64)
+        for t in range(k):
+            m = np.where(ti_a == t)[0]
+            if len(m) == 0:
+                continue
+            d_m = active[m]
+            # index after the last element <= nxt within doc's segment
+            jg = np.searchsorted(
+                flat_keys[t], d_m * stride + nxt_a[m] + k, side="right"
+            )
+            jg_a[m] = jg
+            start_a[m] = flat_adj[t][jg - 1]  # jg-1 >= gptr (pos<=nxt)
+            dn = jg >= seg_end[t][d_m]
+            done_a[m] = dn
+            nd = ~dn
+            newpos_a[m[nd]] = flat_adj[t][jg[nd]]
+        ml_a = end[active] - start_a
+        hit = ml_a <= slop
+        if hit.any():
+            contrib = one / (1 + ml_a[hit]).astype(np.float32)
+            freq[active[hit]] += contrib
+        alive = ~done_a
+        d_al = active[alive]
+        cur[d_al, ti_a[alive]] = newpos_a[alive]
+        gptr[d_al, ti_a[alive]] = jg_a[alive]
+        end[d_al] = np.maximum(end[d_al], newpos_a[alive])
+        active = d_al
+    return freq
+
+
+def _sloppy_freqs_scalar(
+    terms: list[str], slop: int, ctx: _SegmentIndex,
+    docs: np.ndarray, post,
+) -> np.ndarray:
+    """Per-doc heap greedy — kept for repeated-term phrases only."""
+    import heapq
+
     pos_lists = [ctx.positions(t) for t in terms]
     idxs = [np.searchsorted(post[i][0], docs) for i in range(len(terms))]
     freqs = np.zeros(len(docs), dtype=np.float32)
@@ -1044,10 +1144,7 @@ def _sloppy_phrase_freqs(terms: list[str], slop: int, ctx: _SegmentIndex):
                 end = max(end, pos)
                 heapq.heappush(heap, (pos, ti))
         freqs[di] = freq
-    keep = freqs > 0
-    docs, freqs = docs[keep], freqs[keep]
-    norms = post[0][2][np.searchsorted(post[0][0], docs)]
-    return docs, freqs, norms
+    return freqs
 
 
 def _multi_phrase_freqs(slots, ctx: _SegmentIndex):

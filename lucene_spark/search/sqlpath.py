@@ -75,7 +75,11 @@ def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> Data
     )
     dels = reader.deleted_df()
     if dels is not None:
-        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        # plain anti-join, NO broadcast hint: AQE picks broadcast while
+        # the tombstone set is small and switches to a shuffled join
+        # under heavy churn — a forced broadcast would ship every
+        # tombstone to every executor on every query
+        out = out.join(dels, "doc_id", "left_anti")
     return out
 
 
@@ -212,7 +216,7 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     )
     dels = reader.deleted_df()
     if dels is not None:
-        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
+        freqs = freqs.join(dels, "doc_id", "left_anti")
     import math
 
     idf_sum = sum(
@@ -325,7 +329,7 @@ def sloppy_phrase_bm25_topk(
     )
     dels = reader.deleted_df()
     if dels is not None:
-        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
+        freqs = freqs.join(dels, "doc_id", "left_anti")
     import math
 
     idf_sum = sum(
@@ -541,7 +545,7 @@ def match_all_topk(reader: IndexReader, k: int = 10) -> DataFrame:
     out = reader.doclens().select("doc_id").distinct()
     dels = reader.deleted_df()
     if dels is not None:
-        out = out.join(F.broadcast(dels), "doc_id", "left_anti")
+        out = out.join(dels, "doc_id", "left_anti")
     return (
         out.select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
         .orderBy("doc_id")
@@ -940,7 +944,7 @@ def multi_phrase_bm25_topk(
     )
     dels = reader.deleted_df()
     if dels is not None:
-        freqs = freqs.join(F.broadcast(dels), "doc_id", "left_anti")
+        freqs = freqs.join(dels, "doc_id", "left_anti")
     idf_sum = sum(
         math.log(1.0 + (coll.doc_count - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5))
         for t in present
@@ -983,7 +987,7 @@ def near_match_topk(
     )
     dels = reader.deleted_df()
     if dels is not None:
-        matched = matched.join(F.broadcast(dels), "doc_id", "left_anti")
+        matched = matched.join(dels, "doc_id", "left_anti")
     return (
         matched.select(
             "doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6")
@@ -1017,7 +1021,7 @@ def intervals_match_topk(
     )
     dels = reader.deleted_df()
     if dels is not None:
-        matched = matched.join(F.broadcast(dels), "doc_id", "left_anti")
+        matched = matched.join(dels, "doc_id", "left_anti")
     return (
         matched.select(
             "doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6")

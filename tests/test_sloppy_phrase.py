@@ -98,3 +98,42 @@ def test_matcher_kernel_values(sloppy_index):
         # doc3: fox@0, quick@1 -> adjusted quick=1, fox=-1 -> matchLength 2
         assert got[3] == pytest.approx(1 / 3, abs=1e-6)
         assert 5 not in got
+
+
+def test_vectorized_matches_scalar_bit_identical(built_index):
+    """The batched greedy (default path) must produce BIT-identical
+    float32 freqs to the per-doc heap greedy on a real corpus, for
+    several phrases and slops (VERDICT r02 'do this' #3)."""
+    import numpy as np
+
+    from lucene_spark.search.executor import (
+        _SegmentIndex,
+        _sloppy_freqs_scalar,
+        _sloppy_freqs_vectorized,
+    )
+
+    pdf = built_index.postings().toPandas()
+    cases = [
+        (["def", "self"], 0), (["def", "self"], 2), (["def", "self"], 5),
+        (["return", "import"], 3),
+        (["def", "return", "self"], 4),
+        (["the", "of"], 1),
+    ]
+    compared = 0
+    for _, grp in pdf.groupby("segment_id"):
+        ctx = _SegmentIndex(grp.reset_index(drop=True))
+        for terms, slop in cases:
+            if not all(ctx.has(t) for t in terms):
+                continue
+            post = [ctx.postings(t) for t in terms]
+            docs = post[0][0]
+            for d, _, _ in post[1:]:
+                docs = docs[np.isin(docs, d, assume_unique=True)]
+            if len(docs) == 0:
+                continue
+            v = _sloppy_freqs_vectorized(terms, slop, ctx, docs, post)
+            s = _sloppy_freqs_scalar(terms, slop, ctx, docs, post)
+            assert v.dtype == np.float32 and s.dtype == np.float32
+            assert np.array_equal(v, s), (terms, slop)
+            compared += len(docs)
+    assert compared > 50  # the comparison actually exercised real docs
