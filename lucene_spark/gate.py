@@ -1053,8 +1053,13 @@ def gate_queries() -> dict[str, object]:
             ("term", q_term_bm25(spark, sf)),
             ("synonym", q_synonym(spark, sf)),
             ("dismax", q_dismax(spark, sf)),
-            # pluggable Similarity beyond BM25 (LMDirichletSimilarity)
+            # pluggable Similarity beyond BM25: LMDirichlet, Classic
+            # (TF-IDF), LMJelinekMercer, Boolean — the similarities/
+            # zoo as an injection point (VERDICT r02 'do this' #4)
             ("lm_dirichlet", sp.lm_dirichlet_topk(r, FIELD, T_MID, mu=2000.0)),
+            ("classic", sp.classic_topk(r, FIELD, T_MID)),
+            ("lm_jm", sp.lm_jelinek_mercer_topk(r, FIELD, T_MID, lam=0.1)),
+            ("boolean", sp.boolean_sim_topk(r, FIELD, [T_HOT, T_MID, T_RARE])),
         ])
 
     def q_phrase_suite(spark, sf):
@@ -1475,6 +1480,30 @@ SELECT tf.doc_id,
   AS score_x1e6
 FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN pw
 ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("classic", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND((ln((s.n + 1) / (d.df + 1)) + 1)
+       * sqrt(CAST(tf.freq AS DOUBLE)) / sqrt(CAST(q.dlq AS DOUBLE))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("lm_jm", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"pw AS (SELECT CAST((SELECT count(*) FROM toks WHERE tok = '{T_MID}') AS DOUBLE) / CAST((SELECT count(*) FROM toks) AS DOUBLE) AS p)",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND(ln(1 + ((CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * tf.freq / CAST(q.dlq AS DOUBLE))
+       / (CAST(0.1 AS DOUBLE) * pw.p)) * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN pw
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("boolean", f"""WITH {_TOKS}
+SELECT doc_id,
+  CAST(count(DISTINCT tok) * 1000000 AS BIGINT) AS score_x1e6
+FROM toks WHERE tok IN ('{T_HOT}','{T_MID}','{T_RARE}')
+GROUP BY doc_id ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10"""),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),

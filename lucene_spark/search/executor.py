@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_spark.index import codec, manifest as mani
 from lucene_spark.search import query as Q
-from lucene_spark.search.bm25 import BM25Scorer, CollectionStats, TermStats
+from lucene_spark.search.bm25 import CollectionStats, TermStats
 
 _OUT_SCHEMA = "segment_id string, doc_id long, score float, seg_total long"
 
@@ -302,10 +302,26 @@ class SearchResult:
 
 
 class IndexSearcher:
-    def __init__(self, reader: IndexReader, k1: float | None = None, b: float | None = None):
+    def __init__(
+        self,
+        reader: IndexReader,
+        k1: float | None = None,
+        b: float | None = None,
+        similarity=None,
+    ):
+        """``similarity``: a search.similarities.Similarity — the
+        IndexSearcher.setSimilarity injection point
+        (IndexSearcher.java setSimilarity / Similarity.java contract).
+        Default is the float32-exact BM25, parameterized by the
+        manifest's k1/b."""
+        from lucene_spark.search.similarities import BM25Similarity
+
         self.reader = reader
         self.k1 = k1 if k1 is not None else reader.manifest.get("k1", 1.2)
         self.b = b if b is not None else reader.manifest.get("b", 0.75)
+        self.similarity = (
+            similarity if similarity is not None else BM25Similarity(self.k1, self.b)
+        )
 
     # ---- compile: AST -> weight tree (binds global stats on the driver) ---
 
@@ -318,8 +334,9 @@ class IndexSearcher:
             if q.term not in st:
                 return None
             coll = R.collection_stats(q.field)
-            sc = BM25Scorer(coll, [st[q.term]], self.k1, self.b, boost * q.boost)
-            return _leaf("term", q.field, [q.term], sc.weight, cache=sc.cache)
+            sc = self.similarity.scorer(coll, [st[q.term]], boost * q.boost)
+            return _leaf("term", q.field, [q.term], sc.weight,
+                         cache=getattr(sc, "cache", None), scorer=sc)
         if isinstance(q, Q.SynonymQuery):
             st = R.term_stats(q.field, list(q.terms))
             present = [t for t in q.terms if t in st]
@@ -331,18 +348,20 @@ class IndexSearcher:
                 doc_freq=max(st[t].doc_freq for t in present),
                 total_term_freq=sum(st[t].total_term_freq for t in present),
             )
-            sc = BM25Scorer(coll, [blended], self.k1, self.b, boost * q.boost)
-            return _leaf("syn", q.field, present, sc.weight, cache=sc.cache)
+            sc = self.similarity.scorer(coll, [blended], boost * q.boost)
+            return _leaf("syn", q.field, present, sc.weight,
+                         cache=getattr(sc, "cache", None), scorer=sc)
         if isinstance(q, Q.PhraseQuery):
             st = R.term_stats(q.field, list(q.terms))
             if len(st) < len(set(q.terms)):
                 return None  # a missing term -> no phrase match
             coll = R.collection_stats(q.field)
-            sc = BM25Scorer(
-                coll, [st[t] for t in q.terms], self.k1, self.b, boost * q.boost
+            sc = self.similarity.scorer(
+                coll, [st[t] for t in q.terms], boost * q.boost
             )
             return _leaf(
-                "phrase", q.field, list(q.terms), sc.weight, cache=sc.cache, slop=q.slop
+                "phrase", q.field, list(q.terms), sc.weight,
+                cache=getattr(sc, "cache", None), scorer=sc, slop=q.slop
             )
         if isinstance(q, Q.MultiPhraseQuery):
             all_terms = [t for slot in q.slots for t in slot]
@@ -356,8 +375,8 @@ class IndexSearcher:
             # MultiPhraseQuery sums idf over every present term of every
             # slot (idfExplain over the term array)
             present = [t for slot in slots for t in slot]
-            sc = BM25Scorer(
-                coll, [st[t] for t in present], self.k1, self.b, boost * q.boost
+            sc = self.similarity.scorer(
+                coll, [st[t] for t in present], boost * q.boost
             )
             return {
                 "kind": "multi_phrase",
@@ -365,7 +384,8 @@ class IndexSearcher:
                 "terms": present,
                 "slots": slots,
                 "weight": sc.weight,
-                "cache": sc.cache,
+                "cache": getattr(sc, "cache", None),
+                "scorer": sc,
             }
         if isinstance(q, Q.NearQuery):
             st = R.term_stats(q.field, [q.term_a, q.term_b])
@@ -848,20 +868,13 @@ class _SegmentIndex:
         return np.concatenate(bl), fs, ns
 
 
-def _score_leaf(weight: float, cache: np.ndarray, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
-    w = np.float32(weight)
-    inv = np.asarray(cache, dtype=np.float32)[norms]
-    one = np.float32(1.0)
-    return (w - w / (one + freqs.astype(np.float32) * inv)).astype(np.float32)
-
-
 def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray | None = None):
     """-> (sorted doc_ids int64, scores float32). ``k`` enables top-level
     pruning for pure term disjunctions."""
     kind = node["kind"]
     if kind == "term":
         d, f, n = ctx.postings(node["terms"][0], candidates)
-        return d, _score_leaf(node["weight"], node["cache"], f, n)
+        return d, node["scorer"].score(f, n)
     if kind == "syn":
         # union, freqs summed per doc, single blended scorer
         ds, fs, ns = [], [], []
@@ -878,7 +891,7 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         np.add.at(fsum, inv, fall)
         norms = np.zeros(len(uniq), dtype=np.int64)
         norms[inv] = nall  # same doc -> same norm
-        return uniq, _score_leaf(node["weight"], node["cache"], fsum, norms)
+        return uniq, node["scorer"].score(fsum, norms)
     if kind == "phrase":
         return _eval_phrase(node, ctx)
     if kind == "multi_phrase":
@@ -1213,7 +1226,7 @@ def _eval_multi_phrase(node: dict, ctx: _SegmentIndex):
     docs, freqs, norms = _multi_phrase_freqs(node["slots"], ctx)
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
-    return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)
+    return docs, node["scorer"].score(freqs, norms)
 
 
 def _make_multi_phrase_freq_fn(slots):
@@ -1518,7 +1531,7 @@ def _eval_phrase(node: dict, ctx: _SegmentIndex):
         docs, freqs, norms = _phrase_freqs(node["terms"], ctx)
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
-    return docs, _score_leaf(node["weight"], node["cache"], freqs, norms)
+    return docs, node["scorer"].score(freqs, norms)
 
 
 def _make_phrase_freq_fn(terms: list[str]):
@@ -1674,7 +1687,7 @@ def _wand_disjunction(node: dict, ctx: _SegmentIndex, k: int):
         block_last, imp_f, imp_n = ctx.impacts(t)
         block_bounds = np.array(
             [
-                float(_score_leaf(s["weight"], s["cache"], bf, bn).max()) if len(bf) else 0.0
+                float(s["scorer"].score(bf, bn).max()) if len(bf) else 0.0
                 for bf, bn in zip(imp_f, imp_n)
             ],
             dtype=np.float64,
@@ -1724,7 +1737,7 @@ def _exact_scores_for(term_data, docs: np.ndarray) -> np.ndarray:
         if not mask.any():
             continue
         pos = np.searchsorted(d, docs[mask])
-        acc[mask] += _score_leaf(s["weight"], s["cache"], f[pos], n[pos]).astype(np.float64)
+        acc[mask] += s["scorer"].score(f[pos], n[pos]).astype(np.float64)
     return acc.astype(np.float32)
 
 
@@ -1761,10 +1774,13 @@ def _explain_node(node: dict, ctx: _SegmentIndex, doc_id: int) -> dict:
              "description": f"freq, occurrences of '{t}'", "details": []},
             {"match": True, "value": float(node["weight"]),
              "description": "weight = boost * idf (BM25Similarity)", "details": []},
-            {"match": True, "value": float(node["cache"][int(norms[i])]),
-             "description": f"normInverse from norm code {int(norms[i])} "
-                            "(1/(k1*((1-b)+b*dl/avgdl)))", "details": []},
         ]
+        if node.get("cache") is not None:
+            details.append(
+                {"match": True, "value": float(node["cache"][int(norms[i])]),
+                 "description": f"normInverse from norm code {int(norms[i])} "
+                                "(1/(k1*((1-b)+b*dl/avgdl)))", "details": []}
+            )
         desc = f"TermQuery({t}): score = weight - weight/(1 + freq*normInverse)"
     elif kind in ("syn", "phrase", "multi_phrase"):
         desc = f"{kind} over {node['terms']}"

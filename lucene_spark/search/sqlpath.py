@@ -23,6 +23,8 @@ BM25Similarity.java:221-232 without the float32 rewrite):
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
@@ -273,6 +275,78 @@ def covering_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def classic_topk(
+    reader: IndexReader, field: str, term: str, k: int = 10
+) -> DataFrame:
+    """ClassicSimilarity (search/similarities/ClassicSimilarity.java /
+    TFIDFSimilarity.java): idf = ln((docCount+1)/(docFreq+1)) + 1,
+    tf = sqrt(freq), lengthNorm = 1/sqrt(dl) over the QUANTIZED doc
+    length. score = idf * tf * lengthNorm. -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, [term])
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, [term])
+    if term not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    idf = F.lit(
+        math.log((coll.doc_count + 1) / (st[term].doc_freq + 1)) + 1.0
+    )
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    score = idf * F.sqrt(F.col("freq").cast("double")) / F.sqrt(dlq)
+    return (
+        ep.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def lm_jelinek_mercer_topk(
+    reader: IndexReader, field: str, term: str, lam: float = 0.1, k: int = 10
+) -> DataFrame:
+    """LMJelinekMercerSimilarity (search/similarities/
+    LMJelinekMercerSimilarity.java): score = log(1 +
+    ((1-lambda) * freq / dl) / (lambda * P(w|C))) with dl the quantized
+    doc length and P(w|C) = totalTermFreq / sumTotalTermFreq.
+    -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, [term])
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, [term])
+    if term not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    p_w = st[term].total_term_freq / float(coll.sum_total_term_freq)
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    score = F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - lam) * F.col("freq") / dlq) / F.lit(lam * p_w)
+    )
+    return (
+        ep.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def boolean_sim_topk(
+    reader: IndexReader, field: str, terms: list[str], k: int = 10
+) -> DataFrame:
+    """BooleanSimilarity (search/similarities/BooleanSimilarity.java):
+    every matching term contributes exactly its boost (1.0 here),
+    independent of freq and length — a SHOULD disjunction scores the
+    count of matched terms. -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, terms)
+    out = ep.groupBy("doc_id").agg(
+        (F.count_distinct("term").cast("double") * 1e6)
+        .cast("long")
+        .alias("score_x1e6")
+    )
+    return out.orderBy(
+        F.col("score_x1e6").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 def lm_dirichlet_topk(

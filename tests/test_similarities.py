@@ -1,0 +1,101 @@
+"""Pluggable-Similarity tests: IndexSearcher(similarity=...) must thread
+any Similarity through the exact32 kernel, with results consistent with
+the float64 sql64 formulas, and the default must stay bit-identical
+BM25."""
+
+import numpy as np
+import pytest
+
+
+def _search(reader, sim, query, k=10):
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(reader, similarity=sim)
+    top = s.search(query, k=k)
+    return {h.doc_id: h.score for h in top.hits}
+
+
+def test_default_is_bm25_bit_identical(built_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+    from lucene_spark.search.similarities import BM25Similarity
+
+    q = Q.BooleanQuery(
+        should=(Q.TermQuery("content", "def"), Q.TermQuery("content", "return"))
+    )
+    default = IndexSearcher(built_index).search(q, k=10)
+    explicit = IndexSearcher(
+        built_index, similarity=BM25Similarity(1.2, 0.75)
+    ).search(q, k=10)
+    assert [(h.doc_id, h.score) for h in default.hits] == [
+        (h.doc_id, h.score) for h in explicit.hits
+    ]
+
+
+@pytest.mark.parametrize("name", ["classic", "lm_jm", "lm_dirichlet"])
+def test_injected_similarity_matches_sql_path(built_index, name):
+    """exact32 scores (float32 kernel) vs sql64 float64 formulas — same
+    docs, values within float32 tolerance."""
+    from lucene_spark.search import query as Q, sqlpath as sp
+    from lucene_spark.search import similarities as S
+
+    term = "def"
+    if name == "classic":
+        sim, ref = S.ClassicSimilarity(), sp.classic_topk(
+            built_index, "content", term, k=30
+        )
+    elif name == "lm_jm":
+        sim, ref = S.LMJelinekMercerSimilarity(0.1), sp.lm_jelinek_mercer_topk(
+            built_index, "content", term, lam=0.1, k=30
+        )
+    else:
+        sim, ref = S.LMDirichletSimilarity(2000.0), sp.lm_dirichlet_topk(
+            built_index, "content", term, mu=2000.0, k=30
+        )
+    got = _search(built_index, sim, Q.TermQuery("content", term), k=30)
+    want = {r["doc_id"]: r["score_x1e6"] / 1e6 for r in ref.collect()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-4, abs=2e-4), (d, name)
+
+
+def test_boolean_similarity_scores_are_boosts(built_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.similarities import BooleanSimilarity
+
+    got = _search(
+        built_index,
+        BooleanSimilarity(),
+        Q.BooleanQuery(
+            should=(Q.TermQuery("content", "def"), Q.TermQuery("content", "return"))
+        ),
+        k=20,
+    )
+    assert got and all(s in (1.0, 2.0) for s in got.values())
+    assert 2.0 in got.values()  # docs matching both terms score 2
+
+
+def test_classic_similarity_phrase_sums_idf(built_index):
+    """Phrase leaves must route through the injected similarity too
+    (idfExplain over the term array)."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.similarities import ClassicSimilarity
+
+    got = _search(
+        built_index,
+        ClassicSimilarity(),
+        Q.PhraseQuery("content", ("for", "function"), slop=2),
+        k=10,
+    )
+    assert got
+    for s in got.values():
+        assert np.isfinite(s) and s > 0
+    # weight = boost * summed idf: two-term phrase idf exceeds either
+    # single-term idf under Classic's ln((N+1)/(df+1))+1 >= 1
+    from lucene_spark.search.executor import IndexSearcher
+    from lucene_spark.search.similarities import ClassicSimilarity as CS
+
+    searcher = IndexSearcher(built_index, similarity=CS())
+    node = searcher._compile(Q.PhraseQuery("content", ("for", "function"), slop=2))
+    n1 = searcher._compile(Q.TermQuery("content", "def"))
+    assert float(node["weight"]) > float(n1["weight"]) >= 1.0
