@@ -374,7 +374,12 @@ class EdgeNGramFilter(TokenFilter):
         for t in tokens:
             hi = min(len(t), self.max_gram)
             out.extend(t[:n] for n in range(self.min_gram, hi + 1))
-            if self.preserve_original and len(t) > self.max_gram:
+            # preserveOriginal keeps tokens OUTSIDE [min_gram, max_gram]
+            # on both sides (EdgeNGramTokenFilter.java): longer than
+            # max_gram AND shorter than min_gram (which emit no grams)
+            if self.preserve_original and (
+                len(t) > self.max_gram or len(t) < self.min_gram
+            ):
                 out.append(t)
         return out
 

@@ -105,6 +105,46 @@ def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 
 _STEM_READERS: dict[str, IndexReader] = {}
+_SORTED_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_sorted_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text built with IndexConfig.sort_by =
+    'n_chars' (setIndexSort analog): doc ids are assigned in n_chars
+    order, the original documents.doc_id rides along as the orig_id
+    metadata column, and segments record sort-key ranges for
+    early-terminated field sorts."""
+    key = os.path.abspath(sf_dir)
+    if key in _SORTED_READERS:
+        return _SORTED_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_sortidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumnRenamed("doc_id", "orig_id").withColumn(
+        "okey", F.format_string("%012d", F.col("orig_id"))
+    )
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = m.get("num_docs_total") == n and m.get("sort_by") == "n_chars"
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple",
+            sort_by="n_chars",
+            id_cols=("okey",),
+            docs_per_segment=max(50, n // 8),
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _SORTED_READERS[key] = r
+    return r
+
 
 
 def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
@@ -649,7 +689,15 @@ def gate_queries() -> dict[str, object]:
 
     def q_field_sort(spark, sf):
         r = ensure_index(spark, sf)
-        return sp.field_sort_topk(r, FIELD, T_MID, "n_chars", ascending=False)
+        rs = ensure_sorted_index(spark, sf)
+        return _union([
+            ("docvalues", sp.field_sort_topk(
+                r, FIELD, T_MID, "n_chars", ascending=False)),
+            # index-sorted segments + canEarlyTerminate pruning
+            ("sorted", sp.field_sort_topk(
+                rs, FIELD, T_MID, "n_chars", ascending=True,
+                out_id_col="orig_id")),
+        ])
 
     def q_range_facet(spark, sf):
         r = ensure_index(spark, sf)
@@ -1144,10 +1192,17 @@ def gate_oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id LIMIT 10"
         ),
         "q_field_sort": f"""WITH {_TOKS},
-m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
-SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
-FROM documents d JOIN m ON d.doc_id = m.doc_id
-ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+t_docvalues AS (
+  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+  ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10),
+t_sorted AS (
+  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+  ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10)
+SELECT 'docvalues' AS tag, * FROM t_docvalues
+UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted""",
         "q_range_facet": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT bucket, count(*) AS cnt FROM (
@@ -1293,9 +1348,11 @@ GROUP BY d.lang ORDER BY grp LIMIT 50""",
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
 md AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id)
 SELECT path, cnt FROM (
-  SELECT source AS path, count(*) AS cnt FROM md GROUP BY source
+  SELECT coalesce(source, '(null)') AS path, count(*) AS cnt
+  FROM md GROUP BY source
   UNION ALL
-  SELECT source || '/' || lang AS path, count(*) AS cnt
+  SELECT coalesce(source, '(null)') || '/' || coalesce(lang, '(null)') AS path,
+         count(*) AS cnt
   FROM md GROUP BY source, lang
 ) ORDER BY path LIMIT 50""",
         "q_facet_assoc": f"""WITH {_TOKS},

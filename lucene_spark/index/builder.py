@@ -62,6 +62,14 @@ class IndexConfig:
     # PerFieldAnalyzerWrapper.java): per-field analyzer-name overrides;
     # fields absent from the map use `analyzer`.
     field_analyzers: dict | None = None
+    # Index sorting (IndexWriterConfig.java:475-482 setIndexSort): when
+    # set, doc ids are assigned in ascending order of this column (then
+    # id_cols as tie-break), segments record per-segment min/max of the
+    # key in the manifest, and field_sort_topk early-terminates by
+    # skipping segments whose range cannot compete
+    # (TopFieldCollector.java canEarlyTerminate). Incompatible with
+    # doc_id_col (a preassigned id fixes the doc order).
+    sort_by: str | None = None
     # Lucene slices cap at 250k docs (IndexSearcher.java:106-108); our
     # segments target the same order of magnitude.
     docs_per_segment: int = 250_000
@@ -84,6 +92,20 @@ class IndexConfig:
                 if f != self.field:
                     out[f] = c
         return out
+
+
+def _sortable_str(df: DataFrame, col: str) -> F.Column:
+    """Order-preserving string encoding of a sort column: integral types
+    become fixed-width offset-shifted decimals (so '2' < '10' sorts
+    numerically); strings pass through. The index-sort key must be
+    expressible as a string because it joins the range-partition key."""
+    dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "date", "timestamp"):
+        # shift by 2^62 keeps negatives positive; %019d is fixed width
+        return F.format_string(
+            "%019d", F.col(col).cast("long") + F.lit(1 << 62).cast("long")
+        )
+    return F.col(col).cast("string")
 
 
 def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -316,7 +338,17 @@ def build_index(
     # no persist. doc_ids stay data-derived and cluster-size-stable:
     # order comes from the key values, never from scheduling.
     if preassigned:
+        if cfg.sort_by:
+            raise ValueError("sort_by is incompatible with doc_id_col")
         sort_key = F.col("doc_id").cast("double")
+    elif cfg.sort_by:
+        # index sort: the sort column leads the key (order-preserving
+        # fixed-width encoding for integral types), id_cols tie-break
+        sort_key = F.concat_ws(
+            "\x01",
+            _sortable_str(source, cfg.sort_by),
+            *[F.col(c) for c in keys],
+        )
     else:
         # lexicographic tuple order via \x01-joined key string (safe for
         # keys above control characters, which repo/path/commit are)
@@ -390,12 +422,23 @@ def build_index(
         source.withColumn("_sk", sort_key)
         .withColumn("_pid", pid_expr)
         .withColumn("_batch", (F.col("_pid") / pids_per_batch).cast("int"))
-        .drop("_sk")
-        # range-place the integer pids (near-identity: one pid per task;
-        # hash placement would collide pids and create 2x stragglers)
-        .repartitionByRange(parts, F.col("_pid"))
-        .sortWithinPartitions("_pid", *keys)
     )
+    if cfg.sort_by:
+        # index-sorted build: rows order by the full sort key (sort_by
+        # leads, id_cols tie-break) — doc ids come out globally sorted
+        # by the sort column
+        ordered = ordered.repartitionByRange(
+            parts, F.col("_pid")
+        ).sortWithinPartitions("_pid", "_sk")
+    else:
+        ordered = (
+            ordered.drop("_sk")
+            # range-place the integer pids (near-identity: one pid per
+            # task; hash placement would collide pids and create 2x
+            # stragglers)
+            .repartitionByRange(parts, F.col("_pid"))
+            .sortWithinPartitions("_pid", *keys)
+        )
     if num_batches > 1:
         # multi-batch builds re-read the shuffled frame once per batch
         ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
@@ -445,18 +488,26 @@ def build_index(
                 "doc_id", *meta_cols, "content_sha256"
             ).write.mode("overwrite").parquet(f"{index_dir}/docs/batch={b}")
 
+            aggs = [
+                F.count("*").alias("num_docs"),
+                F.sum("doc_len").alias("sum_doc_len"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+            ]
+            if cfg.sort_by:
+                # per-segment sort-key range — the manifest metadata that
+                # drives sorted-segment early termination at query time
+                aggs += [
+                    F.min(cfg.sort_by).alias("sort_min"),
+                    F.max(cfg.sort_by).alias("sort_max"),
+                ]
             seg_metrics = [
                 r.asDict()
                 for r in staging.filter(
                     (F.col("row_type") == 0) & (F.col("field") == fieldname)
                 )
                 .groupBy("segment_id")
-                .agg(
-                    F.count("*").alias("num_docs"),
-                    F.sum("doc_len").alias("sum_doc_len"),
-                    F.min("doc_id").alias("first_doc_id"),
-                    F.max("doc_id").alias("last_doc_id"),
-                )
+                .agg(*aggs)
                 .collect()
             ]
             if not done and num_batches == 1:
@@ -494,6 +545,7 @@ def build_index(
                     "k1": cfg.k1,
                     "b": cfg.b,
                     "store_positions": store_pos,
+                    "sort_by": cfg.sort_by,
                     "num_docs_total": int(n_docs),
                     "layout_version": LAYOUT_VERSION,
                     "fields": list(fields),

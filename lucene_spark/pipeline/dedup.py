@@ -222,6 +222,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.2,
     k: int = 200,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: H min-hash signatures per doc, banded
     into B buckets; docs sharing a band bucket are candidates, verified
@@ -233,6 +234,15 @@ def minhash_lsh_pairs(
     aggregates (map-side combined); the bucket join shuffles on
     (band, band_key) — uniform md5 buckets, no skew. Candidate count is
     controlled by B/H (the standard S-curve), not corpus size.
+
+    ``max_bucket_size`` caps bucket OCCUPANCY (the boilerplate-bomb
+    guard): a (band, key) bucket with m > cap members would emit m^2
+    all-pairs candidates into one reducer — such members are
+    near-identical by construction, so over-cap buckets switch to a
+    hub-star expansion (every member pairs with the bucket's min doc_id
+    only): O(m) candidates, dup CLUSTERS still surface via the hub, and
+    the exact-Jaccard verification is unchanged. Mirrored exactly in
+    the SQL oracle.
     """
     rows = num_hashes // bands
     sh = _shingles(docs, n)
@@ -255,13 +265,26 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for br in band_rows[1:]:
         banded = banded.unionByName(br)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "band_key"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_key")
+    banded = banded.withColumn("_bsz", F.count("*").over(w)).withColumn(
+        "_hub", F.min("doc_id").over(w)
+    )
+    small = banded.filter(F.col("_bsz") <= max_bucket_size)
+    cand_small = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "band_key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
     )
+    cand_big = (
+        banded.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("doc_id") > F.col("_hub"))
+        )
+        .select(F.col("_hub").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = cand_small.unionByName(cand_big).distinct()
     return _jaccard_pairs(cand, sh, threshold).limit(k)
 
 
@@ -271,6 +294,7 @@ def minhash_lsh_sql(
     bands: int = 4,
     threshold: float = 0.2,
     k: int = 200,
+    max_bucket_size: int = 64,
 ) -> str:
     rows = num_hashes // bands
     mins = ",\n    ".join(
@@ -292,11 +316,20 @@ sig AS (
     {mins}
   FROM shingles GROUP BY doc_id
 ),
-banded AS ({band_selects}),
+banded0 AS ({band_selects}),
+banded AS (
+  SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz,
+         min(doc_id) OVER (PARTITION BY band, band_key) AS hub
+  FROM banded0
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+   AND x.bsz <= {max_bucket_size} AND y.bsz <= {max_bucket_size}
+  UNION
+  SELECT DISTINCT hub AS a, doc_id AS b FROM banded
+  WHERE bsz > {max_bucket_size} AND doc_id > hub
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
@@ -350,12 +383,21 @@ def simhash(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 200) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    k: int = 200,
+    max_bucket_size: int = 64,
+) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming,
     candidates from banded byte buckets (any pair within hamming 3 of a
     32-bit hash agrees on at least one of its 4 bytes — pigeonhole).
 
     -> (a, b, hamming)
+
+    ``max_bucket_size``: occupancy cap per (band, byte) bucket — same
+    boilerplate-bomb guard as minhash_lsh_pairs; over-cap buckets use a
+    hub-star expansion (O(m) candidates), mirrored in the SQL oracle.
     """
     sh = simhash(docs)
     bands = []
@@ -371,9 +413,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 200) -> DataFr
     banded = bands[0]
     for br in bands[1:]:
         banded = banded.unionByName(br)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bval"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bval")
+    wo = w.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    banded = (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .withColumn("_hub", F.min("doc_id").over(w))
+        .withColumn("_hub_sim", F.first("simhash").over(wo))
+    )
+    small = banded.filter(F.col("_bsz") <= max_bucket_size)
+    cand_small = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "bval"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("a"),
@@ -381,8 +435,19 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 200) -> DataFr
             F.col("x.simhash").alias("ha"),
             F.col("y.simhash").alias("hb"),
         )
-        .distinct()
     )
+    cand_big = (
+        banded.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("doc_id") > F.col("_hub"))
+        )
+        .select(
+            F.col("_hub").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.col("_hub_sim").alias("ha"),
+            F.col("simhash").alias("hb"),
+        )
+    )
+    cand = cand_small.unionByName(cand_big).distinct()
     return (
         cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
         .filter(F.col("hamming") <= max_hamming)
@@ -392,7 +457,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 200) -> DataFr
     )
 
 
-def simhash_pairs_sql(max_hamming: int = 3, k: int = 200) -> str:
+def simhash_pairs_sql(
+    max_hamming: int = 3, k: int = 200, max_bucket_size: int = 64
+) -> str:
     bit_sums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
         for j in range(SIMHASH_BITS)
@@ -417,12 +484,25 @@ bits AS (
   FROM tf GROUP BY doc_id
 ),
 sh AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits),
-banded AS ({band_selects}),
+banded0 AS ({band_selects}),
+banded AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsz,
+         min(doc_id) OVER (PARTITION BY band, bval) AS hub,
+         first_value(simhash) OVER (
+           PARTITION BY band, bval ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS hub_sim
+  FROM banded0
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          x.simhash AS ha, y.simhash AS hb
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+   AND x.bsz <= {max_bucket_size} AND y.bsz <= {max_bucket_size}
+  UNION
+  SELECT DISTINCT hub AS a, doc_id AS b, hub_sim AS ha, simhash AS hb
+  FROM banded WHERE bsz > {max_bucket_size} AND doc_id > hub
 )
 SELECT a, b, bit_count(xor(ha, hb)) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}

@@ -161,6 +161,69 @@ class IndexReader:
             ).select("segment_id", "doc_id")
         )
 
+    def sorted_segment_plan(
+        self, field: str, term: str, sort_col: str, ascending: bool, k: int
+    ) -> tuple[list[tuple[int, int]] | None, int]:
+        """Sorted-index early termination (TopFieldCollector.java
+        canEarlyTerminate over IndexWriterConfig.setIndexSort segments):
+        -> (doc_id ranges of segments worth scanning, #segments pruned),
+        or (None, 0) when the index sort doesn't match the requested
+        sort. A segment is skipped only when STRICTLY-better segments
+        (whole key range on the winning side) already hold >= k matches
+        of `term` even after discounting every live tombstone — a
+        conservative bound, so pruning can never change results."""
+        m = self.manifest
+        if m.get("sort_by") != sort_col:
+            return None, 0
+        live = mani.live_segment_ids(m)
+        segs: list[dict] = []
+        for b in m.get("batches", []):
+            for s in b["segments"]:
+                if live is not None and s["segment_id"] not in live:
+                    continue
+                if s.get("sort_min") is None or s.get("sort_max") is None:
+                    return None, 0  # NRT append without ranges
+                segs.append(s)
+        for mg in m.get("merges", []) or []:
+            for s in mg["segments"]:
+                if live is None or s["segment_id"] in live:
+                    return None, 0  # merged segments drop sort ranges
+        if len(segs) < 2:
+            return None, 0
+        # per-segment matched-doc upper bound from the term dictionary
+        # (one tiny collect: <= one row per live segment)
+        df_rows = (
+            self.postings()
+            .filter((F.col("field") == field) & (F.col("term") == term))
+            .groupBy("segment_id")
+            .agg(F.sum("doc_freq").alias("df"))
+            .collect()
+        )
+        matched = {r["segment_id"]: int(r["df"]) for r in df_rows}
+        n_del = int(m.get("num_deleted", 0) or 0)
+        keep: list[tuple[int, int]] = []
+        pruned = 0
+        for s in segs:
+            if ascending:
+                better = sum(
+                    matched.get(o["segment_id"], 0)
+                    for o in segs
+                    if o["sort_max"] <= s["sort_min"]
+                    and o["segment_id"] != s["segment_id"]
+                )
+            else:
+                better = sum(
+                    matched.get(o["segment_id"], 0)
+                    for o in segs
+                    if o["sort_min"] >= s["sort_max"]
+                    and o["segment_id"] != s["segment_id"]
+                )
+            if better - n_del >= k:
+                pruned += 1
+            else:
+                keep.append((int(s["first_doc_id"]), int(s["last_doc_id"])))
+        return keep, pruned
+
     # ---- stats (the IndexSearcher.termStatistics path) --------------------
 
     def collection_stats(self, field: str) -> CollectionStats:

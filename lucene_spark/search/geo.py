@@ -95,10 +95,24 @@ def geo_distance_topk(
     # longitude shrinks with cos(lat); clamp for the pre-filter only
     coslat = max(0.01, math.cos(math.radians(abs(qlat) + dlat)))
     dlon = dlat / coslat
-    pre = g.filter(
-        (F.col("lat") >= qlat - dlat) & (F.col("lat") <= qlat + dlat)
-        & (F.col("lon") >= qlon - dlon) & (F.col("lon") <= qlon + dlon)
-    )
+    lat_pred = (F.col("lat") >= qlat - dlat) & (F.col("lat") <= qlat + dlat)
+    if dlon >= 180.0:
+        # the box spans every longitude — lat band only
+        lon_pred = F.lit(True)
+    elif qlon - dlon < -180.0:
+        # antimeridian wraparound west: split the range at the dateline
+        # (LatLonPointDistanceQuery splits its box the same way)
+        lon_pred = (F.col("lon") <= qlon + dlon) | (
+            F.col("lon") >= qlon - dlon + 360.0
+        )
+    elif qlon + dlon > 180.0:
+        # wraparound east
+        lon_pred = (F.col("lon") >= qlon - dlon) | (
+            F.col("lon") <= qlon + dlon - 360.0
+        )
+    else:
+        lon_pred = (F.col("lon") >= qlon - dlon) & (F.col("lon") <= qlon + dlon)
+    pre = g.filter(lat_pred & lon_pred)
     dist = _haversine_km(F.col("lat"), F.col("lon"), qlat, qlon)
     return (
         pre.withColumn("dist_km", dist)

@@ -523,10 +523,23 @@ def taxonomy_facet_counts(
     by path."""
     matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
     docs = reader.docs().join(matched, "doc_id", "left_semi")
-    rolled = docs.rollup(*dim_cols).agg(F.count("*").alias("cnt"))
-    path = F.concat_ws("/", *[F.col(c) for c in dim_cols])
+    # grouping() distinguishes the rollup's aggregated-away levels from
+    # REAL NULL category values (ADVICE r02): a doc whose first dim is
+    # NULL must still be counted (rendered "(null)"), and only the
+    # grand-total row (first dim aggregated) is dropped. A NULL at a
+    # deeper level renders explicitly so its path never collapses onto
+    # the parent prefix.
+    gcols = [F.grouping(c).alias(f"_g{i}") for i, c in enumerate(dim_cols)]
+    rolled = docs.rollup(*dim_cols).agg(F.count("*").alias("cnt"), *gcols)
+    parts = [
+        F.when(F.col(f"_g{i}") == 1, F.lit(None)).otherwise(
+            F.coalesce(F.col(c).cast("string"), F.lit("(null)"))
+        )
+        for i, c in enumerate(dim_cols)
+    ]
+    path = F.concat_ws("/", *parts)  # concat_ws skips the NULL tail
     return (
-        rolled.filter(F.col(dim_cols[0]).isNotNull())  # drop the grand total
+        rolled.filter(F.col("_g0") == 0)  # drop ONLY the grand total
         .select(path.alias("path"), "cnt")
         .orderBy("path")
         .limit(k)
@@ -634,16 +647,42 @@ def field_sort_topk(
     sort_col: str,
     ascending: bool = False,
     k: int = 10,
+    out_id_col: str = "doc_id",
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """TopFieldCollector analog (SortField.java:59-119): docs matching
     `term`, ordered by a docvalues column with doc_id tie-break.
     -> (doc_id, sort_val). Spark plans this as TakeOrderedAndProject —
-    the same O(k) per-partition heap Lucene uses per leaf."""
+    the same O(k) per-partition heap Lucene uses per leaf.
+
+    On an index built with ``IndexConfig.sort_by == sort_col`` the scan
+    early-terminates: segments whose manifest key range cannot compete
+    are dropped BEFORE the scan (reader.sorted_segment_plan — the
+    canEarlyTerminate analog), and the surviving doc_id ranges reach the
+    parquet reader as pushed-down predicates. ``out_id_col`` selects an
+    alternate registry column as the returned id (sorted indexes
+    reassign internal doc ids, so callers keep their original key in a
+    metadata column). ``prune_stats`` (optional dict) receives
+    {"pruned_segments": n}."""
     matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
     docs = reader.docs().join(matched, "doc_id", "left_semi")
+    ranges, pruned = reader.sorted_segment_plan(
+        field, term, sort_col, ascending, k
+    )
+    if prune_stats is not None:
+        prune_stats["pruned_segments"] = pruned
+    if ranges is not None and pruned:
+        cond = None
+        for lo, hi in ranges:
+            c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            cond = c if cond is None else (cond | c)
+        docs = docs.filter(cond)
     order = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
     return (
-        docs.select("doc_id", F.col(sort_col).cast("long").alias("sort_val"))
+        docs.select(
+            F.col(out_id_col).alias("doc_id"),
+            F.col(sort_col).cast("long").alias("sort_val"),
+        )
         .orderBy(order, F.col("doc_id").asc())
         .limit(k)
     )
@@ -1085,7 +1124,12 @@ def intervals_match_topk(
 
     terms = sorted(set(source.terms()))
     st = reader.term_stats(field, terms)
-    if len(st) < len(terms):
+    # absent terms are NOT uniformly fatal: IAtLeast(n) still matches
+    # with n of the remaining sources (ADVICE r02). Mirror the executor:
+    # bail only when nothing is present, and let the structure-aware
+    # evaluator handle per-source absences exactly (ordered/unordered/
+    # contained sources with a missing term simply produce no intervals).
+    if not st:
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
     rows = reader.postings().filter(
         (F.col("field") == field) & (F.col("term").isin(terms))

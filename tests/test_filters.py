@@ -158,3 +158,16 @@ def test_filtered_analyzer_chain_order():
     )
     # synonym first (quick -> fast), then stem (fast -> fast)
     assert an.tokenize_one("Quick tables") == ["fast", "tabl"]
+
+
+def test_edge_ngram_preserve_original_short_tokens():
+    """ADVICE r02: preserveOriginal keeps tokens shorter than min_gram
+    (which emit no grams) as well as those longer than max_gram."""
+    from lucene_spark.analysis.filters import EdgeNGramFilter
+
+    f = EdgeNGramFilter(min_gram=3, max_gram=4, preserve_original=True)
+    assert f.apply(["ab"]) == ["ab"]                    # < min_gram: kept
+    assert f.apply(["abc"]) == ["abc"]                  # == min_gram gram
+    assert f.apply(["abcdef"]) == ["abc", "abcd", "abcdef"]  # > max_gram
+    g = EdgeNGramFilter(min_gram=3, max_gram=4, preserve_original=False)
+    assert g.apply(["ab"]) == []                        # dropped without PO

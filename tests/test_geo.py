@@ -1,0 +1,68 @@
+"""Geo query tests — in particular the antimeridian wraparound fix
+(ADVICE r02): the bounding-box prefilter must not drop in-radius docs on
+the far side of the dateline."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def many_docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4000), "text": ["x"] * 4000})
+    )
+
+
+def _truth(spark, docs, qlat, qlon, radius_km, k):
+    """Ground truth: full haversine scan, NO prefilter."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.geo import _haversine_km, synthesize_geo
+
+    g = synthesize_geo(docs)
+    dist = _haversine_km(F.col("lat"), F.col("lon"), qlat, qlon)
+    return (
+        g.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select(
+            "doc_id",
+            F.round(F.col("dist_km") * 10).cast("long").alias("dist_x10km"),
+        )
+        .orderBy(F.col("dist_x10km").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "qlat,qlon,radius",
+    [
+        (0.0, 179.7, 800.0),    # east wrap
+        (10.0, -179.8, 800.0),  # west wrap
+        (0.0, 0.0, 800.0),      # no wrap (regression)
+        (89.0, 0.0, 500.0),     # pole: dlon blows past 180 -> lat band
+    ],
+)
+def test_distance_query_matches_unfiltered_scan(
+    spark, many_docs, qlat, qlon, radius
+):
+    from lucene_spark.search.geo import geo_distance_topk
+
+    got = geo_distance_topk(many_docs, qlat, qlon, radius, k=50).collect()
+    want = _truth(spark, many_docs, qlat, qlon, radius, k=50)
+    assert [(r["doc_id"], r["dist_x10km"]) for r in got] == [
+        (r["doc_id"], r["dist_x10km"]) for r in want
+    ]
+    if abs(qlon) > 179.0:
+        # the wraparound case must actually see docs on BOTH sides
+        from lucene_spark.search.geo import synthesize_geo
+
+        hit_ids = [r["doc_id"] for r in got]
+        lons = {
+            r["lon"] > 0
+            for r in synthesize_geo(many_docs)
+            .filter(f"doc_id IN ({','.join(map(str, hit_ids))})")
+            .select("lon")
+            .collect()
+        }
+        assert lons == {True, False}, "hits must straddle the dateline"

@@ -190,3 +190,24 @@ def test_intervals_missing_term_is_empty(interval_index):
     src = Q.IOrdered((Q.ITerm("aa"), Q.ITerm("zzzz")), max_gaps=5)
     top = IndexSearcher(reader).search(Q.IntervalQuery("text", src), k=10)
     assert top.total_hits == 0
+
+
+def test_atleast_with_absent_term_sqlpath_matches_executor(built_index):
+    """ADVICE r02: intervals_match_topk must not return empty when an
+    IAtLeast source term is absent from the index — it still matches
+    with n of the remaining terms, exactly like the executor path."""
+    from lucene_spark.search import query as Q, sqlpath as sp
+    from lucene_spark.search.executor import IndexSearcher
+
+    src = Q.IAtLeast(
+        (Q.ITerm("def"), Q.ITerm("return"), Q.ITerm("zzzznotaterm")), 2
+    )
+    out = sp.intervals_match_topk(built_index, "content", src, k=10).collect()
+    top = IndexSearcher(built_index).search(
+        Q.IntervalQuery("content", src), k=10
+    )
+    assert out, "atLeast with one absent term must still match"
+    assert [r["doc_id"] for r in out] == sorted(h.doc_id for h in top.hits)
+    # absence IS fatal for ordered sources — both paths agree on empty
+    src2 = Q.IOrdered((Q.ITerm("def"), Q.ITerm("zzzznotaterm")))
+    assert sp.intervals_match_topk(built_index, "content", src2).count() == 0

@@ -146,3 +146,31 @@ def test_fingerprint_word_order_invariant(spark):
     assert fp[0]["canon_fp"] == fp[1]["canon_fp"]
     assert fp[0]["canon_fp"] != fp[2]["canon_fp"]
     assert fp[0]["content_hash"] != fp[1]["content_hash"]
+
+
+def test_boilerplate_bomb_bounded_candidates(spark):
+    """Occupancy cap (VERDICT r02 'do this' #6): thousands of identical
+    docs land in ONE LSH bucket; the hub-star fallback must keep the
+    candidate set O(m) (every pair anchored at the bucket's min doc id)
+    instead of O(m^2), while still surfacing the dup cluster."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.dedup import minhash_lsh_pairs, simhash_pairs
+
+    n = 2000
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": ["the exact same boilerplate text block here"] * n,
+            }
+        )
+    )
+    mh = minhash_lsh_pairs(docs, threshold=0.5, k=5 * n).collect()
+    assert len(mh) == n - 1  # hub-star: one pair per non-hub member
+    assert all(r["a"] == 0 for r in mh)
+    assert all(r["jaccard_x1e6"] == 1_000_000 for r in mh)
+
+    sh = simhash_pairs(docs, max_hamming=3, k=5 * n).collect()
+    assert len(sh) == n - 1
+    assert all(r["a"] == 0 and r["hamming"] == 0 for r in sh)
