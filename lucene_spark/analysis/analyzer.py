@@ -92,6 +92,19 @@ class Analyzer:
         fn = self.tokenize_one
         return texts.map(lambda t: fn(t) if isinstance(t, str) else [])
 
+    # ---- offsets (OffsetAttribute role) -------------------------------
+    # Tokenizers that can report each token's char span implement
+    # tokenize_with_offsets_one; store_offsets indexing requires it.
+
+    def supports_offsets(self) -> bool:
+        return type(self).tokenize_with_offsets_one is not Analyzer.tokenize_with_offsets_one
+
+    def tokenize_with_offsets_one(self, text: str):
+        """-> (tokens, starts, ends) with starts/ends char offsets into
+        the ORIGINAL text, or raise if the analyzer cannot track
+        offsets (cross-token filters like shingles)."""
+        raise NotImplementedError(f"{self.name} does not track offsets")
+
 
 class StandardAnalyzer(Analyzer):
     """UAX#29-ish word break -> lowercase -> empty stop set."""
@@ -128,12 +141,31 @@ class SimpleAnalyzer(Analyzer):
     def tokenize_one(self, text: str) -> list[str]:
         return _SIMPLE_PATTERN.findall(text.lower())
 
+    def tokenize_with_offsets_one(self, text: str):
+        # scan the LOWERCASED text (str.lower is length-preserving for
+        # the ASCII classes this pattern matches) so tokens and spans
+        # agree with tokenize_one exactly
+        toks, starts, ends = [], [], []
+        for m in _SIMPLE_PATTERN.finditer(text.lower()):
+            toks.append(m.group(0))
+            starts.append(m.start())
+            ends.append(m.end())
+        return toks, starts, ends
+
 
 class WhitespaceAnalyzer(Analyzer):
     name = "whitespace"
 
     def tokenize_one(self, text: str) -> list[str]:
         return _WS_PATTERN.findall(text)
+
+    def tokenize_with_offsets_one(self, text: str):
+        toks, starts, ends = [], [], []
+        for m in _WS_PATTERN.finditer(text):
+            toks.append(m.group(0))
+            starts.append(m.start())
+            ends.append(m.end())
+        return toks, starts, ends
 
 
 _CAMEL_SPLIT = re.compile(

@@ -46,7 +46,15 @@ from lucene_spark.analysis.analyzer import (
 
 class TokenFilter:
     """list[str] -> list[str] per document (batch loop lives in the
-    analyzer; filters are pure token-list transforms)."""
+    analyzer; filters are pure token-list transforms).
+
+    ``offsets_safe``: True when apply() treats tokens independently
+    (1:1 rewrites, drops, or same-span expansions) so char offsets can
+    ride along per token; cross-token filters (shingles) set False and
+    disqualify the chain from store_offsets indexing — exactly the
+    OffsetAttribute preservation rule of the reference's filters."""
+
+    offsets_safe = True
 
     def apply(self, tokens: list[str]) -> list[str]:
         raise NotImplementedError
@@ -66,6 +74,30 @@ class FilteredAnalyzer(Analyzer):
         for f in self.filters:
             toks = f.apply(toks)
         return toks
+
+    def supports_offsets(self) -> bool:
+        return self.base.supports_offsets() and all(
+            f.offsets_safe for f in self.filters
+        )
+
+    def tokenize_with_offsets_one(self, text: str):
+        toks, starts, ends = self.base.tokenize_with_offsets_one(text)
+        for f in self.filters:
+            if not f.offsets_safe:
+                raise NotImplementedError(
+                    f"{self.name}: {type(f).__name__} cannot track offsets"
+                )
+            ot, os_, oe = [], [], []
+            # per-token application == batch application for offsets_safe
+            # filters (stateless); outputs inherit the source span (the
+            # reference's stemmers/edge-ngrams keep original offsets)
+            for t, s0, e0 in zip(toks, starts, ends):
+                for o in f.apply([t]):
+                    ot.append(o)
+                    os_.append(s0)
+                    oe.append(e0)
+            toks, starts, ends = ot, os_, oe
+        return toks, starts, ends
 
 
 # --------------------------------------------------------------------------
@@ -336,6 +368,8 @@ class StopFilter(TokenFilter):
 
 
 class ShingleFilter(TokenFilter):
+    offsets_safe = False  # crosses token boundaries
+
     """Word n-grams (shingle/ShingleFilter.java): contiguous token
     windows of size min_size..max_size joined by `sep`. Unigrams kept
     when output_unigrams (the reference default)."""

@@ -165,7 +165,9 @@ def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     try:
         m = mani.read_manifest(idx)
         fresh = (
-            m.get("num_docs_total") == n and m.get("analyzer") == "simple_porter"
+            m.get("num_docs_total") == n
+            and m.get("analyzer") == "simple_porter"
+            and m.get("store_offsets") is True
         )
     except FileNotFoundError:
         pass
@@ -177,6 +179,7 @@ def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
             doc_id_col="doc_id",
             docs_per_segment=100_000,
             num_batches=1,
+            store_offsets=True,  # q_highlight(offsets) consumes them
         )
         build_index(spark, docs, idx, cfg)
     r = IndexReader(spark, idx)
@@ -883,19 +886,34 @@ def gate_queries() -> dict[str, object]:
         return sp.grouped_distinct_values(r, FIELD, T_MID, "lang", "source")
 
     def q_highlight(spark, sf):
-        # best-passage highlighting over the top-10 of a term query;
-        # value-compared on the deterministic passage identity
-        # (doc_id, n_hits, passage_start) — markup is presentation-only
-        from lucene_spark.search.highlight import highlight
+        # best-passage highlighting, value-compared on the deterministic
+        # passage identity (doc_id, n_hits, passage_start) — markup is
+        # presentation-only. Two branches: "retok" re-tokenizes stored
+        # text (simple analyzer == its own regex, safe); "offsets"
+        # highlights a Porter-STEMMED index from stored char offsets —
+        # regex re-tokenization would find nothing for the stem terms
+        # (UnifiedHighlighter-over-offsets role).
+        from lucene_spark.search.highlight import highlight, highlight_from_index
 
         r = ensure_index(spark, sf)
         top = sp.bool_bm25_topk(r, FIELD, should=[T_HOT, T_MID], k=10)
         docs = _docs(spark, sf).join(top.select("doc_id"), "doc_id", "left_semi")
-        return (
+        retok = (
             highlight(docs, [T_HOT, T_MID])
             .select("doc_id", "n_hits", "passage_start")
             .orderBy("doc_id")
         )
+        rs = ensure_stem_index(spark, sf)
+        stop = sp.bool_bm25_topk(rs, FIELD, must=["tabl"], should=["queri"], k=10)
+        ids = [row["doc_id"] for row in stop.collect()]
+        offs = (
+            highlight_from_index(
+                rs, FIELD, ["tabl", "queri"], _docs(spark, sf), ids
+            )
+            .select("doc_id", "n_hits", "passage_start")
+            .orderBy("doc_id")
+        )
+        return _union([("retok", retok), ("offsets", offs)])
 
     def q_multi_phrase(spark, sf):
         r = ensure_index(spark, sf)
@@ -1431,9 +1449,41 @@ best AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY nd DESC, nt DESC, s ASC) AS rn
   FROM wins
+),
+t_retok AS (
+  SELECT doc_id, CAST(nt AS INT) AS n_hits, CAST(s AS INT) AS passage_start
+  FROM best WHERE rn = 1 ORDER BY doc_id
+),
+topd2 AS ({_sql_bool(must=["table"], should=["query"])}),
+tl2 AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM topd2)
+),
+pos2 AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS p
+  FROM tl2
+),
+hits2 AS (SELECT doc_id, p, tok FROM pos2 WHERE tok IN ('table', 'query')),
+wins2 AS (
+  SELECT a.doc_id, a.p AS s, count(DISTINCT h.tok) AS nd, count(*) AS nt
+  FROM hits2 a JOIN hits2 h
+    ON h.doc_id = a.doc_id AND h.p >= a.p AND h.p < a.p + 8
+  GROUP BY a.doc_id, a.p
+),
+best2 AS (
+  SELECT doc_id, s, nt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY nd DESC, nt DESC, s ASC) AS rn
+  FROM wins2
+),
+t_offsets AS (
+  SELECT doc_id, CAST(nt AS INT) AS n_hits, CAST(s - 1 AS INT) AS passage_start
+  FROM best2 WHERE rn = 1 ORDER BY doc_id
 )
-SELECT doc_id, CAST(nt AS INT) AS n_hits, CAST(s AS INT) AS passage_start
-FROM best WHERE rn = 1 ORDER BY doc_id""",
+SELECT 'retok' AS tag, * FROM t_retok
+UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         "q_window_tumbling": sw.tumbling_counts_sql(),
         "q_window_sliding": sw.sliding_counts_sql(),
         "q_window_session": sw.session_counts_sql(),

@@ -44,7 +44,7 @@ from lucene_spark.index import manifest as mani
 from lucene_spark.index.segment import STAGING_SCHEMA, build_segment
 
 
-LAYOUT_VERSION = 2  # bump when table schemas change (doclens gained `field`)
+LAYOUT_VERSION = 3  # bump when table schemas change (postings gained `offsets`)
 
 
 @dataclass
@@ -53,6 +53,10 @@ class IndexConfig:
     content_col: str = "content"
     analyzer: str = "standard"
     store_positions: bool = True
+    # store each occurrence's char span beside positions (IndexOptions
+    # ..._AND_OFFSETS role) — required for index-driven highlighting;
+    # needs an offsets-tracking analyzer chain
+    store_offsets: bool = False
     # multi-field indexing (Document = bag of fields, SURVEY §1.1):
     # extra fields as {field_name: content_column}; the primary
     # `field`/`content_col` pair carries the sha256 invariant and the
@@ -162,7 +166,10 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     return out
 
 
-def _invert_fields(seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool):
+def _invert_fields(
+    seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool,
+    store_off: bool = False,
+):
     """Invert every (field, content_col) of one segment; doc rows carry
     their field so doclens are per (doc, field) — a Document is a bag of
     fields (SURVEY §1.1). ``ans``: field -> Analyzer (the
@@ -173,7 +180,8 @@ def _invert_fields(seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool):
     for fname, col in fields.items():
         an = ans[fname] if isinstance(ans, dict) else ans
         seg = build_segment(
-            seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos
+            seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos,
+            store_offsets=store_off,
         )
         seg.loc[seg["row_type"] == 0, "field"] = fname
         frames.append(seg)
@@ -183,6 +191,7 @@ def _invert_fields(seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool):
 def make_invert_fn(
     analyzer_name: str, content_col: str, fieldname: str, store_pos: bool,
     fields: dict | None = None, field_analyzers: dict | None = None,
+    store_off: bool = False,
 ):
     """The DWPT pass as a mapInPandas closure: one partition -> one
     segment (tokenize, count freqs, sort terms once). Shared by the
@@ -205,7 +214,8 @@ def make_invert_fn(
             pdf = pdf.sort_values("doc_id")
             seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
             yield _invert_fields(
-                seg_id, pdf["doc_id"].to_numpy(), pdf, an, fields, store_pos
+                seg_id, pdf["doc_id"].to_numpy(), pdf, an, fields, store_pos,
+                store_off,
             )
 
     return invert
@@ -220,6 +230,7 @@ def _make_fused_fn(
     offsets: dict[int, int] | None,
     fields: dict | None = None,
     field_analyzers: dict | None = None,
+    store_off: bool = False,
 ):
     """The fused DWPT pass: ONE Python crossing per partition that
     (a) assigns dense deterministic doc_ids from the per-partition
@@ -260,7 +271,7 @@ def _make_fused_fn(
             seg_id = f"b{batch_no:04d}p{pid:05d}"
             out = _invert_fields(
                 seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
-                store_pos,
+                store_pos, store_off,
             )
             # attach registry columns to the PRIMARY field's doc rows
             # (aligned: build_segment emits doc rows first in doc_id
@@ -448,9 +459,18 @@ def build_index(
     meta_cols = [
         c for c in source.columns if c not in content_cols and c != "doc_id"
     ]
+    if cfg.store_offsets:
+        # fail fast: every field's analyzer chain must track offsets
+        for f in fields:
+            if not get_analyzer(cfg.analyzer_for(f)).supports_offsets():
+                raise ValueError(
+                    f"store_offsets: analyzer {cfg.analyzer_for(f)!r} for "
+                    f"field {f!r} cannot track offsets"
+                )
     fused = _make_fused_fn(
         analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
         None if preassigned else offsets, fields, cfg.field_analyzers,
+        cfg.store_offsets,
     )
     meta_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -476,7 +496,7 @@ def build_index(
             )
             staging.filter("row_type = 1").select(
                 "segment_id", "field", "term", "doc_freq", "total_term_freq",
-                "postings", "norms", "positions", "block_last_doc",
+                "postings", "norms", "positions", "offsets", "block_last_doc",
                 "impact_freqs", "impact_norms",
             ).write.mode("overwrite").parquet(f"{index_dir}/postings/batch={b}")
             staging.filter("row_type = 0").select(
@@ -545,6 +565,7 @@ def build_index(
                     "k1": cfg.k1,
                     "b": cfg.b,
                     "store_positions": store_pos,
+                    "store_offsets": cfg.store_offsets,
                     "sort_by": cfg.sort_by,
                     "num_docs_total": int(n_docs),
                     "layout_version": LAYOUT_VERSION,

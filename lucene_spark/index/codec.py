@@ -322,3 +322,28 @@ def decode_positions(blob: bytes, freqs: np.ndarray) -> list[np.ndarray]:
     ends = np.cumsum(lens)
     starts = ends - lens
     return [flat[s:e] for s, e in zip(starts, ends)]
+
+
+# ---- offsets (IndexOptions ..._AND_OFFSETS role) ----------------------------
+
+
+def decode_offsets_flat(blob: bytes, freqs: np.ndarray):
+    """Decode stored char offsets -> (flat starts, flat ends, per-doc
+    lens), doc-major, aligned with decode_positions_flat. The wire form
+    is interleaved varints [start_delta, length, ...] per occurrence,
+    with start deltas resetting at each doc boundary (the
+    ..._AND_OFFSETS posting payload of Lucene's PostingsFormat,
+    IndexOptions.java:26-50 — byte layout is OUR choice)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, freqs
+    vals = decode_varints(blob, 2 * total).astype(np.int64)
+    sdel = vals[0::2]
+    lens = vals[1::2]
+    c = np.cumsum(sdel)
+    gstarts = np.cumsum(freqs) - freqs
+    base = np.where(gstarts > 0, c[np.maximum(gstarts - 1, 0)], 0)
+    starts = c - np.repeat(base, freqs)
+    return starts, starts + lens, freqs

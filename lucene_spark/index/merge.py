@@ -101,6 +101,8 @@ def _merge_postings_fn(order: dict[str, int]):
         norms = np.frombuffer(norms_b, dtype=np.uint8).astype(np.int64)
         blob, block_last, imp_f, imp_n = codec.encode_postings(docs, freqs, norms)
         pos = b"".join(bytes(b) for b in pdf["positions"]) if have_pos else None
+        have_off = pdf["offsets"].notna().all()
+        off = b"".join(bytes(b) for b in pdf["offsets"]) if have_off else None
         return pd.DataFrame(
             {
                 "field": [pdf["field"].iat[0]],
@@ -110,6 +112,7 @@ def _merge_postings_fn(order: dict[str, int]):
                 "postings": [blob],
                 "norms": [norms_b],
                 "positions": [pos],
+                "offsets": [off],
                 "block_last_doc": [[int(x) for x in block_last]],
                 "impact_freqs": [[[int(v) for v in fs] for fs in imp_f]],
                 "impact_norms": [[[int(v) for v in ns] for ns in imp_n]],
@@ -121,8 +124,8 @@ def _merge_postings_fn(order: dict[str, int]):
 
 _POSTING_COLS = [
     "segment_id", "field", "term", "doc_freq", "total_term_freq",
-    "postings", "norms", "positions", "block_last_doc", "impact_freqs",
-    "impact_norms",
+    "postings", "norms", "positions", "offsets", "block_last_doc",
+    "impact_freqs", "impact_norms",
 ]
 
 
@@ -147,7 +150,8 @@ def _purge_segment_fn(left, right):
     out = {c: [] for c in _POSTING_COLS}
 
     def emit(row, docs=None, freqs=None, postings=None, norms=None,
-             positions=None, block_last=None, imp_f=None, imp_n=None):
+             positions=None, offsets=None, block_last=None, imp_f=None,
+             imp_n=None):
         out["segment_id"].append(row.segment_id)
         out["field"].append(row.field)
         out["term"].append(row.term)
@@ -157,6 +161,7 @@ def _purge_segment_fn(left, right):
             out["postings"].append(row.postings)
             out["norms"].append(row.norms)
             out["positions"].append(row.positions)
+            out["offsets"].append(row.offsets)
             out["block_last_doc"].append(row.block_last_doc)
             out["impact_freqs"].append(row.impact_freqs)
             out["impact_norms"].append(row.impact_norms)
@@ -166,6 +171,7 @@ def _purge_segment_fn(left, right):
             out["postings"].append(postings)
             out["norms"].append(norms)
             out["positions"].append(positions)
+            out["offsets"].append(offsets)
             out["block_last_doc"].append([int(x) for x in block_last])
             out["impact_freqs"].append([[int(v) for v in fs] for fs in imp_f])
             out["impact_norms"].append([[int(v) for v in ns] for ns in imp_n])
@@ -181,26 +187,48 @@ def _purge_segment_fn(left, right):
         if not keep.any():
             continue  # every doc purged — the term row disappears
         norms = np.frombuffer(bytes(row.norms), dtype=np.uint8).astype(np.int64)
-        pos_blob = None
+        pos_blob = off_blob = None
         if row.positions is not None:
             pos_l = codec.decode_positions(bytes(row.positions), freqs)
             pos_l = [p for p, kp in zip(pos_l, keep) if kp]
+        if row.offsets is not None:
+            o_starts, o_ends, _ = codec.decode_offsets_flat(
+                bytes(row.offsets), freqs
+            )
+            o_ends_idx = np.cumsum(freqs)
+            o_pairs = [
+                (o_starts[e - f:e], o_ends[e - f:e])
+                for f, e in zip(freqs, o_ends_idx)
+            ]
+            o_pairs = [p for p, kp in zip(o_pairs, keep) if kp]
         docs2, freqs2, norms2 = docs[keep], freqs[keep], norms[keep]
         blob, block_last, imp_f, imp_n = codec.encode_postings(
             docs2, freqs2, norms2
         )
         if row.positions is not None:
             pos_blob = codec.encode_positions(freqs2, pos_l)
+        if row.offsets is not None:
+            parts = []
+            for st_, en_ in o_pairs:
+                sdel = np.diff(st_, prepend=np.int64(0))
+                inter = np.empty(2 * len(st_), dtype=np.int64)
+                inter[0::2] = sdel
+                inter[1::2] = en_ - st_
+                parts.append(inter)
+            off_blob = (
+                codec.encode_varints_offsets(np.concatenate(parts))[0]
+                if parts else b""
+            )
         emit(
             row, docs2, freqs2, blob, norms2.astype(np.uint8).tobytes(),
-            pos_blob, block_last, imp_f, imp_n,
+            pos_blob, off_blob, block_last, imp_f, imp_n,
         )
     return pd.DataFrame(out) if out["term"] else left.iloc[0:0][_POSTING_COLS]
 
 
 _MERGED_SCHEMA = (
     "field string, term string, doc_freq int, total_term_freq long, "
-    "postings binary, norms binary, positions binary, "
+    "postings binary, norms binary, positions binary, offsets binary, "
     "block_last_doc array<long>, impact_freqs array<array<int>>, "
     "impact_norms array<array<int>>"
 )
@@ -240,6 +268,10 @@ def merge_round(
     )
     gen = m["generation"]
     postings_all = spark.read.parquet(f"{index_dir}/postings")
+    if "offsets" not in postings_all.columns:  # pre-layout-3 index
+        postings_all = postings_all.withColumn(
+            "offsets", F.lit(None).cast("binary")
+        )
     doclens_all = spark.read.parquet(f"{index_dir}/doclens")
 
     # tombstones covered by merged segments get PURGED (dropped from the

@@ -29,14 +29,14 @@ from lucene_spark.util.smallfloat import int_to_byte4_vec
 STAGING_SCHEMA = (
     "segment_id string, row_type int, doc_id long, doc_len int, doc_len_code int, "
     "field string, term string, doc_freq int, total_term_freq long, "
-    "postings binary, norms binary, positions binary, "
+    "postings binary, norms binary, positions binary, offsets binary, "
     "block_last_doc array<long>, impact_freqs array<array<int>>, "
     "impact_norms array<array<int>>"
 )
 
 _POST_COLS = [
     "segment_id", "row_type", "doc_id", "doc_len", "doc_len_code", "field", "term",
-    "doc_freq", "total_term_freq", "postings", "norms", "positions",
+    "doc_freq", "total_term_freq", "postings", "norms", "positions", "offsets",
     "block_last_doc", "impact_freqs", "impact_norms",
 ]
 
@@ -48,15 +48,33 @@ def build_segment(
     analyzer: Analyzer,
     field: str,
     store_positions: bool = True,
+    store_offsets: bool = False,
 ) -> pd.DataFrame:
     """Invert one segment. doc_ids must be strictly increasing (the
     docs-in-order invariant, Lucene104PostingsWriter.java:263-268).
 
     Returns the union-schema staging frame: one row per doc (doc_len,
     norm) + one row per distinct term (encoded postings).
+
+    ``store_offsets`` additionally stores each occurrence's char span
+    (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS role,
+    IndexOptions.java:26-50) as interleaved (start-delta, length)
+    varints beside the position blob; requires an analyzer whose chain
+    tracks offsets (analyzer.supports_offsets()).
     """
     n_docs = len(doc_ids)
-    token_lists = analyzer.tokenize(texts)
+    off_start_lists = off_end_lists = None
+    if store_offsets:
+        trip = [
+            analyzer.tokenize_with_offsets_one(t) if isinstance(t, str)
+            else ([], [], [])
+            for t in texts
+        ]
+        token_lists = pd.Series([t[0] for t in trip], index=texts.index)
+        off_start_lists = [t[1] for t in trip]
+        off_end_lists = [t[2] for t in trip]
+    else:
+        token_lists = analyzer.tokenize(texts)
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
 
     # --- doc rows: norms (Similarity.computeNorm analog: numTerms encoded
@@ -136,6 +154,35 @@ def build_segment(
         lo = 0 if tok_lo == 0 else int(tok_byte_ends[tok_lo - 1])
         return pos_buf[lo : int(tok_byte_ends[tok_hi - 1])]
 
+    # --- offsets: same one-pass encode/slice scheme as positions, but
+    # interleaved (start-delta, length) pairs per occurrence
+    off_buf = b""
+    off_byte_ends = None
+    if store_offsets and total_tokens:
+        flat_starts = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in off_start_lists if x]
+        )
+        flat_ends_c = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in off_end_lists if x]
+        )
+        s_sorted = flat_starts[order]
+        e_sorted = flat_ends_c[order]
+        sdel = s_sorted.copy()
+        sdel[1:] -= s_sorted[:-1]
+        sdel[pair_starts] = s_sorted[pair_starts]
+        inter = np.empty(2 * total_tokens, dtype=np.int64)
+        inter[0::2] = sdel
+        inter[1::2] = e_sorted - s_sorted
+        off_buf, off_byte_ends = codec.encode_varints_offsets(inter)
+
+    def term_off_blob(ts: int, te: int):
+        if not (store_offsets and total_tokens):
+            return None
+        tok_lo = pair_starts[ts]
+        tok_hi = pair_ends[te - 1]
+        lo = 0 if tok_lo == 0 else int(off_byte_ends[2 * tok_lo - 1])
+        return off_buf[lo : int(off_byte_ends[2 * tok_hi - 1])]
+
     records = []
     for ts, te in zip(term_starts, term_ends):
         term = uniq_terms[pair_term[ts]]
@@ -157,7 +204,7 @@ def build_segment(
                 (
                     segment_id, 1, None, None, None, field, str(term),
                     1, f, blob, bytes((nrm,)), term_pos_blob(ts, te),
-                    [doc], [[f]], [[nrm]],
+                    term_off_blob(ts, te), [doc], [[f]], [[nrm]],
                 )
             )
             continue
@@ -171,6 +218,7 @@ def build_segment(
                 segment_id, 1, None, None, None, field, str(term),
                 int(len(g_docs)), int(g_freqs.sum()), blob,
                 g_norms.astype(np.uint8).tobytes(), term_pos_blob(ts, te),
+                term_off_blob(ts, te),
                 [int(x) for x in block_last],
                 [[int(v) for v in fs] for fs in imp_f],
                 [[int(v) for v in ns] for ns in imp_n],

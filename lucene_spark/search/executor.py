@@ -917,6 +917,47 @@ class _SegmentIndex:
         self._flat_cache[term] = out
         return out
 
+    def flat_offsets(self, term: str):
+        """-> (flat char starts, flat char ends, seg starts, lens) —
+        stored occurrence offsets aligned with flat_positions(term)'s
+        doc order and live mask. Requires a store_offsets index."""
+        if not hasattr(self, "_off_cache"):
+            self._off_cache = {}
+        if term in self._off_cache:
+            return self._off_cache[term]
+        s_parts: list[np.ndarray] = []
+        e_parts: list[np.ndarray] = []
+        lens_parts: list[np.ndarray] = []
+        for i in self.rows.get(term, ()):
+            r = self.pdf.iloc[i]
+            if r["offsets"] is None:
+                raise ValueError("index was not built with store_offsets")
+            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            st, en, lens = codec.decode_offsets_flat(bytes(r["offsets"]), freqs)
+            keep = self._live(d)
+            if keep is not None:
+                idx = np.where(keep)[0]
+                sel = lens[idx]
+                starts = np.cumsum(lens) - lens
+                total = int(sel.sum())
+                rep = np.repeat(starts[idx], sel)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(sel) - sel, sel
+                )
+                st, en = st[rep + within], en[rep + within]
+                lens = sel
+            s_parts.append(st)
+            e_parts.append(en)
+            lens_parts.append(lens)
+        z = np.zeros(0, dtype=np.int64)
+        st = np.concatenate(s_parts) if s_parts else z
+        en = np.concatenate(e_parts) if e_parts else z
+        lens = np.concatenate(lens_parts) if lens_parts else z
+        ends = np.cumsum(lens)
+        out = (st, en, ends - lens, lens)
+        self._off_cache[term] = out
+        return out
+
     def impacts(self, term: str):
         """-> (block_last, [impact freq arrays], [impact norm arrays]);
         parts concatenate block-wise (ranges are disjoint and ordered)."""

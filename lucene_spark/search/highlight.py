@@ -95,3 +95,125 @@ def highlight(
     return docs.select("doc_id", content_col).mapInPandas(
         run, schema="doc_id long, snippet string, n_hits int, passage_start int"
     )
+
+
+def highlight_from_index(
+    reader,
+    field: str,
+    terms: list[str],
+    docs: DataFrame,
+    doc_ids: list[int],
+    window: int = 8,
+    pre: str = "<b>",
+    post: str = "</b>",
+    content_col: str = "text",
+) -> DataFrame:
+    """UnifiedHighlighter offsets mode (reference UnifiedHighlighter
+    consuming IndexOptions ..._AND_OFFSETS postings /
+    TermVectorsFormat.java:26): highlight from the STORED positions and
+    char offsets instead of re-tokenizing — the only correct option
+    when the index analyzer (stemming, per-field chains) disagrees with
+    any query-time regex. ``terms`` are ANALYZED terms (e.g. Porter
+    stems); the emitted snippet wraps the original surface forms via
+    their stored spans.
+
+    Passage = best window of ``window`` token positions ANCHORED AT A
+    HIT (most distinct terms, then most hits, then earliest anchor) —
+    anchoring at match positions is lossless for the max and mirrors
+    the reference's passage scoring over match offsets.
+
+    -> (doc_id, snippet, n_hits, passage_start) where passage_start is
+    the 0-based token position of the anchoring hit.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.executor import _SegmentIndex
+
+    cand = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    tset = sorted(set(terms))
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        per_doc: dict[int, list[tuple[int, int, int, int]]] = {}
+        for ti, t in enumerate(tset):
+            if not ctx.has(t):
+                continue
+            tdocs, _, _ = ctx.postings(t)
+            flat_pos, p_starts, p_lens = ctx.flat_positions(t)
+            o_st, o_en, o_starts, _ = ctx.flat_offsets(t)
+            idx = np.searchsorted(tdocs, cand)
+            ok = (idx < len(tdocs)) & (
+                tdocs[np.minimum(idx, len(tdocs) - 1)] == cand
+            )
+            for ci in np.where(ok)[0]:
+                j = idx[ci]
+                lo, n = int(p_starts[j]), int(p_lens[j])
+                d = int(cand[ci])
+                hits = per_doc.setdefault(d, [])
+                for x in range(lo, lo + n):
+                    hits.append(
+                        (int(flat_pos[x]), int(o_st[x]), int(o_en[x]), ti)
+                    )
+        rows = []
+        for d, hits in per_doc.items():
+            hits.sort()
+            pos = np.array([h[0] for h in hits], dtype=np.int64)
+            best_key, best_i = None, None
+            for i in range(len(hits)):
+                a = pos[i]
+                hi = int(np.searchsorted(pos, a + window, side="left"))
+                in_win = hits[i:hi]
+                key = (len({h[3] for h in in_win}), len(in_win), -a)
+                if best_key is None or key > best_key:
+                    best_key, best_i = key, i
+            a = int(pos[best_i])
+            hi = int(np.searchsorted(pos, a + window, side="left"))
+            win = hits[best_i:hi]
+            rows.append(
+                (
+                    d,
+                    len(win),
+                    a,
+                    [h[1] for h in win],
+                    [h[2] for h in win],
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_hits", "passage_start", "starts", "ends"],
+        )
+
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(tset))
+    )
+    hitdf = rows.groupBy("segment_id").applyInPandas(
+        per_segment,
+        schema=(
+            "doc_id long, n_hits int, passage_start int, "
+            "starts array<long>, ends array<long>"
+        ),
+    )
+    joined = hitdf.join(docs.select("doc_id", content_col), "doc_id")
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                text = str(getattr(r, content_col))
+                spans = sorted(zip(list(r.starts), list(r.ends)))
+                lo, hi = spans[0][0], max(e for _, e in spans)
+                snip = text[lo:hi]
+                for s, e in reversed(spans):
+                    snip = (
+                        snip[: s - lo] + pre + snip[s - lo : e - lo] + post
+                        + snip[e - lo :]
+                    )
+                out.append((r.doc_id, snip, r.n_hits, r.passage_start))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "snippet", "n_hits", "passage_start"]
+            )
+
+    return joined.mapInPandas(
+        wrap, schema="doc_id long, snippet string, n_hits int, passage_start int"
+    )
