@@ -502,12 +502,53 @@ atleast2 AS (
       AND x.tok < y.tok
       AND greatest(x.p, y.p) - least(x.p, y.p) + 1 <= 4
   ) ORDER BY doc_id LIMIT 10
+),
+before_m AS (
+  -- before(fast, scan): a fast ending before some scan begins
+  SELECT doc_id FROM (
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'fast' AND b.tok = 'scan' AND b.p > a.p
+  ) ORDER BY doc_id LIMIT 10
+),
+nonover_m AS (
+  -- nonOverlapping(unordered(fast,table,w<=5), key): a minimal span
+  -- (the `wid` CTE) covering NO key position
+  SELECT doc_id FROM (
+    SELECT DISTINCT m.doc_id FROM wid m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pos k
+      WHERE k.doc_id = m.doc_id AND k.tok = 'key'
+        AND k.p BETWEEN m.s AND m.e
+    )
+  ) ORDER BY doc_id LIMIT 10
+),
+extendby_m AS (
+  -- containedBy(key, extend(fast, 3, 3)): a key within +-3 of a fast
+  SELECT doc_id FROM (
+    SELECT DISTINCT k.doc_id
+    FROM pos k JOIN pos a ON k.doc_id = a.doc_id
+    WHERE k.tok = 'key' AND a.tok = 'fast'
+      AND k.p BETWEEN a.p - 3 AND a.p + 3
+  ) ORDER BY doc_id LIMIT 10
+),
+phrase_m AS (
+  -- phrase(fast, table): exact adjacency
+  SELECT doc_id FROM (
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.tok = 'fast' AND b.tok = 'table' AND b.p = a.p + 1
+  ) ORDER BY doc_id LIMIT 10
 )
 SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
   SELECT 'ord3' AS tag, doc_id FROM ord3
   UNION ALL SELECT 'unord2' AS tag, doc_id FROM unord2
   UNION ALL SELECT 'within' AS tag, doc_id FROM within_m
   UNION ALL SELECT 'atleast' AS tag, doc_id FROM atleast2
+  UNION ALL SELECT 'before' AS tag, doc_id FROM before_m
+  UNION ALL SELECT 'nonover' AS tag, doc_id FROM nonover_m
+  UNION ALL SELECT 'extendby' AS tag, doc_id FROM extendby_m
+  UNION ALL SELECT 'phrase' AS tag, doc_id FROM phrase_m
 )"""
 
 
@@ -977,6 +1018,18 @@ def gate_queries() -> dict[str, object]:
                 (Q.ITerm("fast"), Q.ITerm("table"), Q.ITerm("scan")),
                 n=2, max_width=4,
             ),
+            # r03 combinators (Intervals.java:395-590)
+            "before": Q.IBefore(Q.ITerm("fast"), Q.ITerm("scan")),
+            "nonover": Q.INonOverlapping(
+                Q.IUnordered(
+                    (Q.ITerm("fast"), Q.ITerm("table")), max_width=5
+                ),
+                Q.ITerm("key"),
+            ),
+            "extendby": Q.IContainedBy(
+                Q.ITerm("key"), Q.IExtend(Q.ITerm("fast"), 3, 3)
+            ),
+            "phrase": Q.IPhrase((Q.ITerm("fast"), Q.ITerm("table"))),
         }
         parts = [
             sp.intervals_match_topk(r, FIELD, src, k=10)
@@ -1087,6 +1140,21 @@ def gate_queries() -> dict[str, object]:
             out = t if out is None else out.unionByName(t)
         return out
 
+    def _sqp_bool(spark, sf, querystring):
+        from lucene_spark.search.queryparser import SimpleQueryParser
+
+        r = ensure_index(spark, sf)
+        q = SimpleQueryParser(FIELD).parse(querystring)
+        must, should = [], []
+        if isinstance(q, Q.TermQuery):
+            must.append(q.term)
+        else:
+            for c in q.must:
+                must.append(c.term)
+            for c in q.should:
+                should.append(c.term)
+        return sp.bool_bm25_topk(r, FIELD, must=must, should=should)
+
     def q_bool_suite(spark, sf):
         return _union([
             ("and", q_bool_and(spark, sf)),
@@ -1100,6 +1168,10 @@ def gate_queries() -> dict[str, object]:
                 ensure_index(spark, sf), FIELD, [T_HOT, T_MID, T_RARE],
                 "1 + n_chars % 2",
             )),
+            # SimpleQueryParser (queryparser/simple) routed through the
+            # sql64 bool path: parse end-user syntax, map the flat AST
+            ("sqp_and", _sqp_bool(spark, sf, f"{T_HOT} + {T_MID}")),
+            ("sqp_or", _sqp_bool(spark, sf, f"{T_HOT} | {T_MID} | {T_RARE}")),
         ])
 
     def q_multiterm_suite(spark, sf):
@@ -1563,6 +1635,8 @@ ORDER BY score_x1e6 DESC, sc.doc_id ASC LIMIT 10"""
         ("must_should", one.pop("q_must_plus_should")),
         ("filter", one.pop("q_bool_filter")),
         ("covering", covering_sql),
+        ("sqp_and", _sql_bool(must=[T_HOT, T_MID])),
+        ("sqp_or", _sql_bool(should=[T_HOT, T_MID, T_RARE])),
     ])
     one["q_multiterm_suite"] = _sql_tagged([
         ("prefix", one.pop("q_prefix")),

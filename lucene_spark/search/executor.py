@@ -1494,6 +1494,25 @@ def _intervals_candidates(src, ctx: _SegmentIndex) -> np.ndarray:
         a = _intervals_candidates(src.small, ctx)
         b = _intervals_candidates(src.big, ctx)
         return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, Q.IExtend):
+        return _intervals_candidates(src.source, ctx)
+    if isinstance(src, (Q.IBefore, Q.IAfter, Q.IOverlapping)):
+        a = _intervals_candidates(src.source, ctx)
+        b = _intervals_candidates(src.reference, ctx)
+        return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, Q.INonOverlapping):
+        # docs with no reference at all still match on source alone
+        return _intervals_candidates(src.source, ctx)
+    if isinstance(src, Q.INotContaining):
+        return _intervals_candidates(src.big, ctx)
+    if isinstance(src, Q.IPhrase):
+        out = None
+        for c in src.sources:
+            d = _intervals_candidates(c, ctx)
+            out = d if out is None else out[np.isin(out, d, assume_unique=True)]
+            if len(out) == 0:
+                return z
+        return out if out is not None else z
     raise TypeError(type(src).__name__)
 
 
@@ -1580,6 +1599,80 @@ def _intervals_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
         ok &= (ss[sel] // large) == (bs // large)
         ok &= se[sel] <= be
         return bs[ok], be[ok]
+    if isinstance(src, Q.IExtend):
+        s0, e0 = _intervals_eval(src.source, ctx, docs, large)
+        if len(s0) == 0:
+            return s0, e0
+        # clamp the left extension at the doc boundary; NOT minimalized
+        # (Intervals.extend keeps overlapping envelopes); starts and
+        # ends both stay non-decreasing, which parents rely on
+        pos = s0 % large
+        s = s0 - np.minimum(pos, np.int64(src.before))
+        e = e0 + np.int64(src.after)
+        return s, e
+    if isinstance(src, (Q.IBefore, Q.IAfter, Q.IOverlapping,
+                        Q.INonOverlapping)):
+        ss, se = _intervals_eval(src.source, ctx, docs, large)
+        rs, re_ = _intervals_eval(src.reference, ctx, docs, large)
+        if len(ss) == 0:
+            return ss, se
+        doc = ss // large
+        if isinstance(src, Q.IBefore):
+            if len(rs) == 0:
+                return ss[:0], se[:0]
+            # max reference start in the doc must exceed the source end
+            hib = np.searchsorted(rs, (doc + 1) * large, side="left") - 1
+            ok = hib >= 0
+            sel = np.maximum(hib, 0)
+            ok &= (rs[sel] // large) == doc
+            ok &= rs[sel] > se
+            return ss[ok], se[ok]
+        if isinstance(src, Q.IAfter):
+            if len(rs) == 0:
+                return ss[:0], se[:0]
+            # min reference end in the doc (ends non-decreasing =>
+            # first interval of the doc) must precede the source start
+            idx = np.searchsorted(rs, doc * large, side="left")
+            ok = idx < len(rs)
+            sel = np.minimum(idx, len(rs) - 1)
+            ok &= (rs[sel] // large) == doc
+            ok &= re_[sel] < ss
+            return ss[ok], se[ok]
+        # overlap test: among references with start <= source end, the
+        # LAST one (max end, ends non-decreasing) decides
+        if len(rs) == 0:
+            overlap = np.zeros(len(ss), dtype=bool)
+        else:
+            idx = np.searchsorted(rs, se, side="right") - 1
+            ok0 = idx >= 0
+            sel = np.maximum(idx, 0)
+            ok0 &= (rs[sel] // large) == doc
+            overlap = ok0 & (re_[sel] >= ss)
+        keep = overlap if isinstance(src, Q.IOverlapping) else ~overlap
+        return ss[keep], se[keep]
+    if isinstance(src, Q.INotContaining):
+        bs, be = _intervals_eval(src.big, ctx, docs, large)
+        ss, se = _intervals_eval(src.small, ctx, docs, large)
+        if len(bs) == 0:
+            return bs, be
+        if len(ss) == 0:
+            return bs, be
+        idx = np.searchsorted(ss, bs, side="left")
+        ok = idx < len(ss)
+        sel = np.minimum(idx, len(ss) - 1)
+        ok &= (ss[sel] // large) == (bs // large)
+        contained = ok & (se[sel] <= be)
+        return bs[~contained], be[~contained]
+    if isinstance(src, Q.IPhrase):
+        if not all(isinstance(c, Q.ITerm) for c in src.sources):
+            raise NotImplementedError(
+                "Intervals.phrase is supported for term children only"
+            )
+        subs = [_intervals_eval(c, ctx, docs, large) for c in src.sources]
+        s, e = _intervals_chain_ordered(subs, large)
+        s, e = _minimalize_intervals(s, e)
+        keep = (e - s + 1) == len(src.sources)  # zero gaps
+        return s[keep], e[keep]
     raise TypeError(f"unknown intervals source {type(src).__name__}")
 
 
@@ -1595,6 +1688,15 @@ def _intervals_span(src) -> int:
         mx = max(_intervals_span(src.small), _intervals_span(src.big))
     elif isinstance(src, Q.IContaining):
         mx = max(_intervals_span(src.small), _intervals_span(src.big))
+    elif isinstance(src, Q.IExtend):
+        mx = _intervals_span(src.source) + src.before + src.after
+    elif isinstance(src, (Q.IBefore, Q.IAfter, Q.IOverlapping,
+                          Q.INonOverlapping)):
+        mx = max(_intervals_span(src.source), _intervals_span(src.reference))
+    elif isinstance(src, Q.INotContaining):
+        mx = max(_intervals_span(src.big), _intervals_span(src.small))
+    elif isinstance(src, Q.IPhrase):
+        mx = max(len(src.sources), *(_intervals_span(c) for c in src.sources))
     return mx
 
 

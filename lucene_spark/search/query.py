@@ -149,6 +149,87 @@ class IContaining(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class IExtend(IntervalsSource):
+    """Each interval [s, e] of `source` extended to
+    [max(doc_start, s - before), e + after] (Intervals.extend,
+    Intervals.java:395-430). Like the reference, the result is NOT
+    re-minimalized — extended envelopes may overlap/nest; starts and
+    ends stay non-decreasing, which is what parent combinators need."""
+    source: IntervalsSource
+    before: int
+    after: int
+
+    def terms(self):
+        return self.source.terms()
+
+
+@dataclass(frozen=True)
+class IBefore(IntervalsSource):
+    """Intervals of `source` ending before an interval of `reference`
+    begins (Intervals.before)."""
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def terms(self):
+        return self.source.terms() + self.reference.terms()
+
+
+@dataclass(frozen=True)
+class IAfter(IntervalsSource):
+    """Intervals of `source` starting after an interval of `reference`
+    ends (Intervals.after)."""
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def terms(self):
+        return self.source.terms() + self.reference.terms()
+
+
+@dataclass(frozen=True)
+class INonOverlapping(IntervalsSource):
+    """Intervals of `source` that overlap NO interval of `reference`
+    (Intervals.nonOverlapping); a doc with no reference intervals keeps
+    every source interval."""
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def terms(self):
+        return self.source.terms() + self.reference.terms()
+
+
+@dataclass(frozen=True)
+class IOverlapping(IntervalsSource):
+    """Intervals of `source` that overlap an interval of `reference`
+    (Intervals.overlapping)."""
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def terms(self):
+        return self.source.terms() + self.reference.terms()
+
+
+@dataclass(frozen=True)
+class INotContaining(IntervalsSource):
+    """Intervals of `big` that contain NO interval of `small`
+    (Intervals.notContaining)."""
+    big: IntervalsSource
+    small: IntervalsSource
+
+    def terms(self):
+        return self.big.terms() + self.small.terms()
+
+
+@dataclass(frozen=True)
+class IPhrase(IntervalsSource):
+    """Sources matched exactly adjacent, in order (Intervals.phrase):
+    ordered with zero gaps."""
+    sources: tuple[IntervalsSource, ...]
+
+    def terms(self):
+        return tuple(t for s in self.sources for t in s.terms())
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """IntervalQuery over one field. Deviation (documented): matching
     docs score a constant `boost` (the reference scores by an

@@ -239,3 +239,173 @@ class QueryParser:
         if boost == 1.0:
             return q
         return Q.BoostQuery(q, boost)
+
+
+class SimpleQueryParser:
+    """Error-tolerant end-user syntax — queryparser/simple/
+    SimpleQueryParser.java. Supported operators (the reference's
+    default feature set): ``+`` AND, ``|`` OR, ``-`` NOT, ``"..."``
+    phrase (with ``~N`` slop), trailing ``*`` prefix, ``~N`` fuzzy,
+    ``( )`` grouping. The parser NEVER throws: malformed input
+    degrades (unclosed quotes swallow the rest as a phrase, unmatched
+    parens group to end-of-string, dangling operators are dropped,
+    stray ``)`` is ignored) — the reference's contract that any user
+    string produces a query.
+
+    Precedence: ``+`` binds tighter than ``|``; whitespace joins with
+    the parser's ``default_operator`` ("or" like the reference default,
+    or "and")."""
+
+    def __init__(
+        self,
+        default_field: str,
+        analyze: Callable[[str], list[str]] | None = None,
+        default_operator: str = "or",
+    ):
+        self.default_field = default_field
+        self.analyze = analyze or _default_analyze
+        self.default_operator = default_operator
+
+    # ---- lexing (tolerant) ----------------------------------------------
+
+    _TOK = re.compile(
+        r"""\s*(?:
+            (?P<lparen>\() |
+            (?P<rparen>\)) |
+            (?P<or>\|+) |
+            (?P<plus>\+) |
+            (?P<minus>-) |
+            (?P<quoted>"(?P<qtext>[^"]*)(?:"|$)(?:~(?P<pslop>\d+))?) |
+            (?P<term>[^\s()|+\-"]+)
+        )""",
+        re.VERBOSE,
+    )
+
+    def _lex(self, s: str) -> list[tuple[str, object]]:
+        out: list[tuple[str, object]] = []
+        pos = 0
+        while pos < len(s):
+            m = self._TOK.match(s, pos)
+            if not m:
+                break  # trailing whitespace/garbage — never throw
+            pos = m.end()
+            if m.group("lparen"):
+                out.append(("(", None))
+            elif m.group("rparen"):
+                out.append((")", None))
+            elif m.group("or"):
+                out.append(("|", None))
+            elif m.group("plus"):
+                out.append(("+", None))
+            elif m.group("minus"):
+                out.append(("-", None))
+            elif m.group("quoted") is not None:
+                slop = int(m.group("pslop") or 0)
+                out.append(("phrase", (m.group("qtext"), slop)))
+            else:
+                out.append(("term", m.group("term")))
+        return out
+
+    # ---- parsing ---------------------------------------------------------
+
+    def parse(self, s: str) -> Q.Query:
+        toks = self._lex(s or "")
+        q, _ = self._or_expr(toks, 0, depth=0)
+        return q if q is not None else Q.MatchNoDocsQuery()
+
+    def _or_expr(self, toks, i, depth):
+        parts = []
+        ops: list[str] = []
+        while i < len(toks):
+            kind, _val = toks[i]
+            if kind == ")":
+                if depth:
+                    break  # group close handled by caller
+                i += 1  # stray ')' at top level: ignore
+                continue
+            if kind in ("|", "+"):
+                if parts:
+                    ops.append(kind)
+                i += 1  # dangling operator with nothing before: drop
+                continue
+            sub, i = self._unary(toks, i, depth)
+            if sub is not None:
+                if parts and len(ops) < len(parts):
+                    ops.append(
+                        "+" if self.default_operator == "and" else "|"
+                    )
+                parts.append(sub)
+        ops = ops[: max(0, len(parts) - 1)]
+        if not parts:
+            return None, i
+        # fold with precedence: '+' groups adjacent parts into MUST
+        # conjunctions, then '|' joins the groups as SHOULD
+        groups: list[list[Q.Query]] = [[parts[0]]]
+        for op, p in zip(ops, parts[1:]):
+            if op == "+":
+                groups[-1].append(p)
+            else:
+                groups.append([p])
+        def conj(g: list[Q.Query]) -> Q.Query:
+            if len(g) == 1:
+                return g[0]
+            return Q.BooleanQuery(must=tuple(g))
+        folded = [conj(g) for g in groups]
+        if len(folded) == 1:
+            return folded[0], i
+        return Q.BooleanQuery(should=tuple(folded)), i
+
+    def _unary(self, toks, i, depth):
+        kind, val = toks[i]
+        if kind == "-":
+            sub, i = (
+                self._unary(toks, i + 1, depth)
+                if i + 1 < len(toks)
+                else (None, i + 1)
+            )
+            if sub is None:
+                return None, i  # dangling '-': drop
+            return Q.BooleanQuery(must_not=(sub,)), i
+        if kind == "(":
+            sub, j = self._or_expr(toks, i + 1, depth + 1)
+            if j < len(toks) and toks[j][0] == ")":
+                j += 1  # matched close; unmatched '(' groups to EOS
+            return sub, j
+        if kind == "phrase":
+            text, slop = val
+            terms = self.analyze(text)
+            if not terms:
+                return None, i + 1
+            if len(terms) == 1:
+                return Q.TermQuery(self.default_field, terms[0]), i + 1
+            return (
+                Q.PhraseQuery(self.default_field, tuple(terms), slop=slop),
+                i + 1,
+            )
+        if kind == "term":
+            return self._term(str(val)), i + 1
+        return None, i + 1  # anything else: skip, never throw
+
+    def _term(self, word: str) -> Q.Query | None:
+        m = re.match(r"^(.*?)~(\d*)$", word)
+        if m and m.group(1):
+            terms = self.analyze(m.group(1))
+            if not terms:
+                return None
+            edits = int(m.group(2) or 2)
+            return Q.FuzzyQuery(
+                self.default_field, terms[-1], max_edits=min(edits, 2)
+            )
+        if word.endswith("*") and len(word) > 1:
+            terms = self.analyze(word[:-1])
+            if not terms:
+                return None
+            return Q.PrefixQuery(self.default_field, terms[-1])
+        if word in ("*", "~"):
+            return None  # bare operator chars: drop
+        terms = self.analyze(word)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Q.TermQuery(self.default_field, terms[0])
+        return Q.PhraseQuery(self.default_field, tuple(terms))

@@ -81,6 +81,56 @@ def _ref_eval(src, pos: dict[str, list[int]]):
             for bs, be in big
             if any(bs <= ss and se <= be for ss, se in small)
         }
+    if isinstance(src, Q.IExtend):
+        sub = _ref_eval(src.source, pos)
+        # NOT minimalized, like Intervals.extend
+        return {(max(0, s - src.before), e + src.after) for s, e in sub}
+    if isinstance(src, Q.IBefore):
+        sub = _ref_eval(src.source, pos)
+        ref = _ref_eval(src.reference, pos)
+        return {(s, e) for s, e in sub if any(rs > e for rs, _ in ref)}
+    if isinstance(src, Q.IAfter):
+        sub = _ref_eval(src.source, pos)
+        ref = _ref_eval(src.reference, pos)
+        return {(s, e) for s, e in sub if any(re < s for _, re in ref)}
+    if isinstance(src, Q.INonOverlapping):
+        sub = _ref_eval(src.source, pos)
+        ref = _ref_eval(src.reference, pos)
+        return {
+            (s, e)
+            for s, e in sub
+            if not any(rs <= e and re >= s for rs, re in ref)
+        }
+    if isinstance(src, Q.IOverlapping):
+        sub = _ref_eval(src.source, pos)
+        ref = _ref_eval(src.reference, pos)
+        return {
+            (s, e)
+            for s, e in sub
+            if any(rs <= e and re >= s for rs, re in ref)
+        }
+    if isinstance(src, Q.INotContaining):
+        big = _ref_eval(src.big, pos)
+        small = _ref_eval(src.small, pos)
+        return {
+            (bs, be)
+            for bs, be in big
+            if not any(bs <= ss and se <= be for ss, se in small)
+        }
+    if isinstance(src, Q.IPhrase):
+        import itertools
+
+        subs = [_ref_eval(c, pos) for c in src.sources]
+        if any(not x for x in subs):
+            return set()
+        cands = set()
+        for combo in itertools.product(*subs):
+            if all(
+                combo[i + 1][0] == combo[i][1] + 1
+                for i in range(len(combo) - 1)
+            ):
+                cands.add((combo[0][0], combo[-1][1]))
+        return _minimal(cands)
     raise TypeError(src)
 
 
@@ -152,6 +202,25 @@ SOURCES = [
     Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("dd"), Q.ITerm("ee"), Q.ITerm("cc")), n=3, max_width=6),
     # a missing term must not kill atLeast when n others can still match
     Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("zzzz"), Q.ITerm("bb")), n=2, max_width=4),
+    # r03 combinators (Intervals.java:395-590)
+    Q.IBefore(Q.ITerm("aa"), Q.ITerm("dd")),
+    Q.IAfter(Q.ITerm("bb"), Q.ITerm("ee")),
+    Q.IBefore(
+        Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=5), Q.ITerm("cc")
+    ),
+    Q.INonOverlapping(
+        Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=4), Q.ITerm("cc")
+    ),
+    Q.IOverlapping(
+        Q.IUnordered((Q.ITerm("aa"), Q.ITerm("bb")), max_width=4), Q.ITerm("cc")
+    ),
+    Q.INotContaining(
+        Q.IUnordered((Q.ITerm("aa"), Q.ITerm("dd")), max_width=6), Q.ITerm("ee")
+    ),
+    Q.IContainedBy(Q.ITerm("cc"), Q.IExtend(Q.ITerm("aa"), 2, 2)),
+    Q.IContaining(Q.IExtend(Q.ITerm("bb"), 1, 3), Q.ITerm("dd")),
+    Q.IPhrase((Q.ITerm("aa"), Q.ITerm("bb"))),
+    Q.IPhrase((Q.ITerm("cc"), Q.ITerm("aa"), Q.ITerm("dd"))),
 ]
 
 

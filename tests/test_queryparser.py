@@ -119,3 +119,89 @@ def test_parsed_query_executes(spark):
         (h.doc_id, h.score) for h in want.hits
     ]
     assert got.hits
+
+
+# --------------------------------------------------------------------------
+# SimpleQueryParser (queryparser/simple/SimpleQueryParser.java role)
+# --------------------------------------------------------------------------
+
+
+def _sqp(default_operator="or"):
+    from lucene_spark.search.queryparser import SimpleQueryParser
+
+    return SimpleQueryParser("text", default_operator=default_operator)
+
+
+def test_sqp_operators():
+    from lucene_spark.search import query as Q
+
+    p = _sqp()
+    q = p.parse("foo + bar")
+    assert isinstance(q, Q.BooleanQuery) and len(q.must) == 2
+    q = p.parse("foo | bar")
+    assert isinstance(q, Q.BooleanQuery) and len(q.should) == 2
+    q = p.parse("foo bar")  # default OR
+    assert isinstance(q, Q.BooleanQuery) and len(q.should) == 2
+    q = _sqp("and").parse("foo bar")  # default AND
+    assert isinstance(q, Q.BooleanQuery) and len(q.must) == 2
+    q = p.parse("-foo")
+    assert isinstance(q, Q.BooleanQuery) and len(q.must_not) == 1
+
+
+def test_sqp_precedence_plus_over_or():
+    from lucene_spark.search import query as Q
+
+    q = _sqp().parse("a + b | c")
+    assert isinstance(q, Q.BooleanQuery) and len(q.should) == 2
+    left, right = q.should
+    assert isinstance(left, Q.BooleanQuery) and len(left.must) == 2
+    assert isinstance(right, Q.TermQuery)
+
+
+def test_sqp_phrase_prefix_fuzzy():
+    from lucene_spark.search import query as Q
+
+    p = _sqp()
+    assert _sqp().parse('"quick fox"') == Q.PhraseQuery(
+        "text", ("quick", "fox")
+    )
+    assert p.parse('"quick fox"~2').slop == 2
+    assert p.parse("fo*") == Q.PrefixQuery("text", "fo")
+    fz = p.parse("foo~1")
+    assert isinstance(fz, Q.FuzzyQuery) and fz.max_edits == 1
+
+
+def test_sqp_grouping():
+    from lucene_spark.search import query as Q
+
+    q = _sqp().parse("(a | b) + c")
+    assert isinstance(q, Q.BooleanQuery) and len(q.must) == 2
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ['"unclosed phrase', "((a", "a )", "*", "~", "+", "-", "", "a + | b",
+     "| a", "a |", "+a", '""', "()", "(((", ")))", '-"', "a~x"],
+)
+def test_sqp_never_throws(bad):
+    """The reference contract: ANY input produces a query, no errors."""
+    from lucene_spark.search import query as Q
+
+    q = _sqp().parse(bad)
+    assert isinstance(q, Q.Query)
+
+
+def test_sqp_unclosed_phrase_swallows_rest():
+    from lucene_spark.search import query as Q
+
+    q = _sqp().parse('"unclosed phrase')
+    assert q == Q.PhraseQuery("text", ("unclosed", "phrase"))
+
+
+def test_sqp_parsed_query_executes(spark, built_index):
+    from lucene_spark.search.executor import IndexSearcher
+    from lucene_spark.search.queryparser import SimpleQueryParser
+
+    p = SimpleQueryParser("content")
+    top = IndexSearcher(built_index).search(p.parse("def + return"), k=5)
+    assert top.total_hits > 0
