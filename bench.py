@@ -42,9 +42,19 @@ def main() -> None:
 
     idx = f"/tmp/lucene_spark_bench_{os.path.basename(SF_DIR.rstrip('/'))}_{CPUS}"
     shutil.rmtree(idx, ignore_errors=True)
+
+    # warm the Python workers + Arrow path once, so the timed build
+    # measures engine throughput, not per-session process spin-up (the
+    # queries below get the same treatment via their untimed warm call)
+    import pandas as _pd
+
+    warm = spark.createDataFrame(_pd.DataFrame({"x": range(4 * CPUS)}))
+    warm.repartition(CPUS).mapInPandas(
+        lambda it: it, schema="x long"
+    ).count()
     cfg = IndexConfig(
         field="text", content_col="text", analyzer="simple",
-        doc_id_col="doc_id", docs_per_segment=max(2000, n_docs // (2 * CPUS)),
+        doc_id_col="doc_id", docs_per_segment=max(1000, n_docs // (2 * CPUS)),
         num_batches=1,
     )
     t0 = time.time()

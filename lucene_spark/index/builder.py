@@ -372,8 +372,10 @@ def build_index(
     # existing fixtures are byte-identical.
     per_part = 200.0 if parts <= 5000 else max(20.0, 1_000_000.0 / parts)
     frac = min(1.0, (per_part * parts) / max(1, n_docs))
-    sample = sorted(
-        r["_sk"] for r in keyed.sample(fraction=frac, seed=42).collect()
+    sample = (
+        sorted(r["_sk"] for r in keyed.sample(fraction=frac, seed=42).collect())
+        if parts > 1
+        else []  # single partition: no boundaries, skip the sample job
     )
     if parts > 1 and sample:
         step = len(sample) / parts
@@ -415,19 +417,23 @@ def build_index(
     else:
         pid_expr = F.lit(0)
 
-    # doc-count pass over keys only (column pruning keeps it tiny)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in keyed.withColumn("_pid", pid_expr)
-        .groupBy("_pid")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
+    # doc-count pass over keys only (column pruning keeps it tiny) —
+    # needed ONLY to derive per-partition doc_id offsets when ids are
+    # assigned by the build; preassigned ids carry their own values, so
+    # that whole job is skipped (one fewer scan per batch)
     offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(parts):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
+    if not preassigned:
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in keyed.withColumn("_pid", pid_expr)
+            .groupBy("_pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        acc = 0
+        for pid in range(parts):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
 
     ordered = (
         source.withColumn("_sk", sort_key)

@@ -265,6 +265,10 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for br in band_rows[1:]:
         banded = banded.unionByName(br)
+    # bucket stats via ONE window over (band, key): a single shuffle of
+    # the banded rows, computed in the same pass that feeds the join
+    # probes. (An aggregate+join would re-run the 16-min-agg signature
+    # lineage twice — measured 40% slower end-to-end.)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "band_key")

