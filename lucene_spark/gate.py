@@ -878,15 +878,20 @@ def gate_queries() -> dict[str, object]:
     def q_point_range(spark, sf):
         # PointRangeQuery analog (SURVEY §2.4: numeric range = plain
         # column predicate over the docvalues column; Catalyst/parquet
-        # stats do the BKD's pruning job)
+        # stats do the BKD's pruning job) + sandbox MultiRangeQuery
+        # (disjunction of ranges, one scan)
         r = ensure_index(spark, sf)
-        return (
+        single = (
             r.docs()
             .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 200))
             .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
             .orderBy("doc_id")
             .limit(20)
         )
+        multi = sp.multi_range_topk(
+            r, "n_chars", [(50, 90), (300, 350)], k=20
+        )
+        return _union([("range", single), ("multi", multi)])
 
     def q_field_exists(spark, sf):
         # FieldExistsQuery via norms: docs with >= 1 indexed token
@@ -1198,13 +1203,24 @@ def gate_queries() -> dict[str, object]:
             ("classic", sp.classic_topk(r, FIELD, T_MID)),
             ("lm_jm", sp.lm_jelinek_mercer_topk(r, FIELD, T_MID, lam=0.1)),
             ("boolean", sp.boolean_sim_topk(r, FIELD, [T_HOT, T_MID, T_RARE])),
+            ("dfr", sp.dfr_inl2_topk(r, FIELD, T_MID)),
+            ("ib", sp.ib_spl_topk(r, FIELD, T_MID)),
         ])
 
     def q_phrase_suite(spark, sf):
+        # "wildcard": PhraseWildcardQuery (sandbox) — the prefix slot
+        # s* expands against the closed corpus vocabulary to exactly
+        # {scan, slow, small, sort, spark, stream}; executed through
+        # the multi-phrase sql64 path after the same expansion the
+        # exact32 compiler performs
+        r = ensure_index(spark, sf)
+        wq = Q.PhraseWildcardQuery(FIELD, (Q.PrefixQuery(FIELD, "s"), "table"))
+        ex = sorted(r.expand(wq.slots[0]))[: wq.max_expansions]
         return _union([
             ("exact", q_phrase(spark, sf)),
             ("sloppy", q_phrase_sloppy(spark, sf)),
             ("multi", q_multi_phrase(spark, sf)),
+            ("wildcard", sp.multi_phrase_bm25_topk(r, FIELD, [ex, ["table"]])),
         ])
 
     def q_mlt_common(spark, sf):
@@ -1394,8 +1410,13 @@ SELECT f.doc_id,
 FROM freqs f JOIN dlw w ON w.doc_id = f.doc_id CROSS JOIN cstats s
 ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
         "q_point_range": (
-            "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM documents "
-            "WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id LIMIT 20"
+            "WITH t_range AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
+            "FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id LIMIT 20), "
+            "t_multi AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
+            "FROM documents WHERE n_chars BETWEEN 50 AND 90 OR n_chars BETWEEN 300 AND 350 "
+            "ORDER BY doc_id LIMIT 20) "
+            "SELECT 'range' AS tag, * FROM t_range "
+            "UNION ALL SELECT 'multi' AS tag, * FROM t_multi"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
@@ -1685,11 +1706,34 @@ SELECT doc_id,
   CAST(count(DISTINCT tok) * 1000000 AS BIGINT) AS score_x1e6
 FROM toks WHERE tok IN ('{T_HOT}','{T_MID}','{T_RARE}')
 GROUP BY doc_id ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10"""),
+        ("dfr", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+            "tfn AS (SELECT tf.doc_id, tf.freq * ln(1 + (s.sumdl/s.n) / CAST(q.dlq AS DOUBLE)) / ln(2) AS v FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s)",
+        ])}
+SELECT t.doc_id,
+  CAST(ROUND(t.v / (1 + t.v) * (ln((s.n + 1) / (d.df + 0.5)) / ln(2))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM tfn t CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
+        ("ib", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"lamq AS (SELECT (CAST(count(DISTINCT doc_id) AS DOUBLE) + 1) / ((SELECT n FROM (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n)) + 1) AS lam FROM toks WHERE tok = '{T_MID}')",
+            "tfn AS (SELECT tf.doc_id, tf.freq * ln(1 + (s.sumdl/s.n) / CAST(q.dlq AS DOUBLE)) / ln(2) AS v FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s)",
+        ])}
+SELECT t.doc_id,
+  CAST(ROUND(-ln((pow(l.lam, t.v / (t.v + 1)) - l.lam) / (1 - l.lam))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM tfn t CROSS JOIN lamq l
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),
         ("sloppy", one.pop("q_phrase_sloppy")),
         ("multi", one.pop("q_multi_phrase")),
+        ("wildcard", _sql_multi_phrase(
+            ["scan", "slow", "small", "sort", "spark", "stream"], "table"
+        )),
     ])
     one["q_mlt_common"] = _sql_tagged([
         ("mlt", one.pop("q_mlt")),

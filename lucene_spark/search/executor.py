@@ -472,6 +472,47 @@ class IndexSearcher:
                 "cache": getattr(sc, "cache", None),
                 "scorer": sc,
             }
+        if isinstance(q, Q.PhraseWildcardQuery):
+            # expand pattern slots via the term dictionary, then reuse
+            # the MultiPhraseQuery path (PhraseWildcardQuery.java's
+            # rewrite; segment-sharing expansion replaced by the
+            # driver-cached term dict)
+            slots = []
+            for slot in q.slots:
+                if isinstance(slot, str):
+                    slots.append((slot,))
+                elif isinstance(slot, Q.TermQuery):
+                    slots.append((slot.term,))
+                else:
+                    terms = sorted(R.expand(slot))[: q.max_expansions]
+                    if not terms:
+                        return None  # a slot with no matching terms
+                    slots.append(tuple(terms))
+            return self._compile(
+                Q.MultiPhraseQuery(q.field, tuple(slots)), boost * q.boost
+            )
+        if isinstance(q, Q.NGramPhraseQuery):
+            # keep every n-th gram + the last, at their original
+            # position offsets (NGramPhraseQuery.java's rewrite to a
+            # positioned PhraseQuery)
+            n = max(1, int(q.n))
+            kept = list(range(0, len(q.terms), n))
+            if kept[-1] != len(q.terms) - 1:
+                kept.append(len(q.terms) - 1)
+            terms = [q.terms[i] for i in kept]
+            offs = [i - kept[0] for i in kept]
+            st = R.term_stats(q.field, terms)
+            if len(st) < len(set(terms)):
+                return None
+            coll = R.collection_stats(q.field)
+            sc = self.similarity.scorer(
+                coll, [st[t] for t in terms], boost * q.boost
+            )
+            return _leaf(
+                "phrase", q.field, terms, sc.weight,
+                cache=getattr(sc, "cache", None), scorer=sc, slop=0,
+                offsets=offs,
+            )
         if isinstance(q, Q.NearQuery):
             st = R.term_stats(q.field, [q.term_a, q.term_b])
             if q.term_a not in st or q.term_b not in st:
@@ -1086,26 +1127,30 @@ def _pos_key_base(ctx: _SegmentIndex, terms, span: int) -> int:
     return mx + span + 2
 
 
-def _phrase_freqs(terms: list[str], ctx: _SegmentIndex):
+def _phrase_freqs(terms: list[str], ctx: _SegmentIndex, offsets=None):
     """-> (docs, phrase_freqs, norms): docs where the terms occur at
     consecutive positions (ExactPhraseMatcher semantics), freq = number
     of phrase occurrences. Vectorized: global position keys + np.isin
     adjacency — the whole segment's candidates advance in one numpy op
-    per phrase slot."""
+    per phrase slot. ``offsets`` (default 0..len-1) places term i at an
+    explicit position offset — the gapped-phrase form NGramPhraseQuery
+    rewrites to."""
     z = np.zeros(0, dtype=np.int64)
     if not all(ctx.has(t) for t in terms):
         return z, z, z
+    if offsets is None:
+        offsets = list(range(len(terms)))
     post = [ctx.postings(t) for t in terms]
     docs = post[0][0]
     for d, _, _ in post[1:]:
         docs = docs[np.isin(docs, d, assume_unique=True)]
     if len(docs) == 0:
         return z, z, z
-    large = _pos_key_base(ctx, terms, len(terms))
+    large = _pos_key_base(ctx, terms, int(offsets[-1]) + 1)
     cand = _gather_pos_keys(ctx, terms[0], docs, large)
     for ti in range(1, len(terms)):
         nxt = _gather_pos_keys(ctx, terms[ti], docs, large)
-        cand = cand[np.isin(cand + ti, nxt, assume_unique=True)]
+        cand = cand[np.isin(cand + int(offsets[ti]), nxt, assume_unique=True)]
         if len(cand) == 0:
             return z, z, z
     freqs = np.bincount(cand // large, minlength=len(docs)).astype(np.int64)
@@ -1756,7 +1801,9 @@ def _eval_phrase(node: dict, ctx: _SegmentIndex):
     if slop > 0:
         docs, freqs, norms = _sloppy_phrase_freqs(node["terms"], slop, ctx)
     else:
-        docs, freqs, norms = _phrase_freqs(node["terms"], ctx)
+        docs, freqs, norms = _phrase_freqs(
+            node["terms"], ctx, node.get("offsets")
+        )
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
     return docs, node["scorer"].score(freqs, norms)

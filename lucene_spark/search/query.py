@@ -230,6 +230,35 @@ class IPhrase(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery(Query):
+    """Phrase where any slot may be a multi-term pattern
+    (sandbox/search/PhraseWildcardQuery.java): each pattern slot expands
+    against the term dictionary (capped at ``max_expansions``, largest
+    lexicographic prefix kept) and the query rewrites to
+    MultiPhraseQuery. Slots: a literal term string, or a multi-term
+    query (PrefixQuery / WildcardQuery / RegexpQuery / ...)."""
+    field: str
+    slots: tuple
+    max_expansions: int = 128
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class NGramPhraseQuery(Query):
+    """Phrase over an n-gram analyzed field (core/search/
+    NGramPhraseQuery.java): consecutive grams overlap, so matching every
+    n-th gram plus the last (at their original position offsets) is
+    equivalent to matching all of them — ~1/n of the posting lists are
+    read. Rewrites to a gapped exact-phrase (terms at explicit position
+    offsets); scores use the kept terms' idf, exactly like the
+    reference's rewrite to a positioned PhraseQuery."""
+    field: str
+    terms: tuple[str, ...]
+    n: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalQuery(Query):
     """IntervalQuery over one field. Deviation (documented): matching
     docs score a constant `boost` (the reference scores by an

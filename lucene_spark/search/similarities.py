@@ -23,6 +23,13 @@ Implemented (each cites its reference formula):
   score = boost * log(1 + ((1-lambda)*freq/dl) / (lambda*P(w|C))).
 - ``BooleanSimilarity`` — BooleanSimilarity.java: score = boost,
   freq- and length-independent.
+- ``DFRSimilarity`` — DFRSimilarity.java with BasicModelIn /
+  AfterEffectL / NormalizationH2.
+- ``IBSimilarity`` — IBSimilarity.java with DistributionSPL /
+  LambdaDF / NormalizationH2.
+- ``AxiomaticF2EXP`` — AxiomaticF2EXP.java (Fang & Zhai's F2-EXP).
+- ``DFISimilarity`` — DFISimilarity.java, standardized independence
+  measure.
 
 All non-BM25 scorers decode the quantized doc length through the shared
 256-entry ``LENGTH_TABLE`` (SmallFloat), exactly as the reference: every
@@ -165,3 +172,129 @@ class _BooleanScorer(_TableScorer):
 class BooleanSimilarity(Similarity):
     def scorer(self, collection, terms, boost):
         return _BooleanScorer(boost)
+
+
+class _TfnScorer(_TableScorer):
+    """Shared H2-normalized-tf base (NormalizationH2.java):
+    tfn = freq * log2(1 + c * avgdl / dl)."""
+
+    def __init__(self, collection: CollectionStats, c: float, boost: float):
+        self.avgdl = collection.sum_total_term_freq / float(
+            collection.doc_count
+        )
+        self.c = float(c)
+        self.weight = np.float32(boost)
+
+    def _tfn(self, freqs, norm_codes):
+        dl = self._lengths(norm_codes).astype(np.float64)
+        f = np.asarray(freqs, dtype=np.float64)
+        return f * np.log2(1.0 + self.c * self.avgdl / dl)
+
+
+class _DFRInL2Scorer(_TfnScorer):
+    def __init__(self, collection, df: int, c: float, boost: float):
+        super().__init__(collection, c, boost)
+        self.idf2 = math.log2((collection.doc_count + 1) / (df + 0.5))
+
+    def score(self, freqs, norm_codes):
+        tfn = self._tfn(freqs, norm_codes)
+        s = (tfn / (1.0 + tfn)) * self.idf2
+        return (float(self.weight) * s).astype(np.float32)
+
+
+class DFRSimilarity(Similarity):
+    """Divergence From Randomness, the In/L/H2 configuration
+    (DFRSimilarity.java composing BasicModelIn.java [inf1 =
+    tfn * log2((N+1)/(df+0.5))], AfterEffectL.java [1/(1+tfn)],
+    NormalizationH2.java [tfn = freq*log2(1 + c*avgdl/dl)]):
+    score = boost * tfn/(1+tfn) * log2((N+1)/(df+0.5))."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def scorer(self, collection, terms, boost):
+        df = max(t.doc_freq for t in terms)
+        return _DFRInL2Scorer(collection, df, self.c, boost)
+
+
+class _IBSPLScorer(_TfnScorer):
+    def __init__(self, collection, df: int, c: float, boost: float):
+        super().__init__(collection, c, boost)
+        self.lam = (df + 1.0) / (collection.doc_count + 1.0)
+
+    def score(self, freqs, norm_codes):
+        tfn = self._tfn(freqs, norm_codes)
+        lam = self.lam
+        s = -np.log((np.power(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))
+        return (float(self.weight) * s).astype(np.float32)
+
+
+class IBSimilarity(Similarity):
+    """Information-Based model, SPL/LambdaDF/H2 (IBSimilarity.java
+    composing DistributionSPL.java [-log((lambda^(tfn/(tfn+1)) -
+    lambda)/(1-lambda))], LambdaDF.java [(df+1)/(N+1)],
+    NormalizationH2.java)."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def scorer(self, collection, terms, boost):
+        df = max(t.doc_freq for t in terms)
+        return _IBSPLScorer(collection, df, self.c, boost)
+
+
+class _AxiomaticF2EXPScorer(_TableScorer):
+    def __init__(self, collection, df: int, s: float, k: float, boost: float):
+        self.avgdl = collection.sum_total_term_freq / float(
+            collection.doc_count
+        )
+        self.gamma = ((collection.doc_count + 1.0) / df) ** k
+        self.s = float(s)
+        self.weight = np.float32(boost)
+
+    def score(self, freqs, norm_codes):
+        dl = self._lengths(norm_codes).astype(np.float64)
+        f = np.asarray(freqs, dtype=np.float64)
+        s_ = self.s
+        out = self.gamma * f / (f + s_ + s_ * dl / self.avgdl)
+        return (float(self.weight) * out).astype(np.float32)
+
+
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic F2-EXP (AxiomaticF2EXP.java; Fang & Zhai 2005):
+    score = boost * ((N+1)/df)^k * freq/(freq + s + s*dl/avgdl),
+    s = 0.5, k = 0.35."""
+
+    def __init__(self, s: float = 0.5, k: float = 0.35):
+        self.s = float(s)
+        self.k = float(k)
+
+    def scorer(self, collection, terms, boost):
+        df = max(t.doc_freq for t in terms)
+        return _AxiomaticF2EXPScorer(collection, df, self.s, self.k, boost)
+
+
+class _DFIScorer(_TableScorer):
+    def __init__(self, collection, ttf: int, boost: float):
+        self.rate = ttf / float(collection.sum_total_term_freq)
+        self.weight = np.float32(boost)
+
+    def score(self, freqs, norm_codes):
+        dl = self._lengths(norm_codes).astype(np.float64)
+        f = np.asarray(freqs, dtype=np.float64)
+        e = self.rate * dl
+        m = (f - e) / np.sqrt(e)
+        out = np.where(f > e, np.log2(np.maximum(m, 0.0) + 1.0), 0.0)
+        return (float(self.weight) * out).astype(np.float32)
+
+
+class DFISimilarity(Similarity):
+    """Divergence From Independence, standardized measure
+    (DFISimilarity.java + IndependenceStandardized.java): expected =
+    ttf * dl / sumTotalTermFreq; score = boost * log2(1 +
+    (freq - expected)/sqrt(expected)) when freq exceeds expectation,
+    else 0 (frequencies at or below chance carry no information)."""
+
+    def scorer(self, collection, terms, boost):
+        ttf = sum(t.total_term_freq for t in terms)
+        return _DFIScorer(collection, ttf, boost)

@@ -349,6 +349,63 @@ def boolean_sim_topk(
     ).limit(k)
 
 
+def dfr_inl2_topk(
+    reader: IndexReader, field: str, term: str, c: float = 1.0, k: int = 10
+) -> DataFrame:
+    """DFRSimilarity In/L/H2 (similarities/DFRSimilarity.java +
+    BasicModelIn/AfterEffectL/NormalizationH2): tfn = freq * log2(1 +
+    c*avgdl/dl); score = tfn/(1+tfn) * log2((N+1)/(df+0.5)) over the
+    quantized doc length. -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, [term])
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, [term])
+    if term not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    idf2 = math.log2((coll.doc_count + 1) / (st[term].doc_freq + 0.5))
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    ln2 = math.log(2.0)
+    tfn = F.col("freq") * F.log(F.lit(1.0) + F.lit(c * avgdl) / dlq) / F.lit(ln2)
+    score = tfn / (F.lit(1.0) + tfn) * F.lit(idf2)
+    return (
+        ep.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def ib_spl_topk(
+    reader: IndexReader, field: str, term: str, c: float = 1.0, k: int = 10
+) -> DataFrame:
+    """IBSimilarity SPL/LambdaDF/H2 (similarities/IBSimilarity.java +
+    DistributionSPL/LambdaDF): lambda = (df+1)/(N+1); score =
+    -ln((lambda^(tfn/(tfn+1)) - lambda)/(1 - lambda)).
+    -> (doc_id, score_x1e6)."""
+    ep = exploded_postings(reader, field, [term])
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, [term])
+    if term not in st:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    lam = (st[term].doc_freq + 1.0) / (coll.doc_count + 1.0)
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    ln2 = math.log(2.0)
+    tfn = F.col("freq") * F.log(F.lit(1.0) + F.lit(c * avgdl) / dlq) / F.lit(ln2)
+    score = -F.log(
+        (F.pow(F.lit(lam), tfn / (tfn + F.lit(1.0))) - F.lit(lam))
+        / F.lit(1.0 - lam)
+    )
+    return (
+        ep.select(
+            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def lm_dirichlet_topk(
     reader: IndexReader, field: str, term: str, mu: float = 2000.0, k: int = 10
 ) -> DataFrame:
@@ -684,6 +741,33 @@ def field_sort_topk(
             F.col(sort_col).cast("long").alias("sort_val"),
         )
         .orderBy(order, F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def multi_range_topk(
+    reader: IndexReader,
+    num_col: str,
+    ranges: list[tuple[int, int]],
+    k: int = 20,
+) -> DataFrame:
+    """MultiRangeQuery (sandbox/search/MultiRangeQuery.java): docs whose
+    numeric docvalue falls in ANY of the inclusive ranges — one scan,
+    the range disjunction pushed into the parquet reader as a single
+    predicate (the reference merges overlapping ranges for one BKD
+    visit; Catalyst's OR-of-BETWEENs plays that role).
+    -> (doc_id, score_x1e6) constant score, ordered by doc_id."""
+    cond = None
+    for lo, hi in ranges:
+        c = (F.col(num_col) >= lo) & (F.col(num_col) <= hi)
+        cond = c if cond is None else (cond | c)
+    return (
+        reader.docs()
+        .filter(cond)
+        .select(
+            "doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6")
+        )
+        .orderBy("doc_id")
         .limit(k)
     )
 

@@ -1,0 +1,124 @@
+"""Sandbox query extras: PhraseWildcardQuery, NGramPhraseQuery,
+MultiRangeQuery (reference sandbox/ module analogs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_phrase_wildcard_equals_expanded_multiphrase(built_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    wq = Q.PhraseWildcardQuery(
+        "content", (Q.PrefixQuery("content", "re"), Q.TermQuery("content", "x"))
+    )
+    # manual expansion through the same term dictionary
+    ex = tuple(sorted(built_index.expand(Q.PrefixQuery("content", "re"))))
+    assert ex  # corpus has re* terms (return, ...)
+    mq = Q.MultiPhraseQuery("content", (ex, ("x",)))
+    a = s.search(wq, k=50)
+    b = s.search(mq, k=50)
+    assert [(h.doc_id, h.score) for h in a.hits] == [
+        (h.doc_id, h.score) for h in b.hits
+    ]
+
+
+def test_phrase_wildcard_empty_expansion_matches_nothing(built_index):
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    wq = Q.PhraseWildcardQuery(
+        "content", (Q.PrefixQuery("content", "zzzzz"), "def")
+    )
+    assert IndexSearcher(built_index).search(wq, k=5).total_hits == 0
+
+
+@pytest.fixture(scope="module")
+def ngram_index(spark, tmp_path_factory):
+    """Index whose field is 2-gram analyzed text — the NGramPhraseQuery
+    habitat. Grams are synthesized as space-joined tokens so the plain
+    analyzer produces the gram stream with correct positions."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for _ in range(60):
+        word = "".join(rng.choice(list("abcd"), size=rng.integers(4, 12)))
+        grams = [word[i:i + 2] for i in range(len(word) - 1)]
+        docs.append(" ".join(grams))
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    idx = str(tmp_path_factory.mktemp("ng") / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), idx,
+        IndexConfig(
+            field="text", content_col="text", analyzer="whitespace",
+            doc_id_col="doc_id", docs_per_segment=25,
+        ),
+    )
+    return IndexReader(spark, idx), docs
+
+
+def test_ngram_phrase_matches_full_phrase(ngram_index):
+    """The every-n-th-gram rewrite must return the same DOCS as the
+    full gram phrase (the NGramPhraseQuery equivalence)."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, docs = ngram_index
+    s = IndexSearcher(reader)
+    # search for the gram streams of a few substrings
+    for target in ("abca", "dcba", "aabb", "abcd"):
+        grams = tuple(target[i:i + 2] for i in range(len(target) - 1))
+        full = s.search(Q.PhraseQuery("text", grams), k=100, prune=False)
+        ng = s.search(Q.NGramPhraseQuery("text", grams, n=2), k=100, prune=False)
+        assert sorted(h.doc_id for h in ng.hits) == sorted(
+            h.doc_id for h in full.hits
+        ), target
+        # ground truth against the raw text
+        want = sorted(
+            i for i, d in enumerate(docs)
+            if " ".join(grams) in d or d.startswith(" ".join(grams))
+        )
+        have = sorted(h.doc_id for h in full.hits)
+        # phrase over gram stream == substring of the gram stream
+        want2 = sorted(
+            i for i, d in enumerate(docs)
+            if " ".join(grams) in f" {d} ".replace("  ", " ")
+        )
+        assert have == sorted(
+            i for i, d in enumerate(docs) if _gram_contains(d, grams)
+        ), target
+
+
+def _gram_contains(doc: str, grams) -> bool:
+    toks = doc.split()
+    n = len(grams)
+    return any(
+        tuple(toks[i:i + n]) == tuple(grams) for i in range(len(toks) - n + 1)
+    )
+
+
+def test_multi_range_query(built_index, spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search import sqlpath as sp
+
+    # the built_index docs registry carries no numeric col beyond what
+    # the corpus has; synthesize length via the registry's content? use
+    # the gate index over documents instead
+    from lucene_spark.gate import ensure_index
+
+    r = ensure_index(spark, "/root/testdata/sf0.001")
+    got = sp.multi_range_topk(r, "n_chars", [(50, 90), (300, 350)], k=100)
+    rows = got.collect()
+    vals = {
+        x["doc_id"]: x["n_chars"]
+        for x in r.docs().select("doc_id", "n_chars").collect()
+    }
+    assert rows
+    for row in rows:
+        v = vals[row["doc_id"]]
+        assert 50 <= v <= 90 or 300 <= v <= 350

@@ -32,7 +32,9 @@ def test_default_is_bm25_bit_identical(built_index):
     ]
 
 
-@pytest.mark.parametrize("name", ["classic", "lm_jm", "lm_dirichlet"])
+@pytest.mark.parametrize(
+    "name", ["classic", "lm_jm", "lm_dirichlet", "dfr", "ib"]
+)
 def test_injected_similarity_matches_sql_path(built_index, name):
     """exact32 scores (float32 kernel) vs sql64 float64 formulas — same
     docs, values within float32 tolerance."""
@@ -48,9 +50,17 @@ def test_injected_similarity_matches_sql_path(built_index, name):
         sim, ref = S.LMJelinekMercerSimilarity(0.1), sp.lm_jelinek_mercer_topk(
             built_index, "content", term, lam=0.1, k=30
         )
-    else:
+    elif name == "lm_dirichlet":
         sim, ref = S.LMDirichletSimilarity(2000.0), sp.lm_dirichlet_topk(
             built_index, "content", term, mu=2000.0, k=30
+        )
+    elif name == "dfr":
+        sim, ref = S.DFRSimilarity(), sp.dfr_inl2_topk(
+            built_index, "content", term, k=30
+        )
+    else:
+        sim, ref = S.IBSimilarity(), sp.ib_spl_topk(
+            built_index, "content", term, k=30
         )
     got = _search(built_index, sim, Q.TermQuery("content", term), k=30)
     want = {r["doc_id"]: r["score_x1e6"] / 1e6 for r in ref.collect()}
@@ -99,3 +109,39 @@ def test_classic_similarity_phrase_sums_idf(built_index):
     node = searcher._compile(Q.PhraseQuery("content", ("for", "function"), slop=2))
     n1 = searcher._compile(Q.TermQuery("content", "def"))
     assert float(node["weight"]) > float(n1["weight"]) >= 1.0
+
+
+def test_axiomatic_and_dfi_formulas(built_index):
+    """Direct formula check for the similarities without a sql64 twin:
+    scorer output equals the cited closed form on real stats."""
+    import math
+
+    from lucene_spark.search.bm25 import TermStats
+    from lucene_spark.search.similarities import AxiomaticF2EXP, DFISimilarity
+    from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+    coll = built_index.collection_stats("content")
+    st = built_index.term_stats("content", ["def"])["def"]
+    avgdl = coll.sum_total_term_freq / coll.doc_count
+    freqs = np.array([1, 3, 7])
+    codes = np.array([10, 60, 120])
+    dl = LENGTH_TABLE[codes].astype(float)
+
+    ax = AxiomaticF2EXP().scorer(coll, [st], 1.0)
+    want = ((coll.doc_count + 1) / st.doc_freq) ** 0.35 * freqs / (
+        freqs + 0.5 + 0.5 * dl / avgdl
+    )
+    assert np.allclose(ax.score(freqs, codes), want, rtol=1e-6)
+
+    dfi = DFISimilarity().scorer(coll, [st], 1.0)
+    e = st.total_term_freq * dl / coll.sum_total_term_freq
+    m = (freqs - e) / np.sqrt(e)
+    want = np.where(freqs > e, np.log2(np.maximum(m, 0) + 1), 0.0)
+    assert np.allclose(dfi.score(freqs, codes), want, rtol=1e-5, atol=1e-6)
+
+    # both run end-to-end through the injected executor
+    from lucene_spark.search import query as Q
+
+    for sim in (AxiomaticF2EXP(), DFISimilarity()):
+        got = _search(built_index, sim, Q.TermQuery("content", "def"), k=10)
+        assert got and all(np.isfinite(v) and v >= 0 for v in got.values())
