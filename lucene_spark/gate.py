@@ -225,6 +225,16 @@ _SCORE = (
 )
 
 
+def _sql_tagged_flat(parts):
+    """Tagged UNION ALL of complete per-branch SELECTs (module-level
+    twin of the oracle builder's _sql_tagged)."""
+    ctes = ",\n".join(f"t_{tag} AS ({sql})" for tag, sql in parts)
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{tag}' AS tag, * FROM t_{tag}" for tag, _ in parts
+    )
+    return f"WITH {ctes}\n{sel}"
+
+
 def _prefix_ctes(extra: list[str] | None = None) -> str:
     ctes = [_TOKS, _DL, _sfranges(), _DLQ, _STATS] + (extra or [])
     return "WITH " + ",\n".join(ctes)
@@ -1070,11 +1080,18 @@ def gate_queries() -> dict[str, object]:
             out = t if out is None else out.unionByName(t)
         return out
 
+    _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
+
     def q_geo_box(spark, sf):
         # LatLonPoint.newBoxQuery over deterministic synthesized coords
+        # + newPolygonQuery (even-odd ray casting, box prefilter)
         from lucene_spark.search import geo
 
-        return geo.geo_box(_docs(spark, sf), 10.0, 55.0, -40.0, 60.0, k=50)
+        return _union([
+            ("box", geo.geo_box(
+                _docs(spark, sf), 10.0, 55.0, -40.0, 60.0, k=50)),
+            ("polygon", geo.geo_polygon_topk(_docs(spark, sf), _POLY, k=50)),
+        ])
 
     def q_geo_distance(spark, sf):
         # LatLonPointDistanceQuery + distance sort (box prune + exact
@@ -1771,7 +1788,11 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo
 
-    one["q_geo_box"] = _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)
+    _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
+    one["q_geo_box"] = _sql_tagged_flat([
+        ("box", _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)),
+        ("polygon", _geo.geo_polygon_sql(_POLY, k=50)),
+    ])
     one["q_geo_distance"] = _geo.geo_distance_sql(35.0, 10.0, 3000.0, k=20)
     return one
 

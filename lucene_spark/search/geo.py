@@ -160,3 +160,75 @@ d AS (
 SELECT doc_id, CAST(ROUND(dist_km * 10) AS BIGINT) AS dist_x10km
 FROM d WHERE dist_km <= {radius_km}
 ORDER BY dist_x10km ASC, doc_id ASC LIMIT {k}"""
+
+
+def geo_polygon_topk(
+    docs: DataFrame, vertices: list[tuple[float, float]], k: int = 50
+) -> DataFrame:
+    """LatLonPoint polygon query (core/document/LatLonPoint.java
+    newPolygonQuery + geo/Polygon.java contains): docs whose synthesized
+    point lies inside the (lat, lon) vertex ring, by even-odd ray
+    casting. The polygon's bounding box runs first as a prunable column
+    predicate (the LatLonShape/BKD prune-then-refine shape); the exact
+    crossing test is a pure float64 JVM expression, mirrored verbatim
+    by the DuckDB oracle so both engines agree bit-for-bit.
+    -> (doc_id, lat_x1e3, lon_x1e3) ordered by doc_id."""
+    g = synthesize_geo(docs)
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    pre = (
+        (F.col("lat") >= min(lats)) & (F.col("lat") <= max(lats))
+        & (F.col("lon") >= min(lons)) & (F.col("lon") <= max(lons))
+    )
+    crossings = None
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        c = F.when(
+            ((F.lit(y1) > F.col("lat")) != (F.lit(y2) > F.col("lat")))
+            & (
+                F.col("lon")
+                < (F.lit(x2) - F.lit(x1))
+                * (F.col("lat") - F.lit(y1))
+                / (F.lit(y2) - F.lit(y1))
+                + F.lit(x1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    return (
+        g.filter(pre)
+        .filter(crossings % 2 == 1)
+        .select(
+            "doc_id",
+            F.round(F.col("lat") * 1e3).cast("long").alias("lat_x1e3"),
+            F.round(F.col("lon") * 1e3).cast("long").alias("lon_x1e3"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def geo_polygon_sql(vertices: list[tuple[float, float]], k: int = 50) -> str:
+    """DuckDB twin of geo_polygon_topk — identical crossing arithmetic."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+            f"(lon < ({x2} - {x1}) * (lat - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    return f"""WITH {_GEO_SQL}
+SELECT doc_id, CAST(ROUND(lat*1000) AS BIGINT) AS lat_x1e3,
+       CAST(ROUND(lon*1000) AS BIGINT) AS lon_x1e3
+FROM g
+WHERE lat BETWEEN {min(lats)} AND {max(lats)}
+  AND lon BETWEEN {min(lons)} AND {max(lons)}
+  AND ({' + '.join(terms)}) % 2 = 1
+ORDER BY doc_id LIMIT {k}"""

