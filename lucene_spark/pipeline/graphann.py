@@ -1,0 +1,169 @@
+"""Graph-based ANN — the HNSW slot (SURVEY.md §2.4 KNN row), Spark-first.
+
+Reference shape (core/src/java/org/apache/lucene/util/hnsw/
+HnswGraphBuilder.java, HnswGraphSearcher.java): Lucene builds ONE
+small-world graph PER SEGMENT, searches every segment's graph with a
+greedy beam, and merges the per-segment top-k — the per-leaf pattern of
+everything else in the engine. That decomposition is exactly what makes
+a graph index Spark-native: graphs never span partitions, so build and
+search are embarrassingly parallel ``applyInPandas`` passes and the
+driver only merges segment-local top-k lists.
+
+This module implements that decomposition with a flat NSW graph per
+partition (single layer, degree-bounded M-NN with long-range links via
+a random permutation ring — the navigable-small-world core of HNSW
+without the level hierarchy; levels buy O(log n) entry at the scale of
+ONE graph, and our per-segment graphs are bounded by partition sizing,
+so a seeded multi-start beam plays that role):
+
+- build: per partition, each vector links to its M nearest neighbors
+  (within-partition exact kNN, vectorized numpy) plus ring links for
+  connectivity — O(p^2) dot products per partition of size p, bounded
+  by ``docs per partition``, never O(n^2) globally;
+- search: per partition, greedy best-first beam from S seed entries
+  with an ``ef``-sized frontier (HnswGraphSearcher.searchLevel
+  semantics), then global TakeOrdered over the union.
+
+Quality is MEASURED against the brute-force exact top-k (recall@k),
+the same evidence contract as pipeline/similarity.py's LSH/IVF paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def _build_graph(mat: np.ndarray, m: int, seed: int) -> np.ndarray:
+    """-> (p, m+2) int32 neighbor ids (within-partition indices):
+    m nearest by cosine + 2 ring links from a seeded permutation."""
+    p = len(mat)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    m_eff = min(m, p - 1)
+    nbrs = np.argpartition(-sims, np.arange(m_eff), axis=1)[:, :m_eff]
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(p)
+    rank = np.empty(p, dtype=np.int64)
+    rank[perm] = np.arange(p)
+    ring_next = perm[(rank + 1) % p]
+    ring_prev = perm[(rank - 1) % p]
+    return np.concatenate(
+        [nbrs, ring_next[:, None], ring_prev[:, None]], axis=1
+    ).astype(np.int32)
+
+
+def _beam_search(
+    mat: np.ndarray, nbrs: np.ndarray, q: np.ndarray, k: int, ef: int,
+    n_seeds: int, seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy best-first over the partition graph
+    (HnswGraphSearcher.searchLevel): expand the best unexpanded frontier
+    node, keep the ef best visited, stop when the frontier's best cannot
+    improve the ef-th result. -> (local indices, cosines)."""
+    p = len(mat)
+    sims_to_q = mat @ q
+    rng = np.random.default_rng(seed)
+    seeds = rng.choice(p, size=min(n_seeds, p), replace=False)
+    visited = np.zeros(p, dtype=bool)
+    import heapq
+
+    cand: list[tuple[float, int]] = []  # max-heap via negated sims
+    best: list[tuple[float, int]] = []  # min-heap of the ef best
+    for s in seeds:
+        if not visited[s]:
+            visited[s] = True
+            heapq.heappush(cand, (-float(sims_to_q[s]), int(s)))
+            heapq.heappush(best, (float(sims_to_q[s]), int(s)))
+    while cand:
+        negsim, u = heapq.heappop(cand)
+        if len(best) >= ef and -negsim < best[0][0]:
+            break  # nothing in the frontier can improve the ef-th
+        for v in nbrs[u]:
+            v = int(v)
+            if visited[v]:
+                continue
+            visited[v] = True
+            sv = float(sims_to_q[v])
+            if len(best) < ef or sv > best[0][0]:
+                heapq.heappush(cand, (-sv, v))
+                heapq.heappush(best, (sv, v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    top = sorted(best, key=lambda x: (-x[0], x[1]))[:k]
+    idx = np.array([t[1] for t in top], dtype=np.int64)
+    sims = np.array([t[0] for t in top], dtype=np.float64)
+    return idx, sims
+
+
+def ann_graph_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+    n_seeds: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Graph ANN top-k by cosine: per-partition NSW build + beam search,
+    global TakeOrdered merge. -> (vec_id, cos_x1e6).
+
+    At 100 TB the graphs are built ONCE per segment and persisted beside
+    the vectors (the Lucene90HnswVectorsFormat analog); here build and
+    search fuse into one pass because the gate corpus rebuilds per call.
+    """
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            nbrs = _build_graph(mat, m, seed=42)
+            idx, sims = _beam_search(
+                mat, nbrs, qn, k + 1, ef, n_seeds, seed=7
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "cos_x1e6": np.round(sims * 1e6).astype(np.int64),
+                }
+            )
+
+    out = src.mapInPandas(run, schema="vec_id long, cos_x1e6 long")
+    return (
+        out.filter(F.col("vec_id") != query_id)  # the query is not a hit
+        .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def graph_recall(
+    emb: DataFrame, query_ids: list[int], k: int = 10, **kw
+) -> float:
+    """Mean recall@k of the graph path vs brute force over the given
+    queries — the HnswGraphSearcher-recall-test analog."""
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    total = 0.0
+    for qid in query_ids:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, k).collect()}
+        approx = {
+            r["vec_id"] for r in ann_graph_topk(emb, qid, k, **kw).collect()
+        }
+        total += len(exact & approx) / float(k)
+    return total / len(query_ids)

@@ -212,3 +212,29 @@ def test_ivf_kmeans_training_recall(spark):
 
     for c in cents:
         assert all(math.isfinite(x) for x in c["cvec"])
+
+
+def test_graph_ann_recall_and_exactness(spark):
+    """Per-segment NSW graph ANN (the HNSW slot): measured recall@10
+    must be high on the gate corpus, and every returned score must be
+    the EXACT cosine of that vector (graph search approximates the
+    candidate set, never the scores)."""
+    from lucene_spark.pipeline.graphann import ann_graph_topk, graph_recall
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rec = graph_recall(emb, [0, 3, 7, 11], k=10, m=8, ef=48, n_seeds=4)
+    assert rec >= 0.9, rec  # beam over in-partition exact-kNN graphs
+
+    got = ann_graph_topk(emb, query_id=0, k=10).collect()
+    exact = {
+        r["vec_id"]: r["cos_x1e6"]
+        for r in cosine_topk(emb, 0, 200).collect()
+    }
+    for r in got:
+        assert r["vec_id"] in exact
+        assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
+
+    # multi-partition path: graphs never span partitions, results merge
+    got4 = ann_graph_topk(emb, query_id=0, k=10, partitions=4).collect()
+    assert len(got4) == 10
