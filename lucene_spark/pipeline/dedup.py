@@ -164,7 +164,10 @@ def ngram_jaccard_pairs(
     shingle); shingles with df > max_shingle_df are dropped before the
     join (boilerplate skew guard). -> (a, b, jaccard_x1e6).
     """
-    sh = _shingles(docs, n)
+    # shingles feed the df-filter, both sides of the inverted self-join,
+    # and three arms of the Jaccard verify — materialize once (see the
+    # minhash note below)
+    sh = _shingles(docs, n).persist()
     rare = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -245,26 +248,41 @@ def minhash_lsh_pairs(
     the SQL oracle.
     """
     rows = num_hashes // bands
-    sh = _shingles(docs, n)
+    # materialize the shingle table once: it feeds the signature build
+    # AND three arms of the exact-Jaccard verify — without this the
+    # tokenize->shingle explode recomputes per arm (measured 6-7 full
+    # scans at sf0.1; at 100 TB this is THE standard pipeline
+    # materialization, disk-backed and evicted LRU)
+    sh = _shingles(docs, n).persist()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(_hexint(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+    # one pass over sig: all B band keys computed in the same projection
+    # and posexploded (a B-way union would re-run the H-min-agg signature
+    # lineage B times; measured ~4x more scan work at B=4)
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(b * rows, (b + 1) * rows)
+                ],
             )
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+        for b in range(bands)
+    ]
+    # materialize the banded signature table: the bucket window, both
+    # self-join probe sides, and the hub-star arm all read it (the
+    # signature table is computed once per corpus in any production
+    # MinHash pipeline; Spark otherwise re-runs the 16-min-agg per arm)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+    ).persist()
     # bucket stats via ONE window over (band, key): a single shuffle of
     # the banded rows, computed in the same pass that feeds the join
     # probes. (An aggregate+join would re-run the 16-min-agg signature
@@ -404,19 +422,22 @@ def simhash_pairs(
     hub-star expansion (O(m) candidates), mirrored in the SQL oracle.
     """
     sh = simhash(docs)
-    bands = []
-    for b in range(SIMHASH_BANDS):
-        bands.append(
-            sh.select(
-                "doc_id",
-                "simhash",
-                F.lit(b).alias("band"),
-                F.expr(f"(simhash >> {8 * b}) & 255").alias("bval"),
+    # one pass over the simhash table: all 4 band bytes posexploded, and
+    # the banded table materialized once — the bucket window, both
+    # self-join probe sides, and the hub-star arm all read it (a 4-way
+    # union re-ran the tf-weighted bit-sum aggregate per arm)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {8 * b}) & 255")
+                    for b in range(SIMHASH_BANDS)
+                ]
             )
-        )
-    banded = bands[0]
-    for br in bands[1:]:
-        banded = banded.unionByName(br)
+        ).alias("band", "bval"),
+    ).persist()
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "bval")
