@@ -1222,6 +1222,24 @@ def gate_queries() -> dict[str, object]:
             ("boolean", sp.boolean_sim_topk(r, FIELD, [T_HOT, T_MID, T_RARE])),
             ("dfr", sp.dfr_inl2_topk(r, FIELD, T_MID)),
             ("ib", sp.ib_spl_topk(r, FIELD, T_MID)),
+            # the rest of the similarities/ package as grids (r3):
+            # DFR BasicModel x AfterEffect x Normalization, IB
+            # Distribution x Lambda x Normalization, the Axiomatic
+            # family, DFI independence measures, IndriDirichlet
+            ("dfr_gb1", sp.dfr_topk(
+                r, FIELD, T_MID, model="g", after_effect="b", norm="h1"
+            )),
+            ("dfr_ine_z", sp.dfr_topk(
+                r, FIELD, T_MID, model="ine", after_effect="b", norm="z"
+            )),
+            ("ib_ll_ttf", sp.ib_topk(
+                r, FIELD, T_MID, distribution="ll", lam="ttf", norm="h3"
+            )),
+            ("ax_f1exp", sp.axiomatic_topk(r, FIELD, T_MID, "f1exp")),
+            ("ax_f2log", sp.axiomatic_topk(r, FIELD, T_MID, "f2log")),
+            ("ax_f3exp", sp.axiomatic_topk(r, FIELD, T_MID, "f3exp")),
+            ("dfi_sat", sp.dfi_topk(r, FIELD, T_MID, independence="saturated")),
+            ("indri", sp.indri_topk(r, FIELD, T_MID)),
         ])
 
     def q_phrase_suite(spark, sf):
@@ -1743,6 +1761,91 @@ SELECT t.doc_id,
        * 1000000) AS BIGINT) AS score_x1e6
 FROM tfn t CROSS JOIN lamq l
 ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
+        # r3 similarity-grid branches; shared term-stat CTEs
+        ("dfr_gb1", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+            f"ttfq AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+            "gx AS (SELECT (t.ttf+1)/(s.n+t.ttf+1) AS lam, (t.ttf+1)/d.df AS ae1p FROM ttfq t CROSS JOIN dfq d CROSS JOIN stats s)",
+            "tfn AS (SELECT tf.doc_id, tf.freq * (s.sumdl/s.n) / CAST(q.dlq AS DOUBLE) AS v FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s)",
+        ])}
+SELECT t.doc_id,
+  CAST(ROUND(((ln((1+g.lam)/g.lam)/ln(2))
+       - ((ln((1+g.lam)/g.lam)/ln(2)) - (ln(g.lam+1)/ln(2))) / (1 + t.v))
+       * g.ae1p * 1000000) AS BIGINT) AS score_x1e6
+FROM tfn t CROSS JOIN gx g
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
+        ("dfr_ine_z", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+            f"ttfq AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+            "inex AS (SELECT ln((s.n+1)/(s.n*(1-pow((s.n-1)/s.n, t.ttf))+0.5))/ln(2) * ((t.ttf+1)/d.df) AS w FROM ttfq t CROSS JOIN dfq d CROSS JOIN stats s)",
+            "tfn AS (SELECT tf.doc_id, tf.freq * pow((s.sumdl/s.n)/CAST(q.dlq AS DOUBLE), 0.30) AS v FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s)",
+        ])}
+SELECT t.doc_id,
+  CAST(ROUND(i.w * (t.v / (1 + t.v)) * 1000000) AS BIGINT) AS score_x1e6
+FROM tfn t CROSS JOIN inex i
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
+        ("ib_ll_ttf", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"ttfq AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+            "lamq AS (SELECT (t.ttf+1)/(s.n+1) AS lam FROM ttfq t CROSS JOIN stats s)",
+            "tfn AS (SELECT tf.doc_id, (tf.freq + 800.0*(t.ttf+1)/(s.sumdl+1)) / (CAST(q.dlq AS DOUBLE) + 800.0) * 800.0 AS v FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfq t CROSS JOIN stats s)",
+        ])}
+SELECT t.doc_id,
+  CAST(ROUND(-ln(l.lam / (t.v + l.lam)) * 1000000) AS BIGINT) AS score_x1e6
+FROM tfn t CROSS JOIN lamq l
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""),
+        ("ax_f1exp", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND(greatest((1 + ln(1 + ln(CAST(tf.freq AS DOUBLE))))
+       * (((s.sumdl/s.n) + 0.25) / ((s.sumdl/s.n) + CAST(q.dlq AS DOUBLE) * 0.25))
+       * pow((s.n+1)/d.df, 0.35), 0.0) * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("ax_f2log", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND(greatest((CAST(tf.freq AS DOUBLE)
+       / (CAST(tf.freq AS DOUBLE) + 0.25 + 0.25 * CAST(q.dlq AS DOUBLE) / (s.sumdl/s.n)))
+       * ln((s.n+1)/d.df), 0.0) * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("ax_f3exp", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"dfq AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks WHERE tok = '{T_MID}')",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND(greatest((1 + ln(1 + ln(CAST(tf.freq AS DOUBLE))))
+       * pow((s.n+1)/d.df, 0.35)
+       - (CAST(q.dlq AS DOUBLE) - 1.0) * (0.5 * 1 / (s.sumdl/s.n)), 0.0)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("dfi_sat", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"ttfq AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+            "ex AS (SELECT tf.doc_id, CAST(tf.freq AS DOUBLE) AS f, ((t.ttf+1)/(s.sumdl+1)) * CAST(q.dlq AS DOUBLE) AS e FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfq t CROSS JOIN stats s)",
+        ])}
+SELECT doc_id,
+  CAST(ROUND(CASE WHEN f > e
+       THEN ln(greatest((f - e) / e, 0.0) + 1.0) / ln(2) ELSE 0.0 END
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM ex ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10"""),
+        ("indri", f"""{_prefix_ctes([
+            f"tf AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"ttfq AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+        ])}
+SELECT tf.doc_id,
+  CAST(ROUND(ln((CAST(tf.freq AS DOUBLE) + 2000.0 * ((t.ttf+1)/(s.sumdl+1)))
+       / (CAST(q.dlq AS DOUBLE) + 2000.0)) * 1000000) AS BIGINT) AS score_x1e6
+FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfq t CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),

@@ -419,7 +419,7 @@ class IndexSearcher:
             if q.term not in st:
                 return None
             coll = R.collection_stats(q.field)
-            sc = self.similarity.scorer(coll, [st[q.term]], boost * q.boost)
+            sc = self.similarity.for_field(q.field).scorer(coll, [st[q.term]], boost * q.boost)
             return _leaf("term", q.field, [q.term], sc.weight,
                          cache=getattr(sc, "cache", None), scorer=sc)
         if isinstance(q, Q.SynonymQuery):
@@ -433,7 +433,7 @@ class IndexSearcher:
                 doc_freq=max(st[t].doc_freq for t in present),
                 total_term_freq=sum(st[t].total_term_freq for t in present),
             )
-            sc = self.similarity.scorer(coll, [blended], boost * q.boost)
+            sc = self.similarity.for_field(q.field).scorer(coll, [blended], boost * q.boost)
             return _leaf("syn", q.field, present, sc.weight,
                          cache=getattr(sc, "cache", None), scorer=sc)
         if isinstance(q, Q.PhraseQuery):
@@ -441,7 +441,7 @@ class IndexSearcher:
             if len(st) < len(set(q.terms)):
                 return None  # a missing term -> no phrase match
             coll = R.collection_stats(q.field)
-            sc = self.similarity.scorer(
+            sc = self.similarity.for_field(q.field).scorer(
                 coll, [st[t] for t in q.terms], boost * q.boost
             )
             return _leaf(
@@ -460,7 +460,7 @@ class IndexSearcher:
             # MultiPhraseQuery sums idf over every present term of every
             # slot (idfExplain over the term array)
             present = [t for slot in slots for t in slot]
-            sc = self.similarity.scorer(
+            sc = self.similarity.for_field(q.field).scorer(
                 coll, [st[t] for t in present], boost * q.boost
             )
             return {
@@ -505,7 +505,7 @@ class IndexSearcher:
             if len(st) < len(set(terms)):
                 return None
             coll = R.collection_stats(q.field)
-            sc = self.similarity.scorer(
+            sc = self.similarity.for_field(q.field).scorer(
                 coll, [st[t] for t in terms], boost * q.boost
             )
             return _leaf(

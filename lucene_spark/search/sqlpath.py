@@ -349,24 +349,25 @@ def boolean_sim_topk(
     ).limit(k)
 
 
-def dfr_inl2_topk(
-    reader: IndexReader, field: str, term: str, c: float = 1.0, k: int = 10
-) -> DataFrame:
-    """DFRSimilarity In/L/H2 (similarities/DFRSimilarity.java +
-    BasicModelIn/AfterEffectL/NormalizationH2): tfn = freq * log2(1 +
-    c*avgdl/dl); score = tfn/(1+tfn) * log2((N+1)/(df+0.5)) over the
-    quantized doc length. -> (doc_id, score_x1e6)."""
-    ep = exploded_postings(reader, field, [term])
-    coll = reader.collection_stats(field)
+def _sim_scaffold(reader: IndexReader, field: str, term: str):
+    """Shared SimilarityBase scaffold: exploded postings for the term +
+    the BasicStats scalars every model reads. None if term absent."""
     st = reader.term_stats(field, [term])
     if term not in st:
-        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
-    idf2 = math.log2((coll.doc_count + 1) / (st[term].doc_freq + 0.5))
-    dlq = _length_table_col(F.col("norm_code")).cast("double")
-    ln2 = math.log(2.0)
-    tfn = F.col("freq") * F.log(F.lit(1.0) + F.lit(c * avgdl) / dlq) / F.lit(ln2)
-    score = tfn / (F.lit(1.0) + tfn) * F.lit(idf2)
+        return None
+    coll = reader.collection_stats(field)
+    ep = exploded_postings(reader, field, [term])
+    stats = {
+        "n": float(coll.doc_count),
+        "sumttf": float(coll.sum_total_term_freq),
+        "avgdl": coll.sum_total_term_freq / float(coll.doc_count),
+        "df": float(st[term].doc_freq),
+        "ttf": float(st[term].total_term_freq),
+    }
+    return ep, stats
+
+
+def _sim_rank(ep: DataFrame, score, k: int) -> DataFrame:
     return (
         ep.select(
             "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
@@ -374,36 +375,234 @@ def dfr_inl2_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+_LN2 = math.log(2.0)
+
+
+def _tfn_expr(norm: str, s: dict, c: float, mu: float, z: float):
+    """Normalization{H1,H2,H3,Z,none}.tfn as a JVM column over the
+    quantized doc length (NormalizationH1/H2/H3/Z.java)."""
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    f = F.col("freq").cast("double")
+    if norm == "h1":
+        return f * F.lit(c * s["avgdl"]) / dlq
+    if norm == "h2":
+        return f * F.log(F.lit(1.0) + F.lit(c * s["avgdl"]) / dlq) / F.lit(_LN2)
+    if norm == "h3":
+        prior = mu * (s["ttf"] + 1.0) / (s["sumttf"] + 1.0)
+        return (f + F.lit(prior)) / (dlq + F.lit(mu)) * F.lit(mu)
+    if norm == "z":
+        return f * F.pow(F.lit(s["avgdl"]) / dlq, F.lit(z))
+    if norm == "none":
+        return f
+    raise ValueError(f"unknown normalization {norm!r}")
+
+
+def dfr_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    model: str = "in",
+    after_effect: str = "l",
+    norm: str = "h2",
+    c: float = 1.0,
+    mu: float = 800.0,
+    z: float = 0.30,
+    k: int = 10,
+) -> DataFrame:
+    """The full DFR grid on the sql64 path (DFRSimilarity.java):
+    BasicModel{g,if,in,ine} x AfterEffect{b,l} x
+    Normalization{h1,h2,h3,z,none}. score = boost * basic(tfn, ae1p)
+    with ae1p = 1 (L) or (F+1)/df (B), float64 JVM expressions over the
+    quantized doc length. -> (doc_id, score_x1e6)."""
+    got = _sim_scaffold(reader, field, term)
+    if got is None:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    ep, s = got
+    tfn = _tfn_expr(norm, s, c, mu, z)
+    ae1p = 1.0 if after_effect == "l" else (s["ttf"] + 1.0) / s["df"]
+    one = F.lit(1.0)
+    if model == "g":
+        big_f = s["ttf"] + 1.0
+        lam = big_f / (s["n"] + big_f)
+        a = math.log2(lam + 1.0)
+        b = math.log2((1.0 + lam) / lam)
+        score = (F.lit(b) - F.lit(b - a) / (one + tfn)) * F.lit(ae1p)
+    else:
+        if model == "in":
+            a = math.log2((s["n"] + 1.0) / (s["df"] + 0.5))
+        elif model == "if":
+            a = math.log2(1.0 + (s["n"] + 1.0) / (s["ttf"] + 0.5))
+        elif model == "ine":
+            ne = s["n"] * (1.0 - ((s["n"] - 1.0) / s["n"]) ** s["ttf"])
+            a = math.log2((s["n"] + 1.0) / (ne + 0.5))
+        else:
+            raise ValueError(f"unknown basic model {model!r}")
+        score = F.lit(a * ae1p) * (tfn / (one + tfn))
+    return _sim_rank(ep, score, k)
+
+
+def dfr_inl2_topk(
+    reader: IndexReader, field: str, term: str, c: float = 1.0, k: int = 10
+) -> DataFrame:
+    """DFR In/L/H2 — the round-2 configuration, now a grid point."""
+    return dfr_topk(reader, field, term, model="in", after_effect="l",
+                    norm="h2", c=c, k=k)
+
+
+def ib_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    distribution: str = "spl",
+    lam: str = "df",
+    norm: str = "h2",
+    c: float = 1.0,
+    mu: float = 800.0,
+    z: float = 0.30,
+    k: int = 10,
+) -> DataFrame:
+    """The full IB grid on the sql64 path (IBSimilarity.java):
+    Distribution{ll,spl} x Lambda{df,ttf} x Normalization.
+    LL: -ln(lambda/(tfn+lambda)); SPL: -ln((lambda^(tfn/(tfn+1)) -
+    lambda)/(1-lambda)); lambda = (df+1)/(N+1) or (F+1)/(N+1).
+    -> (doc_id, score_x1e6)."""
+    got = _sim_scaffold(reader, field, term)
+    if got is None:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    ep, s = got
+    tfn = _tfn_expr(norm, s, c, mu, z)
+    lv = (
+        (s["df"] + 1.0) / (s["n"] + 1.0)
+        if lam == "df"
+        else (s["ttf"] + 1.0) / (s["n"] + 1.0)
+    )
+    one = F.lit(1.0)
+    if distribution == "ll":
+        score = -F.log(F.lit(lv) / (tfn + F.lit(lv)))
+    elif distribution == "spl":
+        score = -F.log(
+            (F.pow(F.lit(lv), tfn / (tfn + one)) - F.lit(lv)) / F.lit(1.0 - lv)
+        )
+    else:
+        raise ValueError(f"unknown distribution {distribution!r}")
+    return _sim_rank(ep, score, k)
 
 
 def ib_spl_topk(
     reader: IndexReader, field: str, term: str, c: float = 1.0, k: int = 10
 ) -> DataFrame:
-    """IBSimilarity SPL/LambdaDF/H2 (similarities/IBSimilarity.java +
-    DistributionSPL/LambdaDF): lambda = (df+1)/(N+1); score =
-    -ln((lambda^(tfn/(tfn+1)) - lambda)/(1 - lambda)).
-    -> (doc_id, score_x1e6)."""
-    ep = exploded_postings(reader, field, [term])
-    coll = reader.collection_stats(field)
-    st = reader.term_stats(field, [term])
-    if term not in st:
+    """IB SPL/LambdaDF/H2 — the round-2 configuration, now a grid point."""
+    return ib_topk(reader, field, term, distribution="spl", lam="df",
+                   norm="h2", c=c, k=k)
+
+
+def axiomatic_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    variant: str = "f2exp",
+    s_param: float | None = None,
+    k_param: float = 0.35,
+    query_len: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """Axiomatic family (Axiomatic.java + AxiomaticF{1,2,3}{EXP,LOG}):
+    score = max(0, tf * ln * tfln * idf - gamma). Defaults s=0.25
+    (F1/F2) / s=0.5 (F3), k=0.35, queryLen=1. -> (doc_id, score_x1e6)."""
+    variant = variant.lower()
+    if variant not in {"f1exp", "f1log", "f2exp", "f2log", "f3exp", "f3log"}:
+        raise ValueError(f"unknown axiomatic variant {variant!r}")
+    sp = float(s_param) if s_param is not None else (
+        0.5 if variant.startswith("f3") else 0.25
+    )
+    got = _sim_scaffold(reader, field, term)
+    if got is None:
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
-    lam = (st[term].doc_freq + 1.0) / (coll.doc_count + 1.0)
+    ep, s = got
     dlq = _length_table_col(F.col("norm_code")).cast("double")
-    ln2 = math.log(2.0)
-    tfn = F.col("freq") * F.log(F.lit(1.0) + F.lit(c * avgdl) / dlq) / F.lit(ln2)
-    score = -F.log(
-        (F.pow(F.lit(lam), tfn / (tfn + F.lit(1.0))) - F.lit(lam))
-        / F.lit(1.0 - lam)
+    f = F.col("freq").cast("double")
+    one = F.lit(1.0)
+    tf = (
+        one + F.log(one + F.log(f))
+        if variant[1] in "13"
+        else one
     )
-    return (
-        ep.select(
-            "doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6")
-        )
-        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
-        .limit(k)
+    lnc = (
+        F.lit(s["avgdl"] + sp) / (F.lit(s["avgdl"]) + dlq * F.lit(sp))
+        if variant[1] == "1"
+        else one
     )
+    tfln = (
+        f / (f + F.lit(sp) + F.lit(sp) * dlq / F.lit(s["avgdl"]))
+        if variant[1] == "2"
+        else one
+    )
+    idf = F.lit(
+        ((s["n"] + 1.0) / s["df"]) ** k_param
+        if variant.endswith("exp")
+        else math.log((s["n"] + 1.0) / s["df"])
+    )
+    gamma = (
+        (dlq - F.lit(float(query_len)))
+        * F.lit(sp * query_len / s["avgdl"])
+        if variant[1] == "3"
+        else F.lit(0.0)
+    )
+    score = F.greatest(tf * lnc * tfln * idf - gamma, F.lit(0.0))
+    return _sim_rank(ep, score, k)
+
+
+def dfi_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    independence: str = "standardized",
+    k: int = 10,
+) -> DataFrame:
+    """DFISimilarity with pluggable independence (DFISimilarity.java +
+    Independence{Standardized,Saturated,ChiSquared}.java): expected =
+    (ttf+1)*dl/(sumTTF+1); score = log2(measure+1) when freq > expected,
+    else 0. -> (doc_id, score_x1e6)."""
+    got = _sim_scaffold(reader, field, term)
+    if got is None:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    ep, s = got
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    f = F.col("freq").cast("double")
+    e = F.lit((s["ttf"] + 1.0) / (s["sumttf"] + 1.0)) * dlq
+    if independence == "standardized":
+        m = (f - e) / F.sqrt(e)
+    elif independence == "saturated":
+        m = (f - e) / e
+    elif independence == "chisquared":
+        m = (f - e) * (f - e) / e
+    else:
+        raise ValueError(f"unknown independence {independence!r}")
+    score = F.when(
+        f > e,
+        F.log(F.greatest(m, F.lit(0.0)) + F.lit(1.0)) / F.lit(_LN2),
+    ).otherwise(F.lit(0.0))
+    return _sim_rank(ep, score, k)
+
+
+def indri_topk(
+    reader: IndexReader, field: str, term: str, mu: float = 2000.0, k: int = 10
+) -> DataFrame:
+    """IndriDirichletSimilarity.java: score = ln((freq + mu*P(w|C)) /
+    (dl + mu)) with Indri's +1-smoothed collection model
+    P(w|C) = (ttf+1)/(sumTTF+1). Scores are negative log-probabilities;
+    ranking is still score DESC. -> (doc_id, score_x1e6)."""
+    got = _sim_scaffold(reader, field, term)
+    if got is None:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    ep, s = got
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    f = F.col("freq").cast("double")
+    p_wc = (s["ttf"] + 1.0) / (s["sumttf"] + 1.0)
+    score = F.log((f + F.lit(mu * p_wc)) / (dlq + F.lit(mu)))
+    return _sim_rank(ep, score, k)
 
 
 def lm_dirichlet_topk(

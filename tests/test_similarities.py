@@ -127,14 +127,16 @@ def test_axiomatic_and_dfi_formulas(built_index):
     codes = np.array([10, 60, 120])
     dl = LENGTH_TABLE[codes].astype(float)
 
+    # reference defaults: s=0.25 (Axiomatic.java:102-104)
     ax = AxiomaticF2EXP().scorer(coll, [st], 1.0)
     want = ((coll.doc_count + 1) / st.doc_freq) ** 0.35 * freqs / (
-        freqs + 0.5 + 0.5 * dl / avgdl
+        freqs + 0.25 + 0.25 * dl / avgdl
     )
     assert np.allclose(ax.score(freqs, codes), want, rtol=1e-6)
 
+    # DFISimilarity.java:72-73 — expected = (ttf+1)*dl/(sumTTF+1)
     dfi = DFISimilarity().scorer(coll, [st], 1.0)
-    e = st.total_term_freq * dl / coll.sum_total_term_freq
+    e = (st.total_term_freq + 1) * dl / (coll.sum_total_term_freq + 1)
     m = (freqs - e) / np.sqrt(e)
     want = np.where(freqs > e, np.log2(np.maximum(m, 0) + 1), 0.0)
     assert np.allclose(dfi.score(freqs, codes), want, rtol=1e-5, atol=1e-6)
@@ -145,3 +147,83 @@ def test_axiomatic_and_dfi_formulas(built_index):
     for sim in (AxiomaticF2EXP(), DFISimilarity()):
         got = _search(built_index, sim, Q.TermQuery("content", "def"), k=10)
         assert got and all(np.isfinite(v) and v >= 0 for v in got.values())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dfr_gb1", "dfr_ine_z", "ib_ll_ttf", "ax_f1exp", "ax_f2log",
+     "ax_f3exp", "dfi_sat", "indri"],
+)
+def test_similarity_grid_matches_sql_path(built_index, name):
+    """r3 grid: every new similarity family member, injected through the
+    exact32 executor, agrees with its float64 sql64 twin."""
+    from lucene_spark.search import query as Q, sqlpath as sp
+    from lucene_spark.search import similarities as S
+
+    term = "def"
+    if name == "dfr_gb1":
+        sim = S.DFRSimilarity(S.BasicModelG(), S.AfterEffectB(), S.NormalizationH1())
+        ref = sp.dfr_topk(built_index, "content", term, model="g",
+                          after_effect="b", norm="h1", k=30)
+    elif name == "dfr_ine_z":
+        sim = S.DFRSimilarity(S.BasicModelIne(), S.AfterEffectB(), S.NormalizationZ())
+        ref = sp.dfr_topk(built_index, "content", term, model="ine",
+                          after_effect="b", norm="z", k=30)
+    elif name == "ib_ll_ttf":
+        sim = S.IBSimilarity(S.DistributionLL(), S.LambdaTTF(), S.NormalizationH3())
+        ref = sp.ib_topk(built_index, "content", term, distribution="ll",
+                         lam="ttf", norm="h3", k=30)
+    elif name == "ax_f1exp":
+        sim, ref = S.AxiomaticF1EXP(), sp.axiomatic_topk(
+            built_index, "content", term, "f1exp", k=30)
+    elif name == "ax_f2log":
+        sim, ref = S.AxiomaticF2LOG(), sp.axiomatic_topk(
+            built_index, "content", term, "f2log", k=30)
+    elif name == "ax_f3exp":
+        sim, ref = S.AxiomaticF3EXP(), sp.axiomatic_topk(
+            built_index, "content", term, "f3exp", k=30)
+    elif name == "dfi_sat":
+        sim = S.DFISimilarity(S.IndependenceSaturated())
+        ref = sp.dfi_topk(built_index, "content", term,
+                          independence="saturated", k=30)
+    else:
+        sim, ref = S.IndriDirichletSimilarity(), sp.indri_topk(
+            built_index, "content", term, k=30)
+    got = _search(built_index, sim, Q.TermQuery("content", term), k=30)
+    want = {r["doc_id"]: r["score_x1e6"] / 1e6 for r in ref.collect()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-4, abs=2e-4), (d, name)
+
+
+def test_multi_and_per_field_and_rawtf(built_index):
+    """MultiSimilarity averages children; PerFieldSimilarityWrapper
+    resolves per leaf; RawTF scores are the raw frequencies."""
+    import numpy as np
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.search import similarities as S
+
+    q = Q.TermQuery("content", "def")
+    # fetch components over every matching doc (k wide) so the multi
+    # top-20's members are all present despite tie-break differences
+    raw = _search(built_index, S.RawTFSimilarity(), q, k=10_000)
+    assert raw and all(v == int(v) and v >= 1 for v in raw.values())
+
+    bool_s = _search(built_index, S.BooleanSimilarity(), q, k=10_000)
+    multi = _search(
+        built_index,
+        S.MultiSimilarity([S.RawTFSimilarity(), S.BooleanSimilarity()]),
+        q,
+        k=20,
+    )
+    for d, v in multi.items():
+        want = np.float32((np.float64(np.float32(raw[d])) + np.float32(bool_s[d])) / 2)
+        assert v == pytest.approx(float(want), rel=1e-6), d
+
+    # per-field: content routed to Boolean, everything else default BM25
+    pf = S.PerFieldSimilarityWrapper(
+        S.BM25Similarity(), {"content": S.BooleanSimilarity()}
+    )
+    got = _search(built_index, pf, q, k=20)
+    assert got == {d: 1.0 for d in got}
