@@ -453,8 +453,11 @@ def _sql_intervals() -> str:
     """Oracle for q_intervals. Positional CTE as in _sql_near; the
     `within` branch replicates minimal-interval construction exactly:
     candidates anchored at term occurrences with left-anchored greedy
-    ends, reduced to max(s) per distinct end (the no-nesting set)."""
-    return """WITH tl AS (
+    ends, reduced to max(s) per distinct end (the no-nesting set).
+    The sp_* branches score spans: float32 sloppy freq, BM25 over the
+    scoring subtree's idf sum (sqlpath.spans_topk)."""
+    sfr = _sfranges()
+    return f"""WITH tl AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
   FROM documents
@@ -503,7 +506,7 @@ within_m AS (
   ) ORDER BY doc_id LIMIT 10
 ),
 atleast2 AS (
-  -- atLeast(2 of {fast,table,scan}, width<=4): a minimal 2-of span
+  -- atLeast(2 of fast/table/scan, width<=4): a minimal 2-of span
   -- exists iff two distinct-term positions sit within the width
   SELECT doc_id FROM (
     SELECT DISTINCT x.doc_id
@@ -549,6 +552,128 @@ phrase_m AS (
     FROM pos a JOIN pos b ON a.doc_id = b.doc_id
     WHERE a.tok = 'fast' AND b.tok = 'table' AND b.p = a.p + 1
   ) ORDER BY doc_id LIMIT 10
+),
+-- spans branches: every match, float32 sloppy freq, BM25 (mirrors
+-- sqlpath.spans_topk / executor._span_freqs exactly)
+dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+{sfr},
+dlq AS (SELECT dl.doc_id, sfr.declen AS dlq FROM dl
+        JOIN sfr ON dl.dl BETWEEN sfr.lo AND sfr.hi),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+          CAST((SELECT coalesce(sum(dl),0) FROM dl) AS DOUBLE) AS sumdl),
+idf AS (
+  SELECT tok, ln(1 + (s.n - df + 0.5)/(df + 0.5)) AS w
+  FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM pos
+        WHERE tok IN ('fast','scan','merge','sort','key','table')
+        GROUP BY tok) CROSS JOIN stats s
+),
+no1 AS (
+  -- NearSpansOrdered(fast, scan): anchored at every fast, greedy first
+  -- scan strictly after
+  SELECT a.doc_id, a.p AS s,
+    (SELECT min(b.p) FROM pos b
+      WHERE b.doc_id = a.doc_id AND b.tok = 'scan' AND b.p > a.p) AS e
+  FROM pos a WHERE a.tok = 'fast'
+),
+no1g AS (SELECT doc_id, e - s - 1 AS g FROM no1
+         WHERE e IS NOT NULL AND e - s - 1 <= 3),
+no1f AS (SELECT doc_id, CAST(CAST(SUM(1.0/(1.0 + g)) AS FLOAT) AS DOUBLE)
+         AS freq FROM no1g GROUP BY doc_id),
+sp_nearord AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok IN ('fast','scan')) * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM no1f f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
+nu1 AS (
+  -- NearSpansUnordered(merge, sort): cover at every child-span start
+  SELECT u.doc_id, u.p AS s,
+    (SELECT min(x.p) FROM pos x
+      WHERE x.doc_id = u.doc_id AND x.tok = 'merge' AND x.p >= u.p) AS ea,
+    (SELECT min(y.p) FROM pos y
+      WHERE y.doc_id = u.doc_id AND y.tok = 'sort' AND y.p >= u.p) AS eb
+  FROM pos u WHERE u.tok IN ('merge','sort')
+),
+nu1g AS (SELECT doc_id, greatest(ea, eb) - s - 1 AS g FROM nu1
+         WHERE ea IS NOT NULL AND eb IS NOT NULL
+           AND greatest(ea, eb) - s - 1 <= 4),
+nu1f AS (SELECT doc_id, CAST(CAST(SUM(1.0/(1.0 + g)) AS FLOAT) AS DOUBLE)
+         AS freq FROM nu1g GROUP BY doc_id),
+sp_nearunord AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok IN ('merge','sort')) * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM nu1f f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
+on1 AS (
+  -- SpanNot(or(fast, merge), key, pre=1, post=1); idf from the include
+  -- subtree only (SpanNotWeight)
+  SELECT o.doc_id, CAST(count(*) AS DOUBLE) AS freq FROM pos o
+  WHERE o.tok IN ('fast','merge') AND NOT EXISTS (
+    SELECT 1 FROM pos kx WHERE kx.doc_id = o.doc_id AND kx.tok = 'key'
+      AND kx.p BETWEEN o.p - 1 AND o.p + 1)
+  GROUP BY o.doc_id
+),
+sp_ornot AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok IN ('fast','merge')) * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM on1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
+fi1 AS (
+  -- SpanFirst(table, 10): 0-based inclusive end < 10 == 1-based p <= 10
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq FROM pos
+  WHERE tok = 'table' AND p <= 10 GROUP BY doc_id
+),
+sp_first AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT w FROM idf WHERE tok = 'table') * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM fi1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
+no5 AS (SELECT doc_id, s, e, e - s - 1 AS g FROM no1
+        WHERE e IS NOT NULL AND e - s - 1 <= 5),
+co1 AS (
+  -- SpanContaining(near(fast,scan,5), table): big spans with a table
+  -- inside; weight from the big span
+  SELECT m.doc_id, CAST(CAST(SUM(1.0/(1.0 + m.g)) AS FLOAT) AS DOUBLE)
+    AS freq
+  FROM no5 m WHERE EXISTS (
+    SELECT 1 FROM pos t WHERE t.doc_id = m.doc_id AND t.tok = 'table'
+      AND t.p BETWEEN m.s AND m.e)
+  GROUP BY m.doc_id
+),
+sp_containing AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok IN ('fast','scan','table')) * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM co1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
+wi1 AS (
+  -- SpanWithin(table, near(fast,scan,5)): table positions inside a big
+  -- span, each once
+  SELECT t.doc_id, CAST(count(DISTINCT t.p) AS DOUBLE) AS freq
+  FROM pos t JOIN no5 m
+    ON t.doc_id = m.doc_id AND t.p BETWEEN m.s AND m.e
+  WHERE t.tok = 'table' GROUP BY t.doc_id
+),
+sp_within AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok IN ('fast','scan','table')) * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM wi1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
 )
 SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
   SELECT 'ord3' AS tag, doc_id FROM ord3
@@ -559,7 +684,13 @@ SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
   UNION ALL SELECT 'nonover' AS tag, doc_id FROM nonover_m
   UNION ALL SELECT 'extendby' AS tag, doc_id FROM extendby_m
   UNION ALL SELECT 'phrase' AS tag, doc_id FROM phrase_m
-)"""
+)
+UNION ALL SELECT 'sp_nearord' AS tag, doc_id, score_x1e6 FROM sp_nearord
+UNION ALL SELECT 'sp_nearunord' AS tag, doc_id, score_x1e6 FROM sp_nearunord
+UNION ALL SELECT 'sp_ornot' AS tag, doc_id, score_x1e6 FROM sp_ornot
+UNION ALL SELECT 'sp_first' AS tag, doc_id, score_x1e6 FROM sp_first
+UNION ALL SELECT 'sp_containing' AS tag, doc_id, score_x1e6 FROM sp_containing
+UNION ALL SELECT 'sp_within' AS tag, doc_id, score_x1e6 FROM sp_within"""
 
 
 def _scored_ctes(term: str) -> str:
@@ -1046,10 +1177,44 @@ def gate_queries() -> dict[str, object]:
             ),
             "phrase": Q.IPhrase((Q.ITerm("fast"), Q.ITerm("table"))),
         }
+        # spans (queries/spans, r3): every match enumerated, float32
+        # sloppy freq sum(1/(1+width)), BM25-scored — six SpanQuery
+        # shapes as scored branches of the same tagged union
+        span_specs = {
+            "sp_nearord": Q.SpanNear(
+                (Q.SpanTerm("fast"), Q.SpanTerm("scan")), slop=3, in_order=True
+            ),
+            "sp_nearunord": Q.SpanNear(
+                (Q.SpanTerm("merge"), Q.SpanTerm("sort")), slop=4,
+                in_order=False,
+            ),
+            "sp_ornot": Q.SpanNot(
+                Q.SpanOr((Q.SpanTerm("fast"), Q.SpanTerm("merge"))),
+                Q.SpanTerm("key"), pre=1, post=1,
+            ),
+            "sp_first": Q.SpanFirst(Q.SpanTerm("table"), 10),
+            "sp_containing": Q.SpanContaining(
+                Q.SpanNear(
+                    (Q.SpanTerm("fast"), Q.SpanTerm("scan")), slop=5,
+                    in_order=True,
+                ),
+                Q.SpanTerm("table"),
+            ),
+            "sp_within": Q.SpanWithin(
+                Q.SpanTerm("table"),
+                Q.SpanNear(
+                    (Q.SpanTerm("fast"), Q.SpanTerm("scan")), slop=5,
+                    in_order=True,
+                ),
+            ),
+        }
         parts = [
             sp.intervals_match_topk(r, FIELD, src, k=10)
             .withColumn("tag", F.lit(tag))
             for tag, src in specs.items()
+        ] + [
+            sp.spans_topk(r, FIELD, src, k=10).withColumn("tag", F.lit(tag))
+            for tag, src in span_specs.items()
         ]
         out = parts[0]
         for p in parts[1:]:

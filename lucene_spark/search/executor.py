@@ -539,6 +539,29 @@ class IndexSearcher:
                 "source": q.source,
                 "weight": float(boost * q.boost),
             }
+        if isinstance(q, Q.SpanQuery):
+            terms = sorted(set(q.source.terms()))
+            sterms = [t for t in sorted(set(q.source.scoring_terms()))]
+            st = R.term_stats(q.field, sterms)
+            present = [t for t in sterms if t in st]
+            if not present:
+                return None
+            coll = R.collection_stats(q.field)
+            # SpanWeight.buildSimWeight: one SimScorer over the summed
+            # stats of the scoring subtree's terms (exclude subtrees of
+            # SpanNot contribute matching, not stats)
+            sc = self.similarity.for_field(q.field).scorer(
+                coll, [st[t] for t in present], boost * q.boost
+            )
+            return {
+                "kind": "spans",
+                "field": q.field,
+                "terms": terms,
+                "source": q.source,
+                "weight": sc.weight,
+                "scorer": sc,
+                "cache": getattr(sc, "cache", None),
+            }
         if isinstance(q, Q.ScoringRewriteQuery):
             # SCORING_BOOLEAN_REWRITE: expansion terms become scoring
             # SHOULD TermQueries (MultiTermQuery.ScoringRewrite)
@@ -721,7 +744,7 @@ class IndexSearcher:
 def _collect_terms(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals"):
+             "intervals", "spans"):
         return set(node["terms"])
     if k == "const_wrap":
         return _collect_terms(node["sub"])
@@ -739,7 +762,7 @@ def _collect_terms(node: dict) -> set[str]:
 def _collect_fields(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals"):
+             "intervals", "spans"):
         return {node["field"]}
     if k == "const_wrap":
         return _collect_fields(node["sub"])
@@ -1067,6 +1090,8 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         return _eval_near(node, ctx)
     if kind == "intervals":
         return _eval_intervals(node, ctx)
+    if kind == "spans":
+        return _eval_spans(node, ctx)
     if kind == "const_set":
         ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
         dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
@@ -1796,6 +1821,248 @@ def _make_intervals_fn(source, terms: list[str]):
     return fn
 
 
+# --------------------------------------------------------------------------
+# spans (queries/spans): every match enumerated, sloppy-weighted freq
+# --------------------------------------------------------------------------
+
+
+def _spans_candidates(src, ctx: _SegmentIndex) -> np.ndarray:
+    """Docs that could match `src` (structure-aware, like intervals)."""
+    z = np.zeros(0, dtype=np.int64)
+    if isinstance(src, Q.SpanTerm):
+        return ctx.postings(src.term)[0] if ctx.has(src.term) else z
+    if isinstance(src, Q.SpanNear):
+        out = None
+        for c in src.clauses:
+            d = _spans_candidates(c, ctx)
+            out = d if out is None else out[np.isin(out, d, assume_unique=True)]
+            if len(out) == 0:
+                return z
+        return out if out is not None else z
+    if isinstance(src, Q.SpanOr):
+        ds = [_spans_candidates(c, ctx) for c in src.clauses]
+        ds = [d for d in ds if len(d)]
+        return np.unique(np.concatenate(ds)) if ds else z
+    if isinstance(src, Q.SpanNot):
+        return _spans_candidates(src.include, ctx)
+    if isinstance(src, Q.SpanFirst):
+        return _spans_candidates(src.match, ctx)
+    if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
+        a = _spans_candidates(src.big, ctx)
+        b = _spans_candidates(src.little, ctx)
+        return a[np.isin(a, b, assume_unique=True)]
+    raise TypeError(type(src).__name__)
+
+
+def _spans_probe_pad(src) -> int:
+    """Largest positional probe beyond a real term position the
+    evaluation can make (SpanNot pre/post windows, +1 ordered-chain
+    probes) — sizes the key stride."""
+    if isinstance(src, Q.SpanTerm):
+        return 1
+    if isinstance(src, Q.SpanNear):
+        return max(_spans_probe_pad(c) for c in src.clauses) + 1
+    if isinstance(src, Q.SpanOr):
+        return max(_spans_probe_pad(c) for c in src.clauses)
+    if isinstance(src, Q.SpanNot):
+        return max(_spans_probe_pad(src.include),
+                   _spans_probe_pad(src.exclude)) + max(src.pre, src.post)
+    if isinstance(src, Q.SpanFirst):
+        return _spans_probe_pad(src.match)
+    if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
+        return max(_spans_probe_pad(src.big), _spans_probe_pad(src.little))
+    raise TypeError(type(src).__name__)
+
+
+def _spans_chain_ordered(subs, large: int):
+    """NearSpansOrdered: anchored at EVERY span of the first clause,
+    each later clause contributes its first span (in (start, end)
+    order) starting after the previous clause's end. width = summed
+    in-between gaps (NearSpansOrdered.java matchWidth)."""
+    s0, e0, _ = subs[0]
+    z = np.zeros(0, dtype=np.int64)
+    if len(s0) == 0:
+        return z, z, z
+    cur_e = e0.copy()
+    gaps = np.zeros(len(s0), dtype=np.int64)
+    valid = np.ones(len(s0), dtype=bool)
+    sentinel = np.int64(2**62)
+    for cs, ce, _cg in subs[1:]:
+        if len(cs) == 0:
+            return z, z, z
+        probe = np.where(valid, cur_e, sentinel) + 1
+        idx = np.searchsorted(cs, probe, side="left")
+        ok = idx < len(cs)
+        sel = np.minimum(idx, len(cs) - 1)
+        ok &= (cs[sel] // large) == (s0 // large)
+        valid &= ok
+        gaps = np.where(valid, gaps + cs[sel] - cur_e - 1, gaps)
+        cur_e = np.where(valid, ce[sel], cur_e)
+    return s0[valid], cur_e[valid], gaps[valid]
+
+
+def _spans_cover_unordered(subs, large: int):
+    """NearSpansUnordered: the greedy cover anchored at every child-span
+    start; width = covered width minus total child span length
+    (NearSpansUnordered.java totalSpanLength) — may go negative when
+    children overlap."""
+    starts = [s for s, _, _ in subs if len(s)]
+    z = np.zeros(0, dtype=np.int64)
+    if len(starts) < len(subs):
+        return z, z, z
+    anchors = np.unique(np.concatenate(starts))
+    e = anchors.copy()
+    covered = np.zeros(len(anchors), dtype=np.int64)
+    valid = np.ones(len(anchors), dtype=bool)
+    for cs, ce, _cg in subs:
+        idx = np.searchsorted(cs, anchors, side="left")
+        ok = idx < len(cs)
+        sel = np.minimum(idx, len(cs) - 1)
+        ok &= (cs[sel] // large) == (anchors // large)
+        valid &= ok
+        e = np.maximum(e, np.where(ok, ce[sel], e))
+        covered += np.where(ok, ce[sel] - cs[sel] + 1, 0)
+    s, e, covered = anchors[valid], e[valid], covered[valid]
+    return s, e, (e - s + 1) - covered
+
+
+def _spans_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
+    """-> (starts, ends, widths): EVERY span of `src` in the candidate
+    docs, sorted lexicographically by (start, end). Unlike
+    `_intervals_eval` there is no minimalization — spans feed per-match
+    sloppy weights, so all matches are kept (Spans.java contract)."""
+    z = np.zeros(0, dtype=np.int64)
+    if isinstance(src, Q.SpanTerm):
+        if not ctx.has(src.term):
+            return z, z, z
+        k = _gather_pos_keys(ctx, src.term, docs, large)
+        return k, k, np.zeros(len(k), dtype=np.int64)
+    if isinstance(src, Q.SpanNear):
+        subs = [_spans_eval(c, ctx, docs, large) for c in src.clauses]
+        if src.in_order:
+            s, e, g = _spans_chain_ordered(subs, large)
+        else:
+            s, e, g = _spans_cover_unordered(subs, large)
+        keep = g <= src.slop
+        return s[keep], e[keep], g[keep]
+    if isinstance(src, Q.SpanOr):
+        parts = [_spans_eval(c, ctx, docs, large) for c in src.clauses]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return z, z, z
+        s = np.concatenate([p[0] for p in parts])
+        e = np.concatenate([p[1] for p in parts])
+        g = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((e, s))
+        return s[order], e[order], g[order]
+    if isinstance(src, Q.SpanNot):
+        s, e, g = _spans_eval(src.include, ctx, docs, large)
+        if len(s) == 0:
+            return s, e, g
+        xs, xe, _ = _spans_eval(src.exclude, ctx, docs, large)
+        if len(xs) == 0:
+            return s, e, g
+        doc = s // large
+        lo = np.maximum(s - np.int64(src.pre), doc * large)
+        hi = np.minimum(e + np.int64(src.post), (doc + 1) * large - 1)
+        # prefix max of exclude ends: keys are doc-monotone, so the
+        # running max resets across docs naturally (prev-doc ends are
+        # all < this doc's base key <= lo)
+        pmax = np.maximum.accumulate(xe)
+        idx = np.searchsorted(xs, hi, side="right") - 1
+        ok = idx >= 0
+        sel = np.maximum(idx, 0)
+        overlap = ok & (pmax[sel] >= lo)
+        keep = ~overlap
+        return s[keep], e[keep], g[keep]
+    if isinstance(src, Q.SpanFirst):
+        s, e, g = _spans_eval(src.match, ctx, docs, large)
+        keep = (e % large) < np.int64(src.end)
+        return s[keep], e[keep], g[keep]
+    if isinstance(src, Q.SpanContaining):
+        bs, be, bg = _spans_eval(src.big, ctx, docs, large)
+        ls, le, _ = _spans_eval(src.little, ctx, docs, large)
+        if len(bs) == 0 or len(ls) == 0:
+            return z, z, z
+        # suffix min of little ends: the min end among littles starting
+        # >= bs; later-doc ends are larger, so the suffix min is doc-safe
+        smin = np.minimum.accumulate(le[::-1])[::-1]
+        idx = np.searchsorted(ls, bs, side="left")
+        ok = idx < len(ls)
+        sel = np.minimum(idx, len(ls) - 1)
+        contained = ok & (smin[sel] <= be)
+        return bs[contained], be[contained], bg[contained]
+    if isinstance(src, Q.SpanWithin):
+        ls, le, lg = _spans_eval(src.little, ctx, docs, large)
+        bs, be, _ = _spans_eval(src.big, ctx, docs, large)
+        if len(ls) == 0 or len(bs) == 0:
+            return z, z, z
+        # prefix max of big ends among bigs starting <= ls (doc-safe as
+        # in SpanNot)
+        pmax = np.maximum.accumulate(be)
+        idx = np.searchsorted(bs, ls, side="right") - 1
+        ok = idx >= 0
+        sel = np.maximum(idx, 0)
+        within = ok & (pmax[sel] >= le)
+        return ls[within], le[within], lg[within]
+    raise TypeError(type(src).__name__)
+
+
+def _span_freqs(src, ctx: _SegmentIndex):
+    """-> (docs, float32 sloppy freqs, norms). freq(doc) = sum over
+    matches of 1/(1 + max(width, 0)) (SpanScorer.java:116-140
+    accumulating SimScorer computeSlopFactor), accumulated in float64
+    and rounded to float32 once."""
+    z = np.zeros(0, dtype=np.int64)
+    docs = _spans_candidates(src, ctx)
+    if len(docs) == 0:
+        return z, z.astype(np.float32), z
+    terms = [t for t in dict.fromkeys(src.terms()) if ctx.has(t)]
+    large = _pos_key_base(ctx, terms, _spans_probe_pad(src) + 2)
+    s, _e, g = _spans_eval(src, ctx, docs, large)
+    if len(s) == 0:
+        return z, z.astype(np.float32), z
+    w = 1.0 / (1.0 + np.maximum(g, 0).astype(np.float64))
+    di = s // large
+    ud = np.unique(di)
+    freq = np.zeros(len(ud), dtype=np.float64)
+    np.add.at(freq, np.searchsorted(ud, di), w)
+    mdocs = docs[ud]
+    norms = np.zeros(len(mdocs), dtype=np.int64)
+    found = np.zeros(len(mdocs), dtype=bool)
+    for t in terms:
+        pd_, _f, pn = ctx.postings(t)
+        idx = np.searchsorted(pd_, mdocs)
+        ok = (idx < len(pd_)) & (pd_[np.minimum(idx, len(pd_) - 1)] == mdocs)
+        take = ok & ~found
+        norms[take] = pn[idx[take]]
+        found |= ok
+    return mdocs, freq.astype(np.float32), norms
+
+
+def _eval_spans(node: dict, ctx: _SegmentIndex):
+    docs, freqs, norms = _span_freqs(node["source"], ctx)
+    if len(docs) == 0:
+        return docs, docs.astype(np.float32)
+    return docs, node["scorer"].score(freqs, norms)
+
+
+def _make_spans_freq_fn(source):
+    """Per-segment (doc_id, float32 sloppy freq, norm_code) extractor
+    for the sql64 spans path."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx = _SegmentIndex(pdf)
+        docs, freqs, norms = _span_freqs(source, ctx)
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64),
+             "freq": freqs.astype(np.float32),
+             "norm_code": norms.astype(np.int32)}
+        )
+
+    return fn
+
+
 def _eval_phrase(node: dict, ctx: _SegmentIndex):
     slop = int(node.get("slop") or 0)
     if slop > 0:
@@ -1931,7 +2198,7 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
 
 def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
     if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase",
-                        "near", "intervals"):
+                        "near", "intervals", "spans"):
         c = 0
         for t in node["terms"]:
             for i in ctx.rows.get(t, ()):

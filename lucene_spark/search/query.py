@@ -269,6 +269,119 @@ class IntervalQuery(Query):
     boost: float = 1.0
 
 
+class SpanSource:
+    """Span algebra (queries/src/java/org/apache/lucene/queries/spans/
+    SpanQuery.java subclasses). Unlike IntervalsSource (minimal
+    intervals, match-set semantics), spans enumerate EVERY match and
+    feed a per-match sloppy weight 1/(1+gaps) into the similarity as
+    the doc's freq (SpanScorer.setFreqCurrentDoc accumulating
+    docScorer.computeSlopFactor — SpanScorer.java:116-140)."""
+
+    def terms(self) -> tuple[str, ...]:
+        raise NotImplementedError
+
+    def scoring_terms(self) -> tuple[str, ...]:
+        """Terms whose stats feed the SimScorer (SpanNotQuery excludes
+        its `exclude` subtree — SpanNotQuery.java SpanNotWeight passes
+        only the include weight's termStates)."""
+        return self.terms()
+
+
+@dataclass(frozen=True)
+class SpanTerm(SpanSource):
+    """Single-term spans: [p, p] per occurrence (SpanTermQuery.java)."""
+    term: str
+
+    def terms(self):
+        return (self.term,)
+
+
+@dataclass(frozen=True)
+class SpanNear(SpanSource):
+    """Clause spans combined in document order (in_order=True:
+    NearSpansOrdered.java — each clause's first span starting after the
+    previous clause's end, anchored at every span of the first clause)
+    or any order (NearSpansUnordered.java — the greedy cover at every
+    child-span start). A match survives when
+    gaps = width - sum(child widths) <= slop."""
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+
+    def terms(self):
+        return tuple(t for c in self.clauses for t in c.terms())
+
+
+@dataclass(frozen=True)
+class SpanOr(SpanSource):
+    """Union of clause spans in position order (SpanOrQuery.java)."""
+    clauses: tuple
+
+    def terms(self):
+        return tuple(t for c in self.clauses for t in c.terms())
+
+
+@dataclass(frozen=True)
+class SpanNot(SpanSource):
+    """Include spans with no exclude span overlapping
+    [start - pre, end + post] (SpanNotQuery.java)."""
+    include: SpanSource
+    exclude: SpanSource
+    pre: int = 0
+    post: int = 0
+
+    def terms(self):
+        return self.include.terms() + self.exclude.terms()
+
+    def scoring_terms(self):
+        return self.include.scoring_terms()
+
+
+@dataclass(frozen=True)
+class SpanFirst(SpanSource):
+    """Spans of `match` that end within the first `end` positions
+    (SpanFirstQuery.java / SpanPositionRangeQuery with start=0):
+    inclusive end position < end (0-based)."""
+    match: SpanSource
+    end: int
+
+    def terms(self):
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class SpanContaining(SpanSource):
+    """Spans of `big` that contain at least one span of `little`
+    (SpanContainingQuery.java); weight/width comes from `big`."""
+    big: SpanSource
+    little: SpanSource
+
+    def terms(self):
+        return self.big.terms() + self.little.terms()
+
+
+@dataclass(frozen=True)
+class SpanWithin(SpanSource):
+    """Spans of `little` that lie inside a span of `big`
+    (SpanWithinQuery.java); weight/width comes from `little`."""
+    little: SpanSource
+    big: SpanSource
+
+    def terms(self):
+        return self.little.terms() + self.big.terms()
+
+
+@dataclass(frozen=True)
+class SpanQuery(Query):
+    """Top-level scored span query over one field: freq(doc) =
+    sum over matches of 1/(1 + max(gaps, 0)), scored through the
+    field's Similarity with the scoring-subtree terms' summed stats
+    (SpanWeight.buildSimWeight — SpanWeight.java:86-108)."""
+    field: str
+    source: SpanSource
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class MatchAllQuery(Query):
     boost: float = 1.0

@@ -680,6 +680,56 @@ def sloppy_phrase_bm25_topk(
     )
 
 
+def spans_topk(
+    reader: IndexReader, field: str, source, k: int = 10
+) -> DataFrame:
+    """Scored span query (queries/spans SpanQuery.java family):
+    per-segment span enumeration (executor._span_freqs — every match,
+    not just minimal intervals) yields a float32 sloppy freq
+    sum(1/(1+width)) per doc (SpanScorer.java:116-140), scored with
+    BM25 over the scoring subtree's summed idf
+    (SpanWeight.buildSimWeight). Plan shape = the sloppy-phrase path:
+    one postings scan filtered to the tree's terms, one
+    applyInPandas per segment, broadcast-free JVM scoring, TakeOrdered."""
+    from lucene_spark.search.executor import _make_spans_freq_fn
+
+    all_terms = sorted(set(source.terms()))
+    score_terms = sorted(set(source.scoring_terms()))
+    coll = reader.collection_stats(field)
+    st = reader.term_stats(field, score_terms)
+    present = [t for t in score_terms if t in st]
+    if not present:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    rows = reader.postings().filter(
+        (F.col("field") == field) & (F.col("term").isin(all_terms))
+    )
+    freqs = rows.groupBy("segment_id").applyInPandas(
+        _make_spans_freq_fn(source),
+        schema="doc_id long, freq float, norm_code int",
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        freqs = freqs.join(dels, "doc_id", "left_anti")
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (coll.doc_count - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5))
+        for t in present
+    )
+    avgdl = coll.sum_total_term_freq / float(coll.doc_count)
+    dlq = _length_table_col(F.col("norm_code"))
+    f64 = F.col("freq").cast("double")
+    score = F.lit(idf_sum) * f64 / (
+        f64 + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dlq / F.lit(avgdl))
+    )
+    return (
+        freqs.filter(F.col("freq") > 0)
+        .select("doc_id", F.round(score * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def synonym_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int = 10) -> DataFrame:
     """SynonymQuery semantics: freqs summed per doc, df blended to max."""
     ep = exploded_postings(reader, field, terms)
