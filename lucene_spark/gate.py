@@ -565,6 +565,7 @@ idf AS (
   SELECT tok, ln(1 + (s.n - df + 0.5)/(df + 0.5)) AS w
   FROM (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM pos
         WHERE tok IN ('fast','scan','merge','sort','key','table')
+           OR tok LIKE 's%'
         GROUP BY tok) CROSS JOIN stats s
 ),
 no1 AS (
@@ -639,6 +640,26 @@ sp_first AS (
   FROM fi1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
   ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
 ),
+cp1 AS (
+  -- complexPhrase "fast s*"~3: ordered near of fast then any s*-term
+  -- (SpanMulti expansion -> SpanOr over the term dictionary)
+  SELECT a.doc_id, a.p AS s,
+    (SELECT min(b.p) FROM pos b
+      WHERE b.doc_id = a.doc_id AND b.tok LIKE 's%' AND b.p > a.p) AS e
+  FROM pos a WHERE a.tok = 'fast'
+),
+cp1g AS (SELECT doc_id, e - s - 1 AS g FROM cp1
+         WHERE e IS NOT NULL AND e - s - 1 <= 3),
+cp1f AS (SELECT doc_id, CAST(CAST(SUM(1.0/(1.0 + g)) AS FLOAT) AS DOUBLE)
+         AS freq FROM cp1g GROUP BY doc_id),
+sp_cphrase AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT SUM(w) FROM idf WHERE tok = 'fast' OR tok LIKE 's%') * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM cp1f f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
 no5 AS (SELECT doc_id, s, e, e - s - 1 AS g FROM no1
         WHERE e IS NOT NULL AND e - s - 1 <= 5),
 co1 AS (
@@ -687,6 +708,7 @@ SELECT tag, doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM (
 )
 UNION ALL SELECT 'sp_nearord' AS tag, doc_id, score_x1e6 FROM sp_nearord
 UNION ALL SELECT 'sp_nearunord' AS tag, doc_id, score_x1e6 FROM sp_nearunord
+UNION ALL SELECT 'sp_cphrase' AS tag, doc_id, score_x1e6 FROM sp_cphrase
 UNION ALL SELECT 'sp_ornot' AS tag, doc_id, score_x1e6 FROM sp_ornot
 UNION ALL SELECT 'sp_first' AS tag, doc_id, score_x1e6 FROM sp_first
 UNION ALL SELECT 'sp_containing' AS tag, doc_id, score_x1e6 FROM sp_containing
@@ -1180,14 +1202,23 @@ def gate_queries() -> dict[str, object]:
         # spans (queries/spans, r3): every match enumerated, float32
         # sloppy freq sum(1/(1+width)), BM25-scored — six SpanQuery
         # shapes as scored branches of the same tagged union
+        from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+        from lucene_spark.search.surround import SurroundQueryParser
+
         span_specs = {
-            "sp_nearord": Q.SpanNear(
-                (Q.SpanTerm("fast"), Q.SpanTerm("scan")), slop=3, in_order=True
-            ),
-            "sp_nearunord": Q.SpanNear(
-                (Q.SpanTerm("merge"), Q.SpanTerm("sort")), slop=4,
-                in_order=False,
-            ),
+            # surround parser (queryparser/surround): nW/nN distance
+            # operators -> SpanNear with slop = n-1
+            "sp_nearord": SurroundQueryParser(FIELD).parse(
+                "fast 4w scan"
+            ).source,
+            "sp_nearunord": SurroundQueryParser(FIELD).parse(
+                "merge 5n sort"
+            ).source,
+            # complexPhrase parser: wildcard slot expands over the term
+            # dictionary into SpanOr (6 terms match s*)
+            "sp_cphrase": ComplexPhraseQueryParser(FIELD).parse(
+                '"fast s*"~3'
+            ).source,
             "sp_ornot": Q.SpanNot(
                 Q.SpanOr((Q.SpanTerm("fast"), Q.SpanTerm("merge"))),
                 Q.SpanTerm("key"), pre=1, post=1,

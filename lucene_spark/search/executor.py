@@ -540,8 +540,9 @@ class IndexSearcher:
                 "weight": float(boost * q.boost),
             }
         if isinstance(q, Q.SpanQuery):
-            terms = sorted(set(q.source.terms()))
-            sterms = [t for t in sorted(set(q.source.scoring_terms()))]
+            source = _expand_span_source(q.source, R, q.field)
+            terms = sorted(set(source.terms()))
+            sterms = [t for t in sorted(set(source.scoring_terms()))]
             st = R.term_stats(q.field, sterms)
             present = [t for t in sterms if t in st]
             if not present:
@@ -557,7 +558,7 @@ class IndexSearcher:
                 "kind": "spans",
                 "field": q.field,
                 "terms": terms,
-                "source": q.source,
+                "source": source,
                 "weight": sc.weight,
                 "scorer": sc,
                 "cache": getattr(sc, "cache", None),
@@ -1824,6 +1825,43 @@ def _make_intervals_fn(source, terms: list[str]):
 # --------------------------------------------------------------------------
 # spans (queries/spans): every match enumerated, sloppy-weighted freq
 # --------------------------------------------------------------------------
+
+
+def _expand_span_source(src, reader, field: str):
+    """Replace SpanMulti nodes with SpanOr-of-SpanTerm over the term
+    dictionary (SpanMultiTermQueryWrapper.java's SpanOrQuery rewrite /
+    surround SpanNearClauseFactory.java). Runs once at compile time on
+    the driver; the per-segment kernels only ever see concrete terms.
+    A pattern matching nothing becomes an empty SpanOr (matches no
+    spans, kills enclosing conjunctions, is neutral under SpanOr)."""
+    import dataclasses
+
+    if isinstance(src, Q.SpanMulti):
+        iq = dataclasses.replace(src.query, field=field)
+        terms = reader.expand(iq)
+        return Q.SpanOr(tuple(Q.SpanTerm(t) for t in terms))
+    if isinstance(src, (Q.SpanNear, Q.SpanOr)):
+        clauses = tuple(
+            _expand_span_source(c, reader, field) for c in src.clauses
+        )
+        return dataclasses.replace(src, clauses=clauses)
+    if isinstance(src, Q.SpanNot):
+        return dataclasses.replace(
+            src,
+            include=_expand_span_source(src.include, reader, field),
+            exclude=_expand_span_source(src.exclude, reader, field),
+        )
+    if isinstance(src, Q.SpanFirst):
+        return dataclasses.replace(
+            src, match=_expand_span_source(src.match, reader, field)
+        )
+    if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
+        return dataclasses.replace(
+            src,
+            big=_expand_span_source(src.big, reader, field),
+            little=_expand_span_source(src.little, reader, field),
+        )
+    return src
 
 
 def _spans_candidates(src, ctx: _SegmentIndex) -> np.ndarray:

@@ -322,6 +322,23 @@ class SpanOr(SpanSource):
 
 
 @dataclass(frozen=True)
+class SpanMulti(SpanSource):
+    """A multi-term query (Prefix/Wildcard/Fuzzy/Regexp/TermRange) lifted
+    into span space (SpanMultiTermQueryWrapper.java): expands against
+    the term dictionary at compile time into a SpanOr of SpanTerms
+    (SpanNearClauseFactory semantics for the surround parser). The
+    `query`'s own field is ignored — the enclosing SpanQuery's field
+    applies."""
+    query: object
+
+    def terms(self):
+        # unexpanded: contributes no statically-known terms; the
+        # compile-time expansion (executor._expand_span_source)
+        # replaces this node before evaluation
+        return ()
+
+
+@dataclass(frozen=True)
 class SpanNot(SpanSource):
     """Include spans with no exclude span overlapping
     [start - pre, end + post] (SpanNotQuery.java)."""

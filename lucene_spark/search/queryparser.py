@@ -409,3 +409,132 @@ class SimpleQueryParser:
         if len(terms) == 1:
             return Q.TermQuery(self.default_field, terms[0])
         return Q.PhraseQuery(self.default_field, tuple(terms))
+
+
+class ComplexPhraseQueryParser(QueryParser):
+    """Classic grammar, but phrases may embed wildcards, fuzzy terms,
+    ranges, OR-groups and negations — queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java. `"(john jon jonathan~) peters*"~2`
+    becomes a SpanNear over [SpanOr(john, jon, SpanMulti(jonathan~)),
+    SpanMulti(peters*)] with slop 2 (ComplexPhraseQuery.rewrite:334);
+    embedded negatives produce SpanNot(SpanNear(positives,
+    slop+numNegatives), SpanNear(all, slop)) (rewrite:354-359).
+    A single-slot phrase degrades to the plain term/multi-term query
+    (rewrite:260-264). `in_order` mirrors setInOrder (default true)."""
+
+    def __init__(
+        self,
+        default_field: str,
+        analyze: Callable[[str], list[str]] | None = None,
+        in_order: bool = True,
+    ):
+        super().__init__(default_field, analyze)
+        self.in_order = in_order
+
+    def _parse_atom(self, toks):
+        if toks[0][0] != "phrase":
+            return super()._parse_atom(toks)
+        _k, tok, boost = toks[0]
+        q = self._complex_phrase(tok["text"], tok["slop"])
+        if q is None:
+            return None, toks[1:]
+        return self._boost(q, boost), toks[1:]
+
+    # -- phrase-content mini-parser (slot order preserved) -----------------
+
+    def _complex_phrase(self, text: str, slop: int) -> Q.Query | None:
+        slots: list[tuple[bool, object]] = []  # (negative, span source)
+        toks = self._lex(text)
+        neg = False
+        while toks:
+            kind = toks[0][0]
+            if kind in ("minus", "not"):
+                neg = True
+                toks = toks[1:]
+                continue
+            if kind in ("and", "or", "plus"):
+                toks = toks[1:]
+                continue
+            if kind == "lparen":
+                group, toks = self._phrase_group(toks[1:])
+                slots.append((neg, group))
+            else:
+                src, toks = self._phrase_slot(toks)
+                if src is not None:
+                    slots.append((neg, src))
+            neg = False
+        if not slots:
+            return None
+        field = self.default_field
+        if len(slots) == 1 and not slots[0][0]:
+            src = slots[0][1]
+            if isinstance(src, Q.SpanTerm):
+                return Q.TermQuery(field, src.term)
+            if isinstance(src, Q.SpanMulti):
+                return src.query
+            return Q.SpanQuery(field, src)
+        positives = tuple(s for n, s in slots if not n)
+        n_neg = sum(1 for n, _ in slots if n)
+        if n_neg == 0:
+            return Q.SpanQuery(
+                field,
+                Q.SpanNear(positives, slop=slop, in_order=self.in_order),
+            )
+        if not positives:
+            raise ParseError("phrase with only negative clauses")
+        include = Q.SpanNear(
+            positives, slop=slop + n_neg, in_order=self.in_order
+        )
+        exclude = Q.SpanNear(
+            tuple(s for _n, s in slots), slop=slop, in_order=self.in_order
+        )
+        return Q.SpanQuery(field, Q.SpanNot(include, exclude))
+
+    def _phrase_group(self, toks):
+        """( a b c~ ) inside a phrase -> SpanOr of the alternatives."""
+        alts = []
+        while toks and toks[0][0] != "rparen":
+            if toks[0][0] in ("and", "or", "plus", "minus", "not"):
+                toks = toks[1:]
+                continue
+            src, toks = self._phrase_slot(toks)
+            if src is not None:
+                alts.append(src)
+        if not toks:
+            raise ParseError("unbalanced parenthesis in phrase")
+        return Q.SpanOr(tuple(alts)), toks[1:]
+
+    def _phrase_slot(self, toks):
+        kind = toks[0][0]
+        if kind == "rangeq":
+            _k, tok, _boost = toks[0]
+            lo = None if tok["lo"] == "*" else tok["lo"].lower()
+            hi = None if tok["hi"] == "*" else tok["hi"].lower()
+            return (
+                Q.SpanMulti(
+                    Q.TermRangeQuery(
+                        self.default_field, lo, hi, tok["inc_lo"],
+                        tok["inc_hi"],
+                    )
+                ),
+                toks[1:],
+            )
+        if kind != "word":
+            raise ParseError(
+                f"unsupported token {toks[0]!r} inside a complex phrase"
+            )
+        _k, word, _boost = toks[0]
+        q = self._termish(self.default_field, word)
+        if isinstance(q, Q.TermQuery):
+            return Q.SpanTerm(q.term), toks[1:]
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return None, toks[1:]
+        if isinstance(q, Q.PhraseQuery):
+            return (
+                Q.SpanNear(
+                    tuple(Q.SpanTerm(t) for t in q.terms),
+                    slop=0, in_order=True,
+                ),
+                toks[1:],
+            )
+        return Q.SpanMulti(q), toks[1:]

@@ -691,8 +691,12 @@ def spans_topk(
     (SpanWeight.buildSimWeight). Plan shape = the sloppy-phrase path:
     one postings scan filtered to the tree's terms, one
     applyInPandas per segment, broadcast-free JVM scoring, TakeOrdered."""
-    from lucene_spark.search.executor import _make_spans_freq_fn
+    from lucene_spark.search.executor import (
+        _expand_span_source,
+        _make_spans_freq_fn,
+    )
 
+    source = _expand_span_source(source, reader, field)
     all_terms = sorted(set(source.terms()))
     score_terms = sorted(set(source.scoring_terms()))
     coll = reader.collection_stats(field)

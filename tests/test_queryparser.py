@@ -205,3 +205,75 @@ def test_sqp_parsed_query_executes(spark, built_index):
     p = SimpleQueryParser("content")
     top = IndexSearcher(built_index).search(p.parse("def + return"), k=5)
     assert top.total_hits > 0
+
+
+# --------------------------------------------------------------------------
+# ComplexPhraseQueryParser (queryparser/complexPhrase)
+# --------------------------------------------------------------------------
+
+
+def test_complex_phrase_wildcard_and_group():
+    from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+
+    p = ComplexPhraseQueryParser("text")
+    q = p.parse('"(john jon jona*) peters*"~2')
+    assert q == Q.SpanQuery(
+        "text",
+        Q.SpanNear(
+            (
+                Q.SpanOr((
+                    Q.SpanTerm("john"), Q.SpanTerm("jon"),
+                    Q.SpanMulti(Q.PrefixQuery("text", "jona")),
+                )),
+                Q.SpanMulti(Q.PrefixQuery("text", "peters")),
+            ),
+            slop=2, in_order=True,
+        ),
+    )
+
+
+def test_complex_phrase_fuzzy_slot():
+    from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+
+    q = ComplexPhraseQueryParser("text").parse('"smith~ street"')
+    assert q == Q.SpanQuery(
+        "text",
+        Q.SpanNear(
+            (
+                Q.SpanMulti(Q.FuzzyQuery("text", "smith", max_edits=2)),
+                Q.SpanTerm("street"),
+            ),
+            slop=0, in_order=True,
+        ),
+    )
+
+
+def test_complex_phrase_single_slot_degrades():
+    from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+
+    p = ComplexPhraseQueryParser("text")
+    assert p.parse('"john"') == Q.TermQuery("text", "john")
+    assert p.parse('"jo*"') == Q.PrefixQuery("text", "jo")
+
+
+def test_complex_phrase_negative_clause():
+    from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+
+    q = ComplexPhraseQueryParser("text").parse('"fred -smith jones"~1')
+    inc = Q.SpanNear(
+        (Q.SpanTerm("fred"), Q.SpanTerm("jones")), slop=2, in_order=True
+    )
+    exc = Q.SpanNear(
+        (Q.SpanTerm("fred"), Q.SpanTerm("smith"), Q.SpanTerm("jones")),
+        slop=1, in_order=True,
+    )
+    assert q == Q.SpanQuery("text", Q.SpanNot(inc, exc))
+
+
+def test_complex_phrase_outside_phrase_is_classic():
+    from lucene_spark.search.queryparser import ComplexPhraseQueryParser
+
+    p = ComplexPhraseQueryParser("text")
+    assert p.parse("alpha AND beta") == Q.BooleanQuery(
+        must=(Q.TermQuery("text", "alpha"), Q.TermQuery("text", "beta"))
+    )
