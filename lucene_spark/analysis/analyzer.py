@@ -105,6 +105,22 @@ class Analyzer:
         offsets (cross-token filters like shingles)."""
         raise NotImplementedError(f"{self.name} does not track offsets")
 
+    # ---- payloads (PayloadAttribute role) -----------------------------
+    # Analyzers that attach a per-occurrence payload (a float, the
+    # DelimitedPayloadTokenFilter + PayloadHelper.encodeFloat shape)
+    # implement tokenize_with_payloads_one; store_payloads indexing
+    # requires it.
+
+    def supports_payloads(self) -> bool:
+        return (
+            type(self).tokenize_with_payloads_one
+            is not Analyzer.tokenize_with_payloads_one
+        )
+
+    def tokenize_with_payloads_one(self, text: str):
+        """-> (tokens, payloads) with one float payload per token."""
+        raise NotImplementedError(f"{self.name} does not produce payloads")
+
 
 class StandardAnalyzer(Analyzer):
     """UAX#29-ish word break -> lowercase -> empty stop set."""
@@ -168,6 +184,44 @@ class WhitespaceAnalyzer(Analyzer):
         return toks, starts, ends
 
 
+class DelimitedPayloadAnalyzer(Analyzer):
+    """WhitespaceTokenizer -> DelimitedPayloadTokenFilter with a float
+    encoder (analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:
+    splits each token at the FINAL delimiter; the suffix becomes the
+    occurrence's payload via PayloadHelper.encodeFloat). Deviations,
+    documented: a token with no delimiter (or a non-numeric suffix)
+    keeps its full text and carries payload 0.0 — the reference leaves
+    the PayloadAttribute unset, a state our fixed-width payload column
+    does not represent.
+    """
+
+    name = "delimited_payload"
+
+    def __init__(self, delimiter: str = "|"):
+        self.delimiter = delimiter
+
+    def _split(self, raw: str) -> tuple[str, float]:
+        i = raw.rfind(self.delimiter)
+        if i < 0:
+            return raw, 0.0
+        try:
+            return raw[:i], float(raw[i + 1 :])
+        except ValueError:
+            return raw, 0.0
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return [self._split(t)[0] for t in _WS_PATTERN.findall(text)]
+
+    def tokenize_with_payloads_one(self, text: str):
+        toks: list[str] = []
+        pays: list[float] = []
+        for raw in _WS_PATTERN.findall(text):
+            t, p = self._split(raw)
+            toks.append(t)
+            pays.append(p)
+        return toks, pays
+
+
 _CAMEL_SPLIT = re.compile(
     r"""
       \d+                 # digit runs are their own parts
@@ -225,6 +279,7 @@ _REGISTRY: dict[str, Callable[[], Analyzer]] = {
     "simple": SimpleAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "code": CodeAnalyzer,
+    "delimited_payload": DelimitedPayloadAnalyzer,
 }
 
 

@@ -44,7 +44,7 @@ from lucene_spark.index import manifest as mani
 from lucene_spark.index.segment import STAGING_SCHEMA, build_segment
 
 
-LAYOUT_VERSION = 3  # bump when table schemas change (postings gained `offsets`)
+LAYOUT_VERSION = 4  # bump when table schemas change (postings gained `payloads`)
 
 
 @dataclass
@@ -57,6 +57,10 @@ class IndexConfig:
     # ..._AND_OFFSETS role) — required for index-driven highlighting;
     # needs an offsets-tracking analyzer chain
     store_offsets: bool = False
+    # store one float payload per occurrence (PostingsFormat .pay role,
+    # fed by a DelimitedPayloadTokenFilter-style analyzer) — consumed
+    # by PayloadScoreQuery / SpanPayloadCheckQuery
+    store_payloads: bool = False
     # multi-field indexing (Document = bag of fields, SURVEY §1.1):
     # extra fields as {field_name: content_column}; the primary
     # `field`/`content_col` pair carries the sha256 invariant and the
@@ -168,7 +172,7 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 def _invert_fields(
     seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool,
-    store_off: bool = False,
+    store_off: bool = False, store_pay: bool = False,
 ):
     """Invert every (field, content_col) of one segment; doc rows carry
     their field so doclens are per (doc, field) — a Document is a bag of
@@ -181,7 +185,7 @@ def _invert_fields(
         an = ans[fname] if isinstance(ans, dict) else ans
         seg = build_segment(
             seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos,
-            store_offsets=store_off,
+            store_offsets=store_off, store_payloads=store_pay,
         )
         seg.loc[seg["row_type"] == 0, "field"] = fname
         frames.append(seg)
@@ -191,7 +195,7 @@ def _invert_fields(
 def make_invert_fn(
     analyzer_name: str, content_col: str, fieldname: str, store_pos: bool,
     fields: dict | None = None, field_analyzers: dict | None = None,
-    store_off: bool = False,
+    store_off: bool = False, store_pay: bool = False,
 ):
     """The DWPT pass as a mapInPandas closure: one partition -> one
     segment (tokenize, count freqs, sort terms once). Shared by the
@@ -215,7 +219,7 @@ def make_invert_fn(
             seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
             yield _invert_fields(
                 seg_id, pdf["doc_id"].to_numpy(), pdf, an, fields, store_pos,
-                store_off,
+                store_off, store_pay,
             )
 
     return invert
@@ -231,6 +235,7 @@ def _make_fused_fn(
     fields: dict | None = None,
     field_analyzers: dict | None = None,
     store_off: bool = False,
+    store_pay: bool = False,
 ):
     """The fused DWPT pass: ONE Python crossing per partition that
     (a) assigns dense deterministic doc_ids from the per-partition
@@ -271,7 +276,7 @@ def _make_fused_fn(
             seg_id = f"b{batch_no:04d}p{pid:05d}"
             out = _invert_fields(
                 seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
-                store_pos, store_off,
+                store_pos, store_off, store_pay,
             )
             # attach registry columns to the PRIMARY field's doc rows
             # (aligned: build_segment emits doc rows first in doc_id
@@ -473,10 +478,17 @@ def build_index(
                     f"store_offsets: analyzer {cfg.analyzer_for(f)!r} for "
                     f"field {f!r} cannot track offsets"
                 )
+    if cfg.store_payloads:
+        for f in fields:
+            if not get_analyzer(cfg.analyzer_for(f)).supports_payloads():
+                raise ValueError(
+                    f"store_payloads: analyzer {cfg.analyzer_for(f)!r} for "
+                    f"field {f!r} does not produce payloads"
+                )
     fused = _make_fused_fn(
         analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
         None if preassigned else offsets, fields, cfg.field_analyzers,
-        cfg.store_offsets,
+        cfg.store_offsets, cfg.store_payloads,
     )
     meta_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -502,8 +514,8 @@ def build_index(
             )
             staging.filter("row_type = 1").select(
                 "segment_id", "field", "term", "doc_freq", "total_term_freq",
-                "postings", "norms", "positions", "offsets", "block_last_doc",
-                "impact_freqs", "impact_norms",
+                "postings", "norms", "positions", "offsets", "payloads",
+                "block_last_doc", "impact_freqs", "impact_norms",
             ).write.mode("overwrite").parquet(f"{index_dir}/postings/batch={b}")
             staging.filter("row_type = 0").select(
                 "segment_id", "field", "doc_id", "doc_len", "doc_len_code"
@@ -572,6 +584,7 @@ def build_index(
                     "b": cfg.b,
                     "store_positions": store_pos,
                     "store_offsets": cfg.store_offsets,
+                    "store_payloads": cfg.store_payloads,
                     "sort_by": cfg.sort_by,
                     "num_docs_total": int(n_docs),
                     "layout_version": LAYOUT_VERSION,

@@ -347,3 +347,18 @@ def decode_offsets_flat(blob: bytes, freqs: np.ndarray):
     base = np.where(gstarts > 0, c[np.maximum(gstarts - 1, 0)], 0)
     starts = c - np.repeat(base, freqs)
     return starts, starts + lens, freqs
+
+
+def decode_payloads_flat(blob: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Decode per-occurrence payloads -> flat uint32 values, doc-major,
+    aligned with decode_positions_flat. Wire form: one plain varint per
+    occurrence (no deltas — payload values carry no ordering). Float
+    payloads travel as their IEEE-754 float32 bit patterns (exact,
+    non-negative as an int), the analog of Lucene's per-position
+    payload bytes (PostingsFormat .pay file; byte layout is OUR
+    choice)."""
+    freqs = np.asarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint32)
+    return decode_varints(blob, total).astype(np.uint32)

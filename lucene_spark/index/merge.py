@@ -103,6 +103,8 @@ def _merge_postings_fn(order: dict[str, int]):
         pos = b"".join(bytes(b) for b in pdf["positions"]) if have_pos else None
         have_off = pdf["offsets"].notna().all()
         off = b"".join(bytes(b) for b in pdf["offsets"]) if have_off else None
+        have_pay = pdf["payloads"].notna().all()
+        pay = b"".join(bytes(b) for b in pdf["payloads"]) if have_pay else None
         return pd.DataFrame(
             {
                 "field": [pdf["field"].iat[0]],
@@ -113,6 +115,7 @@ def _merge_postings_fn(order: dict[str, int]):
                 "norms": [norms_b],
                 "positions": [pos],
                 "offsets": [off],
+                "payloads": [pay],
                 "block_last_doc": [[int(x) for x in block_last]],
                 "impact_freqs": [[[int(v) for v in fs] for fs in imp_f]],
                 "impact_norms": [[[int(v) for v in ns] for ns in imp_n]],
@@ -124,8 +127,8 @@ def _merge_postings_fn(order: dict[str, int]):
 
 _POSTING_COLS = [
     "segment_id", "field", "term", "doc_freq", "total_term_freq",
-    "postings", "norms", "positions", "offsets", "block_last_doc",
-    "impact_freqs", "impact_norms",
+    "postings", "norms", "positions", "offsets", "payloads",
+    "block_last_doc", "impact_freqs", "impact_norms",
 ]
 
 
@@ -150,8 +153,8 @@ def _purge_segment_fn(left, right):
     out = {c: [] for c in _POSTING_COLS}
 
     def emit(row, docs=None, freqs=None, postings=None, norms=None,
-             positions=None, offsets=None, block_last=None, imp_f=None,
-             imp_n=None):
+             positions=None, offsets=None, payloads=None, block_last=None,
+             imp_f=None, imp_n=None):
         out["segment_id"].append(row.segment_id)
         out["field"].append(row.field)
         out["term"].append(row.term)
@@ -162,6 +165,7 @@ def _purge_segment_fn(left, right):
             out["norms"].append(row.norms)
             out["positions"].append(row.positions)
             out["offsets"].append(row.offsets)
+            out["payloads"].append(row.payloads)
             out["block_last_doc"].append(row.block_last_doc)
             out["impact_freqs"].append(row.impact_freqs)
             out["impact_norms"].append(row.impact_norms)
@@ -172,6 +176,7 @@ def _purge_segment_fn(left, right):
             out["norms"].append(norms)
             out["positions"].append(positions)
             out["offsets"].append(offsets)
+            out["payloads"].append(payloads)
             out["block_last_doc"].append([int(x) for x in block_last])
             out["impact_freqs"].append([[int(v) for v in fs] for fs in imp_f])
             out["impact_norms"].append([[int(v) for v in ns] for ns in imp_n])
@@ -187,10 +192,15 @@ def _purge_segment_fn(left, right):
         if not keep.any():
             continue  # every doc purged — the term row disappears
         norms = np.frombuffer(bytes(row.norms), dtype=np.uint8).astype(np.int64)
-        pos_blob = off_blob = None
+        pos_blob = off_blob = pay_blob = None
         if row.positions is not None:
             pos_l = codec.decode_positions(bytes(row.positions), freqs)
             pos_l = [p for p, kp in zip(pos_l, keep) if kp]
+        if row.payloads is not None:
+            pays = codec.decode_payloads_flat(bytes(row.payloads), freqs)
+            p_ends = np.cumsum(freqs)
+            p_groups = [pays[e - f:e] for f, e in zip(freqs, p_ends)]
+            p_groups = [p for p, kp in zip(p_groups, keep) if kp]
         if row.offsets is not None:
             o_starts, o_ends, _ = codec.decode_offsets_flat(
                 bytes(row.offsets), freqs
@@ -219,9 +229,18 @@ def _purge_segment_fn(left, right):
                 codec.encode_varints_offsets(np.concatenate(parts))[0]
                 if parts else b""
             )
+        if row.payloads is not None:
+            pay_blob = (
+                codec.encode_varints_offsets(
+                    np.concatenate(p_groups).astype(np.uint64)
+                )[0]
+                if p_groups else b""
+            )
         emit(
-            row, docs2, freqs2, blob, norms2.astype(np.uint8).tobytes(),
-            pos_blob, off_blob, block_last, imp_f, imp_n,
+            row, docs=docs2, freqs=freqs2, postings=blob,
+            norms=norms2.astype(np.uint8).tobytes(), positions=pos_blob,
+            offsets=off_blob, payloads=pay_blob, block_last=block_last,
+            imp_f=imp_f, imp_n=imp_n,
         )
     return pd.DataFrame(out) if out["term"] else left.iloc[0:0][_POSTING_COLS]
 
@@ -229,8 +248,8 @@ def _purge_segment_fn(left, right):
 _MERGED_SCHEMA = (
     "field string, term string, doc_freq int, total_term_freq long, "
     "postings binary, norms binary, positions binary, offsets binary, "
-    "block_last_doc array<long>, impact_freqs array<array<int>>, "
-    "impact_norms array<array<int>>"
+    "payloads binary, block_last_doc array<long>, "
+    "impact_freqs array<array<int>>, impact_norms array<array<int>>"
 )
 
 
@@ -271,6 +290,10 @@ def merge_round(
     if "offsets" not in postings_all.columns:  # pre-layout-3 index
         postings_all = postings_all.withColumn(
             "offsets", F.lit(None).cast("binary")
+        )
+    if "payloads" not in postings_all.columns:  # pre-layout-4 index
+        postings_all = postings_all.withColumn(
+            "payloads", F.lit(None).cast("binary")
         )
     doclens_all = spark.read.parquet(f"{index_dir}/doclens")
 

@@ -30,6 +30,7 @@ STAGING_SCHEMA = (
     "segment_id string, row_type int, doc_id long, doc_len int, doc_len_code int, "
     "field string, term string, doc_freq int, total_term_freq long, "
     "postings binary, norms binary, positions binary, offsets binary, "
+    "payloads binary, "
     "block_last_doc array<long>, impact_freqs array<array<int>>, "
     "impact_norms array<array<int>>"
 )
@@ -37,7 +38,7 @@ STAGING_SCHEMA = (
 _POST_COLS = [
     "segment_id", "row_type", "doc_id", "doc_len", "doc_len_code", "field", "term",
     "doc_freq", "total_term_freq", "postings", "norms", "positions", "offsets",
-    "block_last_doc", "impact_freqs", "impact_norms",
+    "payloads", "block_last_doc", "impact_freqs", "impact_norms",
 ]
 
 
@@ -49,6 +50,7 @@ def build_segment(
     field: str,
     store_positions: bool = True,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> pd.DataFrame:
     """Invert one segment. doc_ids must be strictly increasing (the
     docs-in-order invariant, Lucene104PostingsWriter.java:263-268).
@@ -61,9 +63,16 @@ def build_segment(
     IndexOptions.java:26-50) as interleaved (start-delta, length)
     varints beside the position blob; requires an analyzer whose chain
     tracks offsets (analyzer.supports_offsets()).
+
+    ``store_payloads`` stores one float payload per occurrence (the
+    PostingsFormat .pay file role) as its IEEE-754 float32 bit pattern,
+    one plain varint per occurrence beside the position blob; requires
+    a payload-producing analyzer (analyzer.supports_payloads()).
     """
     n_docs = len(doc_ids)
-    off_start_lists = off_end_lists = None
+    if store_offsets and store_payloads:
+        raise ValueError("store_offsets + store_payloads is not supported")
+    off_start_lists = off_end_lists = pay_lists = None
     if store_offsets:
         trip = [
             analyzer.tokenize_with_offsets_one(t) if isinstance(t, str)
@@ -73,6 +82,14 @@ def build_segment(
         token_lists = pd.Series([t[0] for t in trip], index=texts.index)
         off_start_lists = [t[1] for t in trip]
         off_end_lists = [t[2] for t in trip]
+    elif store_payloads:
+        duo = [
+            analyzer.tokenize_with_payloads_one(t) if isinstance(t, str)
+            else ([], [])
+            for t in texts
+        ]
+        token_lists = pd.Series([t[0] for t in duo], index=texts.index)
+        pay_lists = [t[1] for t in duo]
     else:
         token_lists = analyzer.tokenize(texts)
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
@@ -183,6 +200,26 @@ def build_segment(
         lo = 0 if tok_lo == 0 else int(off_byte_ends[2 * tok_lo - 1])
         return off_buf[lo : int(off_byte_ends[2 * tok_hi - 1])]
 
+    # --- payloads: float32 bit patterns, one plain varint per
+    # occurrence (no deltas — payload values carry no ordering), same
+    # one-pass encode/slice scheme as positions
+    pay_buf = b""
+    pay_byte_ends = None
+    if store_payloads and total_tokens:
+        flat_pays = np.concatenate(
+            [np.asarray(x, dtype=np.float32) for x in pay_lists if x]
+        )
+        pay_bits = flat_pays.view(np.uint32)[order].astype(np.uint64)
+        pay_buf, pay_byte_ends = codec.encode_varints_offsets(pay_bits)
+
+    def term_pay_blob(ts: int, te: int):
+        if not (store_payloads and total_tokens):
+            return None
+        tok_lo = pair_starts[ts]
+        tok_hi = pair_ends[te - 1]
+        lo = 0 if tok_lo == 0 else int(pay_byte_ends[tok_lo - 1])
+        return pay_buf[lo : int(pay_byte_ends[tok_hi - 1])]
+
     records = []
     for ts, te in zip(term_starts, term_ends):
         term = uniq_terms[pair_term[ts]]
@@ -204,7 +241,8 @@ def build_segment(
                 (
                     segment_id, 1, None, None, None, field, str(term),
                     1, f, blob, bytes((nrm,)), term_pos_blob(ts, te),
-                    term_off_blob(ts, te), [doc], [[f]], [[nrm]],
+                    term_off_blob(ts, te), term_pay_blob(ts, te),
+                    [doc], [[f]], [[nrm]],
                 )
             )
             continue
@@ -218,7 +256,7 @@ def build_segment(
                 segment_id, 1, None, None, None, field, str(term),
                 int(len(g_docs)), int(g_freqs.sum()), blob,
                 g_norms.astype(np.uint8).tobytes(), term_pos_blob(ts, te),
-                term_off_blob(ts, te),
+                term_off_blob(ts, te), term_pay_blob(ts, te),
                 [int(x) for x in block_last],
                 [[int(v) for v in fs] for fs in imp_f],
                 [[int(v) for v in ns] for ns in imp_n],

@@ -563,6 +563,35 @@ class IndexSearcher:
                 "scorer": sc,
                 "cache": getattr(sc, "cache", None),
             }
+        if isinstance(q, Q.PayloadScoreQuery):
+            if q.func not in ("min", "max", "sum", "avg"):
+                raise ValueError(f"unknown PayloadFunction {q.func!r}")
+            source = _expand_span_source(q.source, R, q.field)
+            _span_leaf_terms(source)  # validate the shape up front
+            terms = sorted(set(source.terms()))
+            st = R.term_stats(q.field, terms)
+            if not any(t in st for t in terms):
+                return None
+            node = {
+                "kind": "payload_score",
+                "field": q.field,
+                "terms": terms,
+                "source": source,
+                "func": q.func,
+                "weight": float(boost * q.boost),
+                "scorer": None,
+            }
+            if q.include_span_score:
+                sterms = [t for t in sorted(set(source.scoring_terms()))
+                          if t in st]
+                coll = R.collection_stats(q.field)
+                # PayloadScoreQuery.java:61-66: the wrapped SpanWeight's
+                # score times the payload factor; boost rides the span
+                # scorer, not the payload factor
+                node["scorer"] = self.similarity.for_field(q.field).scorer(
+                    coll, [st[t] for t in sterms], boost * q.boost
+                )
+            return node
         if isinstance(q, Q.ScoringRewriteQuery):
             # SCORING_BOOLEAN_REWRITE: expansion terms become scoring
             # SHOULD TermQueries (MultiTermQuery.ScoringRewrite)
@@ -745,7 +774,7 @@ class IndexSearcher:
 def _collect_terms(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals", "spans"):
+             "intervals", "spans", "payload_score"):
         return set(node["terms"])
     if k == "const_wrap":
         return _collect_terms(node["sub"])
@@ -763,7 +792,7 @@ def _collect_terms(node: dict) -> set[str]:
 def _collect_fields(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals", "spans"):
+             "intervals", "spans", "payload_score"):
         return {node["field"]}
     if k == "const_wrap":
         return _collect_fields(node["sub"])
@@ -1045,6 +1074,49 @@ class _SegmentIndex:
         self._off_cache[term] = out
         return out
 
+    def flat_payloads(self, term: str):
+        """-> (flat float32 payloads, seg starts, lens) — stored
+        per-occurrence payloads aligned with flat_positions(term)'s doc
+        order and live mask (PostingsFormat .pay role). Requires a
+        store_payloads index."""
+        if not hasattr(self, "_pay_cache"):
+            self._pay_cache = {}
+        if term in self._pay_cache:
+            return self._pay_cache[term]
+        v_parts: list[np.ndarray] = []
+        lens_parts: list[np.ndarray] = []
+        for i in self.rows.get(term, ()):
+            r = self.pdf.iloc[i]
+            if "payloads" not in r or r["payloads"] is None:
+                raise ValueError("index was not built with store_payloads")
+            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            vals = codec.decode_payloads_flat(bytes(r["payloads"]), freqs)
+            vals = vals.view(np.float32)
+            lens = freqs.astype(np.int64)
+            keep = self._live(d)
+            if keep is not None:
+                idx = np.where(keep)[0]
+                sel = lens[idx]
+                starts = np.cumsum(lens) - lens
+                total = int(sel.sum())
+                rep = np.repeat(starts[idx], sel)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(sel) - sel, sel
+                )
+                vals = vals[rep + within]
+                lens = sel
+            v_parts.append(vals)
+            lens_parts.append(lens)
+        z = np.zeros(0, dtype=np.int64)
+        vals = (
+            np.concatenate(v_parts) if v_parts else z.astype(np.float32)
+        )
+        lens = np.concatenate(lens_parts) if lens_parts else z
+        ends = np.cumsum(lens)
+        out = (vals, ends - lens, lens)
+        self._pay_cache[term] = out
+        return out
+
     def impacts(self, term: str):
         """-> (block_last, [impact freq arrays], [impact norm arrays]);
         parts concatenate block-wise (ranges are disjoint and ordered)."""
@@ -1093,6 +1165,8 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         return _eval_intervals(node, ctx)
     if kind == "spans":
         return _eval_spans(node, ctx)
+    if kind == "payload_score":
+        return _eval_payload_score(node, ctx)
     if kind == "const_set":
         ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
         dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
@@ -1140,6 +1214,31 @@ def _gather_pos_keys(ctx: _SegmentIndex, term: str, docs: np.ndarray, large: int
     within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(sel) - sel, sel)
     pos = flat[rep_starts + within]
     return np.repeat(doc_pos, sel) * large + pos
+
+
+def _gather_pos_payloads(ctx: _SegmentIndex, term: str, docs: np.ndarray, large: int):
+    """-> (sorted keys, float32 payloads) of `term` restricted to the
+    sorted candidate `docs` — the payload carried by each occurrence
+    key, aligned with _gather_pos_keys (same flat-gather indices; the
+    payload table is stored occurrence-aligned with positions)."""
+    tdocs, _, _ = ctx.postings(term)
+    z = np.zeros(0, dtype=np.int64)
+    if len(tdocs) == 0 or len(docs) == 0:
+        return z, z.astype(np.float32)
+    idx = np.searchsorted(tdocs, docs)
+    ok = (idx < len(tdocs)) & (tdocs[np.minimum(idx, len(tdocs) - 1)] == docs)
+    idx = idx[ok]
+    doc_pos = np.where(ok)[0]
+    flat, starts, lens = ctx.flat_positions(term)
+    pvals, _pstarts, _plens = ctx.flat_payloads(term)
+    sel = lens[idx]
+    total = int(sel.sum())
+    if total == 0:
+        return z, z.astype(np.float32)
+    rep_starts = np.repeat(starts[idx], sel)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(sel) - sel, sel)
+    gather = rep_starts + within
+    return np.repeat(doc_pos, sel) * large + flat[gather], pvals[gather]
 
 
 def _pos_key_base(ctx: _SegmentIndex, terms, span: int) -> int:
@@ -1861,6 +1960,10 @@ def _expand_span_source(src, reader, field: str):
             big=_expand_span_source(src.big, reader, field),
             little=_expand_span_source(src.little, reader, field),
         )
+    if isinstance(src, Q.SpanPayloadCheck):
+        return dataclasses.replace(
+            src, match=_expand_span_source(src.match, reader, field)
+        )
     return src
 
 
@@ -1889,6 +1992,8 @@ def _spans_candidates(src, ctx: _SegmentIndex) -> np.ndarray:
         a = _spans_candidates(src.big, ctx)
         b = _spans_candidates(src.little, ctx)
         return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, Q.SpanPayloadCheck):
+        return _spans_candidates(src.match, ctx)
     raise TypeError(type(src).__name__)
 
 
@@ -1909,6 +2014,8 @@ def _spans_probe_pad(src) -> int:
         return _spans_probe_pad(src.match)
     if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
         return max(_spans_probe_pad(src.big), _spans_probe_pad(src.little))
+    if isinstance(src, Q.SpanPayloadCheck):
+        return _spans_probe_pad(src.match)
     raise TypeError(type(src).__name__)
 
 
@@ -1962,6 +2069,65 @@ def _spans_cover_unordered(subs, large: int):
         covered += np.where(ok, ce[sel] - cs[sel] + 1, 0)
     s, e, covered = anchors[valid], e[valid], covered[valid]
     return s, e, (e - s + 1) - covered
+
+
+def _span_leaf_terms(src) -> list[str]:
+    """Leaf terms of a payload-checkable span tree, in span order
+    (SpanTerm or in-order SpanNear trees of them — the shapes with a
+    well-defined per-match leaf-position sequence)."""
+    if isinstance(src, Q.SpanTerm):
+        return [src.term]
+    if isinstance(src, Q.SpanNear) and src.in_order:
+        return [t for c in src.clauses for t in _span_leaf_terms(c)]
+    raise TypeError(
+        f"payload span queries need SpanTerm or in-order SpanNear trees, "
+        f"got {type(src).__name__}"
+    )
+
+
+def _spans_eval_leaves(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
+    """Tracked variant of _spans_eval for payload queries ->
+    (starts, ends, gaps, leaves): leaves is one int64 key array per
+    leaf position (span order), each aligned with starts — the exact
+    occurrence each leaf matched, so its stored payload can be looked
+    up. Same matching semantics as _spans_eval's SpanTerm /
+    in-order-SpanNear branches, with per-clause selections recorded."""
+    z = np.zeros(0, dtype=np.int64)
+    if isinstance(src, Q.SpanTerm):
+        if not ctx.has(src.term):
+            return z, z, z, [z]
+        k = _gather_pos_keys(ctx, src.term, docs, large)
+        return k, k, np.zeros(len(k), dtype=np.int64), [k]
+    if isinstance(src, Q.SpanNear) and src.in_order:
+        subs = [_spans_eval_leaves(c, ctx, docs, large) for c in src.clauses]
+        n_leaves = sum(len(s[3]) for s in subs)
+        s0, e0, _, leaves0 = subs[0]
+        if len(s0) == 0 or any(len(cs) == 0 for cs, _, _, _ in subs[1:]):
+            return z, z, z, [z] * n_leaves
+        cur_e = e0.copy()
+        gaps = np.zeros(len(s0), dtype=np.int64)
+        valid = np.ones(len(s0), dtype=bool)
+        sentinel = np.int64(2**62)
+        sels: list[np.ndarray] = []
+        for cs, ce, _cg, _cl in subs[1:]:
+            probe = np.where(valid, cur_e, sentinel) + 1
+            idx = np.searchsorted(cs, probe, side="left")
+            ok = idx < len(cs)
+            sel = np.minimum(idx, len(cs) - 1)
+            ok &= (cs[sel] // large) == (s0 // large)
+            valid &= ok
+            gaps = np.where(valid, gaps + cs[sel] - cur_e - 1, gaps)
+            cur_e = np.where(valid, ce[sel], cur_e)
+            sels.append(sel)
+        keep = valid & (gaps <= src.slop)
+        leaves = [a[keep] for a in leaves0]
+        for (_cs, _ce, _cg, cl), sel in zip(subs[1:], sels):
+            leaves.extend(a[sel][keep] for a in cl)
+        return s0[keep], cur_e[keep], gaps[keep], leaves
+    raise TypeError(
+        f"payload span queries need SpanTerm or in-order SpanNear trees, "
+        f"got {type(src).__name__}"
+    )
 
 
 def _spans_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
@@ -2043,6 +2209,19 @@ def _spans_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
         sel = np.maximum(idx, 0)
         within = ok & (pmax[sel] >= le)
         return ls[within], le[within], lg[within]
+    if isinstance(src, Q.SpanPayloadCheck):
+        s, e, g, leaves = _spans_eval_leaves(src.match, ctx, docs, large)
+        if len(s) == 0:
+            return z, z, z
+        lt = _span_leaf_terms(src.match)
+        if len(src.payloads) != len(lt):
+            return z, z, z  # payload list must cover every leaf position
+        keep = np.ones(len(s), dtype=bool)
+        for term, key_arr, exp in zip(lt, leaves, src.payloads):
+            keys, vals = _gather_pos_payloads(ctx, term, docs, large)
+            at = vals[np.searchsorted(keys, key_arr)]
+            keep &= at == np.float32(exp)
+        return s[keep], e[keep], g[keep]
     raise TypeError(type(src).__name__)
 
 
@@ -2083,6 +2262,66 @@ def _eval_spans(node: dict, ctx: _SegmentIndex):
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
     return docs, node["scorer"].score(freqs, norms)
+
+
+def _eval_payload_score(node: dict, ctx: _SegmentIndex):
+    """PayloadScorer: enumerate matching spans, aggregate the stored
+    payload at every leaf position via the PayloadFunction, score =
+    aggregate × boost (× the span's sloppy-freq BM25 score when
+    include_span_score — PayloadScoreQuery.java:61-66)."""
+    src = node["source"]
+    z = np.zeros(0, dtype=np.int64)
+    docs = _spans_candidates(src, ctx)
+    if len(docs) == 0:
+        return z, z.astype(np.float32)
+    terms = [t for t in dict.fromkeys(src.terms()) if ctx.has(t)]
+    large = _pos_key_base(ctx, terms, _spans_probe_pad(src) + 2)
+    s, _e, g, leaves = _spans_eval_leaves(src, ctx, docs, large)
+    if len(s) == 0:
+        return z, z.astype(np.float32)
+    lt = _span_leaf_terms(src)
+    di = s // large
+    ud = np.unique(di)
+    n = len(ud)
+    slot = np.searchsorted(ud, di)
+    func = node["func"]
+    if func == "min":
+        agg = np.full(n, np.inf)
+    elif func == "max":
+        agg = np.full(n, -np.inf)
+    else:
+        agg = np.zeros(n)
+    cnt = np.zeros(n, dtype=np.int64)
+    for term, key_arr in zip(lt, leaves):
+        keys, vals = _gather_pos_payloads(ctx, term, docs, large)
+        v = vals[np.searchsorted(keys, key_arr)].astype(np.float64)
+        if func == "min":
+            np.minimum.at(agg, slot, v)
+        elif func == "max":
+            np.maximum.at(agg, slot, v)
+        else:
+            np.add.at(agg, slot, v)
+        np.add.at(cnt, slot, 1)
+    if func == "avg":
+        agg = agg / cnt
+    mdocs = docs[ud]
+    if node["scorer"] is None:
+        return mdocs, (agg * node["weight"]).astype(np.float32)
+    # sloppy-freq span score per doc (as _span_freqs), boost included
+    w = 1.0 / (1.0 + np.maximum(g, 0).astype(np.float64))
+    freq = np.zeros(n, dtype=np.float64)
+    np.add.at(freq, slot, w)
+    norms = np.zeros(n, dtype=np.int64)
+    found = np.zeros(n, dtype=bool)
+    for t in terms:
+        pd_, _f, pn = ctx.postings(t)
+        idx = np.searchsorted(pd_, mdocs)
+        ok = (idx < len(pd_)) & (pd_[np.minimum(idx, len(pd_) - 1)] == mdocs)
+        take = ok & ~found
+        norms[take] = pn[idx[take]]
+        found |= ok
+    span_scores = node["scorer"].score(freq.astype(np.float32), norms)
+    return mdocs, (agg * span_scores.astype(np.float64)).astype(np.float32)
 
 
 def _make_spans_freq_fn(source):
@@ -2236,7 +2475,7 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
 
 def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
     if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase",
-                        "near", "intervals", "spans"):
+                        "near", "intervals", "spans", "payload_score"):
         c = 0
         for t in node["terms"]:
             for i in ctx.rows.get(t, ()):

@@ -389,6 +389,24 @@ class SpanWithin(SpanSource):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheck(SpanSource):
+    """Spans of `match` whose ordered leaf-position payloads equal
+    `payloads` exactly (queries/.../payloads/SpanPayloadCheckQuery.java
+    — payload-by-payload equality over the span's positions). Scores
+    like the wrapped span source. Supported match shapes: SpanTerm and
+    in-order SpanNear trees over SpanTerms (the shapes with a
+    well-defined leaf-position sequence per match)."""
+    match: SpanSource
+    payloads: tuple  # float per leaf position, in span order
+
+    def terms(self):
+        return self.match.terms()
+
+    def scoring_terms(self):
+        return self.match.scoring_terms()
+
+
+@dataclass(frozen=True)
 class SpanQuery(Query):
     """Top-level scored span query over one field: freq(doc) =
     sum over matches of 1/(1 + max(gaps, 0)), scored through the
@@ -396,6 +414,21 @@ class SpanQuery(Query):
     (SpanWeight.buildSimWeight — SpanWeight.java:86-108)."""
     field: str
     source: SpanSource
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PayloadScoreQuery(Query):
+    """queries/.../payloads/PayloadScoreQuery.java: enumerate the
+    source's matching spans per doc, feed the payload at every leaf
+    position through a PayloadFunction (`func` = min | max | sum | avg
+    — Min/Max/Sum/AveragePayloadFunction), and score the doc by the
+    aggregated payload value times `boost` (times the span BM25 score
+    when include_span_score, PayloadScoreQuery.java:61-66)."""
+    field: str
+    source: SpanSource
+    func: str = "sum"
+    include_span_score: bool = False
     boost: float = 1.0
 
 

@@ -115,7 +115,7 @@ def append_batch(
     invert = make_invert_fn(
         cfg.analyzer, cfg.content_col, cfg.field, cfg.store_positions,
         fields=cfg.all_fields(), field_analyzers=cfg.field_analyzers,
-        store_off=cfg.store_offsets,
+        store_off=cfg.store_offsets, store_pay=cfg.store_payloads,
     )
     staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
     staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={next_b}")
