@@ -73,18 +73,17 @@ class TermAutomatonBuilder:
             self._accept.discard(state)
 
     def _term_id(self, term: str | None) -> int:
+        """Ids in arrival order, ANY included — getTermID(null)
+        (TermAutomatonQuery.java:240-254)."""
         if term is None:
             if self._any_id < 0:
-                self._any_id = len(self._term_ids) + (0)
-                # ANY gets the next id in arrival order, like
-                # getTermID(null) (TermAutomatonQuery.java:240-254)
-                self._any_id = self._next_id()
+                self._any_id = self._n_syms()
             return self._any_id
         if term not in self._term_ids:
-            self._term_ids[term] = self._next_id()
+            self._term_ids[term] = self._n_syms()
         return self._term_ids[term]
 
-    def _next_id(self) -> int:
+    def _n_syms(self) -> int:
         return len(self._term_ids) + (1 if self._any_id >= 0 else 0)
 
     def add_transition(self, src: int, dst: int, term: str) -> None:

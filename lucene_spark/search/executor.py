@@ -541,9 +541,13 @@ class IndexSearcher:
             }
         if isinstance(q, Q.SpanQuery):
             source = _expand_span_source(q.source, R, q.field)
+            if _span_has_masking(q.source):
+                # a mixed-field tree: qualify the remaining plain leaves
+                # with the enclosing field so every lookup is unambiguous
+                source = _qualify_leaves(source, q.field)
             terms = sorted(set(source.terms()))
             sterms = [t for t in sorted(set(source.scoring_terms()))]
-            st = R.term_stats(q.field, sterms)
+            st = _field_term_stats(R, q.field, sterms)
             present = [t for t in sterms if t in st]
             if not present:
                 return None
@@ -562,6 +566,28 @@ class IndexSearcher:
                 "weight": sc.weight,
                 "scorer": sc,
                 "cache": getattr(sc, "cache", None),
+            }
+        if isinstance(q, Q.TermAutomatonQuery):
+            auto = q.automaton
+            terms = sorted(set(auto.terms))
+            st = R.term_stats(auto.field, terms)
+            present = [t for t in terms if t in st]
+            if not present:
+                return None
+            coll = R.collection_stats(auto.field)
+            # TermAutomatonWeight: one SimScorer over ALL present terms'
+            # stats (TermAutomatonQuery.java:380-399)
+            sc = self.similarity.for_field(auto.field).scorer(
+                coll, [st[t] for t in present],
+                boost * q.boost * auto.boost,
+            )
+            return {
+                "kind": "term_automaton",
+                "field": auto.field,
+                "terms": terms,
+                "automaton": auto,
+                "weight": sc.weight,
+                "scorer": sc,
             }
         if isinstance(q, Q.PayloadScoreQuery):
             if q.func not in ("min", "max", "sum", "avg"):
@@ -672,9 +698,16 @@ class IndexSearcher:
             return Q.TopDocs(total_hits=0, hits=[])
         terms = sorted(_collect_terms(node))
         field = _collect_field(node)
-        rows = self.reader.postings().filter(
-            (F.col("field") == field) & (F.col("term").isin(terms))
-        )
+        plain = [t for t in terms if FIELD_SEP not in t]
+        cond = (F.col("field") == field) & (F.col("term").isin(plain))
+        qualified: dict[str, list[str]] = {}
+        for t in terms:
+            if FIELD_SEP in t:
+                f, _, raw = t.partition(FIELD_SEP)
+                qualified.setdefault(f, []).append(raw)
+        for f, ts in qualified.items():  # masked-span real-field terms
+            cond = cond | ((F.col("field") == f) & (F.col("term").isin(ts)))
+        rows = self.reader.postings().filter(cond)
         if self.reader.manifest.get("delete_batches"):
             # tombstones ride in as cogrouped per-segment rows (never a
             # driver-collected set); the kernel masks them out of the
@@ -774,7 +807,7 @@ class IndexSearcher:
 def _collect_terms(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals", "spans", "payload_score"):
+             "intervals", "spans", "payload_score", "term_automaton"):
         return set(node["terms"])
     if k == "const_wrap":
         return _collect_terms(node["sub"])
@@ -792,7 +825,7 @@ def _collect_terms(node: dict) -> set[str]:
 def _collect_fields(node: dict) -> set[str]:
     k = node["kind"]
     if k in ("term", "syn", "phrase", "multi_phrase", "near", "const_set",
-             "intervals", "spans", "payload_score"):
+             "intervals", "spans", "payload_score", "term_automaton"):
         return {node["field"]}
     if k == "const_wrap":
         return _collect_fields(node["sub"])
@@ -895,8 +928,13 @@ class _SegmentIndex:
 
     def __init__(self, pdf: pd.DataFrame, deleted: np.ndarray | None = None):
         self.rows: dict[str, list[int]] = {}
+        fields = pdf["field"].tolist() if "field" in pdf else None
         for i, t in enumerate(pdf["term"].tolist()):
             self.rows.setdefault(t, []).append(i)
+            if fields is not None:
+                # field-qualified alias for masked-span lookups; plain
+                # keys stay correct whenever the pdf is single-field
+                self.rows.setdefault(fields[i] + FIELD_SEP + t, []).append(i)
         self.pdf = pdf
         # order multi-row terms by first docID (block_last of a 1-block
         # part is its last doc — ordering by first block's last works for
@@ -1167,6 +1205,8 @@ def _eval(node: dict, ctx: _SegmentIndex, k: int | None, candidates: np.ndarray 
         return _eval_spans(node, ctx)
     if kind == "payload_score":
         return _eval_payload_score(node, ctx)
+    if kind == "term_automaton":
+        return _eval_term_automaton(node, ctx)
     if kind == "const_set":
         ds = [ctx.postings(t, candidates)[0] for t in node["terms"]]
         dall = np.unique(np.concatenate(ds)) if ds else np.zeros(0, dtype=np.int64)
@@ -1926,6 +1966,83 @@ def _make_intervals_fn(source, terms: list[str]):
 # --------------------------------------------------------------------------
 
 
+# separator for field-qualified term keys ("field\x01term") — the
+# FieldMaskingSpanQuery plumbing: masked subtrees evaluate against their
+# real field's postings inside a single span tree. \x01 cannot occur in
+# analyzed terms.
+FIELD_SEP = "\x01"
+
+
+def _qualify_leaves(src, field: str):
+    """Rewrite every PLAIN SpanTerm leaf to its field-qualified form
+    (already-qualified leaves — from a masked subtree — are left
+    alone). Used whenever a span tree mixes fields, so every postings
+    lookup in the kernels is unambiguous."""
+    import dataclasses
+
+    if isinstance(src, Q.SpanTerm):
+        if FIELD_SEP in src.term:
+            return src
+        return dataclasses.replace(src, term=field + FIELD_SEP + src.term)
+    if isinstance(src, (Q.SpanNear, Q.SpanOr)):
+        return dataclasses.replace(
+            src, clauses=tuple(_qualify_leaves(c, field) for c in src.clauses)
+        )
+    if isinstance(src, Q.SpanNot):
+        return dataclasses.replace(
+            src,
+            include=_qualify_leaves(src.include, field),
+            exclude=_qualify_leaves(src.exclude, field),
+        )
+    if isinstance(src, Q.SpanFirst):
+        return dataclasses.replace(src, match=_qualify_leaves(src.match, field))
+    if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
+        return dataclasses.replace(
+            src,
+            big=_qualify_leaves(src.big, field),
+            little=_qualify_leaves(src.little, field),
+        )
+    if isinstance(src, Q.SpanPayloadCheck):
+        return dataclasses.replace(src, match=_qualify_leaves(src.match, field))
+    raise TypeError(type(src).__name__)
+
+
+def _span_has_masking(src) -> bool:
+    if isinstance(src, Q.SpanFieldMasking):
+        return True
+    if isinstance(src, (Q.SpanNear, Q.SpanOr)):
+        return any(_span_has_masking(c) for c in src.clauses)
+    if isinstance(src, Q.SpanNot):
+        return _span_has_masking(src.include) or _span_has_masking(src.exclude)
+    if isinstance(src, Q.SpanFirst):
+        return _span_has_masking(src.match)
+    if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
+        return _span_has_masking(src.big) or _span_has_masking(src.little)
+    if isinstance(src, Q.SpanPayloadCheck):
+        return _span_has_masking(src.match)
+    return False
+
+
+def _field_term_stats(reader, default_field: str, terms) -> dict:
+    """term_stats over a mixed plain / field-qualified term list, keyed
+    by the INCOMING term strings (qualified terms resolve against their
+    real field — FieldMaskingSpanQuery.java:63-65's 'term statistics of
+    the real field')."""
+    buckets: dict[str, list[tuple[str, str]]] = {}
+    for t in terms:
+        f, _, raw = (
+            t.partition(FIELD_SEP) if FIELD_SEP in t else (default_field, "", t)
+        )
+        buckets.setdefault(f, []).append((t, raw))
+    out: dict = {}
+    for f, pairs in buckets.items():
+        st = reader.term_stats(f, sorted({raw for _t, raw in pairs}))
+        for t, raw in pairs:
+            if raw in st:
+                out[t] = st[raw]
+    return out
+
+
 def _expand_span_source(src, reader, field: str):
     """Replace SpanMulti nodes with SpanOr-of-SpanTerm over the term
     dictionary (SpanMultiTermQueryWrapper.java's SpanOrQuery rewrite /
@@ -1963,6 +2080,14 @@ def _expand_span_source(src, reader, field: str):
     if isinstance(src, Q.SpanPayloadCheck):
         return dataclasses.replace(
             src, match=_expand_span_source(src.match, reader, field)
+        )
+    if isinstance(src, Q.SpanFieldMasking):
+        # evaluate the masked subtree against its REAL field: expand
+        # there, qualify its leaves, and drop the wrapper — the masking
+        # is fully applied at compile time
+        return _qualify_leaves(
+            _expand_span_source(src.match, reader, src.real_field),
+            src.real_field,
         )
     return src
 
@@ -2225,16 +2350,27 @@ def _spans_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
     raise TypeError(type(src).__name__)
 
 
-def _span_freqs(src, ctx: _SegmentIndex):
+def _span_freqs(src, ctx: _SegmentIndex, field: str | None = None):
     """-> (docs, float32 sloppy freqs, norms). freq(doc) = sum over
     matches of 1/(1 + max(width, 0)) (SpanScorer.java:116-140
     accumulating SimScorer computeSlopFactor), accumulated in float64
-    and rounded to float32 once."""
+    and rounded to float32 once.
+
+    ``field`` (the enclosing SpanQuery's field) orders the norm lookup
+    for mixed-field (masked) trees: the doc norm is taken from a term of
+    the enclosing field when one matched the doc (SpanScorer reads
+    getNormValues of the top field), falling back to a masked term's
+    real-field norm otherwise (documented deviation: we read norms off
+    postings rows, not a per-doc DV)."""
     z = np.zeros(0, dtype=np.int64)
     docs = _spans_candidates(src, ctx)
     if len(docs) == 0:
         return z, z.astype(np.float32), z
     terms = [t for t in dict.fromkeys(src.terms()) if ctx.has(t)]
+    if field is not None and any(FIELD_SEP in t for t in terms):
+        pref = field + FIELD_SEP
+        terms.sort(key=lambda t: 0 if (FIELD_SEP not in t or
+                                       t.startswith(pref)) else 1)
     large = _pos_key_base(ctx, terms, _spans_probe_pad(src) + 2)
     s, _e, g = _spans_eval(src, ctx, docs, large)
     if len(s) == 0:
@@ -2258,10 +2394,133 @@ def _span_freqs(src, ctx: _SegmentIndex):
 
 
 def _eval_spans(node: dict, ctx: _SegmentIndex):
-    docs, freqs, norms = _span_freqs(node["source"], ctx)
+    docs, freqs, norms = _span_freqs(node["source"], ctx, node["field"])
     if len(docs) == 0:
         return docs, docs.astype(np.float32)
     return docs, node["scorer"].score(freqs, norms)
+
+
+def _ta_step(counts: np.ndarray, dest: np.ndarray) -> np.ndarray:
+    """One deterministic automaton step over instance-count vectors:
+    counts (n_docs, S) -> out where out[:, dest[s]] += counts[:, s].
+    Dead transitions (dest[s] == -1) drop instances. S is tiny (the
+    determinized automaton), so the per-state loop vectorizes across
+    docs."""
+    out = np.zeros_like(counts)
+    for s in np.flatnonzero(dest >= 0):
+        out[:, dest[s]] += counts[:, s]
+    return out
+
+
+def _eval_term_automaton(node: dict, ctx: _SegmentIndex):
+    """Vectorized replay of TermAutomatonScorer.countMatches
+    (TermAutomatonScorer.java:215-340): walk each doc's merged query-
+    term positions in order, carrying a per-DFA-state INSTANCE COUNT
+    vector per doc (PosState keeps a multiset, not a set). At each
+    occurrence of term t at position p with gap g from the previous
+    occurrence:
+
+      S(prev+1) = step_t(S(prev)) + step_any(S(prev)) + fresh_t
+      S(p)      = step_any^(g-1)( S(prev+1) )
+
+    (the token at prev steps BOTH its term arc and the any arc —
+    countMatches' while(lastPos < pos) any-advance starts from the
+    pre-step state set). freq counts instances entering an accept state
+    via a TERM step only (continuing or fresh start at state 0); any
+    steps never count. Rounds are the per-doc occurrence ranks, so the
+    whole segment advances in one numpy pass per rank — no per-doc
+    Python loop."""
+    auto = node["automaton"]
+    dfa = auto.dfa()
+    accept = auto.accept_mask()
+    terms = list(auto.terms)
+    present = [i for i, t in enumerate(terms) if ctx.has(t)]
+    z = np.zeros(0, dtype=np.int64)
+    if not present:
+        return z, z.astype(np.float32)
+    docs = np.unique(
+        np.concatenate([ctx.postings(terms[i])[0] for i in present])
+    )
+    if len(docs) == 0:
+        return z, z.astype(np.float32)
+    pterms = [terms[i] for i in present]
+    large = _pos_key_base(ctx, pterms, 2)
+    keys_parts, sym_parts = [], []
+    for i in present:
+        kk = _gather_pos_keys(ctx, terms[i], docs, large)
+        keys_parts.append(kk)
+        sym_parts.append(np.full(len(kk), i, dtype=np.int64))
+    keys = np.concatenate(keys_parts)
+    syms = np.concatenate(sym_parts)
+    order = np.argsort(keys, kind="stable")
+    keys, syms = keys[order], syms[order]
+    di = keys // large
+    pos = keys % large
+    ud, starts_, counts_ = np.unique(di, return_index=True, return_counts=True)
+    n = len(ud)
+    S = auto.n_states
+    A = np.zeros((n, S), dtype=np.int64)   # S(prev): pre-step instance counts
+    B = np.zeros((n, S), dtype=np.int64)   # S(prev+1) minus the deferred any step
+    prev_pos = np.full(n, -1, dtype=np.int64)
+    freq = np.zeros(n, dtype=np.int64)
+    m_any = dfa[auto.any_id] if auto.any_id >= 0 else None
+    for r in range(int(counts_.max())):
+        live = counts_ > r
+        rows = starts_[live] + r
+        dsel = np.flatnonzero(live)
+        t = syms[rows]
+        p = pos[rows]
+        started = prev_pos[dsel] >= 0
+        cur = np.zeros((len(dsel), S), dtype=np.int64)
+        if started.any():
+            sub = np.flatnonzero(started)
+            c = B[dsel[sub]].copy()
+            g = p[sub] - prev_pos[dsel[sub]]
+            if m_any is not None:
+                c += _ta_step(A[dsel[sub]], m_any)
+                gm = 1
+                while True:
+                    adv = np.flatnonzero((g - 1 >= gm) & (c.sum(axis=1) > 0))
+                    if len(adv) == 0:
+                        break
+                    c[adv] = _ta_step(c[adv], m_any)
+                    gm += 1
+            else:
+                c[g != 1] = 0
+            cur[sub] = c
+        # term step + fresh start, accept entries via term arcs count
+        nxt = np.zeros_like(cur)
+        acc_add = np.zeros(len(dsel), dtype=np.int64)
+        for s in range(S):
+            d = dfa[t, s]  # per-doc dest of state s on this doc's symbol
+            ok = d >= 0
+            if not ok.any():
+                continue
+            np.add.at(nxt, (np.flatnonzero(ok), d[ok]), cur[ok, s])
+            acc_add += np.where(ok & accept[np.maximum(d, 0)], cur[:, s], 0)
+        d0 = dfa[t, 0]  # fresh start at state 0 (countMatches *** (2))
+        ok0 = d0 >= 0
+        np.add.at(nxt, (np.flatnonzero(ok0), d0[ok0]), 1)
+        acc_add += (ok0 & accept[np.maximum(d0, 0)]).astype(np.int64)
+        freq[dsel] += acc_add
+        A[dsel] = cur
+        B[dsel] = nxt
+        prev_pos[dsel] = p
+    matched = freq > 0
+    mdocs = docs[ud[matched]]
+    mfreq = freq[matched]
+    if len(mdocs) == 0:
+        return z, z.astype(np.float32)
+    norms = np.zeros(len(mdocs), dtype=np.int64)
+    found = np.zeros(len(mdocs), dtype=bool)
+    for tname in pterms:
+        pd_, _f, pn = ctx.postings(tname)
+        idx = np.searchsorted(pd_, mdocs)
+        ok = (idx < len(pd_)) & (pd_[np.minimum(idx, len(pd_) - 1)] == mdocs)
+        take = ok & ~found
+        norms[take] = pn[idx[take]]
+        found |= ok
+    return mdocs, node["scorer"].score(mfreq, norms)
 
 
 def _eval_payload_score(node: dict, ctx: _SegmentIndex):
@@ -2475,7 +2734,7 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
 
 def _est_cost(node: dict, ctx: _SegmentIndex) -> int:
     if node["kind"] in ("term", "const_set", "syn", "phrase", "multi_phrase",
-                        "near", "intervals", "spans", "payload_score"):
+                        "near", "intervals", "spans", "payload_score", "term_automaton"):
         c = 0
         for t in node["terms"]:
             for i in ctx.rows.get(t, ()):

@@ -418,6 +418,46 @@ class SpanQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanFieldMasking(SpanSource):
+    """queries/spans/FieldMaskingSpanQuery.java: evaluate `match`
+    against `real_field`'s postings while 'lying' about the field, so
+    it can participate in a composite single-field span tree (the
+    denormalized parent/child example, FieldMaskingSpanQuery.java:36-60).
+    Scoring follows the reference's documented caveat
+    (FieldMaskingSpanQuery.java:63-65): collection statistics come from
+    the enclosing SpanQuery's field, term statistics from the real
+    field."""
+    match: SpanSource
+    real_field: str
+
+    def terms(self):
+        return self.match.terms()
+
+    def scoring_terms(self):
+        return self.match.scoring_terms()
+
+
+@dataclass(frozen=True)
+class TermAutomatonQuery(Query):
+    """sandbox/search/TermAutomatonQuery.java: a proximity query whose
+    transitions are terms — a generalization of Phrase/MultiPhrase/
+    SpanNear (acts like a disjunction over its terms, then merge-sorts
+    positions per doc and counts automaton matches). freq = number of
+    times the determinized automaton steps into an accept state during
+    the token walk, counting both continuing matches and a fresh start
+    at every term position (TermAutomatonScorer.java:215-340; ANY arcs
+    advance states across gaps without counting accepts). Score =
+    SimScorer(freq, norm) over the summed statistics of every present
+    automaton term (TermAutomatonQuery.java:380-399).
+
+    `automaton` is a finished search.automaton.TermAutomaton (the
+    builder replays createState/setAccept/addTransition/
+    addAnyTransition/finish)."""
+    automaton: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadScoreQuery(Query):
     """queries/.../payloads/PayloadScoreQuery.java: enumerate the
     source's matching spans per doc, feed the payload at every leaf
