@@ -874,6 +874,8 @@ def _segment_topk(
     docFreq contract)."""
     seg = str(pdf["segment_id"].iat[0])
     ctx = _SegmentIndex(pdf, deleted=deleted)
+    if prune == "maxscore":  # bulk-scorer strategy override
+        node = {**node, "strategy": "maxscore"}
     docs, scores = _eval(node, ctx, k if prune else None)
     if after is not None:
         # searchAfter: keep (score < after) or (== and doc > afterDoc)
@@ -2690,6 +2692,8 @@ def _eval_bool(node: dict, ctx: _SegmentIndex, k: int | None, candidates):
             and all(s["kind"] == "term" for s in should)
             and len(should) > 1
         ):
+            if node.get("strategy") == "maxscore":
+                return _maxscore_disjunction(node, ctx, k)
             return _wand_disjunction(node, ctx, k)
         dall = np.concatenate([d for d, _ in sh_results]) if sh_results else np.zeros(0, np.int64)
         if len(dall) == 0:
@@ -2802,6 +2806,78 @@ def _wand_disjunction(node: dict, ctx: _SegmentIndex, k: int):
     scores_out = np.concatenate([seed_scores, extra_scores])
     srt = np.argsort(docs_out)
     return docs_out[srt], scores_out[srt].astype(np.float32)
+
+
+def _maxscore_disjunction(node: dict, ctx: _SegmentIndex, k: int):
+    """MAXSCORE bulk scoring for a pure term disjunction — the second
+    pruning strategy beside block-max WAND (MaxScoreBulkScorer.java:
+    partition scorers by global max score into essential / non-essential
+    at theta; only essential lists generate candidates; non-essential
+    scorers are consulted only for docs whose essential-exact score plus
+    the non-essential max-score sum stays competitive).
+
+    Same safety property as WAND: every surviving doc carries its exact
+    score and every doc whose exact score could reach the top-k
+    threshold survives — equality with the unpruned path is asserted in
+    tests."""
+    should = node["should"]
+    term_data = []
+    for s in should:
+        t = s["terms"][0]
+        d, f, n = ctx.postings(t)
+        if len(d) == 0:
+            continue
+        block_last, imp_f, imp_n = ctx.impacts(t)
+        block_bounds = np.array(
+            [
+                float(s["scorer"].score(bf, bn).max()) if len(bf) else 0.0
+                for bf, bn in zip(imp_f, imp_n)
+            ],
+            dtype=np.float64,
+        )
+        blk = np.searchsorted(block_last, d, side="left")
+        term_data.append((d, f, n, s, block_bounds[blk]))
+    z = np.zeros(0, dtype=np.int64)
+    if not term_data:
+        return z, z.astype(np.float32)
+
+    # theta seed — identical to WAND's phase 0/1 (per-doc summed block
+    # bounds pick the seed; its k-th exact score is the threshold)
+    dall = np.concatenate([td[0] for td in term_data])
+    uniq, inv = np.unique(dall, return_inverse=True)
+    ub = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(ub, inv, np.concatenate([td[4] for td in term_data]))
+    seed = np.argsort(-ub, kind="stable")[: max(4 * k, 64)]
+    seed_docs = np.sort(uniq[seed])
+    seed_scores = _exact_scores_for(term_data, seed_docs)
+    if len(seed_docs) < k:
+        srt = np.argsort(seed_docs)
+        return seed_docs[srt], seed_scores[srt].astype(np.float32)
+    theta = float(np.sort(seed_scores.astype(np.float32))[::-1][k - 1])
+
+    # partition: non-essential = longest ascending-max prefix whose
+    # max-score sum stays strictly below theta
+    gmax = np.array([td[4].max() for td in term_data], dtype=np.float64)
+    order = np.argsort(gmax, kind="stable")
+    csum = np.cumsum(gmax[order])
+    n_non = int(np.searchsorted(csum, theta, side="left"))
+    if n_non >= len(term_data):
+        n_non = len(term_data) - 1  # at least one essential list
+    non_essential = [term_data[i] for i in order[:n_non]]
+    essential = [term_data[i] for i in order[n_non:]]
+    ne_sum = float(csum[n_non - 1]) if n_non else 0.0
+
+    # candidates come from essential lists only: a doc seen by none of
+    # them is bounded by ne_sum < theta
+    cand = np.unique(np.concatenate([td[0] for td in essential]))
+    ess_scores = _exact_scores_for(essential, cand).astype(np.float64)
+    # one float32 ulp of slack: the essential partial was rounded to
+    # float32 once, which must never evict an exact-theta tie
+    thresh = float(np.nextafter(np.float32(theta), np.float32(-np.inf)))
+    cand = cand[ess_scores + ne_sum >= thresh]
+    # survivors re-score over ALL terms in one pass: float64 accumulate,
+    # one float32 cast — bit-identical to the unpruned / WAND paths
+    return cand, _exact_scores_for(term_data, cand)
 
 
 def _exact_scores_for(term_data, docs: np.ndarray) -> np.ndarray:

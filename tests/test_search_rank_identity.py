@@ -105,6 +105,69 @@ def test_rank_identity(name, built_index, oracle_index):
     # pruned path must be bit-identical to unpruned (WAND safety)
     pruned = searcher.search(q, k=10, prune=True)
     assert_identical(pruned, engine, f"{name}(pruned)")
+    # MAXSCORE bulk scorer: the second pruning strategy, same safety
+    ms = searcher.search(q, k=10, prune="maxscore")
+    assert_identical(ms, engine, f"{name}(maxscore)")
+
+
+def test_maxscore_wide_disjunctions(built_index):
+    """Wide pure-term disjunctions — the shape where MAXSCORE's
+    essential/non-essential partitioning actually prunes — must stay
+    bit-identical to both the unpruned and the WAND paths."""
+    import random
+
+    searcher = IndexSearcher(built_index)
+    vocab = ["class", "import", "def", "struct", "impl", "parse",
+             "return", "self"]
+    rng = random.Random(7)
+    for _ in range(8):
+        ts = rng.sample(vocab, rng.randint(3, 6))
+        q = Q.BooleanQuery(should=tuple(Q.TermQuery(F, t) for t in ts))
+        base = searcher.search(q, k=10, prune=False)
+        for strat in (True, "maxscore"):
+            got = searcher.search(q, k=10, prune=strat)
+            assert_identical(got, base, f"{ts}({strat})")
+
+
+def test_maxscore_actually_partitions(built_index, monkeypatch):
+    """The essential/non-essential split must engage: at least one
+    exact-scoring pass runs over a strict subset of the query's terms
+    (the essential lists), and the result still equals WAND's."""
+    import lucene_spark.search.executor as ex
+
+    import numpy as np
+
+    searcher = IndexSearcher(built_index)
+    terms = ["class", "import", "def", "self", "return", "parse"]
+    q = Q.BooleanQuery(should=tuple(Q.TermQuery(F, t) for t in terms))
+    node = searcher._compile(q)
+    pdf = (
+        built_index.postings()
+        .filter(built_index.postings().term.isin(terms))
+        .toPandas()
+    )
+    calls = []
+    orig = ex._exact_scores_for
+
+    def spy(td, docs):
+        calls.append(len(td))
+        return orig(td, docs)
+
+    monkeypatch.setattr(ex, "_exact_scores_for", spy)
+    partitioned = False
+    for _sid, grp in pdf.groupby("segment_id"):
+        ctx = ex._SegmentIndex(grp.reset_index(drop=True))
+        calls.clear()
+        d_ms, s_ms = ex._maxscore_disjunction(node, ctx, 3)
+        n_present = len({t for t in terms if ctx.has(t)})
+        partitioned |= any(1 <= c < n_present for c in calls)
+        d_w, s_w = ex._wand_disjunction(node, ctx, 3)
+        top = np.lexsort((d_ms, -s_ms))[:3]
+        topw = np.lexsort((d_w, -s_w))[:3]
+        assert list(zip(d_ms[top], s_ms[top])) == list(
+            zip(d_w[topw], s_w[topw])
+        )
+    assert partitioned, "non-essential partition never engaged"
 
 
 def test_total_hits_exact_when_unpruned(built_index, oracle_index):
