@@ -476,7 +476,12 @@ class IndexSearcher:
             # expand pattern slots via the term dictionary, then reuse
             # the MultiPhraseQuery path (PhraseWildcardQuery.java's
             # rewrite; segment-sharing expansion replaced by the
-            # driver-cached term dict)
+            # driver-cached term dict). max_expansions is the TOTAL
+            # budget across all multi-term slots, consumed slot by slot
+            # in dictionary order — 'controls the total number of
+            # expansions across all MultiTermQuery'
+            # (PhraseWildcardQuery.java:64-76)
+            budget = int(q.max_expansions)
             slots = []
             for slot in q.slots:
                 if isinstance(slot, str):
@@ -484,9 +489,10 @@ class IndexSearcher:
                 elif isinstance(slot, Q.TermQuery):
                     slots.append((slot.term,))
                 else:
-                    terms = sorted(R.expand(slot))[: q.max_expansions]
+                    terms = sorted(R.expand(slot))[: max(budget, 0)]
                     if not terms:
                         return None  # a slot with no matching terms
+                    budget -= len(terms)
                     slots.append(tuple(terms))
             return self._compile(
                 Q.MultiPhraseQuery(q.field, tuple(slots)), boost * q.boost

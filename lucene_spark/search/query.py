@@ -233,10 +233,13 @@ class IPhrase(IntervalsSource):
 class PhraseWildcardQuery(Query):
     """Phrase where any slot may be a multi-term pattern
     (sandbox/search/PhraseWildcardQuery.java): each pattern slot expands
-    against the term dictionary (capped at ``max_expansions``, largest
-    lexicographic prefix kept) and the query rewrites to
-    MultiPhraseQuery. Slots: a literal term string, or a multi-term
-    query (PrefixQuery / WildcardQuery / RegexpQuery / ...)."""
+    against the term dictionary and the query rewrites to
+    MultiPhraseQuery. ``max_expansions`` is the TOTAL expansion budget
+    shared across all multi-term slots (PhraseWildcardQuery.java:64-76
+    'controls the total number of expansions across all
+    MultiTermQuery'), consumed slot by slot in dictionary order. Slots:
+    a literal term string, or a multi-term query (PrefixQuery /
+    WildcardQuery / RegexpQuery / ...)."""
     field: str
     slots: tuple
     max_expansions: int = 128

@@ -122,3 +122,43 @@ def test_multi_range_query(built_index, spark):
     for row in rows:
         v = vals[row["doc_id"]]
         assert 50 <= v <= 90 or 300 <= v <= 350
+
+
+def test_phrase_wildcard_shared_expansion_budget(built_index):
+    """max_expansions is a TOTAL budget across multi-term slots
+    (PhraseWildcardQuery.java:64-76), not per-slot: a first slot that
+    consumes the whole budget leaves nothing for the second."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    p1 = Q.PrefixQuery("content", "st")   # static/string/struct
+    p2 = Q.PrefixQuery("content", "im")   # impl/import
+    n1 = len(built_index.expand(p1))
+    n2 = len(built_index.expand(p2))
+    assert n1 >= 2 and n2 >= 2
+
+    # ample budget: equals the fully-expanded MultiPhrase, and matches
+    # real docs ("struct import" occurs in the fixture corpus)
+    full = s.search(Q.PhraseWildcardQuery("content", (p1, p2)), k=50)
+    assert full.total_hits > 0
+    ex1 = tuple(sorted(built_index.expand(p1)))
+    ex2 = tuple(sorted(built_index.expand(p2)))
+    mq = Q.MultiPhraseQuery("content", (ex1, ex2))
+    b = s.search(mq, k=50)
+    assert [(h.doc_id, h.score) for h in full.hits] == [
+        (h.doc_id, h.score) for h in b.hits
+    ]
+
+    # budget covers slot 1 fully plus ONE term of slot 2
+    wq = Q.PhraseWildcardQuery("content", (p1, p2), max_expansions=n1 + 1)
+    mq1 = Q.MultiPhraseQuery("content", (ex1, ex2[:1]))
+    a = s.search(wq, k=50)
+    c = s.search(mq1, k=50)
+    assert [(h.doc_id, h.score) for h in a.hits] == [
+        (h.doc_id, h.score) for h in c.hits
+    ]
+
+    # budget exhausted by slot 1 -> slot 2 expands to nothing -> no hits
+    wq0 = Q.PhraseWildcardQuery("content", (p1, p2), max_expansions=n1)
+    assert s.search(wq0, k=5).total_hits == 0
