@@ -32,6 +32,8 @@ from lucene_spark.search.executor import IndexReader
 from lucene_spark.util.smallfloat import LENGTH_TABLE
 
 FIELD = "text"
+# classification input: deterministic text built from corpus vocabulary
+_CLS_TEXT = "the model data table spark rows"
 _READERS: dict[str, IndexReader] = {}
 _MF_READERS: dict[str, IndexReader] = {}
 
@@ -299,6 +301,96 @@ def _sql_const(match_expr: str, k: int = 10) -> str:
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
 FROM (SELECT DISTINCT doc_id FROM toks WHERE {match_expr})
 ORDER BY doc_id LIMIT {k}"""
+
+
+def _input_toks_cte(text: str) -> str:
+    """(tok, tf) rows for a literal input string, tokenized with the
+    same regexp as the corpus _TOKS CTE (SimpleAnalyzer twin)."""
+    esc = text.replace("'", "''")
+    return (
+        "it AS (SELECT tok, CAST(count(*) AS INT) AS tf FROM ("
+        f"SELECT unnest(regexp_split_to_array(lower('{esc}'), '[^a-z0-9]+')) AS tok"
+        ") WHERE tok <> '' GROUP BY tok)"
+    )
+
+
+def _sql_knn_classify(text: str, k: int = 10, max_terms: int = 5) -> str:
+    """KNearestNeighborClassifier oracle: MLT term selection from the
+    literal input (tf*idf, top max_terms) -> BM25 SHOULD top-k ->
+    score-weighted class vote over documents.lang (vote math of
+    KNearestNeighborClassifier.java:190-236, over the same rounded
+    score_x1e6 the engine votes on)."""
+    return f"""{_prefix_ctes([
+        _input_toks_cte(text),
+        "idfx AS (SELECT it.tok, it.tf, (SELECT CAST(count(DISTINCT t.doc_id) AS DOUBLE) FROM toks t WHERE t.tok = it.tok) AS df FROM it)",
+        f"sel AS (SELECT i.tok FROM idfx i CROSS JOIN stats s WHERE i.df > 0 ORDER BY i.tf * ln(1 + (s.n - i.df + 0.5)/(i.df + 0.5)) DESC, i.tok ASC LIMIT {max_terms})",
+        "tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN (SELECT tok FROM sel) GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+scored AS (
+  SELECT tf.doc_id, SUM({_SCORE}) AS score
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, CAST(ROUND(score*1000000) AS BIGINT) AS score_x1e6
+  FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k}
+),
+lab AS (
+  SELECT t.score_x1e6/1000000.0 AS s, d.lang AS clazz
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE d.lang IS NOT NULL
+),
+v AS (
+  SELECT clazz, SUM(s / (SELECT MAX(s) FROM lab)) AS bsum
+  FROM lab GROUP BY clazz
+)
+SELECT clazz,
+  CAST(ROUND(bsum / least(CAST({k} AS DOUBLE),
+       (SELECT CAST(count(*) AS DOUBLE) FROM lab)) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM v ORDER BY score_x1e6 DESC, clazz ASC"""
+
+
+def _sql_nb_classify(text: str) -> str:
+    """SimpleNaiveBayesClassifier oracle: per class, log-prior +
+    add-one-smoothed token log-likelihood, softmax-normalized
+    (SimpleNaiveBayesClassifier.java:140-158, 209-258, 293-318).
+    avgUniqueTerms = sumDocFreq/docCount over the text field; the
+    engine reads both from its term dictionary / field stats."""
+    return f"""WITH {_TOKS},
+{_input_toks_cte(text)},
+ut AS (SELECT DISTINCT doc_id, tok FROM toks),
+sdfq AS (SELECT CAST(count(*) AS DOUBLE) AS sdf FROM ut),
+nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+docsc AS (SELECT lang AS clazz, CAST(count(*) AS DOUBLE) AS df_c
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+dwcq AS (SELECT CAST(SUM(df_c) AS DOUBLE) AS dwc FROM docsc),
+wc AS (SELECT d.lang AS clazz, u.tok, CAST(count(*) AS DOUBLE) AS n_wc
+       FROM ut u JOIN documents d ON d.doc_id = u.doc_id
+       WHERE d.lang IS NOT NULL AND u.tok IN (SELECT tok FROM it)
+       GROUP BY d.lang, u.tok),
+grid AS (
+  SELECT c.clazz, c.df_c, i.tok, i.tf, coalesce(w.n_wc, 0) AS n_wc
+  FROM docsc c CROSS JOIN it i
+  LEFT JOIN wc w ON w.clazz = c.clazz AND w.tok = i.tok
+),
+raw AS (
+  SELECT g.clazz,
+    ln(any_value(g.df_c)) - ln(any_value(d.dwc))
+    + SUM(g.tf * ln((g.n_wc + 1)
+          / ((s.sdf / q.n) * g.df_c + d.dwc))) AS r
+  FROM grid g CROSS JOIN sdfq s CROSS JOIN nq q CROSS JOIN dwcq d
+  GROUP BY g.clazz
+),
+lse AS (
+  SELECT MAX(r) + ln(SUM(exp(r - (SELECT MAX(r) FROM raw)))) AS v FROM raw
+)
+SELECT clazz,
+  CAST(ROUND(exp(r - (SELECT v FROM lse)) * 1000000) AS BIGINT) AS score_x1e6
+FROM raw ORDER BY score_x1e6 DESC, clazz ASC"""
 
 
 def _sql_phrase(terms: list[str], k: int = 10) -> str:
@@ -1278,25 +1370,45 @@ def gate_queries() -> dict[str, object]:
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
 
-    def q_geo_box(spark, sf):
-        # LatLonPoint.newBoxQuery over deterministic synthesized coords
-        # + newPolygonQuery (even-odd ray casting, box prefilter)
+    def q_geo_suite(spark, sf):
+        # LatLonPoint.newBoxQuery + newPolygonQuery (even-odd ray
+        # casting, box prefilter) + DistanceQuery with distance sort
+        # (box prune + exact haversine refine), one tagged union with
+        # the per-branch value columns harmonized to (v1, v2):
+        # box/polygon -> (lat_x1e3, lon_x1e3), distance -> (dist_x10km, 0)
         from lucene_spark.search import geo
+
+        d = _docs(spark, sf)
+
+        def _h(df):
+            c = df.columns
+            v2 = F.col(c[2]) if len(c) > 2 else F.lit(0).cast("long")
+            return df.select(
+                "doc_id", F.col(c[1]).alias("v1"), v2.alias("v2")
+            )
 
         return _union([
-            ("box", geo.geo_box(
-                _docs(spark, sf), 10.0, 55.0, -40.0, 60.0, k=50)),
-            ("polygon", geo.geo_polygon_topk(_docs(spark, sf), _POLY, k=50)),
+            ("box", _h(geo.geo_box(d, 10.0, 55.0, -40.0, 60.0, k=50))),
+            ("polygon", _h(geo.geo_polygon_topk(d, _POLY, k=50))),
+            ("distance", _h(geo.geo_distance_topk(
+                d, qlat=35.0, qlon=10.0, radius_km=3000.0, k=20))),
         ])
 
-    def q_geo_distance(spark, sf):
-        # LatLonPointDistanceQuery + distance sort (box prune + exact
-        # haversine refine)
-        from lucene_spark.search import geo
-
-        return geo.geo_distance_topk(
-            _docs(spark, sf), qlat=35.0, qlon=10.0, radius_km=3000.0, k=20
+    def q_classify_suite(spark, sf):
+        # classification/ module: KNearestNeighborClassifier (MLT
+        # top-k class vote) + SimpleNaiveBayesClassifier (log-prior +
+        # add-one-smoothed likelihood, softmax-normalized) over the
+        # documents index with `lang` as the class field
+        from lucene_spark.search.classify import (
+            knn_classify,
+            naive_bayes_classify,
         )
+
+        r = ensure_index(spark, sf)
+        return _union([
+            ("knn", knn_classify(r, _CLS_TEXT, "lang", k=10, max_terms=5)),
+            ("nb", naive_bayes_classify(r, _CLS_TEXT, "lang")),
+        ])
 
     def q_mlt(spark, sf):
         r = ensure_index(spark, sf)
@@ -1473,8 +1585,8 @@ def gate_queries() -> dict[str, object]:
         "q_intervals": q_intervals,
         "q_stemmed_term": q_stemmed_term,
         "q_facet_suite": q_facet_suite,
-        "q_geo_box": q_geo_box,
-        "q_geo_distance": q_geo_distance,
+        "q_geo_suite": q_geo_suite,
+        "q_classify_suite": q_classify_suite,
         "q_suggest_suite": q_suggest_suite,
         "q_facet_assoc": q_facet_assoc,
         "q_facet_sampled": q_facet_sampled,
@@ -2088,11 +2200,19 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     from lucene_spark.search import geo as _geo
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
-    one["q_geo_box"] = _sql_tagged_flat([
-        ("box", _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)),
-        ("polygon", _geo.geo_polygon_sql(_POLY, k=50)),
+
+    box_sql = _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)
+    poly_sql = _geo.geo_polygon_sql(_POLY, k=50)
+    dist_sql = _geo.geo_distance_sql(35.0, 10.0, 3000.0, k=20)
+    one["q_geo_suite"] = _sql_tagged_flat([
+        ("box", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({box_sql})"),
+        ("polygon", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({poly_sql})"),
+        ("distance", f"SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ({dist_sql})"),
     ])
-    one["q_geo_distance"] = _geo.geo_distance_sql(35.0, 10.0, 3000.0, k=20)
+    one["q_classify_suite"] = _sql_tagged_flat([
+        ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
+        ("nb", _sql_nb_classify(_CLS_TEXT)),
+    ])
     return one
 
 

@@ -1,0 +1,210 @@
+"""Classification over the index — the reference's classification/
+module re-expressed Spark-first.
+
+Two classifiers, both using the inverted index as the training set:
+
+- ``knn_classify`` — KNearestNeighborClassifier.java: build a
+  MoreLikeThis query from the input text, take the BM25 top-k, and
+  vote the class field of the neighbours (score-weighted, normalized
+  by k, with the sumdoc<k correction at
+  KNearestNeighborClassifier.java:218-236).
+- ``naive_bayes_classify`` — SimpleNaiveBayesClassifier.java: per
+  class c, score = log-prior + add-one-smoothed log-likelihood of the
+  input tokens, then softmax-normalized to (0,1]
+  (SimpleNaiveBayesClassifier.java:140-158, 209-231, 293-318).
+
+Scale shape: classification of one input is a term-pruned postings
+scan (only the input's tokens) joined to the docs-registry class
+column, aggregated down to n_classes rows — the same plan family as a
+boolean query. No driver-side loops over documents; the only
+driver-side work is tokenizing the (single) input text and ranking
+its terms, both bounded by the input length.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_spark.search.executor import IndexReader
+from lucene_spark.search.sqlpath import bool_bm25_topk, exploded_postings
+
+
+def _tokenize(reader: IndexReader, text: str, tokenize=None) -> list[str]:
+    """Tokenize the input with the index's own analyzer (the reference
+    classifiers tokenize with the supplied Analyzer — matching the
+    index contents is the caller's job there too)."""
+    if tokenize is not None:
+        return list(tokenize(text))
+    from lucene_spark.analysis.analyzer import get_analyzer
+
+    name = reader.manifest.get("analyzer", "standard")
+    return list(get_analyzer(name).tokenize_one(text))
+
+
+def mlt_terms_for_text(
+    reader: IndexReader,
+    text: str,
+    field: str | None = None,
+    max_terms: int = 5,
+    tokenize=None,
+) -> list[str]:
+    """MoreLikeThis term selection over raw input text (the
+    MoreLikeThis.java like(fieldName, Reader) path used by
+    KNearestNeighborClassifier.java:156-179): rank the input's tokens
+    by tf*idf against the index stats, keep the top ``max_terms``
+    (ties by term ASC). Driver-side — the input is one document."""
+    field = field or reader.manifest["field"]
+    toks = _tokenize(reader, text, tokenize)
+    if not toks:
+        return []
+    tf = Counter(toks)
+    st = reader.term_stats(field, sorted(tf))
+    coll = reader.collection_stats(field)
+    n = float(coll.doc_count)
+    scored = [
+        (t, c * math.log(1.0 + (n - st[t].doc_freq + 0.5) / (st[t].doc_freq + 0.5)))
+        for t, c in tf.items()
+        if t in st
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in scored[:max_terms]]
+
+
+def knn_classify(
+    reader: IndexReader,
+    text: str,
+    class_col: str,
+    field: str | None = None,
+    k: int = 10,
+    max_terms: int = 5,
+    tokenize=None,
+) -> DataFrame:
+    """KNearestNeighborClassifier: MLT query from ``text`` -> BM25
+    top-k -> class vote. Per class c among the neighbours:
+
+        boost_c = sum(score_i / maxScore)          (rank-position boost)
+        score(c) = boost_c / k                     (.java:218-227)
+        if sumdoc < k: score(c) *= k / sumdoc      (.java:229-233)
+
+    i.e. score(c) = boost_c / min(k, sumdoc) for single-valued class
+    fields. -> DataFrame(clazz, score_x1e6) ordered score DESC, clazz
+    ASC. Votes are computed over the engine's rounded score_x1e6 so
+    the result is bit-stable against the SQL oracle."""
+    field = field or reader.manifest["field"]
+    terms = mlt_terms_for_text(reader, text, field, max_terms, tokenize)
+    spark = reader.spark
+    if not terms:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    topk = bool_bm25_topk(reader, field, should=terms, k=k)
+    labeled = topk.join(
+        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
+        "doc_id",
+    ).filter(F.col("clazz").isNotNull())
+    # one unpartitioned window over the <=k labeled hits (tiny frame):
+    # maxScore and sumdoc without re-running the scoring query
+    w = F.col("score_x1e6") / F.lit(1e6)
+    win = Window.partitionBy()
+    voted = labeled.select(
+        "clazz",
+        (w / F.max(w).over(win)).alias("boost"),
+        F.count("*").over(win).alias("sumdoc"),
+    )
+    out = voted.groupBy("clazz", "sumdoc").agg(
+        F.sum("boost").alias("bsum")
+    ).select(
+        "clazz",
+        F.round(
+            F.col("bsum")
+            / F.least(F.lit(float(k)), F.col("sumdoc").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("score_x1e6"),
+    )
+    return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+
+def naive_bayes_classify(
+    reader: IndexReader,
+    text: str,
+    class_col: str,
+    field: str | None = None,
+    tokenize=None,
+) -> DataFrame:
+    """SimpleNaiveBayesClassifier: for each class c,
+
+        raw(c) = ln(df_c) - ln(docsWithClass)                  (prior)
+               + sum over input tokens w (with multiplicity) of
+                 ln((n_wc + 1) / (avgUniqueTerms * df_c + docsWithClass))
+
+    where n_wc = #docs containing w with class c, avgUniqueTerms =
+    sumDocFreq/docCount of the text field
+    (SimpleNaiveBayesClassifier.java:209-258), followed by the
+    softmax normalization to (0,1] (.java:293-318).
+
+    -> DataFrame(clazz, score_x1e6) ordered score DESC, clazz ASC.
+    The final softmax runs in an unpartitioned window over the
+    n_classes aggregated rows — fine up to very large class
+    vocabularies; everything upstream is term-pruned and
+    shuffle-aggregated."""
+    field = field or reader.manifest["field"]
+    toks = _tokenize(reader, text, tokenize)
+    spark = reader.spark
+    if not toks:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    coll = reader.collection_stats(field)
+    avg_unique = float(reader.sum_doc_freq(field)) / float(coll.doc_count)
+
+    docs = reader.docs().select(
+        "doc_id", F.col(class_col).alias("clazz")
+    ).filter(F.col("clazz").isNotNull())
+    dels = reader.deleted_df()
+    if dels is not None:
+        docs = docs.join(dels, "doc_id", "left_anti")
+    cls = docs.groupBy("clazz").agg(F.count("*").alias("df_c"))
+    # docsWithClass as a lazy scalar (one extra tiny agg, no collect)
+    dwc = docs.agg(F.count("*").alias("dwc"))
+
+    # per-(class, input-term) doc counts: term-pruned postings join
+    tf = Counter(toks)
+    ep = exploded_postings(reader, field, sorted(tf)).select("term", "doc_id")
+    wc = ep.join(docs, "doc_id").groupBy("clazz", "term").agg(
+        F.count("*").alias("n_wc")
+    )
+    tfdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(tf.items())], "term string, tf int"
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(tfdf))
+        .join(wc, ["clazz", "term"], "left")
+        .fillna(0, subset=["n_wc"])
+        .crossJoin(F.broadcast(dwc))
+    )
+    scored = grid.withColumn(
+        "ll",
+        F.col("tf")
+        * F.log(
+            (F.col("n_wc") + F.lit(1.0))
+            / (F.lit(avg_unique) * F.col("df_c") + F.col("dwc"))
+        ),
+    )
+    per_class = scored.groupBy("clazz", "df_c", "dwc").agg(
+        F.sum("ll").alias("loglik")
+    ).select(
+        "clazz",
+        (F.log(F.col("df_c").cast("double")) - F.log(F.col("dwc").cast("double"))
+         + F.col("loglik")).alias("raw"),
+    )
+    # softmax over the (tiny) per-class frame: exp(raw - logsumexp)
+    win = Window.partitionBy()
+    smax = F.max("raw").over(win)
+    lse = smax + F.log(F.sum(F.exp(F.col("raw") - smax)).over(win))
+    out = per_class.select(
+        "clazz",
+        F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long").alias("score_x1e6"),
+    )
+    return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())

@@ -251,6 +251,23 @@ class IndexReader:
     def collection_stats(self, field: str) -> CollectionStats:
         return self._field_stats[field]
 
+    def sum_doc_freq(self, field: str) -> int:
+        """Terms.getSumDocFreq — the number of (term, doc) postings
+        pairs for the field. Not materialized in field_stats (the
+        CollectionStats row carries sumTotalTermFreq only), so it is
+        aggregated lazily from the term dictionary and cached per
+        reader; one tiny Spark agg, used by the classification module's
+        avg-unique-terms estimate."""
+        if not hasattr(self, "_sum_doc_freq"):
+            self._sum_doc_freq = {
+                r["field"]: r["sdf"]
+                for r in self.term_stats_df()
+                .groupBy("field")
+                .agg(F.sum("doc_freq").alias("sdf"))
+                .collect()
+            }
+        return int(self._sum_doc_freq.get(field, 0))
+
     # term dictionaries up to this many rows are cached on the driver
     # (the .tip-in-RAM analog); larger dictionaries stay Spark-side
     TERM_CACHE_MAX_ROWS = 2_000_000
