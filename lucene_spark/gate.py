@@ -724,6 +724,20 @@ fi1 AS (
   SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq FROM pos
   WHERE tok = 'table' AND p <= 10 GROUP BY doc_id
 ),
+xpr1 AS (
+  -- SpanPositionRange(table, 2, 12) via the XML parser: 0-based start
+  -- >= 2 and inclusive end < 12 == 1-based p between 3 and 12
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq FROM pos
+  WHERE tok = 'table' AND p BETWEEN 3 AND 12 GROUP BY doc_id
+),
+sp_xmlposrange AS (
+  SELECT f.doc_id, CAST(ROUND(
+    (SELECT w FROM idf WHERE tok = 'table') * f.freq /
+    (f.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM xpr1 f JOIN dlq q ON q.doc_id = f.doc_id CROSS JOIN stats s
+  ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10
+),
 sp_first AS (
   SELECT f.doc_id, CAST(ROUND(
     (SELECT w FROM idf WHERE tok = 'table') * f.freq /
@@ -803,6 +817,7 @@ UNION ALL SELECT 'sp_nearunord' AS tag, doc_id, score_x1e6 FROM sp_nearunord
 UNION ALL SELECT 'sp_cphrase' AS tag, doc_id, score_x1e6 FROM sp_cphrase
 UNION ALL SELECT 'sp_ornot' AS tag, doc_id, score_x1e6 FROM sp_ornot
 UNION ALL SELECT 'sp_first' AS tag, doc_id, score_x1e6 FROM sp_first
+UNION ALL SELECT 'sp_xmlposrange' AS tag, doc_id, score_x1e6 FROM sp_xmlposrange
 UNION ALL SELECT 'sp_containing' AS tag, doc_id, score_x1e6 FROM sp_containing
 UNION ALL SELECT 'sp_within' AS tag, doc_id, score_x1e6 FROM sp_within"""
 
@@ -1296,6 +1311,7 @@ def gate_queries() -> dict[str, object]:
         # shapes as scored branches of the same tagged union
         from lucene_spark.search.queryparser import ComplexPhraseQueryParser
         from lucene_spark.search.surround import SurroundQueryParser
+        from lucene_spark.search.xmlparser import CoreParser as _xml_parser
 
         span_specs = {
             # surround parser (queryparser/surround): nW/nN distance
@@ -1316,6 +1332,12 @@ def gate_queries() -> dict[str, object]:
                 Q.SpanTerm("key"), pre=1, post=1,
             ),
             "sp_first": Q.SpanFirst(Q.SpanTerm("table"), 10),
+            # XML CoreParser (queryparser/xml) routed end-to-end:
+            # SpanPositionRangeBuilder -> SpanPositionRange kernel
+            "sp_xmlposrange": _xml_parser(FIELD).parse(
+                '<SpanPositionRange start="2" end="12" fieldName="text">'
+                "<SpanTerm>table</SpanTerm></SpanPositionRange>"
+            ).source,
             "sp_containing": Q.SpanContaining(
                 Q.SpanNear(
                     (Q.SpanTerm("fast"), Q.SpanTerm("scan")), slop=5,

@@ -2019,7 +2019,7 @@ def _qualify_leaves(src, field: str):
             include=_qualify_leaves(src.include, field),
             exclude=_qualify_leaves(src.exclude, field),
         )
-    if isinstance(src, Q.SpanFirst):
+    if isinstance(src, (Q.SpanFirst, Q.SpanPositionRange)):
         return dataclasses.replace(src, match=_qualify_leaves(src.match, field))
     if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
         return dataclasses.replace(
@@ -2039,7 +2039,7 @@ def _span_has_masking(src) -> bool:
         return any(_span_has_masking(c) for c in src.clauses)
     if isinstance(src, Q.SpanNot):
         return _span_has_masking(src.include) or _span_has_masking(src.exclude)
-    if isinstance(src, Q.SpanFirst):
+    if isinstance(src, (Q.SpanFirst, Q.SpanPositionRange)):
         return _span_has_masking(src.match)
     if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
         return _span_has_masking(src.big) or _span_has_masking(src.little)
@@ -2092,7 +2092,7 @@ def _expand_span_source(src, reader, field: str):
             include=_expand_span_source(src.include, reader, field),
             exclude=_expand_span_source(src.exclude, reader, field),
         )
-    if isinstance(src, Q.SpanFirst):
+    if isinstance(src, (Q.SpanFirst, Q.SpanPositionRange)):
         return dataclasses.replace(
             src, match=_expand_span_source(src.match, reader, field)
         )
@@ -2136,7 +2136,7 @@ def _spans_candidates(src, ctx: _SegmentIndex) -> np.ndarray:
         return np.unique(np.concatenate(ds)) if ds else z
     if isinstance(src, Q.SpanNot):
         return _spans_candidates(src.include, ctx)
-    if isinstance(src, Q.SpanFirst):
+    if isinstance(src, (Q.SpanFirst, Q.SpanPositionRange)):
         return _spans_candidates(src.match, ctx)
     if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
         a = _spans_candidates(src.big, ctx)
@@ -2160,7 +2160,7 @@ def _spans_probe_pad(src) -> int:
     if isinstance(src, Q.SpanNot):
         return max(_spans_probe_pad(src.include),
                    _spans_probe_pad(src.exclude)) + max(src.pre, src.post)
-    if isinstance(src, Q.SpanFirst):
+    if isinstance(src, (Q.SpanFirst, Q.SpanPositionRange)):
         return _spans_probe_pad(src.match)
     if isinstance(src, (Q.SpanContaining, Q.SpanWithin)):
         return max(_spans_probe_pad(src.big), _spans_probe_pad(src.little))
@@ -2332,6 +2332,12 @@ def _spans_eval(src, ctx: _SegmentIndex, docs: np.ndarray, large: int):
     if isinstance(src, Q.SpanFirst):
         s, e, g = _spans_eval(src.match, ctx, docs, large)
         keep = (e % large) < np.int64(src.end)
+        return s[keep], e[keep], g[keep]
+    if isinstance(src, Q.SpanPositionRange):
+        s, e, g = _spans_eval(src.match, ctx, docs, large)
+        keep = ((s % large) >= np.int64(src.start)) & (
+            (e % large) < np.int64(src.end)
+        )
         return s[keep], e[keep], g[keep]
     if isinstance(src, Q.SpanContaining):
         bs, be, bg = _spans_eval(src.big, ctx, docs, large)

@@ -370,6 +370,19 @@ class SpanFirst(SpanSource):
 
 
 @dataclass(frozen=True)
+class SpanPositionRange(SpanSource):
+    """Spans of `match` whose start position is >= `start` and whose
+    inclusive end position is < `end` (SpanPositionRangeQuery.java;
+    SpanFirst == SpanPositionRange(start=0))."""
+    match: SpanSource
+    start: int
+    end: int
+
+    def terms(self):
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
 class SpanContaining(SpanSource):
     """Spans of `big` that contain at least one span of `little`
     (SpanContainingQuery.java); weight/width comes from `big`."""
