@@ -1043,7 +1043,14 @@ def gate_queries() -> dict[str, object]:
             "doc_id", F.col("rescored_x1e6").alias("score_x1e6")
         )
         feat = q_feature(spark, sf)
-        parts = [("fscore", fs), ("rescore", resc), ("feature", feat)]
+        # expressions module: JS-syntax expression compiled to one
+        # Catalyst Column, ternary + function table exercised
+        jse = sp.expression_score_topk(
+            r, FIELD, T_MID,
+            "(n_chars > 500 ? 2 : 1) * sqrt(_score) + ln(1 + n_chars) / 4",
+        )
+        parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
+                 ("jsexpr", jse)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -2218,6 +2225,14 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("rescore", one.pop("q_rescore").replace("AS rescored_x1e6", "AS score_x1e6")
             .replace("ORDER BY rescored_x1e6", "ORDER BY score_x1e6")),
         ("feature", one.pop("q_feature")),
+        ("jsexpr", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND(((CASE WHEN d.n_chars > 500 THEN 2 ELSE 1 END)
+       * sqrt(s.score_x1e6/1000000.0)
+       + ln(1 + CAST(d.n_chars AS DOUBLE)) / 4)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo
 

@@ -1151,6 +1151,37 @@ def function_score_topk(
     )
 
 
+def expression_score_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    source: str,
+    k: int = 10,
+) -> DataFrame:
+    """ExpressionRescorer (expressions/ExpressionRescorer.java): compile
+    a JavaScript-syntax expression (JavascriptCompiler.java grammar +
+    function table) and re-rank the term query's hits by it, with
+    ``_score`` bound to the BM25 score and every other free variable
+    bound to a docs-registry column. The compiled expression is one
+    Catalyst Column — whole-stage codegen, no Python per row.
+    -> (doc_id, score_x1e6)."""
+    from lucene_spark.search.expressions import compile_expression
+
+    e = compile_expression(source)
+    scored = term_scored(reader, field, term)
+    base = scored.join(reader.docs(), "doc_id")
+    col = e.column(
+        lambda n: (F.col("score_x1e6") / 1e6) if n == "_score" else F.col(n)
+    )
+    return (
+        base.select(
+            "doc_id", F.round(col * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def rescore_topk(
     reader: IndexReader,
     field: str,
