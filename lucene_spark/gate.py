@@ -1378,8 +1378,12 @@ def gate_queries() -> dict[str, object]:
         return sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
 
     def q_suggest_suite(spark, sf):
-        # spell-correct + completion-FST prefix + infix suggester,
-        # one tagged union (shared schema: term, distance, doc_freq)
+        # spell-correct + completion-FST prefix + infix suggester +
+        # FreeTextSuggester (stupid-backoff bigram LM), one tagged
+        # union (shared schema: term, distance, doc_freq — the
+        # freetext branch carries its score_x1e6 in the value slot)
+        from lucene_spark.search.freetext import freetext_lookup, freetext_model
+
         r = ensure_index(spark, sf)
         spell = sp.suggest_terms(r, FIELD, "spork", max_edits=2, k=5)
         prefix = sp.prefix_complete(r, FIELD, "s", k=5).select(
@@ -1388,8 +1392,16 @@ def gate_queries() -> dict[str, object]:
         infix = sp.infix_suggest(r, FIELD, "ndo", k=5).select(
             "term", F.lit(0).cast("int").alias("distance"), "doc_freq"
         )
+        ft = freetext_lookup(
+            freetext_model(_docs(spark, sf), "text", grams=2),
+            "data s", num=10,
+        ).select(
+            "term", F.lit(0).cast("int").alias("distance"),
+            F.col("score_x1e6").alias("doc_freq"),
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
+            ("freetext", ft),
         ]
         out = None
         for tag, df in parts:
@@ -2213,6 +2225,25 @@ WHERE term LIKE 's%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, CAST(0 AS INT) AS distance, doc_freq FROM dfs
 WHERE term LIKE '%ndo%' ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+        # FreeTextSuggester: bigram stupid backoff, key 'data s' ->
+        # context 'data', fragment 's'; alpha=0.4; dedup by completed
+        # token, highest order wins
+        ("freetext", """
+WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS t FROM d),
+unic AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS v FROM unic),
+big AS (SELECT unnest(list_transform(range(1, len(ts)), i -> struct_pack(a := ts[i], b := ts[i+1]))) AS g FROM d WHERE len(ts) >= 2),
+bigc AS (SELECT g.a AS a, g.b AS b, count(*) AS c FROM big GROUP BY g.a, g.b),
+r2 AS (SELECT a || ' ' || b AS term, b AS last, 2 AS ord,
+       c / (SELECT CAST(c AS DOUBLE) FROM unic WHERE t = 'data') AS score
+       FROM bigc WHERE a = 'data' AND b LIKE 's%'),
+r1 AS (SELECT t AS term, t AS last, 1 AS ord, 0.4 * c / (SELECT v FROM tot) AS score
+       FROM unic WHERE t LIKE 's%'),
+u AS (SELECT * FROM r2 UNION ALL SELECT * FROM r1),
+dd AS (SELECT term, score, row_number() OVER (PARTITION BY last ORDER BY ord DESC) AS rk FROM u)
+SELECT term, CAST(0 AS INT) AS distance, CAST(ROUND(score*1000000) AS BIGINT) AS doc_freq
+FROM dd WHERE rk = 1 ORDER BY doc_freq DESC, term ASC LIMIT 10"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}
