@@ -22,11 +22,18 @@ from pyspark.sql import SparkSession, functions as F
 from lucene_spark.index import manifest as mani
 
 
-def _rebase_postings_fn(offset: int):
+def _rebase_postings_fn(offset: int, src_fmt: str = "for104",
+                        dest_fmt: str = "for104"):
+    """Decode with the source index's postings format, re-encode with
+    the destination's (IndexWriter.addIndexes: imported segments adopt
+    the writer's codec)."""
     def run(it):
         import pandas as pd
 
-        from lucene_spark.index import codec
+        from lucene_spark.index.formats import get_postings_format
+
+        sfmt = get_postings_format(src_fmt)
+        dfmt = get_postings_format(dest_fmt)
 
         for pdf in it:
             if len(pdf) == 0:
@@ -34,14 +41,14 @@ def _rebase_postings_fn(offset: int):
             out = pdf.copy()
             blobs, blasts = [], []
             for row in pdf.itertuples():
-                docs, freqs = codec.decode_postings(bytes(row.postings))
+                docs, freqs = sfmt.decode(bytes(row.postings))
                 docs = docs + offset
                 import numpy as np
 
                 norms = np.frombuffer(bytes(row.norms), dtype=np.uint8).astype(
                     np.int64
                 )
-                blob, block_last, _f, _n = codec.encode_postings(docs, freqs, norms)
+                blob, block_last, _f, _n = dfmt.encode(docs, freqs, norms)
                 blobs.append(blob)
                 blasts.append([int(x) for x in block_last])
             out["postings"] = blobs
@@ -76,7 +83,12 @@ def add_indexes(spark: SparkSession, dest_dir: str, src_dir: str) -> int:
         "segment_id", F.concat(F.lit(prefix), F.col("segment_id"))
     )
     rebased = postings.mapInPandas(
-        _rebase_postings_fn(offset), schema=postings.schema
+        _rebase_postings_fn(
+            offset,
+            src_fmt=sm.get("postings_format") or "for104",
+            dest_fmt=dm.get("postings_format") or "for104",
+        ),
+        schema=postings.schema
     )
     rebased.write.mode("overwrite").parquet(f"{dest_dir}/postings/batch={next_b}")
 

@@ -70,6 +70,10 @@ class IndexConfig:
     # PerFieldAnalyzerWrapper.java): per-field analyzer-name overrides;
     # fields absent from the map use `analyzer`.
     field_analyzers: dict | None = None
+    # Postings blob codec (PostingsFormat SPI, codecs module):
+    # "for104" (FOR-blocked, default) or "varint" — recorded in the
+    # manifest, resolved by name everywhere postings are (de)coded
+    postings_format: str = "for104"
     # Index sorting (IndexWriterConfig.java:475-482 setIndexSort): when
     # set, doc ids are assigned in ascending order of this column (then
     # id_cols as tie-break), segments record per-segment min/max of the
@@ -173,6 +177,7 @@ def assign_doc_ids(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 def _invert_fields(
     seg_id, doc_ids, pdf, ans, fields: dict, store_pos: bool,
     store_off: bool = False, store_pay: bool = False,
+    postings_format: str = "for104",
 ):
     """Invert every (field, content_col) of one segment; doc rows carry
     their field so doclens are per (doc, field) — a Document is a bag of
@@ -186,6 +191,7 @@ def _invert_fields(
         seg = build_segment(
             seg_id, doc_ids, pdf[col], an, fname, store_positions=store_pos,
             store_offsets=store_off, store_payloads=store_pay,
+            postings_format=postings_format,
         )
         seg.loc[seg["row_type"] == 0, "field"] = fname
         frames.append(seg)
@@ -196,6 +202,7 @@ def make_invert_fn(
     analyzer_name: str, content_col: str, fieldname: str, store_pos: bool,
     fields: dict | None = None, field_analyzers: dict | None = None,
     store_off: bool = False, store_pay: bool = False,
+    postings_format: str = "for104",
 ):
     """The DWPT pass as a mapInPandas closure: one partition -> one
     segment (tokenize, count freqs, sort terms once). Shared by the
@@ -219,7 +226,7 @@ def make_invert_fn(
             seg_id = f"b{pdf['_batch'].iat[0]:04d}p{pid:05d}"
             yield _invert_fields(
                 seg_id, pdf["doc_id"].to_numpy(), pdf, an, fields, store_pos,
-                store_off, store_pay,
+                store_off, store_pay, postings_format,
             )
 
     return invert
@@ -236,6 +243,7 @@ def _make_fused_fn(
     field_analyzers: dict | None = None,
     store_off: bool = False,
     store_pay: bool = False,
+    postings_format: str = "for104",
 ):
     """The fused DWPT pass: ONE Python crossing per partition that
     (a) assigns dense deterministic doc_ids from the per-partition
@@ -276,7 +284,7 @@ def _make_fused_fn(
             seg_id = f"b{batch_no:04d}p{pid:05d}"
             out = _invert_fields(
                 seg_id, doc_ids, pdf, an, fields or {fieldname: content_col},
-                store_pos, store_off, store_pay,
+                store_pos, store_off, store_pay, postings_format,
             )
             # attach registry columns to the PRIMARY field's doc rows
             # (aligned: build_segment emits doc rows first in doc_id
@@ -488,7 +496,7 @@ def build_index(
     fused = _make_fused_fn(
         analyzer_name, cfg.content_col, fieldname, store_pos, meta_cols,
         None if preassigned else offsets, fields, cfg.field_analyzers,
-        cfg.store_offsets, cfg.store_payloads,
+        cfg.store_offsets, cfg.store_payloads, cfg.postings_format,
     )
     meta_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -585,6 +593,7 @@ def build_index(
                     "store_positions": store_pos,
                     "store_offsets": cfg.store_offsets,
                     "store_payloads": cfg.store_payloads,
+                    "postings_format": cfg.postings_format,
                     "sort_by": cfg.sort_by,
                     "num_docs_total": int(n_docs),
                     "layout_version": LAYOUT_VERSION,

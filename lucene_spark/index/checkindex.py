@@ -33,15 +33,19 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
+from functools import partial
+
 from lucene_spark.index import manifest as mani
 
 
-def check_segment_postings(pdf) -> list[str]:
+def check_segment_postings(pdf, fmt_name: str = "for104") -> list[str]:
     """Per-(segment) pandas kernel -> list of violation strings."""
     import numpy as np
 
     from lucene_spark.index import codec
+    from lucene_spark.index.formats import get_postings_format
 
+    fmt = get_postings_format(fmt_name)
     out: list[str] = []
     seg = pdf["segment_id"].iat[0] if len(pdf) else "?"
     # The term-dict sort invariant materializes as key-ordered access in
@@ -53,7 +57,7 @@ def check_segment_postings(pdf) -> list[str]:
     for row in pdf.itertuples():
         tag = f"{seg}/{row.field}/{row.term}"
         try:
-            docs, freqs = codec.decode_postings(bytes(row.postings))
+            docs, freqs = fmt.decode(bytes(row.postings))
         except Exception as e:  # noqa: BLE001
             out.append(f"{tag}: postings decode failed: {e}")
             continue
@@ -167,7 +171,11 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
 
     postings = reader.postings()
     doclens = reader.doclens()
-    violations += _collect_violations(postings, check_segment_postings)
+    violations += _collect_violations(
+        postings,
+        partial(check_segment_postings,
+                fmt_name=m.get("postings_format") or "for104"),
+    )
     violations += _collect_violations(doclens, check_segment_doclens)
 
     # per-(segment, field) cross-check: sum(doc_len) == sum(total_term_freq)

@@ -30,6 +30,7 @@ between them is invisible to readers).
 from __future__ import annotations
 
 import time
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -67,7 +68,7 @@ def find_merges(
     return groups
 
 
-def _merge_postings_fn(order: dict[str, int]):
+def _merge_postings_fn(order: dict[str, int], fmt_name: str = "for104"):
     """applyInPandas kernel: merge one (field, term)'s posting rows from
     the input segments into a single row. `order` maps segment_id ->
     rank by first doc_id (ranges are disjoint, so concatenation in rank
@@ -91,15 +92,18 @@ def _merge_postings_fn(order: dict[str, int]):
         pdf = pdf.sort_values(["_rank", "_tie"])
         docs_l, freqs_l = [], []
         have_pos = pdf["positions"].notna().all()
+        from lucene_spark.index.formats import get_postings_format
+
+        fmt = get_postings_format(fmt_name)
         for row in pdf.itertuples():
-            d, f = codec.decode_postings(bytes(row.postings))
+            d, f = fmt.decode(bytes(row.postings))
             docs_l.append(d)
             freqs_l.append(f)
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)
         norms_b = b"".join(bytes(b) for b in pdf["norms"])
         norms = np.frombuffer(norms_b, dtype=np.uint8).astype(np.int64)
-        blob, block_last, imp_f, imp_n = codec.encode_postings(docs, freqs, norms)
+        blob, block_last, imp_f, imp_n = fmt.encode(docs, freqs, norms)
         pos = b"".join(bytes(b) for b in pdf["positions"]) if have_pos else None
         have_off = pdf["offsets"].notna().all()
         off = b"".join(bytes(b) for b in pdf["offsets"]) if have_off else None
@@ -132,7 +136,7 @@ _POSTING_COLS = [
 ]
 
 
-def _purge_segment_fn(left, right):
+def _purge_segment_fn(left, right, fmt_name: str = "for104"):
     """Cogrouped applyInPandas kernel (SegmentMerger-over-liveDocs role):
     drop tombstoned docs from ONE segment's posting rows. ``left`` is the
     segment's posting rows, ``right`` its tombstones — delivered by a
@@ -144,6 +148,9 @@ def _purge_segment_fn(left, right):
     import pandas as pd
 
     from lucene_spark.index import codec
+    from lucene_spark.index.formats import get_postings_format
+
+    fmt = get_postings_format(fmt_name)
 
     if len(left) == 0:
         return left[_POSTING_COLS]
@@ -182,7 +189,7 @@ def _purge_segment_fn(left, right):
             out["impact_norms"].append([[int(v) for v in ns] for ns in imp_n])
 
     for row in left.itertuples():
-        docs, freqs = codec.decode_postings(bytes(row.postings))
+        docs, freqs = fmt.decode(bytes(row.postings))
         idx = np.searchsorted(dels, docs)
         hit = (idx < len(dels)) & (dels[np.minimum(idx, len(dels) - 1)] == docs)
         if not hit.any():
@@ -212,7 +219,7 @@ def _purge_segment_fn(left, right):
             ]
             o_pairs = [p for p, kp in zip(o_pairs, keep) if kp]
         docs2, freqs2, norms2 = docs[keep], freqs[keep], norms[keep]
-        blob, block_last, imp_f, imp_n = codec.encode_postings(
+        blob, block_last, imp_f, imp_n = fmt.encode(
             docs2, freqs2, norms2
         )
         if row.positions is not None:
@@ -336,7 +343,10 @@ def merge_round(
                 rows.groupBy("segment_id")
                 .cogroup(seg_dels.groupBy("segment_id"))
                 .applyInPandas(
-                    _purge_segment_fn,
+                    partial(
+                        _purge_segment_fn,
+                        fmt_name=m.get("postings_format") or "for104",
+                    ),
                     schema=f"segment_id string, {_MERGED_SCHEMA}",
                 )
             )
@@ -369,7 +379,10 @@ def merge_round(
         )
         merged = (
             salted.groupBy("field", "term", "_salt")
-            .applyInPandas(_merge_postings_fn(order), schema=_MERGED_SCHEMA)
+            .applyInPandas(
+                _merge_postings_fn(order, m.get("postings_format") or "for104"),
+                schema=_MERGED_SCHEMA,
+            )
             .withColumn("segment_id", F.lit(new_sid))
         )
         out_b = next_b + gi

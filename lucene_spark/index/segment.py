@@ -51,6 +51,7 @@ def build_segment(
     store_positions: bool = True,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    postings_format: str = "for104",
 ) -> pd.DataFrame:
     """Invert one segment. doc_ids must be strictly increasing (the
     docs-in-order invariant, Lucene104PostingsWriter.java:263-268).
@@ -69,6 +70,9 @@ def build_segment(
     one plain varint per occurrence beside the position blob; requires
     a payload-producing analyzer (analyzer.supports_payloads()).
     """
+    from lucene_spark.index.formats import get_postings_format
+
+    fmt = get_postings_format(postings_format)
     n_docs = len(doc_ids)
     if store_offsets and store_payloads:
         raise ValueError("store_offsets + store_payloads is not supported")
@@ -224,19 +228,13 @@ def build_segment(
     for ts, te in zip(term_starts, term_ends):
         term = uniq_terms[pair_term[ts]]
         if te - ts == 1:
-            # df==1 fast path: hand-rolled byte layout identical to
-            # encode_postings for a single posting (no numpy calls)
+            # df==1 fast path: the format's single-posting encoder
+            # (byte-identical to its encode() for one posting; no
+            # numpy calls)
             doc = int(doc_ids64[pair_doc[ts]])
             f = int(freqs_all[ts])
             nrm = int(norm_codes_per_doc[pair_doc[ts]])
-            db = doc.bit_length()
-            fb = (f - 1).bit_length()
-            blob = (
-                b"\x01\x00\x00\x00"
-                + bytes((1, 0, db, fb))
-                + doc.to_bytes((db + 7) // 8, "little")
-                + (f - 1).to_bytes((fb + 7) // 8, "little")
-            )
+            blob = fmt.encode_single(doc, f)
             records.append(
                 (
                     segment_id, 1, None, None, None, field, str(term),
@@ -250,7 +248,7 @@ def build_segment(
         g_docs = doc_ids64[local_docs]
         g_freqs = freqs_all[ts:te]
         g_norms = norm_codes_per_doc[local_docs].astype(np.int64)
-        blob, block_last, imp_f, imp_n = codec.encode_postings(g_docs, g_freqs, g_norms)
+        blob, block_last, imp_f, imp_n = fmt.encode(g_docs, g_freqs, g_norms)
         records.append(
             (
                 segment_id, 1, None, None, None, field, str(term),

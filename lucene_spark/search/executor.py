@@ -740,13 +740,17 @@ class IndexSearcher:
                 rows.groupBy("segment_id")
                 .cogroup(dels.groupBy("segment_id"))
                 .applyInPandas(
-                    _make_segment_cogroup_fn(node, k, prune, search_after),
+                    _make_segment_cogroup_fn(
+                        node, k, prune, search_after,
+                        fmt=_reader_fmt(self.reader),
+                    ),
                     schema=_OUT_SCHEMA,
                 )
             )
         else:
             per_seg = rows.groupBy("segment_id").applyInPandas(
-                _make_segment_fn(node, k, prune, search_after),
+                _make_segment_fn(node, k, prune, search_after,
+                                 fmt=_reader_fmt(self.reader)),
                 schema=_OUT_SCHEMA,
             )
         # only segments x k rows reach the driver (TopDocs.merge stage)
@@ -805,7 +809,7 @@ class IndexSearcher:
         )
         if pdf.empty:
             return {"match": False, "value": 0.0, "description": "no terms in segment", "details": []}
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=_reader_fmt(self.reader))
         return _explain_node(node, ctx, int(doc_id))
 
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
@@ -879,6 +883,12 @@ def _collect_field(node: dict) -> str:
 # --------------------------------------------------------------------------
 
 
+def _reader_fmt(reader) -> str:
+    """Postings-format name recorded in the manifest (SegmentInfos
+    codec role); pre-format indexes default to for104."""
+    return reader.manifest.get("postings_format") or "for104"
+
+
 def _empty_topk() -> pd.DataFrame:
     return pd.DataFrame(
         {"segment_id": [], "doc_id": [], "score": [], "seg_total": []}
@@ -888,7 +898,7 @@ def _empty_topk() -> pd.DataFrame:
 
 def _segment_topk(
     node: dict, k: int, prune: bool, after, pdf: pd.DataFrame,
-    deleted: np.ndarray | None,
+    deleted: np.ndarray | None, fmt: str = "for104",
 ) -> pd.DataFrame:
     """Shared per-segment kernel body. `deleted` (sorted int64 or None)
     is masked out of the postings INSIDE _SegmentIndex, so every scorer
@@ -896,7 +906,7 @@ def _segment_topk(
     semantics; stats still count deletions until merge, the Lucene
     docFreq contract)."""
     seg = str(pdf["segment_id"].iat[0])
-    ctx = _SegmentIndex(pdf, deleted=deleted)
+    ctx = _SegmentIndex(pdf, deleted=deleted, fmt=fmt)
     if prune == "maxscore":  # bulk-scorer strategy override
         node = {**node, "strategy": "maxscore"}
     docs, scores = _eval(node, ctx, k if prune else None)
@@ -920,14 +930,15 @@ def _segment_topk(
     )
 
 
-def _make_segment_fn(node: dict, k: int, prune: bool, after):
+def _make_segment_fn(node: dict, k: int, prune: bool, after, fmt: str = "for104"):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_topk(node, k, prune, after, pdf, None)
+        return _segment_topk(node, k, prune, after, pdf, None, fmt)
 
     return fn
 
 
-def _make_segment_cogroup_fn(node: dict, k: int, prune: bool, after):
+def _make_segment_cogroup_fn(node: dict, k: int, prune: bool, after,
+                             fmt: str = "for104"):
     """Cogrouped variant: (postings rows, tombstone rows) per segment.
     The tombstone side scales with per-segment churn, never the global
     delete count — no driver broadcast."""
@@ -938,7 +949,7 @@ def _make_segment_cogroup_fn(node: dict, k: int, prune: bool, after):
         deleted = (
             np.sort(dels["doc_id"].to_numpy(np.int64)) if len(dels) else None
         )
-        return _segment_topk(node, k, prune, after, pdf, deleted)
+        return _segment_topk(node, k, prune, after, pdf, deleted, fmt)
 
     return fn
 
@@ -951,7 +962,15 @@ class _SegmentIndex:
     order at read) — all accessors transparently concatenate row parts
     ordered by their first docID."""
 
-    def __init__(self, pdf: pd.DataFrame, deleted: np.ndarray | None = None):
+    def __init__(
+        self,
+        pdf: pd.DataFrame,
+        deleted: np.ndarray | None = None,
+        fmt: str = "for104",
+    ):
+        from lucene_spark.index.formats import get_postings_format
+
+        self.fmt = get_postings_format(fmt)
         self.rows: dict[str, list[int]] = {}
         fields = pdf["field"].tolist() if "field" in pdf else None
         for i, t in enumerate(pdf["term"].tolist()):
@@ -1002,18 +1021,18 @@ class _SegmentIndex:
             mask = (idx < len(candidates)) & (
                 candidates[np.minimum(idx, len(candidates) - 1)] <= lasts
             )
-            docs, freqs = codec.decode_blocks_selective(blob, block_last, mask)
+            docs, freqs = self.fmt.decode_selective(blob, block_last, mask)
             # norms are stored per posting in list order; selective decode
             # loses alignment — rebuild via searchsorted on full docid list
             # only when blocks were skipped:
             if mask.all():
                 norms = norms_all
             else:
-                full_docs, _ = codec.decode_postings(blob)
+                full_docs, _ = self.fmt.decode(blob)
                 pos = np.searchsorted(full_docs, docs)
                 norms = norms_all[pos]
             return docs, freqs, norms
-        docs, freqs = codec.decode_postings(blob)
+        docs, freqs = self.fmt.decode(blob)
         return docs, freqs, norms_all
 
     def postings(self, term: str, candidates: np.ndarray | None = None):
@@ -1065,7 +1084,7 @@ class _SegmentIndex:
         lens_parts: list[np.ndarray] = []
         for i in self.rows.get(term, ()):
             r = self.pdf.iloc[i]
-            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            d, freqs = self.fmt.decode(bytes(r["postings"]))
             flat, lens = codec.decode_positions_flat(
                 bytes(r["positions"]), freqs
             )
@@ -1111,7 +1130,7 @@ class _SegmentIndex:
             r = self.pdf.iloc[i]
             if r["offsets"] is None:
                 raise ValueError("index was not built with store_offsets")
-            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            d, freqs = self.fmt.decode(bytes(r["postings"]))
             st, en, lens = codec.decode_offsets_flat(bytes(r["offsets"]), freqs)
             keep = self._live(d)
             if keep is not None:
@@ -1152,7 +1171,7 @@ class _SegmentIndex:
             r = self.pdf.iloc[i]
             if "payloads" not in r or r["payloads"] is None:
                 raise ValueError("index was not built with store_payloads")
-            d, freqs = codec.decode_postings(bytes(r["postings"]))
+            d, freqs = self.fmt.decode(bytes(r["postings"]))
             vals = codec.decode_payloads_flat(bytes(r["payloads"]), freqs)
             vals = vals.view(np.float32)
             lens = freqs.astype(np.int64)
@@ -1590,12 +1609,12 @@ def _eval_multi_phrase(node: dict, ctx: _SegmentIndex):
     return docs, node["scorer"].score(freqs, norms)
 
 
-def _make_multi_phrase_freq_fn(slots):
+def _make_multi_phrase_freq_fn(slots, fmt: str = "for104"):
     """Per-segment (doc_id, freq, norm_code) extractor for the sql64
     multi-phrase path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         docs, freqs, norms = _multi_phrase_freqs(
             tuple(tuple(s) for s in slots), ctx
         )
@@ -1607,11 +1626,12 @@ def _make_multi_phrase_freq_fn(slots):
     return fn
 
 
-def _make_near_fn(term_a: str, term_b: str, window: int, ordered: bool):
+def _make_near_fn(term_a: str, term_b: str, window: int, ordered: bool,
+                  fmt: str = "for104"):
     """Per-segment (doc_id) extractor for the sql64 NEAR path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         node = {"terms": [term_a, term_b], "window": window,
                 "ordered": ordered, "weight": 1.0}
         docs, _ = _eval_near(node, ctx)
@@ -1974,11 +1994,11 @@ def _eval_intervals(node: dict, ctx: _SegmentIndex):
     return docs, np.full(len(docs), np.float32(node["weight"]), dtype=np.float32)
 
 
-def _make_intervals_fn(source, terms: list[str]):
+def _make_intervals_fn(source, terms: list[str], fmt: str = "for104"):
     """Per-segment (doc_id) extractor for the sql64 intervals path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         node = {"terms": list(terms), "source": source, "weight": 1.0}
         docs, _ = _eval_intervals(node, ctx)
         return pd.DataFrame({"doc_id": docs.astype(np.int64)})
@@ -2614,12 +2634,12 @@ def _eval_payload_score(node: dict, ctx: _SegmentIndex):
     return mdocs, (agg * span_scores.astype(np.float64)).astype(np.float32)
 
 
-def _make_spans_freq_fn(source):
+def _make_spans_freq_fn(source, fmt: str = "for104"):
     """Per-segment (doc_id, float32 sloppy freq, norm_code) extractor
     for the sql64 spans path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         docs, freqs, norms = _span_freqs(source, ctx)
         return pd.DataFrame(
             {"doc_id": docs.astype(np.int64),
@@ -2643,12 +2663,12 @@ def _eval_phrase(node: dict, ctx: _SegmentIndex):
     return docs, node["scorer"].score(freqs, norms)
 
 
-def _make_phrase_freq_fn(terms: list[str]):
+def _make_phrase_freq_fn(terms: list[str], fmt: str = "for104"):
     """Per-segment (doc_id, phrase_freq, norm_code) extractor for the
     sql64 phrase path — positional intersection only, no scoring."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         docs, freqs, norms = _phrase_freqs(list(terms), ctx)
         return pd.DataFrame(
             {"doc_id": docs.astype(np.int64), "freq": freqs.astype(np.int32),
@@ -2658,12 +2678,13 @@ def _make_phrase_freq_fn(terms: list[str]):
     return fn
 
 
-def _make_sloppy_phrase_freq_fn(terms: list[str], slop: int):
+def _make_sloppy_phrase_freq_fn(terms: list[str], slop: int,
+                                fmt: str = "for104"):
     """Per-segment (doc_id, float32 sloppyFreq, norm_code) extractor for
     the sql64 sloppy-phrase path."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx = _SegmentIndex(pdf)
+        ctx = _SegmentIndex(pdf, fmt=fmt)
         docs, freqs, norms = _sloppy_phrase_freqs(list(terms), slop, ctx)
         return pd.DataFrame(
             {"doc_id": docs.astype(np.int64),

@@ -24,12 +24,18 @@ BM25Similarity.java:221-232 without the float32 rewrite):
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from lucene_spark.search.executor import IndexReader
 from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+def _fmt(reader: "IndexReader") -> str:
+    """Manifest postings-format name (SegmentInfos codec role)."""
+    return reader.manifest.get("postings_format") or "for104"
+
 
 K1 = 1.2
 B = 0.75
@@ -43,19 +49,27 @@ _DECODE_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(_DECODE_TYPE)
-def _decode_udf(blobs: pd.Series, norm_blobs: pd.Series) -> pd.DataFrame:
-    import numpy as np
+@lru_cache(maxsize=None)
+def _decode_udf(fmt_name: str = "for104"):
+    """Arrow-batched postings decode bound to one postings format
+    (the manifest's SegmentInfos-codec role)."""
 
-    from lucene_spark.index import codec
+    @F.pandas_udf(_DECODE_TYPE)
+    def decode(blobs: pd.Series, norm_blobs: pd.Series) -> pd.DataFrame:
+        import numpy as np
 
-    docs, freqs, norms = [], [], []
-    for blob, nb in zip(blobs, norm_blobs):
-        d, f = codec.decode_postings(bytes(blob))
-        docs.append(d.tolist())
-        freqs.append(f.astype(np.int32).tolist())
-        norms.append(np.frombuffer(bytes(nb), dtype=np.uint8).astype(np.int32).tolist())
-    return pd.DataFrame({"docs": docs, "freqs": freqs, "norms": norms})
+        from lucene_spark.index.formats import get_postings_format
+
+        fmt = get_postings_format(fmt_name)
+        docs, freqs, norms = [], [], []
+        for blob, nb in zip(blobs, norm_blobs):
+            d, f = fmt.decode(bytes(blob))
+            docs.append(d.tolist())
+            freqs.append(f.astype(np.int32).tolist())
+            norms.append(np.frombuffer(bytes(nb), dtype=np.uint8).astype(np.int32).tolist())
+        return pd.DataFrame({"docs": docs, "freqs": freqs, "norms": norms})
+
+    return decode
 
 
 def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> DataFrame:
@@ -65,7 +79,10 @@ def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> Data
     rows = reader.postings().filter(
         (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
     )
-    dec = rows.select("term", _decode_udf("postings", "norms").alias("p"))
+    dec = rows.select(
+        "term",
+        _decode_udf(_fmt(reader))("postings", "norms").alias("p"),
+    )
     z = dec.select(
         "term", F.explode(F.arrays_zip("p.docs", "p.freqs", "p.norms")).alias("e")
     )
@@ -214,7 +231,8 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
         (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
     )
     freqs = rows.groupBy("segment_id").applyInPandas(
-        _make_phrase_freq_fn(terms), schema="doc_id long, freq int, norm_code int"
+        _make_phrase_freq_fn(terms, fmt=_fmt(reader)),
+        schema="doc_id long, freq int, norm_code int",
     )
     dels = reader.deleted_df()
     if dels is not None:
@@ -654,7 +672,7 @@ def sloppy_phrase_bm25_topk(
         (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
     )
     freqs = rows.groupBy("segment_id").applyInPandas(
-        _make_sloppy_phrase_freq_fn(terms, slop),
+        _make_sloppy_phrase_freq_fn(terms, slop, fmt=_fmt(reader)),
         schema="doc_id long, freq float, norm_code int",
     )
     dels = reader.deleted_df()
@@ -708,7 +726,7 @@ def spans_topk(
         (F.col("field") == field) & (F.col("term").isin(all_terms))
     )
     freqs = rows.groupBy("segment_id").applyInPandas(
-        _make_spans_freq_fn(source),
+        _make_spans_freq_fn(source, fmt=_fmt(reader)),
         schema="doc_id long, freq float, norm_code int",
     )
     dels = reader.deleted_df()
@@ -1420,7 +1438,7 @@ def multi_phrase_bm25_topk(
         (F.col("field") == field) & (F.col("term").isin(list(set(present))))
     )
     freqs = rows.groupBy("segment_id").applyInPandas(
-        _make_multi_phrase_freq_fn(pruned),
+        _make_multi_phrase_freq_fn(pruned, fmt=_fmt(reader)),
         schema="doc_id long, freq int, norm_code int",
     )
     dels = reader.deleted_df()
@@ -1464,7 +1482,8 @@ def near_match_topk(
         (F.col("field") == field) & (F.col("term").isin([term_a, term_b]))
     )
     matched = rows.groupBy("segment_id").applyInPandas(
-        _make_near_fn(term_a, term_b, window, ordered), schema="doc_id long"
+        _make_near_fn(term_a, term_b, window, ordered, fmt=_fmt(reader)),
+        schema="doc_id long",
     )
     dels = reader.deleted_df()
     if dels is not None:
@@ -1503,7 +1522,8 @@ def intervals_match_topk(
         (F.col("field") == field) & (F.col("term").isin(terms))
     )
     matched = rows.groupBy("segment_id").applyInPandas(
-        _make_intervals_fn(source, terms), schema="doc_id long"
+        _make_intervals_fn(source, terms, fmt=_fmt(reader)),
+        schema="doc_id long",
     )
     dels = reader.deleted_df()
     if dels is not None:

@@ -112,10 +112,14 @@ def append_batch(
     )
     parts = max(1, (n_new + cfg.docs_per_segment - 1) // cfg.docs_per_segment)
     batch_df = batch_df.repartitionByRange(parts, "doc_id")
+    # appended segments must use the EXISTING index's postings format
+    # (SegmentInfos codec consistency) — manifest wins over cfg
+    fmt_name = (m or {}).get("postings_format") or cfg.postings_format
     invert = make_invert_fn(
         cfg.analyzer, cfg.content_col, cfg.field, cfg.store_positions,
         fields=cfg.all_fields(), field_analyzers=cfg.field_analyzers,
         store_off=cfg.store_offsets, store_pay=cfg.store_payloads,
+        postings_format=fmt_name,
     )
     staging = batch_df.mapInPandas(invert, schema=STAGING_SCHEMA)
     staging.write.mode("overwrite").parquet(f"{index_dir}/staging/batch={next_b}")
@@ -161,6 +165,7 @@ def append_batch(
         "k1": cfg.k1,
         "b": cfg.b,
         "store_positions": cfg.store_positions,
+        "postings_format": fmt_name,
         "num_batches": len(committed),
         "id_cols": list(cfg.id_cols),
         "doc_id_col": cfg.doc_id_col,
