@@ -1410,6 +1410,12 @@ def gate_queries() -> dict[str, object]:
         return out
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
+    _SHAPE_BOXES = {
+        "intersects": (0.0, 30.0, 0.0, 60.0),
+        "within": (-55.0, 55.0, -110.0, 110.0),
+        "contains": (10.0, 11.0, 10.0, 12.0),
+        "disjoint": (0.0, 30.0, 0.0, 60.0),
+    }
 
     def q_geo_suite(spark, sf):
         # LatLonPoint.newBoxQuery + newPolygonQuery (even-odd ray
@@ -1428,11 +1434,21 @@ def gate_queries() -> dict[str, object]:
                 "doc_id", F.col(c[1]).alias("v1"), v2.alias("v2")
             )
 
+        from lucene_spark.search import shapes
+
         return _union([
             ("box", _h(geo.geo_box(d, 10.0, 55.0, -40.0, 60.0, k=50))),
             ("polygon", _h(geo.geo_polygon_topk(d, _POLY, k=50))),
             ("distance", _h(geo.geo_distance_topk(
                 d, qlat=35.0, qlon=10.0, radius_km=3000.0, k=20))),
+            # LatLonShape box queries over per-doc triangles, all four
+            # QueryRelations (shapes.py; v1/v2 = centroid millis)
+            *[
+                (f"shape_{rel}", _h(
+                    shapes.shape_box_topk(d, rel, *_SHAPE_BOXES[rel], k=50)
+                ))
+                for rel in shapes.RELATIONS
+            ],
         ])
 
     def q_classify_suite(spark, sf):
@@ -2272,10 +2288,24 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     box_sql = _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)
     poly_sql = _geo.geo_polygon_sql(_POLY, k=50)
     dist_sql = _geo.geo_distance_sql(35.0, 10.0, 3000.0, k=20)
+    from lucene_spark.search import shapes as _shapes
+
+    _SHAPE_BOXES = {
+        "intersects": (0.0, 30.0, 0.0, 60.0),
+        "within": (-55.0, 55.0, -110.0, 110.0),
+        "contains": (10.0, 11.0, 10.0, 12.0),
+        "disjoint": (0.0, 30.0, 0.0, 60.0),
+    }
     one["q_geo_suite"] = _sql_tagged_flat([
         ("box", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({box_sql})"),
         ("polygon", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({poly_sql})"),
         ("distance", f"SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ({dist_sql})"),
+        *[
+            (f"shape_{rel}",
+             "SELECT doc_id, clat_x1e3 AS v1, clon_x1e3 AS v2 FROM ("
+             + _shapes.shape_box_sql(rel, *_SHAPE_BOXES[rel], k=50) + ")")
+            for rel in _shapes.RELATIONS
+        ],
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),

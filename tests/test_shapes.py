@@ -1,0 +1,143 @@
+"""LatLonShape box queries: engine vs a pure-Python computational-
+geometry replay (shapely-free), plus relation-algebra invariants."""
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+BOX = (0.0, 30.0, 0.0, 60.0)  # (min_lat, max_lat, min_lon, max_lon)
+
+
+def _h(doc_id, tag, mod):
+    v = int(hashlib.md5(f"{doc_id}{tag}".encode()).hexdigest()[:8], 16)
+    return v % mod
+
+
+def _triangle(doc_id):
+    clat = _h(doc_id, "_lat", 180000) / 1000.0 - 90.0
+    clon = _h(doc_id, "_lon", 360000) / 1000.0 - 180.0
+    return [
+        (
+            clon + _h(doc_id, f"_t{i}o", 80000) / 1000.0 - 40.0,
+            clat + _h(doc_id, f"_t{i}a", 40000) / 1000.0 - 20.0,
+        )
+        for i in range(3)
+    ]
+
+
+def _orient(a, b, c):
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _in_box(p, box):
+    return box[2] <= p[0] <= box[3] and box[0] <= p[1] <= box[1]
+
+
+def _in_tri(p, tri):
+    os = [_orient(tri[i], tri[(i + 1) % 3], p) for i in range(3)]
+    return all(o >= 0 for o in os) or all(o <= 0 for o in os)
+
+
+def _cross(p1, p2, q1, q2):
+    return (
+        _orient(p1, p2, q1) * _orient(p1, p2, q2) < 0
+        and _orient(q1, q2, p1) * _orient(q1, q2, p2) < 0
+    )
+
+
+def _relation(tri, box, rel):
+    corners = [
+        (box[2], box[0]), (box[2], box[1]), (box[3], box[1]), (box[3], box[0])
+    ]
+    if rel == "within":
+        return all(_in_box(v, box) for v in tri)
+    if rel == "contains":
+        return all(_in_tri(c, tri) for c in corners)
+    inter = (
+        any(_in_box(v, box) for v in tri)
+        or any(_in_tri(c, tri) for c in corners)
+        or any(
+            _cross(tri[i], tri[(i + 1) % 3], corners[j], corners[(j + 1) % 4])
+            for i in range(3)
+            for j in range(4)
+        )
+    )
+    return inter if rel == "intersects" else not inter
+
+
+@pytest.fixture(scope="module")
+def doc_ids(spark):
+    return sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").collect()
+    )
+
+
+@pytest.mark.parametrize("rel", ["intersects", "within", "contains", "disjoint"])
+def test_relation_matches_python_replay(spark, doc_ids, rel):
+    from lucene_spark.search import shapes
+
+    box = (10.0, 11.0, 10.0, 12.0) if rel == "contains" else BOX
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in shapes.shape_box_topk(docs, rel, *box, k=10**6).collect()
+    )
+    want = sorted(
+        d for d in doc_ids if _relation(_triangle(d), box, rel)
+    )
+    assert got == want
+    assert got  # every relation branch is non-trivial on this corpus
+
+
+def test_relation_algebra(spark, doc_ids):
+    """WITHIN and CONTAINS imply INTERSECTS; DISJOINT is its complement
+    (ShapeQuery QueryRelation contract)."""
+    from lucene_spark.search import shapes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def ids(rel, box):
+        return {
+            r["doc_id"]
+            for r in shapes.shape_box_topk(docs, rel, *box, k=10**6).collect()
+        }
+
+    inter = ids("intersects", BOX)
+    assert ids("within", BOX) <= inter
+    assert ids("disjoint", BOX) == set(doc_ids) - inter
+    big = (-60.0, 60.0, -120.0, 120.0)
+    assert ids("contains", (10.0, 11.0, 10.0, 12.0)) <= ids(
+        "intersects", (10.0, 11.0, 10.0, 12.0)
+    )
+    assert ids("within", big) <= ids("intersects", big)
+
+
+def test_bbox_prune_preserves_results(spark):
+    """The min/max-column prefilter (BKD-node role) must not change the
+    INTERSECTS result set vs the pure relation expression."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search import shapes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tri = shapes.synthesize_triangles(docs)
+    expr = shapes.relation_expr("intersects", *BOX)
+    unpruned = sorted(
+        r["doc_id"] for r in tri.filter(F.expr(expr)).select("doc_id").collect()
+    )
+    pruned = sorted(
+        r["doc_id"]
+        for r in shapes.shape_box_topk(docs, "intersects", *BOX, k=10**6)
+        .select("doc_id").collect()
+    )
+    assert pruned == unpruned
+
+
+def test_unknown_relation_rejected(spark):
+    from lucene_spark.search import shapes
+
+    with pytest.raises(ValueError, match="unknown relation"):
+        shapes.relation_expr("touches", 0, 1, 0, 1)
