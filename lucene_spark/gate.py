@@ -1107,7 +1107,16 @@ def gate_queries() -> dict[str, object]:
         return dd.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.15)
 
     def q_dedup_minhash(spark, sf):
-        return dd.minhash_lsh_pairs(_docs(spark, sf), threshold=0.1)
+        # batch self-dedup + incremental batch-vs-corpus dedup
+        # (doc_id % 10 = 0 plays the incoming batch), one tagged union
+        d = _docs(spark, sf)
+        batch = dd.minhash_lsh_pairs(d, threshold=0.1)
+        inc = dd.incremental_minhash_pairs(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0),
+            threshold=0.1,
+        )
+        return _union([("batch", batch), ("incremental", inc)])
 
     def q_dedup_simhash(spark, sf):
         return dd.simhash_pairs(_docs(spark, sf), max_hamming=6)
@@ -1988,7 +1997,11 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         "q_fingerprint": ts.fingerprints_sql(),
         "q_dedup_exact": dd.exact_dedup_sql(),
         "q_dedup_ngram": dd.ngram_jaccard_sql(n=3, threshold=0.15),
-        "q_dedup_minhash": dd.minhash_lsh_sql(threshold=0.1),
+        "q_dedup_minhash": _sql_tagged_flat([
+            ("batch", dd.minhash_lsh_sql(threshold=0.1)),
+            ("incremental", dd.incremental_minhash_sql(
+                "doc_id % 10 = 0", threshold=0.1)),
+        ]),
         "q_dedup_simhash": dd.simhash_pairs_sql(max_hamming=6),
         "q_dedup_embcos": dd.embedding_near_dups_lsh_sql(
             threshold=0.4, n_planes=4, n_tables=6

@@ -371,6 +371,123 @@ WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter) >= {threshold}
 ORDER BY i.a, i.b LIMIT {k}"""
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    k: int = 200,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between an INCOMING batch and
+    an EXISTING corpus (the batch-vs-training-set admission check every
+    continuously-fed pipeline runs; doc_ids must be disjoint across the
+    two frames). -> (a = new doc_id, b = corpus doc_id, jaccard_x1e6).
+
+    Scale shape: the corpus side's banded-signature table is the
+    precomputable artifact — at 100 TB it is built once, persisted
+    partitioned by (band, band_key), and each incoming batch only
+    signatures ITSELF and equi-joins into those buckets: cost
+    proportional to the batch, never the corpus. The join is new X
+    corpus (no self-join, no a<b filter); a batch doc with any verified
+    match >= threshold is a reject."""
+    sh_new = _shingles(new_docs, n).persist()
+    sh_old = _shingles(corpus, n).persist()
+
+    def _banded(sh):
+        rows = num_hashes // bands
+        sig = sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    _hexint(F.concat(F.lit(f"{i}|"), F.col("sh")))
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        keys = [
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            "doc_id", F.posexplode(F.array(*keys)).alias("band", "band_key")
+        )
+
+    cand = (
+        _banded(sh_new).alias("x")
+        .join(_banded(sh_old).alias("y"), ["band", "band_key"])
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return _jaccard_pairs(
+        cand, sh_new.unionByName(sh_old), threshold
+    ).limit(k)
+
+
+def incremental_minhash_sql(
+    new_pred: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    k: int = 200,
+) -> str:
+    """Oracle twin of incremental_minhash_pairs with the batch defined
+    as `documents WHERE new_pred` and the corpus as its complement."""
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(CAST(('0x'||substr(md5('{i}|'||sh),1,8)) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key="||'_'||".join(
+                f"CAST(h{i} AS VARCHAR)" for i in range(b * rows, (b + 1) * rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_shingles_sql(n)},
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM shingles GROUP BY doc_id
+),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id IN (SELECT doc_id FROM documents WHERE {new_pred})
+    AND y.doc_id NOT IN (SELECT doc_id FROM documents WHERE {new_pred})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+  CAST(ROUND(i.inter::DOUBLE / (za.sz + zb.sz - i.inter) * 1000000) AS BIGINT)
+    AS jaccard_x1e6
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter) >= {threshold}
+ORDER BY i.a, i.b LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------

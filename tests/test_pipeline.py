@@ -238,3 +238,35 @@ def test_graph_ann_recall_and_exactness(spark):
     # multi-partition path: graphs never span partitions, results merge
     got4 = ann_graph_topk(emb, query_id=0, k=10, partitions=4).collect()
     assert len(got4) == 10
+
+
+def test_incremental_dedup_finds_cross_side_pairs_only(spark):
+    """incremental_minhash_pairs must pair batch docs with corpus docs
+    only (never batch-batch or corpus-corpus), and an injected
+    near-duplicate of a corpus doc must be caught."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.dedup import incremental_minhash_pairs
+
+    corpus_rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i} "
+            f"with unique tail {i * 17}")
+        for i in range(20)
+    ]
+    # doc 100 near-duplicates corpus doc 3; doc 101 is novel
+    batch_rows = [
+        (100, corpus_rows[3][1] + " extra"),
+        (101, "completely different content about spark dataframes and "
+              "parquet column pruning strategies"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(corpus_rows, columns=["doc_id", "text"])
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(batch_rows, columns=["doc_id", "text"])
+    )
+    got = incremental_minhash_pairs(batch, corpus, threshold=0.5).collect()
+    assert all(r["a"] >= 100 and r["b"] < 100 for r in got)
+    assert (100, 3) in {(r["a"], r["b"]) for r in got}
+    assert all(r["a"] != 101 for r in got)
