@@ -1062,13 +1062,36 @@ def gate_queries() -> dict[str, object]:
         return sp.feature_topk(r, FIELD, T_MID, "n_chars", weight=0.5)
 
     def q_block_join(spark, sf):
-        from lucene_spark.search.joins import to_parent_block_join
+        # tagged union: ToParentBlockJoinQuery (children agg to parent,
+        # ScoreMode max) + ToChildBlockJoinQuery (parent score handed to
+        # every child) — join/.../ToParentBlockJoinQuery.java,
+        # ToChildBlockJoinQuery.java
+        from lucene_spark.search.joins import (
+            to_child_block_join,
+            to_parent_block_join,
+        )
 
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        return to_parent_block_join(
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        parent = to_parent_block_join(
             li, F.col("l_quantity") >= 49, F.col("l_extendedprice"),
             "l_orderkey", score_mode="max",
+        ).select(
+            F.lit("parent").alias("tag"),
+            F.col("parent_id").alias("id1"),
+            F.col("n_children").cast("long").alias("id2"),
+            "score_x1e6",
         )
+        child = to_child_block_join(
+            orders, F.col("o_totalprice") > 450000, F.col("o_totalprice"),
+            "o_orderkey", li, "l_orderkey", "l_linenumber",
+        ).select(
+            F.lit("child").alias("tag"),
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            "score_x1e6",
+        )
+        return parent.unionByName(child)
 
     def q_join_util(spark, sf):
         from lucene_spark.search.joins import join_util_semi
@@ -1293,34 +1316,41 @@ def gate_queries() -> dict[str, object]:
         # n-term ordered with max_gaps, unordered with max_width, and
         # term-containedBy-unordered — one tagged union entry
         r = ensure_index(spark, sf)
+        # half the branches arrive through the flexible StandardQueryParser
+        # fn: syntax (search/flexible.py; queryparser/flexible/standard/
+        # StandardQueryParser.java javadoc "Interval function clauses") —
+        # parser goldens in tests/test_flexible.py assert these strings
+        # produce exactly the ASTs they replaced, so the parser is routed
+        # end-to-end against the same value oracle
+        from lucene_spark.search.flexible import StandardQueryParser
+
+        _fx = StandardQueryParser(FIELD)
         specs = {
-            "ord3": Q.IOrdered(
-                (Q.ITerm("fast"), Q.ITerm("table"), Q.ITerm("scan")),
-                max_gaps=4,
-            ),
-            "unord2": Q.IUnordered(
-                (Q.ITerm("merge"), Q.ITerm("sort")), max_width=3
-            ),
+            "ord3": _fx.parse(
+                "fn:maxgaps(4 fn:ordered(fast table scan))"
+            ).source,
+            "unord2": _fx.parse(
+                "fn:maxwidth(3 fn:unordered(merge sort))"
+            ).source,
             "within": Q.IContainedBy(
                 Q.ITerm("key"),
                 Q.IUnordered((Q.ITerm("fast"), Q.ITerm("table")), max_width=5),
             ),
-            "atleast": Q.IAtLeast(
-                (Q.ITerm("fast"), Q.ITerm("table"), Q.ITerm("scan")),
-                n=2, max_width=4,
-            ),
+            "atleast": _fx.parse(
+                "fn:maxwidth(4 fn:atLeast(2 fast table scan))"
+            ).source,
             # r03 combinators (Intervals.java:395-590)
-            "before": Q.IBefore(Q.ITerm("fast"), Q.ITerm("scan")),
+            "before": _fx.parse("fn:before(fast scan)").source,
             "nonover": Q.INonOverlapping(
                 Q.IUnordered(
                     (Q.ITerm("fast"), Q.ITerm("table")), max_width=5
                 ),
                 Q.ITerm("key"),
             ),
-            "extendby": Q.IContainedBy(
-                Q.ITerm("key"), Q.IExtend(Q.ITerm("fast"), 3, 3)
-            ),
-            "phrase": Q.IPhrase((Q.ITerm("fast"), Q.ITerm("table"))),
+            # fn:within desugars to containedBy(key, extend(fast, 3, 3)) —
+            # Intervals.java:509-512 — the exact AST this branch had
+            "extendby": _fx.parse("fn:within(key 3 fast)").source,
+            "phrase": _fx.parse("fn:phrase(fast table)").source,
         }
         # spans (queries/spans, r3): every match enumerated, float32
         # sloppy freq sum(1/(1+width)), BM25-scored — six SpanQuery
@@ -1739,12 +1769,21 @@ SELECT s.doc_id,
        AS BIGINT) AS score_x1e6
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10""",
-        "q_block_join": """SELECT l_orderkey AS parent_id,
-  CAST(ROUND(MAX(l_extendedprice)*1000000) AS BIGINT) AS score_x1e6,
-  count(*) AS n_children
-FROM lineitem WHERE l_quantity >= 49
-GROUP BY l_orderkey
-ORDER BY score_x1e6 DESC, parent_id ASC LIMIT 10""",
+        "q_block_join": """WITH t_parent AS (
+  SELECT l_orderkey AS id1, CAST(count(*) AS BIGINT) AS id2,
+    CAST(ROUND(MAX(l_extendedprice)*1000000) AS BIGINT) AS score_x1e6
+  FROM lineitem WHERE l_quantity >= 49
+  GROUP BY l_orderkey
+  ORDER BY score_x1e6 DESC, id1 ASC LIMIT 10),
+t_child AS (
+  SELECT CAST(l.l_orderkey AS BIGINT) AS id1,
+    CAST(l.l_linenumber AS BIGINT) AS id2,
+    CAST(ROUND(o.o_totalprice*1000000) AS BIGINT) AS score_x1e6
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 450000
+  ORDER BY score_x1e6 DESC, id1 ASC, id2 ASC LIMIT 10)
+SELECT 'parent' AS tag, * FROM t_parent
+UNION ALL SELECT 'child' AS tag, * FROM t_child""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",

@@ -12,6 +12,14 @@ rebuilt here over arbitrary parent/child DataFrames:
   the operator is a join + groupBy — one shuffle keyed by parent id,
   map-side combined.
 
+- ``to_child_block_join`` — ToChildBlockJoinQuery
+  (join/.../ToChildBlockJoinQuery.java): the inverse — children of
+  parents matching a parent query, each child scored with its parent's
+  score (the reference's ChildrenMatchesScorer hands the parent score
+  to every child in the block). Relationally: filter parents, then an
+  equi-join children->parents on the foreign key, parent side broadcast
+  when small.
+
 - ``join_util_semi`` — JoinUtil.createJoinQuery
   (join/.../JoinUtil.java): semi-join — docs in the "to" table whose
   join field appears among the "from" docs matching fromQuery. Spark's
@@ -59,6 +67,39 @@ def to_parent_block_join(
             "n_children",
         )
         .orderBy(F.col("score_x1e6").desc(), F.col("parent_id").asc())
+        .limit(k)
+    )
+
+
+def to_child_block_join(
+    parents: DataFrame,
+    parent_filter: Column,
+    parent_score: Column,
+    parent_key: str,
+    children: DataFrame,
+    child_key: str,
+    child_tiebreak: str,
+    k: int = 10,
+) -> DataFrame:
+    """Children of parents matching `parent_filter`, each carrying the
+    parent's score. -> (id1=child's parent key, id2=tiebreak column,
+    score_x1e6), (score DESC, id1 ASC, id2 ASC) top-k."""
+    matched = parents.filter(parent_filter).select(
+        F.col(parent_key).alias("_pk"),
+        parent_score.cast("double").alias("_ps"),
+    )
+    out = children.join(
+        F.broadcast(matched), children[child_key] == F.col("_pk"), "inner"
+    )
+    return (
+        out.select(
+            F.col(child_key).alias("id1"),
+            F.col(child_tiebreak).alias("id2"),
+            F.round(F.col("_ps") * 1e6).cast("long").alias("score_x1e6"),
+        )
+        .orderBy(
+            F.col("score_x1e6").desc(), F.col("id1").asc(), F.col("id2").asc()
+        )
         .limit(k)
     )
 
