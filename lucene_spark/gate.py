@@ -1131,7 +1131,11 @@ def gate_queries() -> dict[str, object]:
 
     def q_dedup_minhash(spark, sf):
         # batch self-dedup + incremental batch-vs-corpus dedup
-        # (doc_id % 10 = 0 plays the incoming batch), one tagged union
+        # (doc_id % 10 = 0 plays the incoming batch) + cluster
+        # canonicalization of the batch pairs (connected components,
+        # min-doc-id label), one tagged union. Clusters branch reuses
+        # the pair column names: a=doc_id, b=component,
+        # jaccard_x1e6=cluster_size.
         d = _docs(spark, sf)
         batch = dd.minhash_lsh_pairs(d, threshold=0.1)
         inc = dd.incremental_minhash_pairs(
@@ -1139,7 +1143,14 @@ def gate_queries() -> dict[str, object]:
             d.filter(F.col("doc_id") % 10 != 0),
             threshold=0.1,
         )
-        return _union([("batch", batch), ("incremental", inc)])
+        clus = dd.dedup_clusters(batch).select(
+            F.col("doc_id").alias("a"),
+            F.col("component").alias("b"),
+            F.col("cluster_size").alias("jaccard_x1e6"),
+        )
+        return _union(
+            [("batch", batch), ("incremental", inc), ("clusters", clus)]
+        )
 
     def q_dedup_simhash(spark, sf):
         return dd.simhash_pairs(_docs(spark, sf), max_hamming=6)
@@ -2040,6 +2051,12 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
             ("batch", dd.minhash_lsh_sql(threshold=0.1)),
             ("incremental", dd.incremental_minhash_sql(
                 "doc_id % 10 = 0", threshold=0.1)),
+            ("clusters", (
+                "SELECT doc_id AS a, component AS b,"
+                " cluster_size AS jaccard_x1e6 FROM ("
+                + dd.dedup_clusters_sql(dd.minhash_lsh_sql(threshold=0.1))
+                + ")"
+            )),
         ]),
         "q_dedup_simhash": dd.simhash_pairs_sql(max_hamming=6),
         "q_dedup_embcos": dd.embedding_near_dups_lsh_sql(

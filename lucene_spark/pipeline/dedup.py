@@ -822,3 +822,118 @@ SELECT d.a, d.b, CAST(ROUND(d.dot/(na.nrm*nb.nrm)*1000000) AS BIGINT) AS cos_x1e
 FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
 WHERE d.dot/(na.nrm*nb.nrm) >= {threshold}
 ORDER BY d.a, d.b LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster canonicalization (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs (a, b) -> (doc_id, component): component = min
+    doc_id reachable through the pair graph — the cluster id every
+    production dedup pipeline needs before it can elect one canonical
+    doc per duplicate group and drop the rest.
+
+    Algorithm: iterated min-label propagation. Labels start at the node
+    id; each round every node takes the min label across itself and its
+    neighbors (one join + one map-side-combined groupBy = one shuffle
+    pair per round); stop when a round changes nothing. Rounds needed =
+    graph diameter — tiny for LSH dup graphs (cliques and short chains
+    from band buckets), and `max_iter` bounds the worst case. Each
+    round's result is localCheckpoint-ed (eager), which truncates the
+    logical plan — without this the self-referential lineage doubles per
+    round and the ANALYZER (not the data) blows the heap by round ~10.
+    On a real cluster swap localCheckpoint for a reliable
+    checkpoint dir (same call shape, executor-loss-safe). At 10^12 docs
+    the same loop runs with the
+    alternating large-star/small-star optimization (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) to force
+    O(log n) rounds on adversarial chains; the shuffle shape per round
+    is identical.
+
+    Only docs appearing in >= 1 pair are returned (singletons are not
+    duplicates of anything).
+    """
+    pairs = pairs.persist()
+    # eager localCheckpoint: materializes (so the potentially expensive
+    # upstream pair pipeline runs exactly once) AND truncates lineage
+    edges = (
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .unionByName(
+            pairs.select(
+                F.col("b").cast("long").alias("a"),
+                F.col("a").cast("long").alias("b"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["b"] == labels["node"], "inner"
+        ).select(F.col("a").alias("node"), F.col("comp"))
+        new = (
+            labels.select("node", "comp")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "ncomp")
+            .join(labels, "node")
+            .filter(F.col("ncomp") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Pairs -> one row per clustered doc:
+    (doc_id, component, cluster_size), ordered (component, doc_id).
+    Docs with doc_id == component are the elected canonicals (min id
+    wins, matching exact_dedup's canonical rule)."""
+    comp = connected_components(pairs)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("comp")
+    return (
+        comp.withColumn("cluster_size", F.count("*").over(w))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            F.col("cluster_size").cast("long"),
+        )
+        .orderBy("component", "doc_id")
+    )
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin of ``dedup_clusters`` over the pair set produced by
+    ``pairs_sql`` (any SELECT with columns a, b): min-reachable-id via a
+    recursive CTE, then per-component sizes."""
+    return f"""WITH RECURSIVE pr AS ({pairs_sql}),
+eg AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM eg
+  UNION
+  SELECT e.a AS node, reach.r FROM eg e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.comp AS component,
+       CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
+FROM comp c
+ORDER BY component, doc_id"""

@@ -270,3 +270,37 @@ def test_incremental_dedup_finds_cross_side_pairs_only(spark):
     assert all(r["a"] >= 100 and r["b"] < 100 for r in got)
     assert (100, 3) in {(r["a"], r["b"]) for r in got}
     assert all(r["a"] != 101 for r in got)
+
+
+def test_connected_components_clusters(spark):
+    """Pairs -> components: chain {1-2, 2-3}, island {10-11}, and the
+    min-id canonical election; singletons never appear."""
+    from lucene_spark.pipeline.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 7)], ["a", "b"]
+    )
+    comp = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    rows = dedup_clusters(pairs).collect()
+    assert [(r["doc_id"], r["component"], r["cluster_size"]) for r in rows] == [
+        (1, 1, 4), (2, 1, 4), (3, 1, 4), (7, 1, 4), (10, 10, 2), (11, 10, 2),
+    ]
+    # canonical = doc_id == component, exactly one per cluster
+    canon = [r["doc_id"] for r in rows if r["doc_id"] == r["component"]]
+    assert canon == [1, 10]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds — the loop must
+    reach the fixpoint, not stop after one round."""
+    from lucene_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a", "b"]
+    )
+    comp = connected_components(pairs).collect()
+    assert {r["comp"] for r in comp} == {0}
+    assert {r["node"] for r in comp} == set(range(13))
