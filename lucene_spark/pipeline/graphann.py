@@ -153,17 +153,207 @@ def ann_graph_topk(
 
 
 def graph_recall(
-    emb: DataFrame, query_ids: list[int], k: int = 10, **kw
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    method: str = "nsw",
+    **kw,
 ) -> float:
-    """Mean recall@k of the graph path vs brute force over the given
-    queries — the HnswGraphSearcher-recall-test analog."""
+    """Mean recall@k of a graph path ('nsw' flat / 'hnsw' hierarchical)
+    vs brute force over the given queries — the
+    HnswGraphSearcher-recall-test analog."""
     from lucene_spark.pipeline.similarity import cosine_topk
 
+    fn = ann_hnsw_topk if method == "hnsw" else ann_graph_topk
     total = 0.0
     for qid in query_ids:
         exact = {r["vec_id"] for r in cosine_topk(emb, qid, k).collect()}
-        approx = {
-            r["vec_id"] for r in ann_graph_topk(emb, qid, k, **kw).collect()
-        }
+        approx = {r["vec_id"] for r in fn(emb, qid, k, **kw).collect()}
         total += len(exact & approx) / float(k)
     return total / len(query_ids)
+
+
+# ---------------------------------------------------------------------------
+# true hierarchical HNSW (HnswGraphBuilder.java / HnswGraphSearcher.java)
+# ---------------------------------------------------------------------------
+
+
+def _select_diverse(
+    cand: list[tuple[float, int]], mat: np.ndarray, m: int
+) -> list[int]:
+    """Lucene's neighbor-diversity heuristic (HnswGraphBuilder.java
+    diversityCheck / findWorstNonDiverse): scanning candidates best
+    first, keep c only if it is closer to the new node than to every
+    neighbor already kept — spreads links across directions instead of
+    clustering them, which is what makes greedy descent converge."""
+    kept: list[int] = []
+    for sim_q, c in sorted(cand, key=lambda x: -x[0]):
+        if len(kept) >= m:
+            break
+        if all(float(mat[c] @ mat[s]) < sim_q for s in kept):
+            kept.append(c)
+    # backfill with the best skipped ones if diversity starved the list
+    if len(kept) < m:
+        seen = set(kept)
+        for _sim_q, c in sorted(cand, key=lambda x: -x[0]):
+            if c not in seen:
+                kept.append(c)
+                seen.add(c)
+                if len(kept) >= m:
+                    break
+    return kept
+
+
+def _search_layer(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    eps: list[int],
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Beam search one layer (HnswGraphSearcher.searchLevel): expand the
+    best unexpanded candidate while it can improve the ef-th best.
+    -> up to ef (sim, node) pairs, unsorted heap order."""
+    import heapq
+
+    visited = set()
+    cand: list[tuple[float, int]] = []  # max-heap (negated)
+    best: list[tuple[float, int]] = []  # min-heap
+    for s in eps:
+        if s in visited:
+            continue
+        visited.add(s)
+        sv = float(mat[s] @ q)
+        heapq.heappush(cand, (-sv, s))
+        heapq.heappush(best, (sv, s))
+        if len(best) > ef:
+            heapq.heappop(best)
+    while cand:
+        negsim, u = heapq.heappop(cand)
+        if len(best) >= ef and -negsim < best[0][0]:
+            break
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            sv = float(mat[v] @ q)
+            if len(best) < ef or sv > best[0][0]:
+                heapq.heappush(cand, (-sv, v))
+                heapq.heappush(best, (sv, v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return best
+
+
+def _build_hnsw(
+    mat: np.ndarray, m: int, ef_construction: int, seed: int
+):
+    """Incremental-insertion HNSW build (HnswGraphBuilder.addGraphNode):
+    node levels ~ floor(-ln(U) / ln(M)); each insert greedy-descends
+    from the entry point to its top level, then beam-searches each of
+    its levels with efConstruction and links to M diverse neighbors
+    (2M at layer 0, Lucene's maxConn0 = 2 * maxConn), pruning any
+    over-full neighbor list with the same diversity heuristic.
+
+    O(p * efConstruction * M * log p) — the scale fix over the flat
+    NSW's O(p^2) all-pairs build. -> (levels, graphs) where graphs[l]
+    is the layer-l adjacency list."""
+    p = len(mat)
+    rng = np.random.default_rng(seed)
+    ml = 1.0 / np.log(m)
+    levels = np.floor(-np.log(rng.random(p)) * ml).astype(np.int64)
+    max_level = int(levels.max()) if p else 0
+    graphs: list[list[list[int]]] = [
+        [[] for _ in range(p)] for _ in range(max_level + 1)
+    ]
+    max_conn = [2 * m] + [m] * max_level  # layer 0 gets 2M links
+    entry = 0
+    entry_level = int(levels[0])
+    for node in range(1, p):
+        q = mat[node]
+        lvl = int(levels[node])
+        eps = [entry]
+        # greedy descent with ef=1 above the node's top level
+        for l in range(entry_level, lvl, -1):
+            eps = [max(
+                _search_layer(mat, graphs[l], q, eps, 1),
+                key=lambda x: x[0],
+            )[1]]
+        # insert on each of the node's layers
+        for l in range(min(entry_level, lvl), -1, -1):
+            found = _search_layer(
+                mat, graphs[l], q, eps, ef_construction
+            )
+            nbrs = _select_diverse(found, mat, m)
+            for v in nbrs:
+                graphs[l][node].append(v)
+                graphs[l][v].append(node)
+                if len(graphs[l][v]) > max_conn[l]:
+                    # shrink with the same diversity rule, from v's view
+                    cands = [
+                        (float(mat[w] @ mat[v]), w) for w in graphs[l][v]
+                    ]
+                    graphs[l][v] = _select_diverse(
+                        cands, mat, max_conn[l]
+                    )
+            eps = [n for _s, n in found]
+        if lvl > entry_level:
+            entry, entry_level = node, lvl
+    return levels, graphs, entry, entry_level
+
+
+def ann_hnsw_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+    ef_construction: int = 48,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Hierarchical HNSW ANN top-k by cosine — one graph per partition
+    (the per-segment decomposition of Lucene99HnswVectorsFormat),
+    greedy descent through the layers then an ef-beam at layer 0,
+    global TakeOrdered merge. -> (vec_id, cos_x1e6)."""
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+
+    src = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            levels, graphs, entry, entry_level = _build_hnsw(
+                mat, m, ef_construction, seed=42
+            )
+            eps = [entry]
+            for l in range(entry_level, 0, -1):
+                eps = [max(
+                    _search_layer(mat, graphs[l], qn, eps, 1),
+                    key=lambda x: x[0],
+                )[1]]
+            best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
+            top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
+            idx = np.array([t[1] for t in top], dtype=np.int64)
+            sims = np.array([t[0] for t in top], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "cos_x1e6": np.round(sims * 1e6).astype(np.int64),
+                }
+            )
+
+    out = src.mapInPandas(run, schema="vec_id long, cos_x1e6 long")
+    return (
+        out.filter(F.col("vec_id") != query_id)
+        .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

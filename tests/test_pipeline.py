@@ -304,3 +304,54 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs).collect()
     assert {r["comp"] for r in comp} == {0}
     assert {r["node"] for r in comp} == set(range(13))
+
+
+def test_hnsw_hierarchy_recall_and_exactness(spark):
+    """True hierarchical HNSW (HnswGraphBuilder/HnswGraphSearcher):
+    the layer hierarchy must actually form, recall@10 must be high,
+    scores must be exact cosines, and the multi-partition merge must
+    hold (one graph per partition, like one graph per segment)."""
+    import numpy as np
+
+    from lucene_spark.pipeline.graphann import (
+        _build_hnsw,
+        _normalize,
+        ann_hnsw_topk,
+        graph_recall,
+    )
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    # hierarchy forms: with M=8 and n>=200, P(all levels 0) ~ 0
+    mat = _normalize(
+        np.stack(
+            emb.limit(200).toPandas()["embedding"].map(np.asarray).to_numpy()
+        ).astype(np.float64)
+    )
+    levels, graphs, entry, entry_level = _build_hnsw(
+        mat, m=8, ef_construction=48, seed=42
+    )
+    assert entry_level >= 1 and len(graphs) == entry_level + 1
+    assert int(levels[entry]) == entry_level
+    # layer-0 degree bounded by 2M, upper layers by M
+    assert max(len(a) for a in graphs[0]) <= 16
+    if entry_level >= 1:
+        assert max(len(a) for a in graphs[1]) <= 8
+
+    rec = graph_recall(
+        emb, [0, 3, 7, 11], k=10, method="hnsw", m=8, ef=48
+    )
+    assert rec >= 0.9, rec
+
+    got = ann_hnsw_topk(emb, query_id=0, k=10).collect()
+    exact = {
+        r["vec_id"]: r["cos_x1e6"]
+        for r in cosine_topk(emb, 0, 200).collect()
+    }
+    for r in got:
+        assert r["vec_id"] in exact
+        assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
+
+    got4 = ann_hnsw_topk(emb, query_id=0, k=10, partitions=4).collect()
+    assert len(got4) == 10
