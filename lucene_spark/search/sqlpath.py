@@ -1370,6 +1370,49 @@ def mlt_topk(
     return bool_bm25_topk(reader, field, should=terms, k=k)
 
 
+def mlt_by_doc(
+    reader: IndexReader,
+    doc_id: int,
+    max_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """MoreLikeThis.like(docID) (queries/mlt/MoreLikeThis.java:126-133
+    'lookup the document's term vector'): the seed terms come from the
+    INDEX term vector, not a re-tokenization of the source text — on a
+    stemmed or per-field-analyzed index the two differ, and the vector
+    is authoritative (same argument as index-driven highlighting).
+    Ranking and the downstream SHOULD query match mlt_topk exactly.
+    -> (doc_id, score_x1e6)."""
+    from lucene_spark.search.termvectors import term_vectors
+
+    field = reader.manifest["field"]
+    coll = reader.collection_stats(field)
+    tv = term_vectors(reader, [doc_id], field=field).select(
+        "term", F.col("freq").alias("tf")
+    )
+    ts = reader.term_stats_df().filter(F.col("field") == field).select(
+        "term", "doc_freq"
+    )
+    n = float(coll.doc_count)
+    scored = tv.join(ts, "term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+        ),
+    )
+    rows = (
+        scored.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .collect()
+    )
+    terms = [r["term"] for r in rows]
+    if not terms:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    return bool_bm25_topk(reader, field, should=terms, k=k)
+
+
 def common_terms_topk(
     reader: IndexReader,
     field: str,

@@ -66,3 +66,30 @@ def test_common_terms_degrades_without_rare(reader):
     assert [(r["doc_id"], r["score_x1e6"]) for r in got] == [
         (r["doc_id"], r["score_x1e6"]) for r in want
     ]
+
+
+def test_mlt_by_doc_matches_text_seeded_mlt(reader, docs):
+    """like(docID) seeds from the index term vector; on a standard
+    (non-stemming) index the vector equals the re-tokenized text, so
+    both MLT paths must return identical results."""
+    from lucene_spark.search.sqlpath import mlt_by_doc, mlt_topk
+
+    a = mlt_topk(reader, docs, doc_id=7, max_terms=5, k=10).collect()
+    b = mlt_by_doc(reader, doc_id=7, max_terms=5, k=10).collect()
+    assert [(r["doc_id"], r["score_x1e6"]) for r in a] == [
+        (r["doc_id"], r["score_x1e6"]) for r in b
+    ]
+    assert b and b[0]["doc_id"] == 7  # seed doc ranks first
+
+
+def test_mlt_by_doc_uses_index_terms_on_stemmed_index(spark):
+    """On a Porter-stemmed index the term vector holds STEMS; the
+    vector-seeded MLT must query stems (and still rank the seed doc
+    first), where text re-tokenization would produce surface forms
+    absent from the index."""
+    from lucene_spark.gate import ensure_stem_index
+    from lucene_spark.search.sqlpath import mlt_by_doc
+
+    r = ensure_stem_index(spark, SF)
+    got = mlt_by_doc(r, doc_id=7, max_terms=5, k=10).collect()
+    assert got and got[0]["doc_id"] == 7
