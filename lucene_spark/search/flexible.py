@@ -43,6 +43,8 @@ javadoc), all supported here:
                                  (Intervals.java:509-512)
     notWithin(src n ref)      -> nonOverlapping(src, extend(ref, n, n))
                                  (Intervals.java:494-498)
+    unorderedNoOverlaps(a b)  -> or(ordered(a b), ordered(b a))
+                                 (Intervals.java:446-448)
 - backslash escaping of special characters in terms
 - ``*`` / ``*:*`` bare wildcard -> MatchAllDocs
 
@@ -681,6 +683,16 @@ class StandardQueryParser:
             need(n_src=2, n_int=1)
             return Q.INonOverlapping(
                 srcs[0], Q.IExtend(srcs[1], ints[0], ints[0])
+            )
+        if name == "unorderednooverlaps":
+            # Intervals.java:446-448: or(ordered(a b), ordered(b a))
+            need(n_src=2)
+            return Q.IAtLeast(
+                (
+                    Q.IOrdered((srcs[0], srcs[1])),
+                    Q.IOrdered((srcs[1], srcs[0])),
+                ),
+                n=1,
             )
         raise ParseError(f"unknown interval function fn:{node.name}")
 

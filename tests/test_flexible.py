@@ -213,3 +213,19 @@ def test_errors_are_parse_errors():
 def test_no_default_field_is_error():
     with pytest.raises(ParseError):
         StandardQueryParser().parse("test")
+
+
+def test_unordered_no_overlaps_desugars():
+    """Intervals.java:446-448: unorderedNoOverlaps(a, b) IS
+    or(ordered(a b), ordered(b a)) — the desugared AST must be exact."""
+    q = P().parse("fn:unorderedNoOverlaps(fast scan)")
+    assert q == Q.IntervalQuery(
+        "content",
+        Q.IAtLeast(
+            (
+                Q.IOrdered((Q.ITerm("fast"), Q.ITerm("scan"))),
+                Q.IOrdered((Q.ITerm("scan"), Q.ITerm("fast"))),
+            ),
+            n=1,
+        ),
+    )
