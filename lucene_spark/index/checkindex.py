@@ -110,6 +110,38 @@ def check_segment_postings(pdf, fmt_name: str = "for104") -> list[str]:
                 if len(p) and int(p[-1]) >= 1 << 31:
                     out.append(f"{tag}: position overflow")
                     break
+        if "offsets" in pdf.columns and row.offsets is not None:
+            # CheckIndex.java offset invariants (checkFields: startOffset
+            # non-decreasing per doc, endOffset >= startOffset): one flat
+            # decode must yield sum(freqs) occurrences, per-occurrence
+            # start <= end, and starts non-decreasing within each doc
+            try:
+                ost, oen, _ = codec.decode_offsets_flat(
+                    bytes(row.offsets), freqs
+                )
+            except Exception as e:  # noqa: BLE001
+                out.append(f"{tag}: offsets decode failed: {e}")
+                continue
+            if len(ost) != int(freqs.sum()):
+                out.append(f"{tag}: offset count != sum(freqs)")
+            elif (oen < ost).any() or (ost < 0).any():
+                out.append(f"{tag}: offset end < start (or negative)")
+            else:
+                gl = np.cumsum(freqs) - freqs
+                d = np.diff(ost)
+                # doc boundaries may reset; interior deltas must be >= 0
+                boundary = np.zeros(len(ost), dtype=bool)
+                boundary[gl[1:]] = True
+                if (d < 0).any() and (d[~boundary[1:]] < 0).any():
+                    out.append(f"{tag}: offsets not non-decreasing in doc")
+        if "payloads" in pdf.columns and row.payloads is not None:
+            try:
+                pv = codec.decode_payloads_flat(bytes(row.payloads), freqs)
+            except Exception as e:  # noqa: BLE001
+                out.append(f"{tag}: payloads decode failed: {e}")
+                continue
+            if len(pv) != int(freqs.sum()):
+                out.append(f"{tag}: payload count != sum(freqs)")
     for (field, term), rngs in spans.items():
         if len(rngs) < 2:
             continue

@@ -128,3 +128,98 @@ def test_checkindex_validates_tombstones_and_dv(spark, corpus, tmp_path):
     rep2 = check_index(spark, path)
     assert not rep2["ok"]
     assert any("tombstone" in v for v in rep2["violations"])
+
+
+def test_offsets_and_payloads_invariants(spark, tmp_path):
+    """A clean offsets+payloads index passes; planted offset/payload
+    corruption (truncated blobs, end<start) is flagged."""
+    import pandas as pd
+
+    from lucene_spark.index import codec
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import (
+        check_index,
+        check_segment_postings,
+    )
+    from lucene_spark.search.executor import IndexReader
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "alpha beta alpha gamma",
+                "beta beta",
+                "gamma alpha",
+                "delta",
+            ],
+        }
+    )
+    idx = str(tmp_path / "offidx")
+    build_index(
+        spark,
+        spark.createDataFrame(docs),
+        idx,
+        IndexConfig(
+            field="text", content_col="text", doc_id_col="doc_id",
+            analyzer="simple", store_offsets=True,
+        ),
+    )
+    rep = check_index(spark, idx)
+    assert rep["ok"], rep["violations"][:5]
+
+    reader = IndexReader(spark, idx)
+    base = reader.postings().filter("term = 'alpha'").limit(1).toPandas()
+    assert len(base) == 1
+
+    # truncated offsets blob -> decode failure or count mismatch
+    bad = base.copy()
+    bad.at[0, "offsets"] = bytes(bad.at[0, "offsets"])[:1]
+    v = check_segment_postings(bad)
+    assert any("offset" in s for s in v), v
+
+    # end < start: re-encode with a negative length varint is impossible
+    # (varints are non-negative), so plant a zero-start/huge-delta blob
+    # whose occurrence count disagrees with freqs
+    bad2 = base.copy()
+    bad2.at[0, "offsets"] = codec.encode_varints([0, 1])  # one occurrence only
+    v2 = check_segment_postings(bad2)
+    assert any("offset" in s for s in v2), v2
+
+
+def test_payload_count_invariant(spark, tmp_path):
+    import pandas as pd
+
+    from lucene_spark.index import codec
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import (
+        check_index,
+        check_segment_postings,
+    )
+    from lucene_spark.search.executor import IndexReader
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": ["fast|2.0 scan|1.5", "fast|1.0", "scan|3.0 fast|0.5"],
+        }
+    )
+    idx = str(tmp_path / "payidx")
+    build_index(
+        spark,
+        spark.createDataFrame(docs),
+        idx,
+        IndexConfig(
+            field="text", content_col="text", doc_id_col="doc_id",
+            analyzer="delimited_payload", store_payloads=True,
+        ),
+    )
+    rep = check_index(spark, idx)
+    assert rep["ok"], rep["violations"][:5]
+
+    reader = IndexReader(spark, idx)
+    base = reader.postings().filter("term = 'fast'").limit(1).toPandas()
+    assert len(base) == 1 and base.at[0, "payloads"] is not None
+    bad = base.copy()
+    bad.at[0, "payloads"] = codec.encode_varints([7])  # one value, freq sum is 3
+    v = check_segment_postings(bad)
+    assert any("payload" in s for s in v), v
