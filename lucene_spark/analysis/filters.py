@@ -446,3 +446,73 @@ register_analyzer(
     "folding",
     lambda: FilteredAnalyzer(StandardAnalyzer(), [ASCIIFoldingFilter()], "folding"),
 )
+
+
+class LengthFilter(TokenFilter):
+    """Drop tokens outside [min_len, max_len] code units
+    (miscellaneous/LengthFilter.java)."""
+
+    def __init__(self, min_len: int, max_len: int):
+        if min_len < 0 or max_len < min_len:
+            raise ValueError("need 0 <= min_len <= max_len")
+        self.min_len = min_len
+        self.max_len = max_len
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t for t in tokens if self.min_len <= len(t) <= self.max_len]
+
+
+class ReverseStringFilter(TokenFilter):
+    offsets_safe = False  # chars no longer map to source spans
+
+    """Reverse each token (reverse/ReverseStringFilter.java) — indexing
+    a reversed twin field turns a leading-wildcard query (*est) into a
+    FAST trailing-prefix query on the twin (tse*), the standard
+    Solr ReversedWildcardFilter trick."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t[::-1] for t in tokens]
+
+
+from lucene_spark.analysis.analyzer import Analyzer as _AnalyzerBase  # noqa: E402
+
+
+class PathHierarchyAnalyzer(_AnalyzerBase):
+    """Path-prefix tokenizer (path/PathHierarchyTokenizer.java):
+    '/a/b/c' -> ['/a', '/a/b', '/a/b/c'] (or suffixes when reverse,
+    the domain-name form); `skip` drops that many leading components.
+    Feeds path drill-down facets and prefix-scoped search over the
+    corpus's (repo, path) columns."""
+
+    def __init__(self, delimiter: str = "/", reverse: bool = False,
+                 skip: int = 0):
+        self.name = "path_hierarchy"
+        self.delimiter = delimiter
+        self.reverse = reverse
+        self.skip = skip
+
+    def tokenize_one(self, text: str) -> list[str]:
+        if not text:
+            return []
+        d = self.delimiter
+        parts = [p for p in text.split(d) if p != ""]
+        if self.reverse:
+            parts = parts[::-1]
+        parts = parts[self.skip:]
+        if not parts:
+            return []
+        lead = text.startswith(d) and not self.reverse and self.skip == 0
+        out = []
+        for i in range(1, len(parts) + 1):
+            tok = d.join(parts[:i])
+            out.append((d + tok) if lead else tok)
+        return out
+
+
+register_analyzer("path_hierarchy", PathHierarchyAnalyzer)
+register_analyzer(
+    "simple_reversed",
+    lambda: FilteredAnalyzer(
+        SimpleAnalyzer(), [ReverseStringFilter()], "simple_reversed"
+    ),
+)

@@ -171,3 +171,43 @@ def test_edge_ngram_preserve_original_short_tokens():
     assert f.apply(["abcdef"]) == ["abc", "abcd", "abcdef"]  # > max_gram
     g = EdgeNGramFilter(min_gram=3, max_gram=4, preserve_original=False)
     assert g.apply(["ab"]) == []                        # dropped without PO
+
+
+def test_length_filter_bounds():
+    from lucene_spark.analysis.filters import LengthFilter
+
+    f = LengthFilter(3, 5)
+    assert f.apply(["ab", "abc", "abcde", "abcdef"]) == ["abc", "abcde"]
+
+
+def test_reverse_string_filter_and_leading_wildcard_trick():
+    from lucene_spark.analysis import get_analyzer
+
+    an = get_analyzer("simple_reversed")
+    assert an.tokenize_one("Tables rest") == ["selbat", "tser"]
+    # leading-wildcard *est on the original field == prefix tse on the twin
+    assert "tser".startswith("tse")
+
+
+def test_path_hierarchy_tokenizer_goldens():
+    """path/PathHierarchyTokenizer.java class javadoc:
+    /something/something/else -> the three growing prefixes."""
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.analysis.filters import PathHierarchyAnalyzer
+
+    an = get_analyzer("path_hierarchy")
+    assert an.tokenize_one("/something/something/else") == [
+        "/something",
+        "/something/something",
+        "/something/something/else",
+    ]
+    assert an.tokenize_one("a/b") == ["a", "a/b"]
+    assert an.tokenize_one("") == []
+    # skip drops leading components (PathHierarchyTokenizer(skip))
+    assert PathHierarchyAnalyzer(skip=1).tokenize_one("/a/b/c") == [
+        "b", "b/c"
+    ]
+    # reverse = suffix form (domain names)
+    assert PathHierarchyAnalyzer(
+        delimiter=".", reverse=True
+    ).tokenize_one("www.site.com") == ["com", "com.site", "com.site.www"]
