@@ -549,8 +549,12 @@ class IndexSearcher:
                 "weight": float(boost * q.boost),
             }
         if isinstance(q, Q.IntervalQuery):
-            terms = sorted(set(q.source.terms()))
-            st = R.term_stats(q.field, terms)
+            # fixField subtrees read another field's postings: rewrite
+            # their term leaves to field-qualified keys (the
+            # FieldMaskingSpanQuery mechanism) before collecting terms
+            source = _fix_interval_fields(q.source)
+            terms = sorted(set(source.terms()))
+            st = _field_term_stats(R, q.field, terms)
             if not st:
                 return None  # no term present anywhere
             # missing terms are fine for atLeast sources; the evaluator's
@@ -559,7 +563,7 @@ class IndexSearcher:
                 "kind": "intervals",
                 "field": q.field,
                 "terms": terms,
-                "source": q.source,
+                "source": source,
                 "weight": float(boost * q.boost),
             }
         if isinstance(q, Q.SpanQuery):
@@ -2016,6 +2020,51 @@ def _make_intervals_fn(source, terms: list[str], fmt: str = "for104"):
 # real field's postings inside a single span tree. \x01 cannot occur in
 # analyzed terms.
 FIELD_SEP = "\x01"
+
+
+def _map_interval_children(src, fn):
+    """Rebuild an IntervalsSource with fn applied to every child source
+    (fields are introspected, so every combinator shape is covered)."""
+    import dataclasses
+
+    kw = {}
+    changed = False
+    for f in dataclasses.fields(src):
+        v = getattr(src, f.name)
+        if isinstance(v, Q.IntervalsSource):
+            nv = fn(v)
+            kw[f.name] = nv
+            changed |= nv is not v
+        elif isinstance(v, tuple) and v and all(
+            isinstance(x, Q.IntervalsSource) for x in v
+        ):
+            nv = tuple(fn(x) for x in v)
+            kw[f.name] = nv
+            changed |= nv != v
+    return dataclasses.replace(src, **kw) if changed else src
+
+
+def _fix_interval_fields(src):
+    """Drop IFixField nodes, qualifying their subtree's plain ITerm
+    leaves with the fixed field (Intervals.fixField; same postings-key
+    mechanism as FieldMaskingSpanQuery)."""
+    if isinstance(src, Q.IFixField):
+        return _qualify_interval_terms(
+            _fix_interval_fields(src.source), src.field
+        )
+    return _map_interval_children(src, _fix_interval_fields)
+
+
+def _qualify_interval_terms(src, field: str):
+    import dataclasses
+
+    if isinstance(src, Q.ITerm):
+        if FIELD_SEP in src.term:
+            return src  # inner fixField already bound it
+        return dataclasses.replace(src, term=field + FIELD_SEP + src.term)
+    return _map_interval_children(
+        src, lambda c: _qualify_interval_terms(c, field)
+    )
 
 
 def _qualify_leaves(src, field: str):

@@ -220,6 +220,21 @@ class INotContaining(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class IFixField(IntervalsSource):
+    """Intervals.fixField (Intervals.java:456-462): intervals of
+    `source` are read from `field` instead of the enclosing query's
+    field — cross-field interval composition ("search for stemmed terms
+    near unstemmed terms"). The executor rewrites the subtree's term
+    leaves to field-qualified postings keys at compile, the same
+    mechanism as FieldMaskingSpanQuery."""
+    field: str
+    source: IntervalsSource
+
+    def terms(self):
+        return self.source.terms()
+
+
+@dataclass(frozen=True)
 class IPhrase(IntervalsSource):
     """Sources matched exactly adjacent, in order (Intervals.phrase):
     ordered with zero gaps."""
