@@ -42,6 +42,11 @@ def _required_terms(q: Q.Query) -> set[str]:
         return {q.term_a}
     if isinstance(q, Q.PrefixQuery):
         return set()  # cannot fingerprint by exact term -> always candidate
+    if isinstance(q, Q.TermInSetQuery):
+        # any-of the set is necessary — the set IS the fingerprint
+        return set(q.terms)
+    if isinstance(q, (Q.WildcardQuery, Q.RegexpQuery, Q.FuzzyQuery)):
+        return set()  # pattern/edit-distance: always candidate
     if isinstance(q, Q.BooleanQuery):
         if q.must:
             return _required_terms(q.must[0])
@@ -57,11 +62,57 @@ def _required_terms(q: Q.Query) -> set[str]:
     return set()
 
 
+def _within_edits(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein <= k (the LevenshteinAutomata acceptance
+    test, k <= 2 in practice so the band is tiny)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if hi < len(b):
+            cur[hi + 1 :] = [k + 1] * (len(b) - hi)
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
+
+
 def _matches(q: Q.Query, toks: list[str], tokset: set[str]) -> bool:
     if isinstance(q, Q.TermQuery):
         return q.term in tokset
     if isinstance(q, Q.PrefixQuery):
         return any(t.startswith(q.prefix) for t in tokset)
+    if isinstance(q, Q.TermInSetQuery):
+        return not tokset.isdisjoint(q.terms)
+    if isinstance(q, Q.WildcardQuery):
+        import re as _re
+
+        # Lucene wildcards: only * and ? are special ([ is literal, so
+        # no fnmatch — WildcardQuery.java:38)
+        rx = _re.compile(
+            _re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".")
+        )
+        return any(rx.fullmatch(t) for t in tokset)
+    if isinstance(q, Q.RegexpQuery):
+        import re as _re
+
+        rx = _re.compile(q.regexp)
+        return any(rx.fullmatch(t) for t in tokset)
+    if isinstance(q, Q.FuzzyQuery):
+        return any(
+            _within_edits(q.term, t, q.max_edits) for t in tokset
+        )
     if isinstance(q, Q.PhraseQuery):
         n = len(q.terms)
         if any(t not in tokset for t in q.terms):

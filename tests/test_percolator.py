@@ -95,3 +95,49 @@ def test_percolator_streaming(monitor, doc_rows, spark, tmp_path):
         for r in spark.sql("SELECT * FROM perc_test").collect()
     }
     assert got == _pairs(monitor, doc_rows)
+
+
+def test_multiterm_standing_queries(spark):
+    """Wildcard / regexp / term-set / fuzzy standing queries (Monitor
+    accepts any Query; presearcher: exact-set queries fingerprint by
+    the set, pattern queries are always-candidates)."""
+    import pandas as pd
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor()
+    m.register("w", Q.WildcardQuery("content", "merg*"))
+    m.register("r", Q.RegexpQuery("content", "so.t"))
+    m.register("s", Q.TermInSetQuery("content", ("alpha", "beta")))
+    m.register("f", Q.FuzzyQuery("content", "spark", max_edits=1))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "content": [
+                    "merge sort wins",      # w (merge), r (sort)
+                    "beta release spork",   # s (beta), f (spork~spark)
+                    "nothing relevant",
+                    "merged alpha",         # w (merged), s (alpha)
+                ],
+            }
+        )
+    )
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in m.match_df(docs).collect()
+    )
+    assert got == [(0, "r"), (0, "w"), (1, "f"), (1, "s"), (3, "s"), (3, "w")]
+
+
+def test_fuzzy_banded_levenshtein():
+    from lucene_spark.streaming.percolator import _within_edits
+
+    assert _within_edits("spark", "spork", 1)
+    assert not _within_edits("spark", "spoke", 2)  # distance 3
+    assert _within_edits("spark", "sparkle", 2)  # two inserts
+    assert _within_edits("abc", "abc", 0)
+    assert not _within_edits("abc", "abcd", 0)
+    assert _within_edits("", "ab", 2)
+    assert not _within_edits("kitten", "sitting", 2)  # distance 3
