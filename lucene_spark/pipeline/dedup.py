@@ -79,18 +79,36 @@ def _jaccard_pairs(
     cand: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:
     """Verify candidate (a, b) pairs with exact Jaccard over shingle sets.
-    cand: (a, b) distinct, a < b. -> (a, b, jaccard_x1e6)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a_sh = shingles.select(F.col("doc_id").alias("a"), "sh")
-    b_sh = shingles.select(F.col("doc_id").alias("b"), "sh")
-    inter = (
-        cand.join(a_sh, "a").join(b_sh, ["b", "sh"]).groupBy("a", "b").agg(
-            F.count("*").alias("inter")
-        )
+    cand: (a, b) distinct, a < b. -> (a, b, jaccard_x1e6).
+
+    Shape: ONE groupBy builds a per-doc shingle-set table, then two
+    equi-joins attach each side's set to the pair and the intersection
+    is a JVM `array_intersect` per row — three shuffles total, vs the
+    naive explode-join-regroup (join shingles on a, join shingles on
+    (b, shingle), regroup) which shuffles the full shingle table twice
+    per verify. Candidate counts are bounded (bucket caps upstream), so
+    the per-pair arrays are the verify's natural unit of work."""
+    doc_sets = shingles.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("s"), F.count("*").alias("sz")
     )
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        cand.join(
+            doc_sets.select(
+                F.col("doc_id").alias("a"),
+                F.col("s").alias("sa"),
+                F.col("sz").alias("sza"),
+            ),
+            "a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("b"),
+                F.col("s").alias("sb"),
+                F.col("sz").alias("szb"),
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
