@@ -1460,6 +1460,7 @@ def gate_queries() -> dict[str, object]:
         return out
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
+    _PATH3D = [(10.0, -30.0), (25.0, 0.0), (40.0, 30.0)]
     _SHAPE_BOXES = {
         "intersects": (0.0, 30.0, 0.0, 60.0),
         "within": (-55.0, 55.0, -110.0, 110.0),
@@ -1484,7 +1485,7 @@ def gate_queries() -> dict[str, object]:
                 "doc_id", F.col(c[1]).alias("v1"), v2.alias("v2")
             )
 
-        from lucene_spark.search import shapes
+        from lucene_spark.search import geo3d, shapes
 
         return _union([
             ("box", _h(geo.geo_box(d, 10.0, 55.0, -40.0, 60.0, k=50))),
@@ -1499,6 +1500,14 @@ def gate_queries() -> dict[str, object]:
                 ))
                 for rel in shapes.RELATIONS
             ],
+            # spatial3d (GeoCircle / GeoStandardPath): unit-vector
+            # angular membership (geo3d.py; v1 = angle_x1e4)
+            ("circle3d", _h(
+                geo3d.geo3d_circle_topk(d, 35.0, 10.0, 25.0, k=50)
+            )),
+            ("path3d", _h(
+                geo3d.geo3d_path_topk(d, _PATH3D, 12.0, k=50)
+            )),
         ])
 
     def q_classify_suite(spark, sf):
@@ -2353,6 +2362,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     from lucene_spark.search import geo as _geo
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
+    _PATH3D = [(10.0, -30.0), (25.0, 0.0), (40.0, 30.0)]
 
     box_sql = _geo.geo_box_sql(10.0, 55.0, -40.0, 60.0, k=50)
     poly_sql = _geo.geo_polygon_sql(_POLY, k=50)
@@ -2365,6 +2375,8 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         "contains": (10.0, 11.0, 10.0, 12.0),
         "disjoint": (0.0, 30.0, 0.0, 60.0),
     }
+    from lucene_spark.search import geo3d as _geo3d
+
     one["q_geo_suite"] = _sql_tagged_flat([
         ("box", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({box_sql})"),
         ("polygon", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({poly_sql})"),
@@ -2375,6 +2387,12 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
              + _shapes.shape_box_sql(rel, *_SHAPE_BOXES[rel], k=50) + ")")
             for rel in _shapes.RELATIONS
         ],
+        ("circle3d",
+         "SELECT doc_id, angle_x1e4 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _geo3d.geo3d_circle_sql(35.0, 10.0, 25.0, k=50) + ")"),
+        ("path3d",
+         "SELECT doc_id, angle_x1e4 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _geo3d.geo3d_path_sql(_PATH3D, 12.0, k=50) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
