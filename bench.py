@@ -32,6 +32,7 @@ def main() -> None:
     from lucene_spark.search import query as Q
 
     from lucene_spark.pipeline import dedup as dd
+    from lucene_spark.pipeline import graphann as ga
     from lucene_spark.pipeline import similarity as sim
 
     spark = get_spark("bench", cores=CPUS)
@@ -105,14 +106,28 @@ def main() -> None:
         "q10_ann_cosine": lambda: sim.cosine_topk(emb, query_id=0, k=10).collect(),
     }
 
-    timings: dict[str, float] = {}
-    for name, fn in bench_queries.items():
-        fn()  # warm (plan + code paths)
-        reps = 3
-        t = time.time()
-        for _ in range(reps):
-            fn()
-        timings[name] = round((time.time() - t) / reps, 4)
+    # r3 additions, reported separately: NOT part of the round-comparable
+    # headline total (these rebuild their index/graph per call by design)
+    extra_queries = {
+        "x_hnsw_ann": lambda: ga.ann_hnsw_topk(emb, query_id=0, k=10).collect(),
+        "x_dedup_clusters": lambda: dd.dedup_clusters(
+            dd.minhash_lsh_pairs(docs, threshold=0.1)
+        ).collect(),
+    }
+
+    def _time(fns):
+        out: dict[str, float] = {}
+        for name, fn in fns.items():
+            fn()  # warm (plan + code paths)
+            reps = 3
+            t = time.time()
+            for _ in range(reps):
+                fn()
+            out[name] = round((time.time() - t) / reps, 4)
+        return out
+
+    timings = _time(bench_queries)
+    extra = _time(extra_queries)
 
     total_query_sec = round(sum(timings.values()), 4)
     out = {
@@ -120,6 +135,7 @@ def main() -> None:
         "value": total_query_sec,
         "unit": "sec",
         "queries": timings,
+        "queries_extra": extra,
         "sf": SF_DIR,
         "cpus": CPUS,
         "build": {
