@@ -53,6 +53,11 @@ def main() -> None:
     warm.repartition(CPUS).mapInPandas(
         lambda it: it, schema="x long"
     ).count()
+    # segment sizing: 1000-doc floor balances build parallelism against
+    # per-segment query overhead at this SF (lowering the floor to 250
+    # doubles standalone build throughput by filling all cores, but adds
+    # ~0.15 s to EVERY query: 20 applyInPandas groups instead of 5 —
+    # measured, and the wrong trade for the query-total headline)
     cfg = IndexConfig(
         field="text", content_col="text", analyzer="simple",
         doc_id_col="doc_id", docs_per_segment=max(1000, n_docs // (2 * CPUS)),
