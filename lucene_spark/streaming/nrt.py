@@ -224,3 +224,29 @@ class NrtIndexWriter:
             self._reader = IndexReader(spark, self.index_dir)
             return self._reader, True
         return self._reader, False
+
+    def wait_for_generation(
+        self,
+        spark: SparkSession,
+        target_gen: int,
+        timeout_s: float = 30.0,
+        poll_s: float = 0.05,
+    ):
+        """ControlledRealTimeReopenThread.waitForGeneration analog
+        (core/search/ControlledRealTimeReopenThread.java): block until a
+        manifest generation >= target_gen is committed, then refresh and
+        return the reader — the per-caller staleness bound ("a write I
+        made at generation G is visible to the reader I get back").
+        Raises TimeoutError after timeout_s."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while self.current_generation() < target_gen:
+            if _time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"generation {target_gen} not committed within "
+                    f"{timeout_s}s (latest: {self.current_generation()})"
+                )
+            _time.sleep(poll_s)
+        reader, _ = self.maybe_refresh(spark)
+        return reader

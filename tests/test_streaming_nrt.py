@@ -102,3 +102,40 @@ def test_structured_streaming_file_source(spark, halves, tmp_path):
     r2, refreshed = w.maybe_refresh(spark)
     assert refreshed and r2.manifest["num_docs_total"] == len(h1) + len(h2)
     assert sp.bool_bm25_topk(r2, "content", must=["def"]).collect()
+
+
+def test_wait_for_generation(spark, halves, tmp_path):
+    """ControlledRealTimeReopenThread role: a caller blocks until the
+    generation carrying its write is committed, and the reader handed
+    back sees that write; an unreachable generation times out."""
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from lucene_spark.index.builder import IndexConfig
+    from lucene_spark.streaming.nrt import NrtIndexWriter, append_batch
+
+    a, b = halves
+    idx = str(tmp_path / "nrt_wait")
+    cfg = IndexConfig(docs_per_segment=60)
+    w = NrtIndexWriter(idx, cfg)
+    append_batch(spark, spark.createDataFrame(a), idx, cfg)
+    g1 = w.current_generation()
+
+    # a writer thread commits the second batch after a delay; the
+    # waiting reader must block past g1 and then see batch-2 docs
+    def later():
+        time.sleep(0.8)
+        append_batch(spark, spark.createDataFrame(b), idx, cfg)
+
+    t = threading.Thread(target=later)
+    t.start()
+    reader = w.wait_for_generation(spark, g1 + 1, timeout_s=30.0)
+    t.join()
+    assert reader.manifest["generation"] >= g1 + 1
+    total = reader.docs().count()
+    assert total == len(a) + len(b)
+
+    with _pytest.raises(TimeoutError):
+        w.wait_for_generation(spark, 10_000, timeout_s=0.3)
