@@ -1449,9 +1449,15 @@ def gate_queries() -> dict[str, object]:
             "term", F.lit(0).cast("int").alias("distance"),
             F.col("score_x1e6").alias("doc_freq"),
         )
+        wb1 = sp.word_break_suggest(r, FIELD, "hashjoin", max_changes=1, k=5)
+        wb2 = sp.word_break_suggest(r, FIELD, "bigdatascan", max_changes=2, k=5)
+        wc = sp.word_combine_suggest(
+            r, FIELD, ["ta", "ble", "scan"], max_changes=2, k=5
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
-            ("freetext", ft),
+            ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
+            ("wordcombine", wc),
         ]
         out = None
         for tag, df in parts:
@@ -2338,6 +2344,37 @@ u AS (SELECT * FROM r2 UNION ALL SELECT * FROM r1),
 dd AS (SELECT term, score, row_number() OVER (PARTITION BY last ORDER BY ord DESC) AS rk FROM u)
 SELECT term, CAST(0 AS INT) AS distance, CAST(ROUND(score*1000000) AS BIGINT) AS doc_freq
 FROM dd WHERE rk = 1 ORDER BY doc_freq DESC, term ASC LIMIT 10"""),
+        # WordBreakSpellChecker.suggestWordBreaks, 1 change: all 2-part
+        # segmentations of the key into dictionary words
+        ("wordbreak", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
+SELECT a.term || ' ' || b.term AS term, CAST(1 AS INT) AS distance,
+       a.doc_freq + b.doc_freq AS doc_freq
+FROM dfs a JOIN dfs b ON a.term || b.term = 'hashjoin'
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5"""),
+        # 2 changes: 2-part UNION ALL 3-part segmentations
+        ("wordbreak2", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok),
+one AS (SELECT a.term || ' ' || b.term AS term, CAST(1 AS INT) AS distance,
+               a.doc_freq + b.doc_freq AS doc_freq
+        FROM dfs a JOIN dfs b ON a.term || b.term = 'bigdatascan'),
+two AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS term,
+               CAST(2 AS INT) AS distance,
+               a.doc_freq + b.doc_freq + c.doc_freq AS doc_freq
+        FROM dfs a, dfs b, dfs c
+        WHERE a.term || b.term || c.term = 'bigdatascan'),
+u AS (SELECT * FROM one UNION ALL SELECT * FROM two)
+SELECT term, distance, doc_freq FROM u
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5"""),
+        # suggestWordCombinations: adjacent-run concatenations of the
+        # query terms ['ta','ble','scan'] that exist in the dictionary
+        ("wordcombine", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok),
+cand AS (SELECT * FROM (VALUES ('table', 1), ('tablescan', 2), ('blescan', 1))
+         v(term, distance))
+SELECT d.term, CAST(c.distance AS INT) AS distance, d.doc_freq
+FROM dfs d JOIN cand c ON c.term = d.term
+ORDER BY distance ASC, doc_freq DESC, d.term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}

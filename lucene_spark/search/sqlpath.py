@@ -1317,6 +1317,118 @@ def infix_suggest(
     )
 
 
+def word_break_suggest(
+    reader: IndexReader,
+    field: str,
+    word: str,
+    max_changes: int = 1,
+    min_break_length: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks analog (suggest/spell/
+    WordBreakSpellChecker.java:86-133): split ``word`` into 2..max_changes+1
+    dictionary words, every part a real indexed term of length >=
+    ``min_break_length``. Ranked NUM_CHANGES_THEN_SUMMED_FREQUENCY:
+    (changes ASC, summed doc_freq DESC, term ASC); ``distance`` carries the
+    number of breaks. -> (term, distance, doc_freq).
+
+    Spark shape: each round is one equi-ish join against the aggregated
+    term dictionary — the one table small enough to broadcast at any
+    corpus size (|dict| grows ~log corpus) — so the whole suggester is
+    driver-free and O(max_changes) tiny joins.
+    """
+    ts = (
+        reader.term_stats_df()
+        .filter(F.col("field") == field)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .filter(F.length("term") >= min_break_length)
+    )
+    # disambiguated dictionary copy for the (repeated) self-joins below
+    d = ts.select(F.col("term").alias("_dt"), F.col("doc_freq").alias("_df"))
+    # frontier: (parts, freq, rest) — parts = dictionary words consumed so
+    # far (space-joined), rest = unconsumed suffix of `word`.
+    frontier = (
+        ts.filter(F.lit(word).startswith(F.col("term")) & (F.col("term") != word))
+        .select(
+            F.col("term").alias("parts"),
+            F.col("doc_freq").alias("freq"),
+            F.substr(F.lit(word), F.length("term") + F.lit(1)).alias("rest"),
+        )
+    )
+    results = []
+    for change in range(1, max_changes + 1):
+        done = frontier.join(F.broadcast(d), F.col("rest") == F.col("_dt")).select(
+            F.concat_ws(" ", "parts", "rest").alias("term"),
+            F.lit(change).cast("int").alias("distance"),
+            (F.col("freq") + F.col("_df")).alias("doc_freq"),
+        )
+        results.append(done)
+        if change < max_changes:
+            nxt = frontier.join(
+                F.broadcast(d),
+                F.col("rest").startswith(F.col("_dt"))
+                & (F.col("rest") != F.col("_dt")),
+            )
+            frontier = nxt.select(
+                F.concat_ws(" ", "parts", "_dt").alias("parts"),
+                (F.col("freq") + F.col("_df")).alias("freq"),
+                F.substr(F.col("rest"), F.length("_dt") + F.lit(1)).alias("rest"),
+            )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(
+        F.col("distance").asc(), F.col("doc_freq").desc(), F.col("term").asc()
+    ).limit(k)
+
+
+def word_combine_suggest(
+    reader: IndexReader,
+    field: str,
+    terms: list[str],
+    max_changes: int = 2,
+    max_combine_length: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations analog (suggest/spell/
+    WordBreakSpellChecker.java:135-191): combine runs of 2..max_changes+1
+    ADJACENT query terms into one word that exists in the dictionary.
+    ``distance`` = words combined - 1, ranked (distance ASC, doc_freq DESC,
+    term ASC). -> (term, distance, doc_freq).
+
+    Candidate concatenations are enumerated from the parsed query terms
+    (driver-side by nature — a query is a handful of tokens); dictionary
+    membership + frequency is one broadcast semi-join against term stats.
+    """
+    cands = []
+    for i in range(len(terms)):
+        joined = terms[i]
+        for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+            joined = joined + terms[j]
+            if len(joined) <= max_combine_length:
+                cands.append((joined, j - i))
+    ts = (
+        reader.term_stats_df()
+        .filter(F.col("field") == field)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    if not cands:
+        return ts.select(
+            "term", F.lit(0).cast("int").alias("distance"), "doc_freq"
+        ).limit(0)
+    cdf = reader.spark.createDataFrame(cands, "term string, distance int").dropDuplicates(
+        ["term", "distance"]
+    )
+    return (
+        ts.join(F.broadcast(cdf), "term")
+        .select("term", "distance", "doc_freq")
+        .orderBy(F.col("distance").asc(), F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def mlt_select_terms(
     reader: IndexReader,
     docs_src: DataFrame,

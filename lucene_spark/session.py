@@ -9,20 +9,42 @@ from pyspark.sql import SparkSession
 
 def make_pyfiles_zip(out_dir: str | None = None) -> str:
     """Zip the lucene_spark package for ``spark-submit --py-files`` /
-    ``sparkContext.addPyFile`` shipment to executors."""
+    ``sparkContext.addPyFile`` shipment to executors.
+
+    The archive is deterministic (fixed entry timestamps, sorted walk)
+    and written to a CONTENT-ADDRESSED path: Spark compares a fetched
+    --py-files artifact byte-for-byte against its cached copy, so a
+    fixed path that gets rewritten while a job referencing it is still
+    running fails the fetch with "exists and does not match contents".
+    A name keyed by the package hash never mutates under a live job.
+    """
+    import hashlib
+    import io
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    out = os.path.join(out_dir or "/tmp", "lucene_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w") as z:
-        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_dir)):
+            dirnames.sort()
             if "__pycache__" in dirpath:
                 continue
-            for fn in filenames:
+            for fn in sorted(filenames):
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, root))
+                    info = zipfile.ZipInfo(os.path.relpath(full, root))
+                    info.date_time = (1980, 1, 1, 0, 0, 0)
+                    with open(full, "rb") as fh:
+                        z.writestr(info, fh.read())
+    data = buf.getvalue()
+    tag = hashlib.sha256(data).hexdigest()[:12]
+    out = os.path.join(out_dir or "/tmp", f"lucene_spark_pyfiles_{tag}.zip")
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, out)
     return out
 
 

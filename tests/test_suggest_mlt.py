@@ -93,3 +93,68 @@ def test_mlt_by_doc_uses_index_terms_on_stemmed_index(spark):
     r = ensure_stem_index(spark, SF)
     got = mlt_by_doc(r, doc_id=7, max_terms=5, k=10).collect()
     assert got and got[0]["doc_id"] == 7
+
+
+def test_word_break_single_change(reader):
+    from lucene_spark.search.sqlpath import word_break_suggest
+
+    rows = word_break_suggest(reader, "text", "hashjoin", max_changes=1, k=5).collect()
+    assert [r["term"] for r in rows] == ["hash join"]
+    assert rows[0]["distance"] == 1
+    # summed-frequency ranking: freq = df(hash) + df(join)
+    from lucene_spark.search.sqlpath import suggest_terms  # noqa: F401
+    import pyspark.sql.functions as F
+
+    ts = (
+        reader.term_stats_df()
+        .filter(F.col("field") == "text")
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("df"))
+        .filter(F.col("term").isin(["hash", "join"]))
+        .collect()
+    )
+    assert rows[0]["doc_freq"] == sum(r["df"] for r in ts)
+
+
+def test_word_break_two_changes_and_min_length(reader):
+    from lucene_spark.search.sqlpath import word_break_suggest
+
+    rows = word_break_suggest(
+        reader, "text", "bigdatascan", max_changes=2, k=5
+    ).collect()
+    assert [r["term"] for r in rows] == ["big data scan"]
+    assert rows[0]["distance"] == 2
+    # with max_changes=1 there is no 2-part segmentation
+    assert (
+        word_break_suggest(reader, "text", "bigdatascan", max_changes=1, k=5).count()
+        == 0
+    )
+    # min_break_length prunes the short fragments
+    assert (
+        word_break_suggest(
+            reader, "text", "bigdatascan", max_changes=2, min_break_length=4, k=5
+        ).count()
+        == 0
+    )
+
+
+def test_word_combine_adjacent_runs(reader):
+    from lucene_spark.search.sqlpath import word_combine_suggest
+
+    rows = word_combine_suggest(
+        reader, "text", ["ta", "ble", "scan"], max_changes=2, k=5
+    ).collect()
+    assert [r["term"] for r in rows] == ["table"]
+    assert rows[0]["distance"] == 1
+    # non-adjacent terms never combine: ['ta', 'scan', 'ble'] has no
+    # adjacent run concatenating to a dictionary word
+    assert (
+        word_combine_suggest(reader, "text", ["ta", "scan", "ble"], k=5).count() == 0
+    )
+    # max_combine_length guards the concatenation budget
+    assert (
+        word_combine_suggest(
+            reader, "text", ["ta", "ble"], max_combine_length=3, k=5
+        ).count()
+        == 0
+    )
