@@ -1014,10 +1014,19 @@ def gate_queries() -> dict[str, object]:
         ])
 
     def q_range_facet(spark, sf):
+        # static LongRangeFacetCounts + DynamicRangeUtil equal-weight
+        # ranges, one tagged union (shared schema: bucket, cnt)
         r = ensure_index(spark, sf)
-        return sp.range_facet_counts(
+        stat = sp.range_facet_counts(
             r, FIELD, T_MID, "n_chars", [0, 150, 300, 450, 600]
         )
+        dyn = sp.dynamic_range_facets(r, FIELD, T_MID, "n_chars", n_ranges=4)
+        parts = [("static", stat), ("dynamic", dyn)]
+        out = None
+        for tag, df in parts:
+            t = df.select(F.lit(tag).alias("tag"), "*")
+            out = t if out is None else out.unionByName(t)
+        return out
 
     def q_grouped_topk(spark, sf):
         r = ensure_index(spark, sf)
@@ -1774,12 +1783,27 @@ t_sorted AS (
   ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10)
 SELECT 'docvalues' AS tag, * FROM t_docvalues
 UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted""",
-        "q_range_facet": f"""WITH {_TOKS},
+        "q_range_facet": f"""WITH t_static AS (WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT bucket, count(*) AS cnt FROM (
   SELECT CASE {bucket_case} END AS bucket
   FROM documents d JOIN m ON d.doc_id = m.doc_id
-) WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket""",
+) WHERE bucket IS NOT NULL GROUP BY bucket ORDER BY bucket),
+t_dynamic AS (WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+b AS (SELECT CAST(d.n_chars AS BIGINT) AS v, d.doc_id, CAST(1 AS BIGINT) AS w
+      FROM documents d JOIN m ON d.doc_id = m.doc_id),
+c AS (SELECT v, w,
+        COALESCE(SUM(w) OVER (ORDER BY v, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        SUM(w) OVER () AS tot FROM b),
+g AS (SELECT CAST(LEAST(3, (cw * 4) // tot) AS BIGINT) AS idx, v, w FROM c)
+SELECT printf('%02d_%06d_%06d_%09d', idx, MIN(v), MAX(v),
+              CAST(SUM(w) AS BIGINT)) AS bucket,
+       count(*) AS cnt
+FROM g GROUP BY idx ORDER BY bucket)
+SELECT 'static' AS tag, * FROM t_static
+UNION ALL SELECT 'dynamic' AS tag, * FROM t_dynamic""",
         "q_grouped_topk": _sql_grouped(T_MID, "lang", 2, 20),
         "q_rrf": _sql_rrf(T_HOT, T_MID, 60, 10, 100),
         "q_rescore": f"""{_scored_ctes(T_MID)},

@@ -1065,6 +1065,66 @@ def range_facet_counts(
     )
 
 
+def dynamic_range_facets(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    num_col: str,
+    n_ranges: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """DynamicRangeUtil.computeDynamicNumericRanges analog (facet/.../range/
+    DynamicRangeUtil.java): split the matched docs into ``n_ranges`` buckets
+    of ~equal TOTAL WEIGHT along ``num_col``. The boundary arithmetic is
+    ours (bucket = min(n-1, exclusive-prefix-weight * n DIV total), exact
+    integer math over the (value, doc_id) order) so the Spark plan and the
+    SQL twin agree bit-for-bit; the reference's accumulate-and-cut loop
+    walks the same sorted order. -> (bucket, cnt) where bucket packs
+    ``idx_min_max_weight``.
+
+    Scale shape: one sort + running-sum window + one groupBy. The global
+    window is a single-reducer prefix sum — at 100 TB swap in the standard
+    two-pass distributed prefix sum (per-partition totals broadcast as
+    offsets); the cut logic is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    base = docs.select(
+        F.col(num_col).cast("long").alias("v"), "doc_id", w.alias("w")
+    )
+    order = Window.orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    cum = base.select(
+        "v",
+        "w",
+        F.coalesce(
+            F.sum("w").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tot"),
+    )
+    idx = F.least(F.lit(n_ranges - 1), F.expr(f"(cw * {n_ranges}) div tot"))
+    return (
+        cum.select(idx.alias("idx"), "v", "w")
+        .groupBy("idx")
+        .agg(
+            F.min("v").alias("minv"),
+            F.max("v").alias("maxv"),
+            F.count("*").alias("cnt"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            F.format_string(
+                "%02d_%06d_%06d_%09d", "idx", "minv", "maxv", "wsum"
+            ).alias("bucket"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )
+
+
 def grouped_topk(
     reader: IndexReader,
     field: str,
