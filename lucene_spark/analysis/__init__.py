@@ -22,3 +22,20 @@ from lucene_spark.analysis.filters import (  # noqa: F401  (registers the
     porter_stem,
     register_analyzer,
 )
+from lucene_spark.analysis.extras import (  # noqa: F401  (registers
+    CapitalizationFilter,  # keyword/ngram/html_standard analyzers)
+    CharFilter,
+    CharFilteredAnalyzer,
+    HTMLStripCharFilter,
+    KeywordAnalyzer,
+    LimitTokenCountFilter,
+    MappingCharFilter,
+    NGramAnalyzer,
+    NGramFilter,
+    PatternReplaceCharFilter,
+    PhoneticFilter,
+    TrimFilter,
+    TruncateTokenFilter,
+    refined_soundex,
+    soundex,
+)

@@ -1,0 +1,352 @@
+"""Analysis-zoo extras: char filters, n-gram tokenization, phonetic
+encoders, and miscellaneous token filters.
+
+Reference roles (all under lucene/analysis/common/src/java/org/apache/
+lucene/analysis unless noted):
+
+- charfilter/HTMLStripCharFilter.java (JFlex scanner: drops tags,
+  comments, script/style bodies, decodes entities),
+  charfilter/MappingCharFilter.java (longest-match string rewrites),
+  pattern/PatternReplaceCharFilter.java. Char filters run BEFORE the
+  tokenizer (Analyzer.initReader). Deviation, documented: Lucene char
+  filters maintain an offset-correction map (correctOffset) so
+  highlight offsets point into the ORIGINAL text; these analogs rewrite
+  the text only, so char-filtered analyzers report
+  supports_offsets() = False and index-driven highlighting falls back
+  to the uncorrected chain.
+- ngram/NGramTokenizer.java (grams of every length in [min,max] at
+  each char position, left to right), ngram/NGramTokenFilter.java
+  (grams per token; keepShortTerm/preserveOriginal edges).
+- analysis/phonetic module's PhoneticFilter.java: each token is
+  encoded (commons-codec encoders); inject=true ADDS the code beside
+  the token, inject=false REPLACES it. Encoders implemented here from
+  their public specifications: American Soundex and Refined Soundex.
+  Deviation: inject=true appends the code as the NEXT list slot, so
+  downstream positions shift by one (the reference injects at
+  posIncrement 0; our token lists carry no position attribute).
+- miscellaneous/TrimFilter.java, TruncateTokenFilter.java,
+  LimitTokenCountFilter.java, CapitalizationFilter.java,
+  KeywordMarkerFilter.java + StemmerOverrideFilter.java (the latter
+  two are fused into the stemmers' `protected`/`overrides` options in
+  filters.py — tokens are plain strings here, so the KeywordAttribute
+  channel is carried by the consumer).
+- core/analysis/KeywordAnalyzer (whole input = one token).
+"""
+
+from __future__ import annotations
+
+import html
+import re
+
+from lucene_spark.analysis.analyzer import Analyzer
+from lucene_spark.analysis.filters import TokenFilter, register_analyzer
+
+# --------------------------------------------------------------------------
+# char filters
+# --------------------------------------------------------------------------
+
+
+class CharFilter:
+    """Text -> text rewrite applied before tokenization."""
+
+    def apply_one(self, text: str) -> str:
+        raise NotImplementedError
+
+
+_HTML_BLOCK = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_HTML_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_HTML_TAG = re.compile(r"</?[A-Za-z!][^>]*>")
+
+
+class HTMLStripCharFilter(CharFilter):
+    """Drop script/style bodies, comments, and tags; decode entities.
+    Tags are replaced by a space so words in adjacent elements never
+    merge (the reference emits them as separate tokens too)."""
+
+    def apply_one(self, text: str) -> str:
+        text = _HTML_BLOCK.sub(" ", text)
+        text = _HTML_COMMENT.sub(" ", text)
+        text = _HTML_TAG.sub(" ", text)
+        return html.unescape(text)
+
+
+class MappingCharFilter(CharFilter):
+    """Longest-match-first literal rewrites (NormalizeCharMap holds the
+    mappings in an FST and always takes the longest match)."""
+
+    def __init__(self, mappings: dict[str, str]):
+        self.mappings = dict(mappings)
+        keys = sorted(self.mappings, key=len, reverse=True)
+        self._rx = re.compile("|".join(re.escape(k) for k in keys)) if keys else None
+
+    def apply_one(self, text: str) -> str:
+        if self._rx is None:
+            return text
+        return self._rx.sub(lambda m: self.mappings[m.group(0)], text)
+
+
+class PatternReplaceCharFilter(CharFilter):
+    def __init__(self, pattern: str, replacement: str):
+        self._rx = re.compile(pattern)
+        self.replacement = replacement
+
+    def apply_one(self, text: str) -> str:
+        return self._rx.sub(self.replacement, text)
+
+
+class CharFilteredAnalyzer(Analyzer):
+    """Analyzer.initReader role: run char filters, then the wrapped
+    analyzer. No offset correction -> supports_offsets() is False."""
+
+    def __init__(self, char_filters: list[CharFilter], base: Analyzer, name: str):
+        self.char_filters = list(char_filters)
+        self.base = base
+        self.name = name
+
+    def tokenize_one(self, text: str) -> list[str]:
+        for cf in self.char_filters:
+            text = cf.apply_one(text)
+        return self.base.tokenize_one(text)
+
+    def supports_offsets(self) -> bool:
+        return False
+
+
+# --------------------------------------------------------------------------
+# n-grams
+# --------------------------------------------------------------------------
+
+
+class NGramAnalyzer(Analyzer):
+    """NGramTokenizer: at each char position (left to right) emit the
+    grams of every length in [min_gram, max_gram] that fit
+    (NGramTokenizer.java post-4.4 order). Tracks offsets."""
+
+    name = "ngram"
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 2, lowercase: bool = True):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError("need 1 <= min_gram <= max_gram")
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.lowercase = lowercase
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return self.tokenize_with_offsets_one(text)[0]
+
+    def tokenize_with_offsets_one(self, text: str):
+        if self.lowercase:
+            text = text.lower()
+        toks: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        n = len(text)
+        for i in range(n):
+            hi = min(self.max_gram, n - i)
+            for g in range(self.min_gram, hi + 1):
+                toks.append(text[i : i + g])
+                starts.append(i)
+                ends.append(i + g)
+        return toks, starts, ends
+
+
+class NGramFilter(TokenFilter):
+    """NGramTokenFilter: per-token grams in the tokenizer's order.
+    preserve_original keeps tokens whose length falls outside
+    [min_gram, max_gram] (the keepShortTerm/keepLongTerm edges)."""
+
+    def __init__(
+        self, min_gram: int = 1, max_gram: int = 2, preserve_original: bool = False
+    ):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError("need 1 <= min_gram <= max_gram")
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in tokens:
+            n = len(t)
+            if n < self.min_gram:
+                if self.preserve_original:
+                    out.append(t)
+                continue
+            emitted = False
+            hi = min(self.max_gram, n)
+            for i in range(n):
+                for g in range(self.min_gram, min(hi, n - i) + 1):
+                    out.append(t[i : i + g])
+                    emitted = True
+            if emitted and self.preserve_original and n > self.max_gram:
+                out.append(t)
+        return out
+
+
+# --------------------------------------------------------------------------
+# phonetic encoders (public algorithm specifications)
+# --------------------------------------------------------------------------
+
+_SOUNDEX_CODES = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(word: str) -> str:
+    """American Soundex (the commons-codec Soundex default the
+    reference's PhoneticFilter ships): first letter + 3 digits;
+    adjacent same codes collapse, including across H/W; vowels reset
+    the run."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0].upper()]
+    last = _SOUNDEX_CODES.get(w[0], "")
+    for c in w[1:]:
+        code = _SOUNDEX_CODES.get(c, "")
+        if code and code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        if c not in "hw":
+            last = code  # vowels clear the run; h/w keep it
+    return "".join(out).ljust(4, "0")
+
+
+_REFINED_CODES = {
+    **dict.fromkeys("bp", "1"),
+    **dict.fromkeys("fv", "2"),
+    **dict.fromkeys("cks", "3"),
+    **dict.fromkeys("gj", "4"),
+    **dict.fromkeys("qxz", "5"),
+    **dict.fromkeys("dt", "6"),
+    "l": "7",
+    **dict.fromkeys("mn", "8"),
+    "r": "9",
+    **dict.fromkeys("aeiouyhw", "0"),
+}
+
+
+def refined_soundex(word: str) -> str:
+    """Refined Soundex (commons-codec RefinedSoundex): first letter,
+    then one digit per letter with adjacent duplicates collapsed; no
+    length cap, vowels code 0."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0].upper()]
+    last = ""
+    for c in w:
+        code = _REFINED_CODES.get(c, "")
+        if code and code != last:
+            out.append(code)
+        last = code
+    return "".join(out)
+
+
+class PhoneticFilter(TokenFilter):
+    """PhoneticFilter.java: encode each token; inject=True emits the
+    code AFTER the token (position-shifting deviation noted in the
+    module doc), inject=False replaces the token with its code."""
+
+    ENCODERS = {"soundex": soundex, "refined_soundex": refined_soundex}
+
+    def __init__(self, encoder: str = "soundex", inject: bool = True):
+        self.encode = self.ENCODERS[encoder]
+        self.inject = inject
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in tokens:
+            code = self.encode(t)
+            if self.inject:
+                out.append(t)
+                if code and code != t:
+                    out.append(code)
+            else:
+                out.append(code if code else t)
+        return out
+
+
+# --------------------------------------------------------------------------
+# miscellaneous filters
+# --------------------------------------------------------------------------
+
+
+class TrimFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t.strip() for t in tokens]
+
+
+class TruncateTokenFilter(TokenFilter):
+    def __init__(self, length: int):
+        if length < 1:
+            raise ValueError("length >= 1")
+        self.length = length
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t[: self.length] for t in tokens]
+
+
+class LimitTokenCountFilter(TokenFilter):
+    def __init__(self, max_token_count: int):
+        self.max_token_count = max_token_count
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return tokens[: self.max_token_count]
+
+
+class CapitalizationFilter(TokenFilter):
+    """Uppercase the first char, lowercase the rest (the
+    CapitalizationFilter default with no protected/ok-prefix lists)."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t[:1].upper() + t[1:].lower() if t else t for t in tokens]
+
+
+class KeywordAnalyzer(Analyzer):
+    """core/analysis/KeywordAnalyzer: the entire input is ONE token,
+    verbatim (no lowercasing)."""
+
+    name = "keyword"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def tokenize_with_offsets_one(self, text: str):
+        return ([text], [0], [len(text)]) if text else ([], [], [])
+
+
+register_analyzer("keyword", KeywordAnalyzer)
+register_analyzer("ngram", NGramAnalyzer)
+
+
+def _html_standard():
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+
+    return CharFilteredAnalyzer(
+        [HTMLStripCharFilter()], StandardAnalyzer(), "html_standard"
+    )
+
+
+register_analyzer("html_standard", _html_standard)
+
+
+def _simple_soundex():
+    from lucene_spark.analysis.analyzer import SimpleAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        SimpleAnalyzer(), [PhoneticFilter("soundex", inject=False)],
+        "simple_soundex",
+    )
+
+
+register_analyzer("simple_soundex", _simple_soundex)

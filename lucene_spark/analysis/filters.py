@@ -247,8 +247,30 @@ def porter_stem(word: str) -> str:
 
 
 class PorterStemFilter(TokenFilter):
+    """Porter stemmer with the KeywordMarkerFilter + StemmerOverrideFilter
+    roles fused in (miscellaneous/KeywordMarkerFilter.java,
+    StemmerOverrideFilter.java): `protected` tokens pass through
+    unstemmed (the KeywordAttribute channel — tokens are plain strings
+    here, so the consumer carries the mark), and `overrides` maps a
+    token straight to a dictated stem, skipping the algorithm."""
+
+    def __init__(
+        self,
+        protected: frozenset[str] = frozenset(),
+        overrides: dict[str, str] | None = None,
+    ):
+        self.protected = protected
+        self.overrides = overrides or {}
+
     def apply(self, tokens: list[str]) -> list[str]:
-        return [porter_stem(t) for t in tokens]
+        if not self.protected and not self.overrides:
+            return [porter_stem(t) for t in tokens]
+        return [
+            t
+            if t in self.protected
+            else self.overrides.get(t) or porter_stem(t)
+            for t in tokens
+        ]
 
 
 # --------------------------------------------------------------------------

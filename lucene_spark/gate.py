@@ -1076,6 +1076,7 @@ def gate_queries() -> dict[str, object]:
         # every child) — join/.../ToParentBlockJoinQuery.java,
         # ToChildBlockJoinQuery.java
         from lucene_spark.search.joins import (
+            parent_children_block_join,
             to_child_block_join,
             to_parent_block_join,
         )
@@ -1100,7 +1101,26 @@ def gate_queries() -> dict[str, object]:
             F.col("id2").cast("long"),
             "score_x1e6",
         )
-        return parent.unionByName(child)
+        # ParentChildrenBlockJoinQuery (the after-the-hit detail query):
+        # matching children of the TOP parent hit, scored by the child
+        # query (join/.../ParentChildrenBlockJoinQuery.java)
+        top_parent = int(
+            to_parent_block_join(
+                li, F.col("l_quantity") >= 49, F.col("l_extendedprice"),
+                "l_orderkey", score_mode="max", k=1,
+            ).first()["parent_id"]
+        )
+        pc = parent_children_block_join(
+            li, top_parent, "l_orderkey",
+            F.col("l_quantity") >= 25, F.col("l_extendedprice"),
+            "l_linenumber",
+        ).select(
+            F.lit("pc").alias("tag"),
+            F.lit(top_parent).cast("long").alias("id1"),
+            F.col("id2").cast("long"),
+            "score_x1e6",
+        )
+        return parent.unionByName(child).unionByName(pc)
 
     def q_join_util(spark, sf):
         from lucene_spark.search.joins import join_util_semi
@@ -1831,9 +1851,18 @@ t_child AS (
     CAST(ROUND(o.o_totalprice*1000000) AS BIGINT) AS score_x1e6
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE o.o_totalprice > 450000
-  ORDER BY score_x1e6 DESC, id1 ASC, id2 ASC LIMIT 10)
+  ORDER BY score_x1e6 DESC, id1 ASC, id2 ASC LIMIT 10),
+t_pc AS (
+  SELECT CAST((SELECT id1 FROM t_parent ORDER BY score_x1e6 DESC, id1 ASC LIMIT 1) AS BIGINT) AS id1,
+    CAST(l_linenumber AS BIGINT) AS id2,
+    CAST(ROUND(l_extendedprice*1000000) AS BIGINT) AS score_x1e6
+  FROM lineitem
+  WHERE l_orderkey = (SELECT id1 FROM t_parent ORDER BY score_x1e6 DESC, id1 ASC LIMIT 1)
+    AND l_quantity >= 25
+  ORDER BY score_x1e6 DESC, id2 ASC LIMIT 10)
 SELECT 'parent' AS tag, * FROM t_parent
-UNION ALL SELECT 'child' AS tag, * FROM t_child""",
+UNION ALL SELECT 'child' AS tag, * FROM t_child
+UNION ALL SELECT 'pc' AS tag, * FROM t_pc""",
         "q_join_util": """SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
 ORDER BY c_custkey LIMIT 20""",

@@ -125,3 +125,37 @@ def join_util_semi(
     )
     out = to_df.join(F.broadcast(keys), to_field, "left_semi")
     return out.select(*select_cols).orderBy(F.col(order_col).asc()).limit(k)
+
+
+def parent_children_block_join(
+    children: DataFrame,
+    parent_id,
+    parent_key: str,
+    child_filter: Column,
+    child_score: Column,
+    child_tiebreak: str,
+    k: int = 10,
+) -> DataFrame:
+    """ParentChildrenBlockJoinQuery (join/.../
+    ParentChildrenBlockJoinQuery.java): "return the matching children
+    of ONE parent" — the detail query an application runs after a
+    ToParentBlockJoin hit to show which children produced it, with
+    their own child-query scores.
+
+    Relationally: an equi-filter on the parent key (pushed to the scan
+    — a single-parent partition prune at scale) + the child filter,
+    scored by the child query. -> (id2=tiebreak, score_x1e6),
+    (score DESC, id2 ASC) top-k."""
+    out = children.filter(
+        (F.col(parent_key) == F.lit(parent_id)) & child_filter
+    )
+    return (
+        out.select(
+            F.col(child_tiebreak).alias("id2"),
+            F.round(child_score.cast("double") * 1e6).cast("long").alias(
+                "score_x1e6"
+            ),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("id2").asc())
+        .limit(k)
+    )

@@ -47,6 +47,27 @@ def _required_terms(q: Q.Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, (Q.WildcardQuery, Q.RegexpQuery, Q.FuzzyQuery)):
         return set()  # pattern/edit-distance: always candidate
+    if isinstance(q, Q.SynonymQuery):
+        return set(q.terms)
+    if isinstance(q, Q.MultiPhraseQuery):
+        return set(q.slots[0]) if q.slots else set()
+    if isinstance(q, (Q.IntervalQuery, Q.SpanQuery)):
+        # every leaf term of an interval/span tree must-or-may appear,
+        # and any MATCH contains at least one of them — the union is a
+        # safe any-of fingerprint; pattern leaves (SpanMulti) force
+        # always-candidate via an empty terms() tuple
+        ts = set(q.source.terms())
+        return ts if ts and all(ts) else set()
+    if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+        return _required_terms(q.query)
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        out: set[str] = set()
+        for s in q.queries:
+            sub = _required_terms(s)
+            if not sub:
+                return set()
+            out |= sub
+        return out
     if isinstance(q, Q.BooleanQuery):
         if q.must:
             return _required_terms(q.must[0])
@@ -166,13 +187,9 @@ class Monitor:
             q = QueryParser(default_field).parse(q)
         self.queries[query_id] = Q.rewrite_fixpoint(q)
 
-    def match_df(self, docs: DataFrame, content_col: str = "content") -> DataFrame:
-        """-> (doc_id, query_id) for every (live doc, matching standing
-        query) pair. Same code path for batch and streaming inputs."""
-        queries = dict(self.queries)
-        analyzer_name = self.analyzer_name
-        # presearcher: term -> query ids; queries with empty fingerprint
-        # are always candidates
+    def _presearcher(self, queries: dict):
+        """term -> candidate query ids + the always-candidate set
+        (TermFilteredPresearcher role)."""
         prefilter: dict[str, set[str]] = {}
         always: set[str] = set()
         for qid, q in queries.items():
@@ -181,6 +198,14 @@ class Monitor:
                 always.add(qid)
             for t in req:
                 prefilter.setdefault(t, set()).add(qid)
+        return prefilter, always
+
+    def match_df(self, docs: DataFrame, content_col: str = "content") -> DataFrame:
+        """-> (doc_id, query_id) for every (live doc, matching standing
+        query) pair. Same code path for batch and streaming inputs."""
+        queries = dict(self.queries)
+        analyzer_name = self.analyzer_name
+        prefilter, always = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             an = get_analyzer(analyzer_name)
@@ -199,4 +224,54 @@ class Monitor:
 
         return docs.select("doc_id", content_col).mapInPandas(
             run, schema="doc_id long, query_id string"
+        )
+
+    def match_scores_df(
+        self, docs: DataFrame, content_col: str = "content",
+        field: str = "content",
+    ) -> DataFrame:
+        """ScoringMatch matcher (monitor/ScoringMatch.java +
+        CollectingMatcher): -> (doc_id, query_id, score) with the REAL
+        BM25 score of each match, computed exactly like the reference —
+        each streamed document becomes a one-doc in-memory index
+        (monitor/DocumentBatch.java builds exactly that for singleton
+        batches) and every presearcher candidate runs against it.
+
+        Because the verification stage is a full MemoryIndex (not the
+        boolean `_matches` walker), ANY engine-supported query can stand
+        here — intervals, spans, sloppy phrases, multi-term rewrites —
+        and scores are bit-identical to a one-doc engine search.
+        Shape: one narrow mapInPandas, candidates pruned per doc by the
+        broadcast term->query map; no shuffle, no driver state."""
+        queries = dict(self.queries)
+        analyzer_name = self.analyzer_name
+        prefilter, always = self._presearcher(queries)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from lucene_spark.memory import MemoryIndex
+
+            an = get_analyzer(analyzer_name)
+            for pdf in batches:
+                rows = []
+                tok_series = an.tokenize(pdf[content_col])
+                for did, text, toks in zip(
+                    pdf["doc_id"], pdf[content_col], tok_series
+                ):
+                    cands = set(always)
+                    for t in set(toks):
+                        cands |= prefilter.get(t, set())
+                    if not cands:
+                        continue
+                    mi = MemoryIndex(analyzer_name)
+                    mi.add_field(field, text)
+                    for qid in sorted(cands):
+                        s = mi.search(queries[qid])
+                        if s > 0.0:
+                            rows.append((int(did), qid, s))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "query_id", "score"]
+                ).astype({"doc_id": "int64", "score": "float32"})
+
+        return docs.select("doc_id", content_col).mapInPandas(
+            run, schema="doc_id long, query_id string, score float"
         )

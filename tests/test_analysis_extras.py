@@ -1,0 +1,138 @@
+"""Analysis extras: char filters, n-grams, phonetic encoders, misc
+filters — goldens against the published algorithm values plus an
+end-to-end phonetic-match drive through the engine."""
+
+import pytest
+
+from lucene_spark.analysis import (
+    CapitalizationFilter,
+    HTMLStripCharFilter,
+    LimitTokenCountFilter,
+    MappingCharFilter,
+    NGramAnalyzer,
+    NGramFilter,
+    PatternReplaceCharFilter,
+    PhoneticFilter,
+    PorterStemFilter,
+    TrimFilter,
+    TruncateTokenFilter,
+    get_analyzer,
+    refined_soundex,
+    soundex,
+)
+
+
+def test_html_strip():
+    cf = HTMLStripCharFilter()
+    out = cf.apply_one(
+        "<html><!-- c --><body><p class='x'>Hello <b>World</b>"
+        " &amp; caf&eacute;</p><script>var x = 'ignored';</script>"
+        "<style>p { color: red }</style></body></html>"
+    )
+    assert "Hello" in out and "World" in out and "& café" in out
+    assert "ignored" not in out and "color" not in out and "<" not in out
+    an = get_analyzer("html_standard")
+    assert an.tokenize_one("<p>Hello <b>World</b></p>") == ["hello", "world"]
+    assert not an.supports_offsets()  # no offset correction, documented
+
+
+def test_mapping_char_filter_longest_match():
+    cf = MappingCharFilter({"a": "1", "aa": "2", "aaa": "3"})
+    assert cf.apply_one("aaaa") == "31"  # longest match first
+    cf2 = MappingCharFilter({"ph": "f", "qu": "kw"})
+    assert cf2.apply_one("phquery") == "fkwery"
+
+
+def test_pattern_replace_char_filter():
+    cf = PatternReplaceCharFilter(r"(\d+)-(\d+)", r"\1\2")
+    assert cf.apply_one("call 555-1234 now") == "call 5551234 now"
+
+
+def test_ngram_tokenizer_order_and_offsets():
+    an = NGramAnalyzer(1, 2)
+    toks, starts, ends = an.tokenize_with_offsets_one("abc")
+    assert toks == ["a", "ab", "b", "bc", "c"]
+    assert list(zip(starts, ends)) == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert ["abc"[s:e] for s, e in zip(starts, ends)] == toks
+    assert NGramAnalyzer(2, 3).tokenize_one("ABCD") == [
+        "ab", "abc", "bc", "bcd", "cd",
+    ]
+
+
+def test_ngram_filter_edges():
+    f = NGramFilter(2, 3)
+    assert f.apply(["abcd"]) == ["ab", "abc", "bc", "bcd", "cd"]
+    assert f.apply(["a"]) == []  # shorter than min_gram
+    fp = NGramFilter(2, 3, preserve_original=True)
+    assert fp.apply(["a"]) == ["a"]
+    assert fp.apply(["abcd"])[-1] == "abcd"  # longer than max_gram kept
+    assert fp.apply(["ab"]) == ["ab"]  # in range: grams only (== original)
+
+
+def test_soundex_published_values():
+    # the US-census / commons-codec canonical examples
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"   # h between same-coded letters
+    assert soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"    # first-letter code collapses f
+    assert soundex("Honeyman") == "H555"
+    assert refined_soundex("testing") == "T6036084"
+
+
+def test_phonetic_filter_modes():
+    inj = PhoneticFilter("soundex", inject=True)
+    assert inj.apply(["robert", "smith"]) == ["robert", "R163", "smith", "S530"]
+    rep = PhoneticFilter("soundex", inject=False)
+    assert rep.apply(["robert", "smith"]) == ["R163", "S530"]
+
+
+def test_misc_filters():
+    assert TrimFilter().apply([" a ", "b"]) == ["a", "b"]
+    assert TruncateTokenFilter(3).apply(["abcdef", "ab"]) == ["abc", "ab"]
+    assert LimitTokenCountFilter(2).apply(["a", "b", "c"]) == ["a", "b"]
+    assert CapitalizationFilter().apply(["heLLo", "x"]) == ["Hello", "X"]
+    assert get_analyzer("keyword").tokenize_one("New York, NY") == ["New York, NY"]
+
+
+def test_stemmer_protection_and_override():
+    plain = PorterStemFilter()
+    assert plain.apply(["running", "agreed"]) == ["run", "agre"]
+    prot = PorterStemFilter(protected=frozenset({"running"}))
+    assert prot.apply(["running", "agreed"]) == ["running", "agre"]
+    over = PorterStemFilter(overrides={"agreed": "agree"})
+    assert over.apply(["running", "agreed"]) == ["run", "agree"]
+
+
+@pytest.fixture(scope="module")
+def phonetic_index(spark, tmp_path_factory):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("phidx") / "idx")
+    rows = [
+        ("r", f"d{i}.txt", "c", "txt", text)
+        for i, text in enumerate(
+            ["robert called home", "rupert sent a letter", "smith answered"]
+        )
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    build_index(spark, src, idx, IndexConfig(analyzer="simple_soundex"))
+    return IndexSearcher(IndexReader(spark, idx))
+
+
+def test_phonetic_match_e2e(phonetic_index):
+    """Querying through the same phonetic chain matches homophones:
+    'rupert' finds the 'robert' doc (both R163)."""
+    from lucene_spark.search import query as Q
+
+    code = soundex("rupert")
+    td = phonetic_index.search(Q.TermQuery("content", code), k=10)
+    assert len(td.hits) == 2  # robert doc + rupert doc
+    # note: soundex("sent") == soundex("smith") == S530, so the smith
+    # probe would hit two docs; "hume" ~ "home" (H500) is unambiguous
+    td2 = phonetic_index.search(Q.TermQuery("content", soundex("hume")), k=10)
+    assert len(td2.hits) == 1  # the "robert called home" doc

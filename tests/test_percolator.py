@@ -141,3 +141,56 @@ def test_fuzzy_banded_levenshtein():
     assert not _within_edits("abc", "abcd", 0)
     assert _within_edits("", "ab", 2)
     assert not _within_edits("kitten", "sitting", 2)  # distance 3
+
+
+def test_scoring_matcher_parity_and_scores(monitor, doc_rows):
+    """ScoringMatch path: same match set as the boolean matcher, plus
+    scores bit-identical to a per-doc MemoryIndex search."""
+    import numpy as np
+
+    from lucene_spark.memory import MemoryIndex
+
+    scored = monitor.match_scores_df(doc_rows).collect()
+    assert {(r["doc_id"], r["query_id"]) for r in scored} == _pairs(
+        monitor, doc_rows
+    )
+    texts = {r["doc_id"]: r["content"] for r in doc_rows.collect()}
+    for r in scored:
+        assert r["score"] > 0.0
+        mi = MemoryIndex("standard")
+        mi.add_field("content", texts[r["doc_id"]])
+        assert np.float32(r["score"]) == np.float32(
+            mi.search(monitor.queries[r["query_id"]])
+        )
+
+
+def test_scoring_matcher_widens_query_surface(spark):
+    """Interval/span/sloppy standing queries work on the scoring path
+    (the boolean _matches walker does not support them)."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor(analyzer="standard")
+    m.register(
+        "q_interval",
+        Q.IntervalQuery(
+            "content",
+            Q.IOrdered((Q.ITerm("disk"), Q.ITerm("failure")), max_gaps=2),
+        ),
+    )
+    m.register("q_sloppy", Q.PhraseQuery("content", ("kernel", "panic"), slop=2))
+    docs = spark.createDataFrame(
+        [
+            (0, "disk controller failure detected"),
+            (1, "failure of the disk"),
+            (2, "kernel mode panic trace"),
+            (3, "panic kernel trace"),
+            (4, "unrelated text"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in m.match_scores_df(docs).collect()}
+    assert (0, "q_interval") in got
+    assert (1, "q_interval") not in got  # ordered
+    assert (2, "q_sloppy") in got
+    assert (3, "q_sloppy") in got  # slop 2 allows transposition
+    assert all(d != 4 for d, _ in got)
