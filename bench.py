@@ -121,14 +121,21 @@ def main() -> None:
     }
 
     def _time(fns):
+        # best-of-reps, not mean: this sandbox shares its host, and
+        # load-average spikes with zero local processes inflate single
+        # timings 2-5x run to run (measured); the minimum is the
+        # standard capability estimator under co-tenant noise and is
+        # what the cross-round comparison needs to track ENGINE changes
         out: dict[str, float] = {}
         for name, fn in fns.items():
             fn()  # warm (plan + code paths)
             reps = 3
-            t = time.time()
+            best = float("inf")
             for _ in range(reps):
+                t = time.time()
                 fn()
-            out[name] = round((time.time() - t) / reps, 4)
+                best = min(best, time.time() - t)
+            out[name] = round(best, 4)
         return out
 
     timings = _time(bench_queries)

@@ -350,3 +350,16 @@ def _simple_soundex():
 
 
 register_analyzer("simple_soundex", _simple_soundex)
+
+
+def _geohash():
+    # lazy: the prefix-tree module lives under search/ (it also hosts
+    # the query-side covering logic); importing it here at call time
+    # avoids an analysis <-> search import cycle while keeping the
+    # name resolvable inside Spark workers
+    from lucene_spark.search.prefixtree import GeohashAnalyzer
+
+    return GeohashAnalyzer()
+
+
+register_analyzer("geohash", _geohash)

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lucene_spark.analysis.filters import english_minimal_stem_sql
 from lucene_spark.index.builder import IndexConfig, build_index
 from lucene_spark.index import manifest as mani
 from lucene_spark.pipeline import dedup as dd
@@ -1483,10 +1484,42 @@ def gate_queries() -> dict[str, object]:
         wc = sp.word_combine_suggest(
             r, FIELD, ["ta", "ble", "scan"], max_changes=2, k=5
         )
+        # AnalyzingSuggester / FuzzySuggester over a deterministic
+        # (surface, weight) dictionary: pluralized corpus tokens, so
+        # the analyzed key (s-stemmed) differs from the surface —
+        # matching goes through the analysis chain, surfaces come back
+        from lucene_spark.search.suggesters import (
+            analyzing_suggest,
+            fuzzy_suggest,
+        )
+
+        tokdf = (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+        sugg = (
+            tokdf.groupBy("tok")
+            .agg(F.count_distinct("doc_id").alias("weight"))
+            .select(F.concat("tok", F.lit("s")).alias("surface"), "weight")
+        )
+        anz = analyzing_suggest(sugg, "s", analyzer="simple_en_min", k=5).select(
+            F.col("surface").alias("term"),
+            F.lit(0).cast("int").alias("distance"),
+            F.col("weight").cast("long").alias("doc_freq"),
+        )
+        fz = fuzzy_suggest(sugg, "scann", analyzer="simple_en_min", k=5).select(
+            F.col("surface").alias("term"),
+            F.col("distance"),
+            F.col("weight").cast("long").alias("doc_freq"),
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
-            ("wordcombine", wc),
+            ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
         ]
         out = None
         for tag, df in parts:
@@ -2428,6 +2461,31 @@ cand AS (SELECT * FROM (VALUES ('table', 1), ('tablescan', 2), ('blescan', 1))
 SELECT d.term, CAST(c.distance AS INT) AS distance, d.doc_freq
 FROM dfs d JOIN cand c ON c.term = d.term
 ORDER BY distance ASC, doc_freq DESC, d.term ASC LIMIT 5"""),
+        # AnalyzingSuggester: pluralized-token dictionary, s-stemmed
+        # analyzed keys, typed 's' walks the key prefix
+        ("analyzing", f"""WITH {_TOKS},
+dfs AS (SELECT tok, count(DISTINCT doc_id) AS weight FROM toks GROUP BY tok),
+sugg0 AS (SELECT tok || 's' AS surface, weight FROM dfs),
+sugg AS (SELECT surface, weight, {english_minimal_stem_sql('surface')} AS key FROM sugg0)
+SELECT surface AS term, CAST(0 AS INT) AS distance, weight AS doc_freq
+FROM sugg WHERE key LIKE 's%'
+ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+        # FuzzySuggester: typed 'scann', maxEdits=1, nonFuzzyPrefix=1 —
+        # prefix edit distance = least levenshtein over prefix lengths
+        # len(q)-1 .. len(q)+1
+        ("fuzzy", f"""WITH {_TOKS},
+dfs AS (SELECT tok, count(DISTINCT doc_id) AS weight FROM toks GROUP BY tok),
+sugg0 AS (SELECT tok || 's' AS surface, weight FROM dfs),
+sugg AS (SELECT surface, weight, {english_minimal_stem_sql('surface')} AS key FROM sugg0),
+sc AS (SELECT surface, weight, key,
+  CASE WHEN key LIKE 'scann%' THEN 0 ELSE least(
+    levenshtein('scann', substr(key, 1, 4)),
+    levenshtein('scann', substr(key, 1, 5)),
+    levenshtein('scann', substr(key, 1, 6))) END AS distance
+  FROM sugg WHERE substr(key, 1, 1) = 's')
+SELECT surface AS term, CAST(distance AS INT) AS distance, weight AS doc_freq
+FROM sc WHERE key LIKE 'scann%' OR distance <= 1
+ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}

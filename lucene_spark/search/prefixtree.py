@@ -1,0 +1,219 @@
+"""Geohash prefix-tree geo indexing — the spatial-extras
+RecursivePrefixTreeStrategy analog.
+
+Reference semantics (spatial-extras/src/java/org/apache/lucene/spatial/
+prefix/RecursivePrefixTreeStrategy.java + prefix/tree/
+GeohashPrefixTree.java): a point is indexed as the chain of grid cells
+containing it — its geohash plus every prefix — so spatial filters
+become TERM queries: cover the query shape with grid cells, accept
+every doc indexed under a fully-contained cell, and exactly refine only
+the docs under boundary cells (the INTERSECTS recursion with
+detailLevel bounding).
+
+Why this matters at 100 TB: the column-predicate geo path (search/
+geo.py) scans every row group the box's lat/lon stats admit; the
+prefix-tree path goes through the INVERTED index — the postings scan is
+pruned to a few dozen (field, term) rows regardless of corpus size, and
+only boundary-cell candidates are joined back for exact refinement.
+This is precisely the Lucene trade: term-indexed grids when the filter
+is much smaller than the data.
+
+Geohash (public domain, Niemeyer 2008): interleaved lon/lat bit
+bisection, base-32 alphabet ``0123456789bcdefghjkmnpqrstuvwxyz``; each
+extra character multiplies precision by 32 (level-5 cells are about
+4.9 km x 4.9 km). Cells are half-open [min, max) in both axes, so a
+point on a cell's max edge encodes into the neighbor — fully-contained
+cell acceptance stays exact against the inclusive box refine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.analysis.analyzer import Analyzer
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: float, lon: float, precision: int = 7) -> str:
+    """Encode one point. Bits alternate lon (even) / lat (odd)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bit = 0
+    ch = 0
+    even = True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_BASE32[ch])
+            bit = 0
+            ch = 0
+    return "".join(out)
+
+
+def geohash_bbox(cell: str) -> tuple[float, float, float, float]:
+    """-> (min_lat, max_lat, min_lon, max_lon) of a cell (half-open)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in cell:
+        v = _BASE32.index(c)
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & b:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & b:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def cover_box(
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    max_level: int = 5,
+    max_cells: int = 128,
+) -> tuple[list[str], list[str]]:
+    """Cover the box with grid cells (the INTERSECTS recursion):
+    -> (inside_cells, boundary_cells). Inside cells lie fully within
+    the box; boundary cells intersect it partially and need per-doc
+    refinement. Descent stops at max_level or when splitting would
+    exceed max_cells (the cell is then kept as boundary — coarser but
+    still correct)."""
+    inside: list[str] = []
+    boundary: list[str] = []
+    frontier = [c for c in _BASE32]
+
+    def classify(cell: str) -> str:
+        c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi = geohash_bbox(cell)
+        # cells hold points in [lo, hi); the box test is inclusive.
+        # disjoint: every cell point is strictly outside the box
+        if (
+            c_lat_hi <= min_lat or c_lat_lo > max_lat
+            or c_lon_hi <= min_lon or c_lon_lo > max_lon
+        ):
+            return "out"
+        # contained: every cell point satisfies the inclusive box
+        # (conservative on the max edge — a cell whose hi exceeds the
+        # box max goes to boundary and is refined exactly)
+        if (
+            c_lat_lo >= min_lat and c_lat_hi <= max_lat
+            and c_lon_lo >= min_lon and c_lon_hi <= max_lon
+        ):
+            return "in"
+        return "part"
+
+    while frontier:
+        cell = frontier.pop()
+        cls = classify(cell)
+        if cls == "out":
+            continue
+        if cls == "in":
+            inside.append(cell)
+            continue
+        if (
+            len(cell) >= max_level
+            or len(inside) + len(boundary) + len(frontier) + 32 > max_cells
+        ):
+            boundary.append(cell)
+        else:
+            frontier.extend(cell + c for c in _BASE32)
+    return sorted(inside), sorted(boundary)
+
+
+class GeohashAnalyzer(Analyzer):
+    """Index-side tokenizer: field text ``"lat,lon"`` -> the cell chain
+    [h[:1], h[:2], ..., h[:precision]] (RecursivePrefixTreeStrategy
+    indexes every ancestor cell so coarse covering cells hit directly).
+    """
+
+    name = "geohash"
+
+    def __init__(self, precision: int = 7):
+        self.precision = precision
+
+    def tokenize_one(self, text: str) -> list[str]:
+        try:
+            lat_s, lon_s = text.split(",", 1)
+            h = geohash(float(lat_s), float(lon_s), self.precision)
+        except (ValueError, AttributeError):
+            return []
+        return [h[:i] for i in range(1, self.precision + 1)]
+
+
+def _docs_for_cells(reader, field: str, cells: list[str]) -> DataFrame:
+    """Doc ids indexed under any of the cells — a pruned postings scan
+    (field + term-in-set reach the parquet reader), decoded once."""
+    from lucene_spark.search.sqlpath import exploded_postings
+
+    spark = reader.spark
+    if not cells:
+        return spark.createDataFrame([], "doc_id long")
+    return exploded_postings(reader, field, cells).select("doc_id").distinct()
+
+
+def geo_box_prefixtree(
+    reader,
+    geo: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    field: str = "geo",
+    max_level: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Box filter through the prefix tree: inside-cell docs accepted
+    from the postings alone; boundary-cell docs joined to `geo`
+    (doc_id, lat, lon) for the exact inclusive test. -> (doc_id,
+    lat_x1e3, lon_x1e3) ordered by doc_id, same contract as
+    geo.geo_box."""
+    inside, boundary = cover_box(min_lat, max_lat, min_lon, max_lon, max_level)
+    accepted = _docs_for_cells(reader, field, inside)
+    cand = _docs_for_cells(reader, field, boundary)
+    refined = (
+        cand.join(geo, "doc_id")
+        .filter(
+            (F.col("lat") >= min_lat) & (F.col("lat") <= max_lat)
+            & (F.col("lon") >= min_lon) & (F.col("lon") <= max_lon)
+        )
+        .select("doc_id")
+    )
+    hits = accepted.unionByName(refined).distinct().join(geo, "doc_id")
+    return (
+        hits.select(
+            "doc_id",
+            F.round(F.col("lat") * 1000).cast("long").alias("lat_x1e3"),
+            F.round(F.col("lon") * 1000).cast("long").alias("lon_x1e3"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )

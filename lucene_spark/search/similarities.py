@@ -663,6 +663,75 @@ class IndriDirichletSimilarity(Similarity):
         return _IndriScorer(self.mu, p_wc, boost)
 
 
+class _SweetSpotScorer(_TableScorer):
+    def __init__(self, idf, boost, ln_min, ln_max, steepness,
+                 tf_base, tf_min, hyper):
+        self.weight = np.float32(np.float32(boost) * np.float32(idf))
+        self.ln_min = float(ln_min)
+        self.ln_max = float(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+        self.hyper = hyper  # None or (min, max, base, xoffset)
+
+    def _tf(self, f: np.ndarray) -> np.ndarray:
+        if self.hyper is not None:
+            mn, mx, base, xoff = self.hyper
+            t = np.tanh((f - xoff) * math.log(base))
+            tf = mn + (mx - mn) / 2.0 * (t + 1.0)
+        else:
+            tf = np.where(
+                f <= self.tf_min,
+                self.tf_base,
+                np.sqrt(f + self.tf_base * self.tf_base - self.tf_min),
+            )
+        return np.where(f == 0.0, 0.0, tf)
+
+    def score(self, freqs, norm_codes):
+        f = np.asarray(freqs, dtype=np.float64)
+        ln = self._lengths(norm_codes).astype(np.float64)
+        norm = 1.0 / np.sqrt(
+            self.steepness
+            * (np.abs(ln - self.ln_min) + np.abs(ln - self.ln_max)
+               - (self.ln_max - self.ln_min))
+            + 1.0
+        )
+        return (float(self.weight) * self._tf(f) * norm).astype(np.float32)
+
+    def max_score(self, freqs, norm_codes):
+        # the plateau makes lengthNorm NON-monotone in doc length, so
+        # the stored impact pairs (a pareto frontier assuming low norm
+        # is best) cannot be evaluated directly; bound with the
+        # plateau's norm == 1.0 at the block's max freq (tf monotone)
+        if len(freqs) == 0:
+            return np.float32(0.0)
+        fmax = np.asarray([np.asarray(freqs).max()], dtype=np.float64)
+        return np.float32(float(self.weight) * self._tf(fmax)[0])
+
+
+class SweetSpotSimilarity(Similarity):
+    """SweetSpotSimilarity (misc/.../SweetSpotSimilarity.java): Classic
+    TF-IDF with a length-norm PLATEAU — docs whose length falls in
+    [ln_min, ln_max] get norm 1.0, outside it decays as
+    1/sqrt(steepness*(|l-min|+|l-max|-(max-min))+1) — and a choice of
+    baselineTf (flat `base` up to tf_min, then sqrt) or hyperbolicTf
+    (tanh ramp between hyper_min and hyper_max centered at xoffset).
+    Defaults reproduce the reference's: plateau [1,1], steepness 0.5,
+    baseline tf with base=0/min=0 (== sqrt(freq))."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0, hyper: tuple | None = None):
+        self.params = (ln_min, ln_max, steepness, tf_base, tf_min, hyper)
+
+    def scorer(self, collection, terms, boost):
+        idf = sum(
+            math.log((collection.doc_count + 1) / (t.doc_freq + 1)) + 1.0
+            for t in terms
+        )
+        return _SweetSpotScorer(idf, boost, *self.params)
+
+
 class _RawTFScorer(_TableScorer):
     def __init__(self, boost):
         self.weight = np.float32(boost)

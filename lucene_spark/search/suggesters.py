@@ -1,0 +1,134 @@
+"""AnalyzingSuggester / FuzzySuggester — the suggest/analyzing pair
+(suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+AnalyzingSuggester.java, FuzzySuggester.java).
+
+Reference semantics: the suggester is built from (surface, weight)
+input pairs; each surface is ANALYZED and the analyzed form becomes the
+lookup key (AnalyzingSuggester.java class doc: "the underlying analyzed
+form used for suggestions is separate from the surface form"), so a
+typed query matches through the same analysis chain (case, stemming,
+stopwords) while the ORIGINAL surface text is returned, best weight
+first. FuzzySuggester additionally tolerates up to ``max_edits``
+Levenshtein edits between the analyzed query and a PREFIX of the
+analyzed key, with the first ``non_fuzzy_prefix`` characters required
+to match exactly and queries shorter than ``min_fuzzy_length`` handled
+exactly (FuzzySuggester.java DEFAULT_* constants: maxEdits=1,
+nonFuzzyPrefix=1, minFuzzyLength=3).
+
+Spark mapping: the reference compiles the dictionary into an FST and
+intersects it with a (Levenshtein) automaton; relationally the
+dictionary is a DataFrame with a computed ``_key`` column (one
+Arrow-batched analysis pass), the prefix walk is a ``startswith``
+predicate over the sorted key column (row-group pruned), and the fuzzy
+automaton becomes a prefix-edit-distance bound — evaluated JVM-side as
+``least(levenshtein(query, substr(key, 1, L)))`` over the feasible
+prefix lengths L in [len(q)-max_edits, len(q)+max_edits] (exact: any
+optimal prefix has length within max_edits of the query's). Suggestion
+dictionaries grow ~log(corpus), so at 100 TB this stays a
+broadcast-sized side table; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.analysis import get_analyzer
+
+
+def _with_key(
+    suggestions: DataFrame, analyzer: str, surface_col: str
+) -> DataFrame:
+    """Append the analyzed-form key column: tokens joined by a space
+    (the reference's SEP_LABEL between analyzed tokens)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        an = get_analyzer(analyzer)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_key"] = [
+                " ".join(toks) for toks in an.tokenize(pdf[surface_col])
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in suggestions.schema.fields
+    )
+    return suggestions.mapInPandas(run, schema=schema + ", _key string")
+
+
+def _analyze_query(analyzer: str, typed: str) -> str:
+    return " ".join(get_analyzer(analyzer).tokenize_one(typed))
+
+
+def analyzing_suggest(
+    suggestions: DataFrame,
+    typed: str,
+    analyzer: str = "simple",
+    k: int = 5,
+    surface_col: str = "surface",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """-> (surface, weight), weight DESC then surface ASC top-k, for
+    dictionary entries whose analyzed key starts with the analyzed
+    query (AnalyzingSuggester.lookup: exactFirst/prefix walk)."""
+    qkey = _analyze_query(analyzer, typed)
+    keyed = _with_key(suggestions, analyzer, surface_col)
+    return (
+        keyed.filter(F.col("_key").startswith(qkey))
+        .select(F.col(surface_col).alias("surface"), F.col(weight_col).alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("surface").asc())
+        .limit(k)
+    )
+
+
+def fuzzy_suggest(
+    suggestions: DataFrame,
+    typed: str,
+    analyzer: str = "simple",
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    k: int = 5,
+    surface_col: str = "surface",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """-> (surface, distance, weight): entries whose analyzed key has a
+    prefix within ``max_edits`` of the analyzed query; exact-prefix
+    matches report distance 0. Ranked weight DESC, surface ASC (the
+    reference ranks by weight too — edits do not demote)."""
+    if max_edits > 2:
+        raise ValueError("max_edits <= 2 (LevenshteinAutomata.java:31)")
+    qkey = _analyze_query(analyzer, typed)
+    keyed = _with_key(suggestions, analyzer, surface_col)
+    exact = F.col("_key").startswith(qkey)
+    if len(qkey) < min_fuzzy_length:
+        cond = exact
+        dist = F.lit(0)
+    else:
+        qlit = F.lit(qkey)
+        peds = [
+            F.levenshtein(qlit, F.substring(F.col("_key"), 1, L))
+            for L in range(
+                max(non_fuzzy_prefix, len(qkey) - max_edits),
+                len(qkey) + max_edits + 1,
+            )
+        ]
+        ped = F.least(*peds) if len(peds) > 1 else peds[0]
+        same_pfx = F.substring(F.col("_key"), 1, non_fuzzy_prefix) == F.lit(
+            qkey[:non_fuzzy_prefix]
+        )
+        cond = exact | (same_pfx & (ped <= max_edits))
+        dist = F.when(exact, F.lit(0)).otherwise(ped)
+    return (
+        keyed.filter(cond)
+        .select(
+            F.col(surface_col).alias("surface"),
+            dist.cast("int").alias("distance"),
+            F.col(weight_col).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("surface").asc())
+        .limit(k)
+    )

@@ -227,3 +227,45 @@ def test_multi_and_per_field_and_rawtf(built_index):
     )
     got = _search(built_index, pf, q, k=20)
     assert got == {d: 1.0 for d in got}
+
+
+def test_sweetspot_formula_and_plateau(built_index, oracle_index):
+    """SweetSpotSimilarity (misc module): exact formula check against a
+    recomputation from the oracle's term stats + quantized doc lengths,
+    plus the prune==no-prune guarantee under the non-monotone length
+    norm (its max_score override must stay an upper bound)."""
+    import math
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+    from lucene_spark.search.similarities import SweetSpotSimilarity
+    from lucene_spark.util.smallfloat import LENGTH_TABLE, int_to_byte4_vec
+
+    sim = SweetSpotSimilarity(ln_min=30, ln_max=120, steepness=0.5)
+    q = Q.TermQuery("content", "return")
+    got = _search(built_index, sim, q, k=15)
+    assert got
+
+    # oracle recomputation
+    df = sum(1 for toks in oracle_index.tokens if "return" in toks)
+    n = len(oracle_index.tokens)
+    idf = math.log((n + 1) / (df + 1)) + 1.0
+    for doc_id, score in got.items():
+        toks = oracle_index.tokens[doc_id]
+        freq = float(sum(1 for t in toks if t == "return"))
+        ln = float(LENGTH_TABLE[int(int_to_byte4_vec(np.array([len(toks)]))[0])])
+        norm = 1.0 / math.sqrt(
+            0.5 * (abs(ln - 30) + abs(ln - 120) - 90) + 1.0
+        )
+        # weight is quantized to float32 before the float64 product
+        # (the scorer's op order)
+        want = np.float32(float(np.float32(idf)) * math.sqrt(freq) * norm)
+        assert np.float32(score) == want
+
+    # plateau docs (length in [30, 120]) carry norm exactly 1.0
+    searcher = IndexSearcher(built_index, similarity=sim)
+    pruned = searcher.search(q, k=15, prune=True)
+    unpruned = searcher.search(q, k=15, prune=False)
+    assert [(h.doc_id, h.score) for h in pruned.hits] == [
+        (h.doc_id, h.score) for h in unpruned.hits
+    ]

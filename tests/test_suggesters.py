@@ -1,0 +1,80 @@
+"""AnalyzingSuggester / FuzzySuggester semantics over a hand dictionary."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark):
+    rows = [
+        ("Tables", 50),
+        ("table scans", 40),
+        ("tabulate", 30),
+        ("stream", 20),
+        ("stables", 10),
+    ]
+    return spark.createDataFrame(rows, "surface string, weight long")
+
+
+def test_analyzing_matches_through_the_chain(dictionary):
+    """'tables' and 'table scans' share the analyzed key prefix 'table'
+    (lowercase + s-stem); surfaces come back verbatim, weight-ranked."""
+    from lucene_spark.search.suggesters import analyzing_suggest
+
+    got = analyzing_suggest(
+        dictionary, "Table", analyzer="simple_en_min", k=5
+    ).collect()
+    assert [(r["surface"], r["weight"]) for r in got] == [
+        ("Tables", 50),
+        ("table scans", 40),
+    ]
+    # multi-token typed query walks into the key too
+    got2 = analyzing_suggest(
+        dictionary, "table sc", analyzer="simple_en_min", k=5
+    ).collect()
+    assert [r["surface"] for r in got2] == ["table scans"]
+
+
+def test_fuzzy_tolerates_edits_in_the_key(dictionary):
+    from lucene_spark.search.suggesters import fuzzy_suggest
+
+    # 'tabel' -> key 'tabel'; 'table' is 2 edits, 'tabul(ate)' is 2 —
+    # at max_edits=1 only transposition-free near-misses survive
+    got = fuzzy_suggest(
+        dictionary, "tabls", analyzer="simple_en_min",
+        max_edits=1, k=5,
+    ).collect()
+    # typed key: s-stem('tabls') -> 'tabl'; exact prefix of 'table...'
+    assert {r["surface"] for r in got} >= {"Tables", "table scans"}
+    for r in got:
+        assert r["distance"] <= 1
+
+
+def test_fuzzy_non_fuzzy_prefix_gate(dictionary):
+    from lucene_spark.search.suggesters import fuzzy_suggest
+
+    # 'xtable': within 1 edit of 'table' prefix, but the first char
+    # must match exactly (non_fuzzy_prefix=1) -> no hits
+    got = fuzzy_suggest(
+        dictionary, "xtable", analyzer="simple_en_min",
+        max_edits=1, non_fuzzy_prefix=1, k=5,
+    ).collect()
+    assert got == []
+
+
+def test_fuzzy_short_query_is_exact(dictionary):
+    from lucene_spark.search.suggesters import fuzzy_suggest
+
+    # len(key) < min_fuzzy_length -> exact prefix semantics
+    got = fuzzy_suggest(
+        dictionary, "st", analyzer="simple_en_min",
+        max_edits=2, min_fuzzy_length=3, k=5,
+    ).collect()
+    assert [r["surface"] for r in got] == ["stream", "stables"]
+    assert all(r["distance"] == 0 for r in got)
+
+
+def test_max_edits_capped():
+    from lucene_spark.search.suggesters import fuzzy_suggest
+
+    with pytest.raises(ValueError):
+        fuzzy_suggest(None, "abc", max_edits=3)
