@@ -1124,14 +1124,38 @@ def gate_queries() -> dict[str, object]:
         return parent.unionByName(child).unionByName(pc)
 
     def q_join_util(spark, sf):
-        from lucene_spark.search.joins import join_util_semi
+        # tagged union: JoinUtil semi-join (ScoreMode.None) + scoring
+        # join (GlobalOrdinalsWithScoreQuery, ScoreMode.Max/Avg) —
+        # join/.../JoinUtil.java, ScoreMode.java
+        from lucene_spark.search.joins import join_util_score, join_util_semi
 
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         cust = spark.read.parquet(f"{sf}/customer.parquet")
-        return join_util_semi(
+        semi = join_util_semi(
             orders, F.col("o_totalprice") > 450000, "o_custkey",
             cust, "c_custkey", ["c_custkey", "c_name"], "c_custkey", k=20,
+        ).select(
+            F.lit("semi").alias("tag"),
+            F.col("c_custkey").cast("long").alias("id1"),
+            F.lit(0).cast("long").alias("score_x1e6"),
         )
+        smax = join_util_score(
+            orders, F.col("o_totalprice") > 450000, "o_custkey",
+            F.col("o_totalprice"), cust, "c_custkey", "max", k=10,
+        ).select(
+            F.lit("score_max").alias("tag"),
+            F.col("id1").cast("long"),
+            "score_x1e6",
+        )
+        savg = join_util_score(
+            orders, F.col("o_totalprice") > 400000, "o_custkey",
+            F.col("o_totalprice"), cust, "c_custkey", "avg", k=10,
+        ).select(
+            F.lit("score_avg").alias("tag"),
+            F.col("id1").cast("long"),
+            "score_x1e6",
+        )
+        return semi.unionByName(smax).unionByName(savg)
 
     # --- training-data pipeline operators (documents / embeddings) ---
 
@@ -1896,9 +1920,28 @@ t_pc AS (
 SELECT 'parent' AS tag, * FROM t_parent
 UNION ALL SELECT 'child' AS tag, * FROM t_child
 UNION ALL SELECT 'pc' AS tag, * FROM t_pc""",
-        "q_join_util": """SELECT c_custkey, c_name FROM customer
-WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
-ORDER BY c_custkey LIMIT 20""",
+        "q_join_util": """WITH t_semi AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id1, CAST(0 AS BIGINT) AS score_x1e6
+  FROM customer
+  WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+  ORDER BY id1 LIMIT 20),
+t_score_max AS (
+  SELECT CAST(c.c_custkey AS BIGINT) AS id1,
+         CAST(ROUND(MAX(o.o_totalprice)*1000000) AS BIGINT) AS score_x1e6
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice > 450000
+  GROUP BY c.c_custkey
+  ORDER BY score_x1e6 DESC, id1 ASC LIMIT 10),
+t_score_avg AS (
+  SELECT CAST(c.c_custkey AS BIGINT) AS id1,
+         CAST(ROUND(AVG(o.o_totalprice)*1000000) AS BIGINT) AS score_x1e6
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice > 400000
+  GROUP BY c.c_custkey
+  ORDER BY score_x1e6 DESC, id1 ASC LIMIT 10)
+SELECT 'semi' AS tag, * FROM t_semi
+UNION ALL SELECT 'score_max' AS tag, * FROM t_score_max
+UNION ALL SELECT 'score_avg' AS tag, * FROM t_score_avg""",
         "q_blended_term": f"""WITH {_TOKS},
 {_DL},
 {_sfranges()},

@@ -158,3 +158,51 @@ def add_indexes(spark: SparkSession, dest_dir: str, src_dir: str) -> int:
 
     _recompute_stats(spark, dest_dir, dm["field"], mani.live_segment_ids(out))
     return mani.commit_manifest(dest_dir, out)
+
+
+def split_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_pass_dir: str,
+    out_fail_dir: str,
+    predicate,
+) -> tuple[int, int]:
+    """PKIndexSplitter (misc/src/java/org/apache/lucene/misc/index/
+    PKIndexSplitter.java): partition one index into TWO — docs matching
+    the filter and docs not matching — "creates two filtered indexes,
+    one containing the documents accepted, the other the rejected".
+
+    `predicate` is a Column over the docs registry. Composition of
+    existing machinery, no new kernels: copy the committed index,
+    tombstone the complement (delete_by_ids), then forceMerge(1) —
+    whose purge pass physically rewrites postings/doclens without the
+    tombstoned docs (exactly the reference's approach of wrapping the
+    reader in a filtered view and letting addIndexes/merge materialize
+    it). Doc ids keep their original values on both sides, so results
+    diff cleanly against the source index.
+
+    -> (live docs in pass index, live docs in fail index)."""
+    import shutil
+
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.executor import IndexReader
+
+    src = IndexReader(spark, src_dir)
+    keep = src.docs().filter(predicate).select("doc_id")
+    drop = src.docs().join(keep, "doc_id", "left_anti").select("doc_id")
+    sides = ((out_pass_dir, drop), (out_fail_dir, keep))
+    counts = []
+    for out_dir, dead in sides:
+        shutil.copytree(src_dir, out_dir)
+        delete_by_ids(spark, out_dir, dead)
+        force_merge(spark, out_dir, max_segments=1)
+        rd = IndexReader(spark, out_dir)
+        # live = total - physically purged - still-tombstoned
+        n = (
+            int(rd.manifest["num_docs_total"])
+            - int(rd.manifest.get("purged_docs", 0))
+            - int(rd.manifest.get("num_deleted", 0))
+        )
+        counts.append(n)
+    return counts[0], counts[1]

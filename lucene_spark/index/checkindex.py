@@ -323,3 +323,123 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
             "live_segments": None if live is None else len(live),
         },
     }
+
+
+def exorcise(spark: SparkSession, index_dir: str) -> dict:
+    """CheckIndex -exorcise (CheckIndex.java main(): "-exorcise:
+    actually write a new segments_N file, removing any problematic
+    segments"): identify segments whose OWN data fails the per-segment
+    invariants and commit a new manifest generation that drops them.
+    Documents in dropped segments are LOST — the reference prints the
+    same warning; this is the last-resort repair path.
+
+    Mechanics: the per-segment postings/doclens kernels run tagged by
+    segment; bad segments are removed from visibility via a merge
+    entry with no outputs (live_segment_ids = batches + merge outputs
+    - merge inputs), their doc counts move to purged_docs, tombstones
+    inside their ranges are dropped, and the global stats tables are
+    recomputed from the surviving postings — so a subsequent
+    check_index comes back clean.
+
+    -> {removed: [segment_id], docs_lost: int, generation: int}.
+    """
+    import pandas as pd
+
+    from lucene_spark.index.deletes import deleted_ids_df
+    from lucene_spark.search.executor import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    m = reader.manifest
+    fmt = m.get("postings_format") or "for104"
+
+    def tagged(kernel):
+        def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            v = kernel(pdf)
+            return pd.DataFrame(
+                {"segment_id": str(pdf["segment_id"].iat[0]), "v": v}
+            )
+
+        return run
+
+    bad: set[str] = set()
+    for df, kernel in (
+        (reader.postings(), partial(check_segment_postings, fmt_name=fmt)),
+        (reader.doclens(), check_segment_doclens),
+    ):
+        rows = (
+            df.groupBy("segment_id")
+            .applyInPandas(tagged(kernel), schema="segment_id string, v string")
+            .select("segment_id")
+            .distinct()
+            .collect()
+        )
+        bad |= {r["segment_id"] for r in rows}
+    # cross-check: sum(doc_len) == sum(total_term_freq) per segment/field
+    dl = reader.doclens()
+    dl_keyed = (
+        dl if "field" in dl.columns else dl.withColumn("field", F.lit(m["field"]))
+    )
+    a = dl_keyed.groupBy("segment_id", "field").agg(F.sum("doc_len").alias("s1"))
+    b = reader.postings().groupBy("segment_id", "field").agg(
+        F.sum("total_term_freq").alias("s2")
+    )
+    for r in a.join(b, ["segment_id", "field"], "full").collect():
+        if (r["s1"] or 0) != (r["s2"] or 0):
+            bad.add(r["segment_id"])
+
+    if not bad:
+        return {"removed": [], "docs_lost": 0, "generation": m["generation"]}
+
+    # doc ranges + counts of the dropped segments (live entries only)
+    live = mani.live_segment_ids(m)
+    dropped_ranges: list[tuple[int, int]] = []
+    docs_lost = 0
+    for coll in (m.get("batches", []), m.get("merges", []) or []):
+        for bch in coll:
+            for s in bch.get("segments", []):
+                sid = s["segment_id"]
+                if sid in bad and (live is None or sid in live):
+                    dropped_ranges.append(
+                        (int(s["first_doc_id"]), int(s["last_doc_id"]))
+                    )
+                    docs_lost += int(s["num_docs"])
+
+    out = dict(m)
+    out.pop("generation", None)
+    out.pop("committed_at", None)
+    next_b = 1 + max(
+        [bch["batch"] for bch in m.get("batches", [])]
+        + [mg["batch"] for mg in (m.get("merges") or [])]
+    )
+    out["merges"] = list(m.get("merges") or []) + [
+        {"batch": next_b, "inputs": sorted(bad), "segments": [],
+         "exorcised": True}
+    ]
+    out["purged_docs"] = int(m.get("purged_docs", 0)) + docs_lost
+
+    # tombstones inside dropped ranges vanish with their docs
+    dels = deleted_ids_df(spark, index_dir, m)
+    if dels is not None and dropped_ranges:
+        from lucene_spark.index.deletes import _next_delete_batch
+
+        in_dropped = None
+        for lo, hi in dropped_ranges:
+            c = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+            in_dropped = c if in_dropped is None else (in_dropped | c)
+        remaining = dels.filter(~in_dropped)
+        n_rem = remaining.count()
+        nb = _next_delete_batch(m)
+        if n_rem:
+            remaining.write.mode("overwrite").parquet(
+                f"{index_dir}/deletes/batch={nb}"
+            )
+            out["delete_batches"] = [{"batch": nb, "num_docs": int(n_rem)}]
+        else:
+            out["delete_batches"] = []
+        out["num_deleted"] = int(n_rem)
+
+    from lucene_spark.index.builder import _recompute_stats
+
+    _recompute_stats(spark, index_dir, m["field"], mani.live_segment_ids(out))
+    gen = mani.commit_manifest(index_dir, out)
+    return {"removed": sorted(bad), "docs_lost": docs_lost, "generation": gen}

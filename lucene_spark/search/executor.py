@@ -549,10 +549,12 @@ class IndexSearcher:
                 "weight": float(boost * q.boost),
             }
         if isinstance(q, Q.IntervalQuery):
-            # fixField subtrees read another field's postings: rewrite
-            # their term leaves to field-qualified keys (the
-            # FieldMaskingSpanQuery mechanism) before collecting terms
-            source = _fix_interval_fields(q.source)
+            # multi-term sources expand against the term dictionary
+            # FIRST (under the field each subtree reads), then fixField
+            # subtrees rewrite their term leaves to field-qualified
+            # keys (the FieldMaskingSpanQuery mechanism)
+            source = _expand_interval_multiterms(q.source, R, q.field)
+            source = _fix_interval_fields(source)
             terms = sorted(set(source.terms()))
             st = _field_term_stats(R, q.field, terms)
             if not st:
@@ -2042,6 +2044,40 @@ def _map_interval_children(src, fn):
             kw[f.name] = nv
             changed |= nv != v
     return dataclasses.replace(src, **kw) if changed else src
+
+
+def _expand_interval_multiterms(src, reader, field: str):
+    """Desugar IMultiTerm leaves (MultiTermIntervalsSource) via the term
+    dictionary: -> atLeast(1, ITerm expansions) == Intervals.or. An
+    empty expansion becomes an impossible term, so the structure-aware
+    absence handling applies (fatal inside ordered/unordered, tolerated
+    by an enclosing atLeast). IFixField subtrees expand under THEIR
+    field."""
+    import dataclasses
+
+    if isinstance(src, Q.IFixField):
+        return dataclasses.replace(
+            src,
+            source=_expand_interval_multiterms(src.source, reader, src.field),
+        )
+    if isinstance(src, Q.IMultiTerm):
+        mq = src.query
+        if getattr(mq, "field", None) != field:
+            mq = dataclasses.replace(mq, field=field)
+        terms = sorted(reader.expand(mq))
+        if len(terms) > src.max_expansions:
+            raise Q.TooManyClauses(
+                f"interval multi-term expanded to {len(terms)} > "
+                f"{src.max_expansions} terms"
+            )
+        if not terms:
+            return Q.ITerm("\x00-none-\x00")
+        if len(terms) == 1:
+            return Q.ITerm(terms[0])
+        return Q.IAtLeast(tuple(Q.ITerm(t) for t in terms), n=1)
+    return _map_interval_children(
+        src, lambda c: _expand_interval_multiterms(c, reader, field)
+    )
 
 
 def _fix_interval_fields(src):

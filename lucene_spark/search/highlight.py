@@ -107,6 +107,8 @@ def highlight_from_index(
     pre: str = "<b>",
     post: str = "</b>",
     content_col: str = "text",
+    num_passages: int = 1,
+    ellipsis: str = "... ",
 ) -> DataFrame:
     """UnifiedHighlighter offsets mode (reference UnifiedHighlighter
     consuming IndexOptions ..._AND_OFFSETS postings /
@@ -124,6 +126,12 @@ def highlight_from_index(
 
     -> (doc_id, snippet, n_hits, passage_start) where passage_start is
     the 0-based token position of the anchoring hit.
+
+    ``num_passages > 1`` returns the top-N NON-OVERLAPPING passages
+    (greedy by the same key, the reference's passage queue), emitted in
+    document order and joined by ``ellipsis`` — the UnifiedHighlighter
+    maxPassages surface; n_hits then counts hits across all chosen
+    passages and passage_start is the first passage's anchor.
     """
     import numpy as np
     from pyspark.sql import functions as F
@@ -158,30 +166,43 @@ def highlight_from_index(
         rows = []
         for d, hits in per_doc.items():
             hits.sort()
-            pos = np.array([h[0] for h in hits], dtype=np.int64)
-            best_key, best_i = None, None
-            for i in range(len(hits)):
-                a = pos[i]
+            chosen: list[list[tuple[int, int, int, int]]] = []
+            remaining = hits
+            for _round in range(max(1, num_passages)):
+                if not remaining:
+                    break
+                pos = np.array([h[0] for h in remaining], dtype=np.int64)
+                best_key, best_i = None, None
+                for i in range(len(remaining)):
+                    a = pos[i]
+                    hi = int(np.searchsorted(pos, a + window, side="left"))
+                    in_win = remaining[i:hi]
+                    key = (len({h[3] for h in in_win}), len(in_win), -a)
+                    if best_key is None or key > best_key:
+                        best_key, best_i = key, i
+                a = int(pos[best_i])
                 hi = int(np.searchsorted(pos, a + window, side="left"))
-                in_win = hits[i:hi]
-                key = (len({h[3] for h in in_win}), len(in_win), -a)
-                if best_key is None or key > best_key:
-                    best_key, best_i = key, i
-            a = int(pos[best_i])
-            hi = int(np.searchsorted(pos, a + window, side="left"))
-            win = hits[best_i:hi]
+                chosen.append(remaining[best_i:hi])
+                remaining = remaining[:best_i] + remaining[hi:]
+            chosen.sort(key=lambda w: w[0][0])  # document order
+            allw = [h for w in chosen for h in w]
             rows.append(
                 (
                     d,
-                    len(win),
-                    a,
-                    [h[1] for h in win],
-                    [h[2] for h in win],
+                    len(allw),
+                    int(chosen[0][0][0]),
+                    [h[1] for h in allw],
+                    [h[2] for h in allw],
+                    [min(h[1] for h in w) for w in chosen],
+                    [max(h[2] for h in w) for w in chosen],
                 )
             )
         return pd.DataFrame(
             rows,
-            columns=["doc_id", "n_hits", "passage_start", "starts", "ends"],
+            columns=[
+                "doc_id", "n_hits", "passage_start", "starts", "ends",
+                "p_lo", "p_hi",
+            ],
         )
 
     rows = reader.postings().filter(
@@ -191,25 +212,46 @@ def highlight_from_index(
         per_segment,
         schema=(
             "doc_id long, n_hits int, passage_start int, "
-            "starts array<long>, ends array<long>"
+            "starts array<long>, ends array<long>, "
+            "p_lo array<long>, p_hi array<long>"
         ),
     )
     joined = hitdf.join(docs.select("doc_id", content_col), "doc_id")
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def render(text: str, lo: int, hi: int, spans) -> str:
+            snip = text[lo:hi]
+            for s, e in reversed(spans):
+                snip = (
+                    snip[: s - lo] + pre + snip[s - lo : e - lo] + post
+                    + snip[e - lo :]
+                )
+            return snip
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
                 text = str(getattr(r, content_col))
                 spans = sorted(zip(list(r.starts), list(r.ends)))
-                lo, hi = spans[0][0], max(e for _, e in spans)
-                snip = text[lo:hi]
-                for s, e in reversed(spans):
-                    snip = (
-                        snip[: s - lo] + pre + snip[s - lo : e - lo] + post
-                        + snip[e - lo :]
+                # passage char bounds, merged when adjacent rounds
+                # produced overlapping ranges
+                bounds = sorted(zip(list(r.p_lo), list(r.p_hi)))
+                merged: list[list[int]] = []
+                for lo, hi in bounds:
+                    if merged and lo <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], hi)
+                    else:
+                        merged.append([lo, hi])
+                pieces = [
+                    render(
+                        text, lo, hi,
+                        [(s, e) for s, e in spans if lo <= s and e <= hi],
                     )
-                out.append((r.doc_id, snip, r.n_hits, r.passage_start))
+                    for lo, hi in merged
+                ]
+                out.append(
+                    (r.doc_id, ellipsis.join(pieces), r.n_hits, r.passage_start)
+                )
             yield pd.DataFrame(
                 out, columns=["doc_id", "snippet", "n_hits", "passage_start"]
             )

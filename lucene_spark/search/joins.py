@@ -159,3 +159,44 @@ def parent_children_block_join(
         .orderBy(F.col("score_x1e6").desc(), F.col("id2").asc())
         .limit(k)
     )
+
+
+def join_util_score(
+    from_df: DataFrame,
+    from_filter: Column,
+    from_field: str,
+    from_score: Column,
+    to_df: DataFrame,
+    to_field: str,
+    score_mode: str = "max",
+    k: int = 10,
+) -> DataFrame:
+    """JoinUtil.createJoinQuery with a scoring ScoreMode
+    (join/.../JoinUtil.java -> GlobalOrdinalsWithScoreQuery): from-side
+    docs matching `from_filter` contribute `from_score`, aggregated per
+    join value by `score_mode` (max/min/total/avg — join/ScoreMode.java),
+    and every to-side doc carries its join value's aggregate.
+
+    Relationally: ONE map-side-combined groupBy of the filtered from
+    side (the ordinal->score map the reference builds per segment),
+    broadcast to the to side. -> (id1=to_field, score_x1e6),
+    (score DESC, id1 ASC) top-k."""
+    agg_fn = _SCORE_MODES[score_mode]
+    keyed = (
+        from_df.filter(from_filter)
+        .select(
+            F.col(from_field).alias(to_field),
+            from_score.cast("double").alias("_s"),
+        )
+        .groupBy(to_field)
+        .agg(agg_fn(F.col("_s")).alias("_score"))
+    )
+    out = to_df.join(F.broadcast(keyed), to_field, "inner")
+    return (
+        out.select(
+            F.col(to_field).alias("id1"),
+            F.round(F.col("_score") * 1e6).cast("long").alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("id1").asc())
+        .limit(k)
+    )

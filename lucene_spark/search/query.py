@@ -245,6 +245,22 @@ class IPhrase(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class IMultiTerm(IntervalsSource):
+    """A multi-term query lifted into interval space
+    (Intervals.prefix/wildcard/fuzzy/range -> MultiTermIntervalsSource,
+    Intervals.java:258-345): matches intervals of ANY term the wrapped
+    query expands to — compile-time desugared to atLeast(1, expansions)
+    (== Intervals.or; the reference wraps the expansions the same way).
+    Expansion past ``max_expansions`` raises TooManyClauses, mirroring
+    the reference's IllegalStateException at 128 by default."""
+    query: Query  # Prefix/Wildcard/Regexp/Fuzzy/TermRange query
+    max_expansions: int = 128
+
+    def terms(self):
+        return ()  # pattern leaf: unknown until expanded at compile
+
+
+@dataclass(frozen=True)
 class PhraseWildcardQuery(Query):
     """Phrase where any slot may be a multi-term pattern
     (sandbox/search/PhraseWildcardQuery.java): each pattern slot expands

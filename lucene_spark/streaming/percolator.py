@@ -29,6 +29,24 @@ from lucene_spark.analysis import get_analyzer
 from lucene_spark.search import query as Q
 
 
+def _tree_has_pattern(src) -> bool:
+    """True if any leaf of an interval/span tree is a multi-term
+    pattern whose matching terms are unknown before expansion."""
+    import dataclasses
+
+    if isinstance(src, (Q.SpanMulti, Q.IMultiTerm)):
+        return True
+    if dataclasses.is_dataclass(src):
+        for f in dataclasses.fields(src):
+            v = getattr(src, f.name)
+            for x in v if isinstance(v, tuple) else (v,):
+                if isinstance(
+                    x, (Q.IntervalsSource, Q.SpanSource)
+                ) and _tree_has_pattern(x):
+                    return True
+    return False
+
+
 def _required_terms(q: Q.Query) -> set[str]:
     """Presearcher fingerprint: terms at least one of which MUST appear
     in any matching doc (QueryTermFilter semantics — a safe
@@ -52,10 +70,13 @@ def _required_terms(q: Q.Query) -> set[str]:
     if isinstance(q, Q.MultiPhraseQuery):
         return set(q.slots[0]) if q.slots else set()
     if isinstance(q, (Q.IntervalQuery, Q.SpanQuery)):
-        # every leaf term of an interval/span tree must-or-may appear,
-        # and any MATCH contains at least one of them — the union is a
-        # safe any-of fingerprint; pattern leaves (SpanMulti) force
-        # always-candidate via an empty terms() tuple
+        # every leaf term of a PATTERN-FREE interval/span tree appears
+        # in terms(), and any match contains at least one of them — the
+        # union is a safe any-of fingerprint. A pattern leaf (SpanMulti
+        # / IMultiTerm) can match through terms invisible here, so its
+        # presence forces always-candidate.
+        if _tree_has_pattern(q.source):
+            return set()
         ts = set(q.source.terms())
         return ts if ts and all(ts) else set()
     if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):

@@ -4,6 +4,7 @@ the kernels catch every class of planted corruption."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_clean_index_passes(spark, built_index):
@@ -223,3 +224,72 @@ def test_payload_count_invariant(spark, tmp_path):
     bad.at[0, "payloads"] = codec.encode_varints([7])  # one value, freq sum is 3
     v = check_segment_postings(bad)
     assert any("payload" in s for s in v), v
+
+
+def test_exorcise_drops_corrupt_segments(spark, corpus, tmp_path):
+    """CheckIndex -exorcise: plant on-disk corruption in ONE segment's
+    postings, exorcise, and the index must come back clean with only
+    that segment's docs lost and searches working on the survivors."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import check_index, exorcise
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus), idx,
+        IndexConfig(docs_per_segment=100),
+    )
+    clean = IndexReader(spark, idx)
+    victim = sorted(
+        r["segment_id"]
+        for r in clean.postings().select("segment_id").distinct().collect()
+    )[0]
+    v_ids = {
+        r["doc_id"]
+        for r in clean.doclens()
+        .filter(F.col("segment_id") == victim)
+        .select("doc_id").distinct().collect()
+    }
+    baseline = {
+        h.doc_id for h in IndexSearcher(clean).search(
+            Q.TermQuery("content", "def"), k=500
+        ).hits
+    }
+
+    # corrupt on disk: bump doc_freq of the victim's rows in place
+    pdir = f"{idx}/postings"
+    df = spark.read.parquet(pdir)
+    fixed = df.withColumn(
+        "doc_freq",
+        F.when(F.col("segment_id") == victim, F.col("doc_freq") + 1)
+        .otherwise(F.col("doc_freq")),
+    )
+    tmp_out = str(tmp_path / "postings_tmp")
+    fixed.coalesce(4).write.mode("overwrite").parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(pdir)
+    shutil.move(tmp_out, pdir)
+
+    assert not check_index(spark, idx)["ok"]
+    rep = exorcise(spark, idx)
+    assert rep["removed"] == [victim]
+    assert rep["docs_lost"] == len(v_ids) > 0
+
+    healed = IndexReader(spark, idx)
+    post = check_index(spark, idx)
+    assert post["ok"], post["violations"]
+    got = {
+        h.doc_id for h in IndexSearcher(healed).search(
+            Q.TermQuery("content", "def"), k=500
+        ).hits
+    }
+    assert got == baseline - v_ids
+
+
+def test_exorcise_noop_on_clean_index(spark, built_index):
+    from lucene_spark.index.checkindex import exorcise
+
+    rep = exorcise(spark, built_index.index_dir)
+    assert rep["removed"] == [] and rep["docs_lost"] == 0

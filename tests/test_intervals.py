@@ -280,3 +280,43 @@ def test_atleast_with_absent_term_sqlpath_matches_executor(built_index):
     # absence IS fatal for ordered sources — both paths agree on empty
     src2 = Q.IOrdered((Q.ITerm("def"), Q.ITerm("zzzznotaterm")))
     assert sp.intervals_match_topk(built_index, "content", src2).count() == 0
+
+
+def test_multiterm_interval_sources(interval_index):
+    """Intervals.prefix/wildcard (MultiTermIntervalsSource): engine
+    results equal the brute reference of the hand-desugared union, in
+    every structural position."""
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, docs = interval_index
+    s = IndexSearcher(reader)
+
+    def run(src):
+        top = s.search(Q.IntervalQuery("text", src), k=1000, prune=False)
+        return sorted(h.doc_id for h in top.hits)
+
+    def want(src):
+        return [d for d, t in enumerate(docs) if _ref_match(src, t.split())]
+
+    # bare multi-term == atLeast(1, expansions)
+    mt = Q.IMultiTerm(Q.RegexpQuery("text", "aa|bb"))
+    desugared = Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("bb")), n=1)
+    assert run(mt) == want(desugared)
+    # nested under ordered: any expansion before 'cc'
+    nested = Q.IOrdered((mt, Q.ITerm("cc")), max_width=4)
+    nested_ref = Q.IOrdered((desugared, Q.ITerm("cc")), max_width=4)
+    assert run(nested) == want(nested_ref)
+    # wildcard expanding to ONE term behaves as that term
+    one = Q.IMultiTerm(Q.WildcardQuery("text", "a?"))
+    assert run(one) == want(Q.ITerm("aa"))
+    # empty expansion: fatal inside ordered, tolerated by atLeast
+    none = Q.IMultiTerm(Q.PrefixQuery("text", "zz"))
+    assert run(Q.IOrdered((none, Q.ITerm("cc")))) == []
+    tol = Q.IAtLeast((none, Q.ITerm("aa"), Q.ITerm("bb")), n=2, max_width=4)
+    tol_ref = Q.IAtLeast((Q.ITerm("aa"), Q.ITerm("bb")), n=2, max_width=4)
+    assert run(tol) == want(tol_ref)
+    # expansion budget raises TooManyClauses
+    import pytest as _pytest
+
+    with _pytest.raises(Q.TooManyClauses):
+        run(Q.IMultiTerm(Q.RegexpQuery("text", ".*"), max_expansions=3))

@@ -130,3 +130,45 @@ def test_store_offsets_requires_capable_analyzer(spark, tmp_path):
                 doc_id_col="doc_id", store_offsets=True,
             ),
         )
+
+
+def test_multi_passage_highlight(stem_off_idx):
+    """UnifiedHighlighter maxPassages surface: num_passages > 1 returns
+    the top non-overlapping windows in document order, ellipsis-joined;
+    num_passages=1 stays byte-identical to the single-passage output."""
+    from lucene_spark.search.highlight import highlight_from_index
+
+    reader, sdf, _docs = stem_off_idx
+
+    def run(n, window=3):
+        return {
+            r["doc_id"]: r
+            for r in highlight_from_index(
+                reader, "text", ["tabl", "queri"], sdf, [0, 2, 4],
+                window=window, num_passages=n,
+            ).collect()
+        }
+
+    one = run(1)
+    two = run(2)
+    # doc 0: "The Tables were QUERIED by many tables yesterday" —
+    # window 3 holds (Tables, QUERIED); a second passage adds the later
+    # "tables" hit
+    assert one[0]["snippet"] == "<b>Tables</b> were <b>QUERIED</b>"
+    assert two[0]["snippet"].startswith("<b>Tables</b> were <b>QUERIED</b>")
+    assert two[0]["snippet"].endswith("<b>tables</b>")
+    assert "... " in two[0]["snippet"]
+    assert two[0]["n_hits"] == one[0]["n_hits"] + 1
+    # passages come back in document order regardless of score order
+    s = two[2]["snippet"]
+    assert s.index("<b>querying</b>") < s.index("<b>queri") or s.startswith(
+        "<b>querying</b>"
+    )
+    # single-passage path unchanged
+    baseline = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_from_index(
+            reader, "text", ["tabl", "queri"], sdf, [0, 2, 4], window=3
+        ).collect()
+    }
+    assert baseline == {d: one[d]["snippet"] for d in one}

@@ -1,0 +1,66 @@
+"""PKIndexSplitter analog: split one index into accepted/rejected,
+verify partition, search identity, and index invariants on both sides."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def split_pair(spark, corpus, tmp_path_factory):
+    from lucene_spark.index.addindexes import split_index
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    base = tmp_path_factory.mktemp("split")
+    src = str(base / "src")
+    build_index(
+        spark, spark.createDataFrame(corpus), src,
+        IndexConfig(docs_per_segment=100),
+    )
+    p, f = str(base / "pass"), str(base / "fail")
+    n_pass, n_fail = split_index(
+        spark, src, p, f, F.col("doc_id") % 3 == 0
+    )
+    return (
+        IndexReader(spark, src),
+        IndexReader(spark, p),
+        IndexReader(spark, f),
+        n_pass,
+        n_fail,
+    )
+
+
+def test_split_partitions_the_docs(split_pair, corpus):
+    src, rp, rf, n_pass, n_fail = split_pair
+    assert n_pass + n_fail == len(corpus)
+    pass_ids = {r["doc_id"] for r in rp.doclens().select("doc_id").distinct().collect()}
+    fail_ids = {r["doc_id"] for r in rf.doclens().select("doc_id").distinct().collect()}
+    assert len(pass_ids) == n_pass and len(fail_ids) == n_fail
+    assert not pass_ids & fail_ids
+    assert all(d % 3 == 0 for d in pass_ids)
+    assert all(d % 3 != 0 for d in fail_ids)
+
+
+def test_split_search_identity(split_pair):
+    """Searching a side == searching the source restricted to that side
+    (scores differ only through df/avgdl, so compare MATCH SETS of an
+    exhaustive query and exact scores of a constant-score one)."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    src, rp, rf, _n_pass, _n_fail = split_pair
+    q = Q.TermQuery("content", "def")
+    full = {h.doc_id for h in IndexSearcher(src).search(q, k=500).hits}
+    got_p = {h.doc_id for h in IndexSearcher(rp).search(q, k=500).hits}
+    got_f = {h.doc_id for h in IndexSearcher(rf).search(q, k=500).hits}
+    assert got_p == {d for d in full if d % 3 == 0}
+    assert got_f == {d for d in full if d % 3 != 0}
+
+
+def test_split_sides_pass_checkindex(split_pair):
+    from lucene_spark.index.checkindex import check_index
+
+    _src, rp, rf, _n_pass, _n_fail = split_pair
+    for rd in (rp, rf):
+        report = check_index(rd.spark, rd.index_dir)
+        assert report["ok"], report["violations"]
