@@ -142,6 +142,26 @@ class StandardAnalyzer(Analyzer):
             toks = [t for t in toks if t not in self.stopwords]
         return toks
 
+    def tokenize_with_offsets_one(self, text: str):
+        # offsets refer to the ORIGINAL text; str.lower() is applied
+        # per token (length-preserving for the corpus's scripts — the
+        # handful of expanding codepoints like U+0130 are in the
+        # documented deviations)
+        toks: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        for m in _STANDARD_PATTERN.finditer(text):
+            raw = m.group(0)
+            for i in range(0, len(raw), self.max_token_length):
+                part = raw[i : i + self.max_token_length]
+                low = part.lower()
+                if self.stopwords and low in self.stopwords:
+                    continue
+                toks.append(low)
+                starts.append(m.start() + i)
+                ends.append(m.start() + i + len(part))
+        return toks, starts, ends
+
 
 class SimpleAnalyzer(Analyzer):
     """lowercase -> runs of [a-z0-9].

@@ -206,3 +206,51 @@ def split_index(
         )
         counts.append(n)
     return counts[0], counts[1]
+
+
+def upgrade_index(spark: SparkSession, index_dir: str, to_format: str) -> int:
+    """IndexUpgrader (backward-codecs; backward_codecs/.../IndexUpgrader
+    role + IndexWriter.addIndexes codec adoption): rewrite EVERY
+    postings blob of a committed index into ``to_format`` and commit a
+    new generation whose manifest records the new postings format — so
+    an index written under one codec keeps working after the default
+    codec moves on.
+
+    Offline, single-writer op (the reference's tool contract): each
+    postings batch directory is decoded with the OLD format and
+    re-encoded with the new via the same kernel addIndexes uses, then
+    swapped in place; the manifest flips last. Doc ids, doclens, stats
+    and tombstones are untouched — only the blob lane changes.
+
+    -> the new manifest generation.
+    """
+    import os
+    import shutil
+
+    from lucene_spark.index.formats import get_postings_format
+
+    m = mani.read_manifest(index_dir)
+    src_fmt = m.get("postings_format") or "for104"
+    get_postings_format(to_format)  # validate the name early
+    if src_fmt == to_format:
+        return m["generation"]
+    proot = f"{index_dir}/postings"
+    for entry in sorted(os.listdir(proot)):
+        bdir = f"{proot}/{entry}"
+        if not os.path.isdir(bdir):
+            continue
+        df = spark.read.parquet(bdir)
+        upgraded = df.mapInPandas(
+            _rebase_postings_fn(0, src_fmt=src_fmt, dest_fmt=to_format),
+            schema=df.schema,
+        )
+        tmp = f"{proot}/.upgrade_{entry}"
+        upgraded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(bdir)
+        shutil.move(tmp, bdir)
+    out = dict(m)
+    out.pop("generation", None)
+    out.pop("committed_at", None)
+    out["postings_format"] = to_format
+    out["upgraded_from"] = src_fmt
+    return mani.commit_manifest(index_dir, out)

@@ -253,3 +253,44 @@ class MemoryIndex:
 
     def matches(self, q: Q.Query | str, default_field: str = "content") -> bool:
         return self.search(q, default_field) > 0.0
+
+    def match_offsets(
+        self, q: Q.Query | str, default_field: str = "content"
+    ) -> list[tuple[str, int, int]]:
+        """Hit spans of a matching query — the HighlightsMatch payload
+        (monitor/HighlightsMatch.java: "the hits that the query
+        matched", as (term, char start, char end) per occurrence).
+        Empty when the query does not match. Requires an
+        offsets-tracking analyzer for the queried field.
+
+        Deviation, documented: the reference derives spans from the
+        Matches API, which for positional queries reports only the
+        occurrences PARTICIPATING in a match; this returns every
+        occurrence of each query term present in the document —
+        exact for term/boolean/multi-term queries, a superset for
+        phrase/interval/span hits."""
+        if isinstance(q, str):
+            from lucene_spark.search.queryparser import QueryParser
+
+            q = QueryParser(default_field).parse(q)
+        q = Q.rewrite_fixpoint(q)
+        if self.search(q) <= 0.0:
+            return []
+        pdf, reader = self._freeze()
+        node = IndexSearcher(reader, self.k1, self.b)._compile(q)
+        field = _collect_field(node)
+        terms = sorted(
+            t for t in _collect_terms(node) if FIELD_SEP not in t
+        )
+        rows = pdf[
+            (pdf["field"] == field) & pdf["term"].isin(terms)
+        ].reset_index(drop=True)
+        ctx = _SegmentIndex(rows, fmt=self._fmt)
+        out: list[tuple[str, int, int]] = []
+        for t in terms:
+            if not ctx.has(t):
+                continue
+            st, en, _starts, _lens = ctx.flat_offsets(t)
+            out.extend((t, int(s), int(e)) for s, e in zip(st, en))
+        out.sort(key=lambda x: (x[1], x[2], x[0]))
+        return out

@@ -605,6 +605,31 @@ class StandardQueryParser:
 
     def _interval_source(self, node: IntervalFnNode) -> Q.IntervalsSource:
         name = node.name.lower()
+        # pattern functions take their text argument RAW (the wrapped
+        # multi-term query expands against the term dict at compile;
+        # analyzing '*'/'?' away would destroy the pattern) —
+        # StandardSyntaxParser's fn:wildcard / fn:prefix / fn:fuzzyTerm
+        if name in ("wildcard", "prefix", "fuzzyterm"):
+            texts = [a[1] for a in node.args
+                     if isinstance(a, tuple) and a[0] == "text"]
+            nums = [a[1] for a in node.args
+                    if isinstance(a, tuple) and a[0] == "int"]
+            if len(texts) != 1 or any(isinstance(a, IntervalFnNode)
+                                      for a in node.args):
+                raise ParseError(f"fn:{node.name}: wrong arguments")
+            f = node.field or ""
+            if name == "wildcard":
+                if nums:
+                    raise ParseError("fn:wildcard takes no ints")
+                return Q.IMultiTerm(Q.WildcardQuery(f, texts[0].lower()))
+            if name == "prefix":
+                if nums:
+                    raise ParseError("fn:prefix takes no ints")
+                return Q.IMultiTerm(Q.PrefixQuery(f, texts[0].lower()))
+            max_edits = nums[0] if nums else 2
+            return Q.IMultiTerm(
+                Q.FuzzyQuery(f, texts[0].lower(), max_edits=max_edits)
+            )
         srcs: list[Q.IntervalsSource] = []
         ints: list[int] = []
         for a in node.args:

@@ -296,3 +296,48 @@ class Monitor:
         return docs.select("doc_id", content_col).mapInPandas(
             run, schema="doc_id long, query_id string, score float"
         )
+
+    def match_highlights_df(
+        self, docs: DataFrame, content_col: str = "content",
+        field: str = "content",
+    ) -> DataFrame:
+        """HighlightsMatch matcher (monitor/HighlightsMatch.java): one
+        row per (doc, matching standing query, query-term occurrence)
+        with the occurrence's char span — what a reverse-search UI
+        highlights in the streamed document. Same presearcher + one-doc
+        MemoryIndex shape as the scoring matcher; the analyzer must
+        track offsets. -> (doc_id, query_id, term, start, end)."""
+        queries = dict(self.queries)
+        analyzer_name = self.analyzer_name
+        prefilter, always = self._presearcher(queries)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from lucene_spark.memory import MemoryIndex
+
+            an = get_analyzer(analyzer_name)
+            for pdf in batches:
+                rows = []
+                tok_series = an.tokenize(pdf[content_col])
+                for did, text, toks in zip(
+                    pdf["doc_id"], pdf[content_col], tok_series
+                ):
+                    cands = set(always)
+                    for t in set(toks):
+                        cands |= prefilter.get(t, set())
+                    if not cands:
+                        continue
+                    mi = MemoryIndex(analyzer_name)
+                    mi.add_field(field, text)
+                    for qid in sorted(cands):
+                        for term, s, e in mi.match_offsets(queries[qid]):
+                            rows.append((int(did), qid, term, s, e))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "query_id", "term", "start", "end"],
+                ).astype({"doc_id": "int64", "start": "int64", "end": "int64"})
+
+        return docs.select("doc_id", content_col).mapInPandas(
+            run,
+            schema="doc_id long, query_id string, term string, "
+                   "start long, end long",
+        )

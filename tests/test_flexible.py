@@ -229,3 +229,30 @@ def test_unordered_no_overlaps_desugars():
             n=1,
         ),
     )
+
+
+def test_fn_pattern_sources():
+    """fn:wildcard / fn:prefix / fn:fuzzyTerm parse to IMultiTerm
+    leaves (MultiTermIntervalsSource; field bound at compile)."""
+    q = P().parse("fn:wildcard(a?c)")
+    assert q == Q.IntervalQuery(
+        "content", Q.IMultiTerm(Q.WildcardQuery("content", "a?c"))
+    )
+    q = P().parse("title:fn:prefix(sca)")
+    assert q == Q.IntervalQuery(
+        "title", Q.IMultiTerm(Q.PrefixQuery("title", "sca"))
+    )
+    q = P().parse("fn:fuzzyTerm(tabel 1)")
+    assert q == Q.IntervalQuery(
+        "content", Q.IMultiTerm(Q.FuzzyQuery("content", "tabel", max_edits=1))
+    )
+    # nested inside a combinator
+    q = P().parse("fn:ordered(fn:prefix(qu) fast)")
+    src = q.source
+    assert isinstance(src, Q.IOrdered)
+    # nested fn args carry no field; the interval compile binds it
+    assert src.sources[0] == Q.IMultiTerm(Q.PrefixQuery("", "qu"))
+    with pytest.raises(ParseError):
+        P().parse("fn:wildcard(a b)")
+    with pytest.raises(ParseError):
+        P().parse("fn:prefix(a 3)")

@@ -194,3 +194,30 @@ def test_scoring_matcher_widens_query_surface(spark):
     assert (2, "q_sloppy") in got
     assert (3, "q_sloppy") in got  # slop 2 allows transposition
     assert all(d != 4 for d, _ in got)
+
+
+def test_highlights_matcher_spans(spark):
+    """HighlightsMatch: spans point at the original surface text of the
+    query terms, per matching (doc, query)."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor(analyzer="standard")
+    m.register("q_disk", "disk AND failure")
+    m.register("q_other", Q.TermQuery("content", "kernel"))
+    docs = spark.createDataFrame(
+        [
+            (0, "Disk failure: the disk died"),
+            (1, "kernel panic"),
+            (2, "nothing"),
+        ],
+        "doc_id long, content string",
+    )
+    rows = m.match_highlights_df(docs).collect()
+    texts = {0: "Disk failure: the disk died", 1: "kernel panic"}
+    assert {(r["doc_id"], r["query_id"]) for r in rows} == {
+        (0, "q_disk"), (1, "q_other")
+    }
+    for r in rows:
+        assert texts[r["doc_id"]][r["start"]:r["end"]].lower() == r["term"]
+    # every occurrence of each query term is reported: 'disk' twice
+    assert sum(1 for r in rows if r["term"] == "disk") == 2
