@@ -203,8 +203,9 @@ def soundex(word: str) -> str:
     """American Soundex (the commons-codec Soundex default the
     reference's PhoneticFilter ships): first letter + 3 digits;
     adjacent same codes collapse, including across H/W; vowels reset
-    the run."""
-    w = [c for c in word.lower() if c.isalpha()]
+    the run. ASCII letters only, like the reference encoder (commons
+    Soundex "clean" keeps [A-Za-z])."""
+    w = [c for c in word.lower() if "a" <= c <= "z"]
     if not w:
         return ""
     out = [w[0].upper()]
@@ -237,8 +238,8 @@ _REFINED_CODES = {
 def refined_soundex(word: str) -> str:
     """Refined Soundex (commons-codec RefinedSoundex): first letter,
     then one digit per letter with adjacent duplicates collapsed; no
-    length cap, vowels code 0."""
-    w = [c for c in word.lower() if c.isalpha()]
+    length cap, vowels code 0. ASCII letters only."""
+    w = [c for c in word.lower() if "a" <= c <= "z"]
     if not w:
         return ""
     out = [w[0].upper()]
