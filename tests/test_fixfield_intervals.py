@@ -108,3 +108,27 @@ def test_fixfield_absent_field_matches_nothing(ff_index):
     )
     td = IndexSearcher(reader).search(q, k=10)
     assert td.total_hits == 0
+
+
+def test_fixfield_multiterm_expansion(ff_index):
+    """An IMultiTerm inside fixField expands against the FIXED field's
+    term dictionary, not the enclosing query field."""
+    from lucene_spark.search.executor import IndexSearcher
+
+    reader, body, tags = ff_index
+    # fn-equivalent of: body 'fast' unordered-near ANY tags term with
+    # prefix 'me' (expands to 'merge' in the tags dictionary)
+    q = Q.IntervalQuery(
+        "body",
+        Q.IUnordered(
+            (
+                Q.ITerm("fast"),
+                Q.IFixField("tags", Q.IMultiTerm(Q.PrefixQuery("", "me"))),
+            ),
+            max_width=3,
+        ),
+    )
+    top = IndexSearcher(reader).search(q, k=1000, prune=False)
+    got = sorted(h.doc_id for h in top.hits)
+    want = sorted(_brute_unordered_within(body, tags, "fast", "merge", 3))
+    assert got == want and got  # non-trivial on this corpus
