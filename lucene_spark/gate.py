@@ -150,6 +150,49 @@ def ensure_sorted_index(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 
 
+_GEO_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_geo_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Geohash prefix-tree index over the synthesized coordinates
+    (spatial-extras RecursivePrefixTreeStrategy role): each doc's
+    "lat,lon" text tokenizes to its full cell chain, so box queries run
+    as term lookups. Oracle stays non-circular: the DuckDB side filters
+    the same synthesized coords directly — the inverted path must
+    reproduce the full-scan answer."""
+    key = os.path.abspath(sf_dir)
+    if key in _GEO_READERS:
+        return _GEO_READERS[key]
+    from lucene_spark.search import geo as _geo
+
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_geoidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = m.get("num_docs_total") == n and m.get("analyzer") == "geohash"
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        src = _geo.synthesize_geo(docs).select(
+            "doc_id",
+            F.concat(
+                F.col("lat").cast("string"), F.lit(","),
+                F.col("lon").cast("string"),
+            ).alias("geo"),
+        )
+        cfg = IndexConfig(
+            field="geo", content_col="geo", analyzer="geohash",
+            doc_id_col="doc_id", docs_per_segment=100_000, num_batches=1,
+        )
+        build_index(spark, src, idx, cfg)
+    r = IndexReader(spark, idx)
+    _GEO_READERS[key] = r
+    return r
+
+
 def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index over documents.text with the simple_porter analyzer
     (SimpleAnalyzer -> PorterStemFilter) — the analysis-zoo gate index.
@@ -1579,8 +1622,17 @@ def gate_queries() -> dict[str, object]:
 
         from lucene_spark.search import geo3d, shapes
 
+        from lucene_spark.search.prefixtree import geo_box_prefixtree
+
         return _union([
             ("box", _h(geo.geo_box(d, 10.0, 55.0, -40.0, 60.0, k=50))),
+            # the same box through the geohash prefix-tree INDEX
+            # (inverted term lookups + boundary refine) — must equal
+            # the full-scan box answer
+            ("pt_box", _h(geo_box_prefixtree(
+                ensure_geo_index(spark, sf), geo.synthesize_geo(d),
+                10.0, 55.0, -40.0, 60.0, field="geo", k=50,
+            ))),
             ("polygon", _h(geo.geo_polygon_topk(d, _POLY, k=50))),
             ("distance", _h(geo.geo_distance_topk(
                 d, qlat=35.0, qlon=10.0, radius_km=3000.0, k=20))),
@@ -2570,6 +2622,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
 
     one["q_geo_suite"] = _sql_tagged_flat([
         ("box", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({box_sql})"),
+        ("pt_box", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({box_sql})"),
         ("polygon", f"SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ({poly_sql})"),
         ("distance", f"SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ({dist_sql})"),
         *[
