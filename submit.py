@@ -91,12 +91,61 @@ def cmd_search(args) -> None:
 
 
 def cmd_check(args) -> None:
-    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.index.checkindex import check_index, exorcise
 
-    rep = check_index(_spark(), args.index)
+    spark = _spark()
+    rep = check_index(spark, args.index)
+    if not rep["ok"] and args.exorcise:
+        # CheckIndex -exorcise: drop the violating segments, recommit
+        rep["exorcised"] = exorcise(spark, args.index)
+        rep = {**check_index(spark, args.index), "exorcised": rep["exorcised"]}
     print(json.dumps(rep))
     if not rep["ok"]:
         sys.exit(2)
+
+
+def cmd_inspect(args) -> None:
+    """luke / misc-tools role: overview + HighFreqTerms + segments."""
+    from lucene_spark.index.inspect import (
+        high_freq_terms,
+        overview,
+        segment_report,
+    )
+    from lucene_spark.search.executor import IndexReader
+
+    reader = IndexReader(_spark(), args.index)
+    out = {"cmd": "inspect", "overview": overview(reader)}
+    if args.field:
+        out["high_freq_terms"] = [
+            r.asDict()
+            for r in high_freq_terms(
+                reader, args.field, k=args.top,
+                by_total_term_freq=args.by_ttf,
+            ).collect()
+        ]
+    out["segments"] = [r.asDict() for r in segment_report(reader).collect()]
+    print(json.dumps(out))
+
+
+def cmd_split(args) -> None:
+    """PKIndexSplitter role."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.addindexes import split_index
+
+    n_pass, n_fail = split_index(
+        _spark(), args.index, args.out_pass, args.out_fail,
+        F.expr(args.predicate),
+    )
+    print(json.dumps({"cmd": "split", "pass_docs": n_pass, "fail_docs": n_fail}))
+
+
+def cmd_upgrade(args) -> None:
+    """IndexUpgrader role."""
+    from lucene_spark.index.addindexes import upgrade_index
+
+    gen = upgrade_index(_spark(), args.index, args.format)
+    print(json.dumps({"cmd": "upgrade", "format": args.format, "generation": gen}))
 
 
 def main() -> None:
@@ -127,7 +176,28 @@ def main() -> None:
 
     c = sub.add_parser("check")
     c.add_argument("--index", required=True)
+    c.add_argument("--exorcise", action="store_true")
     c.set_defaults(fn=cmd_check)
+
+    i = sub.add_parser("inspect")
+    i.add_argument("--index", required=True)
+    i.add_argument("--field", default=None)
+    i.add_argument("--top", type=int, default=20)
+    i.add_argument("--by-ttf", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    sp_ = sub.add_parser("split")
+    sp_.add_argument("--index", required=True)
+    sp_.add_argument("--out-pass", required=True)
+    sp_.add_argument("--out-fail", required=True)
+    sp_.add_argument("--predicate", required=True,
+                     help="SQL predicate over the docs registry")
+    sp_.set_defaults(fn=cmd_split)
+
+    u = sub.add_parser("upgrade")
+    u.add_argument("--index", required=True)
+    u.add_argument("--format", required=True)
+    u.set_defaults(fn=cmd_upgrade)
 
     args = p.parse_args()
     args.fn(args)

@@ -69,3 +69,36 @@ def test_spark_submit_build_search_check(pyfiles, corpus, tmp_path):
 
     rep = _submit(pyfiles, "check", "--index", idx)
     assert rep["ok"], rep["violations"][:5]
+
+
+def test_spark_submit_inspect_split_upgrade(pyfiles, corpus, tmp_path):
+    """The misc/luke/backward-codecs tool subcommands through the real
+    spark-submit launch path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(corpus), f"{src}/part0.parquet")
+    _submit(pyfiles, "build", "--source", src, "--index", idx,
+            "--docs-per-segment", "200")
+
+    rep = _submit(pyfiles, "inspect", "--index", idx,
+                  "--field", "content", "--top", "5")
+    assert rep["overview"]["num_docs"] == len(corpus)
+    assert len(rep["high_freq_terms"]) == 5
+    assert rep["segments"]
+
+    rep = _submit(pyfiles, "upgrade", "--index", idx, "--format", "varint")
+    assert rep["generation"] >= 1
+    rep = _submit(pyfiles, "check", "--index", idx)
+    assert rep["ok"]
+
+    rep = _submit(
+        pyfiles, "split", "--index", idx,
+        "--out-pass", str(tmp_path / "p"), "--out-fail", str(tmp_path / "f"),
+        "--predicate", "doc_id % 2 = 0",
+    )
+    assert rep["pass_docs"] + rep["fail_docs"] == len(corpus)
+    assert rep["pass_docs"] > 0 and rep["fail_docs"] > 0
