@@ -1224,7 +1224,25 @@ def gate_queries() -> dict[str, object]:
         return dd.exact_dedup(_docs(spark, sf))
 
     def q_dedup_ngram(spark, sf):
-        return dd.ngram_jaccard_pairs(_docs(spark, sf), n=3, threshold=0.15)
+        # tagged union: n-gram Jaccard near-dup pairs + benchmark
+        # DECONTAMINATION (test-set n-gram containment — the
+        # train/eval-overlap filter; benchmark = every 37th doc,
+        # deterministic). Shared value slot v_x1e6.
+        d = _docs(spark, sf)
+        pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.15).select(
+            F.lit("pairs").alias("tag"), "a", "b",
+            F.col("jaccard_x1e6").alias("v_x1e6"),
+        )
+        bench = d.filter(F.col("doc_id") % 37 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        dec = dd.decontaminate(d, bench, n=5, threshold=0.4).select(
+            F.lit("decontam").alias("tag"),
+            F.col("doc_id").alias("a"),
+            F.col("bench_id").alias("b"),
+            F.col("containment_x1e6").alias("v_x1e6"),
+        )
+        return pairs.unionByName(dec)
 
     def q_dedup_minhash(spark, sf):
         # batch self-dedup + incremental batch-vs-corpus dedup
@@ -2242,7 +2260,15 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         "q_lang_id": ts.lang_id_sql(),
         "q_fingerprint": ts.fingerprints_sql(),
         "q_dedup_exact": dd.exact_dedup_sql(),
-        "q_dedup_ngram": dd.ngram_jaccard_sql(n=3, threshold=0.15),
+        "q_dedup_ngram": _sql_tagged_flat([
+            ("pairs",
+             "SELECT a, b, jaccard_x1e6 AS v_x1e6 FROM ("
+             + dd.ngram_jaccard_sql(n=3, threshold=0.15) + ")"),
+            ("decontam",
+             "SELECT doc_id AS a, bench_id AS b, containment_x1e6 AS v_x1e6 FROM ("
+             + dd.decontaminate_sql("doc_id % 37 = 0", n=5, threshold=0.4)
+             + ")"),
+        ]),
         "q_dedup_minhash": _sql_tagged_flat([
             ("batch", dd.minhash_lsh_sql(threshold=0.1)),
             ("incremental", dd.incremental_minhash_sql(

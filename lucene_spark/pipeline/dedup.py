@@ -955,3 +955,99 @@ SELECT c.node AS doc_id, c.comp AS component,
        CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size
 FROM comp c
 ORDER BY component, doc_id"""
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+    k: int = 200,
+) -> DataFrame:
+    """Benchmark decontamination — the n-gram test-set-overlap filter a
+    training-data pipeline runs before training: flag corpus docs that
+    CONTAIN a benchmark item's n-grams. Score = containment
+    |shingles(bench) ∩ shingles(doc)| / |shingles(bench)| (not Jaccard:
+    a short benchmark item buried in a long document must still flag).
+
+    Shape at 100 TB: the benchmark side is tiny (thousands of items) —
+    its shingle table broadcasts; candidates come from ONE corpus-scan
+    equi-join on the shingle key, with the same max_shingle_df
+    boilerplate guard as the near-dup paths applied to CANDIDATE
+    GENERATION only (exact containment is then recomputed on candidate
+    pairs from the unguarded sets, so the guard can't deflate scores).
+
+    `benchmark`: (bench_id, text). -> (doc_id, bench_id,
+    containment_x1e6) with containment >= threshold, ordered
+    (containment DESC, doc_id, bench_id), top-k.
+    """
+    sh_d = _shingles(docs, n).persist()
+    sh_b = (
+        _shingles(benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n)
+        .select(F.col("doc_id").alias("bench_id"), "sh")
+        .persist()
+    )
+    rare = (
+        sh_d.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("sh")
+    )
+    cand = (
+        sh_d.join(rare, "sh", "left_semi")
+        .join(F.broadcast(sh_b), "sh")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sizes_b = sh_b.groupBy("bench_id").agg(F.count("*").alias("bsz"))
+    inter = (
+        cand.join(sh_b, "bench_id")
+        .join(sh_d, ["doc_id", "sh"], "left_semi")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_b), "bench_id")
+        .withColumn(
+            "containment_x1e6",
+            F.round(F.col("inter") / F.col("bsz") * 1e6).cast("long"),
+        )
+        .filter(F.col("inter") / F.col("bsz") >= threshold)
+        .select("doc_id", "bench_id", "containment_x1e6")
+        .orderBy(
+            F.col("containment_x1e6").desc(),
+            F.col("doc_id").asc(),
+            F.col("bench_id").asc(),
+        )
+        .limit(k)
+    )
+
+
+def decontaminate_sql(
+    bench_pred: str, n: int = 8, threshold: float = 0.5,
+    max_shingle_df: int = 1000, k: int = 200,
+) -> str:
+    """DuckDB twin of `decontaminate` with the benchmark drawn from the
+    documents table by `bench_pred` (the gate's deterministic synthetic
+    benchmark)."""
+    return f"""WITH {_shingles_sql(n)},
+bsh AS (SELECT doc_id AS bench_id, sh FROM shingles
+        WHERE bench_id IN (SELECT doc_id FROM documents WHERE {bench_pred})),
+rare AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {max_shingle_df}),
+cand AS (
+  SELECT DISTINCT d.doc_id, b.bench_id
+  FROM shingles d JOIN rare USING (sh) JOIN bsh b ON b.sh = d.sh
+),
+bsz AS (SELECT bench_id, count(*) AS bsz FROM bsh GROUP BY bench_id),
+inter AS (
+  SELECT c.doc_id, c.bench_id, count(*) AS i
+  FROM cand c JOIN bsh b ON b.bench_id = c.bench_id
+  JOIN shingles d ON d.doc_id = c.doc_id AND d.sh = b.sh
+  GROUP BY c.doc_id, c.bench_id
+)
+SELECT i.doc_id, i.bench_id,
+       CAST(ROUND(i.i * 1000000.0 / s.bsz) AS BIGINT) AS containment_x1e6
+FROM inter i JOIN bsz s USING (bench_id)
+WHERE i.i * 1.0 / s.bsz >= {threshold}
+ORDER BY containment_x1e6 DESC, doc_id ASC, bench_id ASC LIMIT {k}"""
