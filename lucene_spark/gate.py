@@ -1073,8 +1073,25 @@ def gate_queries() -> dict[str, object]:
         return out
 
     def q_grouped_topk(spark, sf):
+        # two-pass grouping collector + the diversified top-k collector
+        # (misc/search/DiversifiedTopDocsCollector.java: at most
+        # max_per_key hits per key), one tagged union — schemas aligned
+        # on (tag, grp, doc_id, score_x1e6)
         r = ensure_index(spark, sf)
-        return sp.grouped_topk(r, FIELD, T_MID, "lang", per_group=2, k=20)
+        grouped = sp.grouped_topk(r, FIELD, T_MID, "lang", per_group=2, k=20)
+        div = sp.diversified_topk(
+            r, FIELD, T_MID, "lang", max_per_key=1, k=5
+        )
+        return (
+            grouped.select(
+                F.lit("grouped").alias("tag"), "grp", "doc_id",
+                "score_x1e6", "rn",
+            )
+            .unionByName(div.select(
+                F.lit("diverse").alias("tag"), "grp", "doc_id",
+                "score_x1e6", F.lit(1).alias("rn"),
+            ))
+        )
 
     def q_rrf(spark, sf):
         r = ensure_index(spark, sf)
@@ -1410,15 +1427,25 @@ def gate_queries() -> dict[str, object]:
 
     def q_facet_suite(spark, sf):
         # hierarchical taxonomy facets (source/lang two-level dim) +
-        # flat sorted-set facet counts, one tagged union (tag, path, cnt)
+        # flat sorted-set facet counts + facet-set matching
+        # (facet/facetset/MatchingFacetSetsCounts.java: exact, range and
+        # mixed matchers in one pass), one tagged union (tag, path, cnt)
         r = ensure_index(spark, sf)
         hier = sp.taxonomy_facet_counts(r, FIELD, T_MID, ["source", "lang"], k=50)
         flat = sp.facet_counts(r, FIELD, T_MID, "lang").select(
             F.col("lang").alias("path"), "cnt"
         )
+        fset = sp.facet_set_counts(r, FIELD, T_MID, [
+            ("exact_en_src1", [("lang", "exact", "en"),
+                               ("source", "exact", "src1")]),
+            ("range_chars", [("n_chars", "range", 100, 400)]),
+            ("mixed_de", [("lang", "exact", "de"),
+                          ("n_chars", "range", 200, 600)]),
+        ]).select(F.col("matcher").alias("path"), "cnt")
         return (
             hier.select(F.lit("hier").alias("tag"), "path", "cnt")
             .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
+            .unionByName(fset.select(F.lit("fset").alias("tag"), "path", "cnt"))
         )
 
     def q_facet_assoc(spark, sf):
@@ -1951,7 +1978,20 @@ SELECT printf('%02d_%06d_%06d_%09d', idx, MIN(v), MAX(v),
 FROM g GROUP BY idx ORDER BY bucket)
 SELECT 'static' AS tag, * FROM t_static
 UNION ALL SELECT 'dynamic' AS tag, * FROM t_dynamic""",
-        "q_grouped_topk": _sql_grouped(T_MID, "lang", 2, 20),
+        "q_grouped_topk": _sql_tagged_flat([
+            ("grouped", _sql_grouped(T_MID, "lang", 2, 20)),
+            # DiversifiedTopDocsCollector: global top-k with at most one
+            # hit per key — per-key rank 1, then score-ordered cut
+            ("diverse", f"""{_scored_ctes(T_MID)},
+ranked AS (
+  SELECT d.lang AS grp, s.doc_id, s.score_x1e6,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_x1e6 DESC, s.doc_id ASC) AS rk
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT grp, doc_id, score_x1e6, 1 AS rn FROM ranked
+WHERE rk <= 1 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 5"""),
+        ]),
         "q_rrf": _sql_rrf(T_HOT, T_MID, 60, 10, 100),
         "q_rescore": f"""{_scored_ctes(T_MID)},
 first_n AS (SELECT * FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 40)
@@ -2521,6 +2561,20 @@ ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
             "SELECT d.lang, count(*) AS cnt",
             "SELECT d.lang AS path, count(*) AS cnt",
         )),
+        # facetset: one conditional-aggregation pass, one row per matcher
+        ("fset", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+md AS (SELECT d.* FROM documents d JOIN m ON d.doc_id = m.doc_id),
+c AS (SELECT
+  SUM(CASE WHEN lang = 'en' AND source = 'src1' THEN 1 ELSE 0 END) AS m1,
+  SUM(CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END) AS m2,
+  SUM(CASE WHEN lang = 'de' AND n_chars BETWEEN 200 AND 600 THEN 1 ELSE 0 END) AS m3
+ FROM md)
+SELECT path, cnt FROM (
+  SELECT 'exact_en_src1' AS path, CAST(coalesce(m1, 0) AS BIGINT) AS cnt FROM c
+  UNION ALL SELECT 'mixed_de', CAST(coalesce(m3, 0) AS BIGINT) FROM c
+  UNION ALL SELECT 'range_chars', CAST(coalesce(m2, 0) AS BIGINT) FROM c
+) ORDER BY path"""),
     ])
     one["q_suggest_suite"] = _sql_tagged([
         ("spell", one.pop("q_suggest")),

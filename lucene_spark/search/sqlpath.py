@@ -899,6 +899,89 @@ def facet_associations(
     )
 
 
+def facet_set_counts(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    matchers: list[tuple[str, list[tuple]]],
+) -> DataFrame:
+    """Facet-set matching (facet/facetset/MatchingFacetSetsCounts.java):
+    count matched docs whose multi-dim facet set satisfies each matcher.
+
+    The reference packs k-dim long points per doc (FacetSetsField) and
+    counts hits per FacetSetMatcher — ExactFacetSetMatcher (every dim
+    equal) or RangeFacetSetMatcher (every dim inside a DimRange,
+    FacetSet.java / DimRange.java). Here the dims are docs-registry
+    columns, which generalizes the long-only reference encoding; an
+    exact dim is a singleton range, exactly as
+    RangeFacetSetMatcher.fromLongs models it.
+
+    `matchers` = [(name, [(col, "exact", v) | (col, "range", lo, hi)])].
+    All matchers are evaluated in ONE conditional-aggregation pass over
+    the matched docs (a single count job, no per-matcher scan — the
+    MatchingFacetSetsCounts single-pass contract). -> (matcher, cnt)
+    ordered by matcher name."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+
+    def _cond(specs) -> Column:
+        c = F.lit(True)
+        for s in specs:
+            if s[1] == "exact":
+                c = c & (F.col(s[0]) == F.lit(s[2]))
+            else:
+                c = c & F.col(s[0]).between(F.lit(s[2]), F.lit(s[3]))
+        return c
+
+    aggs = [
+        F.sum(_cond(specs).cast("long")).alias(name)
+        for name, specs in matchers
+    ]
+    one = docs.agg(*aggs)
+    pairs = []
+    for name, _ in matchers:
+        pairs.append(F.lit(name))
+        pairs.append(F.coalesce(F.col(name), F.lit(0)).cast("long"))
+    return (
+        one.select(
+            F.explode(F.create_map(*pairs)).alias("matcher", "cnt")
+        )
+        .orderBy("matcher")
+    )
+
+
+def diversified_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    key_col: str,
+    max_per_key: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """Diversified top-k (misc/search/DiversifiedTopDocsCollector.java):
+    the classic top-k collector with at most `max_per_key` hits sharing
+    one key — lower-scored hits of an over-represented key are
+    dominated and dropped, exactly the reference's per-key mini-queue
+    rule. Spark shape: one rank window partitioned by key (single
+    shuffle) then a global TakeOrdered — never a full sort.
+    -> (doc_id, grp, score_x1e6) by (score DESC, doc_id ASC)."""
+    from pyspark.sql.window import Window
+
+    scored = term_scored(reader, field, term)
+    docs = reader.docs().select("doc_id", F.col(key_col).alias("grp"))
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_x1e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_per_key)
+        .select("doc_id", "grp", "score_x1e6")
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def sampled_facet_counts(
     reader: IndexReader,
     field: str,

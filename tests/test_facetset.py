@@ -1,0 +1,77 @@
+"""FacetSets (facet/facetset/MatchingFacetSetsCounts.java) and the
+diversified top-k collector (misc/search/DiversifiedTopDocsCollector.java)
+against brute-force pandas recomputation on the sf0.001 documents table."""
+
+import duckdb
+import pandas as pd
+
+from lucene_spark.search import sqlpath as sp
+from lucene_spark.search.executor import IndexReader
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _reader(spark):
+    from lucene_spark.gate import ensure_index
+
+    return ensure_index(spark, SF_DIR)
+
+
+def _matched_docs(term: str) -> pd.DataFrame:
+    return duckdb.sql(f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM read_parquet('{SF_DIR}/documents.parquet')
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{term}')
+SELECT d.* FROM read_parquet('{SF_DIR}/documents.parquet') d
+JOIN m ON d.doc_id = m.doc_id""").df()
+
+
+def test_facet_set_counts_matches_bruteforce(spark):
+    r = _reader(spark)
+    got = sp.facet_set_counts(r, "text", "spark", [
+        ("exact_en_src1", [("lang", "exact", "en"), ("source", "exact", "src1")]),
+        ("range_chars", [("n_chars", "range", 100, 400)]),
+        ("mixed_de", [("lang", "exact", "de"), ("n_chars", "range", 200, 600)]),
+    ]).toPandas().set_index("matcher")["cnt"].to_dict()
+
+    md = _matched_docs("spark")
+    want = {
+        "exact_en_src1": int(((md.lang == "en") & (md.source == "src1")).sum()),
+        "range_chars": int(md.n_chars.between(100, 400).sum()),
+        "mixed_de": int(((md.lang == "de") & md.n_chars.between(200, 600)).sum()),
+    }
+    assert got == want
+    # the matched set is non-trivial for at least one matcher
+    assert any(v > 0 for v in want.values())
+
+
+def test_facet_set_counts_empty_matcher_is_zero_not_missing(spark):
+    r = _reader(spark)
+    got = sp.facet_set_counts(r, "text", "spark", [
+        ("impossible", [("lang", "exact", "xx"), ("n_chars", "range", -2, -1)]),
+    ]).toPandas()
+    assert got["matcher"].tolist() == ["impossible"]
+    assert got["cnt"].tolist() == [0]
+
+
+def test_diversified_topk_one_per_key(spark):
+    r = _reader(spark)
+    out = sp.diversified_topk(
+        r, "text", "spark", "lang", max_per_key=1, k=5
+    ).toPandas()
+    # at most one hit per key, scores non-increasing
+    assert out["grp"].is_unique
+    assert (out["score_x1e6"].diff().dropna() <= 0).all()
+    # every selected doc is its key's best: no other selected doc of the
+    # same key outranks it (greedy per-key dominance, the reference rule)
+    full = sp.diversified_topk(
+        r, "text", "spark", "lang", max_per_key=2, k=50
+    ).toPandas()
+    best = full.sort_values(
+        ["grp", "score_x1e6", "doc_id"], ascending=[True, False, True]
+    ).groupby("grp").head(1)
+    merged = out.merge(best, on="grp", suffixes=("", "_best"))
+    assert (merged.doc_id == merged.doc_id_best).all()
