@@ -148,6 +148,17 @@ def cmd_upgrade(args) -> None:
     print(json.dumps({"cmd": "upgrade", "format": args.format, "generation": gen}))
 
 
+def cmd_reorder(args) -> None:
+    """BPIndexReorderer role: graph-bisection doc-id reordering."""
+    from lucene_spark.index.reorder import bp_reorder_index
+
+    gen = bp_reorder_index(
+        _spark(), args.index, args.out,
+        field=args.field, max_iters=args.max_iters,
+    )
+    print(json.dumps({"cmd": "reorder", "out": args.out, "generation": gen}))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="submit.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +209,13 @@ def main() -> None:
     u.add_argument("--index", required=True)
     u.add_argument("--format", required=True)
     u.set_defaults(fn=cmd_upgrade)
+
+    ro = sub.add_parser("reorder")
+    ro.add_argument("--index", required=True)
+    ro.add_argument("--out", required=True)
+    ro.add_argument("--field", default=None)
+    ro.add_argument("--max-iters", type=int, default=20)
+    ro.set_defaults(fn=cmd_reorder)
 
     args = p.parse_args()
     args.fn(args)
