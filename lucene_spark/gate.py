@@ -1628,10 +1628,26 @@ def gate_queries() -> dict[str, object]:
             F.col("distance"),
             F.col("weight").cast("long").alias("doc_freq"),
         )
+        # DocumentValueSourceDictionary: suggester fed from stored
+        # documents — surface = source column, weight computed by an
+        # expression over each document (max-weight dedup per surface)
+        from lucene_spark.search.suggesters import document_dictionary
+
+        dd = analyzing_suggest(
+            document_dictionary(
+                _docs(spark, sf), "source", weight_expr="n_chars * 2"
+            ),
+            "src1", analyzer="simple", k=5,
+        ).select(
+            F.col("surface").alias("term"),
+            F.lit(0).cast("int").alias("distance"),
+            F.col("weight").cast("long").alias("doc_freq"),
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
             ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
+            ("docdict", dd),
         ]
         out = None
         for tag, df in parts:
@@ -2660,6 +2676,17 @@ sc AS (SELECT surface, weight, key,
   FROM sugg WHERE substr(key, 1, 1) = 's')
 SELECT surface AS term, CAST(distance AS INT) AS distance, weight AS doc_freq
 FROM sc WHERE key LIKE 'scann%' OR distance <= 1
+ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+        # DocumentValueSourceDictionary -> AnalyzingSuggester: surfaces
+        # from the source column, weight = max(n_chars * 2) per surface
+        ("docdict", """
+WITH dd AS (
+  SELECT CAST(source AS VARCHAR) AS surface,
+         CAST(MAX(n_chars * 2) AS BIGINT) AS weight
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+)
+SELECT surface AS term, CAST(0 AS INT) AS distance, weight AS doc_freq
+FROM dd WHERE surface LIKE 'src1%'
 ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([

@@ -132,3 +132,37 @@ def fuzzy_suggest(
         .orderBy(F.col("weight").desc(), F.col("surface").asc())
         .limit(k)
     )
+
+
+def document_dictionary(
+    docs: DataFrame,
+    term_col: str,
+    weight_col: str | None = None,
+    weight_expr: str | None = None,
+) -> DataFrame:
+    """Suggester dictionary fed from stored documents
+    (suggest/DocumentDictionary.java; with ``weight_expr`` it is
+    DocumentValueSourceDictionary.java — weight computed by an
+    expression over the document instead of a stored field).
+
+    Each document contributes its ``term_col`` value as a suggestion
+    surface; NULL terms are skipped (the InputIterator contract).
+    Duplicate surfaces keep their max weight — exactly what the
+    suggesters' weight-ranked lookup observes — so the dictionary is
+    one map-side-combined aggregation. -> (surface, weight), the input
+    shape of analyzing_suggest / fuzzy_suggest."""
+    if weight_expr is not None:
+        w = F.expr(weight_expr)
+    elif weight_col is not None:
+        w = F.col(weight_col)
+    else:
+        w = F.lit(1)
+    return (
+        docs.filter(F.col(term_col).isNotNull())
+        .select(
+            F.col(term_col).cast("string").alias("surface"),
+            w.cast("long").alias("weight"),
+        )
+        .groupBy("surface")
+        .agg(F.max("weight").alias("weight"))
+    )

@@ -78,3 +78,28 @@ def test_max_edits_capped():
 
     with pytest.raises(ValueError):
         fuzzy_suggest(None, "abc", max_edits=3)
+
+
+def test_document_dictionary_dedup_and_null_skip(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.suggesters import (
+        analyzing_suggest,
+        document_dictionary,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "title": ["alpha", "alpha", None, "beta"],
+        "pop": [3, 9, 5, 4],
+    }))
+    dd = document_dictionary(docs, "title", weight_col="pop")
+    got = {r["surface"]: r["weight"] for r in dd.collect()}
+    # NULL surfaces skipped (InputIterator contract); dup keeps max
+    assert got == {"alpha": 9, "beta": 4}
+    # value-source variant (DocumentValueSourceDictionary)
+    dv = document_dictionary(docs, "title", weight_expr="pop * 10 + 1")
+    got = {r["surface"]: r["weight"] for r in dv.collect()}
+    assert got == {"alpha": 91, "beta": 41}
+    out = analyzing_suggest(dd, "al", analyzer="simple", k=5).collect()
+    assert [(r["surface"], r["weight"]) for r in out] == [("alpha", 9)]
