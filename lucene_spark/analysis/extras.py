@@ -364,3 +364,105 @@ def _geohash():
 
 
 register_analyzer("geohash", _geohash)
+
+
+# --------------------------------------------------------------------------
+# CJK (analysis/common cjk/: CJKWidthFilter.java, CJKBigramFilter.java,
+# CJKAnalyzer.java)
+# --------------------------------------------------------------------------
+
+_CJK_RANGES = {
+    "han": ("㐀䶿", "一鿿", "豈﫿"),
+    "hiragana": ("ぁゖ", "ゝゟ"),
+    "katakana": ("ァヺ", "ーヿ", "ㇰㇿ"),
+    "hangul": ("가힯", "ᄀᇿ", "㄰㆏"),
+}
+
+
+def _cjk_script(ch: str, scripts: frozenset[str]) -> str | None:
+    for name in scripts:
+        for pair in _CJK_RANGES[name]:
+            if pair[0] <= ch <= pair[1]:
+                return name
+    return None
+
+
+class CJKWidthFilter(TokenFilter):
+    """Normalize CJK width differences (cjk/CJKWidthFilter.java): fold
+    fullwidth ASCII variants to basic latin and halfwidth katakana
+    variants to kana. The reference documents itself as 'a (practical)
+    subset of NFKC'; we apply NFKC exactly to tokens containing
+    halfwidth/fullwidth-block chars (U+FF00-FFEF), leaving every other
+    token untouched — same fold, same scope."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        import unicodedata
+
+        out = []
+        for t in tokens:
+            if any("＀" <= ch <= "￯" for ch in t):
+                t = unicodedata.normalize("NFKC", t)
+            out.append(t)
+        return out
+
+
+class CJKBigramFilter(TokenFilter):
+    """Form bigrams of CJK terms (cjk/CJKBigramFilter.java): adjacent
+    CJK characters — across tokens, since the tokenizer emits han and
+    hiragana as single-char tokens and katakana/hangul as runs — join
+    into overlapping 2-char grams. A CJK char with no CJK neighbor
+    stays a unigram; with ``output_unigrams`` both forms emit (the
+    combined unigram+bigram approach). Non-CJK tokens pass through
+    unmodified and break adjacency. `flags` picks which scripts bigram
+    (HAN|HIRAGANA|KATAKANA|HANGUL default); disabled-script chars pass
+    through as-is, ending any open run."""
+
+    offsets_safe = False  # bigrams span two source tokens
+
+    def __init__(self, flags: tuple[str, ...] = ("han", "hiragana", "katakana", "hangul"),
+                 output_unigrams: bool = False):
+        bad = set(flags) - set(_CJK_RANGES)
+        if bad:
+            raise ValueError(f"unknown CJK scripts: {sorted(bad)}")
+        self.scripts = frozenset(flags)
+        self.output_unigrams = output_unigrams
+
+    def _flush(self, buf: list[str], out: list[str]) -> None:
+        if not buf:
+            return
+        if len(buf) == 1:
+            out.append(buf[0])
+        else:
+            if self.output_unigrams:
+                out.extend(buf)
+            out.extend(buf[i] + buf[i + 1] for i in range(len(buf) - 1))
+        buf.clear()
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        buf: list[str] = []
+        for t in tokens:
+            # a token is a CJK run iff every char is in an enabled script
+            if t and all(_cjk_script(c, self.scripts) for c in t):
+                buf.extend(t)
+                continue
+            self._flush(buf, out)
+            out.append(t)
+        self._flush(buf, out)
+        return out
+
+
+def _cjk_analyzer():
+    # CJKAnalyzer.java: StandardTokenizer -> CJKWidthFilter ->
+    # LowerCaseFilter (in the standard chain) -> CJKBigramFilter ->
+    # StopFilter (default English stops; ours stays empty like
+    # StandardAnalyzer — documented deviation, stopset is pluggable)
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        StandardAnalyzer(), [CJKWidthFilter(), CJKBigramFilter()], "cjk"
+    )
+
+
+register_analyzer("cjk", _cjk_analyzer)

@@ -1442,10 +1442,16 @@ def gate_queries() -> dict[str, object]:
             ("mixed_de", [("lang", "exact", "de"),
                           ("n_chars", "range", 200, 600)]),
         ]).select(F.col("matcher").alias("path"), "cnt")
+        # GroupFacetCollector: lang facet counted once per distinct
+        # source group among the matched docs
+        gfac = sp.group_facet_counts(r, FIELD, T_MID, "source", "lang").select(
+            F.col("facet").alias("path"), "cnt"
+        )
         return (
             hier.select(F.lit("hier").alias("tag"), "path", "cnt")
             .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
             .unionByName(fset.select(F.lit("fset").alias("tag"), "path", "cnt"))
+            .unionByName(gfac.select(F.lit("gfac").alias("tag"), "path", "cnt"))
         )
 
     def q_facet_assoc(spark, sf):
@@ -2591,6 +2597,12 @@ SELECT path, cnt FROM (
   UNION ALL SELECT 'mixed_de', CAST(coalesce(m3, 0) AS BIGINT) FROM c
   UNION ALL SELECT 'range_chars', CAST(coalesce(m2, 0) AS BIGINT) FROM c
 ) ORDER BY path"""),
+        # GroupFacetCollector: each source group counts once per lang
+        ("gfac", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang AS path, count(DISTINCT d.source) AS cnt
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY path LIMIT 20"""),
     ])
     one["q_suggest_suite"] = _sql_tagged([
         ("spell", one.pop("q_suggest")),

@@ -899,6 +899,29 @@ def facet_associations(
     )
 
 
+def group_facet_counts(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    group_col: str,
+    facet_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Grouped facet counts (grouping/GroupFacetCollector.java: 'the
+    counts are based on distinct groups' — a facet value counts each
+    group once, however many of the group's docs match). One
+    count-distinct aggregation over the matched docs; Spark's partial
+    distinct handles the combine map-side. -> (facet, cnt) by facet."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    return (
+        docs.groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count_distinct(group_col).alias("cnt"))
+        .orderBy("facet")
+        .limit(k)
+    )
+
+
 def facet_set_counts(
     reader: IndexReader,
     field: str,

@@ -136,3 +136,68 @@ def test_phonetic_match_e2e(phonetic_index):
     # probe would hit two docs; "hume" ~ "home" (H500) is unambiguous
     td2 = phonetic_index.search(Q.TermQuery("content", soundex("hume")), k=10)
     assert len(td2.hits) == 1  # the "robert called home" doc
+
+
+# ---- CJK width + bigram (cjk/CJKWidthFilter.java, CJKBigramFilter.java) ----
+
+
+def test_cjk_width_folds_fullwidth_and_halfwidth():
+    from lucene_spark.analysis.extras import CJKWidthFilter
+
+    f = CJKWidthFilter()
+    # fullwidth ASCII -> basic latin; halfwidth katakana -> kana
+    assert f.apply(["Ｔｅｓｔ１２３"]) == ["Test123"]
+    assert f.apply(["ｶﾀｶﾅ"]) == ["カタカナ"]
+    # dakuten combines (ｶﾞ = halfwidth KA + voiced mark -> ガ)
+    assert f.apply(["ｶﾞｷﾞ"]) == ["ガギ"]
+    # non-width tokens untouched
+    assert f.apply(["hello", "世界"]) == ["hello", "世界"]
+
+
+def test_cjk_bigram_semantics():
+    from lucene_spark.analysis.extras import CJKBigramFilter
+
+    f = CJKBigramFilter()
+    # han singles join into overlapping bigrams
+    assert f.apply(list("多国語")) == ["多国", "国語"]
+    # lone CJK char stays a unigram
+    assert f.apply(["中"]) == ["中"]
+    # non-CJK passes through and breaks adjacency
+    assert f.apply(["一", "abc", "二", "三"]) == ["一", "abc", "二三"]
+    # katakana run token contributes its chars
+    assert f.apply(["データ", "型"]) == ["デー", "ータ", "タ型"]
+    # output_unigrams emits both
+    both = CJKBigramFilter(output_unigrams=True)
+    assert both.apply(list("日本")) == ["日", "本", "日本"]
+    # disabled script passes through as-is
+    han_only = CJKBigramFilter(flags=("han",))
+    assert han_only.apply(["データ", "型", "名"]) == ["データ", "型名"]
+
+
+def test_cjk_analyzer_end_to_end(spark):
+    import pandas as pd
+
+    from lucene_spark.analysis import get_analyzer
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    an = get_analyzer("cjk")
+    assert an.tokenize_one("検索エンジンの開発 test") == [
+        "検索", "索エ", "エン", "ンジ", "ジン", "ンの", "の開", "開発", "test",
+    ]
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["検索エンジン", "検索の品質", "全文 test"],
+    })
+    import tempfile
+
+    idx = tempfile.mkdtemp() + "/idx"
+    build_index(
+        spark, spark.createDataFrame(docs), idx,
+        IndexConfig(field="text", content_col="text", analyzer="cjk",
+                    doc_id_col="doc_id", docs_per_segment=10, id_cols=()),
+    )
+    s = IndexSearcher(IndexReader(spark, idx))
+    hits = s.search(Q.TermQuery("text", "検索"), k=10).hits
+    assert sorted(h.doc_id for h in hits) == [0, 1]
