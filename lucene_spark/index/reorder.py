@@ -441,3 +441,141 @@ def bp_reorder_index(
         "max_iters": max_iters,
     }
     return mani.commit_manifest(out_dir, out_m)
+
+
+# ---------------------------------------------------------------------------
+# BpVectorReorderer (misc/index/BpVectorReorderer.java): the same BP
+# recursion over vectors — each node splits so every half sits closer
+# to its own centroid, which (reference class note) maximizes pairwise
+# similarity within each half for euclidean/dot/cosine scores.
+# Centroids are fully recalculated every iteration, as the reference
+# does ("incremental updates ... instead the centroids are fully
+# recalculated").
+# ---------------------------------------------------------------------------
+
+
+def bp_vector_permutation(
+    vectors: np.ndarray,
+    similarity: str = "cosine",
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+) -> np.ndarray:
+    """rank[i] = new position of vector i; similar vectors end adjacent."""
+    v = np.asarray(vectors, dtype=np.float64)
+    n = len(v)
+    order = np.arange(n, dtype=np.int64)
+    if n <= 1:
+        return order
+    if similarity == "cosine":
+        norms = np.linalg.norm(v, axis=1)
+        v = v / np.maximum(norms, 1e-12)[:, None]
+    elif similarity != "euclidean":
+        raise ValueError("similarity must be cosine or euclidean")
+
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        m = hi - lo
+        if m <= max(2, min_partition_size):
+            continue
+        mid = lo + m // 2
+        node = order[lo:hi]
+        nv = v[node]
+        side = np.zeros(m, dtype=bool)
+        side[mid - lo:] = True
+
+        def node_cost(s):
+            # sum of squared distances to the side centroids (the
+            # euclidean form; on unit vectors it is a monotone
+            # transform of summed cosine to the centroid)
+            cl = nv[~s].mean(axis=0)
+            cr = nv[s].mean(axis=0)
+            return float(
+                ((nv[~s] - cl) ** 2).sum() + ((nv[s] - cr) ** 2).sum()
+            )
+
+        cur = node_cost(side)
+        for _ in range(max_iters):
+            cl = nv[~side].mean(axis=0)
+            cr = nv[side].mean(axis=0)
+            d_l = ((nv - cl) ** 2).sum(axis=1)
+            d_r = ((nv - cr) ** 2).sum(axis=1)
+            gain_to_r = d_l - d_r  # positive: closer to the right centroid
+            li = np.flatnonzero(~side)
+            ri = np.flatnonzero(side)
+            lo_ord = li[np.argsort(-gain_to_r[li], kind="stable")]
+            ro_ord = ri[np.argsort(gain_to_r[ri], kind="stable")]
+            pair = min(len(lo_ord), len(ro_ord))
+            comb = gain_to_r[lo_ord[:pair]] - gain_to_r[ro_ord[:pair]]
+            n_swap = int(np.searchsorted(-comb, 0.0, side="left"))
+            while n_swap > 0 and comb[n_swap - 1] <= 1e-12:
+                n_swap -= 1
+            improved = False
+            while n_swap > 0:
+                trial = side.copy()
+                trial[lo_ord[:n_swap]] = True
+                trial[ro_ord[:n_swap]] = False
+                c = node_cost(trial)
+                if c < cur - 1e-9:
+                    side, cur, improved = trial, c, True
+                    break
+                n_swap //= 2
+            if not improved:
+                break
+        left = node[~side]
+        right = node[side]
+        order[lo: lo + len(left)] = left
+        order[lo + len(left): hi] = right
+        stack.append((lo, mid))
+        stack.append((mid, hi))
+
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    return rank
+
+
+def bp_vector_order(
+    emb,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    similarity: str = "cosine",
+    chunk: int = 250_000,
+    min_partition_size: int = 32,
+    max_iters: int = 20,
+):
+    """Spark surface: append a ``bp_pos`` ordering column to an
+    embeddings table so that writing sorted by it co-locates similar
+    vectors (fewer row groups touched per ANN probe; the locality the
+    reference buys for HNSW neighborhoods). Like the doc reorderer the
+    permutation is computed within bounded chunks — one applyInPandas
+    kernel per ``chunk`` ids, embarrassingly parallel, nothing on the
+    driver — and ``bp_pos = chunk_base + rank`` keeps chunks disjoint.
+    -> input columns + bp_pos."""
+    from pyspark.sql import functions as F
+
+    def run(pdf):
+        import pandas as pd
+
+        vecs = np.stack(pdf[vec_col].to_numpy())
+        rank = bp_vector_permutation(
+            vecs, similarity=similarity,
+            min_partition_size=min_partition_size, max_iters=max_iters,
+        )
+        out = pdf.copy()
+        out["bp_pos"] = pdf["_chunk"].to_numpy(np.int64) * chunk + rank
+        return out
+
+    from pyspark.sql import types as T
+
+    with_chunk = emb.withColumn(
+        "_chunk", (F.col(id_col).cast("long") / chunk).cast("long")
+    )
+    schema = T.StructType(
+        list(with_chunk.schema.fields)
+        + [T.StructField("bp_pos", T.LongType())]
+    )
+    return (
+        with_chunk.groupBy("_chunk")
+        .applyInPandas(run, schema=schema)
+        .drop("_chunk")
+    )

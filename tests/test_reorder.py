@@ -148,3 +148,51 @@ def test_bp_reorder_refuses_tombstones_and_sorted(spark, clustered_index, tmp_pa
     delete_by_ids(spark, work, src.docs().select("doc_id").limit(3))
     with pytest.raises(ValueError, match="tombstones"):
         bp_reorder_index(spark, work, str(tmp_path / "never"))
+
+
+# ---- BpVectorReorderer (misc/index/BpVectorReorderer.java) ----
+
+
+def test_bp_vector_kernel_clusters():
+    from lucene_spark.index.reorder import bp_vector_permutation
+
+    rng = np.random.default_rng(5)
+    k, n, d = 4, 400, 16
+    centers = rng.normal(size=(k, d)) * 5
+    labels = rng.integers(k, size=n)
+    vecs = centers[labels] + rng.normal(size=(n, d))
+    rank = bp_vector_permutation(vecs, min_partition_size=8)
+    assert sorted(rank.tolist()) == list(range(n))
+    order = np.empty(n, dtype=int)
+    order[rank] = np.arange(n)
+    seq = labels[order]
+    # adjacent positions mostly share a cluster after reordering
+    agree_bp = float((seq[1:] == seq[:-1]).mean())
+    agree_id = float((labels[1:] == labels[:-1]).mean())
+    assert agree_bp > 0.85 > 2 * agree_id, (agree_bp, agree_id)
+
+
+def test_bp_vector_order_spark_surface(spark):
+    from lucene_spark.index.reorder import bp_vector_order
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(3, 8)) * 5
+    labels = rng.integers(3, size=300)
+    vecs = (centers[labels] + rng.normal(size=(300, 8))).astype("float32")
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = bp_vector_order(
+        spark.createDataFrame(pdf), chunk=150, min_partition_size=8
+    ).toPandas()
+    # bp_pos is a bijection within each disjoint chunk range
+    assert sorted(out["bp_pos"]) == list(range(300))
+    lo = out[out.doc_id < 150]
+    assert set(lo["bp_pos"]) == set(range(150))
+    # locality: adjacent bp_pos agree on cluster far more than id order
+    by_pos = out.sort_values("bp_pos")
+    seq = labels[by_pos["doc_id"].to_numpy()]
+    chunk_edge = (by_pos["bp_pos"].to_numpy()[1:] % 150) != 0
+    agree = float(((seq[1:] == seq[:-1]) & chunk_edge).sum() / chunk_edge.sum())
+    assert agree > 0.8
