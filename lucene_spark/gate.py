@@ -1119,8 +1119,14 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, T_MID,
             "(n_chars > 500 ? 2 : 1) * sqrt(_score) + ln(1 + n_chars) / 4",
         )
+        # vector-similarity value source: BM25 x cosine(doc embedding,
+        # query vector) — FloatVectorSimilarityFunction under
+        # FunctionScoreQuery
+        vsim = sp.vector_similarity_score_topk(
+            r, FIELD, T_MID, _emb(spark, sf), query_id=0
+        )
         parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
-                 ("jsexpr", jse)]
+                 ("jsexpr", jse), ("vecsim", vsim)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -2719,6 +2725,27 @@ SELECT s.doc_id,
        + ln(1 + CAST(d.n_chars AS DOUBLE)) / 4)
        * 1000000) AS BIGINT) AS score_x1e6
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # FloatVectorSimilarityFunction: BM25 x cosine, both factors
+        # quantized to x1e6 integers before the product
+        ("vecsim", f"""{_scored_ctes(T_MID)},
+comp AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+qc AS (SELECT pos, v FROM comp WHERE vec_id = 0),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+cosd AS (
+  SELECT c.vec_id AS doc_id,
+         CAST(ROUND(SUM(c.v * q.v) / (sqrt(SUM(c.v * c.v)) * ANY_VALUE(n.nq))
+              * 1000000) AS BIGINT) AS cos_x1e6
+  FROM comp c JOIN qc q USING (pos) CROSS JOIN nq n
+  GROUP BY c.vec_id
+)
+SELECT s.doc_id,
+  CAST(ROUND(s.score_x1e6 * cosd.cos_x1e6 / 1000000.0) AS BIGINT) AS score_x1e6
+FROM scored s JOIN cosd ON cosd.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo

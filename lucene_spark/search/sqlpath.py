@@ -899,6 +899,56 @@ def facet_associations(
     )
 
 
+def vector_similarity_score_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """FunctionScoreQuery over a vector-similarity value source
+    (queries/function/valuesource/FloatVectorSimilarityFunction.java +
+    FloatKnnVectorFieldSource.java + ConstKnnFloatValueSource for the
+    query vector): final score = BM25 x cosine(doc vector, query
+    vector). The query vector is one driver-pulled row rendered as a
+    literal array; the doc-side cosine is pure JVM array expressions
+    (zip_with/aggregate — no Python), joined to the scored docs on
+    doc_id. Both factors quantize to x1e6 integers BEFORE the product
+    so the composed score is engine-stable. -> (doc_id, score_x1e6)."""
+    import math as _math
+
+    scored = term_scored(reader, field, term)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_id).head()["embedding"]
+    ]
+    q = F.array(*[F.lit(x) for x in qv])
+    nq = _math.sqrt(sum(x * x for x in qv))
+    v = F.transform(F.col("embedding"), lambda a: a.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    cos_x1e6 = F.round(dot / (na * F.lit(nq)) * 1e6).cast("long")
+    j = scored.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.round(F.col("score_x1e6") * cos_x1e6 / F.lit(1e6))
+            .cast("long")
+            .alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def group_facet_counts(
     reader: IndexReader,
     field: str,
