@@ -254,3 +254,79 @@ def upgrade_index(spark: SparkSession, index_dir: str, to_format: str) -> int:
     out["postings_format"] = to_format
     out["upgraded_from"] = src_fmt
     return mani.commit_manifest(index_dir, out)
+
+
+def rearrange_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    segment_selectors: list,
+    deleted_selector=None,
+) -> int:
+    """IndexRearranger (misc/index/IndexRearranger.java): copy an index
+    into ``out_dir`` with one segment per selector, segments appearing
+    in selector order ("each selector corresponds to one segment"); an
+    optional ``deleted_selector`` marks docs for deletion in the result
+    WITHOUT merging them away (the reference's deletedDocsSelector).
+
+    Selectors are Columns over the docs registry and must partition the
+    live docs (every doc matched by exactly one selector — checked).
+    Composition of existing machinery: each selector materializes via
+    the split/forceMerge purge path into a single-segment index, then
+    addIndexes imports them in order (doc ids rebase by import offset,
+    as ids never survive rearrangement in the reference either).
+    -> the new manifest generation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.executor import IndexReader
+
+    src = IndexReader(spark, src_dir)
+    docs = src.docs()
+    n_live = docs.count()
+    covered = 0
+    for sel in segment_selectors:
+        covered += docs.filter(sel).count()
+    matched_once = docs.filter(
+        sum((F.when(sel, 1).otherwise(0) for sel in segment_selectors), F.lit(0))
+        == 1
+    ).count()
+    if not (covered == n_live == matched_once):
+        raise ValueError(
+            "segment selectors must partition the docs registry "
+            f"(live={n_live}, covered={covered}, exactly_once={matched_once})"
+        )
+
+    work = tempfile.mkdtemp(prefix="rearrange_")
+    parts = []
+    try:
+        for i, sel in enumerate(segment_selectors):
+            part = f"{work}/part{i}"
+            shutil.copytree(src_dir, part)
+            dead = docs.filter(~sel).select("doc_id")
+            delete_by_ids(spark, part, dead)
+            force_merge(spark, part, max_segments=1)
+            parts.append(part)
+        shutil.copytree(parts[0], out_dir)
+        for part in parts[1:]:
+            add_indexes(spark, out_dir, part)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    if deleted_selector is not None:
+        out = IndexReader(spark, out_dir)
+        # select on the REARRANGED registry (ids were rebased); the
+        # registry keeps purged rows for lineage, so restrict to LIVE
+        # docs (doclens) before tombstoning
+        live = out.doclens().select("doc_id").distinct()
+        dead = (
+            out.docs().filter(deleted_selector)
+            .join(live, "doc_id", "left_semi")
+            .select("doc_id")
+        )
+        delete_by_ids(spark, out_dir, dead)
+    return mani.read_manifest(out_dir)["generation"]

@@ -64,3 +64,55 @@ def test_split_sides_pass_checkindex(split_pair):
     for rd in (rp, rf):
         report = check_index(rd.spark, rd.index_dir)
         assert report["ok"], report["violations"]
+
+
+def test_rearrange_index(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.addindexes import rearrange_index
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.search.executor import IndexReader
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "grpv": (np.arange(120) % 3).astype("int64"),
+        "text": [" ".join(rng.choice(vocab, size=6)) for _ in range(120)],
+    })
+    src = str(tmp_path / "src")
+    build_index(
+        spark, spark.createDataFrame(pdf), src,
+        IndexConfig(field="text", content_col="text", analyzer="simple",
+                    doc_id_col="doc_id", docs_per_segment=40,
+                    id_cols=("grpv",)),
+    )
+    out = str(tmp_path / "re")
+    sels = [F.col("grpv") == i for i in range(3)]
+    rearrange_index(spark, src, out, sels,
+                    deleted_selector=F.col("grpv") == 2)
+    rd = IndexReader(spark, out)
+    # one segment per selector, in selector order
+    segs = (
+        rd.doclens().join(rd.docs(), "doc_id")
+        .groupBy("segment_id")
+        .agg(F.count("*").alias("n"),
+             F.min("doc_id").alias("lo"),
+             F.collect_set("grpv").alias("gs"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(segs) == 3
+    assert [r["n"] for r in segs] == [40, 40, 40]
+    assert [r["gs"] for r in segs] == [[0], [1], [2]]
+    # deleted selector tombstones (not merged away): grpv==2 docs dead
+    assert int(rd.manifest.get("num_deleted", 0)) == 40
+    assert check_index(spark, out)["ok"]
+    # non-partitioning selectors are rejected
+    with pytest.raises(ValueError, match="partition"):
+        rearrange_index(spark, src, str(tmp_path / "bad"),
+                        [F.col("grpv") <= 1, F.col("grpv") >= 1])
