@@ -538,3 +538,83 @@ register_analyzer(
         SimpleAnalyzer(), [ReverseStringFilter()], "simple_reversed"
     ),
 )
+
+
+class GermanLightStemFilter(TokenFilter):
+    """German light stemmer (de/GermanLightStemmer.java) — the "UniNE"
+    algorithm from Savoy, "Light Stemming Approaches for the French,
+    Portuguese, German and Hungarian Languages": fold umlauts/accented
+    vowels, strip plural/case endings (-ern/-em/-en/-er/-es/-e and
+    -s after a valid stem-ending consonant), then the comparative /
+    superlative layer (-est/-er/-en and -st after a stem ending)."""
+
+    _ST_END = set("bdfghklmnt")
+    _FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+
+    def _step1(self, t: str) -> str:
+        n = len(t)
+        if n > 5 and t.endswith("ern"):
+            return t[:-3]
+        if n > 4 and len(t) >= 2 and t[-2] == "e" and t[-1] in "mnrs":
+            return t[:-2]
+        if n > 3 and t[-1] == "e":
+            return t[:-1]
+        if n > 3 and t[-1] == "s" and t[-2] in self._ST_END:
+            return t[:-1]
+        return t
+
+    def _step2(self, t: str) -> str:
+        n = len(t)
+        if n > 5 and t.endswith("est"):
+            return t[:-3]
+        if n > 4 and t[-2] == "e" and t[-1] in "rn":
+            return t[:-2]
+        if n > 4 and t.endswith("st") and t[-3] in self._ST_END:
+            return t[:-2]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._step2(self._step1(t.translate(self._FOLD))) for t in tokens]
+
+
+class GermanMinimalStemFilter(TokenFilter):
+    """German minimal stemmer (de/GermanMinimalStemmer.java) — Savoy,
+    "Morphologie et recherche d'information": words shorter than 5
+    chars pass through; fold umlauts, strip -nen, then one of
+    -en/-se/-es/-er, then a final -n/-e/-s/-r."""
+
+    _FOLD = str.maketrans("äöü", "aou")
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            if len(t) < 5:
+                out.append(t)
+                continue
+            t = t.translate(self._FOLD)
+            n = len(t)
+            if n > 6 and t.endswith("nen"):
+                out.append(t[:-3])
+                continue
+            if n > 5 and t[-2:] in ("en", "se", "es", "er"):
+                out.append(t[:-2])
+                continue
+            if t[-1] in "nesr":
+                out.append(t[:-1])
+            else:
+                out.append(t)
+        return out
+
+
+register_analyzer(
+    "german_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [GermanLightStemFilter()], "german_light"
+    ),
+)
+register_analyzer(
+    "german_minimal",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [GermanMinimalStemFilter()], "german_minimal"
+    ),
+)

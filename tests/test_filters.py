@@ -211,3 +211,61 @@ def test_path_hierarchy_tokenizer_goldens():
     assert PathHierarchyAnalyzer(
         delimiter=".", reverse=True
     ).tokenize_one("www.site.com") == ["com", "com.site", "com.site.www"]
+
+
+# ---- German light/minimal stemmers (de/GermanLightStemmer.java,
+# GermanMinimalStemmer.java — Savoy's UniNE algorithms) ----
+
+_DE_TESTDATA = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/de/{name}testdata.zip"
+)
+
+
+def _german_cases():
+    from lucene_spark.analysis.filters import (
+        GermanLightStemFilter,
+        GermanMinimalStemFilter,
+    )
+
+    return [
+        ("delight", GermanLightStemFilter()),
+        ("deminimal", GermanMinimalStemFilter()),
+    ]
+
+
+def test_german_stemmers_handpicked():
+    light, minimal = (f for _, f in _german_cases())
+    assert light.apply(["häusern", "bücher", "schönste"]) == [
+        "haus", "buch", "schon",
+    ]
+    assert minimal.apply(["katzen", "häusern", "bild"]) == [
+        "katz", "hauser", "bild",
+    ]
+
+
+def test_german_stemmers_full_reference_goldens():
+    import io
+    import os
+    import zipfile
+
+    import pytest
+
+    for name, filt in _german_cases():
+        path = _DE_TESTDATA.format(name=name)
+        if not os.path.exists(path):
+            pytest.skip("reference golden data not available")
+        with zipfile.ZipFile(path) as z:
+            data = z.read(f"{name}.txt").decode("utf-8")
+        words, want = [], []
+        for line in io.StringIO(data):
+            line = line.rstrip("\n")
+            if line and "\t" in line:
+                w, s = line.split("\t")
+                words.append(w)
+                want.append(s)
+        got = filt.apply(words)
+        mismatches = [
+            (w, g, s) for w, g, s in zip(words, got, want) if g != s
+        ]
+        assert not mismatches, (name, len(mismatches), mismatches[:5])
