@@ -618,3 +618,74 @@ register_analyzer(
         StandardAnalyzer(), [GermanMinimalStemFilter()], "german_minimal"
     ),
 )
+
+
+class SwedishLightStemFilter(TokenFilter):
+    """Swedish light stemmer (sv/SwedishLightStemmer.java) — Savoy,
+    "Report on CLEF-2003 Monolingual Tracks": optional trailing -s,
+    then the longest matching suffix layer."""
+
+    def _stem(self, t: str) -> str:
+        if len(t) > 4 and t[-1] == "s":
+            t = t[:-1]
+        n = len(t)
+        if n > 7 and t[-5:] in ("elser", "heten"):
+            return t[:-5]
+        if n > 6 and t[-4:] in (
+            "arne", "erna", "ande", "else", "aste", "orna", "aren"
+        ):
+            return t[:-4]
+        if n > 5 and t[-3:] in ("are", "ast", "het"):
+            return t[:-3]
+        if n > 4 and t[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+            return t[:-2]
+        if n > 3 and t[-1] in "taen":
+            return t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+class FrenchMinimalStemFilter(TokenFilter):
+    """French minimal stemmer (fr/FrenchMinimalStemmer.java) — Savoy,
+    "A Stemming procedure and stopword list for general French
+    corpora": words under 6 chars pass; -aux -> -al, else strip one
+    each of trailing s, r, e, é, then collapse a doubled final
+    letter."""
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 6:
+            return t
+        if t[-1] == "x":
+            if t[-3:-1] == "au":
+                return t[:-2] + "l"
+            return t[:-1]
+        if t[-1] == "s":
+            t = t[:-1]
+        if t[-1] == "r":
+            t = t[:-1]
+        if t[-1] == "e":
+            t = t[:-1]
+        if t[-1] == "é":
+            t = t[:-1]
+        if len(t) >= 2 and t[-1] == t[-2] and t[-1].isalpha():
+            t = t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+register_analyzer(
+    "swedish_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [SwedishLightStemFilter()], "swedish_light"
+    ),
+)
+register_analyzer(
+    "french_minimal",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [FrenchMinimalStemFilter()], "french_minimal"
+    ),
+)
