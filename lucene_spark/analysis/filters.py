@@ -689,3 +689,71 @@ register_analyzer(
         StandardAnalyzer(), [FrenchMinimalStemFilter()], "french_minimal"
     ),
 )
+
+
+_ROMANCE_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii"
+)
+
+
+class ItalianLightStemFilter(TokenFilter):
+    """Italian light stemmer (it/ItalianLightStemmer.java) — Savoy,
+    "Report on CLEF-2001 Experiments": words under 6 chars pass; fold
+    accented vowels, then strip the final vowel (two chars when the
+    plural/soft-consonant marker i/h precedes it)."""
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 6:
+            return t
+        t = t.translate(_ROMANCE_FOLD)
+        last, prev = t[-1], t[-2]
+        if last == "e":
+            return t[:-2] if prev in "ih" else t[:-1]
+        if last == "i":
+            return t[:-2] if prev in "hi" else t[:-1]
+        if last in "ao":
+            return t[:-2] if prev == "i" else t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+class SpanishLightStemFilter(TokenFilter):
+    """Spanish light stemmer (es/SpanishLightStemmer.java) — Savoy,
+    "Report on CLEF-2001 Experiments": words under 5 chars pass; fold
+    accents, strip a final o/a/e, and handle the -s plural layer
+    (-eses -> -es, -ces -> -z, -os/-as/-es -> strip two)."""
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 5:
+            return t
+        t = t.translate(_ROMANCE_FOLD)
+        last = t[-1]
+        if last in "oae":
+            return t[:-1]
+        if last == "s":
+            if t[-4:-1] == "ese":
+                return t[:-2]
+            if t[-3:-1] == "ce":
+                return t[:-3] + "z"
+            if t[-2] in "oae":
+                return t[:-2]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+register_analyzer(
+    "italian_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [ItalianLightStemFilter()], "italian_light"
+    ),
+)
+register_analyzer(
+    "spanish_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [SpanishLightStemFilter()], "spanish_light"
+    ),
+)
