@@ -757,3 +757,136 @@ register_analyzer(
         StandardAnalyzer(), [SpanishLightStemFilter()], "spanish_light"
     ),
 )
+
+
+class HungarianLightStemFilter(TokenFilter):
+    """Hungarian light stemmer (hu/HungarianLightStemmer.java) — the
+    UniNE algorithm from Savoy, "Light Stemming Approaches for the
+    French, Portuguese, German and Hungarian Languages": fold accents,
+    then case, possessive, plural and final-vowel layers."""
+
+    _FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+    _V = set("aeiouy")
+
+    def _case(self, t: str) -> str:
+        n = len(t)
+        if n > 6 and t.endswith("kent"):
+            return t[:-4]
+        if n > 5:
+            if t[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                          "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+                return t[:-3]
+            if t[-2:] in ("al", "el") and t[-3] not in self._V and t[-3] == t[-4]:
+                return t[:-3]
+        if n > 4:
+            if t[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                          "be", "ul", "ig"):
+                return t[:-2]
+            if t[-2:] in ("on", "en") and t[-3] not in self._V:
+                return t[:-2]
+            if t[-1] in "tn":
+                return t[:-1]
+            if t[-1] in "ae" and t[-2] == t[-3] and t[-2] not in self._V:
+                return t[:-2]
+        return t
+
+    def _possessive(self, t: str) -> str:
+        n = len(t)
+        if n > 6:
+            if t[-5] not in self._V and t[-4:] in ("atok", "otok", "etek"):
+                return t[:-4]
+            if t[-4:] in ("itek", "itok"):
+                return t[:-4]
+        if n > 5:
+            if t[-4] not in self._V and t[-3:] in ("unk", "tok", "tek"):
+                return t[:-3]
+            if t[-4] in self._V and t[-3:] == "juk":
+                return t[:-3]
+            if t[-3:] == "ink":
+                return t[:-3]
+        if n > 4:
+            if t[-3] not in self._V and t[-2:] in ("am", "em", "om", "ad",
+                                                   "ed", "od", "uk"):
+                return t[:-2]
+            if t[-3] in self._V and t[-2:] in ("nk", "ja", "je"):
+                return t[:-2]
+            if t[-2:] in ("im", "id", "ik"):
+                return t[:-2]
+        if n > 3:
+            if t[-1] in "ae" and t[-2] not in self._V:
+                return t[:-1]
+            if t[-1] in "md" and t[-2] in self._V:
+                return t[:-1]
+            if t[-1] == "i":
+                return t[:-1]
+        return t
+
+    def _plural(self, t: str) -> str:
+        if len(t) > 3 and t[-1] == "k":
+            if t[-2] in "aoe" and len(t) > 4:
+                return t[:-2]
+            return t[:-1]
+        return t
+
+    def _norm(self, t: str) -> str:
+        if len(t) > 3 and t[-1] in "aeio":
+            return t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            t = t.translate(self._FOLD)
+            out.append(self._norm(self._plural(self._possessive(self._case(t)))))
+        return out
+
+
+class RussianLightStemFilter(TokenFilter):
+    """Russian light stemmer (ru/RussianLightStemmer.java) — Dolamic &
+    Savoy, "Indexing and Searching Strategies for the Russian
+    Language": strip the case-ending layer, then normalize a trailing
+    soft sign / и / doubled н."""
+
+    _S4 = ("иями", "оями")
+    _S3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+           "ери", "ими", "ого", "ому", "ыми", "оев")
+    _S2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+           "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+           "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+    def _case(self, t: str) -> str:
+        n = len(t)
+        if n > 6 and t[-4:] in self._S4:
+            return t[:-4]
+        if n > 5 and t[-3:] in self._S3:
+            return t[:-3]
+        if n > 4 and t[-2:] in self._S2:
+            return t[:-2]
+        if n > 3 and t[-1] in "аеиоуйыяь":
+            return t[:-1]
+        return t
+
+    def _norm(self, t: str) -> str:
+        if len(t) > 3:
+            if t[-1] in "ьи":
+                return t[:-1]
+            if t[-1] == "н" and t[-2] == "н":
+                return t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._norm(self._case(t)) for t in tokens]
+
+
+register_analyzer(
+    "hungarian_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [HungarianLightStemFilter()], "hungarian_light"
+    ),
+)
+register_analyzer(
+    "russian_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [RussianLightStemFilter()], "russian_light"
+    ),
+)

@@ -360,3 +360,42 @@ def test_italian_spanish_stemmers_full_reference_goldens():
     assert SpanishLightStemFilter().apply(["trabajos", "veces"]) == [
         "trabaj", "vez",
     ]
+
+
+def test_hungarian_russian_stemmers_full_reference_goldens():
+    import io
+    import os
+    import zipfile
+
+    import pytest
+
+    from lucene_spark.analysis.filters import (
+        HungarianLightStemFilter,
+        RussianLightStemFilter,
+    )
+
+    base = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis"
+    )
+    cases = [
+        (f"{base}/hu/hulighttestdata.zip", "hulight", HungarianLightStemFilter()),
+        (f"{base}/ru/rulighttestdata.zip", "rulight", RussianLightStemFilter()),
+    ]
+    for zpath, name, filt in cases:
+        if not os.path.exists(zpath):
+            pytest.skip("reference golden data not available")
+        with zipfile.ZipFile(zpath) as z:
+            data = z.read(f"{name}.txt").decode("utf-8")
+        words, want = [], []
+        for line in io.StringIO(data):
+            line = line.rstrip("\n")
+            if line and "\t" in line:
+                w, s = line.split("\t")
+                words.append(w)
+                want.append(s)
+        got = filt.apply(words)
+        mismatches = [
+            (w, g, s) for w, g, s in zip(words, got, want) if g != s
+        ]
+        assert not mismatches, (name, len(mismatches), mismatches[:5])
