@@ -890,3 +890,115 @@ register_analyzer(
         StandardAnalyzer(), [RussianLightStemFilter()], "russian_light"
     ),
 )
+
+
+class FinnishLightStemFilter(TokenFilter):
+    """Finnish light stemmer (fi/FinnishLightStemmer.java) — Savoy,
+    "Report on CLEF-2003 Monolingual Tracks": fold ä/å/ö, then the
+    particle, case and possessive layers, then two normalization
+    passes (incl. collapsing doubled k/p/t anywhere in the word)."""
+
+    _FOLD = str.maketrans("äåö", "aao")
+    _V = set("aeiouy")
+
+    def _step1(self, t: str) -> str:
+        if len(t) > 8:
+            if t.endswith("kin"):
+                return self._step1(t[:-3])
+            if t.endswith("ko"):
+                return self._step1(t[:-2])
+        if len(t) > 11:
+            if t.endswith("dellinen"):
+                return t[:-8]
+            if t.endswith("dellisuus"):
+                return t[:-9]
+        return t
+
+    def _step2(self, t: str) -> str:
+        if len(t) > 5:
+            if t[-3:] in ("lla", "tse", "sti"):
+                return t[:-3]
+            if t.endswith("ni"):
+                return t[:-2]
+            if t.endswith("aa"):
+                return t[:-1]
+        return t
+
+    def _step3(self, t: str) -> str:
+        n = len(t)
+        if n > 8:
+            if t.endswith("nnen"):
+                return t[:-4] + "s"
+            if t.endswith("ntena"):
+                return t[:-5] + "s"
+            if t.endswith("tten"):
+                return t[:-4]
+            if t.endswith("eiden"):
+                return t[:-5]
+        if n > 6:
+            if t[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+                return t[:-4]
+            if t[-3] == "h" and t[-2] in self._V and t[-1] == "n":
+                return t[:-3]
+            if t.endswith("den"):
+                return t[:-3] + "s"
+            if t.endswith("ksen"):
+                return t[:-4] + "s"
+            if t[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+                return t[:-3]
+        if n > 5:
+            if t[-2:] in ("na", "ne"):
+                return t[:-2]
+            if t.endswith("nei"):
+                return t[:-3]
+        if n > 4:
+            if t[-2:] in ("ja", "ta"):
+                return t[:-2]
+            if t[-1] == "a":
+                return t[:-1]
+            if t[-1] == "n" and t[-2] in self._V:
+                return t[:-2]
+            if t[-1] == "n":
+                return t[:-1]
+        return t
+
+    def _norm1(self, t: str) -> str:
+        if len(t) > 5 and t.endswith("hde"):
+            t = t[:-3] + "ksi"
+        if len(t) > 4 and t[-2:] in ("ei", "at"):
+            return t[:-2]
+        if len(t) > 3 and t[-1] in "tsjeai":
+            return t[:-1]
+        return t
+
+    def _norm2(self, t: str) -> str:
+        if len(t) > 8 and t[-1] in "eou":
+            t = t[:-1]
+        if len(t) > 4:
+            if t[-1] == "i":
+                t = t[:-1]
+            if len(t) > 4:
+                out = [t[0]]
+                for c in t[1:]:
+                    if c == out[-1] and c in "kpt":
+                        continue
+                    out.append(c)
+                t = "".join(out)
+        return t
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 4:
+            return t
+        t = t.translate(self._FOLD)
+        return self._norm2(self._norm1(self._step3(self._step2(self._step1(t)))))
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+register_analyzer(
+    "finnish_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [FinnishLightStemFilter()], "finnish_light"
+    ),
+)
