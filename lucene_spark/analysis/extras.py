@@ -466,3 +466,142 @@ def _cjk_analyzer():
 
 
 register_analyzer("cjk", _cjk_analyzer)
+
+
+# --------------------------------------------------------------------------
+# Sorani Kurdish (analysis/common ckb/: SoraniNormalizer.java,
+# SoraniStemmer.java)
+# --------------------------------------------------------------------------
+
+_SR_YEH, _SR_DOTLESS_YEH, _SR_FARSI_YEH = "ي", "ى", "ی"
+_SR_KAF, _SR_KEHEH = "ك", "ک"
+_SR_HEH, _SR_AE, _SR_ZWNJ = "ه", "ە", "‌"
+_SR_HEH_DOACHASHMEE, _SR_TEH_MARBUTA = "ھ", "ة"
+_SR_REH, _SR_RREH, _SR_RREH_ABOVE = "ر", "ڕ", "ڒ"
+_SR_DELETE = set("ـًٌٍَُِّْ")
+
+
+class SoraniNormalizationFilter(TokenFilter):
+    """Sorani orthography normalization (ckb/SoraniNormalizer.java):
+    unify the alternate forms of y/k/e/h/rr, drop harakat, tatweel and
+    formatting characters. Mutates a char buffer left-to-right exactly
+    like the reference (the word-final Heh -> AE test sees the buffer
+    state of the moment, so trailing deletions do not retrigger it)."""
+
+    def _norm(self, t: str) -> str:
+        import unicodedata
+
+        buf = list(t)
+        i = 0
+        while i < len(buf):
+            c = buf[i]
+            if c in (_SR_YEH, _SR_DOTLESS_YEH):
+                buf[i] = _SR_FARSI_YEH
+            elif c == _SR_KAF:
+                buf[i] = _SR_KEHEH
+            elif c == _SR_ZWNJ:
+                if i > 0 and buf[i - 1] == _SR_HEH:
+                    buf[i - 1] = _SR_AE
+                del buf[i]
+                continue
+            elif c == _SR_HEH:
+                if i == len(buf) - 1:
+                    buf[i] = _SR_AE
+            elif c == _SR_TEH_MARBUTA:
+                buf[i] = _SR_AE
+            elif c == _SR_HEH_DOACHASHMEE:
+                buf[i] = _SR_HEH
+            elif c == _SR_REH:
+                if i == 0:
+                    buf[i] = _SR_RREH
+            elif c == _SR_RREH_ABOVE:
+                buf[i] = _SR_RREH
+            elif c in _SR_DELETE or unicodedata.category(c) == "Cf":
+                del buf[i]
+                continue
+            i += 1
+        return "".join(buf)
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._norm(t) for t in tokens]
+
+
+class SoraniStemFilter(TokenFilter):
+    """Sorani light stemmer (ckb/SoraniStemmer.java): postposition,
+    possessive-pronoun, then the ezafe / definiteness / plurality
+    suffix ladder — the same rule order and length guards."""
+
+    def _stem(self, t: str) -> str:
+        # postposition
+        if len(t) > 5 and t.endswith("دا"):
+            t = t[:-2]
+        elif len(t) > 4 and t.endswith("نا"):
+            t = t[:-1]
+        elif len(t) > 6 and t.endswith("ەوە"):
+            t = t[:-3]
+        # possessive pronoun
+        if len(t) > 6 and t[-3:] in ("مان", "یان", "تان"):
+            t = t[:-3]
+        n = len(t)
+        # indefinite singular ezafe
+        if n > 6 and t.endswith("ێکی"):
+            return t[:-3]
+        if n > 7 and t.endswith("یەکی"):
+            return t[:-4]
+        # indefinite singular
+        if n > 5 and t.endswith("ێک"):
+            return t[:-2]
+        if n > 6 and t.endswith("یەک"):
+            return t[:-3]
+        # definite singular
+        if n > 6 and t.endswith("ەکە"):
+            return t[:-3]
+        if n > 5 and t.endswith("کە"):
+            return t[:-2]
+        # definite plural
+        if n > 7 and t.endswith("ەکان"):
+            return t[:-4]
+        if n > 6 and t.endswith("کان"):
+            return t[:-3]
+        # indefinite plural ezafe
+        if n > 7 and t.endswith("یانی"):
+            return t[:-4]
+        if n > 6 and t.endswith("انی"):
+            return t[:-3]
+        # indefinite plural
+        if n > 6 and t.endswith("یان"):
+            return t[:-3]
+        if n > 5 and t.endswith("ان"):
+            return t[:-2]
+        # demonstrative plural
+        if n > 7 and t.endswith("یانە"):
+            return t[:-4]
+        if n > 6 and t.endswith("انە"):
+            return t[:-3]
+        # demonstrative singular
+        if n > 5 and (t.endswith("ایە") or t.endswith("ەیە")):
+            return t[:-2]
+        if n > 4 and t.endswith("ە"):
+            return t[:-1]
+        # absolute singular ezafe
+        if n > 4 and t.endswith("ی"):
+            return t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+def _sorani_analyzer():
+    # SoraniAnalyzer chain (normalize -> stem; stopwords pluggable)
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        StandardAnalyzer(),
+        [SoraniNormalizationFilter(), SoraniStemFilter()],
+        "sorani",
+    )
+
+
+register_analyzer("sorani", _sorani_analyzer)

@@ -201,3 +201,44 @@ def test_cjk_analyzer_end_to_end(spark):
     s = IndexSearcher(IndexReader(spark, idx))
     hits = s.search(Q.TermQuery("text", "検索"), k=10).hits
     assert sorted(h.doc_id for h in hits) == [0, 1]
+
+
+def test_sorani_normalizer_and_stemmer_full_goldens():
+    import io
+    import os
+    import zipfile
+
+    import pytest
+
+    from lucene_spark.analysis.extras import (
+        SoraniNormalizationFilter,
+        SoraniStemFilter,
+    )
+
+    # hand-picked cases from the reference test (TestSoraniStemFilter):
+    stem = SoraniStemFilter()
+    norm = SoraniNormalizationFilter()
+    assert stem.apply(norm.apply(["پیاوێک"])) == ["پیاو"]   # -ek
+    assert stem.apply(norm.apply(["دەرگاکان"])) == ["دەرگا"]  # -kAn
+    # normalizer: word-final heh -> AE; kaf -> keheh; harakat dropped
+    assert norm.apply(["ده"]) == ["دە"]
+    assert norm.apply(["كتاب"]) == ["کتاب"]
+
+    zpath = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/ckb/ckbtestdata.zip"
+    )
+    if not os.path.exists(zpath):
+        pytest.skip("reference golden data not available")
+    with zipfile.ZipFile(zpath) as z:
+        data = z.read("testdata.txt").decode("utf-8")
+    words, want = [], []
+    for line in io.StringIO(data):
+        line = line.rstrip("\n")
+        if line and "\t" in line:
+            w, s = line.split("\t")
+            words.append(w)
+            want.append(s)
+    got = SoraniStemFilter().apply(SoraniNormalizationFilter().apply(words))
+    mismatches = [(w, g, s) for w, g, s in zip(words, got, want) if g != s]
+    assert not mismatches, (len(mismatches), mismatches[:5])
