@@ -605,3 +605,69 @@ def _sorani_analyzer():
 
 
 register_analyzer("sorani", _sorani_analyzer)
+
+
+# --------------------------------------------------------------------------
+# Arabic (analysis/common ar/: ArabicNormalizer.java, ArabicStemmer.java —
+# Larkey, Ballesteros & Connell's "light10" algorithm)
+# --------------------------------------------------------------------------
+
+_AR_ALEF, _AR_YEH, _AR_HEH = "ا", "ي", "ه"
+_AR_NORM_MAP = str.maketrans({"آ": "ا", "أ": "ا", "إ": "ا", "ى": "ي", "ة": "ه"})
+_AR_DROP = set("ـًٌٍَُِّْ")
+# order matters: first matching prefix strips (longest-definite first)
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+# every matching suffix strips, scanned in this order
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+class ArabicNormalizationFilter(TokenFilter):
+    """Arabic orthographic normalization (ar/ArabicNormalizer.java):
+    hamza-seated alefs -> bare alef, teh marbuta -> heh, alef maksura
+    -> yeh, harakat and tatweel removed."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            t = t.translate(_AR_NORM_MAP)
+            out.append("".join(c for c in t if c not in _AR_DROP))
+        return out
+
+
+class ArabicStemFilter(TokenFilter):
+    """Arabic light stemmer (ar/ArabicStemmer.java, light10): strip ONE
+    attached article/conjunction/preposition prefix (wa- needs >= 3
+    chars left, the others >= 2), then every matching common suffix in
+    ladder order (each needs >= 2 chars remaining)."""
+
+    def _stem(self, t: str) -> str:
+        for p in _AR_PREFIXES:
+            if len(p) == 1:
+                if len(t) < 4:
+                    continue
+            elif len(t) < len(p) + 2:
+                continue
+            if t.startswith(p):
+                t = t[len(p):]
+                break
+        for s in _AR_SUFFIXES:
+            if len(t) >= len(s) + 2 and t.endswith(s):
+                t = t[: -len(s)]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+def _arabic_analyzer():
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        StandardAnalyzer(),
+        [ArabicNormalizationFilter(), ArabicStemFilter()],
+        "arabic",
+    )
+
+
+register_analyzer("arabic", _arabic_analyzer)

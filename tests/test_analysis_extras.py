@@ -242,3 +242,26 @@ def test_sorani_normalizer_and_stemmer_full_goldens():
     got = SoraniStemFilter().apply(SoraniNormalizationFilter().apply(words))
     mismatches = [(w, g, s) for w, g, s in zip(words, got, want) if g != s]
     assert not mismatches, (len(mismatches), mismatches[:5])
+
+
+def test_arabic_normalizer_and_stemmer_reference_cases():
+    from lucene_spark.analysis.extras import (
+        ArabicNormalizationFilter,
+        ArabicStemFilter,
+    )
+
+    nm, st = ArabicNormalizationFilter(), ArabicStemFilter()
+    # the reference TestArabicStemFilter prefix/suffix cases
+    cases = [
+        ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+        ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+        ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+        ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+        ("ساهديه", "ساهد"),
+    ]
+    for w, want in cases:
+        assert st.apply(nm.apply([w])) == [want], w
+    # too-short words are protected by the length guards
+    assert st.apply(["وحس"]) == ["وحس"]
+    # normalizer: hamza-seated alef, alef maksura, teh marbuta, harakat
+    assert nm.apply(["أحمد", "مصطفى", "مدرسة"]) == ["احمد", "مصطفي", "مدرسه"]
