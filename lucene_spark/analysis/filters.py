@@ -1002,3 +1002,73 @@ register_analyzer(
         StandardAnalyzer(), [FinnishLightStemFilter()], "finnish_light"
     ),
 )
+
+
+class PortugueseLightStemFilter(TokenFilter):
+    """Portuguese light stemmer (pt/PortugueseLightStemmer.java) — the
+    UniNE algorithm from Savoy: plural suffix rewrites (-es/-ns/-is
+    forms restore the singular consonant), -mente and -s strips,
+    feminine -> masculine normalization, a final vowel strip, then
+    accent folding."""
+
+    _FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+    def _suffix(self, t: str) -> str:
+        n = len(t)
+        if n > 4 and t.endswith("es") and t[-3] in "rslz":
+            return t[:-2]
+        if n > 3 and t.endswith("ns"):
+            return t[:-2] + "m"
+        if n > 4 and (t.endswith("eis") or t.endswith("éis")):
+            return t[:-3] + "el"
+        if n > 4 and t.endswith("ais"):
+            return t[:-2] + "l"
+        if n > 4 and t.endswith("óis"):
+            return t[:-3] + "ol"
+        if n > 4 and t.endswith("is"):
+            return t[:-1] + "l"
+        if n > 3 and (t.endswith("ões") or t.endswith("ães")):
+            return t[:-3] + "ão"
+        if n > 6 and t.endswith("mente"):
+            return t[:-5]
+        if n > 3 and t[-1] == "s":
+            return t[:-1]
+        return t
+
+    def _feminine(self, t: str) -> str:
+        n = len(t)
+        if n > 7 and t[-4:] in ("inha", "iaca", "eira"):
+            return t[:-1] + "o"
+        if n > 6:
+            if t[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+                return t[:-1] + "o"
+            if t.endswith("ona"):
+                return t[:-3] + "ão"
+            if t.endswith("ora"):
+                return t[:-1]
+            if t.endswith("esa"):
+                return t[:-3] + "ês"
+            if t.endswith("na"):
+                return t[:-1] + "o"
+        return t
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 4:
+            return t
+        t = self._suffix(t)
+        if len(t) > 3 and t[-1] == "a":
+            t = self._feminine(t)
+        if len(t) > 4 and t[-1] in "eao":
+            t = t[:-1]
+        return t.translate(self._FOLD)
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+register_analyzer(
+    "portuguese_light",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [PortugueseLightStemFilter()], "portuguese_light"
+    ),
+)

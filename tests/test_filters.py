@@ -428,3 +428,35 @@ def test_finnish_stemmer_full_reference_goldens():
     got = FinnishLightStemFilter().apply(words)
     mismatches = [(w, g, s) for w, g, s in zip(words, got, want) if g != s]
     assert not mismatches, (len(mismatches), mismatches[:5])
+
+
+def test_portuguese_stemmer_full_reference_goldens():
+    import io
+    import os
+    import zipfile
+
+    import pytest
+
+    from lucene_spark.analysis.filters import PortugueseLightStemFilter
+
+    zpath = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/pt/ptlighttestdata.zip"
+    )
+    if not os.path.exists(zpath):
+        pytest.skip("reference golden data not available")
+    with zipfile.ZipFile(zpath) as z:
+        data = z.read("ptlight.txt").decode("utf-8")
+    words, want = [], []
+    for line in io.StringIO(data):
+        line = line.rstrip("\n")
+        if line and "\t" in line:
+            w, s = line.split("\t")
+            words.append(w)
+            want.append(s)
+    got = PortugueseLightStemFilter().apply(words)
+    mismatches = [(w, g, s) for w, g, s in zip(words, got, want) if g != s]
+    assert not mismatches, (len(mismatches), mismatches[:5])
+    assert PortugueseLightStemFilter().apply(
+        ["corações", "professores", "badalação"]
+    ) == ["coracao", "professor", "badalacao"]
