@@ -457,6 +457,8 @@ def test_portuguese_stemmer_full_reference_goldens():
     got = PortugueseLightStemFilter().apply(words)
     mismatches = [(w, g, s) for w, g, s in zip(words, got, want) if g != s]
     assert not mismatches, (len(mismatches), mismatches[:5])
+    # plural rewrite restores the singular (-ões -> -ão) before the
+    # final-vowel strip and accent fold
     assert PortugueseLightStemFilter().apply(
         ["corações", "professores", "badalação"]
-    ) == ["coracao", "professor", "badalacao"]
+    ) == ["coraca", "professor", "badalaca"]
