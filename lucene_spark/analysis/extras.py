@@ -671,3 +671,119 @@ def _arabic_analyzer():
 
 
 register_analyzer("arabic", _arabic_analyzer)
+
+
+# --------------------------------------------------------------------------
+# Persian + Hindi (fa/PersianNormalizer.java; hi/HindiNormalizer.java,
+# hi/HindiStemmer.java — Ramanathan & Rao's lightweight Hindi stemmer)
+# --------------------------------------------------------------------------
+
+
+class PersianNormalizationFilter(TokenFilter):
+    """Persian orthography normalization (fa/PersianNormalizer.java):
+    farsi yeh / yeh barree -> arabic yeh, keheh -> kaf, heh+hamza
+    forms and heh goal -> heh, combining hamza-above removed."""
+
+    _MAP = str.maketrans({"ی": "ي", "ے": "ي", "ک": "ك", "ۀ": "ه", "ہ": "ه"})
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [
+            t.translate(self._MAP).replace("ٔ", "") for t in tokens
+        ]
+
+
+class HindiNormalizationFilter(TokenFilter):
+    """Hindi orthography normalization (hi/HindiNormalizer.java,
+    implementing Ljiljana Dolamic and Jacques Savoy's Hindi rules):
+    dead-n -> bindu, candrabindu -> bindu, nukta forms folded, virama
+    and zero-width joiners removed, chandra and long vowels shortened."""
+
+    _MAP = str.maketrans({
+        "ँ": "ं",
+        "ऩ": "न", "ऱ": "र", "ऴ": "ळ",
+        "क़": "क", "ख़": "ख", "ग़": "ग",
+        "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+        "फ़": "फ", "य़": "य",
+        "ॅ": "े", "ॆ": "े",
+        "ॉ": "ो", "ॊ": "ो",
+        "ऍ": "ए", "ऎ": "ए",
+        "ऑ": "ओ", "ऒ": "ओ",
+        "ॲ": "अ", "आ": "अ", "ई": "इ",
+        "ऊ": "उ", "ॠ": "ऋ", "ॡ": "ऌ",
+        "ऐ": "ए", "औ": "ओ",
+        "ी": "ि", "ू": "ु", "ॄ": "ृ",
+        "ॣ": "ॢ", "ै": "े", "ौ": "ो",
+    })
+
+    def _norm(self, t: str) -> str:
+        # dead n -> bindu happens BEFORE virama deletion (the n + virama
+        # pair becomes one anusvara), so handle the bigram first
+        t = t.replace("न्", "ं")
+        t = t.translate(self._MAP)
+        return (
+            t.replace("़", "")  # nukta
+            .replace("‍", "")
+            .replace("‌", "")
+            .replace("्", "")  # virama
+        )
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._norm(t) for t in tokens]
+
+
+class HindiStemFilter(TokenFilter):
+    """Hindi light stemmer (hi/HindiStemmer.java — Ramanathan & Rao,
+    "A Lightweight Stemmer for Hindi"): longest of the 5..1-char
+    inflectional suffix layers, each with its minimum-length guard."""
+
+    _S5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+    _S4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+           "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+           "ियों", "ियां")
+    _S3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+           "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+           "ुआं")
+    _S2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+           "ती", "ता", "ाँ", "ां", "ों", "ें")
+    _S1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+    def _stem(self, t: str) -> str:
+        n = len(t)
+        if n > 6 and t[-5:] in self._S5:
+            return t[:-5]
+        if n > 5 and t[-4:] in self._S4:
+            return t[:-4]
+        if n > 4 and t[-3:] in self._S3:
+            return t[:-3]
+        if n > 3 and t[-2:] in self._S2:
+            return t[:-2]
+        if n > 2 and t[-1] in self._S1:
+            return t[:-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+def _hindi_analyzer():
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        StandardAnalyzer(),
+        [HindiNormalizationFilter(), HindiStemFilter()],
+        "hindi",
+    )
+
+
+def _persian_analyzer():
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    return FilteredAnalyzer(
+        StandardAnalyzer(), [PersianNormalizationFilter()], "persian"
+    )
+
+
+register_analyzer("hindi", _hindi_analyzer)
+register_analyzer("persian", _persian_analyzer)

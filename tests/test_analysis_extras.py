@@ -265,3 +265,49 @@ def test_arabic_normalizer_and_stemmer_reference_cases():
     assert st.apply(["وحس"]) == ["وحس"]
     # normalizer: hamza-seated alef, alef maksura, teh marbuta, harakat
     assert nm.apply(["أحمد", "مصطفى", "مدرسة"]) == ["احمد", "مصطفي", "مدرسه"]
+
+
+def test_persian_normalizer_reference_cases():
+    from lucene_spark.analysis.extras import PersianNormalizationFilter
+
+    nm = PersianNormalizationFilter()
+    cases = [
+        ("های", "هاي"),      # farsi yeh
+        ("هاے", "هاي"),      # yeh barree
+        ("کشاندن", "كشاندن"),  # keheh -> kaf
+        ("كتابۀ", "كتابه"),   # heh yeh
+        ("كتابهٔ", "كتابه"),   # heh + hamza above
+        ("زادہ", "زاده"),     # heh goal
+    ]
+    for w, want in cases:
+        assert nm.apply([w]) == [want], w
+
+
+def test_hindi_normalizer_and_stemmer_reference_cases():
+    from lucene_spark.analysis.extras import (
+        HindiNormalizationFilter,
+        HindiStemFilter,
+    )
+
+    nm, st = HindiNormalizationFilter(), HindiStemFilter()
+    norm_cases = [
+        ("अँगरेज़ी", "अंगरेजि"), ("अँग्रेजी", "अंगरेजि"),
+        ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"),
+        ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+        ("शार्‍मा", "शारमा"), ("शार्‌मा", "शारमा"),
+        ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+        ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+    ]
+    for w, want in norm_cases:
+        assert nm.apply([w]) == [want], w
+    stem_cases = [
+        ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+        ("गुरु", "गुर"), ("गुरुओं", "गुर"),
+        ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+        ("लडकी", "लडक"), ("लडकियों", "लडक"),
+        ("किताबें", "किताब"), ("आध्यापीकाएं", "आध्यापीक"),
+        ("खाना", "खा"), ("खाता", "खा"),
+        ("कठिनाइयां", "कठिन"), ("कठिन", "कठिन"),
+    ]
+    for w, want in stem_cases:
+        assert st.apply([w]) == [want], w
