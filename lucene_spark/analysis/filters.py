@@ -1072,3 +1072,66 @@ register_analyzer(
         StandardAnalyzer(), [PortugueseLightStemFilter()], "portuguese_light"
     ),
 )
+
+
+class CzechStemFilter(TokenFilter):
+    """Czech light stemmer (cz/CzechStemmer.java) — Dolamic & Savoy,
+    "Indexing and stemming approaches for the Czech language": case
+    endings, possessive -ov/-in/-uv, then palatalization normalization
+    (čt->ck, št->sk, c/č->k, z/ž->h, e-syncope, ů->o)."""
+
+    def _case(self, t: str) -> str:
+        n = len(t)
+        if n > 7 and t.endswith("atech"):
+            return t[:-5]
+        if n > 6 and t[-4:] in ("ětem", "etem", "atům"):
+            return t[:-4]
+        if n > 5 and t[-3:] in (
+            "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+            "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými",
+        ):
+            return t[:-3]
+        if n > 4 and t[-2:] in (
+            "em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou",
+        ):
+            return t[:-2]
+        if n > 3 and t[-1] in "aeiouůyáéíýě":
+            return t[:-1]
+        return t
+
+    def _possessive(self, t: str) -> str:
+        if len(t) > 5 and t[-2:] in ("ov", "in", "ův"):
+            return t[:-2]
+        return t
+
+    def _norm(self, t: str) -> str:
+        if t.endswith("čt"):
+            return t[:-2] + "ck"
+        if t.endswith("št"):
+            return t[:-2] + "sk"
+        if t[-1] in "cč":
+            return t[:-1] + "k"
+        if t[-1] in "zž":
+            return t[:-1] + "h"
+        if len(t) > 1 and t[-2] == "e":
+            return t[:-2] + t[-1]
+        if len(t) > 2 and t[-2] == "ů":
+            return t[:-2] + "o" + t[-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            t = self._possessive(self._case(t))
+            out.append(self._norm(t) if t else t)
+        return out
+
+
+register_analyzer(
+    "czech",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [CzechStemFilter()], "czech"
+    ),
+)

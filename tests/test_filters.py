@@ -462,3 +462,39 @@ def test_portuguese_stemmer_full_reference_goldens():
     assert PortugueseLightStemFilter().apply(
         ["corações", "professores", "badalação"]
     ) == ["coraca", "professor", "badalaca"]
+
+
+def test_czech_stemmer_all_reference_cases():
+    import os
+    import re
+
+    import pytest
+
+    from lucene_spark.analysis.filters import CzechStemFilter
+
+    src_path = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/cz/TestCzechStemmer.java"
+    )
+    st = CzechStemFilter()
+    # independent sanity cases (pán/muž paradigms from the cited paper)
+    assert st.apply(["pánové", "mužích", "osmičkách"]) == [
+        "pán", "muh", "osmičk",
+    ]
+    if not os.path.exists(src_path):
+        pytest.skip("reference test source not available")
+    # replay every single-token case from the reference's own test;
+    # the reference analyzer lowercases before stemming, so feed
+    # lowercased input to the bare filter
+    src = open(src_path, encoding="utf-8").read()
+    cases = re.findall(
+        r'assertAnalyzesTo\(cz, "([^"]+)", new String\[\] \{"([^"]+)"\}\)',
+        src,
+    )
+    assert len(cases) > 100
+    bad = [
+        (w, st.apply([w.lower()])[0], want)
+        for w, want in cases
+        if st.apply([w.lower()])[0] != want
+    ]
+    assert not bad, bad[:5]
