@@ -1135,3 +1135,137 @@ register_analyzer(
         StandardAnalyzer(), [CzechStemFilter()], "czech"
     ),
 )
+
+
+class BulgarianStemFilter(TokenFilter):
+    """Bulgarian light stemmer (bg/BulgarianStemmer.java) — Savoy's
+    "Searching strategies for the Bulgarian language": definite-article
+    and plural removal with the consonant-restoring rewrites
+    (ци->к, зи->г, си->х, еве->й), final-vowel strips, the fixed ен->н
+    rule and the ъN syncope."""
+
+    def _article(self, t: str) -> str:
+        n = len(t)
+        if n > 6 and t.endswith("ият"):
+            return t[:-3]
+        if n > 5 and t[-2:] in ("ът", "то", "те", "та", "ия"):
+            return t[:-2]
+        if n > 4 and t.endswith("ят"):
+            return t[:-2]
+        return t
+
+    def _plural(self, t: str) -> str:
+        n = len(t)
+        if n > 6:
+            if t.endswith("овци"):
+                return t[:-3]
+            if t.endswith("ове"):
+                return t[:-3]
+            if t.endswith("еве"):
+                return t[:-3] + "й"
+        if n > 5:
+            if t.endswith("ища"):
+                return t[:-3]
+            if t.endswith("та"):
+                return t[:-2]
+            if t.endswith("ци"):
+                return t[:-2] + "к"
+            if t.endswith("зи"):
+                return t[:-2] + "г"
+            if t[-3] == "е" and t[-1] == "и":
+                return t[:-3] + "я" + t[-2]
+        if n > 4:
+            if t.endswith("си"):
+                return t[:-2] + "х"
+            if t.endswith("и"):
+                return t[:-1]
+        return t
+
+    def _stem(self, t: str) -> str:
+        if len(t) < 4:
+            return t
+        if len(t) > 5 and t.endswith("ища"):
+            return t[:-3]
+        t = self._plural(self._article(t))
+        if len(t) > 3 and t.endswith("я"):
+            t = t[:-1]
+        if len(t) > 3 and t[-1] in "аое":
+            t = t[:-1]
+        if len(t) > 4 and t.endswith("ен"):
+            t = t[:-2] + "н"
+        if len(t) > 5 and t[-2] == "ъ":
+            t = t[:-2] + t[-1]
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+class LatvianStemFilter(TokenFilter):
+    """Latvian light stemmer (lv/LatvianStemmer.java, after Karlis
+    Kreslins' "A stemming algorithm for Latvian"): strip the first
+    matching noun/adjective inflection whose vowel-count and length
+    guards hold, then un-palatalize declension II/V/VI stems."""
+
+    # (affix, suffix vowel count, fires palatalization)
+    _AFFIXES = [
+        ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+        ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+        ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+        ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+        ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+        ("im", 1, False), ("um", 1, False), ("us", 1, True),
+        ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+        ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+        ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+        ("u", 1, True), ("a", 1, True), ("i", 1, True),
+        ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+        ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+        ("s", 0, False), ("š", 0, False),
+    ]
+    _VOWELS = set("aeiouāīēū")
+
+    def _unpalatalize(self, stem: str, removed_first: str) -> str:
+        if removed_first == "u":
+            if stem.endswith("kš"):
+                return stem[:-2] + "kst"
+            if stem.endswith("ņņ"):
+                return stem[:-2] + "nn"
+        if stem[-2:] in ("pj", "bj", "mj", "vj"):
+            return stem[:-1]
+        for src, dst in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                         ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+            if stem.endswith(src):
+                return stem[:-2] + dst
+        if stem.endswith("č"):
+            return stem[:-1] + "c"
+        if stem.endswith("ļ"):
+            return stem[:-1] + "l"
+        if stem.endswith("ņ"):
+            return stem[:-1] + "n"
+        return stem
+
+    def _stem(self, t: str) -> str:
+        nv = sum(1 for c in t if c in self._VOWELS)
+        for affix, vc, pal in self._AFFIXES:
+            if nv > vc and len(t) >= len(affix) + 3 and t.endswith(affix):
+                stem = t[: -len(affix)]
+                return self._unpalatalize(stem, affix[0]) if pal else stem
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [self._stem(t) for t in tokens]
+
+
+register_analyzer(
+    "bulgarian",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [BulgarianStemFilter()], "bulgarian"
+    ),
+)
+register_analyzer(
+    "latvian",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [LatvianStemFilter()], "latvian"
+    ),
+)

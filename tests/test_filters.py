@@ -498,3 +498,49 @@ def test_czech_stemmer_all_reference_cases():
         if st.apply([w.lower()])[0] != want
     ]
     assert not bad, bad[:5]
+
+
+def test_bulgarian_latvian_stemmers_all_reference_cases():
+    import os
+    import re
+
+    import pytest
+
+    from lucene_spark.analysis.filters import (
+        BulgarianStemFilter,
+        LatvianStemFilter,
+    )
+
+    base = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis"
+    )
+    # independent sanity cases from the cited papers
+    assert BulgarianStemFilter().apply(["градовете", "мъже"]) == ["град", "мъж"]
+    assert LatvianStemFilter().apply(["cilvēkiem", "latviešu"]) == [
+        "cilvēk", "latvieš",
+    ]
+    cases = []
+    bg_path = f"{base}/bg/TestBulgarianStemmer.java"
+    lv_path = f"{base}/lv/TestLatvianStemmer.java"
+    if not (os.path.exists(bg_path) and os.path.exists(lv_path)):
+        pytest.skip("reference test sources not available")
+    bg_src = open(bg_path, encoding="utf-8").read()
+    cases = [
+        ("bg", BulgarianStemFilter(), re.findall(
+            r'assertAnalyzesTo\(a, "([^"]+)", new String\[\] \{"([^"]+)"\}',
+            bg_src,
+        )),
+        ("lv", LatvianStemFilter(), re.findall(
+            r'checkOneTerm\(\w+, "([^"]+)", "([^"]+)"\)',
+            open(lv_path, encoding="utf-8").read(),
+        )),
+    ]
+    for lang, filt, pairs in cases:
+        assert len(pairs) > 50, lang
+        bad = [
+            (w, filt.apply([w.strip().lower()])[0], want)
+            for w, want in pairs
+            if filt.apply([w.strip().lower()])[0] != want
+        ]
+        assert not bad, (lang, bad[:5])
