@@ -1235,7 +1235,24 @@ def gate_queries() -> dict[str, object]:
         return ts.token_stats(_docs(spark, sf))
 
     def q_quality(spark, sf):
-        return ts.quality_scores(_docs(spark, sf))
+        # heuristic quality scores + the MassiveText repetition filters
+        # (Rae et al. 2021 appendix A1.1), one tagged union with the
+        # metric columns harmonized to v1..v4
+        q = ts.quality_scores(_docs(spark, sf)).select(
+            F.lit("scores").alias("tag"), "doc_id",
+            F.col("alpha_ratio_x1e6").alias("v1_x1e6"),
+            F.col("stop_ratio_x1e6").alias("v2_x1e6"),
+            F.col("ttr_x1e6").alias("v3_x1e6"),
+            F.col("quality_x1e6").alias("v4_x1e6"),
+        )
+        r = ts.repetition_stats(_docs(spark, sf)).select(
+            F.lit("rep").alias("tag"), "doc_id",
+            F.col("dup_line_x1e6").alias("v1_x1e6"),
+            F.col("top2gram_x1e6").alias("v2_x1e6"),
+            F.col("dup5gram_x1e6").alias("v3_x1e6"),
+            F.col("rep_score_x1e6").alias("v4_x1e6"),
+        )
+        return q.unionByName(r)
 
     def q_lang_id(spark, sf):
         return ts.lang_id(_docs(spark, sf))
@@ -2324,7 +2341,18 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         "q_media_meta": mm.media_meta_sql(),
         "q_media_decode": mm.decode_media_sql(),
         "q_token_stats": ts.token_stats_sql(),
-        "q_quality": ts.quality_scores_sql(),
+        "q_quality": _sql_tagged_flat([
+            ("scores", ts.quality_scores_sql()
+             .replace("AS alpha_ratio_x1e6", "AS v1_x1e6")
+             .replace("AS stop_ratio_x1e6", "AS v2_x1e6")
+             .replace("AS ttr_x1e6", "AS v3_x1e6")
+             .replace("AS quality_x1e6", "AS v4_x1e6")),
+            ("rep", ts.repetition_stats_sql()
+             .replace("AS dup_line_x1e6", "AS v1_x1e6")
+             .replace("AS top2gram_x1e6", "AS v2_x1e6")
+             .replace("AS dup5gram_x1e6", "AS v3_x1e6")
+             .replace("AS rep_score_x1e6", "AS v4_x1e6")),
+        ]),
         "q_lang_id": ts.lang_id_sql(),
         "q_fingerprint": ts.fingerprints_sql(),
         "q_dedup_exact": dd.exact_dedup_sql(),

@@ -258,3 +258,137 @@ def fingerprints_sql(k: int = 200) -> str:
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))), ' '))
   AS canon_fp
 FROM documents ORDER BY doc_id LIMIT {k}"""
+
+
+def repetition_stats(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Within-document repetition filters — the MassiveText quality
+    rules of Rae et al. 2021 ("Scaling Language Models: Methods,
+    Analysis & Insights from Training Gopher", appendix A1.1): a doc is
+    repetitive when too much of it is duplicate lines, one dominant
+    n-gram, or duplicated long n-grams.
+
+    Token-fraction renditions (the paper measures character fractions;
+    on whitespace-tokenized text the token fraction is the same signal
+    and keeps one formula for Spark and the SQL oracle):
+
+    - dup_line:  1 - distinct lines / lines ('\\n'-split)
+    - top2gram:  occurrences of the most frequent word 2-gram * 2
+                 / n_tokens, capped at 1
+    - dup5gram:  (5-gram occurrences - distinct 5-grams) * 5
+                 / n_tokens, capped at 1
+    - rep_score: greatest of the three (the filter thresholds compare
+                 per-metric; the max is the binding one)
+
+    Shape: one explode + groupBy per n-gram width keyed by doc_id, the
+    combine map-side — no driver state, linear in corpus size.
+    -> (doc_id, dup_line_x1e6, top2gram_x1e6, dup5gram_x1e6,
+    rep_score_x1e6) by doc_id."""
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", "text", toks.alias("toks"))
+
+    lines = F.split(F.col("text"), "\n")
+    dup_line = (
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.greatest(F.size(lines), F.lit(1))
+    ).cast("double")
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - n + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g2 = (
+        base.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top2_cnt"))
+    )
+    g5 = (
+        base.select("doc_id", F.explode(grams(5)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("count") - F.count("*")).alias("dup5_cnt"),
+        )
+    )
+    n_tok = F.greatest(F.size("toks"), F.lit(1))
+    out = (
+        base.join(g2, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            _x1e6(dup_line).alias("dup_line_x1e6"),
+            _x1e6(
+                F.least(
+                    F.coalesce(F.col("top2_cnt"), F.lit(0)) * 2 / n_tok,
+                    F.lit(1.0),
+                )
+            ).alias("top2gram_x1e6"),
+            _x1e6(
+                F.least(
+                    F.coalesce(F.col("dup5_cnt"), F.lit(0)) * 5 / n_tok,
+                    F.lit(1.0),
+                )
+            ).alias("dup5gram_x1e6"),
+        )
+        .withColumn(
+            "rep_score_x1e6",
+            F.greatest("dup_line_x1e6", "top2gram_x1e6", "dup5gram_x1e6"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+    return out
+
+
+def repetition_stats_sql(k: int = 200) -> str:
+    return f"""WITH tl AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_distinct(string_split(text, chr(10)))) AS d_lines
+  FROM tl
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM tl WHERE len(ts) >= 2
+),
+t2 AS (SELECT doc_id, MAX(c) AS top2_cnt FROM
+       (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+       GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3),
+         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+              ts[i+3] || ' ' || ts[i+4])) AS g
+  FROM tl WHERE len(ts) >= 5
+),
+t5 AS (SELECT doc_id, SUM(c) - count(*) AS dup5_cnt FROM
+       (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+       GROUP BY doc_id),
+base AS (
+  SELECT tl.doc_id,
+    (l.n_lines - l.d_lines)::DOUBLE / greatest(l.n_lines, 1) AS dl,
+    least(coalesce(t2.top2_cnt, 0) * 2.0 / greatest(len(tl.ts), 1), 1.0) AS tg,
+    least(coalesce(t5.dup5_cnt, 0) * 5.0 / greatest(len(tl.ts), 1), 1.0) AS dg
+  FROM tl JOIN lines l ON l.doc_id = tl.doc_id
+  LEFT JOIN t2 ON t2.doc_id = tl.doc_id
+  LEFT JOIN t5 ON t5.doc_id = tl.doc_id
+)
+SELECT doc_id,
+  CAST(ROUND(dl*1000000) AS BIGINT) AS dup_line_x1e6,
+  CAST(ROUND(tg*1000000) AS BIGINT) AS top2gram_x1e6,
+  CAST(ROUND(dg*1000000) AS BIGINT) AS dup5gram_x1e6,
+  greatest(CAST(ROUND(dl*1000000) AS BIGINT),
+           CAST(ROUND(tg*1000000) AS BIGINT),
+           CAST(ROUND(dg*1000000) AS BIGINT)) AS rep_score_x1e6
+FROM base ORDER BY doc_id LIMIT {k}"""

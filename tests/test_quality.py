@@ -79,3 +79,30 @@ def test_engine_map_is_one_vs_oracle_qrels(built_index, oracle_index):
     assert rep["mean_p_at_k"] == pytest.approx(
         sum(min(len(qrels[q]), 10) / 10 for q in topics) / len(topics)
     )
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    import pandas as pd
+
+    from lucene_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            # heavy 2-gram loop: "buy now" dominates
+            "buy now " * 20,
+            # duplicate lines
+            "line one\nline one\nline one\nline two",
+            # healthy varied text
+            "the quick brown fox jumps over the lazy dog and runs away",
+        ],
+    }))
+    out = repetition_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "top2gram_x1e6"] > 900_000       # loop-dominated
+    assert out.loc[0, "dup5gram_x1e6"] > 800_000
+    assert out.loc[1, "dup_line_x1e6"] == 500_000      # 2 of 4 lines dup
+    assert out.loc[2, "rep_score_x1e6"] < 300_000      # healthy doc
+    # rep_score is the max of the three metrics
+    assert (out["rep_score_x1e6"] == out[
+        ["dup_line_x1e6", "top2gram_x1e6", "dup5gram_x1e6"]
+    ].max(axis=1)).all()
