@@ -43,20 +43,33 @@ def _query_vec(emb: DataFrame, query_id: int) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def cosine_lit_col(vec_col: Column, qv: list[float]) -> Column:
+    """cosine(vec_col, literal query vector) as a whole-stage-codegen
+    Column. Higher-order functions (zip_with / aggregate / transform)
+    are CodegenFallback expressions in Spark — any projection that
+    contains one runs interpreted — so the dot product and the row
+    norm are unrolled into element_at chains. The adds are
+    left-associated in ascending index order, the exact accumulation
+    order of aggregate(acc + x), so the doubles are bit-identical to
+    the HOF formulation this replaces."""
+    nq = math.sqrt(sum(float(x) * float(x) for x in qv))
+    els = [
+        F.element_at(vec_col, i + 1).cast("double") for i in range(len(qv))
+    ]
+    dot = els[0] * F.lit(float(qv[0]))
+    for i in range(1, len(qv)):
+        dot = dot + els[i] * F.lit(float(qv[i]))
+    sq = els[0] * els[0]
+    for e in els[1:]:
+        sq = sq + e * e
+    return dot / (F.sqrt(sq) * F.lit(nq))
+
+
 def cosine_topk(emb: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """Exact brute-force cosine top-k for the row with vec_id=query_id
     (self excluded). -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
     qv = _query_vec(emb, query_id)
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    nq = math.sqrt(sum(float(x) * float(x) for x in qv))
-    v = _emb_double()
-    dot = F.aggregate(
-        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = dot / (na * F.lit(nq))
+    cos = cosine_lit_col(F.col("embedding"), qv)
     return (
         emb.filter(F.col("vec_id") != query_id)
         .select("vec_id", F.round(cos * 1e6).cast("long").alias("cos_x1e6"))
@@ -180,7 +193,22 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
-def _cos_cols(vcol: Column, ccol: Column) -> Column:
+def _cos_cols(vcol: Column, ccol: Column, dims: int | None = None) -> Column:
+    """cosine(vcol, ccol). With ``dims`` the expression is unrolled
+    into element_at chains (same accumulation order) so it stays
+    inside whole-stage codegen; without it the HOF form is kept for
+    variable-length arrays."""
+    if dims is not None:
+        ve = [F.element_at(vcol, i + 1).cast("double") for i in range(dims)]
+        ce = [F.element_at(ccol, i + 1).cast("double") for i in range(dims)]
+        dot = ve[0] * ce[0]
+        na2 = ve[0] * ve[0]
+        nb2 = ce[0] * ce[0]
+        for i in range(1, dims):
+            dot = dot + ve[i] * ce[i]
+            na2 = na2 + ve[i] * ve[i]
+            nb2 = nb2 + ce[i] * ce[i]
+        return dot / (F.sqrt(na2) * F.sqrt(nb2))
     dot = F.aggregate(
         F.zip_with(vcol, ccol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -193,19 +221,23 @@ def _cos_cols(vcol: Column, ccol: Column) -> Column:
     return dot / (na * nb)
 
 
-def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, cents: DataFrame, dims: int | None = None
+) -> DataFrame:
     """-> (vec_id, cid): each vector assigned to its nearest centroid
     by cosine (argmax cos, ties to the smaller cid). One broadcast
     nested-loop against the tiny centroid table + a window argmax —
     shuffle only by vec_id. At 100 TB the assignment IS the table's
-    partition key (the inverted-file layout)."""
+    partition key (the inverted-file layout). ``dims`` (when the
+    embedding width is known) unrolls the cosine so the n x k scoring
+    pass stays in whole-stage codegen."""
     from pyspark.sql.window import Window
 
     pairs = emb.select("vec_id", _emb_double().alias("v")).crossJoin(
         F.broadcast(cents.select("cid", F.col("cvec").cast("array<double>").alias("c")))
     )
     scored = pairs.select(
-        "vec_id", "cid", _cos_cols(F.col("v"), F.col("c")).alias("cos")
+        "vec_id", "cid", _cos_cols(F.col("v"), F.col("c"), dims).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
@@ -219,6 +251,7 @@ def ivf_train_kmeans(
     emb: DataFrame,
     n_centroids: int | None = None,
     iters: int = 3,
+    dims: int | None = None,
 ) -> DataFrame:
     """Lloyd-refined coarse quantizer (the KMeans step of a production
     IVF index, cf. the reference's vector-quality machinery around
@@ -239,7 +272,7 @@ def ivf_train_kmeans(
         n_centroids = max(4, int(n ** 0.5))
     cents = ivf_centroids(emb, n_centroids)
     for _ in range(max(0, iters)):
-        assign = ivf_assign(emb, cents)
+        assign = ivf_assign(emb, cents, dims)
         comp = (
             emb.join(assign, "vec_id")
             .select("cid", F.posexplode(_emb_double()).alias("pos", "val"))
@@ -283,13 +316,14 @@ def ann_ivf_topk(
     refine shape; HnswGraphSearcher's quality slot): probe the n_probe
     nearest inverted lists, exact cosine re-rank inside them. A query
     touches ~n_probe/n_centroids of the data. -> (vec_id, cos_x1e6)."""
+    qv = _query_vec(emb, query_id)
+    dims = len(qv)
     cents = (
-        ivf_train_kmeans(emb, n_centroids, kmeans_iters)
+        ivf_train_kmeans(emb, n_centroids, kmeans_iters, dims=dims)
         if kmeans_iters > 0
         else ivf_centroids(emb, n_centroids)
     )
-    assign = ivf_assign(emb, cents)
-    qv = _query_vec(emb, query_id)
+    assign = ivf_assign(emb, cents, dims)
     q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
     probe = (
         cents.select(

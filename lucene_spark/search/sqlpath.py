@@ -911,29 +911,21 @@ def vector_similarity_score_topk(
     (queries/function/valuesource/FloatVectorSimilarityFunction.java +
     FloatKnnVectorFieldSource.java + ConstKnnFloatValueSource for the
     query vector): final score = BM25 x cosine(doc vector, query
-    vector). The query vector is one driver-pulled row rendered as a
-    literal array; the doc-side cosine is pure JVM array expressions
-    (zip_with/aggregate — no Python), joined to the scored docs on
+    vector). The query vector is one driver-pulled row; the doc-side
+    cosine is an unrolled element_at chain (scalar JVM expressions that
+    stay inside whole-stage codegen — the zip_with/aggregate
+    higher-order form is a CodegenFallback expression and forced the
+    projection to interpreted eval), joined to the scored docs on
     doc_id. Both factors quantize to x1e6 integers BEFORE the product
     so the composed score is engine-stable. -> (doc_id, score_x1e6)."""
-    import math as _math
+    from lucene_spark.pipeline.similarity import cosine_lit_col
 
     scored = term_scored(reader, field, term)
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == query_id).head()["embedding"]
     ]
-    q = F.array(*[F.lit(x) for x in qv])
-    nq = _math.sqrt(sum(x * x for x in qv))
-    v = F.transform(F.col("embedding"), lambda a: a.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(v, lambda a: a * a), F.lit(0.0),
-                    lambda acc, x: acc + x)
-    )
-    cos_x1e6 = F.round(dot / (na * F.lit(nq)) * 1e6).cast("long")
+    cos_x1e6 = F.round(cosine_lit_col(F.col("embedding"), qv) * 1e6).cast("long")
     j = scored.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
