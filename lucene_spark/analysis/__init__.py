@@ -22,6 +22,14 @@ from lucene_spark.analysis.filters import (  # noqa: F401  (registers the
     porter_stem,
     register_analyzer,
 )
+from lucene_spark.analysis.graph import (  # noqa: F401  (registers
+    GraphAnalyzer,  # simple_syngraph / ws_wdg_code as import side effects)
+    SynonymGraphFilter,
+    SynonymGraphMap,
+    WordDelimiterGraphFilter,
+    flatten_graph,
+    graph_paths,
+)
 from lucene_spark.analysis.extras import (  # noqa: F401  (registers
     CapitalizationFilter,  # keyword/ngram/html_standard analyzers)
     CharFilter,

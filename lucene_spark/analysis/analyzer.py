@@ -121,6 +121,23 @@ class Analyzer:
         """-> (tokens, payloads) with one float payload per token."""
         raise NotImplementedError(f"{self.name} does not produce payloads")
 
+    # ---- positions (PositionIncrementAttribute role) -------------------
+    # Graph analyzers (analysis/graph.py) flatten to explicit token
+    # positions — stacked synonyms share a position (posInc 0), exactly
+    # the FlattenGraphFilter index contract. Flat analyzers use the
+    # default arange positions the builder derives.
+
+    def supports_positions(self) -> bool:
+        return (
+            type(self).tokenize_with_positions_one
+            is not Analyzer.tokenize_with_positions_one
+        )
+
+    def tokenize_with_positions_one(self, text: str):
+        """-> (tokens, positions), positions non-decreasing ints;
+        repeated values are stacked tokens (posInc 0)."""
+        raise NotImplementedError(f"{self.name} does not track positions")
+
 
 class StandardAnalyzer(Analyzer):
     """UAX#29-ish word break -> lowercase -> empty stop set."""

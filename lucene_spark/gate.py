@@ -193,6 +193,50 @@ def ensure_geo_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_GRAPH_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_graph_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text with the simple_syngraph analyzer
+    (SimpleAnalyzer -> SynonymGraphFilter -> FlattenGraph, analysis/
+    graph.py) — the packaged rule 'window join' => 'merge' (keepOrig)
+    stacks a `merge` token at each adjacent window-join occurrence
+    (posInc 0, posLen 2), so term and phrase queries for `merge` match
+    both surface forms. The oracle stays non-circular: DuckDB counts
+    the surface forms by regex over the UNSTEMMED text, mirroring the
+    contraction by construction (single-token output adds no position,
+    so doc lengths and avgdl are the plain token counts)."""
+    key = os.path.abspath(sf_dir)
+    if key in _GRAPH_READERS:
+        return _GRAPH_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_graphidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n
+            and m.get("analyzer") == "simple_syngraph"
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple_syngraph",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _GRAPH_READERS[key] = r
+    return r
+
+
 def ensure_stem_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Index over documents.text with the simple_porter analyzer
     (SimpleAnalyzer -> PorterStemFilter) — the analysis-zoo gate index.
@@ -1909,11 +1953,22 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         wq = Q.PhraseWildcardQuery(FIELD, (Q.PrefixQuery(FIELD, "s"), "table"))
         ex = sorted(r.expand(wq.slots[0]))[: wq.max_expansions]
+        # graph branches (analysis/graph.py): index-time multi-word
+        # synonym 'window join' => 'merge' (SynonymGraphFilter +
+        # FlattenGraph, stacked posInc-0 token), plus query-time
+        # analyzeGraphPhrase path expansion over the PLAIN index
+        rg = ensure_graph_index(spark, sf)
+        from lucene_spark.analysis import get_analyzer
+
+        paths = get_analyzer("simple_syngraph").paths_one("big window join")
         return _union([
             ("exact", q_phrase(spark, sf)),
             ("sloppy", q_phrase_sloppy(spark, sf)),
             ("multi", q_multi_phrase(spark, sf)),
             ("wildcard", sp.multi_phrase_bm25_topk(r, FIELD, [ex, ["table"]])),
+            ("graph_term", sp.bool_bm25_topk(rg, FIELD, must=["merge"])),
+            ("graph_phrase", sp.phrase_bm25_topk(rg, FIELD, ["order", "merge"])),
+            ("graph_q", sp.graph_phrase_const_topk(r, FIELD, paths)),
         ])
 
     def q_mlt_common(spark, sf):
@@ -2599,6 +2654,50 @@ SELECT tf.doc_id,
 FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfq t CROSS JOIN stats s
 ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
     ])
+    _NORM_CTE = (
+        "norm AS (SELECT doc_id, array_to_string("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), ' ') AS s "
+        "FROM documents)"
+    )
+    # index-time SynonymGraphFilter contraction 'window join' => 'merge':
+    # freq(merge) in the graph index = surface merges + adjacent
+    # window-join occurrences; doc lengths stay the plain token counts
+    # (single-token output stacks at posInc 0 — discountOverlaps)
+    _GRAPH_TF = (
+        r"tfm AS (SELECT doc_id, len(regexp_extract_all(s, '\bmerge\b'))"
+        r" + len(regexp_extract_all(s, '\bwindow join\b')) AS freq FROM norm)"
+    )
+    graph_term_sql = f"""{_prefix_ctes([_NORM_CTE, _GRAPH_TF])},
+gdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tfm WHERE freq > 0)
+SELECT t.doc_id,
+  CAST(ROUND(ln(1 + (s.n - g.df + 0.5)/(g.df + 0.5)) * t.freq /
+       (t.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM tfm t JOIN dlq q ON q.doc_id = t.doc_id CROSS JOIN stats s CROSS JOIN gdf g
+WHERE t.freq > 0
+ORDER BY score_x1e6 DESC, t.doc_id ASC LIMIT 10"""
+    graph_phrase_sql = f"""{_prefix_ctes([_NORM_CTE, _GRAPH_TF])},
+gdf AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tfm WHERE freq > 0),
+odf AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok = 'order'),
+pfm AS (SELECT doc_id,
+  len(regexp_extract_all(s, '\\border (?:merge|window join)\\b')) AS freq
+  FROM norm),
+idfs AS (SELECT ln(1 + (s.n - o.df + 0.5)/(o.df + 0.5))
+       + ln(1 + (s.n - g.df + 0.5)/(g.df + 0.5)) AS idf_sum
+  FROM odf o CROSS JOIN gdf g CROSS JOIN stats s)
+SELECT p.doc_id,
+  CAST(ROUND(i.idf_sum * p.freq /
+       (p.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM pfm p JOIN dlq q ON q.doc_id = p.doc_id
+CROSS JOIN stats s CROSS JOIN idfs i
+WHERE p.freq > 0
+ORDER BY score_x1e6 DESC, p.doc_id ASC LIMIT 10"""
+    graph_q_sql = f"""WITH {_NORM_CTE}
+SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM norm
+WHERE len(regexp_extract_all(s, '\\bbig (?:merge|window join)\\b')) > 0
+ORDER BY doc_id LIMIT 10"""
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),
         ("sloppy", one.pop("q_phrase_sloppy")),
@@ -2606,6 +2705,9 @@ ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
         ("wildcard", _sql_multi_phrase(
             ["scan", "slow", "small", "sort", "spark", "stream"], "table"
         )),
+        ("graph_term", graph_term_sql),
+        ("graph_phrase", graph_phrase_sql),
+        ("graph_q", graph_q_sql),
     ])
     one["q_mlt_common"] = _sql_tagged([
         ("mlt", one.pop("q_mlt")),

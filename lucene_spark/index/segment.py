@@ -76,7 +76,13 @@ def build_segment(
     n_docs = len(doc_ids)
     if store_offsets and store_payloads:
         raise ValueError("store_offsets + store_payloads is not supported")
+    if analyzer.supports_positions() and (store_offsets or store_payloads):
+        raise ValueError(
+            "graph analyzers (explicit positions) do not combine with "
+            "store_offsets/store_payloads"
+        )
     off_start_lists = off_end_lists = pay_lists = None
+    pos_lists = None
     if store_offsets:
         trip = [
             analyzer.tokenize_with_offsets_one(t) if isinstance(t, str)
@@ -94,19 +100,45 @@ def build_segment(
         ]
         token_lists = pd.Series([t[0] for t in duo], index=texts.index)
         pay_lists = [t[1] for t in duo]
+    elif analyzer.supports_positions():
+        # graph analyzer (analysis/graph.py): flattened explicit
+        # positions — stacked tokens (posInc 0) share a position
+        duo = [
+            analyzer.tokenize_with_positions_one(t) if isinstance(t, str)
+            else ([], [])
+            for t in texts
+        ]
+        token_lists = pd.Series([d[0] for d in duo], index=texts.index)
+        pos_lists = [d[1] for d in duo]
     else:
         token_lists = analyzer.tokenize(texts)
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
 
     # --- doc rows: norms (Similarity.computeNorm analog: numTerms encoded
-    # via SmallFloat.intToByte4 — Similarity.java:153-162)
-    norm_codes_per_doc = int_to_byte4_vec(lens)
+    # via SmallFloat.intToByte4 — Similarity.java:153-162). With explicit
+    # positions the field length DISCOUNTS stacked tokens (posInc 0), the
+    # BM25Similarity discountOverlaps=true default (BM25Similarity.java):
+    # dl = number of distinct positions, so index-time synonyms do not
+    # inflate a doc's length (and sum(doc_len), hence avgdl, stays the
+    # surface token count — self-consistent with the oracle).
+    if pos_lists is not None:
+        dl_lens = np.fromiter(
+            (
+                (1 + int((np.diff(np.asarray(p)) > 0).sum())) if len(p) else 0
+                for p in pos_lists
+            ),
+            dtype=np.int64,
+            count=n_docs,
+        )
+    else:
+        dl_lens = lens
+    norm_codes_per_doc = int_to_byte4_vec(dl_lens)
     doc_rows = pd.DataFrame(
         {
             "segment_id": segment_id,
             "row_type": 0,
             "doc_id": doc_ids,
-            "doc_len": lens.astype(np.int32),
+            "doc_len": dl_lens.astype(np.int32),
             "doc_len_code": norm_codes_per_doc.astype(np.int32),
         }
     )
@@ -127,9 +159,16 @@ def build_segment(
     # --- inversion, fully vectorized
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
     doc_idx = np.repeat(np.arange(n_docs), lens)
-    # within-doc token position (for phrase queries)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pos_in_doc = np.arange(total_tokens) - np.repeat(starts, lens)
+    # within-doc token position (for phrase queries): analyzer-provided
+    # for graph analyzers (stacked tokens repeat a position), else the
+    # flat arange
+    if pos_lists is not None:
+        pos_in_doc = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)]
+        )
+    else:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in_doc = np.arange(total_tokens) - np.repeat(starts, lens)
 
     term_codes, uniq_terms = pd.factorize(flat_terms, sort=True)
     order = np.lexsort((pos_in_doc, doc_idx, term_codes))

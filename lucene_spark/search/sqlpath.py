@@ -257,6 +257,53 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     )
 
 
+def graph_phrase_const_topk(
+    reader: IndexReader, field: str, paths: list[list[str]], k: int = 10
+) -> DataFrame:
+    """Graph phrase query (core/util/QueryBuilder.java analyzeGraphPhrase
+    + core/analysis/GraphTokenFilter.java): the query analyzer produced
+    a token GRAPH (multi-word synonyms / word-delimiter splits); a doc
+    matches if ANY root-to-sink path occurs as an exact phrase. Wrapped
+    in ConstantScore (the count/filter use; the reference's span-union
+    scoring is rank-unstable across engines). Each multi-term path is a
+    per-segment positional-intersection kernel; single-term paths are a
+    postings lookup; the union is one distinct. Paths with an unindexed
+    term match nothing, like the reference's empty-term SpanNear.
+    -> (doc_id, score_x1e6=1e6), doc_id ASC."""
+    from lucene_spark.search.executor import _make_phrase_freq_fn
+
+    sets: list[DataFrame] = []
+    for p in paths:
+        st = reader.term_stats(field, p)
+        if len(st) < len(set(p)):
+            continue  # a path term is absent from the index
+        if len(p) == 1:
+            sets.append(exploded_postings(reader, field, [p[0]]).select("doc_id"))
+            continue
+        rows = reader.postings().filter(
+            (F.col("field") == field) & (F.col("term").isin(list(set(p))))
+        )
+        freqs = rows.groupBy("segment_id").applyInPandas(
+            _make_phrase_freq_fn(p, fmt=_fmt(reader)),
+            schema="doc_id long, freq int, norm_code int",
+        )
+        sets.append(freqs.filter(F.col("freq") > 0).select("doc_id"))
+    if not sets:
+        return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
+    out = sets[0]
+    for s in sets[1:]:
+        out = out.unionByName(s)
+    out = out.distinct()
+    dels = reader.deleted_df()
+    if dels is not None:
+        out = out.join(dels, "doc_id", "left_anti")
+    return (
+        out.select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
 def covering_topk(
     reader: IndexReader,
     field: str,
