@@ -245,6 +245,75 @@ def _search_layer(
     return best
 
 
+def _search_layer_filtered(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    eps: list[int],
+    ef: int,
+    accept: np.ndarray,
+    visit_limit: int,
+) -> tuple[list[tuple[float, int]], int, bool]:
+    """Filtered layer search (HnswGraphSearcher.searchLevel with
+    acceptOrds + visitedLimit, core/search/AbstractKnnVectorQuery.java
+    contract): the traversal walks ALL nodes (graph connectivity), only
+    accepted nodes enter the result set, and every scored node counts
+    against the visit budget. -> (results, visited, completed); callers
+    fall back to an exact scan over the accepted rows when completed is
+    False — by construction that scan costs no more than the budget
+    already spent."""
+    import heapq
+
+    seen = set()
+    cand: list[tuple[float, int]] = []
+    best: list[tuple[float, int]] = []
+    visited = 0
+    for s in eps:
+        if s in seen:
+            continue
+        seen.add(s)
+        visited += 1
+        sv = float(mat[s] @ q)
+        heapq.heappush(cand, (-sv, s))
+        if accept[s]:
+            heapq.heappush(best, (sv, s))
+            if len(best) > ef:
+                heapq.heappop(best)
+    while cand:
+        if visited > visit_limit:
+            return best, visited, False
+        negsim, u = heapq.heappop(cand)
+        if len(best) >= ef and -negsim < best[0][0]:
+            break
+        for v in adj[u]:
+            if v in seen:
+                continue
+            seen.add(v)
+            visited += 1
+            sv = float(mat[v] @ q)
+            if len(best) < ef or sv > best[0][0]:
+                heapq.heappush(cand, (-sv, v))
+                if accept[v]:
+                    heapq.heappush(best, (sv, v))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+    return best, visited, True
+
+
+def _exact_accepted(
+    mat: np.ndarray, accept: np.ndarray, q: np.ndarray, k: int
+) -> list[tuple[float, int]]:
+    """Exact scan over the accepted rows (the reference's exactSearch
+    fallback) — one vectorized matmul over the filtered slice."""
+    ids = np.flatnonzero(accept)
+    if len(ids) == 0:
+        return []
+    sims = mat[ids] @ q
+    top = min(k, len(ids))
+    sel = np.argpartition(-sims, top - 1)[:top]
+    return [(float(sims[i]), int(ids[i])) for i in sel]
+
+
 def _build_hnsw(
     mat: np.ndarray, m: int, ef_construction: int, seed: int
 ):
@@ -310,18 +379,32 @@ def ann_hnsw_topk(
     ef: int = 48,
     ef_construction: int = 48,
     partitions: int | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Hierarchical HNSW ANN top-k by cosine — one graph per partition
     (the per-segment decomposition of Lucene99HnswVectorsFormat),
     greedy descent through the layers then an ef-beam at layer 0,
-    global TakeOrdered merge. -> (vec_id, cos_x1e6)."""
+    global TakeOrdered merge. -> (vec_id, cos_x1e6).
+
+    ``filter_expr`` (a SQL boolean over the embeddings columns) runs the
+    reference's FILTERED kNN contract per partition
+    (KnnFloatVectorQuery.java / AbstractKnnVectorQuery.java):
+    pre-filter bitset -> if the partition's accepted count <= k, exact
+    scan; else graph search that only collects accepted nodes with a
+    visit budget equal to the accepted count; on budget exhaustion,
+    exact scan over the accepted rows (which costs no more than the
+    budget already spent)."""
     from lucene_spark.pipeline.similarity import _query_vec
 
     qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
 
     src = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.expr(filter_expr) if filter_expr is not None else F.lit(True)
+        ).alias("acc"),
     )
     if partitions:
         src = src.repartition(partitions, "vec_id")
@@ -331,17 +414,29 @@ def ann_hnsw_topk(
             if len(pdf) == 0:
                 continue
             mat = _normalize(np.stack(pdf["v"].to_numpy()))
-            levels, graphs, entry, entry_level = _build_hnsw(
-                mat, m, ef_construction, seed=42
-            )
-            eps = [entry]
-            for l in range(entry_level, 0, -1):
-                eps = [max(
-                    _search_layer(mat, graphs[l], qn, eps, 1),
-                    key=lambda x: x[0],
-                )[1]]
-            best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
-            top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
+            accept = pdf["acc"].to_numpy().astype(bool)
+            n_acc = int(accept.sum())
+            if n_acc == 0:
+                continue
+            if n_acc <= k + 1:
+                top = _exact_accepted(mat, accept, qn, k + 1)
+            else:
+                levels, graphs, entry, entry_level = _build_hnsw(
+                    mat, m, ef_construction, seed=42
+                )
+                eps = [entry]
+                for l in range(entry_level, 0, -1):
+                    eps = [max(
+                        _search_layer(mat, graphs[l], qn, eps, 1),
+                        key=lambda x: x[0],
+                    )[1]]
+                best, _visited, completed = _search_layer_filtered(
+                    mat, graphs[0], qn, eps, max(ef, k + 1), accept, n_acc
+                )
+                top = (
+                    best if completed else _exact_accepted(mat, accept, qn, k + 1)
+                )
+            top = sorted(top, key=lambda x: (-x[0], x[1]))[: k + 1]
             idx = np.array([t[1] for t in top], dtype=np.int64)
             sims = np.array([t[0] for t in top], dtype=np.float64)
             yield pd.DataFrame(

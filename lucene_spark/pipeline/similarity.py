@@ -85,14 +85,21 @@ _COMP_SQL = """comp AS (
 )"""
 
 
-def cosine_topk_sql(query_id: int = 0, k: int = 10) -> str:
+def cosine_topk_sql(
+    query_id: int = 0, k: int = 10, filter_expr: str | None = None
+) -> str:
+    fpred = (
+        f" AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE ({filter_expr}))"
+        if filter_expr
+        else ""
+    )
     return f"""WITH {_COMP_SQL},
 qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
 nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
 dots AS (
   SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
   FROM comp c JOIN qc q USING (pos)
-  WHERE c.vec_id <> {query_id}
+  WHERE c.vec_id <> {query_id}{fpred}
   GROUP BY c.vec_id
 )
 SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
@@ -426,22 +433,185 @@ def lsh_table_buckets(
     )
 
 
+def filtered_knn_decision(
+    m: int, visited: int, n_cand: int, k: int
+) -> bool:
+    """True = exact scan over the filter (the reference's exactSearch
+    fallback, core/search/AbstractKnnVectorQuery.java): when the filter
+    is tiny (m <= k), when the approximate path would score more rows
+    than the exact scan costs (visited > m — the visitedLimit contract),
+    or when it cannot return k filtered hits (n_cand < k)."""
+    return m <= k or visited > m or n_cand < k
+
+
+def ann_filtered_topk(
+    emb: DataFrame,
+    filter_expr: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Filtered kNN (KnnFloatVectorQuery.java + AbstractKnnVectorQuery
+    .java): evaluate the filter once (BitSetCollector role, cardinality
+    m), then either (a) EXACT cosine over the m filtered vectors when
+    the filter is selective — m <= k, or the IVF probe would visit more
+    rows than m (the visitedLimit contract), or the probed lists hold
+    fewer than k filtered candidates — or (b) the IVF-restricted path:
+    probe the n_probe nearest inverted lists, keep filtered candidates,
+    exact cosine re-rank. ``filter_expr`` is ANSI SQL over the
+    embeddings columns so the DuckDB twin evaluates the identical
+    predicate. Either path ends in an exact re-rank, so results are
+    deterministic. -> (vec_id, cos_x1e6).
+
+    Scale shape: the filter evaluation and all three cardinalities are
+    single column-pruned aggregations; the exact branch is a narrow
+    filtered scan; the approximate branch touches ~n_probe/n_centroids
+    of the table (the inverted-file partition key at 100 TB)."""
+    qv = _query_vec(emb, query_id)
+    dims = len(qv)
+    pred = F.expr(filter_expr)
+    femb = emb.filter(pred)
+    m = femb.filter(F.col("vec_id") != query_id).count()
+    cents = ivf_centroids(emb, n_centroids)
+    assign = ivf_assign(emb, cents, dims)
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+    probe = (
+        cents.select(
+            "cid",
+            _cos_cols(F.col("cvec").cast("array<double>"), q, dims).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    probed = assign.join(F.broadcast(probe), "cid").filter(
+        F.col("vec_id") != query_id
+    )
+    visited = probed.count()
+    cand = probed.join(
+        emb.filter(pred).select("vec_id"), "vec_id", "left_semi"
+    )
+    n_cand = cand.count()
+    base = femb if filtered_knn_decision(m, visited, n_cand, k) else emb.join(
+        cand.select("vec_id"), "vec_id", "left_semi"
+    )
+    return cosine_topk(
+        base.filter(F.col("vec_id") != query_id).unionByName(
+            emb.filter(F.col("vec_id") == query_id)
+        ),
+        query_id,
+        k,
+    )
+
+
+def ann_filtered_topk_sql(
+    filter_expr: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of ann_filtered_topk: the same IVF CTEs, the same
+    three cardinalities, the same exact-vs-approximate decision as a
+    scalar predicate gating two UNION ALL branches."""
+    return f"""WITH {_COMP_SQL},
+cent AS (
+  SELECT vec_id AS cid FROM (
+    SELECT vec_id,
+      CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'_c'),1,8)) AS BIGINT) AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {n_centroids}
+  )
+),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM comp GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id, c.vec_id AS cid, SUM(e.v * c.v) AS dot
+  FROM comp e JOIN comp c USING (pos) JOIN cent ON c.vec_id = cent.cid
+  GROUP BY e.vec_id, c.vec_id
+),
+ccos AS (
+  SELECT d.vec_id, d.cid, d.dot/(ne.nrm*nc.nrm) AS cos
+  FROM cdots d JOIN norms ne ON ne.vec_id = d.vec_id
+       JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM ccos
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM ccos WHERE vec_id = {query_id}
+  ORDER BY cos DESC, cid ASC LIMIT {n_probe}
+),
+femb AS (SELECT vec_id FROM embeddings
+         WHERE ({filter_expr}) AND vec_id <> {query_id}),
+probed AS (
+  SELECT a.vec_id FROM assign a JOIN probe USING (cid)
+  WHERE a.vec_id <> {query_id}
+),
+candf AS (SELECT p.vec_id FROM probed p JOIN femb USING (vec_id)),
+decide AS (SELECT
+  ((SELECT count(*) FROM femb) <= {k}
+   OR (SELECT count(*) FROM probed) > (SELECT count(*) FROM femb)
+   OR (SELECT count(*) FROM candf) < {k}) AS use_exact),
+base AS (
+  SELECT vec_id FROM femb WHERE (SELECT use_exact FROM decide)
+  UNION ALL
+  SELECT vec_id FROM candf WHERE NOT (SELECT use_exact FROM decide)
+),
+qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+dots AS (
+  SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN qc q USING (pos) JOIN base ON c.vec_id = base.vec_id
+  GROUP BY c.vec_id
+)
+SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
+FROM dots d CROSS JOIN nq
+ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""
+
+
 def ann_recall(
     emb: DataFrame, query_id: int = 0, k: int = 10, n_planes: int = 6
 ) -> DataFrame:
     """Recall@k of every approximate path against the exact brute-force
     top-k — the quality evidence the reference gets from
     HnswGraphSearcher recall tests, measured rather than assumed.
-    -> (method, recall_x1e6) for lsh / lsh_mp (multi-probe) / ivf."""
+    -> (method, recall_x1e6) for lsh / lsh_mp (multi-probe) / ivf, plus
+    the FILTERED-kNN branches (each against brute force OVER THE SAME
+    FILTER): ivf_filt (permissive filter — the approximate IVF path
+    with filtered candidates) and filt_exact (selective filter — the
+    probe visits more rows than the filter holds, so the exactSearch
+    fallback fires and recall is 1 by construction)."""
     exact = cosine_topk(emb, query_id, k).select("vec_id")
+    permissive, selective = "label % 2 = 0", "label = 3"
     methods = {
-        "lsh": ann_lsh_topk(emb, query_id, k, n_planes).select("vec_id"),
-        "lsh_mp": ann_lsh_topk(emb, query_id, k, 4, multiprobe=1).select("vec_id"),
-        "ivf": ann_ivf_topk(emb, query_id, k, 16, 4).select("vec_id"),
+        "lsh": (exact, ann_lsh_topk(emb, query_id, k, n_planes)),
+        "lsh_mp": (exact, ann_lsh_topk(emb, query_id, k, 4, multiprobe=1)),
+        "ivf": (exact, ann_ivf_topk(emb, query_id, k, 16, 4)),
+        "ivf_filt": (
+            cosine_topk(
+                emb.filter(F.expr(permissive) | (F.col("vec_id") == query_id)),
+                query_id,
+                k,
+            ).select("vec_id"),
+            ann_filtered_topk(emb, permissive, query_id, k, 16, 4),
+        ),
+        "filt_exact": (
+            cosine_topk(
+                emb.filter(F.expr(selective) | (F.col("vec_id") == query_id)),
+                query_id,
+                k,
+            ).select("vec_id"),
+            ann_filtered_topk(emb, selective, query_id, k, 16, 4),
+        ),
     }
     out = None
-    for m, approx in methods.items():
-        r = exact.join(approx, "vec_id", "left_semi").agg(
+    for m, (truth, approx) in methods.items():
+        r = truth.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
             F.lit(m).alias("method"),
             F.round(F.count("*") * 1e6 / k).cast("long").alias("recall_x1e6"),
         )
@@ -450,10 +620,15 @@ def ann_recall(
 
 
 def ann_recall_sql(query_id: int = 0, k: int = 10, n_planes: int = 6) -> str:
+    permissive, selective = "label % 2 = 0", "label = 3"
     return f"""WITH exact_k AS ({cosine_topk_sql(query_id, k)}),
 lsh_k AS ({ann_lsh_topk_sql(query_id, k, n_planes)}),
 lshmp_k AS ({ann_lsh_topk_sql(query_id, k, 4, multiprobe=1)}),
-ivf_k AS ({ann_ivf_topk_sql(query_id, k, 16, 4)})
+ivf_k AS ({ann_ivf_topk_sql(query_id, k, 16, 4)}),
+fexact_perm AS ({cosine_topk_sql(query_id, k, permissive)}),
+fexact_sel AS ({cosine_topk_sql(query_id, k, selective)}),
+ivff_k AS ({ann_filtered_topk_sql(permissive, query_id, k, 16, 4)}),
+filtx_k AS ({ann_filtered_topk_sql(selective, query_id, k, 16, 4)})
 SELECT 'lsh' AS method,
   CAST(ROUND((SELECT count(*) FROM exact_k JOIN lsh_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
 UNION ALL
@@ -461,7 +636,13 @@ SELECT 'lsh_mp' AS method,
   CAST(ROUND((SELECT count(*) FROM exact_k JOIN lshmp_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
 UNION ALL
 SELECT 'ivf' AS method,
-  CAST(ROUND((SELECT count(*) FROM exact_k JOIN ivf_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6"""
+  CAST(ROUND((SELECT count(*) FROM exact_k JOIN ivf_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+UNION ALL
+SELECT 'ivf_filt' AS method,
+  CAST(ROUND((SELECT count(*) FROM fexact_perm JOIN ivff_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+UNION ALL
+SELECT 'filt_exact' AS method,
+  CAST(ROUND((SELECT count(*) FROM fexact_sel JOIN filtx_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6"""
 
 
 def ann_lsh_topk_sql(

@@ -355,3 +355,137 @@ def test_hnsw_hierarchy_recall_and_exactness(spark):
 
     got4 = ann_hnsw_topk(emb, query_id=0, k=10, partitions=4).collect()
     assert len(got4) == 10
+
+
+# ---------------------------------------------------------------------------
+# filtered kNN (AbstractKnnVectorQuery pre-filter / visitedLimit /
+# exactSearch-fallback contract)
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_knn_decision_contract():
+    from lucene_spark.pipeline.similarity import filtered_knn_decision
+
+    # tiny filter -> exact (filterCard <= k)
+    assert filtered_knn_decision(m=8, visited=100, n_cand=8, k=10)
+    # approx would visit more rows than the exact scan costs -> exact
+    assert filtered_knn_decision(m=50, visited=120, n_cand=30, k=10)
+    # cannot return k filtered hits -> exact
+    assert filtered_knn_decision(m=300, visited=120, n_cand=6, k=10)
+    # otherwise -> approximate path
+    assert not filtered_knn_decision(m=300, visited=120, n_cand=60, k=10)
+
+
+def test_filtered_knn_selective_filter_is_exact(spark):
+    """label=3 holds ~12% of rows while the probe visits ~25%: the
+    visitedLimit contract fires and the result must be EXACTLY the
+    brute force over the filtered rows."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import ann_filtered_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = ann_filtered_topk(emb, "label = 3", query_id=0, k=10).toPandas()
+    want = cosine_topk(
+        emb.filter((F.col("label") == 3) | (F.col("vec_id") == 0)), 0, 10
+    ).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame(got[["vec_id"]]), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert labels == {3}
+
+
+def test_filtered_knn_permissive_filter_takes_approx_path(spark):
+    """label%2=0 holds ~half the rows, the 4/16 probe visits ~25%:
+    the approximate path runs; every hit passes the filter and recall
+    vs filtered brute force is decent."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import (
+        ann_filtered_topk,
+        cosine_topk,
+        filtered_knn_decision,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pred = "label % 2 = 0"
+    m = emb.filter(F.expr(pred) & (F.col("vec_id") != 0)).count()
+    got = ann_filtered_topk(emb, pred, query_id=0, k=10).toPandas()
+    assert len(got) == 10
+    labels = {
+        r["label"]
+        for r in emb.join(
+            spark.createDataFrame(got[["vec_id"]]), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert all(l % 2 == 0 for l in labels)
+    truth = set(
+        cosine_topk(
+            emb.filter(F.expr(pred) | (F.col("vec_id") == 0)), 0, 10
+        ).toPandas()["vec_id"]
+    )
+    recall = len(truth & set(got["vec_id"])) / 10
+    assert recall >= 0.3  # IVF probe quality, same bar the gate records
+    # and the decision really was the approximate branch: visited < m
+    assert m > 120  # ~244 rows pass; the probe visits ~125
+
+
+def test_hnsw_filtered_search_and_fallback(spark):
+    """Filtered HNSW: permissive filter searches the graph with
+    filtered acceptance (results all pass the filter, recall high);
+    selective filter trips the per-partition visit budget or the
+    n_acc<=k shortcut and falls back to the exact accepted scan."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.graphann import ann_hnsw_topk
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for pred in ["label % 2 = 0", "label = 3"]:
+        got = ann_hnsw_topk(
+            emb, query_id=0, k=10, partitions=2, filter_expr=pred
+        ).toPandas()
+        truth = cosine_topk(
+            emb.filter(F.expr(pred) | (F.col("vec_id") == 0)), 0, 10
+        ).toPandas()
+        recall = len(set(truth["vec_id"]) & set(got["vec_id"])) / 10
+        assert recall >= 0.9, (pred, recall)
+        labels = {
+            r["label"]
+            for r in emb.join(
+                spark.createDataFrame(got[["vec_id"]]), "vec_id", "left_semi"
+            ).collect()
+        }
+        if pred == "label = 3":
+            assert labels == {3}
+        else:
+            assert all(lab % 2 == 0 for lab in labels)
+
+
+def test_search_layer_filtered_budget_exhaustion():
+    import numpy as np
+
+    from lucene_spark.pipeline.graphann import (
+        _exact_accepted,
+        _normalize,
+        _search_layer_filtered,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = _normalize(rng.normal(size=(50, 8)))
+    # a ring graph forces a long walk; only 3 accepted nodes
+    adj = [[(i + 1) % 50, (i - 1) % 50] for i in range(50)]
+    accept = np.zeros(50, dtype=bool)
+    accept[[40, 41, 42]] = True
+    q = mat[40]
+    best, visited, completed = _search_layer_filtered(
+        mat, adj, q, [0], ef=10, accept=accept, visit_limit=5
+    )
+    assert not completed and visited >= 5
+    # the fallback returns the true filtered top
+    top = _exact_accepted(mat, accept, q, 3)
+    assert {n for _s, n in top} == {40, 41, 42}
