@@ -586,9 +586,14 @@ def ann_recall(
     with filtered candidates) and filt_exact (selective filter — the
     probe visits more rows than the filter holds, so the exactSearch
     fallback fires and recall is 1 by construction)."""
+    from lucene_spark.pipeline.quantize import sq_cosine_topk
+
     exact = cosine_topk(emb, query_id, k).select("vec_id")
     permissive, selective = "label % 2 = 0", "label = 3"
     methods = {
+        # int8 scalar quantization: recall delta vs float32 brute force
+        # (the Lucene99ScalarQuantizedVectorsFormat quality evidence)
+        "sq8": (exact, sq_cosine_topk(emb, query_id, k, confidence=0.9)),
         "lsh": (exact, ann_lsh_topk(emb, query_id, k, n_planes)),
         "lsh_mp": (exact, ann_lsh_topk(emb, query_id, k, 4, multiprobe=1)),
         "ivf": (exact, ann_ivf_topk(emb, query_id, k, 16, 4)),
@@ -620,8 +625,11 @@ def ann_recall(
 
 
 def ann_recall_sql(query_id: int = 0, k: int = 10, n_planes: int = 6) -> str:
+    from lucene_spark.pipeline.quantize import sq_cosine_topk_sql
+
     permissive, selective = "label % 2 = 0", "label = 3"
     return f"""WITH exact_k AS ({cosine_topk_sql(query_id, k)}),
+sq8_k AS ({sq_cosine_topk_sql(query_id, k, confidence=0.9)}),
 lsh_k AS ({ann_lsh_topk_sql(query_id, k, n_planes)}),
 lshmp_k AS ({ann_lsh_topk_sql(query_id, k, 4, multiprobe=1)}),
 ivf_k AS ({ann_ivf_topk_sql(query_id, k, 16, 4)}),
@@ -642,7 +650,10 @@ SELECT 'ivf_filt' AS method,
   CAST(ROUND((SELECT count(*) FROM fexact_perm JOIN ivff_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
 UNION ALL
 SELECT 'filt_exact' AS method,
-  CAST(ROUND((SELECT count(*) FROM fexact_sel JOIN filtx_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6"""
+  CAST(ROUND((SELECT count(*) FROM fexact_sel JOIN filtx_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6
+UNION ALL
+SELECT 'sq8' AS method,
+  CAST(ROUND((SELECT count(*) FROM exact_k JOIN sq8_k USING (vec_id)) * 1000000.0 / {k}) AS BIGINT) AS recall_x1e6"""
 
 
 def ann_lsh_topk_sql(
