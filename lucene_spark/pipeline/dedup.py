@@ -847,30 +847,45 @@ ORDER BY d.a, d.b LIMIT {k}"""
 # ---------------------------------------------------------------------------
 
 
-def connected_components(
-    pairs: DataFrame, max_iter: int = 25
-) -> DataFrame:
-    """Near-dup pairs (a, b) -> (doc_id, component): component = min
-    doc_id reachable through the pair graph — the cluster id every
-    production dedup pipeline needs before it can elect one canonical
-    doc per duplicate group and drop the rest.
+def _symmetrize(directed: DataFrame) -> DataFrame:
+    """(a,b) undirected pairs -> both directions, distinct."""
+    return (
+        directed.unionByName(
+            directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
-    Algorithm: iterated min-label propagation. Labels start at the node
-    id; each round every node takes the min label across itself and its
-    neighbors (one join + one map-side-combined groupBy = one shuffle
-    pair per round); stop when a round changes nothing. Rounds needed =
-    graph diameter — tiny for LSH dup graphs (cliques and short chains
-    from band buckets), and `max_iter` bounds the worst case. Each
-    round's result is localCheckpoint-ed (eager), which truncates the
-    logical plan — without this the self-referential lineage doubles per
-    round and the ANALYZER (not the data) blows the heap by round ~10.
-    On a real cluster swap localCheckpoint for a reliable
-    checkpoint dir (same call shape, executor-loss-safe). At 10^12 docs
-    the same loop runs with the
-    alternating large-star/small-star optimization (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) to force
-    O(log n) rounds on adversarial chains; the shuffle shape per round
-    is identical.
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Near-dup pairs (a, b) -> (node, comp): comp = min doc_id
+    reachable through the pair graph — the cluster id every production
+    dedup pipeline needs before it can elect one canonical doc per
+    duplicate group and drop the rest.
+
+    Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 Alg. 2-3) —
+    O(log n) rounds even on adversarial chains (the boilerplate-corpus
+    case plain min-label propagation needs diameter rounds for):
+
+    - large-star(u): m = min(N(u) ∪ {u}); re-link every LARGER
+      neighbor v > u to m.
+    - small-star(u): m = min of the <=-u neighborhood; re-link every
+      smaller neighbor AND u itself to m.
+
+    Each half-round is one groupBy(min) + one join on the symmetric
+    edge list — exactly the shuffle shape of a label-propagation round,
+    just with geometric (not linear) convergence. Rounds are eagerly
+    localCheckpoint-ed to truncate the self-referential lineage (the
+    analyzer, not the data, blows up otherwise); on a real cluster swap
+    for reliable checkpoints. Convergence = the edge set is a fixed
+    point (two anti-join counts); the converged graph is a union of
+    stars centered at each component's min, so labels read directly
+    off the final adjacency. ``stats['rounds']`` (optional) records the
+    round count — the O(log n) evidence the chain test asserts.
 
     Only docs appearing in >= 1 pair are returned (singletons are not
     duplicates of anything).
@@ -878,45 +893,56 @@ def connected_components(
     pairs = pairs.persist()
     # eager localCheckpoint: materializes (so the potentially expensive
     # upstream pair pipeline runs exactly once) AND truncates lineage
-    edges = (
+    edges = _symmetrize(
         pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
-        .unionByName(
-            pairs.select(
-                F.col("b").cast("long").alias("a"),
-                F.col("a").cast("long").alias("b"),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
     )
     pairs.unpersist()
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    rounds = 0
     for _ in range(max_iter):
-        prop = edges.join(
-            labels, edges["b"] == labels["node"], "inner"
-        ).select(F.col("a").alias("node"), F.col("comp"))
-        new = (
-            labels.select("node", "comp")
-            .unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        rounds += 1
+        # ---- large-star: v>u re-linked to min(N(u) ∪ {u})
+        mins = edges.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
         )
-        changed = (
-            new.withColumnRenamed("comp", "ncomp")
-            .join(labels, "node")
-            .filter(F.col("ncomp") != F.col("comp"))
-            .count()
+        large = _symmetrize(
+            edges.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        ).localCheckpoint(eager=True)
+        # ---- small-star: u and its smaller neighbors re-linked to
+        # their min (rows with b<=a are exactly the <=-neighborhood)
+        small_side = large.filter(F.col("b") < F.col("a"))
+        smins = small_side.groupBy("a").agg(F.min("b").alias("m"))
+        relink = small_side.join(smins, "a").select(
+            F.col("b").alias("a"), F.col("m").alias("b")
         )
-        labels = new
-        if changed == 0:
+        self_link = smins.select(F.col("a"), F.col("m").alias("b"))
+        new = _symmetrize(
+            relink.unionByName(self_link).filter(F.col("a") != F.col("b"))
+        ).localCheckpoint(eager=True)
+        # ---- fixed point? (set equality via two anti-joins)
+        if (
+            new.join(edges, ["a", "b"], "left_anti").isEmpty()
+            and edges.join(new, ["a", "b"], "left_anti").isEmpty()
+        ):
+            edges = new
             break
-    return labels
+        edges = new
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged: stars centered at component minima — comp(u) =
+    # min(N(u) ∪ {u}); nodes whose edges collapsed entirely (a 2-node
+    # component keeps one edge; larger ones keep their star) are
+    # centers of their own star
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.min("b"), F.first("a")).alias("comp")
+    )
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
 
 
 def dedup_clusters(pairs: DataFrame) -> DataFrame:

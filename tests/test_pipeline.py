@@ -489,3 +489,41 @@ def test_search_layer_filtered_budget_exhaustion():
     # the fallback returns the true filtered top
     top = _exact_accepted(mat, accept, q, 3)
     assert {n for _s, n in top} == {40, 41, 42}
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial 10k-doc chain (the boilerplate worst case): the
+    alternating large-star/small-star rounds (Kiveris et al. SoCC'14)
+    must converge in O(log n) rounds — plain min-label propagation
+    needs diameter (= 10k) rounds here."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    ).coalesce(4)
+    stats = {}
+    out = connected_components(pairs, max_iter=50, stats=stats).toPandas()
+    assert (out["comp"] == 0).all() and len(out) == n
+    assert stats["rounds"] <= 2 * math.log2(n)  # 15 measured, bound 26
+
+
+def test_connected_components_shapes(spark):
+    """Cliques, stars, two components, a singleton pair — exact labels."""
+    from lucene_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),     # triangle -> 1
+         (10, 11), (10, 12), (10, 13),  # star -> 10
+         (20, 21)],                   # pair -> 20
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
