@@ -111,12 +111,21 @@ def ann_graph_topk(
     ef: int = 48,
     n_seeds: int = 4,
     partitions: int | None = None,
+    hnsw_threshold: int = 1024,
 ) -> DataFrame:
-    """Graph ANN top-k by cosine: per-partition NSW build + beam search,
-    global TakeOrdered merge. -> (vec_id, cos_x1e6).
+    """Graph ANN top-k by cosine, global TakeOrdered merge.
+    -> (vec_id, cos_x1e6).
+
+    Per-partition builder selection (r3 "What's wrong #3" fix): the
+    DEFAULT path is the hierarchical HNSW (`_build_hnsw`,
+    O(p·efC·M·log p)) once a partition exceeds ``hnsw_threshold`` rows;
+    the flat NSW all-pairs build (O(p^2) but cache-friendly and exact-
+    nearest for its m links) remains only as the small-partition fast
+    path, where the quadratic term is cheaper than the HNSW insert
+    machinery.
 
     At 100 TB the graphs are built ONCE per segment and persisted beside
-    the vectors (the Lucene90HnswVectorsFormat analog); here build and
+    the vectors (the Lucene99HnswVectorsFormat analog); here build and
     search fuse into one pass because the gate corpus rebuilds per call.
     """
     from lucene_spark.pipeline.similarity import _query_vec
@@ -133,10 +142,25 @@ def ann_graph_topk(
             if len(pdf) == 0:
                 continue
             mat = _normalize(np.stack(pdf["v"].to_numpy()))
-            nbrs = _build_graph(mat, m, seed=42)
-            idx, sims = _beam_search(
-                mat, nbrs, qn, k + 1, ef, n_seeds, seed=7
-            )
+            if len(mat) > hnsw_threshold:
+                levels, graphs, entry, entry_level = _build_hnsw(
+                    mat, m, max(ef, 48), seed=42
+                )
+                eps = [entry]
+                for l in range(entry_level, 0, -1):
+                    eps = [max(
+                        _search_layer(mat, graphs[l], qn, eps, 1),
+                        key=lambda x: x[0],
+                    )[1]]
+                best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
+                top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
+                idx = np.array([t[1] for t in top], dtype=np.int64)
+                sims = np.array([t[0] for t in top], dtype=np.float64)
+            else:
+                nbrs = _build_graph(mat, m, seed=42)
+                idx, sims = _beam_search(
+                    mat, nbrs, qn, k + 1, ef, n_seeds, seed=7
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy()[idx],

@@ -527,3 +527,20 @@ def test_connected_components_shapes(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_ann_graph_default_routes_to_hnsw(spark):
+    """Above the partition-size threshold ann_graph_topk must take the
+    HNSW build (r3 fix: O(p^2) NSW demoted to small-partition fast
+    path) and still recall the true neighbors."""
+    from lucene_spark.pipeline.graphann import ann_graph_topk
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = set(cosine_topk(emb, 0, 10).toPandas()["vec_id"])
+    # threshold 100 forces the 500-row single partition through HNSW
+    got = set(
+        ann_graph_topk(emb, 0, 10, partitions=1, hnsw_threshold=100)
+        .toPandas()["vec_id"]
+    )
+    assert len(exact & got) / 10 >= 0.9
