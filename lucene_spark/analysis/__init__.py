@@ -22,6 +22,10 @@ from lucene_spark.analysis.filters import (  # noqa: F401  (registers the
     porter_stem,
     register_analyzer,
 )
+from lucene_spark.analysis.snowball import (  # noqa: F401  (registers
+    Porter2StemFilter,  # english_snowball / simple_snowball)
+    porter2_stem,
+)
 from lucene_spark.analysis.graph import (  # noqa: F401  (registers
     GraphAnalyzer,  # simple_syngraph / ws_wdg_code as import side effects)
     SynonymGraphFilter,

@@ -193,6 +193,47 @@ def ensure_geo_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_SNOW_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_snowball_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text with the simple_snowball analyzer
+    (SimpleAnalyzer -> Porter2StemFilter, analysis/snowball.py — the
+    Snowball EnglishStemmer chain). Non-circular oracle: Porter2 maps
+    the gate's query-term preimages exactly (key->key — where Porter1
+    gives kei, the branch's discriminator — and table->tabl), so DuckDB
+    scores the UNSTEMMED corpus for the preimages."""
+    key = os.path.abspath(sf_dir)
+    if key in _SNOW_READERS:
+        return _SNOW_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_snowidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n
+            and m.get("analyzer") == "simple_snowball"
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple_snowball",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _SNOW_READERS[key] = r
+    return r
+
+
 _GRAPH_READERS: dict[str, IndexReader] = {}
 
 
@@ -1532,10 +1573,17 @@ def gate_queries() -> dict[str, object]:
         return sp.sampled_facet_counts(r, FIELD, T_MID, "lang", sample_mod=4)
 
     def q_stemmed_term(spark, sf):
-        # analysis zoo: Porter-stemmed index (simple_porter); query
-        # pre-stemmed terms — the en/PorterStemFilter.java role
+        # analysis zoo, tagged: Porter-stemmed index (simple_porter, the
+        # en/PorterStemFilter.java role) + Snowball Porter2 index
+        # (simple_snowball, tartarus/snowball/ext/EnglishStemmer.java).
+        # 'key' discriminates the two: Porter1 stems it to 'kei',
+        # Porter2 keeps 'key' (step-1c first-letter guard)
         r = ensure_stem_index(spark, sf)
-        return sp.bool_bm25_topk(r, FIELD, must=["tabl"], should=["queri"])
+        rs = ensure_snowball_index(spark, sf)
+        return _union([
+            ("porter", sp.bool_bm25_topk(r, FIELD, must=["tabl"], should=["queri"])),
+            ("snowball", sp.bool_bm25_topk(rs, FIELD, must=["key"], should=["tabl"])),
+        ])
 
     def q_intervals(spark, sf):
         # intervals algebra (queries/intervals/Intervals.java subset):
@@ -2698,6 +2746,11 @@ ORDER BY score_x1e6 DESC, p.doc_id ASC LIMIT 10"""
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM norm
 WHERE len(regexp_extract_all(s, '\\bbig (?:merge|window join)\\b')) > 0
 ORDER BY doc_id LIMIT 10"""
+    # Porter1 + Snowball Porter2 branches ('key' discriminates: kei vs key)
+    one["q_stemmed_term"] = _sql_tagged([
+        ("porter", one["q_stemmed_term"]),
+        ("snowball", _sql_bool(must=["key"], should=["table"])),
+    ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),
         ("sloppy", one.pop("q_phrase_sloppy")),
