@@ -32,6 +32,11 @@ from lucene_spark.search import query as Q
 from lucene_spark.search.executor import IndexReader
 from lucene_spark.util.smallfloat import LENGTH_TABLE
 
+_SHAPE_POLY = [(-30.0, -10.0), (40.0, -20.0), (50.0, 30.0), (5.0, 10.0),
+               (0.0, 55.0), (-45.0, 20.0)]  # (5,10) makes it CONCAVE
+_SHAPE_LINE = [(-120.0, -40.0), (-60.0, 10.0), (0.0, -20.0), (60.0, 25.0)]
+_SHAPE_DIST = (35.0, 10.0, 2_500_000.0)
+
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
 _CLS_TEXT = "the model data table spark rows"
@@ -1826,6 +1831,20 @@ def gate_queries() -> dict[str, object]:
                 ))
                 for rel in shapes.RELATIONS
             ],
+            # query geometries beyond the box (LatLonShape.newPolygonQuery
+            # incl. a CONCAVE polygon, newLineQuery, newDistanceQuery)
+            ("shape_poly_int", _h(
+                shapes.shape_polygon_topk(d, "intersects", _SHAPE_POLY, k=50)
+            )),
+            ("shape_poly_within", _h(
+                shapes.shape_polygon_topk(d, "within", _SHAPE_POLY, k=50)
+            )),
+            ("shape_line_int", _h(
+                shapes.shape_line_topk(d, "intersects", _SHAPE_LINE, k=50)
+            )),
+            ("shape_dist_int", _h(
+                shapes.shape_distance_topk(d, "intersects", *_SHAPE_DIST, k=50)
+            )),
             # spatial3d (GeoCircle / GeoStandardPath): unit-vector
             # angular membership (geo3d.py; v1 = angle_x1e4)
             ("circle3d", _h(
@@ -2959,6 +2978,21 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
              "SELECT doc_id, clat_x1e3 AS v1, clon_x1e3 AS v2 FROM ("
              + _shapes.shape_box_sql(rel, *_SHAPE_BOXES[rel], k=50) + ")")
             for rel in _shapes.RELATIONS
+        ],
+        *[
+            (tag,
+             "SELECT doc_id, clat_x1e3 AS v1, clon_x1e3 AS v2 FROM ("
+             + sql + ")")
+            for tag, sql in [
+                ("shape_poly_int",
+                 _shapes.shape_polygon_sql("intersects", _SHAPE_POLY, k=50)),
+                ("shape_poly_within",
+                 _shapes.shape_polygon_sql("within", _SHAPE_POLY, k=50)),
+                ("shape_line_int",
+                 _shapes.shape_line_sql("intersects", _SHAPE_LINE, k=50)),
+                ("shape_dist_int",
+                 _shapes.shape_distance_sql("intersects", *_SHAPE_DIST, k=50)),
+            ]
         ],
         ("circle3d",
          "SELECT doc_id, angle_x1e4 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("

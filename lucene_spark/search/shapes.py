@@ -27,9 +27,12 @@ Relation semantics on convex shapes (triangle T, box B):
   T-edge properly crosses a B-edge — exact for convex-convex overlap
 - DISJOINT: NOT INTERSECTS
 
-Line/polygon query geometries and distance (circle) queries are not
-implemented; the reference reduces them to the same per-triangle
-relation tests, so the box query carries the representative plan.
+Beyond the box (r4): polygon (concave-safe even-odd containment),
+line, and distance (haversine vertices + equirectangular edge
+proximity) query geometries, each unrolled from a literal query shape
+into the same shared engine/oracle SQL boolean — see
+polygon_relation_expr / line_relation_expr / distance_relation_expr.
+Index-time polygon -> triangle tessellation lives in tessellator.py.
 """
 
 from __future__ import annotations
@@ -213,3 +216,227 @@ SELECT doc_id, CAST(ROUND({cy}) AS BIGINT) AS clat_x1e3,
        CAST(ROUND({cx}) AS BIGINT) AS clon_x1e3
 FROM tri WHERE {expr}
 ORDER BY doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# query geometries beyond the box: polygon / line / distance
+# (LatLonShape.newPolygonQuery / newLineQuery / newDistanceQuery —
+# each reduces to the same per-triangle relation test; the query
+# geometry is a plan-time LITERAL, so every test unrolls into one
+# shared engine/oracle SQL boolean over the six triangle columns)
+# ---------------------------------------------------------------------------
+
+_LIT = lambda v: f"({float(v)!r})"  # noqa: E731
+
+
+def _pt_in_poly(px: str, py: str, poly: list[tuple[float, float]]) -> str:
+    """Even-odd ray casting unrolled over the literal polygon edges
+    (concave-safe — the Component2D#contains role)."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the horizontal ray
+        terms.append(
+            f"(CASE WHEN (({_LIT(y1)} > {py}) <> ({_LIT(y2)} > {py}))"
+            f" AND ({px} < ({_LIT(x2)} - {_LIT(x1)}) * ({py} - {_LIT(y1)})"
+            f" / ({_LIT(y2)} - {_LIT(y1)}) + {_LIT(x1)}) THEN 1 ELSE 0 END)"
+        )
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def polygon_relation_expr(
+    relation: str, poly: list[tuple[float, float]]
+) -> str:
+    """Triangle-vs-literal-polygon relation (LatLonShape.newPolygonQuery
+    QueryRelation semantics; polygon may be concave):
+
+    - INTERSECTS: tri vertex in poly, or poly vertex in tri, or any
+      edge pair properly crosses;
+    - WITHIN (tri inside poly): all 3 tri vertices inside AND no edge
+      crossings (the crossing guard is what makes it concave-safe);
+    - CONTAINS (tri contains poly): all poly vertices inside the
+      triangle (sufficient — the triangle is convex);
+    - DISJOINT: NOT INTERSECTS.
+    """
+    pl = [(float(x), float(y)) for x, y in poly]
+    tri_in_poly = [_pt_in_poly(x, y, pl) for x, y in _V]
+    poly_in_tri = [_in_tri(_LIT(px), _LIT(py)) for px, py in pl]
+    poly_edges = [
+        ((_LIT(pl[i][0]), _LIT(pl[i][1])),
+         (_LIT(pl[(i + 1) % len(pl)][0]), _LIT(pl[(i + 1) % len(pl)][1])))
+        for i in range(len(pl))
+    ]
+    tri_edges = list(zip(_V, _V[1:] + _V[:1]))
+    crossings = [
+        _seg_cross(p1, p2, q1, q2)
+        for p1, p2 in tri_edges
+        for q1, q2 in poly_edges
+    ]
+    if relation == "within":
+        return (
+            "(" + " AND ".join(tri_in_poly)
+            + " AND NOT (" + " OR ".join(crossings) + "))"
+        )
+    if relation == "contains":
+        return "(" + " AND ".join(poly_in_tri) + ")"
+    if relation in ("intersects", "disjoint"):
+        inter = "(" + " OR ".join(tri_in_poly + poly_in_tri + crossings) + ")"
+        return inter if relation == "intersects" else f"(NOT {inter})"
+    raise ValueError(f"unknown relation {relation!r}; use one of {RELATIONS}")
+
+
+def line_relation_expr(
+    relation: str, line: list[tuple[float, float]]
+) -> str:
+    """Triangle-vs-literal-polyline relation (LatLonShape.newLineQuery):
+
+    - INTERSECTS: any line vertex inside the triangle or any segment
+      properly crosses a triangle edge;
+    - CONTAINS (tri contains line): every line vertex inside (convexity
+      of the triangle makes that sufficient);
+    - DISJOINT: NOT INTERSECTS;
+    - WITHIN is identically FALSE for full-area triangles vs a
+      zero-area line (kept callable for QueryRelation parity).
+    """
+    pts = [(float(x), float(y)) for x, y in line]
+    verts_in = [_in_tri(_LIT(px), _LIT(py)) for px, py in pts]
+    segs = [
+        ((_LIT(pts[i][0]), _LIT(pts[i][1])),
+         (_LIT(pts[i + 1][0]), _LIT(pts[i + 1][1])))
+        for i in range(len(pts) - 1)
+    ]
+    tri_edges = list(zip(_V, _V[1:] + _V[:1]))
+    crossings = [
+        _seg_cross(p1, p2, q1, q2) for p1, p2 in tri_edges for q1, q2 in segs
+    ]
+    if relation == "within":
+        return "(1 = 0)"
+    if relation == "contains":
+        return "(" + " AND ".join(verts_in) + ")"
+    if relation in ("intersects", "disjoint"):
+        inter = "(" + " OR ".join(verts_in + crossings) + ")"
+        return inter if relation == "intersects" else f"(NOT {inter})"
+    raise ValueError(f"unknown relation {relation!r}; use one of {RELATIONS}")
+
+
+_EARTH_M = 6371008.7714  # GeoUtils.EARTH_MEAN_RADIUS_METERS
+
+
+def _haversine_m(px: str, py: str, qlat: float, qlon: float) -> str:
+    return (
+        f"(2 * {_EARTH_M!r} * ASIN(SQRT("
+        f"POWER(SIN(RADIANS(({py} - {_LIT(qlat)}) / 2)), 2)"
+        f" + COS(RADIANS({_LIT(qlat)})) * COS(RADIANS({py}))"
+        f" * POWER(SIN(RADIANS(({px} - {_LIT(qlon)}) / 2)), 2))))"
+    )
+
+
+def distance_relation_expr(
+    relation: str, qlat: float, qlon: float, radius_m: float
+) -> str:
+    """Triangle-vs-circle relation (LatLonShape.newDistanceQuery):
+
+    - INTERSECTS: any triangle vertex within radius (haversine,
+      SloppyMath.haversinMeters formula), or the center inside the
+      triangle, or any triangle edge passing within radius of the
+      center — the edge proximity uses the closest point on the
+      segment in an equirectangular projection scaled by cos(lat)
+      (documented approximation of the reference's exact
+      Component2D/GeoUtils math; exact at the vertices and the
+      center-in test, approximate only on long edges at high latitude);
+    - WITHIN: all three vertices within radius AND no edge farther
+      excursion — for a convex circle all-vertices-in implies the
+      whole triangle is in, so the vertex test is exact;
+    - CONTAINS: the triangle contains the whole circle: center inside
+      AND every edge at least radius away;
+    - DISJOINT: NOT INTERSECTS.
+    """
+    lit_r = _LIT(radius_m)
+    verts_in = [f"({_haversine_m(x, y, qlat, qlon)} <= {lit_r})" for x, y in _V]
+    center_in = _in_tri(_LIT(qlon), _LIT(qlat))
+    # equirectangular meters per degree at the query latitude
+    import math as _m
+
+    kx = _m.cos(_m.radians(qlat)) * _m.pi / 180.0 * _EARTH_M
+    ky = _m.pi / 180.0 * _EARTH_M
+
+    def seg_dist2(p1, p2) -> str:
+        ax_, ay_ = f"(({p1[0]} - {_LIT(qlon)}) * {kx!r})", f"(({p1[1]} - {_LIT(qlat)}) * {ky!r})"
+        bx_, by_ = f"(({p2[0]} - {_LIT(qlon)}) * {kx!r})", f"(({p2[1]} - {_LIT(qlat)}) * {ky!r})"
+        dx, dy = f"({bx_} - {ax_})", f"({by_} - {ay_})"
+        t = (
+            f"LEAST(1.0, GREATEST(0.0, (-({ax_}) * {dx} - ({ay_}) * {dy})"
+            f" / NULLIF({dx} * {dx} + {dy} * {dy}, 0.0)))"
+        )
+        cx_ = f"({ax_} + {t} * {dx})"
+        cy_ = f"({ay_} + {t} * {dy})"
+        return f"(COALESCE({cx_} * {cx_} + {cy_} * {cy_}, ({ax_})*({ax_}) + ({ay_})*({ay_})))"
+
+    tri_edges = list(zip(_V, _V[1:] + _V[:1]))
+    edge_near = [
+        f"({seg_dist2(p1, p2)} <= {lit_r} * {lit_r})" for p1, p2 in tri_edges
+    ]
+    edge_far = [
+        f"({seg_dist2(p1, p2)} > {lit_r} * {lit_r})" for p1, p2 in tri_edges
+    ]
+    if relation == "within":
+        return "(" + " AND ".join(verts_in) + ")"
+    if relation == "contains":
+        return "(" + center_in + " AND " + " AND ".join(edge_far) + ")"
+    if relation in ("intersects", "disjoint"):
+        inter = "(" + " OR ".join(verts_in + [center_in] + edge_near) + ")"
+        return inter if relation == "intersects" else f"(NOT {inter})"
+    raise ValueError(f"unknown relation {relation!r}; use one of {RELATIONS}")
+
+
+def _shape_query(docs: DataFrame, expr: str, k: int) -> DataFrame:
+    tri = synthesize_triangles(docs)
+    cy, cx = _centroid_cols()
+    return (
+        tri.filter(F.expr(expr))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(ROUND({cy}) AS BIGINT)").alias("clat_x1e3"),
+            F.expr(f"CAST(ROUND({cx}) AS BIGINT)").alias("clon_x1e3"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def _shape_sql(expr: str, k: int) -> str:
+    cy, cx = _centroid_cols()
+    return f"""WITH {_TRI_SQL}
+SELECT doc_id, CAST(ROUND({cy}) AS BIGINT) AS clat_x1e3,
+       CAST(ROUND({cx}) AS BIGINT) AS clon_x1e3
+FROM tri WHERE {expr}
+ORDER BY doc_id LIMIT {k}"""
+
+
+def shape_polygon_topk(docs, relation, poly, k: int = 50) -> DataFrame:
+    return _shape_query(docs, polygon_relation_expr(relation, poly), k)
+
+
+def shape_polygon_sql(relation, poly, k: int = 50) -> str:
+    return _shape_sql(polygon_relation_expr(relation, poly), k)
+
+
+def shape_line_topk(docs, relation, line, k: int = 50) -> DataFrame:
+    return _shape_query(docs, line_relation_expr(relation, line), k)
+
+
+def shape_line_sql(relation, line, k: int = 50) -> str:
+    return _shape_sql(line_relation_expr(relation, line), k)
+
+
+def shape_distance_topk(docs, relation, qlat, qlon, radius_m, k: int = 50) -> DataFrame:
+    return _shape_query(
+        docs, distance_relation_expr(relation, qlat, qlon, radius_m), k
+    )
+
+
+def shape_distance_sql(relation, qlat, qlon, radius_m, k: int = 50) -> str:
+    return _shape_sql(distance_relation_expr(relation, qlat, qlon, radius_m), k)

@@ -141,3 +141,128 @@ def test_unknown_relation_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown relation"):
         shapes.relation_expr("touches", 0, 1, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# query geometries beyond the box: polygon / line / distance
+# (r4: LatLonShape.newPolygonQuery / newLineQuery / newDistanceQuery)
+# ---------------------------------------------------------------------------
+
+POLY = [(-30.0, -10.0), (40.0, -20.0), (50.0, 30.0), (5.0, 10.0),
+        (0.0, 55.0), (-45.0, 20.0)]  # concave at (5,10)
+LINE = [(-120.0, -40.0), (-60.0, 10.0), (0.0, -20.0), (60.0, 25.0)]
+
+
+def _pt_in_poly(p, poly):
+    px, py = p
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def _poly_relation(tri, poly, rel):
+    tri_edges = [(tri[i], tri[(i + 1) % 3]) for i in range(3)]
+    poly_edges = [(poly[i], poly[(i + 1) % len(poly)]) for i in range(len(poly))]
+    crossings = any(
+        _cross(p1, p2, q1, q2) for p1, p2 in tri_edges for q1, q2 in poly_edges
+    )
+    if rel == "within":
+        return all(_pt_in_poly(v, poly) for v in tri) and not crossings
+    if rel == "contains":
+        return all(_in_tri(c, tri) for c in poly)
+    inter = (
+        any(_pt_in_poly(v, poly) for v in tri)
+        or any(_in_tri(c, tri) for c in poly)
+        or crossings
+    )
+    return inter if rel == "intersects" else not inter
+
+
+def _line_relation(tri, line, rel):
+    tri_edges = [(tri[i], tri[(i + 1) % 3]) for i in range(3)]
+    segs = list(zip(line, line[1:]))
+    crossings = any(
+        _cross(p1, p2, q1, q2) for p1, p2 in tri_edges for q1, q2 in segs
+    )
+    if rel == "within":
+        return False
+    if rel == "contains":
+        return all(_in_tri(v, tri) for v in line)
+    inter = any(_in_tri(v, tri) for v in line) or crossings
+    return inter if rel == "intersects" else not inter
+
+
+@pytest.mark.parametrize("rel", ["intersects", "within", "contains", "disjoint"])
+def test_polygon_relation_matches_python_replay(spark, rel):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.shapes import shape_polygon_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = set(
+        shape_polygon_topk(docs, rel, POLY, k=10_000).toPandas()["doc_id"]
+    )
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {d for d in ids if _poly_relation(_triangle(d), POLY, rel)}
+    assert got == want, rel
+
+
+@pytest.mark.parametrize("rel", ["intersects", "contains", "disjoint", "within"])
+def test_line_relation_matches_python_replay(spark, rel):
+    from lucene_spark.search.shapes import shape_line_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = set(shape_line_topk(docs, rel, LINE, k=10_000).toPandas()["doc_id"])
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = {d for d in ids if _line_relation(_triangle(d), LINE, rel)}
+    assert got == want, rel
+
+
+def test_distance_relation_vertex_and_algebra(spark):
+    """Vertex containment is exact haversine; check INTERSECTS ⊇ WITHIN,
+    DISJOINT = complement of INTERSECTS, and WITHIN's all-vertices rule
+    against a pure-python haversine replay."""
+    import math
+
+    from lucene_spark.search.shapes import shape_distance_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qlat, qlon, r = 35.0, 10.0, 2_500_000.0
+
+    def hav(p):
+        lon, lat = p
+        a = (
+            math.sin(math.radians(lat - qlat) / 2) ** 2
+            + math.cos(math.radians(qlat))
+            * math.cos(math.radians(lat))
+            * math.sin(math.radians(lon - qlon) / 2) ** 2
+        )
+        return 2 * 6371008.7714 * math.asin(math.sqrt(a))
+
+    ids = [row["doc_id"] for row in docs.select("doc_id").collect()]
+    inter = set(
+        shape_distance_topk(docs, "intersects", qlat, qlon, r, k=10_000)
+        .toPandas()["doc_id"]
+    )
+    within = set(
+        shape_distance_topk(docs, "within", qlat, qlon, r, k=10_000)
+        .toPandas()["doc_id"]
+    )
+    disjoint = set(
+        shape_distance_topk(docs, "disjoint", qlat, qlon, r, k=10_000)
+        .toPandas()["doc_id"]
+    )
+    assert within <= inter
+    assert disjoint == set(ids) - inter
+    want_within = {
+        d for d in ids if all(hav(v) <= r for v in _triangle(d))
+    }
+    assert within == want_within
+    # every triangle with a vertex inside must intersect
+    has_vertex_in = {d for d in ids if any(hav(v) <= r for v in _triangle(d))}
+    assert has_vertex_in <= inter
