@@ -141,6 +141,29 @@ def main() -> None:
     timings = _time(bench_queries)
     extra = _time(extra_queries)
 
+    # LRUQueryCache analog (search/querycache.py): identical FILTER
+    # doc-set, cold build vs cached reuse — the warm run scans the
+    # persisted blocks instead of re-decoding postings. Timed outside
+    # _time because cold-vs-warm IS the measurement.
+    from lucene_spark.search.querycache import LRUQueryCache, cached_filter_docset
+
+    qc = LRUQueryCache(min_uses=1)
+
+    def filtered_count():
+        return cached_filter_docset(
+            reader, F, ["merge", "customer", "window"], cache=qc
+        ).count()
+
+    t = time.time()
+    filtered_count()
+    extra["x_qcache_cold"] = round(time.time() - t, 4)
+    warm_best = float("inf")
+    for _ in range(3):
+        t = time.time()
+        filtered_count()
+        warm_best = min(warm_best, time.time() - t)
+    extra["x_qcache_warm"] = round(warm_best, 4)
+
     total_query_sec = round(sum(timings.values()), 4)
     out = {
         "metric": "bm25_bench_total_query_sec",
