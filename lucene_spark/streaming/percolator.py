@@ -104,6 +104,63 @@ def _required_terms(q: Q.Query) -> set[str]:
     return set()
 
 
+def _required_term_sets(q: Q.Query, passes: int) -> list[set[str]]:
+    """Multipass presearcher fingerprint
+    (monitor/MultipassTermFilteredPresearcher.java): up to ``passes``
+    any-of term sets, EACH of which must intersect a matching doc's
+    tokens (ANDed across passes — the single-pass filter only requires
+    one). A conjunction contributes one set per child up to the pass
+    budget; a disjunction's pass-i set is the union of its children's
+    pass-i sets and exists only if EVERY child has an i-th set. An
+    empty list = always-candidate. Deviation, documented: the reference
+    rotates terms into passes by a TermWeightor (longest-term-first);
+    sets here keep structural order."""
+    if passes <= 1:
+        one = _required_terms(q)
+        return [one] if one else []
+    if isinstance(q, Q.TermQuery):
+        return [{q.term}]
+    if isinstance(q, Q.PhraseQuery):
+        return [{t} for t in q.terms[:passes]]
+    if isinstance(q, Q.NearQuery):
+        return [{q.term_a}, {q.term_b}][:passes]
+    if isinstance(q, Q.MultiPhraseQuery):
+        return [set(slot) for slot in q.slots[:passes] if slot]
+    if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+        return _required_term_sets(q.query, passes)
+    if isinstance(q, Q.BooleanQuery):
+        conj = list(q.must) + list(q.filter)
+        if conj:
+            out: list[set[str]] = []
+            for child in conj:
+                for s in _required_term_sets(q=child, passes=passes):
+                    out.append(s)
+                    if len(out) >= passes:
+                        return out
+            return out
+        if q.should:
+            child_sets = [_required_term_sets(s, passes) for s in q.should]
+            if any(not cs for cs in child_sets):
+                return []
+            depth = min(len(cs) for cs in child_sets)
+            return [
+                set().union(*(cs[i] for cs in child_sets))
+                for i in range(min(depth, passes))
+            ]
+        return []
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        child_sets = [_required_term_sets(s, passes) for s in q.queries]
+        if any(not cs for cs in child_sets):
+            return []
+        depth = min(len(cs) for cs in child_sets)
+        return [
+            set().union(*(cs[i] for cs in child_sets))
+            for i in range(min(depth, passes))
+        ]
+    one = _required_terms(q)
+    return [one] if one else []
+
+
 def _within_edits(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein <= k (the LevenshteinAutomata acceptance
     test, k <= 2 in practice so the band is tiny)."""
@@ -194,11 +251,25 @@ def _matches(q: Q.Query, toks: list[str], tokset: set[str]) -> bool:
     raise TypeError(f"unsupported standing query {type(q).__name__}")
 
 
+def _candidates(tokset, prefilter, need, always):
+    """A doc's candidate query ids: every pass set must intersect."""
+    seen: dict[str, set[int]] = {}
+    for t in tokset:
+        for qid, i in prefilter.get(t, ()):
+            seen.setdefault(qid, set()).add(i)
+    out = set(always)
+    for qid, ps in seen.items():
+        if len(ps) == need[qid]:
+            out.add(qid)
+    return out
+
+
 class Monitor:
     """Standing-query registry + batch/stream matcher."""
 
-    def __init__(self, analyzer: str = "standard"):
+    def __init__(self, analyzer: str = "standard", passes: int = 1):
         self.analyzer_name = analyzer
+        self.passes = passes
         self.queries: dict[str, Q.Query] = {}
 
     def register(self, query_id: str, q: Q.Query | str, default_field: str = "content") -> None:
@@ -209,24 +280,32 @@ class Monitor:
         self.queries[query_id] = Q.rewrite_fixpoint(q)
 
     def _presearcher(self, queries: dict):
-        """term -> candidate query ids + the always-candidate set
-        (TermFilteredPresearcher role)."""
-        prefilter: dict[str, set[str]] = {}
+        """term -> {(query_id, pass_index)} + per-query pass count +
+        the always-candidate set (TermFilteredPresearcher role; with
+        self.passes > 1 the MultipassTermFilteredPresearcher role — a
+        doc is a candidate only if its tokens hit EVERY pass set, so a
+        conjunction/phrase over k terms needs all of them present
+        instead of any one)."""
+        prefilter: dict[str, set[tuple[str, int]]] = {}
+        need: dict[str, int] = {}
         always: set[str] = set()
         for qid, q in queries.items():
-            req = _required_terms(q)
-            if not req:
+            sets = _required_term_sets(q, self.passes)
+            if not sets:
                 always.add(qid)
-            for t in req:
-                prefilter.setdefault(t, set()).add(qid)
-        return prefilter, always
+                continue
+            need[qid] = len(sets)
+            for i, ts in enumerate(sets):
+                for t in ts:
+                    prefilter.setdefault(t, set()).add((qid, i))
+        return prefilter, need, always
 
     def match_df(self, docs: DataFrame, content_col: str = "content") -> DataFrame:
         """-> (doc_id, query_id) for every (live doc, matching standing
         query) pair. Same code path for batch and streaming inputs."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, always = self._presearcher(queries)
+        prefilter, need, always = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             an = get_analyzer(analyzer_name)
@@ -235,9 +314,7 @@ class Monitor:
                 tok_series = an.tokenize(pdf[content_col])
                 for did, toks in zip(pdf["doc_id"], tok_series):
                     tokset = set(toks)
-                    cands = set(always)
-                    for t in tokset:
-                        cands |= prefilter.get(t, set())
+                    cands = _candidates(tokset, prefilter, need, always)
                     for qid in sorted(cands):
                         if _matches(queries[qid], toks, tokset):
                             rows.append((int(did), qid))
@@ -266,7 +343,7 @@ class Monitor:
         broadcast term->query map; no shuffle, no driver state."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, always = self._presearcher(queries)
+        prefilter, need, always = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lucene_spark.memory import MemoryIndex
@@ -278,9 +355,7 @@ class Monitor:
                 for did, text, toks in zip(
                     pdf["doc_id"], pdf[content_col], tok_series
                 ):
-                    cands = set(always)
-                    for t in set(toks):
-                        cands |= prefilter.get(t, set())
+                    cands = _candidates(set(toks), prefilter, need, always)
                     if not cands:
                         continue
                     mi = MemoryIndex(analyzer_name)
@@ -309,7 +384,7 @@ class Monitor:
         track offsets. -> (doc_id, query_id, term, start, end)."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, always = self._presearcher(queries)
+        prefilter, need, always = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lucene_spark.memory import MemoryIndex
@@ -321,9 +396,7 @@ class Monitor:
                 for did, text, toks in zip(
                     pdf["doc_id"], pdf[content_col], tok_series
                 ):
-                    cands = set(always)
-                    for t in set(toks):
-                        cands |= prefilter.get(t, set())
+                    cands = _candidates(set(toks), prefilter, need, always)
                     if not cands:
                         continue
                     mi = MemoryIndex(analyzer_name)

@@ -221,3 +221,100 @@ def test_highlights_matcher_spans(spark):
         assert texts[r["doc_id"]][r["start"]:r["end"]].lower() == r["term"]
     # every occurrence of each query term is reported: 'disk' twice
     assert sum(1 for r in rows if r["term"] == "disk") == 2
+
+
+# ---------------------------------------------------------------------------
+# multipass presearcher (monitor/MultipassTermFilteredPresearcher.java)
+# ---------------------------------------------------------------------------
+
+
+def test_multipass_term_sets():
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.percolator import _required_term_sets
+
+    ph = Q.PhraseQuery("content", ("foo", "bar"))
+    assert _required_term_sets(ph, 2) == [{"foo"}, {"bar"}]
+    assert _required_term_sets(ph, 1) == [{"foo"}]
+    bq = Q.BooleanQuery(
+        must=(Q.TermQuery("content", "a"), Q.TermQuery("content", "b"))
+    )
+    assert _required_term_sets(bq, 2) == [{"a"}, {"b"}]
+    # disjunction: pass-i set unions children; missing child depth stops
+    dq = Q.BooleanQuery(should=(ph, Q.PhraseQuery("content", ("x", "y"))))
+    assert _required_term_sets(dq, 2) == [{"foo", "x"}, {"bar", "y"}]
+    # pattern child forces always-candidate
+    dq2 = Q.BooleanQuery(
+        should=(Q.TermQuery("content", "a"), Q.WildcardQuery("content", "b*"))
+    )
+    assert _required_term_sets(dq2, 2) == []
+
+
+def test_multipass_prunes_candidates_keeps_matches(spark):
+    """A phrase query over two terms: single-pass admits every doc
+    containing either term; two passes admit only docs containing BOTH
+    — strictly fewer candidates, identical final matches."""
+    import pandas as pd
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.percolator import Monitor, _candidates
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "content": [
+                    "spark table scan",        # has neither pair term
+                    "fast cars on the road",   # 'fast' only
+                    "a fast table indeed",     # both, adjacent -> match
+                    "table first fast later",  # both, not adjacent
+                ],
+            }
+        )
+    )
+    q = Q.PhraseQuery("content", ("fast", "table"))
+    results = {}
+    cand_counts = {}
+    for passes in (1, 2):
+        m = Monitor(analyzer="simple", passes=passes)
+        m.register("p", q)
+        results[passes] = sorted(
+            (r["doc_id"], r["query_id"]) for r in m.match_df(docs).collect()
+        )
+        prefilter, need, always = m._presearcher(m.queries)
+        an_toks = [
+            set(t.split()) for t in [
+                "spark table scan", "fast cars on the road",
+                "a fast table indeed", "table first fast later",
+            ]
+        ]
+        cand_counts[passes] = sum(
+            len(_candidates(ts, prefilter, need, always)) for ts in an_toks
+        )
+    assert results[1] == results[2] == [(2, "p")]
+    assert cand_counts[2] < cand_counts[1]  # 2 docs vs 3 docs admitted
+
+
+def test_multipass_recall_equals_single_pass(spark, corpus):
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.percolator import Monitor
+
+    docs = spark.createDataFrame(corpus).limit(150).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "content"
+    )
+    queries = {
+        "t": Q.TermQuery("content", "return"),
+        "b": Q.BooleanQuery(
+            must=(Q.TermQuery("content", "def"), Q.TermQuery("content", "return"))
+        ),
+        "ph": Q.PhraseQuery("content", ("def", "main")),
+        "pre": Q.PrefixQuery("content", "im"),
+    }
+    outs = {}
+    for passes in (1, 3):
+        m = Monitor(analyzer="simple", passes=passes)
+        for k, v in queries.items():
+            m.register(k, v)
+        outs[passes] = sorted(
+            (r["doc_id"], r["query_id"]) for r in m.match_df(docs).collect()
+        )
+    assert outs[1] == outs[3]
