@@ -52,6 +52,13 @@ def find_merges(
         total = 0
         rest: list[dict] = []
         for s in pool:
+            if s["segment_id"].startswith("(pending merge"):
+                # an in-flight merge's output counts toward tier sizing
+                # but is NOT selectable as an input this round — the
+                # reference likewise excludes segments registered in a
+                # pending merge (TieredMergePolicy merging set)
+                rest.append(s)
+                continue
             if len(group) < max_merge_at_once and total + s["num_docs"] <= max_merged_docs:
                 group.append(s)
                 total += s["num_docs"]
@@ -267,6 +274,7 @@ def merge_round(
     max_merge_at_once: int = 10,
     max_merged_docs: int = 5_000_000,
     salt_max_docs: int = 1_000_000,
+    max_concurrent_merges: int = 4,
 ) -> int:
     """Run one merge round: apply every group find_merges picks, commit
     one new manifest generation. Returns the number of merges executed."""
@@ -316,8 +324,9 @@ def merge_round(
     dels_df = deleted_ids_df(spark, index_dir, m)
     covered_frames: list[DataFrame] = []
 
-    for gi, group in enumerate(groups):
+    def _do_group(gi: int, group: list) -> tuple:
         t0 = time.time()
+        covered = None
         new_sid = f"m{gen + 1:04d}g{gi:03d}"
         order = {
             sid: rank
@@ -350,7 +359,7 @@ def merge_round(
                     schema=f"segment_id string, {_MERGED_SCHEMA}",
                 )
             )
-            covered_frames.append(seg_dels.select("doc_id"))
+            covered = seg_dels.select("doc_id")
         # hot-term skew salting (SURVEY.md §4.2, north rule): a term whose
         # cumulative doc_freq exceeds salt_max_docs is merged as SEVERAL
         # sub-posting rows over disjoint doc ranges — the shuffle key
@@ -404,15 +413,37 @@ def merge_round(
             .collect()[0]
             .asDict()
         )
-        merges.append(
+        return (
             {
                 "batch": out_b,
                 "inputs": sorted(group),
                 "segments": [metrics],
                 "merge_sec": round(time.time() - t0, 3),
                 "status": "committed",
-            }
+            },
+            covered,
         )
+
+
+    # ConcurrentMergeScheduler role (core/index/ConcurrentMergeScheduler
+    # .java): the round's merge groups are independent (disjoint input
+    # segments, distinct output batch dirs), so they run as CONCURRENT
+    # Spark jobs from a driver thread pool — the cluster scheduler
+    # interleaves their stages across executors instead of draining one
+    # merge's tail tasks at a time. Results are consumed in group order,
+    # so the manifest is byte-identical to the sequential schedule.
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(max_concurrent_merges, len(groups)))
+    if workers == 1:
+        results = [_do_group(gi, g) for gi, g in enumerate(groups)]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            results = list(ex.map(_do_group, range(len(groups)), groups))
+    for rec, covered in results:
+        merges.append(rec)
+        if covered is not None:
+            covered_frames.append(covered)
 
     out = dict(m)
     out.pop("generation", None)

@@ -194,3 +194,42 @@ def test_merge_with_100k_tombstones_stays_distributed(spark, corpus, tmp_path):
     # sql64 query path handles the large delete set and excludes odd ids
     hits = sp.bool_bm25_topk(r1, "content", must=["def"], k=50).collect()
     assert hits and all(r["doc_id"] % 2 == 0 for r in hits)
+
+
+def test_concurrent_merge_schedule_matches_sequential(spark, tmp_path):
+    """ConcurrentMergeScheduler role: a round's groups run as concurrent
+    driver-thread jobs; the committed manifest and search results must
+    be identical to the sequential schedule."""
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_round
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    from lucene_spark.fixtures import generate_source_files
+
+    corpus = generate_source_files(600, seed=11)
+    outs = {}
+    for tag, workers in [("seq", 1), ("conc", 4)]:
+        idx = str(tmp_path / f"cm_{tag}")
+        build_index(
+            spark,
+            spark.createDataFrame(corpus),
+            idx,
+            IndexConfig(docs_per_segment=50, num_batches=1),
+        )
+        n = merge_round(
+            spark, idx, segs_per_tier=2, max_merge_at_once=4,
+            max_concurrent_merges=workers,
+        )
+        assert n >= 2  # multiple groups in the round
+        m = mani.read_manifest(idx)
+        r = IndexReader(spark, idx)
+        top = sp.bool_bm25_topk(r, "content", must=["return"], k=20).collect()
+        outs[tag] = (
+            [(mg["inputs"], mg["segments"][0]["num_docs"]) for mg in m["merges"]],
+            [(row["doc_id"], row["score_x1e6"]) for row in top],
+        )
+    assert outs["seq"] == outs["conc"]
