@@ -896,9 +896,7 @@ def connected_components(
     edges = _symmetrize(
         pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
     ).localCheckpoint(eager=True)
-    all_nodes = (
-        edges.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
-    )
+    edges0 = edges  # the node universe is read off the ORIGINAL edges
     pairs.unpersist()
     rounds = 0
     for _ in range(max_iter):
@@ -907,11 +905,17 @@ def connected_components(
         mins = edges.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # lazily persisted, not checkpointed: it is consumed three
+        # times inside `new`'s plan, so the cache fills during new's
+        # single materialization job — one Spark action per half-round
+        # pair instead of two (round overhead, not shuffle count, is
+        # what the toy-scale bench sees; the shuffle shape at 100 TB
+        # is identical either way)
         large = _symmetrize(
             edges.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        ).localCheckpoint(eager=True)
+        ).persist()
         # ---- small-star: u and its smaller neighbors re-linked to
         # their min (rows with b<=a are exactly the <=-neighborhood)
         small_side = large.filter(F.col("b") < F.col("a"))
@@ -923,14 +927,17 @@ def connected_components(
         new = _symmetrize(
             relink.unionByName(self_link).filter(F.col("a") != F.col("b"))
         ).localCheckpoint(eager=True)
-        # ---- fixed point? (set equality via two anti-joins)
-        if (
-            new.join(edges, ["a", "b"], "left_anti").isEmpty()
-            and edges.join(new, ["a", "b"], "left_anti").isEmpty()
-        ):
-            edges = new
-            break
+        large.unpersist()
+        # ---- fixed point? (set equality — ONE action: the union of
+        # both anti-join directions is empty iff the sets are equal)
+        converged = (
+            new.join(edges, ["a", "b"], "left_anti")
+            .unionByName(edges.join(new, ["a", "b"], "left_anti"))
+            .isEmpty()
+        )
         edges = new
+        if converged:
+            break
     if stats is not None:
         stats["rounds"] = rounds
     # converged: stars centered at component minima — comp(u) =
@@ -940,6 +947,7 @@ def connected_components(
     labels = edges.groupBy(F.col("a").alias("node")).agg(
         F.least(F.min("b"), F.first("a")).alias("comp")
     )
+    all_nodes = edges0.select(F.col("a").alias("node")).distinct()
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )

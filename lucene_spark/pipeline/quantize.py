@@ -128,17 +128,18 @@ def sq_cosine_topk(
     qd = quantize_query(_query_vec(emb, query_id), lo, hi)
     dims = len(qd)
     q = sq_quantize(emb, lo, hi)
+    # one SQL string, not a 3x dims py4j Column tree — see
+    # similarity._unrolled_cos_sql for why (plan-construction cost)
+    from lucene_spark.pipeline.similarity import _dlit
+
     deq = [
-        F.lit(lo) + F.element_at(F.col("qvec"), i + 1).cast("double") * F.lit(scale)
+        f"({_dlit(lo)} + CAST(element_at(qvec, {i + 1}) AS DOUBLE) * {_dlit(scale)})"
         for i in range(dims)
     ]
     nq = math.sqrt(sum(x * x for x in qd))
-    dot = deq[0] * F.lit(qd[0])
-    sq2 = deq[0] * deq[0]
-    for i in range(1, dims):
-        dot = dot + deq[i] * F.lit(qd[i])
-        sq2 = sq2 + deq[i] * deq[i]
-    cos = dot / (F.sqrt(sq2) * F.lit(nq))
+    dot = " + ".join(f"{d} * {_dlit(x)}" for d, x in zip(deq, qd))
+    sq2 = " + ".join(f"{d} * {d}" for d in deq)
+    cos = F.expr(f"({dot}) / (SQRT({sq2}) * {_dlit(nq)})")
     return (
         q.filter(F.col("vec_id") != query_id)
         .select("vec_id", F.round(cos * 1e6).cast("long").alias("cos_x1e6"))

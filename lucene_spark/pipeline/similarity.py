@@ -43,33 +43,49 @@ def _query_vec(emb: DataFrame, query_id: int) -> list[float]:
     return [float(x) for x in row[0]]
 
 
-def cosine_lit_col(vec_col: Column, qv: list[float]) -> Column:
-    """cosine(vec_col, literal query vector) as a whole-stage-codegen
+def _dlit(x: float) -> str:
+    """Shortest-roundtrip SQL double literal. repr() of a Python float
+    is the shortest decimal that parses back to the same IEEE-754
+    double, and Spark's literal parser does correctly-rounded decimal
+    -> double, so the JVM sees bit-identical values."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite component {v!r}")
+    return f"{v!r}D" if v >= 0 else f"(-{-v!r}D)"
+
+
+def _unrolled_cos_sql(vec_sql: str, qv: list[float]) -> str:
+    """The cosine-vs-literal expression as ONE SQL string. Semantics
+    (element_at chains, left-associated adds in ascending index order)
+    are identical to building the same tree with Column operators —
+    the string form exists because constructing a 3x128-node tree
+    through py4j costs ~0.4 s of driver time PER PLAN, while parsing
+    one expression string is one JVM call."""
+    els = [f"CAST(element_at({vec_sql}, {i + 1}) AS DOUBLE)" for i in range(len(qv))]
+    nq = math.sqrt(sum(float(x) * float(x) for x in qv))
+    dot = " + ".join(f"{e} * {_dlit(q)}" for e, q in zip(els, qv))
+    sq = " + ".join(f"{e} * {e}" for e in els)
+    return f"({dot}) / (SQRT({sq}) * {_dlit(nq)})"
+
+
+def cosine_lit_col(vec_sql: str, qv: list[float]) -> Column:
+    """cosine(vec column, literal query vector) as a whole-stage-codegen
     Column. Higher-order functions (zip_with / aggregate / transform)
     are CodegenFallback expressions in Spark — any projection that
     contains one runs interpreted — so the dot product and the row
     norm are unrolled into element_at chains. The adds are
     left-associated in ascending index order, the exact accumulation
     order of aggregate(acc + x), so the doubles are bit-identical to
-    the HOF formulation this replaces."""
-    nq = math.sqrt(sum(float(x) * float(x) for x in qv))
-    els = [
-        F.element_at(vec_col, i + 1).cast("double") for i in range(len(qv))
-    ]
-    dot = els[0] * F.lit(float(qv[0]))
-    for i in range(1, len(qv)):
-        dot = dot + els[i] * F.lit(float(qv[i]))
-    sq = els[0] * els[0]
-    for e in els[1:]:
-        sq = sq + e * e
-    return dot / (F.sqrt(sq) * F.lit(nq))
+    the HOF formulation this replaces. ``vec_sql`` is a SQL fragment
+    naming the vector column (e.g. ``"embedding"``)."""
+    return F.expr(_unrolled_cos_sql(vec_sql, qv))
 
 
 def cosine_topk(emb: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """Exact brute-force cosine top-k for the row with vec_id=query_id
     (self excluded). -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
     qv = _query_vec(emb, query_id)
-    cos = cosine_lit_col(F.col("embedding"), qv)
+    cos = cosine_lit_col("embedding", qv)
     return (
         emb.filter(F.col("vec_id") != query_id)
         .select("vec_id", F.round(cos * 1e6).cast("long").alias("cos_x1e6"))
@@ -200,22 +216,24 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
-def _cos_cols(vcol: Column, ccol: Column, dims: int | None = None) -> Column:
-    """cosine(vcol, ccol). With ``dims`` the expression is unrolled
-    into element_at chains (same accumulation order) so it stays
-    inside whole-stage codegen; without it the HOF form is kept for
-    variable-length arrays."""
-    if dims is not None:
-        ve = [F.element_at(vcol, i + 1).cast("double") for i in range(dims)]
-        ce = [F.element_at(ccol, i + 1).cast("double") for i in range(dims)]
-        dot = ve[0] * ce[0]
-        na2 = ve[0] * ve[0]
-        nb2 = ce[0] * ce[0]
-        for i in range(1, dims):
-            dot = dot + ve[i] * ce[i]
-            na2 = na2 + ve[i] * ve[i]
-            nb2 = nb2 + ce[i] * ce[i]
-        return dot / (F.sqrt(na2) * F.sqrt(nb2))
+def _cos_sql(vsql: str, csql: str, dims: int) -> Column:
+    """cosine(two runtime vector columns named by SQL fragments),
+    unrolled into element_at chains (same accumulation order as the
+    HOF form) so it stays inside whole-stage codegen. Built as ONE
+    expression string for the same plan-construction-cost reason as
+    _unrolled_cos_sql."""
+    ve = [f"CAST(element_at({vsql}, {i + 1}) AS DOUBLE)" for i in range(dims)]
+    ce = [f"CAST(element_at({csql}, {i + 1}) AS DOUBLE)" for i in range(dims)]
+    dot = " + ".join(f"{a} * {b}" for a, b in zip(ve, ce))
+    na2 = " + ".join(f"{a} * {a}" for a in ve)
+    nb2 = " + ".join(f"{b} * {b}" for b in ce)
+    return F.expr(f"({dot}) / (SQRT({na2}) * SQRT({nb2}))")
+
+
+def _cos_cols(vcol: Column, ccol: Column) -> Column:
+    """cosine(vcol, ccol) in higher-order-function form — kept for
+    variable-length arrays / tiny inputs where interpreted eval is
+    fine (e.g. the n_centroids-row probe scan)."""
     dot = F.aggregate(
         F.zip_with(vcol, ccol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -243,9 +261,12 @@ def ivf_assign(
     pairs = emb.select("vec_id", _emb_double().alias("v")).crossJoin(
         F.broadcast(cents.select("cid", F.col("cvec").cast("array<double>").alias("c")))
     )
-    scored = pairs.select(
-        "vec_id", "cid", _cos_cols(F.col("v"), F.col("c"), dims).alias("cos")
+    cos = (
+        _cos_sql("v", "c", dims)
+        if dims is not None
+        else _cos_cols(F.col("v"), F.col("c"))
     )
+    scored = pairs.select("vec_id", "cid", cos.alias("cos"))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -331,11 +352,10 @@ def ann_ivf_topk(
         else ivf_centroids(emb, n_centroids)
     )
     assign = ivf_assign(emb, cents, dims)
-    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
     probe = (
         cents.select(
             "cid",
-            _cos_cols(F.col("cvec").cast("array<double>"), q).alias("cos"),
+            cosine_lit_col("CAST(cvec AS ARRAY<DOUBLE>)", qv).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("cid").asc())
         .limit(n_probe)
@@ -475,11 +495,10 @@ def ann_filtered_topk(
     m = femb.filter(F.col("vec_id") != query_id).count()
     cents = ivf_centroids(emb, n_centroids)
     assign = ivf_assign(emb, cents, dims)
-    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
     probe = (
         cents.select(
             "cid",
-            _cos_cols(F.col("cvec").cast("array<double>"), q, dims).alias("cos"),
+            cosine_lit_col("CAST(cvec AS ARRAY<DOUBLE>)", qv).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("cid").asc())
         .limit(n_probe)

@@ -972,7 +972,7 @@ def vector_similarity_score_topk(
         float(x)
         for x in emb.filter(F.col("vec_id") == query_id).head()["embedding"]
     ]
-    cos_x1e6 = F.round(cosine_lit_col(F.col("embedding"), qv) * 1e6).cast("long")
+    cos_x1e6 = F.round(cosine_lit_col("embedding", qv) * 1e6).cast("long")
     j = scored.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )

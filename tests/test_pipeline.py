@@ -544,3 +544,50 @@ def test_ann_graph_default_routes_to_hnsw(spark):
         .toPandas()["vec_id"]
     )
     assert len(exact & got) / 10 >= 0.9
+
+
+def test_unrolled_cosine_bit_identical_to_hof_and_codegen(spark):
+    """The string-built unrolled cosine (one F.expr parse — plan
+    construction in O(1) py4j calls) must be bit-identical to the
+    higher-order-function formulation it replaced, and the scoring
+    projection must sit inside whole-stage codegen (the HOF form is a
+    CodegenFallback expression and forced interpreted eval)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.similarity import _query_vec, cosine_lit_col
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = _query_vec(emb, 0)
+
+    def hof(vec_col):
+        import math
+
+        nq = math.sqrt(sum(float(x) * float(x) for x in qv))
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col.cast("array<double>"), q, lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sq = F.aggregate(
+            F.transform(vec_col.cast("array<double>"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (F.sqrt(sq) * F.lit(nq))
+
+    a = (
+        emb.select("vec_id", hof(F.col("embedding")).alias("c"))
+        .toPandas()
+        .sort_values("vec_id")["c"]
+        .to_numpy()
+    )
+    df = emb.select("vec_id", cosine_lit_col("embedding", qv).alias("c"))
+    b = df.toPandas().sort_values("vec_id")["c"].to_numpy()
+    assert (a == b).all()
+
+    # "*(n) Project" = the projection is inside a WholeStageCodegen stage
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1) Project" in plan, plan.splitlines()[0]
