@@ -74,6 +74,28 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+def ensure_points_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the z-order points index over the events table
+    (BKD-analog, SURVEY §2.1 Points sink): dims (user_id, value)."""
+    import json as _json
+
+    from lucene_spark.index import points as pts
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_pts_{tag}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    try:
+        with open(f"{idx}/_bkd_meta.json") as f:
+            if _json.load(f).get("rows") == n:
+                return idx
+    except FileNotFoundError:
+        pass
+    pts.bkd_write(ev, ["user_id", "value"], idx, num_files=8)
+    return idx
+
+
 def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Multi-field index over documents: primary `text` + keyword field
     `lang_kw` from the lang column (KeywordField shape, SURVEY §1.2)."""
@@ -1456,7 +1478,18 @@ def gate_queries() -> dict[str, object]:
         multi = sp.multi_range_topk(
             r, "n_chars", [(50, 90), (300, 350)], k=20
         )
-        return _union([("range", single), ("multi", multi)])
+        # BKD analog: 2-D box over the z-order-clustered points index
+        # (file-manifest inner nodes + row-group-stats leaves)
+        from lucene_spark.index.points import bkd_range_query
+
+        bkd = bkd_range_query(
+            spark,
+            ensure_points_index(spark, sf),
+            {"user_id": (3, 7), "value": (20.0, 120.0)},
+            id_col="event_id",
+            k=20,
+        )
+        return _union([("range", single), ("multi", multi), ("bkd", bkd)])
 
     def q_field_exists(spark, sf):
         # FieldExistsQuery via norms: docs with >= 1 indexed token
@@ -2294,9 +2327,13 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
             "FROM documents WHERE n_chars BETWEEN 100 AND 200 ORDER BY doc_id LIMIT 20), "
             "t_multi AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
             "FROM documents WHERE n_chars BETWEEN 50 AND 90 OR n_chars BETWEEN 300 AND 350 "
+            "ORDER BY doc_id LIMIT 20), "
+            "t_bkd AS (SELECT event_id AS doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
+            "FROM events WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 20.0 AND 120.0 "
             "ORDER BY doc_id LIMIT 20) "
             "SELECT 'range' AS tag, * FROM t_range "
-            "UNION ALL SELECT 'multi' AS tag, * FROM t_multi"
+            "UNION ALL SELECT 'multi' AS tag, * FROM t_multi "
+            "UNION ALL SELECT 'bkd' AS tag, * FROM t_bkd"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
