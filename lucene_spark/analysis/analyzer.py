@@ -10,21 +10,15 @@ Reference semantics (SURVEY.md §2.2):
 - LowerCaseFilter = per-codepoint Character.toLowerCase
   (lucene/core/src/java/org/apache/lucene/analysis/LowerCaseFilter.java:23,38).
 
-The tokenizer here is a regex approximation of the UAX#29 word-break rules
-covering the classes exercised by the test corpus (FIXTURES.md):
+StandardAnalyzer's tokenizer is the EXACT UAX#29 word-break scanner in
+analysis/uax29.py (jflex-grammar parity, differentially verified
+against the reference's generated scanner — see that module's header
+for the one documented skew: Unicode version floats with the installed
+UCD, the reference pins 12.1). Pure-ASCII rows take a proven-identical
+stdlib-re fast path so the index build hot loop stays regex-cheap.
 
-- ALPHANUM runs: unicode letters/digits/underscore (ExtendNumLet `_` joins);
-- MidNum: `.`/`,` joins when BOTH neighbours are digits (`3.14`, `v1.2.3`);
-- MidLetter/MidNumLet: `'`/`’` joins when both neighbours are letters
-  (`don't`);
-- Han and Hiragana emit one token per character; Katakana and Hangul emit
-  runs — matching StandardTokenizer token types IDEOGRAPHIC/HIRAGANA vs
-  KATAKANA/HANGUL (StandardTokenizer.java:43-80).
-
-Known deviations (documented, excluded from fixtures): emoji sequences and
-exotic scripts fall back to letter-run behaviour; Python's str.lower()
-differs from Java Character.toLowerCase for a handful of codepoints
-(e.g. U+0130).
+Known deviations (documented): Python's str.lower() differs from Java
+Character.toLowerCase for a handful of codepoints (e.g. U+0130).
 
 Everything operates on pandas Series (one call per Arrow batch; no
 per-row Python UDF dispatch), per BASELINE.json input_hint.
@@ -37,25 +31,9 @@ from typing import Callable
 
 import pandas as pd
 
+from lucene_spark.analysis import uax29
+
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:37
-
-_HAN = "㐀-䶿一-鿿豈-﫿"
-_HIRA = "ぁ-ゖゝ-ゟ"
-_KATA = "ァ-ヺー-ヿㇰ-ㇿ"
-_HANGUL = "가-힯ᄀ-ᇿ㄰-㆏"
-_CJK = _HAN + _HIRA + _KATA + _HANGUL
-# unicode letters excluding CJK classes above ([^\W\d_] == unicode letter)
-_LETTER = rf"[^\W\d_{_CJK}]"
-_WORDCHAR = rf"(?:[\d_]|{_LETTER})"
-
-_STANDARD_PATTERN = re.compile(
-    rf"[{_HAN}]"  # Han: one token per ideograph
-    rf"|[{_HIRA}]"  # Hiragana: one token per char
-    rf"|[{_KATA}]+"  # Katakana: runs
-    rf"|[{_HANGUL}]+"  # Hangul: runs
-    rf"|(?:{_WORDCHAR}|(?<=\d)[.,](?=\d)|(?<={_LETTER})['’](?={_LETTER}))+",
-    re.UNICODE,
-)
 
 _SIMPLE_PATTERN = re.compile(r"[a-z0-9]+")
 _WS_PATTERN = re.compile(r"\S+")
@@ -140,7 +118,8 @@ class Analyzer:
 
 
 class StandardAnalyzer(Analyzer):
-    """UAX#29-ish word break -> lowercase -> empty stop set."""
+    """Exact UAX#29 word break (uax29.scan) -> lowercase -> empty stop
+    set; ASCII rows take the proven-identical stdlib-re fast path."""
 
     name = "standard"
 
@@ -152,7 +131,10 @@ class StandardAnalyzer(Analyzer):
         # Tokenize FIRST, lowercase after — LowerCaseFilter runs downstream
         # of StandardTokenizer (StandardAnalyzer.java:93-95), and max-length
         # chopping happens in the tokenizer (pre-lowercase).
-        toks = _STANDARD_PATTERN.findall(text)
+        if text.isascii():
+            toks = uax29.tokenize_ascii(text)  # identical, ~17x faster
+        else:
+            toks = uax29.tokenize(text)
         toks = _chop(toks, self.max_token_length)
         toks = [t.lower() for t in toks]
         if self.stopwords:
@@ -164,19 +146,24 @@ class StandardAnalyzer(Analyzer):
         # per token (length-preserving for the corpus's scripts — the
         # handful of expanding codepoints like U+0130 are in the
         # documented deviations)
+        if text.isascii():
+            spans = [
+                (m.start(), m.end()) for m in uax29.ASCII_WORD_RE.finditer(text)
+            ]
+        else:
+            spans = [(s, e) for s, e, _ in uax29.scan(text)]
         toks: list[str] = []
         starts: list[int] = []
         ends: list[int] = []
-        for m in _STANDARD_PATTERN.finditer(text):
-            raw = m.group(0)
-            for i in range(0, len(raw), self.max_token_length):
-                part = raw[i : i + self.max_token_length]
-                low = part.lower()
+        for s, e in spans:
+            for i in range(s, e, self.max_token_length):
+                j = min(i + self.max_token_length, e)
+                low = text[i:j].lower()
                 if self.stopwords and low in self.stopwords:
                     continue
                 toks.append(low)
-                starts.append(m.start() + i)
-                ends.append(m.start() + i + len(part))
+                starts.append(i)
+                ends.append(j)
         return toks, starts, ends
 
 

@@ -13,8 +13,10 @@ GOLDEN = [
     ("snake_case_name mixedCase", ["snake_case_name", "mixedcase"]),
     # digits with dots/commas join (MidNum)
     ("pi is 3.14 and v1.2.3 released; 1,000 items", ["pi", "is", "3.14", "and", "v1.2.3", "released", "1,000", "items"]),
-    # dot between letters splits
-    ("foo.bar baz.qux", ["foo", "bar", "baz", "qux"]),
+    # dot between letters JOINS (UAX#29 WB6/WB7: '.' is MidNumLet; the
+    # reference emits example.com as one token — differentially verified)
+    ("foo.bar baz.qux", ["foo.bar", "baz.qux"]),
+    ("visit example.com: it's a:b", ["visit", "example.com", "it's", "a:b"]),
     # apostrophe joins letters
     ("don't stop", ["don't", "stop"]),
     # punctuation runs
