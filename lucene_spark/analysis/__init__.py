@@ -34,6 +34,20 @@ from lucene_spark.analysis.graph import (  # noqa: F401  (registers
     flatten_graph,
     graph_paths,
 )
+from lucene_spark.analysis.misc import (  # noqa: F401  (registers
+    ApostropheFilter,  # turkish/french_elision/scandinavian analyzers)
+    CommonGramsFilter,
+    CommonGramsQueryFilter,
+    DecimalDigitFilter,
+    ElisionFilter,
+    FingerprintFilter,
+    GermanNormalizationFilter,
+    HyphenatedWordsFilter,
+    KeepWordFilter,
+    ScandinavianFoldingFilter,
+    ScandinavianNormalizationFilter,
+    TurkishLowerCaseFilter,
+)
 from lucene_spark.analysis.extras import (  # noqa: F401  (registers
     CapitalizationFilter,  # keyword/ngram/html_standard analyzers)
     CharFilter,

@@ -1,0 +1,280 @@
+"""Filter pack 3 goldens — every vector transcribed from the
+reference's own test suite (file cites in lucene_spark/analysis/misc.py
+docstring):
+
+- TestScandinavianNormalizationFilter.java / TestScandinavianFoldingFilter.java
+- TestGermanNormalizationFilter.java
+- TestTurkishLowerCaseFilter.java / TestApostropheFilter.java
+- TestElision.java, TestDecimalDigitFilter.java
+- TestCommonGramsFilter.java (both index- and query-side full s/n grid)
+- TestFingerprintFilter.java, TestHyphenatedWordsFilter.java,
+  TestKeepWordFilter.java
+"""
+
+import pytest
+
+from lucene_spark.analysis.misc import (
+    ApostropheFilter,
+    CommonGramsFilter,
+    CommonGramsQueryFilter,
+    DecimalDigitFilter,
+    ElisionFilter,
+    FingerprintFilter,
+    GermanNormalizationFilter,
+    HyphenatedWordsFilter,
+    KeepWordFilter,
+    ScandinavianFoldingFilter,
+    ScandinavianNormalizationFilter,
+    TurkishLowerCaseFilter,
+    german_normalize,
+    scandinavian_fold,
+    scandinavian_normalize,
+    turkish_lower,
+)
+from lucene_spark.analysis import get_analyzer
+
+
+# --- ScandinavianNormalization (TestScandinavianNormalizationFilter.java) ---
+
+SCAN_NORM = [
+    ("aeäaeeea", "æææeea"),
+    ("aeäaeeeae", "æææeeæ"),
+    ("aeaeeeae", "ææeeæ"),
+    ("bøen", "bøen"),
+    ("bOEen", "bØen"),
+    ("åene", "åene"),
+    ("blåbærsyltetøj", "blåbærsyltetøj"),
+    ("blaabaersyltetöj", "blåbærsyltetøj"),
+    ("räksmörgås", "ræksmørgås"),
+    ("raeksmörgaos", "ræksmørgås"),
+    ("raeksmörgaas", "ræksmørgås"),
+    ("raeksmoergås", "ræksmørgås"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "å"), ("aa", "å"), ("aA", "å"), ("ao", "å"), ("aO", "å"),
+    ("AA", "Å"), ("Aa", "Å"), ("Ao", "Å"), ("AO", "Å"),
+    ("æ", "æ"), ("ä", "æ"), ("Æ", "Æ"), ("Ä", "Æ"),
+    ("ae", "æ"), ("aE", "æ"), ("Ae", "Æ"), ("AE", "Æ"),
+    ("ö", "ø"), ("ø", "ø"), ("Ö", "Ø"), ("Ø", "Ø"),
+    ("oo", "ø"), ("oe", "ø"), ("oO", "ø"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", SCAN_NORM)
+def test_scandinavian_normalize(inp, exp):
+    assert scandinavian_normalize(inp) == exp
+    assert ScandinavianNormalizationFilter().apply([inp]) == [exp]
+
+
+def test_scandinavian_normalize_folding_subset():
+    # Norwegian profile drops the AO/OO foldings: "ao" stays "ao"
+    assert scandinavian_normalize("ao", frozenset({"AA", "AE", "OE"})) == "ao"
+    assert scandinavian_normalize("aa", frozenset({"AA", "AE", "OE"})) == "å"
+    with pytest.raises(ValueError):
+        ScandinavianNormalizationFilter(frozenset({"XX"}))
+
+
+# --- ScandinavianFolding (TestScandinavianFoldingFilter.java) ---
+
+SCAN_FOLD = [
+    ("aeäaeeea", "aaaeea"),
+    ("aeäaeeeae", "aaaeea"),
+    ("aeaeeeae", "aaeea"),
+    ("bøen", "boen"),
+    ("åene", "aene"),
+    ("blåbærsyltetøj", "blabarsyltetoj"),
+    ("blaabaarsyltetoej", "blabarsyltetoj"),
+    ("blåbärsyltetöj", "blabarsyltetoj"),
+    ("raksmorgas", "raksmorgas"),
+    ("räksmörgås", "raksmorgas"),
+    ("ræksmørgås", "raksmorgas"),
+    ("raeksmoergaas", "raksmorgas"),
+    ("ræksmörgaos", "raksmorgas"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "a"), ("aa", "a"), ("aA", "a"), ("ao", "a"), ("aO", "a"),
+    ("AA", "A"), ("Aa", "A"), ("Ao", "A"), ("AO", "A"),
+    ("æ", "a"), ("ä", "a"), ("Æ", "A"), ("Ä", "A"),
+    ("ae", "a"), ("aE", "a"), ("Ae", "A"), ("AE", "A"),
+    ("ö", "o"), ("ø", "o"), ("Ö", "O"), ("Ø", "O"),
+    ("oo", "o"), ("oe", "o"),
+]
+
+
+@pytest.mark.parametrize("inp,exp", SCAN_FOLD)
+def test_scandinavian_fold(inp, exp):
+    assert scandinavian_fold(inp) == exp
+    assert ScandinavianFoldingFilter().apply([inp]) == [exp]
+
+
+# --- GermanNormalization (TestGermanNormalizationFilter.java) ---
+
+GERMAN = [
+    ("Schaltflächen", "Schaltflachen"),
+    ("Schaltflaechen", "Schaltflachen"),
+    ("dauer", "dauer"),
+    ("weißbier", "weissbier"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,exp", GERMAN)
+def test_german_normalize(inp, exp):
+    assert german_normalize(inp) == exp
+    assert GermanNormalizationFilter().apply([inp]) == [exp]
+
+
+def test_german_normalize_ue_rule():
+    # 'e' deleted only in U state: "ue" -> "u", but "aue"/"eue" keep it
+    assert german_normalize("mueller") == "muller"
+    assert german_normalize("bauer") == "bauer"
+
+
+# --- TurkishLowerCase (TestTurkishLowerCaseFilter.java) ---
+
+TURKISH = [
+    # composed / decomposed forms from TestTurkishLowerCaseFilter.java
+    ("\u0130STANBUL", "istanbul"),
+    ("\u0130ZM\u0130R", "izmir"),
+    ("ISPARTA", "\u0131sparta"),
+    ("\u0049\u0307STANBUL", "istanbul"),
+    ("\u0049\u0307ZM\u0049\u0307R", "izmir"),
+    # another combining mark between I and the dot (testDecomposed2)
+    ("\u0049\u0316\u0307STANBUL", "i\u0316stanbul"),
+    ("I\u0316SPARTA", "\u0131\u0316sparta"),
+    ("\u0049\u0307", "i"),
+    ("\u0130", "i"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("inp,exp", TURKISH)
+def test_turkish_lower(inp, exp):
+    assert turkish_lower(inp) == exp
+    assert TurkishLowerCaseFilter().apply([inp]) == [exp]
+
+
+def test_apostrophe_filter():
+    # TestApostropheFilter.java: lowercase then apostrophe-strip
+    toks = ["Türkiye'de", "2003'te", "Van", "Gölü'nü", "gördüm"]
+    toks = TurkishLowerCaseFilter().apply(toks)
+    toks = ApostropheFilter().apply(toks)
+    assert toks == ["türkiye", "2003", "van", "gölü", "gördüm"]
+
+
+def test_turkish_registered_analyzer():
+    # TurkishAnalyzer.java order: tokenize -> apostrophe -> turkish lower
+    a = get_analyzer("turkish")
+    assert a.tokenize_one("İSTANBUL'da IŞIK") == ["istanbul", "ışık"]
+
+
+# --- Elision (TestElision.java) ---
+
+def test_elision():
+    toks = ["Plop", "juste", "pour", "voir", "l'embrouille", "avec",
+            "O'brian", "M'enfin"]
+    out = ElisionFilter(frozenset({"l", "M"})).apply(toks)
+    assert out[4] == "embrouille"
+    assert out[6] == "O'brian"
+    assert out[7] == "enfin"
+
+
+def test_elision_default_articles_typographic():
+    out = ElisionFilter().apply(["l’avion", "qu'il", "xyz'abc"])
+    assert out == ["avion", "il", "xyz'abc"]
+
+
+# --- DecimalDigit (TestDecimalDigitFilter.java) ---
+
+def test_decimal_digit():
+    assert DecimalDigitFilter().apply(["١٢٣٤"]) == ["1234"]  # arabic-indic
+    assert DecimalDigitFilter().apply(["๑๒๓"]) == ["123"]    # thai
+    assert DecimalDigitFilter().apply(["abc123"]) == ["abc123"]
+    # supplementary-plane digits shrink (OSMANYA DIGIT ONE U+104A1)
+    assert DecimalDigitFilter().apply(["\U000104A1"]) == ["1"]
+
+
+# --- CommonGrams (TestCommonGramsFilter.java, common = of/the/s) ---
+
+COMMON = frozenset({"of", "the", "s"})
+
+CG_INDEX = [
+    ("the", ["the"]),
+    ("foo", ["foo"]),
+    ("brown fox", ["brown", "fox"]),
+    ("the fox", ["the", "the_fox", "fox"]),
+    ("fox of", ["fox", "fox_of", "of"]),
+    ("of the", ["of", "of_the", "the"]),
+    ("quick brown fox", ["quick", "brown", "fox"]),
+    ("quick brown the", ["quick", "brown", "brown_the", "the"]),
+    ("quick the fox", ["quick", "quick_the", "the", "the_fox", "fox"]),
+    ("fox of the", ["fox", "fox_of", "of", "of_the", "the"]),
+    ("the quick brown", ["the", "the_quick", "quick", "brown"]),
+    ("the fox of", ["the", "the_fox", "fox", "fox_of", "of"]),
+    ("of the fox", ["of", "of_the", "the", "the_fox", "fox"]),
+    ("of the of", ["of", "of_the", "the", "the_of", "of"]),
+]
+
+
+@pytest.mark.parametrize("inp,exp", CG_INDEX)
+def test_common_grams_index(inp, exp):
+    assert CommonGramsFilter(COMMON).apply(inp.split()) == exp
+
+
+CG_QUERY = [
+    ("brown fox", ["brown", "fox"]),
+    ("the fox", ["the_fox"]),
+    ("fox of", ["fox_of"]),
+    ("of the", ["of_the"]),
+    ("the", ["the"]),
+    ("foo", ["foo"]),
+    ("quick brown fox", ["quick", "brown", "fox"]),
+    ("quick brown the", ["quick", "brown_the"]),
+    ("quick the brown", ["quick_the", "the_brown"]),
+    ("fox of the", ["fox_of", "of_the"]),
+    ("the quick brown", ["the_quick", "quick", "brown"]),
+    ("the fox of", ["the_fox", "fox_of"]),
+    ("of the fox", ["of_the", "the_fox"]),
+    ("of the of", ["of_the", "the_of"]),
+]
+
+
+@pytest.mark.parametrize("inp,exp", CG_QUERY)
+def test_common_grams_query(inp, exp):
+    assert CommonGramsQueryFilter(COMMON).apply(inp.split()) == exp
+
+
+# --- Fingerprint (TestFingerprintFilter.java) ---
+
+def test_fingerprint():
+    f = FingerprintFilter()
+    assert f.apply("B A B E".split()) == ["A B E"]
+    assert f.apply(["B2", "B2"]) == ["B2"]
+    assert f.apply(["A1"]) == ["A1"]
+    assert f.apply([]) == []
+    assert FingerprintFilter(4).apply("B2 A1 C3 D4 E5 F6 G7 H1".split()) == []
+    assert FingerprintFilter(separator="_").apply(
+        "B2 A1 C3 B2".split()) == ["A1_B2_C3"]
+
+
+# --- HyphenatedWords (TestHyphenatedWordsFilter.java) ---
+
+def test_hyphenated_words():
+    f = HyphenatedWordsFilter()
+    toks = "ecologi- cal devel- op compre- hensive-hands-on and ecologi- cal".split()
+    assert f.apply(toks) == [
+        "ecological", "develop", "comprehensive-hands-on", "and", "ecological"
+    ]
+    toks = "ecologi- cal devel- op compre- hensive-hands-on and ecology-".split()
+    assert f.apply(toks) == [
+        "ecological", "develop", "comprehensive-hands-on", "and", "ecology-"
+    ]
+    assert f.apply("abc- def geh 1234- 5678-".split()) == [
+        "abcdef", "geh", "12345678-"
+    ]
+
+
+# --- KeepWord (TestKeepWordFilter.java) ---
+
+def test_keep_word():
+    words = frozenset({"aaa", "BBB"})
+    assert KeepWordFilter(words).apply(
+        ["aaa", "the", "BBB", "foo"]) == ["aaa", "BBB"]
