@@ -57,7 +57,11 @@ from __future__ import annotations
 
 import unicodedata
 
-from lucene_spark.analysis.analyzer import Analyzer, StandardAnalyzer
+from lucene_spark.analysis.analyzer import (
+    Analyzer,
+    SimpleAnalyzer,
+    StandardAnalyzer,
+)
 from lucene_spark.analysis import uax29
 from lucene_spark.analysis.filters import (
     FilteredAnalyzer,
@@ -471,6 +475,17 @@ class CasePreservingStandardAnalyzer(Analyzer):
 
 
 # SPI registrations (the analyzer-per-field composition points)
+register_analyzer(
+    "simple_cgrams",
+    # common set = the gate corpus's two high-df function words; the
+    # SQL-expressible SimpleAnalyzer base keeps the driver's DuckDB
+    # oracle exact (gate.py _CG_TOKS twin)
+    lambda: FilteredAnalyzer(
+        SimpleAnalyzer(),
+        [CommonGramsFilter(frozenset({"the", "a"}))],
+        "simple_cgrams",
+    ),
+)
 register_analyzer(
     "french_elision",
     lambda: FilteredAnalyzer(StandardAnalyzer(), [ElisionFilter()], "french_elision"),

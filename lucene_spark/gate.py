@@ -261,6 +261,48 @@ def ensure_snowball_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_CGRAM_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_cgrams_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text with the simple_cgrams analyzer
+    (SimpleAnalyzer -> CommonGramsFilter({'the','a'}), analysis/misc.py
+    — the commongrams/CommonGramsFilter.java role). The oracle is the
+    gram-augmented token CTE (_CG_TOKS): unigrams UNION the '_'-joined
+    adjacency grams where either neighbour is common — the exact
+    emission set of the filter, so tf/df/dl all agree by construction
+    (grams add to doc length on both sides identically)."""
+    key = os.path.abspath(sf_dir)
+    if key in _CGRAM_READERS:
+        return _CGRAM_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_cgidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n
+            and m.get("analyzer") == "simple_cgrams"
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="simple_cgrams",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _CGRAM_READERS[key] = r
+    return r
+
+
 _GRAPH_READERS: dict[str, IndexReader] = {}
 
 
@@ -1618,9 +1660,14 @@ def gate_queries() -> dict[str, object]:
         # Porter2 keeps 'key' (step-1c first-letter guard)
         r = ensure_stem_index(spark, sf)
         rs = ensure_snowball_index(spark, sf)
+        # cgrams: analysis pack 3's CommonGramsFilter — gram terms carry
+        # real tf/df/dl shifts (grams extend doc length), so a BM25
+        # search FOR a gram exercises the whole emission contract
+        rc = ensure_cgrams_index(spark, sf)
         return _union([
             ("porter", sp.bool_bm25_topk(r, FIELD, must=["tabl"], should=["queri"])),
             ("snowball", sp.bool_bm25_topk(rs, FIELD, must=["key"], should=["tabl"])),
+            ("cgrams", sp.bool_bm25_topk(rc, FIELD, must=["the_table"], should=["the_key"])),
         ])
 
     def q_intervals(spark, sf):
@@ -2802,10 +2849,21 @@ ORDER BY score_x1e6 DESC, p.doc_id ASC LIMIT 10"""
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 FROM norm
 WHERE len(regexp_extract_all(s, '\\bbig (?:merge|window join)\\b')) > 0
 ORDER BY doc_id LIMIT 10"""
-    # Porter1 + Snowball Porter2 branches ('key' discriminates: kei vs key)
+    # Porter1 + Snowball Porter2 branches ('key' discriminates: kei vs
+    # key) + CommonGrams branch over the gram-augmented token stream
+    _CG_TOKS = (
+        "arr AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),\n"
+        "toks AS (SELECT doc_id, unnest(a) AS tok FROM arr\n"
+        "UNION ALL SELECT doc_id, a[i] || '_' || a[i+1] AS tok "
+        "FROM arr, unnest(range(1, len(a))) AS t(i) "
+        "WHERE a[i] IN ('the','a') OR a[i+1] IN ('the','a'))"
+    )
     one["q_stemmed_term"] = _sql_tagged([
         ("porter", one["q_stemmed_term"]),
         ("snowball", _sql_bool(must=["key"], should=["table"])),
+        ("cgrams", _sql_bool(must=["the_table"], should=["the_key"])
+            .replace(_TOKS, _CG_TOKS)),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),
