@@ -48,6 +48,14 @@ from lucene_spark.analysis.misc import (  # noqa: F401  (registers
     ScandinavianNormalizationFilter,
     TurkishLowerCaseFilter,
 )
+from lucene_spark.analysis.pattern import (  # noqa: F401
+    PatternAnalyzer,
+    PatternCaptureGroupFilter,
+    PatternReplaceFilter,
+)
+from lucene_spark.analysis.compound import (  # noqa: F401
+    DictionaryCompoundWordFilter,
+)
 from lucene_spark.analysis.extras import (  # noqa: F401  (registers
     CapitalizationFilter,  # keyword/ngram/html_standard analyzers)
     CharFilter,
