@@ -56,6 +56,10 @@ from lucene_spark.analysis.pattern import (  # noqa: F401
 from lucene_spark.analysis.compound import (  # noqa: F401
     DictionaryCompoundWordFilter,
 )
+from lucene_spark.analysis.minhash import (  # noqa: F401
+    MinHashFilter,
+    murmur3_x64_128,
+)
 from lucene_spark.analysis.extras import (  # noqa: F401  (registers
     CapitalizationFilter,  # keyword/ngram/html_standard analyzers)
     CharFilter,
