@@ -15,6 +15,7 @@ engines (see sqlpath.py docstring).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -259,6 +260,41 @@ def ensure_snowball_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     r = IndexReader(spark, idx)
     _SNOW_READERS[key] = r
     return r
+
+
+_SHAPE_PATHS: dict[str, str] = {}
+
+
+def ensure_shape_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized LatLonShape triangle index (shapes.write_shape_index
+    over the deterministic fixture tessellation): plain triangle
+    columns Z-order-clustered by bounding box with a file-bounds
+    manifest. The gate's shape branches scan THIS instead of filtering
+    the on-the-fly synthesized expressions — stored columns keep the
+    relation predicate inside whole-stage codegen (the synthesized form
+    re-expands past janino's 64 KB method limit) and make the bbox
+    prune a real file/row-group skip. Oracle stays non-circular: DuckDB
+    recomputes the same triangles from ``documents`` via the synth CTE.
+    Returns the index path."""
+    from lucene_spark.search import shapes as _shapes
+
+    key = os.path.abspath(sf_dir)
+    if key in _SHAPE_PATHS:
+        return _SHAPE_PATHS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_shapeidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        with open(os.path.join(idx, "_bkd_meta.json")) as f:
+            fresh = json.load(f).get("rows") == n
+    except (FileNotFoundError, ValueError):
+        pass
+    if not fresh:
+        _shapes.write_shape_index(docs, idx, num_files=8)
+    _SHAPE_PATHS[key] = idx
+    return idx
 
 
 _CGRAM_READERS: dict[str, IndexReader] = {}
@@ -1891,6 +1927,9 @@ def gate_queries() -> dict[str, object]:
 
         from lucene_spark.search.prefixtree import geo_box_prefixtree
 
+        _shape_idx = ensure_shape_index(spark, sf)
+        _tri = shapes.read_shape_index(spark, _shape_idx)
+
         return _union([
             ("box", _h(geo.geo_box(d, 10.0, 55.0, -40.0, 60.0, k=50))),
             # the same box through the geohash prefix-tree INDEX
@@ -1903,27 +1942,38 @@ def gate_queries() -> dict[str, object]:
             ("polygon", _h(geo.geo_polygon_topk(d, _POLY, k=50))),
             ("distance", _h(geo.geo_distance_topk(
                 d, qlat=35.0, qlon=10.0, radius_km=3000.0, k=20))),
-            # LatLonShape box queries over per-doc triangles, all four
-            # QueryRelations (shapes.py; v1/v2 = centroid millis)
+            # LatLonShape box queries over STORED per-doc triangles
+            # (ensure_shape_index: bkd_write layout; intersects/within
+            # get the manifest bbox prune, contains/disjoint full-scan
+            # by necessity), all four QueryRelations (shapes.py;
+            # v1/v2 = centroid millis)
             *[
                 (f"shape_{rel}", _h(
-                    shapes.shape_box_topk(d, rel, *_SHAPE_BOXES[rel], k=50)
+                    shapes.shape_box_topk(
+                        shapes.read_shape_index(
+                            spark, _shape_idx,
+                            bbox=(_SHAPE_BOXES[rel]
+                                  if rel in ("intersects", "within")
+                                  else None),
+                        ),
+                        rel, *_SHAPE_BOXES[rel], k=50,
+                    )
                 ))
                 for rel in shapes.RELATIONS
             ],
             # query geometries beyond the box (LatLonShape.newPolygonQuery
             # incl. a CONCAVE polygon, newLineQuery, newDistanceQuery)
             ("shape_poly_int", _h(
-                shapes.shape_polygon_topk(d, "intersects", _SHAPE_POLY, k=50)
+                shapes.shape_polygon_topk(_tri, "intersects", _SHAPE_POLY, k=50)
             )),
             ("shape_poly_within", _h(
-                shapes.shape_polygon_topk(d, "within", _SHAPE_POLY, k=50)
+                shapes.shape_polygon_topk(_tri, "within", _SHAPE_POLY, k=50)
             )),
             ("shape_line_int", _h(
-                shapes.shape_line_topk(d, "intersects", _SHAPE_LINE, k=50)
+                shapes.shape_line_topk(_tri, "intersects", _SHAPE_LINE, k=50)
             )),
             ("shape_dist_int", _h(
-                shapes.shape_distance_topk(d, "intersects", *_SHAPE_DIST, k=50)
+                shapes.shape_distance_topk(_tri, "intersects", *_SHAPE_DIST, k=50)
             )),
             # spatial3d (GeoCircle / GeoStandardPath): unit-vector
             # angular membership (geo3d.py; v1 = angle_x1e4)

@@ -12,7 +12,18 @@ the plan:
 
 - the bbox prune (the BKD inner-node role) is a plain min/max column
   filter — Parquet zone maps + Catalyst pushdown skip non-overlapping
-  row groups with no custom structure;
+  row groups with no custom structure. ``write_shape_index`` is the
+  write path that makes this real: triangles land as plain Parquet
+  columns Z-order-clustered by their bounding box (index/points.py
+  bkd_write — the same BKD-role mapping the Points sink uses), and
+  ``read_shape_index`` prunes whole files through the bounds manifest
+  before the scan plan is built. Materializing also keeps the relation
+  filter inside whole-stage codegen: filtering the on-the-fly
+  synthesized fixture re-expands each md5-derived vertex expression
+  into every orientation term under Catalyst projection collapse,
+  producing >64 KB generated methods that janino rejects (interpreted
+  fallback); over stored columns the same predicate is a few hundred
+  plain arithmetic terms;
 - the exact relation test is convex-convex geometry (orientation
   tests), generated ONCE as a SQL boolean expression string and used
   verbatim by both the Spark plan (`F.expr`) and the DuckDB oracle —
@@ -82,6 +93,59 @@ def synthesize_triangles(docs: DataFrame) -> DataFrame:
         F.greatest(*[F.col(y) for y in ys]).alias("max_lat"),
         F.least(*[F.col(x) for x in xs]).alias("min_lon"),
         F.greatest(*[F.col(x) for x in xs]).alias("max_lon"),
+    )
+
+
+# bbox dims of the stored-triangle index; 15 bits x 4 dims = 60 <= 63
+SHAPE_DIMS = ["min_lat", "max_lat", "min_lon", "max_lon"]
+
+
+def write_shape_index(docs_or_tri: DataFrame, path: str,
+                      num_files: int = 32) -> dict:
+    """LatLonShape write path (LatLonShape.java createIndexableFields +
+    the BKD add): tessellated triangles stored as plain columns,
+    Z-order-clustered by bounding box via index/points.py bkd_write,
+    with the per-file bounds manifest as the inner-node level. Accepts
+    either a documents table (tessellates the synthetic fixture) or a
+    ready triangle table (``ax`` column present — e.g. tessellator.py
+    output)."""
+    from lucene_spark.index.points import bkd_write
+
+    tri = (
+        docs_or_tri if "ax" in docs_or_tri.columns
+        else synthesize_triangles(docs_or_tri)
+    )
+    return bkd_write(tri, SHAPE_DIMS, path, num_files=num_files, bits=15)
+
+
+def read_shape_index(
+    spark,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Triangle scan over a write_shape_index layout. ``bbox`` =
+    (min_lat, max_lat, min_lon, max_lon) applies the bbox-overlap
+    prune (file manifest + pushed row-group predicates): a stored
+    triangle can intersect the query box only if its box overlaps, so
+    min_* dims are capped above and max_* dims below. CONTAINS /
+    DISJOINT scan everything by necessity — pass bbox=None."""
+    from lucene_spark.index.points import bkd_scan
+
+    ranges: dict[str, tuple] = {}
+    if bbox is not None:
+        qlat_lo, qlat_hi, qlon_lo, qlon_hi = bbox
+        ranges = {
+            "min_lat": (None, qlat_hi), "max_lat": (qlat_lo, None),
+            "min_lon": (None, qlon_hi), "max_lon": (qlon_lo, None),
+        }
+    return bkd_scan(spark, path, ranges, stats=stats)
+
+
+def _as_triangles(docs_or_tri: DataFrame) -> DataFrame:
+    return (
+        docs_or_tri if "ax" in docs_or_tri.columns
+        else synthesize_triangles(docs_or_tri)
     )
 
 
@@ -178,8 +242,10 @@ def shape_box_topk(
     """LatLonShape.newBoxQuery(field, relation, box) over the per-doc
     triangles -> (doc_id, clat_x1e3, clon_x1e3) ordered by doc_id,
     constant-score. The bbox prune runs first (min/max columns — the
-    BKD-node role); DISJOINT/CONTAINS scan all rows by necessity."""
-    tri = synthesize_triangles(docs)
+    BKD-node role); DISJOINT/CONTAINS scan all rows by necessity.
+    ``docs`` may be a documents table (fixture tessellation) or a
+    stored-triangle table from read_shape_index."""
+    tri = _as_triangles(docs)
     if relation in ("intersects", "within"):
         tri = tri.filter(
             (F.col("max_lat") >= min_lat) & (F.col("min_lat") <= max_lat)
@@ -393,7 +459,7 @@ def distance_relation_expr(
 
 
 def _shape_query(docs: DataFrame, expr: str, k: int) -> DataFrame:
-    tri = synthesize_triangles(docs)
+    tri = _as_triangles(docs)
     cy, cx = _centroid_cols()
     return (
         tri.filter(F.expr(expr))

@@ -266,3 +266,58 @@ def test_distance_relation_vertex_and_algebra(spark):
     # every triangle with a vertex inside must intersect
     has_vertex_in = {d for d in ids if any(hav(v) <= r for v in _triangle(d))}
     assert has_vertex_in <= inter
+
+
+def test_shape_index_stored_vs_synthesized(spark, tmp_path):
+    """write_shape_index/read_shape_index: stored triangles give the
+    same answers as the on-the-fly fixture, the bbox manifest prune
+    skips files, and the relation filter over stored columns survives
+    STRICT whole-stage codegen (no janino interpreted fallback — the
+    synthesized form exceeds the 64 KB method limit)."""
+    from lucene_spark.search import shapes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "shapeidx")
+    meta = shapes.write_shape_index(docs, path, num_files=8)
+    assert meta["rows"] == docs.count()
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    poly = [(-30.0, -10.0), (40.0, -20.0), (50.0, 30.0), (5.0, 10.0)]
+    # the on-the-fly synthesized form is exactly the janino-falling-back
+    # path, so compute all expected answers BEFORE strict mode
+    want_box = {
+        rel: ids(shapes.shape_box_topk(docs, rel, *BOX, k=10**6))
+        for rel in shapes.RELATIONS
+    }
+    want_poly = ids(shapes.shape_polygon_topk(docs, "intersects", poly, k=10**6))
+    want_dist = ids(shapes.shape_distance_topk(
+        docs, "intersects", 35.0, 10.0, 2_500_000.0, k=10**6))
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for rel in shapes.RELATIONS:
+            bbox = BOX if rel in ("intersects", "within") else None
+            stats = {}
+            tri = shapes.read_shape_index(spark, path, bbox=bbox, stats=stats)
+            got = ids(shapes.shape_box_topk(tri, rel, *BOX, k=10**6))
+            assert got == want_box[rel], rel
+            if bbox is not None:
+                assert stats["files_scanned"] <= stats["files_total"]
+        # a tiny query box prunes whole files via the bounds manifest
+        stats = {}
+        small = (10.0, 10.5, 10.0, 10.5)
+        shapes.read_shape_index(
+            spark, path,
+            bbox=small, stats=stats,
+        ).count()
+        assert stats["files_scanned"] < stats["files_total"], stats
+        # polygon / distance over the stored table, strict codegen
+        tri = shapes.read_shape_index(spark, path)
+        assert ids(shapes.shape_polygon_topk(
+            tri, "intersects", poly, k=10**6)) == want_poly
+        assert ids(shapes.shape_distance_topk(
+            tri, "intersects", 35.0, 10.0, 2_500_000.0, k=10**6)) == want_dist
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
