@@ -34,6 +34,7 @@ def main() -> None:
     from lucene_spark.pipeline import dedup as dd
     from lucene_spark.pipeline import graphann as ga
     from lucene_spark.pipeline import similarity as sim
+    from pyspark.sql.functions import col as _col
 
     spark = get_spark("bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -163,6 +164,31 @@ def main() -> None:
         filtered_count()
         warm_best = min(warm_best, time.time() - t)
     extra["x_qcache_warm"] = round(warm_best, 4)
+
+    # Bloom postings sidecar (index/bloom.py): sidecar build cost plus
+    # the segment-prune ratio for a sparse term (segments the seekExact
+    # gate admits / total) — the absent-term fast path itself is
+    # asserted in tests/test_bloom.py; at this SF the driver term cache
+    # already short-circuits absent terms, so timing it here would
+    # measure the cache, not the bloom.
+    from lucene_spark.index.bloom import write_bloom_sidecar
+
+    t = time.time()
+    write_bloom_sidecar(spark, idx)
+    extra["x_bloom_build"] = round(time.time() - t, 4)
+    reader_b = IndexReader(spark, idx)
+    rare = (
+        reader_b.term_stats_df()
+        .filter(_col("field") == F)
+        .orderBy("doc_freq")
+        .select("term").head()
+    )
+    if rare is not None:
+        sc_ = reader_b.bloom()
+        maybe = sc_.segments_maybe_containing([(F, rare["term"])])
+        sc_._load()
+        n_segs = len({s for s, _ in (sc_._bitsets or {})}) or 1
+        extra["x_bloom_seg_admit_frac"] = round(len(maybe or set()) / n_segs, 4)
 
     total_query_sec = round(sum(timings.values()), 4)
     out = {

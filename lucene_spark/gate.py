@@ -70,6 +70,12 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
             num_batches=1,
         )
         build_index(spark, docs, idx, cfg)
+    # bloom sidecar (index/bloom.py): every gated term lookup then runs
+    # through the seekExact segment gate; stale/absent fails open
+    if not os.path.exists(os.path.join(idx, "_bloom_meta.json")) or not fresh:
+        from lucene_spark.index.bloom import write_bloom_sidecar
+
+        write_bloom_sidecar(spark, idx)
     r = IndexReader(spark, idx)
     _READERS[key] = r
     return r

@@ -125,6 +125,34 @@ class IndexReader:
             )
         return self._term_stats_df
 
+    def bloom(self):
+        """Per-(segment, field) term-bloom sidecar gate (index/bloom.py
+        — the BloomFilteringPostingsFormat seekExact role). Fail-open:
+        answers None when absent or stale, never filters wrongly."""
+        if not hasattr(self, "_bloom"):
+            from lucene_spark.index.bloom import BloomSidecar
+
+            self._bloom = BloomSidecar(
+                self.spark, self.index_dir, self.manifest
+            )
+        return self._bloom
+
+    def term_rows(self, field: str, terms: list[str]) -> DataFrame:
+        """Postings rows of ``(field, term in terms)`` with the bloom
+        segment gate applied: segments whose bitsets clear every term
+        never enter the scan plan (seekExact-miss analog). Every
+        single-field postings lookup should come through here."""
+        ts = sorted(set(terms))
+        rows = self.postings().filter(
+            (F.col("field") == field) & (F.col("term").isin(ts))
+        )
+        maybe = self.bloom().segments_maybe_containing(
+            [(field, t) for t in ts]
+        )
+        if maybe is not None:
+            rows = rows.filter(F.col("segment_id").isin(sorted(maybe)))
+        return rows
+
     # ---- live docs (tombstone deletes — Lucene90LiveDocsFormat role) -----
 
     def deleted_df(self) -> DataFrame | None:
@@ -737,6 +765,19 @@ class IndexSearcher:
         for f, ts in qualified.items():  # masked-span real-field terms
             cond = cond | ((F.col("field") == f) & (F.col("term").isin(ts)))
         rows = self.reader.postings().filter(cond)
+        # bloom sidecar gate (seekExact analog): drop segments whose
+        # bitsets clear every query term; all-clear means no posting
+        # row can exist anywhere — answer without running a job. A hit
+        # from this kernel always needs at least one positive postings
+        # row, so "segment contains none of the terms" is always safe.
+        pairs = [(field, t) for t in plain] + [
+            (f, t) for f, ts in qualified.items() for t in ts
+        ]
+        maybe = self.reader.bloom().segments_maybe_containing(pairs)
+        if maybe is not None:
+            if not maybe:
+                return Q.TopDocs(total_hits=0, hits=[])
+            rows = rows.filter(F.col("segment_id").isin(sorted(maybe)))
         if self.reader.manifest.get("delete_batches"):
             # tombstones ride in as cogrouped per-segment rows (never a
             # driver-collected set); the kernel masks them out of the

@@ -76,9 +76,7 @@ def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> Data
     """-> DataFrame(term, doc_id, freq, norm_code): decode once in Python
     (Arrow-batched), explode JVM-side. Tombstoned docs are anti-joined
     out (liveDocs role); BM25 stats still count them until merge."""
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
-    )
+    rows = reader.term_rows(field, terms)
     dec = rows.select(
         "term",
         _decode_udf(_fmt(reader))("postings", "norms").alias("p"),
@@ -227,9 +225,7 @@ def phrase_bm25_topk(reader: IndexReader, field: str, terms: list[str], k: int =
     st = reader.term_stats(field, terms)
     if len(st) < len(set(terms)):
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
-    )
+    rows = reader.term_rows(field, terms)
     freqs = rows.groupBy("segment_id").applyInPandas(
         _make_phrase_freq_fn(terms, fmt=_fmt(reader)),
         schema="doc_id long, freq int, norm_code int",
@@ -280,9 +276,7 @@ def graph_phrase_const_topk(
         if len(p) == 1:
             sets.append(exploded_postings(reader, field, [p[0]]).select("doc_id"))
             continue
-        rows = reader.postings().filter(
-            (F.col("field") == field) & (F.col("term").isin(list(set(p))))
-        )
+        rows = reader.term_rows(field, p)
         freqs = rows.groupBy("segment_id").applyInPandas(
             _make_phrase_freq_fn(p, fmt=_fmt(reader)),
             schema="doc_id long, freq int, norm_code int",
@@ -715,9 +709,7 @@ def sloppy_phrase_bm25_topk(
     st = reader.term_stats(field, terms)
     if len(st) < len(set(terms)):
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(list(set(terms))))
-    )
+    rows = reader.term_rows(field, terms)
     freqs = rows.groupBy("segment_id").applyInPandas(
         _make_sloppy_phrase_freq_fn(terms, slop, fmt=_fmt(reader)),
         schema="doc_id long, freq float, norm_code int",
@@ -769,9 +761,7 @@ def spans_topk(
     present = [t for t in score_terms if t in st]
     if not present:
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(all_terms))
-    )
+    rows = reader.term_rows(field, all_terms)
     freqs = rows.groupBy("segment_id").applyInPandas(
         _make_spans_freq_fn(source, fmt=_fmt(reader)),
         schema="doc_id long, freq float, norm_code int",
@@ -1844,9 +1834,7 @@ def multi_phrase_bm25_topk(
     if any(not s for s in pruned):
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
     present = [t for slot in pruned for t in slot]
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(list(set(present))))
-    )
+    rows = reader.term_rows(field, present)
     freqs = rows.groupBy("segment_id").applyInPandas(
         _make_multi_phrase_freq_fn(pruned, fmt=_fmt(reader)),
         schema="doc_id long, freq int, norm_code int",
@@ -1888,9 +1876,7 @@ def near_match_topk(
     st = reader.term_stats(field, [term_a, term_b])
     if term_a not in st or term_b not in st:
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin([term_a, term_b]))
-    )
+    rows = reader.term_rows(field, [term_a, term_b])
     matched = rows.groupBy("segment_id").applyInPandas(
         _make_near_fn(term_a, term_b, window, ordered, fmt=_fmt(reader)),
         schema="doc_id long",
@@ -1928,9 +1914,7 @@ def intervals_match_topk(
     # contained sources with a missing term simply produce no intervals).
     if not st:
         return reader.spark.createDataFrame([], "doc_id long, score_x1e6 long")
-    rows = reader.postings().filter(
-        (F.col("field") == field) & (F.col("term").isin(terms))
-    )
+    rows = reader.term_rows(field, terms)
     matched = rows.groupBy("segment_id").applyInPandas(
         _make_intervals_fn(source, terms, fmt=_fmt(reader)),
         schema="doc_id long",
