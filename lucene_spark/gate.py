@@ -1677,11 +1677,24 @@ def gate_queries() -> dict[str, object]:
         gfac = sp.group_facet_counts(r, FIELD, T_MID, "source", "lang").select(
             F.col("facet").alias("path"), "cnt"
         )
+        # HeatmapFacetCounter (spatial-extras prefix/HeatmapFacetCounter
+        # .java): level-2 geohash grid counts over the rect, path =
+        # "col,row" in the corner-cell frame
+        from lucene_spark.search import geo as _geo
+        from lucene_spark.search.prefixtree import heatmap_facet_counts
+
+        heat = heatmap_facet_counts(
+            _geo.synthesize_geo(_docs(spark, sf)), 2,
+            10.0, 55.0, -40.0, 60.0,
+        ).select(
+            F.concat_ws(",", F.col("col"), F.col("row")).alias("path"), "cnt"
+        )
         return (
             hier.select(F.lit("hier").alias("tag"), "path", "cnt")
             .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
             .unionByName(fset.select(F.lit("fset").alias("tag"), "path", "cnt"))
             .unionByName(gfac.select(F.lit("gfac").alias("tag"), "path", "cnt"))
+            .unionByName(heat.select(F.lit("heat").alias("tag"), "path", "cnt"))
         )
 
     def q_facet_assoc(spark, sf):
@@ -2673,6 +2686,15 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
         "q_search_after": _sql_bool(should=[T_HOT, T_MID], k=10, offset=10),
     }
 
+    def _heatmap_oracle() -> str:
+        from lucene_spark.search.prefixtree import heatmap_sql
+
+        inner = heatmap_sql(2, 10.0, 55.0, -40.0, 60.0)
+        return (
+            "SELECT CAST(col AS VARCHAR)||','||CAST(row AS VARCHAR) AS path,"
+            f" cnt FROM ({inner})"
+        )
+
     def _sql_tagged(parts):
         """Tagged UNION ALL of complete per-branch SELECTs (each branch
         keeps its own ORDER/LIMIT inside a CTE)."""
@@ -2962,6 +2984,7 @@ m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT d.lang AS path, count(DISTINCT d.source) AS cnt
 FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY path LIMIT 20"""),
+        ("heat", _heatmap_oracle()),
     ])
     one["q_suggest_suite"] = _sql_tagged([
         ("spell", one.pop("q_suggest")),

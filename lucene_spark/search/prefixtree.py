@@ -217,3 +217,99 @@ def geo_box_prefixtree(
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# HeatmapFacetCounter (spatial-extras prefix/HeatmapFacetCounter.java):
+# per-grid-cell doc counts at a target tree level. A geohash level-L
+# cell IS a regular grid cell (5L interleaved bits: ceil(5L/2) lon
+# bisections x floor(5L/2) lat bisections), so counting docs per cell
+# is one floor-quantize + groupBy — map-side combined, one shuffle of
+# at most columns x rows rows, no custom structure. Point fields index
+# full-depth cell chains, so the reference's ancestor-redistribution
+# branch (non-point shapes coarser than facetLevel) never fires here.
+# ---------------------------------------------------------------------------
+
+
+def heatmap_cell_size(level: int) -> tuple[float, float]:
+    """(cell_width_deg, cell_height_deg) of geohash cells at `level`."""
+    bits = 5 * level
+    return 360.0 / (1 << ((bits + 1) // 2)), 180.0 / (1 << (bits // 2))
+
+
+def _heatmap_frame(
+    level: int, min_lat: float, max_lat: float,
+    min_lon: float, max_lon: float,
+) -> tuple[float, float, int, int, int, int]:
+    """-> (cw, ch, cx0, cy0, columns, rows): the corner-cell-anchored
+    grid covering the input rect (calcFacets corner-cell + calcRowsOrCols
+    roles). Dateline-crossing rects are not supported (raise), matching
+    this engine's box-query contract of explicit pre-split."""
+    if min_lon > max_lon:
+        raise ValueError("dateline-crossing heatmap rect: split it first")
+    cw, ch = heatmap_cell_size(level)
+    cx0 = int((min_lon + 180.0) // cw)
+    cy0 = int((min_lat + 90.0) // ch)
+    columns = int((max_lon + 180.0) // cw) - cx0 + 1
+    rows = int((max_lat + 90.0) // ch) - cy0 + 1
+    return cw, ch, cx0, cy0, columns, rows
+
+
+def heatmap_facet_counts(
+    geo: DataFrame,
+    level: int,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    accept: DataFrame | None = None,
+) -> DataFrame:
+    """-> (col, row, cnt) for the NON-ZERO level-`level` cells whose
+    grid square intersects the rect; col/row are relative to the corner
+    cell (the cell containing the rect's min corner — the reference's
+    Heatmap coordinate frame, sparse instead of the dense int[] since
+    a 100-TB heatmap response should be O(occupied cells)). Edge cells
+    count ALL their docs, including those outside the rect — the
+    reference counts whole cells, not clipped points. ``accept``
+    (optional DataFrame of doc_id) is the topAcceptDocs bitset role."""
+    cw, ch, cx0, cy0, columns, rows = _heatmap_frame(
+        level, min_lat, max_lat, min_lon, max_lon
+    )
+    g = geo
+    if accept is not None:
+        g = g.join(accept.select("doc_id"), "doc_id", "left_semi")
+    col = F.floor((F.col("lon") + 180.0) / cw).cast("long") - cx0
+    row = F.floor((F.col("lat") + 90.0) / ch).cast("long") - cy0
+    return (
+        g.select(col.alias("col"), row.alias("row"))
+        .filter(
+            (F.col("col") >= 0) & (F.col("col") < columns)
+            & (F.col("row") >= 0) & (F.col("row") < rows)
+        )
+        .groupBy("col", "row")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def heatmap_sql(
+    level: int,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> str:
+    """DuckDB oracle: identical frame + floor quantization over the
+    synthesized coordinates (geo._GEO_SQL)."""
+    from lucene_spark.search.geo import _GEO_SQL
+
+    cw, ch, cx0, cy0, columns, rows = _heatmap_frame(
+        level, min_lat, max_lat, min_lon, max_lon
+    )
+    return f"""WITH {_GEO_SQL}
+SELECT col, row, COUNT(*) AS cnt FROM (
+  SELECT CAST(FLOOR((lon + 180.0) / {cw!r}) AS BIGINT) - {cx0} AS col,
+         CAST(FLOOR((lat + 90.0) / {ch!r}) AS BIGINT) - {cy0} AS row
+  FROM g
+)
+WHERE col >= 0 AND col < {columns} AND row >= 0 AND row < {rows}
+GROUP BY col, row"""

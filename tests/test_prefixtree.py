@@ -133,3 +133,83 @@ def test_postings_scan_is_pruned(geo_index):
     inside, boundary = cover_box(10.0, 45.0, 30.0, 80.0, max_level=5)
     n_terms = reader.postings().count()
     assert len(inside) + len(boundary) < 140 < n_terms
+
+
+def test_heatmap_cell_size_matches_geohash_cells():
+    from lucene_spark.search.prefixtree import (
+        geohash,
+        geohash_bbox,
+        heatmap_cell_size,
+    )
+
+    for level in (1, 2, 3):
+        cw, ch = heatmap_cell_size(level)
+        lat_lo, lat_hi, lon_lo, lon_hi = geohash_bbox(
+            geohash(12.3, 45.6, precision=level)
+        )
+        assert abs((lon_hi - lon_lo) - cw) < 1e-9
+        assert abs((lat_hi - lat_lo) - ch) < 1e-9
+
+
+def test_heatmap_counts_brute_force(spark):
+    import hashlib
+    import math
+
+    from lucene_spark.search.geo import synthesize_geo
+    from lucene_spark.search.prefixtree import (
+        heatmap_cell_size,
+        heatmap_facet_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    box = (10.0, 55.0, -40.0, 60.0)
+    level = 2
+    got = {
+        (r["col"], r["row"]): r["cnt"]
+        for r in heatmap_facet_counts(
+            synthesize_geo(docs), level, *box
+        ).collect()
+    }
+
+    def coord(doc_id, tag, mod, off):
+        v = int(hashlib.md5(f"{doc_id}{tag}".encode()).hexdigest()[:8], 16)
+        return v % mod / 1000.0 - off
+
+    cw, ch = heatmap_cell_size(level)
+    cx0 = int((box[2] + 180.0) // cw)
+    cy0 = int((box[0] + 90.0) // ch)
+    columns = int((box[3] + 180.0) // cw) - cx0 + 1
+    rows = int((box[1] + 90.0) // ch) - cy0 + 1
+    want: dict = {}
+    outside_rect_counted = False
+    for r in docs.select("doc_id").collect():
+        lat = coord(r["doc_id"], "_lat", 180000, 90.0)
+        lon = coord(r["doc_id"], "_lon", 360000, 180.0)
+        c = math.floor((lon + 180.0) / cw) - cx0
+        w = math.floor((lat + 90.0) / ch) - cy0
+        if 0 <= c < columns and 0 <= w < rows:
+            want[(c, w)] = want.get((c, w), 0) + 1
+            if not (box[0] <= lat <= box[1] and box[2] <= lon <= box[3]):
+                outside_rect_counted = True  # whole-cell contract
+    assert got == want
+    assert outside_rect_counted  # edge cells count their whole cell
+    assert sum(got.values()) >= 1
+
+
+def test_heatmap_accept_filter_and_dateline(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from lucene_spark.search.geo import synthesize_geo
+    from lucene_spark.search.prefixtree import heatmap_facet_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    g = synthesize_geo(docs)
+    accept = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    full = heatmap_facet_counts(g, 2, 10.0, 55.0, -40.0, 60.0)
+    half = heatmap_facet_counts(g, 2, 10.0, 55.0, -40.0, 60.0, accept=accept)
+    n_full = sum(r["cnt"] for r in full.collect())
+    n_half = sum(r["cnt"] for r in half.collect())
+    assert 0 < n_half < n_full
+    with _pytest.raises(ValueError):
+        heatmap_facet_counts(g, 2, 10.0, 55.0, 170.0, -170.0)
