@@ -858,8 +858,49 @@ def _symmetrize(directed: DataFrame) -> DataFrame:
     )
 
 
+def _contract_local(pairs: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction: each Arrow batch's edges
+    collapse to a star per LOCAL component (node -> local min). Global
+    connectivity is preserved (nodes shared across batches still link
+    through their local roots), the edge count drops from O(edges) to
+    O(nodes) per batch, and any chain that fits a batch collapses to
+    depth 1 — so the star loop starts from a much shallower graph.
+    Narrow (mapInPandas, zero shuffle); the standard pre-step for
+    MapReduce CC (Kiveris et al. SoCC'14 §4 'local contraction')."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            a = pdf["a"].to_numpy(np.int64)
+            b = pdf["b"].to_numpy(np.int64)
+            nodes, inv = np.unique(np.concatenate([a, b]),
+                                   return_inverse=True)
+            ea, eb = inv[: len(a)], inv[len(a):]
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                # vectorized hash-min over edges + pointer jumping:
+                # O(log n) passes, each one numpy sweep over the batch
+                m = np.minimum(lab[ea], lab[eb])
+                new = lab.copy()
+                np.minimum.at(new, ea, m)
+                np.minimum.at(new, eb, m)
+                new = new[new]
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            yield pd.DataFrame({"a": nodes, "b": nodes[lab]})
+
+    return pairs.mapInPandas(run, schema="a long, b long").filter(
+        F.col("a") != F.col("b")
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
+    pairs: DataFrame,
+    max_iter: int = 50,
+    stats: dict | None = None,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b) -> (node, comp): comp = min doc_id
     reachable through the pair graph — the cluster id every production
@@ -893,10 +934,11 @@ def connected_components(
     pairs = pairs.persist()
     # eager localCheckpoint: materializes (so the potentially expensive
     # upstream pair pipeline runs exactly once) AND truncates lineage
-    edges = _symmetrize(
-        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
-    ).localCheckpoint(eager=True)
-    edges0 = edges  # the node universe is read off the ORIGINAL edges
+    raw = pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    if pre_contract:
+        raw = _contract_local(raw)
+    edges = _symmetrize(raw).localCheckpoint(eager=True)
+    edges0 = edges  # the node universe is read off the contracted edges
     pairs.unpersist()
     rounds = 0
     for _ in range(max_iter):
