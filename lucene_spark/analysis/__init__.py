@@ -77,3 +77,9 @@ from lucene_spark.analysis.extras import (  # noqa: F401  (registers
     refined_soundex,
     soundex,
 )
+from lucene_spark.analysis.phonetic import (  # noqa: F401  (registers
+    caverphone2,  # the extra PhoneticFilter encoders on import)
+    cologne_phonetic,
+    metaphone,
+    nysiis,
+)
