@@ -122,6 +122,33 @@ def _chars_of(value: int, nchars: int) -> str:
     )
 
 
+def _register() -> None:
+    """SPI analyzer `simple_minhash` (the reference's documented
+    MinHash chain: tokenizer -> 5-shingle -> MinHashFilter —
+    minhash/package-info recommends shingling first): SimpleAnalyzer
+    base, shingles without unigrams, default 512-bucket rotation-filled
+    fingerprints in hex (index-safe terms)."""
+    from lucene_spark.analysis.filters import (
+        FilteredAnalyzer,
+        ShingleFilter,
+        SimpleAnalyzer,
+        register_analyzer,
+    )
+
+    register_analyzer(
+        "simple_minhash",
+        lambda: FilteredAnalyzer(
+            SimpleAnalyzer(),
+            [
+                ShingleFilter(min_size=5, max_size=5,
+                              output_unigrams=False),
+                MinHashFilter(),
+            ],
+            "simple_minhash",
+        ),
+    )
+
+
 class MinHashFilter(TokenFilter):
     offsets_safe = False  # collapses the stream to fingerprints
 
@@ -213,3 +240,6 @@ class MinHashFilter(TokenFilter):
                         prefix = f"{i:08x}_" if self.hash_count > 1 else ""
                         out.append(f"{prefix}{v2:016x}{v1:016x}")
         return out
+
+
+_register()

@@ -115,3 +115,45 @@ def test_validation():
         MinHashFilter(hash_count=0)
     with pytest.raises(ValueError):
         MinHashFilter(encoding="base64")
+
+
+def test_simple_minhash_analyzer_registered():
+    from lucene_spark.analysis.analyzer import get_analyzer
+
+    a = get_analyzer("simple_minhash")
+    toks = a.tokenize_one(
+        "woof woof woof woof woof puff"  # 6 words -> 2 DISTINCT shingles
+    )
+    # rotation-filled default: 512 buckets, each a hex fingerprint
+    assert len(toks) == 512
+    assert len(set(toks)) == 2
+    for t in toks:
+        int(t, 16)  # hex form, parquet-safe
+
+
+def test_minhash_index_roundtrip(spark, tmp_path):
+    """Fingerprint terms survive the full build path (the parquet-safe
+    hex contract) and identical texts collide on every bucket."""
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely different sentence with other words entirely here now"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "mh_idx")
+    build_index(spark, src, p, IndexConfig(
+        field="text", content_col="text", analyzer="simple_minhash",
+        doc_id_col="doc_id", docs_per_segment=100, num_batches=1,
+    ))
+    r = IndexReader(spark, p)
+    post = r.postings().select("term", "doc_ids" if False else "term").collect()
+    terms = r.term_stats_df().collect()
+    by_df = {}
+    for row in terms:
+        by_df.setdefault(row["doc_freq"], set()).add(row["term"])
+    # docs 0 and 1 share every fingerprint; doc 2 shares none
+    assert 2 in by_df and 1 in by_df
+    assert not (by_df[2] & by_df[1])
