@@ -37,6 +37,11 @@ _SHAPE_POLY = [(-30.0, -10.0), (40.0, -20.0), (50.0, 30.0), (5.0, 10.0),
                (0.0, 55.0), (-45.0, 20.0)]  # (5,10) makes it CONCAVE
 _SHAPE_LINE = [(-120.0, -40.0), (-60.0, 10.0), (0.0, -20.0), (60.0, 25.0)]
 _SHAPE_DIST = (35.0, 10.0, 2_500_000.0)
+# GeoCompositePolygon: two convex spherical polygons, (lat, lon) verts
+_POLY3D = [
+    [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)],
+    [(-50.0, 100.0), (-20.0, 130.0), (-45.0, 160.0)],
+]
 
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
@@ -2002,6 +2007,10 @@ def gate_queries() -> dict[str, object]:
             ("path3d", _h(
                 geo3d.geo3d_path_topk(d, _PATH3D, 12.0, k=50)
             )),
+            # GeoConvexPolygon / GeoCompositePolygon membership
+            ("poly3d", _h(
+                geo3d.geo3d_polygon_topk(d, _POLY3D, k=50)
+            )),
         ])
 
     def q_classify_suite(spark, sf):
@@ -3174,6 +3183,9 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("path3d",
          "SELECT doc_id, angle_x1e4 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
          + _geo3d.geo3d_path_sql(_PATH3D, 12.0, k=50) + ")"),
+        ("poly3d",
+         "SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ("
+         + _geo3d.geo3d_polygon_sql(_POLY3D, k=50) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),

@@ -207,3 +207,88 @@ SELECT doc_id, CAST(ROUND(({dist}) * 10000) AS BIGINT) AS angle_x1e4
 FROM xyz
 WHERE ({dist}) <= {cutoff!r}
 ORDER BY angle_x1e4, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# GeoConvexPolygon / GeoCompositePolygon (spatial3d geom/GeoConvexPolygon
+# .java, GeoCompositePolygon.java): membership = the point lies on the
+# interior side of every edge's great-circle plane (SidedPlane role).
+# Orientation is normalized at build time against the polygon's interior
+# point (the GeoPolygonFactory pole-check role), so vertex order — CW or
+# CCW — does not matter. A composite (concave) polygon is the OR of its
+# convex pieces.
+# ---------------------------------------------------------------------------
+
+
+def _convex_planes(
+    vertices: list[tuple[float, float]]
+) -> list[tuple[float, float, float]]:
+    """Edge-plane normals oriented so the polygon interior satisfies
+    P·n >= 0 for every edge."""
+    pts = [_unit(la, lo) for la, lo in vertices]
+    if len(pts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    interior = _norm(tuple(sum(c[i] for c in pts) for i in range(3)))
+    planes = []
+    for a, b in zip(pts, pts[1:] + pts[:1]):
+        n = _norm(_cross(a, b))
+        side = sum(interior[i] * n[i] for i in range(3))
+        if abs(side) < 1e-12:
+            raise ValueError("degenerate edge plane through the interior")
+        if side < 0:
+            n = (-n[0], -n[1], -n[2])
+        planes.append(n)
+    return planes
+
+
+def _polygon_member_expr(polygons: list[list[tuple[float, float]]]):
+    member = None
+    for poly in polygons:
+        inside = None
+        for n in _convex_planes(poly):
+            t = _dot_expr(n) >= 0
+            inside = t if inside is None else (inside & t)
+        member = inside if member is None else (member | inside)
+    return member
+
+
+def geo3d_polygon_topk(
+    docs: DataFrame,
+    polygons: list[list[tuple[float, float]]],
+    k: int = 50,
+) -> DataFrame:
+    """Docs inside the union of convex spherical polygons ((lat, lon)
+    vertex lists) -> (doc_id, lat_x1e3, lon_x1e3) ordered by doc_id,
+    constant-score — the GeoCompositePolygon isWithin contract."""
+    g = synthesize_geo(docs)
+    p = xyz_cols(g).join(g.select("doc_id", "lat", "lon"), "doc_id")
+    return (
+        p.filter(_polygon_member_expr(polygons))
+        .select(
+            "doc_id",
+            F.round(F.col("lat") * 1000).cast("long").alias("lat_x1e3"),
+            F.round(F.col("lon") * 1000).cast("long").alias("lon_x1e3"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def geo3d_polygon_sql(
+    polygons: list[list[tuple[float, float]]], k: int = 50
+) -> str:
+    def dot(v):
+        return f"(x * {v[0]!r} + y * {v[1]!r} + z * {v[2]!r})"
+
+    parts = []
+    for poly in polygons:
+        conj = " AND ".join(f"{dot(n)} >= 0" for n in _convex_planes(poly))
+        parts.append(f"({conj})")
+    member = " OR ".join(parts)
+    return f"""WITH {_GEO_SQL},
+{_XYZ_SQL}
+SELECT p.doc_id, CAST(ROUND(g.lat*1000) AS BIGINT) AS lat_x1e3,
+       CAST(ROUND(g.lon*1000) AS BIGINT) AS lon_x1e3
+FROM xyz p JOIN g ON p.doc_id = g.doc_id
+WHERE {member}
+ORDER BY p.doc_id LIMIT {k}"""

@@ -91,3 +91,64 @@ def test_circle_equals_haversine_membership(latlon):
         for r in geo_distance_topk(d, 35.0, 10.0, radius_km, k=10_000).collect()
     }
     assert a == b and a
+
+
+def test_polygon_membership_brute_force(spark):
+    import math
+
+    from lucene_spark.search import geo3d
+    from lucene_spark.search.geo import synthesize_geo
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    poly = [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)]
+    got = {
+        r["doc_id"]
+        for r in geo3d.geo3d_polygon_topk(docs, [poly], k=10**6).collect()
+    }
+
+    planes = geo3d._convex_planes(poly)
+    want = set()
+    for r in synthesize_geo(docs).collect():
+        la, lo = math.radians(r["lat"]), math.radians(r["lon"])
+        p = (math.cos(la) * math.cos(lo),
+             math.cos(la) * math.sin(lo),
+             math.sin(la))
+        if all(sum(p[i] * n[i] for i in range(3)) >= 0 for n in planes):
+            want.add(r["doc_id"])
+    assert got == want and len(got) > 0
+
+
+def test_polygon_vertex_order_insensitive(spark):
+    from lucene_spark.search import geo3d
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    poly = [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)]
+    fwd = {r["doc_id"] for r in
+           geo3d.geo3d_polygon_topk(docs, [poly], k=10**6).collect()}
+    rev = {r["doc_id"] for r in
+           geo3d.geo3d_polygon_topk(docs, [poly[::-1]], k=10**6).collect()}
+    assert fwd == rev
+
+
+def test_composite_polygon_is_union(spark):
+    from lucene_spark.search import geo3d
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)]
+    b = [(-50.0, 100.0), (-20.0, 130.0), (-45.0, 160.0)]
+    u = {r["doc_id"] for r in
+         geo3d.geo3d_polygon_topk(docs, [a, b], k=10**6).collect()}
+    sa = {r["doc_id"] for r in
+          geo3d.geo3d_polygon_topk(docs, [a], k=10**6).collect()}
+    sb = {r["doc_id"] for r in
+          geo3d.geo3d_polygon_topk(docs, [b], k=10**6).collect()}
+    assert u == (sa | sb) and sa and sb
+
+
+def test_polygon_validation():
+    import pytest as _pytest
+
+    from lucene_spark.search import geo3d
+
+    with _pytest.raises(ValueError):
+        geo3d._convex_planes([(0.0, 0.0), (10.0, 10.0)])
