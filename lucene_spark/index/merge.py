@@ -75,6 +75,111 @@ def find_merges(
     return groups
 
 
+class MergePolicy:
+    """MergePolicy SPI (core/index/MergePolicy.java + the named
+    policies): a policy turns live segment metric dicts into merge
+    groups. ``merge_round(policy=...)`` accepts a name or instance —
+    the IndexWriterConfig.setMergePolicy injection point."""
+
+    def find_merges(self, segments: list[dict]) -> list[list[str]]:
+        raise NotImplementedError
+
+
+class TieredMergePolicy(MergePolicy):
+    """The default (TieredMergePolicy.java, module docstring)."""
+
+    def __init__(self, segs_per_tier: int = 8, max_merge_at_once: int = 10,
+                 max_merged_docs: int = 5_000_000):
+        self.segs_per_tier = segs_per_tier
+        self.max_merge_at_once = max_merge_at_once
+        self.max_merged_docs = max_merged_docs
+
+    def find_merges(self, segments: list[dict]) -> list[list[str]]:
+        return find_merges(
+            segments, self.segs_per_tier, self.max_merge_at_once,
+            self.max_merged_docs,
+        )
+
+
+class LogDocMergePolicy(MergePolicy):
+    """LogMergePolicy.java / LogDocMergePolicy.java semantics: each
+    segment's level is floor(log_mergeFactor(max(num_docs,
+    min_merge_docs))); any CONTIGUOUS run (build order — Lucene's
+    LogMergePolicy only merges adjacent segments, preserving index
+    order) of ``merge_factor`` same-level segments merges, bounded by
+    ``max_merged_docs``."""
+
+    def __init__(self, merge_factor: int = 10, min_merge_docs: int = 1000,
+                 max_merged_docs: int = 5_000_000):
+        if merge_factor < 2:
+            raise ValueError("merge_factor >= 2")
+        self.merge_factor = merge_factor
+        self.min_merge_docs = min_merge_docs
+        self.max_merged_docs = max_merged_docs
+
+    def find_merges(self, segments: list[dict]) -> list[list[str]]:
+        import math
+
+        ordered = sorted(segments, key=lambda s: s["segment_id"])
+        lvl = [
+            int(math.log(max(s["num_docs"], self.min_merge_docs),
+                         self.merge_factor))
+            for s in ordered
+        ]
+        groups: list[list[str]] = []
+        i = 0
+        while i < len(ordered):
+            j = i
+            total = 0
+            while (
+                j < len(ordered)
+                and j - i < self.merge_factor
+                and lvl[j] == lvl[i]
+                and total + ordered[j]["num_docs"] <= self.max_merged_docs
+            ):
+                total += ordered[j]["num_docs"]
+                j += 1
+            if j - i >= self.merge_factor:
+                groups.append([s["segment_id"] for s in ordered[i:j]])
+                i = j
+            else:
+                i += 1
+        return groups
+
+
+class NoMergePolicy(MergePolicy):
+    """NoMergePolicy.java: never merges (read-only / externally
+    managed indexes)."""
+
+    def find_merges(self, segments: list[dict]) -> list[list[str]]:
+        return []
+
+
+_MERGE_POLICIES = {
+    "tiered": TieredMergePolicy,
+    "log_doc": LogDocMergePolicy,
+    "no_merge": NoMergePolicy,
+}
+
+
+def get_merge_policy(policy, **kwargs) -> MergePolicy:
+    """Resolve a policy name or pass an instance through (the
+    NamedSPILoader.lookup analog)."""
+    if isinstance(policy, MergePolicy):
+        return policy
+    try:
+        return _MERGE_POLICIES[policy](**kwargs)
+    except KeyError:
+        raise ValueError(
+            f"unknown merge policy {policy!r}; "
+            f"available: {sorted(_MERGE_POLICIES)}"
+        ) from None
+
+
+def register_merge_policy(name: str, cls) -> None:
+    _MERGE_POLICIES[name] = cls
+
+
 def _merge_postings_fn(order: dict[str, int], fmt_name: str = "for104"):
     """applyInPandas kernel: merge one (field, term)'s posting rows from
     the input segments into a single row. `order` maps segment_id ->
@@ -275,9 +380,13 @@ def merge_round(
     max_merged_docs: int = 5_000_000,
     salt_max_docs: int = 1_000_000,
     max_concurrent_merges: int = 4,
+    policy: "str | MergePolicy | None" = None,
 ) -> int:
-    """Run one merge round: apply every group find_merges picks, commit
-    one new manifest generation. Returns the number of merges executed."""
+    """Run one merge round: apply every group the policy picks, commit
+    one new manifest generation. Returns the number of merges executed.
+    ``policy`` overrides the default tiered selection (a name from
+    get_merge_policy or a MergePolicy instance); the tiered keyword
+    args above are ignored when a policy is given."""
     m = mani.read_manifest(index_dir)
     live = mani.live_segment_ids(m)
     seg_metrics: dict[str, dict] = {}
@@ -290,9 +399,12 @@ def merge_round(
     live_metrics = [
         s for sid, s in sorted(seg_metrics.items()) if live is None or sid in live
     ]
-    groups = find_merges(
-        live_metrics, segs_per_tier, max_merge_at_once, max_merged_docs
-    )
+    if policy is None:
+        groups = find_merges(
+            live_metrics, segs_per_tier, max_merge_at_once, max_merged_docs
+        )
+    else:
+        groups = get_merge_policy(policy).find_merges(live_metrics)
     if not groups:
         return 0
 

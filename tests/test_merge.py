@@ -233,3 +233,62 @@ def test_concurrent_merge_schedule_matches_sequential(spark, tmp_path):
             [(row["doc_id"], row["score_x1e6"]) for row in top],
         )
     assert outs["seq"] == outs["conc"]
+
+
+def test_merge_policy_spi_selection():
+    from lucene_spark.index.merge import (
+        LogDocMergePolicy,
+        NoMergePolicy,
+        TieredMergePolicy,
+        find_merges,
+        get_merge_policy,
+    )
+    import pytest as _pytest
+
+    segs = [{"segment_id": f"s{i:03d}", "num_docs": 100} for i in range(12)]
+    assert NoMergePolicy().find_merges(segs) == []
+    # tiered instance == module default
+    assert TieredMergePolicy().find_merges(segs) == find_merges(segs)
+    # log-doc: 12 equal level-0 segments, factor 10 -> one contiguous
+    # 10-group, the 2-segment tail left alone
+    groups = LogDocMergePolicy(merge_factor=10).find_merges(segs)
+    assert groups == [[f"s{i:03d}" for i in range(10)]]
+    # levels separate: a big segment never joins small ones
+    mixed = [{"segment_id": "s000", "num_docs": 1_000_000}] + [
+        {"segment_id": f"s{i:03d}", "num_docs": 100} for i in range(1, 11)
+    ]
+    g2 = LogDocMergePolicy(merge_factor=10).find_merges(mixed)
+    assert g2 == [[f"s{i:03d}" for i in range(1, 11)]]
+    assert isinstance(get_merge_policy("no_merge"), NoMergePolicy)
+    with _pytest.raises(ValueError):
+        get_merge_policy("nope")
+
+
+def test_merge_round_with_policies(spark, corpus, tmp_path):
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.merge import merge_round
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.executor import IndexReader
+
+    p = str(tmp_path / "mp_idx")
+    build_index(spark, spark.createDataFrame(corpus), p,
+                IndexConfig(docs_per_segment=50))
+    before = [
+        (r["doc_id"], r["score_x1e6"])
+        for r in sp.bool_bm25_topk(
+            IndexReader(spark, p), "content", must=["def"], k=20
+        ).collect()
+    ]
+    from lucene_spark.index.merge import LogDocMergePolicy
+
+    assert merge_round(spark, p, policy="no_merge") == 0
+    # 400 docs / 50-doc segments = 8 equal level-0 segments
+    n = merge_round(spark, p, policy=LogDocMergePolicy(merge_factor=4))
+    assert n >= 1
+    after = [
+        (r["doc_id"], r["score_x1e6"])
+        for r in sp.bool_bm25_topk(
+            IndexReader(spark, p), "content", must=["def"], k=20
+        ).collect()
+    ]
+    assert after == before  # merge is invisible to queries
