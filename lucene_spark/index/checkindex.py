@@ -314,6 +314,14 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                 f"dv batch {b['batch']} has {orphan} doc_ids not in the registry"
             )
 
+    # bloom sidecar (index/bloom.py): when a CURRENT-generation sidecar
+    # exists, recompute every (segment, field) bitset from the live
+    # term dictionary and require byte equality — catches truncated or
+    # stale-but-restamped sidecars, and by construction proves the
+    # no-false-negative invariant the query gate depends on. A
+    # sidecar for another generation is fine (the gate ignores it).
+    violations += _check_bloom(spark, index_dir, m, postings)
+
     return {
         "ok": not violations,
         "violations": violations,
@@ -323,6 +331,67 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
             "live_segments": None if live is None else len(live),
         },
     }
+
+
+def _check_bloom(spark, index_dir, m, postings) -> list[str]:
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(index_dir, "_bloom_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    except (FileNotFoundError, ValueError):
+        return []
+    if meta.get("generation") != m.get("generation"):
+        return []  # stale by stamp: the reader gate already ignores it
+    from lucene_spark.index import bloom as bl
+
+    stored = (
+        spark.read.parquet(_os.path.join(index_dir, bl._DIR))
+        .groupBy("segment_id", "field")
+        .agg(
+            F.first("num_bits").alias("num_bits"),
+            F.first("num_terms").alias("num_terms"),
+            F.first("bits").alias("bits"),
+        )
+    )
+    terms = postings.select("segment_id", "field", "term")
+
+    def verify(pdf) -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        joined = pdf.groupby(["segment_id", "field"])
+        for (seg, field), grp in joined:
+            row = grp.iloc[0]
+            if pd.isna(row["num_bits"]):
+                out.append(f"{seg}/{field}: bloom row missing")
+                continue
+            nbits = int(row["num_bits"])
+            want = np.zeros(nbits >> 3, dtype=np.uint8)
+            uniq = grp["term"].unique()
+            for t in uniq:
+                p = bl.term_position(field, t) & (nbits - 1)
+                want[p >> 3] |= 1 << (p & 7)
+            got = np.frombuffer(row["bits"], dtype=np.uint8)
+            if int(row["num_terms"]) != len(uniq):
+                out.append(
+                    f"{seg}/{field}: bloom num_terms {row['num_terms']}"
+                    f" != {len(uniq)} live terms"
+                )
+            elif not np.array_equal(got, want):
+                out.append(f"{seg}/{field}: bloom bitset != recomputed")
+        return pd.DataFrame({"v": out})
+
+    joined = terms.join(stored, ["segment_id", "field"], "left")
+    return [
+        r["v"]
+        for r in joined.groupBy("segment_id")
+        .applyInPandas(verify, schema="v string")
+        .collect()
+    ]
 
 
 def exorcise(spark: SparkSession, index_dir: str) -> dict:

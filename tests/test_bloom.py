@@ -145,3 +145,38 @@ def test_position_is_stable():
     # the on-disk bitsets depend on this hash: lock it
     assert term_position("content", "def") == term_position("content", "def")
     assert term_position("content", "def") != term_position("path", "def")
+
+
+def test_checkindex_verifies_bloom(spark, bloomed):
+    import numpy as np
+
+    from lucene_spark.index.checkindex import check_index
+
+    path, r = bloomed
+    res = check_index(spark, path)
+    assert res["ok"], res["violations"]
+    # corrupt one bitset byte -> byte-equality violation
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    f = sorted(glob.glob(f"{path}/blooms/*.parquet"))[0]
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop checksum would reject the rewrite
+    t = pq.read_table(f).to_pandas()
+    raw = bytearray(t.loc[0, "bits"])
+    raw[0] ^= 0xFF
+    t.loc[0, "bits"] = bytes(raw)
+    pq.write_table(pa.Table.from_pandas(t), f)
+    try:
+        res2 = check_index(spark, path)
+        assert not res2["ok"]
+        assert any("bloom" in v for v in res2["violations"])
+    finally:
+        raw[0] ^= 0xFF
+        t.loc[0, "bits"] = bytes(raw)
+        pq.write_table(pa.Table.from_pandas(t), f)
+    assert check_index(spark, path)["ok"]
