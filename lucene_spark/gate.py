@@ -108,6 +108,30 @@ def ensure_points_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def ensure_latlon_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the z-order latlon point index over the documents'
+    synthesized coordinates — the LatLonPoint BKD that
+    geo.geo_nearest_topk's best-first traversal descends."""
+    import json as _json
+
+    from lucene_spark.index import points as pts
+    from lucene_spark.search.geo import synthesize_geo
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_latlon_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    try:
+        with open(f"{idx}/_bkd_meta.json") as f:
+            if _json.load(f).get("rows") == n:
+                return idx
+    except FileNotFoundError:
+        pass
+    pts.bkd_write(synthesize_geo(docs), ["lat", "lon"], idx, num_files=8)
+    return idx
+
+
 def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Multi-field index over documents: primary `text` + keyword field
     `lang_kw` from the lang column (KeywordField shape, SURVEY §1.2)."""
@@ -1578,7 +1602,21 @@ def gate_queries() -> dict[str, object]:
             id_col="event_id",
             k=20,
         )
-        return _union([("range", single), ("multi", multi), ("bkd", bkd)])
+        # sandbox FloatPointNearestNeighbor: exact Euclidean k-NN via
+        # the best-first file traversal (column name harmonized to the
+        # union frame; the value IS dist_x1e3, not a score)
+        from lucene_spark.index.points import point_nearest_topk
+
+        nn = point_nearest_topk(
+            spark,
+            ensure_points_index(spark, sf),
+            {"user_id": 5.0, "value": 70.0},
+            id_col="event_id",
+            k=20,
+        ).withColumnRenamed("dist_scaled", "score_x1e6")
+        return _union([
+            ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
+        ])
 
     def q_field_exists(spark, sf):
         # FieldExistsQuery via norms: docs with >= 1 indexed token
@@ -2011,6 +2049,11 @@ def gate_queries() -> dict[str, object]:
             ("poly3d", _h(
                 geo3d.geo3d_polygon_topk(d, _POLY3D, k=50)
             )),
+            # LatLonPoint.nearest (NearestNeighbor.java): global k-NN,
+            # best-first file traversal over the latlon z-order index
+            ("nearest", _h(geo.geo_nearest_topk(
+                spark, ensure_latlon_index(spark, sf), 48.85, 2.35, k=25
+            ))),
         ])
 
     def q_classify_suite(spark, sf):
@@ -2259,6 +2302,8 @@ def gate_queries() -> dict[str, object]:
 
 
 def gate_oracle_sql() -> dict[str, str]:
+    from lucene_spark.index import points as _points
+
     edges = [0, 150, 300, 450, 600]
     bucket_case = " ".join(
         f"WHEN n_chars >= {lo} AND n_chars < {hi} THEN '{lo:06d}_{hi:06d}'"
@@ -2458,7 +2503,14 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
             "ORDER BY doc_id LIMIT 20) "
             "SELECT 'range' AS tag, * FROM t_range "
             "UNION ALL SELECT 'multi' AS tag, * FROM t_multi "
-            "UNION ALL SELECT 'bkd' AS tag, * FROM t_bkd"
+            "UNION ALL SELECT 'bkd' AS tag, * FROM t_bkd "
+            "UNION ALL SELECT 'nn' AS tag, doc_id, dist_scaled AS score_x1e6 "
+            "FROM ("
+            + _points.point_nearest_sql(
+                "events", {"user_id": 5.0, "value": 70.0},
+                id_col="event_id", k=20,
+            )
+            + ")"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
@@ -3186,6 +3238,9 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("poly3d",
          "SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ("
          + _geo3d.geo3d_polygon_sql(_POLY3D, k=50) + ")"),
+        ("nearest",
+         "SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _geo.geo_nearest_sql(48.85, 2.35, k=25) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),

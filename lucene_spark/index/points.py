@@ -33,6 +33,7 @@ groups. Nothing here is per-row Python.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -42,6 +43,9 @@ __all__ = [
     "bkd_write",
     "bkd_scan",
     "bkd_range_query",
+    "bkd_nearest",
+    "point_nearest_topk",
+    "point_nearest_sql",
 ]
 
 # no leading underscore: Hadoop treats "_"/"." paths as hidden and
@@ -215,4 +219,176 @@ def bkd_range_query(
         )
         .orderBy("doc_id")
         .limit(k)
+    )
+
+
+def bkd_nearest(
+    spark: SparkSession,
+    path: str,
+    dist_of,
+    bound_of,
+    k: int,
+    slack: float = 0.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Best-first nearest-neighbor traversal at file granularity
+    (core/document/NearestNeighbor.java, the engine behind
+    LatLonPoint.nearest, and sandbox/document/
+    FloatPointNearestNeighbor.java). The reference pops BKD cells off
+    a priority queue ordered by the cell's minimum possible distance
+    to the query and stops once the current k-th hit beats the nearest
+    unvisited cell. Files play the cells here:
+
+    1. rank manifest files by an ADMISSIBLE lower bound of the
+       query-to-bbox distance (``bound_of(manifest_row) -> float``,
+       which must never exceed the true distance to any point stored
+       in the file — looser bounds cost extra candidate files, never
+       correctness);
+    2. scan the smallest bound-ordered prefix holding >= k rows (the
+       seed) and take the k-th exact distance d_k;
+    3. a file whose bound exceeds d_k + slack can hold nothing that
+       enters the top-k — scan only the survivors, exact distances via
+       ``dist_of(df) -> Column``.
+
+    Two Spark jobs in the common case. At 100 TB the seed is the
+    handful of z-order-clustered files around the query point and the
+    survivor set is the analog of the reference's visited cells; the
+    rest of the corpus is never opened. ``slack`` widens the cut so
+    callers that ORDER BY a *rounded* distance still see every row
+    that could tie into the rounded top-k (pass one rounding quantum).
+    Rows with a NULL distance never match (PointRangeQuery contract);
+    the seed auto-extends if NULLs starve it below k rows.
+
+    Returns the surviving candidate rows with a ``__dist`` column —
+    callers shape, round, order and limit.
+    """
+    man = spark.read.parquet(os.path.join(path, _MANIFEST)).collect()
+    ranked = sorted(man, key=bound_of)
+    schema = spark.read.parquet(os.path.join(path, "data")).schema
+    if stats is not None:
+        stats["files_total"] = len(ranked)
+
+    def _scan(files: list[str]) -> DataFrame:
+        df = spark.read.schema(schema).parquet(*files)
+        return df.withColumn("__dist", dist_of(df)).filter(
+            F.col("__dist").isNotNull()
+        )
+
+    empty = spark.createDataFrame([], schema).withColumn(
+        "__dist", F.lit(None).cast("double")
+    )
+    if not ranked:
+        if stats is not None:
+            stats["files_seed"] = 0
+            stats["files_scanned"] = 0
+        return empty
+
+    total_rows = sum(r["rows"] for r in ranked)
+    if total_rows <= k:
+        files = [r["file"] for r in ranked]
+        if stats is not None:
+            stats["files_seed"] = len(files)
+            stats["files_scanned"] = len(files)
+        return _scan(files)
+
+    # seed: smallest bound-ordered prefix that holds >= k rows; extend
+    # (doubling) only in the NULL-starved case
+    n_seed = 0
+    cum = 0
+    for r in ranked:
+        n_seed += 1
+        cum += r["rows"]
+        if cum >= k:
+            break
+    d_k = None
+    while True:
+        seed_files = [r["file"] for r in ranked[:n_seed]]
+        top = _scan(seed_files).orderBy("__dist").limit(k)
+        got = top.agg(
+            F.count(F.lit(1)).alias("n"), F.max("__dist").alias("d")
+        ).head()
+        if got["n"] >= k or n_seed >= len(ranked):
+            d_k = got["d"]
+            break
+        n_seed = min(len(ranked), max(n_seed + 1, 2 * n_seed))
+    if stats is not None:
+        stats["files_seed"] = n_seed
+    if d_k is None:
+        # every stored distance was NULL
+        if stats is not None:
+            stats["files_scanned"] = 0
+        return empty
+    radius = float(d_k) + slack
+    survivors = [r["file"] for r in ranked if bound_of(r) <= radius]
+    if stats is not None:
+        stats["files_scanned"] = len(survivors)
+    if not survivors:
+        return empty
+    return _scan(survivors)
+
+
+def point_nearest_topk(
+    spark: SparkSession,
+    path: str,
+    point: dict[str, float],
+    id_col: str,
+    k: int = 10,
+    scale: int = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact Euclidean k-nearest over a bkd_write index
+    (sandbox/document/FloatPointNearestNeighbor.java): the per-file
+    lower bound is the clamp distance to the bbox (exact for a box
+    under L2). Distance is emitted rounded at 1/scale granularity so
+    double ulp differences between engines cannot flip the value; ties
+    break by doc_id in both engines. -> (doc_id, dist_scaled)."""
+
+    def dist_of(df: DataFrame):
+        s = None
+        for c, q in point.items():
+            t = F.col(c).cast("double") - F.lit(float(q))
+            term = t * t
+            s = term if s is None else s + term
+        return F.sqrt(s)
+
+    def bound_of(row) -> float:
+        s = 0.0
+        for c, q in point.items():
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            gap = max(0.0, lo - float(q), float(q) - hi)
+            s += gap * gap
+        return math.sqrt(s)
+
+    cand = bkd_nearest(
+        spark, path, dist_of, bound_of, k, slack=1.0 / scale, stats=stats
+    )
+    return (
+        cand.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.round(F.col("__dist") * scale).cast("long").alias("dist_scaled"),
+        )
+        .orderBy(F.col("dist_scaled").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def point_nearest_sql(
+    table: str,
+    point: dict[str, float],
+    id_col: str,
+    k: int = 10,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of point_nearest_topk: the same full-precision
+    Euclidean expression over the full table (the oracle needs no
+    index), rounded and tie-broken identically."""
+    terms = " + ".join(
+        f"(CAST({c} AS DOUBLE) - {float(q)!r}) * (CAST({c} AS DOUBLE) - {float(q)!r})"
+        for c, q in point.items()
+    )
+    return (
+        f"SELECT {id_col} AS doc_id, "
+        f"CAST(ROUND(sqrt({terms}) * {scale}) AS BIGINT) AS dist_scaled "
+        f"FROM {table} WHERE sqrt({terms}) IS NOT NULL "
+        f"ORDER BY dist_scaled ASC, doc_id ASC LIMIT {k}"
     )

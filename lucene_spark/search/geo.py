@@ -232,3 +232,100 @@ WHERE lat BETWEEN {min(lats)} AND {max(lats)}
   AND lon BETWEEN {min(lons)} AND {max(lons)}
   AND ({' + '.join(terms)}) % 2 = 1
 ORDER BY doc_id LIMIT {k}"""
+
+
+def _sphere_box_lower_bound_km(
+    qlat: float, qlon: float,
+    lat_lo: float, lat_hi: float, lon_lo: float, lon_hi: float,
+) -> float:
+    """Admissible (never-overestimating) great-circle distance from a
+    query point to a lat/lon rectangle, for best-first nearest-file
+    pruning (the role of NearestNeighbor.java's cell distanceSortKey).
+    Two independent true lower bounds, combined by max:
+
+    - latitude gap: any geodesic into the box crosses the nearer
+      bounding parallel, and great-circle distance >= R * |dlat|;
+    - meridian cross-track: with qlon outside [lon_lo, lon_hi], the
+      geodesic must cross one of the two edge-meridian great circles;
+      point-to-great-circle distance = R * asin(|cos(lat) sin(dlon)|).
+      (The naive "clamp the longitude" bound is NOT admissible on a
+      sphere — near the poles the closest point on a meridian edge
+      sits at a different latitude than the query's.)
+
+    Looser than the reference's Rectangle machinery — admissibility is
+    what correctness requires; looseness only admits extra candidate
+    files."""
+    lat_gap = max(0.0, lat_lo - qlat, qlat - lat_hi)
+    b_lat = math.radians(lat_gap) * EARTH_RADIUS_KM
+    if lon_lo <= qlon <= lon_hi:
+        return b_lat
+    b_lon = None
+    for edge in (lon_lo, lon_hi):
+        d = abs(qlon - edge) % 360.0
+        d = min(d, 360.0 - d)
+        ct = (
+            math.asin(
+                abs(math.cos(math.radians(qlat)) * math.sin(math.radians(d)))
+            )
+            * EARTH_RADIUS_KM
+        )
+        b_lon = ct if b_lon is None else min(b_lon, ct)
+    return max(b_lat, b_lon)
+
+
+def geo_nearest_topk(
+    spark, index_path: str, qlat: float, qlon: float, k: int = 10,
+    stats: dict | None = None,
+) -> DataFrame:
+    """LatLonPoint.nearest (core/document/LatLonPoint.java nearest +
+    core/document/NearestNeighbor.java, surfaced as
+    LatLonPointPrototypeQueries.nearest): the k globally closest
+    indexed points, nearest first — no radius. Runs as a best-first
+    traversal over the z-order latlon index's file manifest
+    (points.bkd_nearest): seed files around the query give the k-th
+    distance, then only files whose admissible spherical bound beats
+    it are opened. Distance is emitted at 0.1 km granularity (the
+    geo_distance_topk convention) with doc_id tiebreak, and the
+    traversal widens its cut by one rounding quantum so the rounded
+    top-k frontier is complete. -> (doc_id, dist_x10km)."""
+    from lucene_spark.index.points import bkd_nearest
+
+    def dist_of(df: DataFrame):
+        return _haversine_km(F.col("lat"), F.col("lon"), qlat, qlon)
+
+    def bound_of(row) -> float:
+        return _sphere_box_lower_bound_km(
+            qlat, qlon,
+            row["lo_lat"], row["hi_lat"], row["lo_lon"], row["hi_lon"],
+        )
+
+    cand = bkd_nearest(
+        spark, index_path, dist_of, bound_of, k, slack=0.1, stats=stats
+    )
+    return (
+        cand.select(
+            "doc_id",
+            F.round(F.col("__dist") * 10).cast("long").alias("dist_x10km"),
+        )
+        .orderBy(F.col("dist_x10km").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def geo_nearest_sql(qlat: float, qlon: float, k: int = 10) -> str:
+    """DuckDB twin of geo_nearest_topk: full-scan haversine over the
+    synthesized coordinates, same rounding and tiebreak (the oracle
+    needs no index)."""
+    r = EARTH_RADIUS_KM
+    return f"""WITH {_GEO_SQL},
+d AS (
+  SELECT doc_id,
+    2 * {r} * asin(sqrt(
+      sin(radians(lat - {qlat})/2) * sin(radians(lat - {qlat})/2)
+      + cos(radians({qlat})) * cos(radians(lat))
+        * sin(radians(lon - {qlon})/2) * sin(radians(lon - {qlon})/2)
+    )) AS dist_km
+  FROM g
+)
+SELECT doc_id, CAST(ROUND(dist_km * 10) AS BIGINT) AS dist_x10km
+FROM d ORDER BY dist_x10km ASC, doc_id ASC LIMIT {k}"""

@@ -99,3 +99,43 @@ def test_polygon_query_matches_reference_raycast(spark, many_docs):
     want = sorted(d for d, (la, lo) in pts.items() if inside(la, lo))
     assert got == want
     assert len(got) > 5  # the ring actually contains docs
+
+
+@pytest.mark.parametrize(
+    "qlat,qlon",
+    [
+        (48.85, 2.35),    # mid-latitude
+        (88.5, 10.0),     # near-pole: naive lon-clamp bounds are
+                          # inadmissible here; the cross-track bound must
+                          # keep pruning sound
+        (0.0, 179.9),     # dateline
+    ],
+)
+def test_nearest_matches_full_scan(spark, many_docs, tmp_path_factory, qlat, qlon):
+    """LatLonPoint.nearest parity: the best-first file traversal must
+    return exactly the full-scan haversine top-k (same rounding, same
+    doc_id tiebreak) while opening fewer files than the manifest holds."""
+    from lucene_spark.index.points import bkd_write
+    from lucene_spark.search.geo import geo_nearest_topk, synthesize_geo
+
+    path = str(tmp_path_factory.mktemp("latlon") / f"idx_{qlat}_{qlon}")
+    bkd_write(synthesize_geo(many_docs), ["lat", "lon"], path, num_files=16)
+    stats = {}
+    got = [
+        (r["dist_x10km"], r["doc_id"])
+        for r in geo_nearest_topk(
+            spark, path, qlat, qlon, k=20, stats=stats
+        ).collect()
+    ]
+    want = [
+        (r["dist_x10km"], r["doc_id"])
+        for r in _truth(spark, many_docs, qlat, qlon, radius_km=1e9, k=20)
+    ]
+    assert got == want
+    assert stats["files_scanned"] <= stats["files_total"]
+    if (qlat, qlon) == (48.85, 2.35):
+        # mid-latitude, well clear of every wrap: the coarse 16-file
+        # layout must actually prune (the edge cases above only have
+        # to stay CORRECT — at 16 files per globe their k-th-distance
+        # radius legitimately reaches every bbox)
+        assert stats["files_scanned"] < stats["files_total"]

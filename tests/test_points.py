@@ -164,3 +164,87 @@ def test_zorder_locality_beats_random(points_idx):
     assert len(areas) == 16
     assert sum(areas) / len(areas) < 0.5 * full_area
     assert math.isfinite(sum(areas))
+
+
+def _brute_nearest(df, point, k, scale=1000):
+    """Driver-side ground truth: exact Euclidean over every row whose
+    queried dims are all non-NULL, rounded + tie-broken like the engine."""
+    rows = []
+    for r in df.collect():
+        if any(r[c] is None for c in point):
+            continue
+        d = math.sqrt(sum((float(r[c]) - q) ** 2 for c, q in point.items()))
+        rows.append((int(round(d * scale)), r["pid"]))
+    rows.sort()
+    return rows[:k]
+
+
+def test_nearest_matches_brute_force(points_idx):
+    from lucene_spark.index.points import point_nearest_topk
+
+    path, df, _ = points_idx
+    point = {"x": 3.25, "y": 512.0}
+    got = [
+        (r["dist_scaled"], r["doc_id"])
+        for r in point_nearest_topk(
+            df.sparkSession, path, point, id_col="pid", k=25
+        ).collect()
+    ]
+    assert got == _brute_nearest(df, point, k=25)
+
+
+def test_nearest_prunes_files(spark, tmp_path):
+    # best-first contract: a query near one corner of a 2-dim z-order
+    # layout must NOT open every file — the seed prefix + the
+    # d_k-radius survivors stay well under the total
+    from lucene_spark.index.points import point_nearest_topk
+
+    df = _make_points(spark).select("pid", "x", "y")
+    path = str(tmp_path / "xy")
+    bkd_write(df, ["x", "y"], path, num_files=16)
+    stats = {}
+    got = point_nearest_topk(
+        spark, path, {"x": -99.0, "y": 5.0}, id_col="pid", k=5, stats=stats
+    ).collect()
+    assert [(r["dist_scaled"], r["doc_id"]) for r in got] == _brute_nearest(
+        df, {"x": -99.0, "y": 5.0}, k=5
+    )
+    assert stats["files_total"] == 16
+    assert stats["files_scanned"] < stats["files_total"]
+
+
+def test_nearest_null_dim_never_matches(points_idx):
+    # PointRangeQuery contract carried over: a row with NULL in any
+    # queried dim is invisible to nearest, even with k > matching rows
+    from lucene_spark.index.points import point_nearest_topk
+
+    path, df, _ = points_idx
+    point = {"x": 0.0, "y": 500.0, "z": 25.0}
+    got = [
+        (r["dist_scaled"], r["doc_id"])
+        for r in point_nearest_topk(
+            df.sparkSession, path, point, id_col="pid", k=40
+        ).collect()
+    ]
+    want = _brute_nearest(df, point, k=40)
+    assert got == want
+    null_ids = {r["pid"] for r in df.collect() if r["z"] is None}
+    assert null_ids  # the fixture really plants NULLs
+    assert not null_ids & {d for _, d in got}
+
+
+def test_nearest_k_exceeds_corpus(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from lucene_spark.index.points import point_nearest_topk
+
+    df = spark.createDataFrame(
+        [Row(pid=i, x=float(i), y=0.0) for i in range(7)]
+    )
+    path = str(tmp_path / "tiny")
+    bkd_write(df, ["x", "y"], path, num_files=4)
+    got = point_nearest_topk(
+        spark, path, {"x": 2.0, "y": 0.0}, id_col="pid", k=50
+    ).collect()
+    assert len(got) == 7
+    assert got[0]["doc_id"] == 2 and got[0]["dist_scaled"] == 0
