@@ -132,6 +132,47 @@ def ensure_latlon_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+# RangeField fixture: deterministic 2-dim stored ranges synthesized
+# from events with pure BIGINT arithmetic (identical in both engines).
+# Dim a spans [0, 236), widths 0-36; dim b spans [0, 60), widths 0-10.
+_RANGE_DIMS = [("a_min", "a_max"), ("b_min", "b_max")]
+_RANGE_EXPRS = [
+    "event_id",
+    "event_id % 200 AS a_min",
+    "event_id % 200 + event_id % 37 AS a_max",
+    "user_id % 50 AS b_min",
+    "user_id % 50 + event_id % 11 AS b_max",
+]
+_RANGE_SQL_BASE = f"(SELECT {', '.join(_RANGE_EXPRS)} FROM events) r"
+_RANGE_Q_INT = [(50, 80), (10, 20)]
+_RANGE_Q_WIT = [(0, 120), (0, 30)]
+_RANGE_Q_CON = [(100, 101), (10, 10)]
+_RANGE_Q_CRS = [(0, 120), (0, 30)]
+
+
+def ensure_range_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the RangeField index: the synthesized 2-dim ranges
+    written as 4-dim z-order points (search/rangefield.py)."""
+    import json as _json
+
+    from lucene_spark.search.rangefield import write_range_index
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_rng_{tag}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    try:
+        with open(f"{idx}/_bkd_meta.json") as f:
+            if _json.load(f).get("rows") == n:
+                return idx
+    except FileNotFoundError:
+        pass
+    write_range_index(ev.selectExpr(*_RANGE_EXPRS), _RANGE_DIMS, idx,
+                      num_files=8)
+    return idx
+
+
 def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Multi-field index over documents: primary `text` + keyword field
     `lang_kw` from the lang column (KeywordField shape, SURVEY §1.2)."""
@@ -1614,8 +1655,27 @@ def gate_queries() -> dict[str, object]:
             id_col="event_id",
             k=20,
         ).withColumnRenamed("dist_scaled", "score_x1e6")
+        # RangeField relation queries (document/IntRange..DoubleRange +
+        # RangeFieldQuery.java): stored 2-dim ranges indexed as 4-dim
+        # z-order points, relation-specific manifest pruning
+        from lucene_spark.search.rangefield import range_index_query_topk
+
+        ridx = ensure_range_index(spark, sf)
+        rels = [
+            ("rng_int", "intersects", _RANGE_Q_INT),
+            ("rng_wit", "within", _RANGE_Q_WIT),
+            ("rng_con", "contains", _RANGE_Q_CON),
+            ("rng_crs", "crosses", _RANGE_Q_CRS),
+        ]
+        rngs = [
+            (tag, range_index_query_topk(
+                spark, ridx, _RANGE_DIMS, q, rel, id_col="event_id", k=20
+            ))
+            for tag, rel, q in rels
+        ]
         return _union([
             ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
+            *rngs,
         ])
 
     def q_field_exists(spark, sf):
@@ -2303,6 +2363,7 @@ def gate_queries() -> dict[str, object]:
 
 def gate_oracle_sql() -> dict[str, str]:
     from lucene_spark.index import points as _points
+    from lucene_spark.search import rangefield as _rangefield
 
     edges = [0, 150, 300, 450, 600]
     bucket_case = " ".join(
@@ -2511,6 +2572,19 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
                 id_col="event_id", k=20,
             )
             + ")"
+            + "".join(
+                f" UNION ALL SELECT '{tag}' AS tag, * FROM ("
+                + _rangefield.range_query_sql(
+                    _RANGE_SQL_BASE, _RANGE_DIMS, q, rel, "event_id", k=20
+                )
+                + ")"
+                for tag, rel, q in (
+                    ("rng_int", "intersects", _RANGE_Q_INT),
+                    ("rng_wit", "within", _RANGE_Q_WIT),
+                    ("rng_con", "contains", _RANGE_Q_CON),
+                    ("rng_crs", "crosses", _RANGE_Q_CRS),
+                )
+            )
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
