@@ -2007,11 +2007,45 @@ def gate_queries() -> dict[str, object]:
             F.lit(0).cast("int").alias("distance"),
             F.col("weight").cast("long").alias("doc_freq"),
         )
+        # suggest/document completion queries: per-document entries
+        # (surface=source, weight=n_chars, context=lang). Shared-frame
+        # mapping: term=surface, distance=doc_id, doc_freq=score
+        from lucene_spark.search.completion import (
+            build_suggest_entries,
+            context_completion,
+            fuzzy_completion,
+            prefix_completion,
+            regex_completion,
+        )
+
+        ents = build_suggest_entries(
+            _docs(spark, sf), "source", "n_chars", contexts_col="lang"
+        )
+
+        def _cframe(df):
+            return df.select(
+                F.col("surface").alias("term"),
+                F.col("doc_id").cast("int").alias("distance"),
+                F.col("score_x1e6").alias("doc_freq"),
+            )
+
+        cqp = _cframe(prefix_completion(ents, "src1", k=5,
+                                        skip_duplicates=True))
+        cqr = _cframe(regex_completion(ents, "src1[0-3]", k=5,
+                                       skip_duplicates=True))
+        cqf = _cframe(fuzzy_completion(ents, "src15", k=5,
+                                       skip_duplicates=True))
+        cqc = _cframe(context_completion(
+            ents, "src1",
+            contexts={"en": (2.0, True), "es": (3.0, True)},
+            k=5, skip_duplicates=True,
+        ))
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
             ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
-            ("docdict", dd),
+            ("docdict", dd), ("cqpfx", cqp), ("cqrgx", cqr),
+            ("cqfzy", cqf), ("cqctx", cqc),
         ]
         out = None
         for tag, df in parts:
@@ -3121,6 +3155,69 @@ FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY path LIMIT 20"""),
         ("heat", _heatmap_oracle()),
     ])
+    # suggest/document completion oracle: shared entry CTE + the
+    # TopSuggestDocsCollector dedup ladder (best entry per doc, then
+    # best doc per surface = skipDuplicates), CompletionScorer algebra
+    _ce = (
+        "ce AS (SELECT doc_id, CAST(source AS VARCHAR) AS surface, "
+        "CAST(n_chars AS BIGINT) AS weight, CAST(lang AS VARCHAR) AS context, "
+        "array_to_string(list_filter(regexp_split_to_array("
+        "lower(CAST(source AS VARCHAR)), '[^a-z0-9]+'), t -> t <> ''), ' ') "
+        "AS key FROM documents WHERE source IS NOT NULL)"
+    )
+
+    def _ctop(m_cte: str) -> str:
+        return f"""WITH {_ce},
+{m_cte},
+bd AS (SELECT doc_id, surface, score, row_number() OVER
+  (PARTITION BY doc_id ORDER BY score DESC, surface ASC) AS rk FROM m),
+b1 AS (SELECT doc_id, surface, score FROM bd WHERE rk = 1),
+sd AS (SELECT doc_id, surface, score, row_number() OVER
+  (PARTITION BY surface ORDER BY score DESC, doc_id ASC) AS rk FROM b1)
+SELECT surface AS term, CAST(doc_id AS INT) AS distance,
+       CAST(score AS BIGINT) AS doc_freq
+FROM sd WHERE rk = 1
+ORDER BY doc_freq DESC, term ASC, distance ASC LIMIT 5"""
+
+    _fz_typed = "src15"
+    _fz_lcp = "greatest(" + ", ".join(
+        f"CASE WHEN substr(key,1,{i}) = '{_fz_typed[:i]}' THEN {i} ELSE 0 END"
+        for i in range(1, len(_fz_typed) + 1)
+    ) + ")"
+    _fz_boost = f"least({_fz_lcp}, {len(_fz_typed) - 1})"
+    _fz_ped = "least(" + ", ".join(
+        f"levenshtein('{_fz_typed}', substr(key,1,{L}))"
+        for L in range(len(_fz_typed) - 1, len(_fz_typed) + 2)
+    ) + ")"
+    _fz_cond = (
+        f"(key LIKE '{_fz_typed}%' OR "
+        f"(substr(key,1,1) = '{_fz_typed[0]}' AND {_fz_ped} <= 1))"
+    )
+    _score = "CASE WHEN {b} = 0 THEN weight WHEN weight = 0 THEN {b} ELSE weight * {b} END"
+    _completion_oracles = [
+        ("cqpfx", _ctop(
+            "m AS (SELECT doc_id, surface, weight AS score FROM ce "
+            "WHERE key LIKE 'src1%')"
+        )),
+        ("cqrgx", _ctop(
+            "m AS (SELECT doc_id, surface, weight AS score FROM ce "
+            "WHERE regexp_matches(key, '^(?:src1[0-3])'))"
+        )),
+        ("cqfzy", _ctop(
+            f"m AS (SELECT doc_id, surface, "
+            f"{_score.format(b=_fz_boost)} AS score "
+            f"FROM ce WHERE {_fz_cond})"
+        )),
+        ("cqctx", _ctop(
+            "m AS (SELECT doc_id, surface, "
+            + _score.format(
+                b="(CASE WHEN context = 'en' THEN 2.0 "
+                  "WHEN context = 'es' THEN 3.0 END)"
+            )
+            + " AS score FROM ce WHERE key LIKE 'src1%' "
+            "AND context IN ('en', 'es'))"
+        )),
+    ]
     one["q_suggest_suite"] = _sql_tagged([
         ("spell", one.pop("q_suggest")),
         ("prefix", f"""WITH {_TOKS},
@@ -3217,6 +3314,7 @@ WITH dd AS (
 SELECT surface AS term, CAST(0 AS INT) AS distance, weight AS doc_freq
 FROM dd WHERE surface LIKE 'src1%'
 ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
+        *_completion_oracles,
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}
