@@ -37,6 +37,9 @@ _SHAPE_POLY = [(-30.0, -10.0), (40.0, -20.0), (50.0, 30.0), (5.0, 10.0),
                (0.0, 55.0), (-45.0, 20.0)]  # (5,10) makes it CONCAVE
 _SHAPE_LINE = [(-120.0, -40.0), (-60.0, 10.0), (0.0, -20.0), (60.0, 25.0)]
 _SHAPE_DIST = (35.0, 10.0, 2_500_000.0)
+# XYPointField.newPolygonQuery fixture: concave arrowhead, plane coords
+_XY_POLY = [(100.0, 100.0), (900.0, 200.0), (500.0, 500.0),
+            (900.0, 800.0), (100.0, 900.0)]
 # GeoCompositePolygon: two convex spherical polygons, (lat, lon) verts
 _POLY3D = [
     [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)],
@@ -2079,7 +2082,7 @@ def gate_queries() -> dict[str, object]:
                 "doc_id", F.col(c[1]).alias("v1"), v2.alias("v2")
             )
 
-        from lucene_spark.search import geo3d, shapes
+        from lucene_spark.search import geo3d, shapes, xy
 
         from lucene_spark.search.prefixtree import geo_box_prefixtree
 
@@ -2147,6 +2150,15 @@ def gate_queries() -> dict[str, object]:
             # best-first file traversal over the latlon z-order index
             ("nearest", _h(geo.geo_nearest_topk(
                 spark, ensure_latlon_index(spark, sf), 48.85, 2.35, k=25
+            ))),
+            # cartesian XYPoint box/distance/polygon + XYShape circle
+            # (xy.py: the flat-plane twins, Euclidean metric, exact
+            # circle-vs-triangle relations)
+            ("xy_box", _h(xy.xy_box_topk(d, 100.0, 300.0, 400.0, 600.0, k=50))),
+            ("xy_dist", _h(xy.xy_distance_topk(d, 500.0, 500.0, 120.0, k=20))),
+            ("xy_poly", _h(xy.xy_polygon_topk(d, _XY_POLY, k=50))),
+            ("xy_circ", _h(xy.xyshape_circle_topk(
+                _tri, "intersects", 10.0, 20.0, 28.0, k=50
             ))),
         ])
 
@@ -3358,6 +3370,7 @@ FROM scored s JOIN cosd ON cosd.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo
+    from lucene_spark.search import xy as _xy
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
     _PATH3D = [(10.0, -30.0), (25.0, 0.0), (40.0, 30.0)]
@@ -3413,6 +3426,18 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("nearest",
          "SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
          + _geo.geo_nearest_sql(48.85, 2.35, k=25) + ")"),
+        ("xy_box",
+         "SELECT doc_id, x_x1e3 AS v1, y_x1e3 AS v2 FROM ("
+         + _xy.xy_box_sql(100.0, 300.0, 400.0, 600.0, k=50) + ")"),
+        ("xy_dist",
+         "SELECT doc_id, dist_x1e3 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _xy.xy_distance_sql(500.0, 500.0, 120.0, k=20) + ")"),
+        ("xy_poly",
+         "SELECT doc_id, x_x1e3 AS v1, y_x1e3 AS v2 FROM ("
+         + _xy.xy_polygon_sql(_XY_POLY, k=50) + ")"),
+        ("xy_circ",
+         "SELECT doc_id, clat_x1e3 AS v1, clon_x1e3 AS v2 FROM ("
+         + _xy.xyshape_circle_sql("intersects", 10.0, 20.0, 28.0, k=50) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
