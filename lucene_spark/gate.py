@@ -25,6 +25,7 @@ from lucene_spark.index.builder import IndexConfig, build_index
 from lucene_spark.index import manifest as mani
 from lucene_spark.pipeline import dedup as dd
 from lucene_spark.pipeline import multimodal as mm
+from lucene_spark.pipeline import sampling as _sampling
 from lucene_spark.pipeline import similarity as sim
 from lucene_spark.pipeline import textstats as ts
 from lucene_spark.search import sqlpath as sp
@@ -40,6 +41,37 @@ _SHAPE_DIST = (35.0, 10.0, 2_500_000.0)
 # XYPointField.newPolygonQuery fixture: concave arrowhead, plane coords
 _XY_POLY = [(100.0, 100.0), (900.0, 200.0), (500.0, 500.0),
             (900.0, 800.0), (100.0, 900.0)]
+
+# pipeline split/sample/PII fixtures (q_quality tags split/strat/pii)
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRAT_FR = {"en": 0.3, "es": 0.6}
+# deterministic planted PII so both engines see identical text
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' mail u'||CAST(doc_id AS VARCHAR)"
+    "||'@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.0.'"
+    "||CAST(doc_id % 256 AS VARCHAR)||'.'||CAST(doc_id % 100 AS VARCHAR)"
+    "||' seen' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 ok' ELSE '' END"
+)
+
+
+def _pii_aug_spark():
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" mail u"), did.cast("string"), F.lit("@example.com now")
+        )).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" ip 10.0."), (did % 256).cast("string"),
+            F.lit("."), (did % 100).cast("string"), F.lit(" seen"),
+        )).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" call 555-867-5309 ok"))
+        .otherwise(F.lit("")),
+    )
 # GeoCompositePolygon: two convex spherical polygons, (lat, lon) verts
 _POLY3D = [
     [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)],
@@ -1521,7 +1553,43 @@ def gate_queries() -> dict[str, object]:
             F.col("dup5gram_x1e6").alias("v3_x1e6"),
             F.col("rep_score_x1e6").alias("v4_x1e6"),
         )
-        return q.unionByName(r)
+        # pipeline split / stratified sample / PII scrub (the v slots
+        # carry bucket / split-code / hit counts — plain BIGINTs)
+        from lucene_spark.pipeline.sampling import (
+            hash_split,
+            stratified_sample,
+        )
+
+        d = _docs(spark, sf)
+        zero = F.lit(0).cast("long")
+        spl = hash_split(d, _SPLIT_W).orderBy("doc_id").limit(300).select(
+            F.lit("split").alias("tag"), "doc_id",
+            F.col("bucket").alias("v1_x1e6"),
+            F.when(F.col("split") == "train", 0)
+            .when(F.col("split") == "val", 1)
+            .otherwise(2).cast("long").alias("v2_x1e6"),
+            zero.alias("v3_x1e6"), zero.alias("v4_x1e6"),
+        )
+        st = (
+            stratified_sample(d, "lang", _STRAT_FR)
+            .orderBy("doc_id").limit(300)
+            .select(
+                F.lit("strat").alias("tag"), "doc_id",
+                F.col("bucket").alias("v1_x1e6"),
+                zero.alias("v2_x1e6"), zero.alias("v3_x1e6"),
+                zero.alias("v4_x1e6"),
+            )
+        )
+        pii = ts.pii_stats(
+            d.select("doc_id", _pii_aug_spark().alias("text")), k=250
+        ).select(
+            F.lit("pii").alias("tag"), "doc_id",
+            F.col("n_email").alias("v1_x1e6"),
+            F.col("n_ipv4").alias("v2_x1e6"),
+            F.col("n_phone").alias("v3_x1e6"),
+            F.col("redacted_len").alias("v4_x1e6"),
+        )
+        return q.unionByName(r).unionByName(spl).unionByName(st).unionByName(pii)
 
     def q_lang_id(spark, sf):
         return ts.lang_id(_docs(spark, sf))
@@ -2808,6 +2876,25 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
              .replace("AS top2gram_x1e6", "AS v2_x1e6")
              .replace("AS dup5gram_x1e6", "AS v3_x1e6")
              .replace("AS rep_score_x1e6", "AS v4_x1e6")),
+            ("split",
+             "SELECT doc_id, bucket AS v1_x1e6, "
+             "CAST(CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 "
+             "ELSE 2 END AS BIGINT) AS v2_x1e6, "
+             "CAST(0 AS BIGINT) AS v3_x1e6, CAST(0 AS BIGINT) AS v4_x1e6 "
+             "FROM (" + _sampling.hash_split_sql(_SPLIT_W) + ") "
+             "ORDER BY doc_id LIMIT 300"),
+            ("strat",
+             "SELECT doc_id, bucket AS v1_x1e6, "
+             "CAST(0 AS BIGINT) AS v2_x1e6, CAST(0 AS BIGINT) AS v3_x1e6, "
+             "CAST(0 AS BIGINT) AS v4_x1e6 "
+             "FROM (" + _sampling.stratified_sample_sql("lang", _STRAT_FR)
+             + ") ORDER BY doc_id LIMIT 300"),
+            ("pii", ts.pii_stats_sql(
+                text_expr=f"({_PII_AUG_SQL})", k=250)
+             .replace("AS n_email", "AS v1_x1e6")
+             .replace("AS n_ipv4", "AS v2_x1e6")
+             .replace("AS n_phone", "AS v3_x1e6")
+             .replace("AS redacted_len", "AS v4_x1e6")),
         ]),
         "q_lang_id": ts.lang_id_sql(),
         "q_fingerprint": ts.fingerprints_sql(),

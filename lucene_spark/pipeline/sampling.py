@@ -1,0 +1,176 @@
+"""Deterministic corpus splitting & sampling for training pipelines.
+
+Not a reference-engine surface — part of the LLM-data-pipeline
+operator set (SURVEY "beyond the reference" axis): every large-scale
+training pipeline needs reproducible train/val/test splits and
+per-stratum sampling that (a) never shuffle, (b) are stable across
+reruns and cluster sizes, and (c) can be recomputed row-locally by any
+later job (no membership table to join).
+
+The mechanism is salted-hash bucketing: ``bucket(doc) = md5(id ||
+salt) mod 1e6`` — a pure per-row projection, mirrored exactly in ANSI
+SQL for the oracle (the synthesize_geo md5 pattern). Splits are
+half-open cumulative ranges over the bucket space, so
+weights (0.9, 0.05, 0.05) give disjoint, exhaustive, deterministic
+assignments; sampling keeps ``bucket < frac * 1e6``. Changing the salt
+redraws independently (the standard trick for uncorrelated samples).
+
+100-TB shape: zero shuffles, zero driver state — a codegen'd md5 +
+modulo per row, pushdown-friendly when materialized as a column. The
+split is also cluster-size invariant by construction (no RNG seeded
+per partition, unlike ``DataFrame.randomSplit`` whose assignment
+changes with partitioning — the reason this module exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "hash_split_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
+]
+
+_SPACE = 1_000_000
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, 1e6) from md5(id || salt)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    return (h % _SPACE).alias("bucket")
+
+
+def _bucket_sql(id_col: str, salt: str) -> str:
+    return (
+        f"CAST(('0x'||substr(md5(CAST({id_col} AS VARCHAR)||'{salt}'),1,8)) "
+        f"AS BIGINT) % {_SPACE}"
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, bucket, split): every row assigned to exactly one
+    named split by cumulative bucket ranges (insertion order; the last
+    split absorbs rounding remainder so the assignment is exhaustive).
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    b = hash_bucket(id_col, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        hi = int(round(cum * _SPACE))
+        expr = (
+            F.when(b < hi, F.lit(name))
+            if expr is None
+            else expr.when(b < hi, F.lit(name))
+        )
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        b.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def hash_split_sql(
+    weights: dict[str, float],
+    salt: str = "split",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of hash_split (same buckets, same ranges)."""
+    b = _bucket_sql(id_col, salt)
+    names = list(weights)
+    cum = 0.0
+    cases = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cases.append(f"WHEN {b} < {int(round(cum * _SPACE))} THEN '{name}'")
+    case = (
+        f"CASE {' '.join(cases)} ELSE '{names[-1]}' END"
+        if cases
+        else f"'{names[-1]}'"
+    )
+    return (
+        f"SELECT CAST({id_col} AS BIGINT) AS doc_id, {b} AS bucket, "
+        f"{case} AS split FROM {table}"
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, stratum, bucket): rows kept with a per-stratum
+    probability (exact bucket-threshold semantics, deterministic and
+    re-derivable; strata absent from ``fractions`` use
+    ``default_fraction``). The stratified analog of
+    DataFrameStatFunctions.sampleBy, minus its partitioning
+    sensitivity."""
+    b = hash_bucket(id_col, salt)
+    thr = None
+    for s, f_ in fractions.items():
+        t = F.when(F.col(strata_col) == s, int(round(f_ * _SPACE)))
+        thr = t if thr is None else thr.when(
+            F.col(strata_col) == s, int(round(f_ * _SPACE))
+        )
+    thr = (
+        F.lit(int(round(default_fraction * _SPACE)))
+        if thr is None
+        else thr.otherwise(int(round(default_fraction * _SPACE)))
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(strata_col).cast("string").alias("stratum"),
+            b.alias("bucket"),
+            thr.alias("__thr"),
+        )
+        .filter(F.col("bucket") < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def stratified_sample_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    b = _bucket_sql(id_col, salt)
+    cases = " ".join(
+        f"WHEN CAST({strata_col} AS VARCHAR) = '{s}' "
+        f"THEN {int(round(f_ * _SPACE))}"
+        for s, f_ in fractions.items()
+    )
+    thr = (
+        f"CASE {cases} ELSE {int(round(default_fraction * _SPACE))} END"
+        if cases
+        else str(int(round(default_fraction * _SPACE)))
+    )
+    return (
+        f"SELECT CAST({id_col} AS BIGINT) AS doc_id, "
+        f"CAST({strata_col} AS VARCHAR) AS stratum, {b} AS bucket "
+        f"FROM {table} WHERE {b} < {thr}"
+    )

@@ -392,3 +392,69 @@ SELECT doc_id,
            CAST(ROUND(tg*1000000) AS BIGINT),
            CAST(ROUND(dg*1000000) AS BIGINT)) AS rep_score_x1e6
 FROM base ORDER BY doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (pipeline axis — not a reference surface).
+# Patterns are deliberately restricted to the regex subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries — no backrefs, no
+# lookaround. Spark's regexp_replace is replace-ALL by default; the
+# DuckDB twin must pass the 'g' flag to match.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # order matters for redaction: emails first (their domains can
+    # contain ip-ish digit runs), then ips, then phones
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}",
+}
+
+
+def pii_redact_col(text: Column) -> Column:
+    """Sequentially mask every PII class with <CLASS> placeholders."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 200
+) -> DataFrame:
+    """Per-doc PII hit counts on the RAW text plus the length of the
+    redacted text -> (doc_id, n_email, n_ipv4, n_phone, redacted_len).
+    One codegen'd projection; no UDFs, no shuffle."""
+    t = F.col(text_col)
+    return (
+        docs.select(
+            "doc_id",
+            *[
+                F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+                .cast("long").alias(f"n_{name}")
+                for name, pat in PII_PATTERNS.items()
+            ],
+            F.length(pii_redact_col(t)).cast("long").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def pii_stats_sql(
+    text_expr: str = "text", k: int = 200, table: str = "documents"
+) -> str:
+    """DuckDB twin (RE2): len(regexp_extract_all) counts, chained
+    regexp_replace with the 'g' flag for the redacted length."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = text_expr
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, CAST(length({red}) AS BIGINT) "
+        f"AS redacted_len FROM {table} ORDER BY doc_id LIMIT {k}"
+    )
