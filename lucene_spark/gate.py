@@ -25,6 +25,7 @@ from lucene_spark.index.builder import IndexConfig, build_index
 from lucene_spark.index import manifest as mani
 from lucene_spark.pipeline import dedup as dd
 from lucene_spark.pipeline import multimodal as mm
+from lucene_spark.pipeline import packing as _packing
 from lucene_spark.pipeline import sampling as _sampling
 from lucene_spark.pipeline import similarity as sim
 from lucene_spark.pipeline import textstats as ts
@@ -1533,7 +1534,27 @@ def gate_queries() -> dict[str, object]:
         return spark.read.parquet(f"{sf}/embeddings.parquet")
 
     def q_token_stats(spark, sf):
-        return ts.token_stats(_docs(spark, sf))
+        # per-doc token stats + sequence PACKING (concat-and-chunk
+        # layout at seq_len=512 via the two-level prefix sum), one
+        # tagged union harmonized to v1..v4
+        from lucene_spark.pipeline.packing import pack_sequences
+
+        d = _docs(spark, sf)
+        s = ts.token_stats(d).select(
+            F.lit("stats").alias("tag"), "doc_id",
+            F.col("n_ws").cast("long").alias("v1"),
+            F.col("n_tok").cast("long").alias("v2"),
+            F.col("n_distinct").cast("long").alias("v3"),
+            F.col("mean_tok_len_x1e6").alias("v4"),
+        )
+        p = pack_sequences(d, 512, k=300).select(
+            F.lit("pack").alias("tag"), "doc_id",
+            F.col("n_tokens").alias("v1"),
+            F.col("seq_id").alias("v2"),
+            F.col("offset").alias("v3"),
+            F.col("n_splits").alias("v4"),
+        )
+        return s.unionByName(p)
 
     def q_quality(spark, sf):
         # heuristic quality scores + the MassiveText repetition filters
@@ -2864,7 +2885,16 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         "q_window_session": sw.session_counts_sql(),
         "q_media_meta": mm.media_meta_sql(),
         "q_media_decode": mm.decode_media_sql(),
-        "q_token_stats": ts.token_stats_sql(),
+        "q_token_stats": _sql_tagged_flat([
+            ("stats",
+             "SELECT doc_id, CAST(n_ws AS BIGINT) AS v1, "
+             "CAST(n_tok AS BIGINT) AS v2, CAST(n_distinct AS BIGINT) AS v3, "
+             "mean_tok_len_x1e6 AS v4 FROM (" + ts.token_stats_sql() + ")"),
+            ("pack",
+             "SELECT doc_id, n_tokens AS v1, seq_id AS v2, "
+             '"offset" AS v3, n_splits AS v4 FROM ('
+             + _packing.pack_sequences_sql(512) + ")"),
+        ]),
         "q_quality": _sql_tagged_flat([
             ("scores", ts.quality_scores_sql()
              .replace("AS alpha_ratio_x1e6", "AS v1_x1e6")
