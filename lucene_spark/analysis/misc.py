@@ -510,3 +510,98 @@ register_analyzer(
         StandardAnalyzer(), [GermanNormalizationFilter()], "german_normalized"
     ),
 )
+
+
+class KeywordRepeatAnalyzer(Analyzer):
+    """KeywordRepeatFilter -> stemmer -> RemoveDuplicatesTokenFilter
+    (miscellaneous/KeywordRepeatFilter.java + RemoveDuplicatesTokenFilter.java):
+    every token is emitted twice — the original (keyword-marked, so the
+    stemmer leaves it alone) and a stacked copy the stemmer rewrites,
+    sharing the original's position (posInc 0). RemoveDuplicates then
+    drops the stacked copy whenever stemming was a no-op (same term at
+    the same position). The index ends up searchable by BOTH the
+    surface form and the stem, with BM25 doc lengths unchanged
+    (discountOverlaps ignores the stacked copies)."""
+
+    def __init__(self, stem=None, name: str = "keyword_repeat_porter"):
+        from lucene_spark.analysis.filters import porter_stem
+
+        self.stem = stem or porter_stem
+        self.name = name
+        self._base = SimpleAnalyzer()
+
+    def tokenize_with_positions_one(self, text: str):
+        toks: list[str] = []
+        pos: list[int] = []
+        p = -1
+        for t in self._base.tokenize_one(text):
+            p += 1
+            toks.append(t)
+            pos.append(p)
+            s = self.stem(t)
+            if s != t:  # RemoveDuplicates: drop the no-op copy
+                toks.append(s)
+                pos.append(p)
+        return toks, pos
+
+    def tokenize_one(self, text: str) -> list[str]:
+        return self.tokenize_with_positions_one(text)[0]
+
+
+class DelimitedTermFrequencyAnalyzer(Analyzer):
+    """DelimitedTermFrequencyTokenFilter
+    (miscellaneous/DelimitedTermFrequencyTokenFilter.java): a trailing
+    ``|N`` on a whitespace token sets that occurrence's term frequency
+    to N. Divergence, documented: the reference writes a
+    TermFrequencyAttribute and the indexing chain adds N to the field
+    LENGTH without advancing positions (FieldInvertState.length +=
+    freq); this engine's postings derive tf by counting occurrences,
+    so the filter emits the token N times at CONSECUTIVE positions —
+    identical tf / df / doc-length (norm) statistics, with only the
+    position values of later tokens shifted (posInc-0 stacking would
+    instead be discounted out of the BM25 norm by discountOverlaps).
+    Malformed or absent suffixes mean tf=1 (the reference throws for
+    malformed; lenient here, flagged)."""
+
+    name = "delimited_termfreq"
+    _WS = None
+
+    def tokenize_one(self, text: str) -> list[str]:
+        import re
+
+        toks: list[str] = []
+        for raw in re.findall(r"\S+", text):
+            term, bar, suffix = raw.rpartition("|")
+            if bar and suffix.isdigit() and term:
+                tf = max(1, int(suffix))
+            else:
+                term, tf = raw, 1
+            toks.extend([term] * tf)
+        return toks
+
+
+class ConcatenateGraphAnalyzer(Analyzer):
+    """ConcatenateGraphFilter (miscellaneous/ConcatenateGraphFilter.java,
+    preserveSep=true): the whole token stream collapses into ONE token
+    — the tokens joined by the separator — the completion-FST key shape
+    (CompletionAnalyzer wraps exactly this filter). Empty streams
+    produce no token."""
+
+    name = "concat_graph"
+
+    def __init__(self, sep: str = " "):
+        self.sep = sep
+        self._base = SimpleAnalyzer()
+
+    def tokenize_one(self, text: str) -> list[str]:
+        toks = self._base.tokenize_one(text)
+        return [self.sep.join(toks)] if toks else []
+
+
+register_analyzer(
+    "keyword_repeat_porter", lambda: KeywordRepeatAnalyzer()
+)
+register_analyzer(
+    "delimited_termfreq", lambda: DelimitedTermFrequencyAnalyzer()
+)
+register_analyzer("concat_graph", lambda: ConcatenateGraphAnalyzer())

@@ -374,6 +374,49 @@ def ensure_snowball_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_KWREP_READERS: dict[str, IndexReader] = {}
+
+
+def ensure_kwrep_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents.text with the keyword_repeat_porter
+    analyzer (KeywordRepeatFilter -> Porter -> RemoveDuplicates,
+    analysis/misc.py): every position carries the surface form plus the
+    stem when they differ, so queries match by EITHER form. Oracle
+    non-circularity: the gate corpus's stem equivalence classes are
+    singletons ({query}->queri), so surface-term scoring over the
+    UNSTEMMED corpus equals stem-term scoring here, and doc lengths
+    are unchanged (discountOverlaps drops the posInc-0 copies)."""
+    key = os.path.abspath(sf_dir)
+    if key in _KWREP_READERS:
+        return _KWREP_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_kwrepidx_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n
+            and m.get("analyzer") == "keyword_repeat_porter"
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD,
+            content_col="text",
+            analyzer="keyword_repeat_porter",
+            doc_id_col="doc_id",
+            docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+    r = IndexReader(spark, idx)
+    _KWREP_READERS[key] = r
+    return r
+
+
 _SHAPE_PATHS: dict[str, str] = {}
 
 
@@ -1914,10 +1957,15 @@ def gate_queries() -> dict[str, object]:
         # real tf/df/dl shifts (grams extend doc length), so a BM25
         # search FOR a gram exercises the whole emission contract
         rc = ensure_cgrams_index(spark, sf)
+        # kwrep: KeywordRepeat+Porter+RemoveDuplicates index — one query
+        # mixes the SURFACE form (absent from a plain porter index) and
+        # the STEM; both resolve to the same docs with equal scores
+        rk = ensure_kwrep_index(spark, sf)
         return _union([
             ("porter", sp.bool_bm25_topk(r, FIELD, must=["tabl"], should=["queri"])),
             ("snowball", sp.bool_bm25_topk(rs, FIELD, must=["key"], should=["tabl"])),
             ("cgrams", sp.bool_bm25_topk(rc, FIELD, must=["the_table"], should=["the_key"])),
+            ("kwrep", sp.bool_bm25_topk(rk, FIELD, must=["query"], should=["tabl"])),
         ])
 
     def q_intervals(spark, sf):
@@ -3240,6 +3288,11 @@ ORDER BY doc_id LIMIT 10"""
         ("snowball", _sql_bool(must=["key"], should=["table"])),
         ("cgrams", _sql_bool(must=["the_table"], should=["the_key"])
             .replace(_TOKS, _CG_TOKS)),
+        # kwrep: surface 'query' (absent from a plain porter index)
+        # plus stem 'tabl'; singleton equivalence classes and
+        # discountOverlaps doc lengths make the unstemmed-corpus
+        # surface scoring exact
+        ("kwrep", _sql_bool(must=["query"], should=["table"])),
     ])
     one["q_phrase_suite"] = _sql_tagged([
         ("exact", one.pop("q_phrase")),

@@ -278,3 +278,63 @@ def test_keep_word():
     words = frozenset({"aaa", "BBB"})
     assert KeepWordFilter(words).apply(
         ["aaa", "the", "BBB", "foo"]) == ["aaa", "BBB"]
+
+
+# ---------------------------------------------------------------------------
+# KeywordRepeat + RemoveDuplicates / DelimitedTermFrequency /
+# ConcatenateGraph (analysis pack 4)
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_repeat_emission():
+    from lucene_spark.analysis import get_analyzer
+
+    a = get_analyzer("keyword_repeat_porter")
+    toks, pos = a.tokenize_with_positions_one("running tables scan query")
+    # stem != surface -> stacked copy at the same position;
+    # stem == surface ('scan') -> RemoveDuplicates drops the copy
+    assert toks == ["running", "run", "tables", "tabl", "scan", "query", "queri"]
+    assert pos == [0, 0, 1, 1, 2, 3, 3]
+
+
+def test_delimited_termfreq_emission():
+    from lucene_spark.analysis import get_analyzer
+
+    a = get_analyzer("delimited_termfreq")
+    toks = a.tokenize_one("hello|3 world x|bad y|0")
+    assert toks == ["hello", "hello", "hello", "world", "x|bad", "y"]
+
+
+def test_delimited_termfreq_bm25_equals_repeated_text(spark, tmp_path):
+    # tf=N via the delimiter must score exactly like N real repeats
+    import pandas as pd
+
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.search.executor import IndexReader
+    from lucene_spark.search import sqlpath as sp
+
+    docs_tf = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["apple|3 pie", "apple pie pie"]}))
+    docs_rep = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["apple apple apple pie", "apple pie pie"]}))
+    outs = []
+    for name, d, an in (("tf", docs_tf, "delimited_termfreq"),
+                        ("rep", docs_rep, "whitespace")):
+        p = str(tmp_path / name)
+        build_index(spark, d, p, IndexConfig(
+            field="text", content_col="text", analyzer=an,
+            doc_id_col="doc_id", docs_per_segment=10, num_batches=1))
+        r = IndexReader(spark, p)
+        outs.append(sorted(
+            (x["doc_id"], x["score_x1e6"])
+            for x in sp.bool_bm25_topk(r, "text", must=["apple"], k=10).collect()
+        ))
+    assert outs[0] == outs[1]
+
+
+def test_concat_graph_key():
+    from lucene_spark.analysis import get_analyzer
+
+    a = get_analyzer("concat_graph")
+    assert a.tokenize_one("The quick  Brown-fox") == ["the quick brown fox"]
+    assert a.tokenize_one("...") == []
