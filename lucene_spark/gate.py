@@ -1400,6 +1400,11 @@ def gate_queries() -> dict[str, object]:
             ("sorted", sp.field_sort_topk(
                 rs, FIELD, T_MID, "n_chars", ascending=True,
                 out_id_col="orig_id")),
+            # searchAfter(FieldDoc) paging: resume strictly after the
+            # (sort value, doc id) cursor
+            ("after", sp.field_sort_search_after(
+                r, FIELD, T_MID, "n_chars",
+                after_val=450, after_doc=0, ascending=False)),
         ])
 
     def q_range_facet(spark, sf):
@@ -2568,9 +2573,15 @@ t_docvalues AS (
 t_sorted AS (
   SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
   FROM documents d JOIN m ON d.doc_id = m.doc_id
-  ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10)
+  ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10),
+t_after AS (
+  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
+  FROM documents d JOIN m ON d.doc_id = m.doc_id
+  WHERE d.n_chars < 450 OR (d.n_chars = 450 AND d.doc_id > 0)
+  ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10)
 SELECT 'docvalues' AS tag, * FROM t_docvalues
-UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted""",
+UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted
+UNION ALL SELECT 'after' AS tag, * FROM t_after""",
         "q_range_facet": f"""WITH t_static AS (WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT bucket, count(*) AS cnt FROM (

@@ -2098,3 +2098,43 @@ def blended_term_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def field_sort_search_after(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    sort_col: str,
+    after_val: int,
+    after_doc: int,
+    ascending: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """searchAfter on a FIELD sort — IndexSearcher.searchAfter(FieldDoc,
+    query, n, sort) / TopFieldCollector.create(sort, n, after, ...):
+    only hits strictly after the (sort value, doc id) cursor in sort
+    order compete; the doc-id tie-break matches the collector's
+    after.doc comparison. Same TakeOrderedAndProject plan as
+    field_sort_topk — the cursor predicate reaches the scan as a
+    pushed-down filter, which is the whole point of searchAfter at
+    scale (page N costs the same as page 1, no deep offset).
+    -> (doc_id, sort_val)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    sc = F.col(sort_col)
+    if ascending:
+        cond = (sc > after_val) | (
+            (sc == after_val) & (F.col("doc_id") > after_doc)
+        )
+        order = sc.asc()
+    else:
+        cond = (sc < after_val) | (
+            (sc == after_val) & (F.col("doc_id") > after_doc)
+        )
+        order = sc.desc()
+    return (
+        docs.filter(cond)
+        .select("doc_id", sc.cast("long").alias("sort_val"))
+        .orderBy(order, F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -113,3 +113,25 @@ def test_multi_and_positive_and_caching(coll_index):
     assert caching.replay(s, q) is first
     with pytest.raises(ValueError):
         caching.replay(s, Q.TermQuery("text", "cyan"))
+
+
+def test_field_sort_search_after_pages_compose(spark):
+    """searchAfter(FieldDoc) contract: page 1 (top-k) followed by a
+    page anchored at page 1's last (sort_val, doc_id) must equal the
+    single top-2k list split in half — no gaps, no repeats."""
+    from lucene_spark.gate import FIELD, T_MID, ensure_index
+    from lucene_spark.search import sqlpath as sp
+
+    r = ensure_index(spark, "/root/testdata/sf0.001")
+    full = sp.field_sort_topk(
+        r, FIELD, T_MID, "n_chars", ascending=False, k=20
+    ).collect()
+    page1 = full[:10]
+    cursor = page1[-1]
+    page2 = sp.field_sort_search_after(
+        r, FIELD, T_MID, "n_chars",
+        after_val=cursor["sort_val"], after_doc=cursor["doc_id"],
+        ascending=False, k=10,
+    ).collect()
+    assert [tuple(x) for x in page2] == [tuple(x) for x in full[10:]]
+    assert len(page2) == 10
