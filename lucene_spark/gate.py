@@ -209,6 +209,30 @@ def ensure_range_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def ensure_nchars_points_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the 1-dim points index over documents.n_chars — the
+    LongPoint+DocValues dual field the IndexOrDocValuesQuery gate
+    chooses between."""
+    import json as _json
+
+    from lucene_spark.index import points as pts
+
+    key = os.path.abspath(sf_dir)
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_ncpts_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    try:
+        with open(f"{idx}/_bkd_meta.json") as f:
+            if _json.load(f).get("rows") == n:
+                return idx
+    except FileNotFoundError:
+        pass
+    pts.bkd_write(docs.select("doc_id", "n_chars"), ["n_chars"], idx,
+                  num_files=8)
+    return idx
+
+
 def ensure_mf_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Multi-field index over documents: primary `text` + keyword field
     `lang_kw` from the lang column (KeywordField shape, SURVEY §1.2)."""
@@ -1813,9 +1837,17 @@ def gate_queries() -> dict[str, object]:
             ))
             for tag, rel, q in rels
         ]
+        # IndexOrDocValuesQuery: term MUST + n_chars range FILTER, the
+        # plan picked by the reference's indexCost>>>3 <= leadCost rule
+        from lucene_spark.search.adaptive import index_or_docvalues_range_topk
+
+        iodv = index_or_docvalues_range_topk(
+            spark, r, ensure_nchars_points_index(spark, sf),
+            FIELD, T_MID, {"n_chars": (100, 300)}, k=20,
+        )
         return _union([
             ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
-            *rngs,
+            *rngs, ("iodv", iodv),
         ])
 
     def q_field_exists(spark, sf):
@@ -2779,6 +2811,13 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
                     ("rng_crs", "crosses", _RANGE_Q_CRS),
                 )
             )
+            + " UNION ALL SELECT 'iodv' AS tag, * FROM (WITH "
+            + _TOKS
+            + f", m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}') "
+            "SELECT d.doc_id, CAST(1000000 AS BIGINT) AS score_x1e6 "
+            "FROM documents d JOIN m ON d.doc_id = m.doc_id "
+            "WHERE d.n_chars BETWEEN 100 AND 300 "
+            "ORDER BY d.doc_id LIMIT 20)"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
