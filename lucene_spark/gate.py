@@ -46,6 +46,8 @@ _XY_POLY = [(100.0, 100.0), (900.0, 200.0), (500.0, 500.0),
 # pipeline split/sample/PII fixtures (q_quality tags split/strat/pii)
 _SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 _STRAT_FR = {"en": 0.3, "es": 0.6}
+_MIX_W = {"en": 0.5, "es": 0.3, "de": 0.2}
+_MIX_BUDGET = 0.3
 # deterministic planted PII so both engines see identical text
 _PII_AUG_SQL = (
     "text || CASE WHEN doc_id % 7 = 0 THEN ' mail u'||CAST(doc_id AS VARCHAR)"
@@ -1392,8 +1394,20 @@ def gate_queries() -> dict[str, object]:
         return sp.const_score_topk(r, FIELD, [T_RARE, "window", "zzzz"])
 
     def q_count(spark, sf):
+        # Weight#count shortcut + HighFreqTerms (misc/HighFreqTerms.java:
+        # top-N terms by total tf from the term dictionary alone), one
+        # tagged union harmonized to (term, v1, v2)
         r = ensure_index(spark, sf)
-        return sp.term_count(r, FIELD, T_HOT)
+        cnt = sp.term_count(r, FIELD, T_HOT).select(
+            F.lit("count").alias("tag"), F.lit("").alias("term"),
+            F.col("cnt").cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
+        )
+        hft = sp.high_freq_terms(r, FIELD, n=10, order_by="ttf").select(
+            F.lit("hft").alias("tag"), "term",
+            F.col("df").alias("v1"), F.col("ttf").alias("v2"),
+        )
+        return cnt.unionByName(hft)
 
     def q_facet_lang(spark, sf):
         r = ensure_index(spark, sf)
@@ -1673,6 +1687,18 @@ def gate_queries() -> dict[str, object]:
                 zero.alias("v4_x1e6"),
             )
         )
+        from lucene_spark.pipeline.sampling import mixture_sample
+
+        mix = (
+            mixture_sample(d, "lang", _MIX_W, _MIX_BUDGET)
+            .orderBy("doc_id").limit(300)
+            .select(
+                F.lit("mix").alias("tag"), "doc_id",
+                F.col("bucket").alias("v1_x1e6"),
+                zero.alias("v2_x1e6"), zero.alias("v3_x1e6"),
+                zero.alias("v4_x1e6"),
+            )
+        )
         pii = ts.pii_stats(
             d.select("doc_id", _pii_aug_spark().alias("text")), k=250
         ).select(
@@ -1682,7 +1708,10 @@ def gate_queries() -> dict[str, object]:
             F.col("n_phone").alias("v3_x1e6"),
             F.col("redacted_len").alias("v4_x1e6"),
         )
-        return q.unionByName(r).unionByName(spl).unionByName(st).unionByName(pii)
+        return (
+            q.unionByName(r).unionByName(spl).unionByName(st)
+            .unionByName(mix).unionByName(pii)
+        )
 
     def q_lang_id(spark, sf):
         return ts.lang_id(_docs(spark, sf))
@@ -3017,6 +3046,12 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
              "CAST(0 AS BIGINT) AS v4_x1e6 "
              "FROM (" + _sampling.stratified_sample_sql("lang", _STRAT_FR)
              + ") ORDER BY doc_id LIMIT 300"),
+            ("mix",
+             "SELECT doc_id, bucket AS v1_x1e6, "
+             "CAST(0 AS BIGINT) AS v2_x1e6, CAST(0 AS BIGINT) AS v3_x1e6, "
+             "CAST(0 AS BIGINT) AS v4_x1e6 "
+             "FROM (" + _sampling.mixture_sample_sql("lang", _MIX_W, _MIX_BUDGET)
+             + ") ORDER BY doc_id LIMIT 300"),
             ("pii", ts.pii_stats_sql(
                 text_expr=f"({_PII_AUG_SQL})", k=250)
              .replace("AS n_email", "AS v1_x1e6")
@@ -3072,8 +3107,16 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
             f"tok IN ('{T_RARE}', 'window', 'zzzz')"
         ),
         "q_count": (
-            f"WITH {_TOKS} SELECT count(DISTINCT doc_id) AS cnt "
-            f"FROM toks WHERE tok = '{T_HOT}'"
+            f"WITH {_TOKS}, "
+            "t_count AS (SELECT '' AS term, "
+            f"CAST(count(DISTINCT doc_id) AS BIGINT) AS v1, "
+            f"CAST(0 AS BIGINT) AS v2 FROM toks WHERE tok = '{T_HOT}'), "
+            "t_hft AS (SELECT tok AS term, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS v1, "
+            "CAST(count(*) AS BIGINT) AS v2 FROM toks GROUP BY tok "
+            "ORDER BY v2 DESC, term ASC LIMIT 10) "
+            "SELECT 'count' AS tag, * FROM t_count "
+            "UNION ALL SELECT 'hft' AS tag, * FROM t_hft"
         ),
         "q_facet_lang": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')

@@ -32,6 +32,8 @@ __all__ = [
     "hash_split_sql",
     "stratified_sample",
     "stratified_sample_sql",
+    "mixture_sample",
+    "mixture_sample_sql",
 ]
 
 _SPACE = 1_000_000
@@ -174,3 +176,74 @@ def stratified_sample_sql(
         f"CAST({strata_col} AS VARCHAR) AS stratum, {b} AS bucket "
         f"FROM {table} WHERE {b} < {thr}"
     )
+
+
+def _mix_threshold_sql(
+    budget_frac: float, target_weights: dict[str, float], stratum: str
+) -> str:
+    """The per-stratum keep threshold as ONE shared SQL expression so
+    both engines evaluate the identical float arithmetic: keep
+    min(1, budget*total*w_s/c_s) of stratum s."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {float(w)!r}" for s, w in target_weights.items()
+    )
+    return (
+        f"LEAST({_SPACE}, CAST(ROUND({_SPACE}.0 * {float(budget_frac)!r} "
+        f"* total_n * (CASE {stratum} {case} ELSE 0.0 END) / cnt) AS BIGINT))"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    budget_frac: float,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain mixing (the DoReMi-style fixed-weight resampling shape):
+    keep ~``budget_frac`` of the corpus with the SAMPLE's composition
+    matching ``target_weights`` — per-stratum keep fraction
+    min(1, budget*total*w_s/count_s), evaluated as bucket thresholds.
+    Over-demanded strata (fraction capped at 1) keep everything; the
+    realized mix then under-weights them, the standard behavior.
+    Strata absent from the targets drop entirely.
+
+    Two jobs: one O(#strata) count aggregate (broadcast back), one
+    filtered pass. -> (doc_id, stratum, bucket)."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(strata_col).cast("string").alias("stratum"),
+        hash_bucket(id_col, salt).alias("bucket"),
+    )
+    cnts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("total_n"))
+    thr = F.expr(_mix_threshold_sql(budget_frac, target_weights, "stratum"))
+    return (
+        base.join(F.broadcast(cnts), "stratum")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", "stratum", "bucket")
+    )
+
+
+def mixture_sample_sql(
+    strata_col: str,
+    target_weights: dict[str, float],
+    budget_frac: float,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    b = _bucket_sql(id_col, salt)
+    thr = _mix_threshold_sql(budget_frac, target_weights, "b.stratum")
+    return f"""WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc_id,
+         CAST({strata_col} AS VARCHAR) AS stratum, {b} AS bucket
+  FROM {table}
+),
+c AS (SELECT stratum, count(*) AS cnt FROM base GROUP BY stratum),
+t AS (SELECT SUM(cnt) AS total_n FROM c)
+SELECT b.doc_id, b.stratum, b.bucket
+FROM base b JOIN c ON b.stratum = c.stratum CROSS JOIN t
+WHERE b.bucket < {thr}"""

@@ -2138,3 +2138,31 @@ def field_sort_search_after(
         .orderBy(order, F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def high_freq_terms(
+    reader: IndexReader,
+    field: str,
+    n: int = 10,
+    order_by: str = "ttf",
+) -> DataFrame:
+    """HighFreqTerms (misc/src/java/org/apache/lucene/misc/HighFreqTerms.java
+    + TermStats.java): the N highest-frequency terms of a field, by
+    total term frequency (the tool's -t flag) or by doc freq. Answered
+    from the TERM DICTIONARY alone — per-segment (doc_freq,
+    total_term_freq) pairs sum across segments; no postings decoded,
+    the same O(vocabulary) pass the tool makes over TermsEnum.
+    -> (term, df, ttf)."""
+    if order_by not in ("ttf", "df"):
+        raise ValueError("order_by must be 'ttf' or 'df'")
+    agg = (
+        reader.postings()
+        .filter(F.col("field") == field)
+        .groupBy("term")
+        .agg(
+            F.sum("doc_freq").cast("long").alias("df"),
+            F.sum("total_term_freq").cast("long").alias("ttf"),
+        )
+    )
+    key = F.col("ttf") if order_by == "ttf" else F.col("df")
+    return agg.orderBy(key.desc(), F.col("term").asc()).limit(n)

@@ -137,3 +137,60 @@ def test_pii_stats_and_redaction(spark):
     con.register("documents", rows)
     want = con.execute(pii_stats_sql()).fetchall()
     assert sorted(tuple(r) for r in got) == sorted(tuple(t) for t in want)
+
+
+def test_mixture_sample_hits_target_composition(spark, docs):
+    from lucene_spark.pipeline.sampling import mixture_sample
+
+    # corpus is 25% each of en/es/de/fr; ask for a 20% budget at
+    # 60/30/10 en/es/de -> fractions 0.48/0.24/0.08, none capped
+    out = mixture_sample(
+        docs, "lang", {"en": 0.6, "es": 0.3, "de": 0.1}, budget_frac=0.2
+    ).cache()
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert "fr" not in counts  # untargeted stratum drops
+    total = sum(counts.values())
+    assert abs(total / 5000 - 0.2) < 0.03
+    assert abs(counts["en"] / total - 0.6) < 0.06
+    assert abs(counts["es"] / total - 0.3) < 0.05
+    assert abs(counts["de"] / total - 0.1) < 0.04
+
+
+def test_mixture_sample_caps_overdemanded_stratum(spark, docs):
+    from lucene_spark.pipeline.sampling import mixture_sample
+
+    # en holds 25% of the corpus but the target wants 90% of a 50%
+    # budget = 45% of the corpus from en alone -> fraction capped at 1,
+    # every en row kept
+    out = mixture_sample(docs, "lang", {"en": 0.9, "es": 0.1}, 0.5)
+    counts = {
+        r["stratum"]: r["n"]
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["en"] == 1250
+
+
+def test_mixture_matches_duckdb(spark, docs):
+    from lucene_spark.pipeline.sampling import (
+        mixture_sample,
+        mixture_sample_sql,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["stratum"], r["bucket"])
+        for r in mixture_sample(
+            docs, "lang", {"en": 0.6, "es": 0.3, "de": 0.1}, 0.2
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            mixture_sample_sql("lang", {"en": 0.6, "es": 0.3, "de": 0.1}, 0.2)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 500
