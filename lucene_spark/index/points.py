@@ -392,3 +392,71 @@ def point_nearest_sql(
         f"FROM {table} WHERE sqrt({terms}) IS NOT NULL "
         f"ORDER BY dist_scaled ASC, doc_id ASC LIMIT {k}"
     )
+
+
+def check_points_index(spark: SparkSession, path: str) -> dict:
+    """CheckIndex for the points sink — the ``CheckIndex.testPoints``
+    role (core/index/CheckIndex.java: every packed value must sit
+    inside its cell's bounds, leaf counts must match the tree's
+    metadata). Here cells are files, so the invariants become:
+
+    - the manifest lists exactly the data files on disk;
+    - per file: recomputed per-dim min/max equal the manifest bounds
+      (a point outside its cell would make pruning UNSOUND, the same
+      corruption testPoints exists to catch) and row counts match;
+    - global: sum(manifest rows) == meta rows == scan count, and the
+      meta's quantization bounds contain every per-file bound.
+
+    One distributed aggregate; O(files) comparison on the driver.
+    Returns {ok, violations: [...], files} and never mutates."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    dims = meta["dims"]
+    man = {
+        r["file"]: r
+        for r in spark.read.parquet(os.path.join(path, _MANIFEST)).collect()
+    }
+    data = spark.read.parquet(os.path.join(path, "data"))
+    actual = (
+        data.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in dims],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in dims],
+        )
+        .collect()
+    )
+    v: list[str] = []
+    seen = set()
+    total = 0
+    for r in actual:
+        seen.add(r["file"])
+        m = man.get(r["file"])
+        if m is None:
+            v.append(f"data file missing from manifest: {r['file']}")
+            continue
+        if m["rows"] != r["rows"]:
+            v.append(f"{r['file']}: manifest rows {m['rows']} != {r['rows']}")
+        total += r["rows"]
+        for c in dims:
+            for side, cmp_bad in ((f"lo_{c}", lambda a, b: a != b),
+                                  (f"hi_{c}", lambda a, b: a != b)):
+                a, b = m[side], r[side]
+                if (a is None) != (b is None) or (
+                    a is not None and cmp_bad(a, b)
+                ):
+                    v.append(
+                        f"{r['file']}: {side} manifest={a} recomputed={b}"
+                    )
+        glo = meta["bounds"]
+        for c in dims:
+            if r[f"lo_{c}"] is not None and (
+                r[f"lo_{c}"] < glo[c][0] or r[f"hi_{c}"] > glo[c][1]
+            ):
+                v.append(f"{r['file']}: {c} bounds escape the meta frame")
+    for f_ in man:
+        if f_ not in seen:
+            v.append(f"manifest file missing on disk: {f_}")
+    if total != meta["rows"]:
+        v.append(f"row total {total} != meta rows {meta['rows']}")
+    return {"ok": not v, "violations": v, "files": len(man)}

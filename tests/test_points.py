@@ -248,3 +248,41 @@ def test_nearest_k_exceeds_corpus(spark, tmp_path):
     ).collect()
     assert len(got) == 7
     assert got[0]["doc_id"] == 2 and got[0]["dist_scaled"] == 0
+
+
+def test_check_points_index_clean(points_idx):
+    from lucene_spark.index.points import check_points_index
+
+    path, df, _ = points_idx
+    rep = check_points_index(df.sparkSession, path)
+    assert rep["ok"], rep["violations"]
+    assert rep["files"] == 16
+
+
+def test_check_points_index_catches_planted_corruption(spark, tmp_path):
+    # unsound bounds are exactly what pruning relies on — plant a lie
+    # in the manifest and the checker must name the file
+    import pyspark.sql.functions as F
+
+    from lucene_spark.index.points import check_points_index
+
+    df = _make_points(spark, n=800).select("pid", "x", "y")
+    path = str(tmp_path / "bad")
+    bkd_write(df, ["x", "y"], path, num_files=4)
+    man_path = f"{path}/bkd_manifest"
+    man = spark.read.parquet(man_path)
+    first = man.head()["file"]
+    corrupted = man.withColumn(
+        "hi_x",
+        F.when(F.col("file") == first, F.col("hi_x") - 50.0)
+        .otherwise(F.col("hi_x")),
+    )
+    corrupted.toPandas().to_parquet(f"{man_path}/corrupt.parquet")
+    import glob as g
+    import os as o
+
+    for p in g.glob(f"{man_path}/part-*.parquet"):
+        o.remove(p)
+    rep = check_points_index(spark, path)
+    assert not rep["ok"]
+    assert any("hi_x" in s for s in rep["violations"])
