@@ -330,3 +330,56 @@ def rearrange_index(
         )
         delete_by_ids(spark, out_dir, dead)
     return mani.read_manifest(out_dir)["generation"]
+
+
+def multipass_split_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dirs: list[str],
+    sequential: bool = False,
+) -> list[int]:
+    """MultiPassIndexSplitter (misc/src/java/org/apache/lucene/misc/
+    index/MultiPassIndexSplitter.java): split one index into N parts by
+    making N passes over the source, each pass materializing the docs
+    assigned to that part — round-robin by doc id (the tool's default)
+    or ``-seq`` contiguous equal ranges. Doc ids here are dense per
+    build (the CheckIndex invariant), so both assignments are pure
+    doc_id arithmetic — map-side at any scale, no global ordering job.
+
+    Each part is produced exactly like PKIndexSplitter's sides:
+    copy + tombstone the complement + forceMerge(1). Returns live doc
+    counts per part."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.index.merge import force_merge
+    from lucene_spark.search.executor import IndexReader
+
+    import shutil
+
+    n = len(out_dirs)
+    if n < 2:
+        raise ValueError("need at least 2 output parts")
+    src = IndexReader(spark, src_dir)
+    total = int(src.manifest["num_docs_total"])
+    counts: list[int] = []
+    for i, out_dir in enumerate(out_dirs):
+        if sequential:
+            lo = i * total // n
+            hi = (i + 1) * total // n
+            keep_pred = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        else:
+            keep_pred = F.col("doc_id") % n == i
+        dead = (
+            src.docs().filter(~keep_pred).select("doc_id")
+        )
+        shutil.copytree(src_dir, out_dir)
+        delete_by_ids(spark, out_dir, dead)
+        force_merge(spark, out_dir, max_segments=1)
+        rd = IndexReader(spark, out_dir)
+        counts.append(
+            int(rd.manifest["num_docs_total"])
+            - int(rd.manifest.get("purged_docs", 0))
+            - int(rd.manifest.get("num_deleted", 0))
+        )
+    return counts

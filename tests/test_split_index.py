@@ -116,3 +116,39 @@ def test_rearrange_index(spark, tmp_path):
     with pytest.raises(ValueError, match="partition"):
         rearrange_index(spark, src, str(tmp_path / "bad"),
                         [F.col("grpv") <= 1, F.col("grpv") >= 1])
+
+
+@pytest.mark.parametrize("sequential", [False, True])
+def test_multipass_split(spark, corpus, tmp_path, sequential):
+    """MultiPassIndexSplitter: N parts partition the source (round-robin
+    and -seq modes), each part is a valid index with the expected
+    membership."""
+    from lucene_spark.index.addindexes import multipass_split_index
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.checkindex import check_index
+    from lucene_spark.search.executor import IndexReader
+
+    src = str(tmp_path / "src")
+    build_index(
+        spark, spark.createDataFrame(corpus), src,
+        IndexConfig(docs_per_segment=100),
+    )
+    outs = [str(tmp_path / f"part{i}") for i in range(3)]
+    counts = multipass_split_index(spark, src, outs, sequential=sequential)
+    assert sum(counts) == len(corpus)
+    total = len(corpus)
+    sets = []
+    for i, out in enumerate(outs):
+        rd = IndexReader(spark, out)
+        live = {
+            r["doc_id"]
+            for r in rd.doclens().select("doc_id").distinct().collect()
+        }
+        if sequential:
+            want = set(range(i * total // 3, (i + 1) * total // 3))
+        else:
+            want = {d for d in range(total) if d % 3 == i}
+        assert live == want, (i, sequential)
+        sets.append(live)
+        assert check_index(spark, out)["ok"]
+    assert set().union(*sets) == set(range(total))
