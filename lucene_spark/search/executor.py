@@ -75,10 +75,19 @@ class IndexReader:
 
     # ---- catalogs --------------------------------------------------------
 
-    def _live_filter(self, df: DataFrame) -> DataFrame:
-        """Restrict to live segments (post-merge manifests only; a pure
-        append-only index has no filter — SegmentInfos visibility via
-        IndexFileDeleter semantics, manifest.live_segment_ids)."""
+    def _live_filter(self, df: DataFrame, table: str) -> DataFrame:
+        """Restrict to this COMMITTED generation's view: first the
+        manifest's referenced batch partitions (partition-pruned — so
+        batch directories written after this manifest, e.g. a
+        concurrent writer's pending flush or an NRT replica's
+        pre-copied files, stay invisible: the SegmentInfos snapshot
+        contract), then live segments when merges replaced any
+        (IndexFileDeleter visibility via manifest.live_segment_ids)."""
+        from lucene_spark.index.lifecycle import referenced_batches
+
+        refs = referenced_batches(self.manifest).get(table)
+        if refs is not None:
+            df = df.filter(F.col("batch").isin(sorted(refs)))
         live = mani.live_segment_ids(self.manifest)
         if live is None:
             return df
@@ -93,7 +102,8 @@ class IndexReader:
     def postings(self) -> DataFrame:
         if not hasattr(self, "_postings_df"):
             self._postings_df = self._live_filter(
-                self.spark.read.parquet(f"{self.index_dir}/postings")
+                self.spark.read.parquet(f"{self.index_dir}/postings"),
+                "postings",
             )
         return self._postings_df
 
@@ -101,7 +111,12 @@ class IndexReader:
         """Docs registry with committed in-place DV updates overlaid
         (ReadersAndUpdates role — see index/dvupdates.py)."""
         if not hasattr(self, "_docs_df"):
+            from lucene_spark.index.lifecycle import referenced_batches
+
             base = self.spark.read.parquet(f"{self.index_dir}/docs")
+            refs = referenced_batches(self.manifest).get("docs")
+            if refs is not None:
+                base = base.filter(F.col("batch").isin(sorted(refs)))
             if self.manifest.get("dv_update_batches"):
                 from lucene_spark.index.dvupdates import apply_dv_overlays
 
@@ -114,7 +129,8 @@ class IndexReader:
     def doclens(self) -> DataFrame:
         if not hasattr(self, "_doclens_df"):
             self._doclens_df = self._live_filter(
-                self.spark.read.parquet(f"{self.index_dir}/doclens")
+                self.spark.read.parquet(f"{self.index_dir}/doclens"),
+                "doclens",
             )
         return self._doclens_df
 
