@@ -206,14 +206,26 @@ class QueryParser:
             return self._boost(q, boost), toks[1:]
         if kind == "word":
             _k, word, boost = toks[0]
-            field = self.default_field
-            if ":" in word:
-                field, word = word.split(":", 1)
-                if not word:
-                    raise ParseError(f"empty term for field {field}")
-            q = self._termish(field, word)
+            field, word = self._split_field(word)
+            q = self._field_query(field, word)
             return self._boost(q, boost), toks[1:]
         raise ParseError(f"unexpected token {toks[0]}")
+
+    def _split_field(self, word: str) -> tuple[str, str]:
+        """Isolate the [field ':'] prefix (QueryParserBase field
+        handling). Overridable — ExtendableQueryParser honors escaped
+        colons inside the field token."""
+        if ":" in word:
+            field, rest = word.split(":", 1)
+            if not rest:
+                raise ParseError(f"empty term for field {field}")
+            return field, rest
+        return self.default_field, word
+
+    def _field_query(self, field: str, word: str) -> Q.Query:
+        """getFieldQuery hook (QueryParserBase#getFieldQuery) — the
+        override point the ext module plugs into."""
+        return self._termish(field, word)
 
     def _termish(self, field: str, word: str) -> Q.Query:
         fz = re.fullmatch(r"(.+)~(\d*)", word)

@@ -277,3 +277,73 @@ def test_complex_phrase_outside_phrase_is_classic():
     assert p.parse("alpha AND beta") == Q.BooleanQuery(
         must=(Q.TermQuery("text", "alpha"), Q.TermQuery("text", "beta"))
     )
+
+
+# ---------------------------------------------------------------------------
+# queryparser/ext — ExtendableQueryParser (TestExtendableQueryParser.java
+# shapes: unknown keys fall through to classic, registered keys dispatch,
+# escaped field tokens resolve the real field, build/split round-trip)
+# ---------------------------------------------------------------------------
+
+
+def _ext_parser():
+    from lucene_spark.search.extparser import (
+        ExtendableQueryParser,
+        Extensions,
+        ParserExtension,
+    )
+    from lucene_spark.search import query as Q
+
+    class LowercaseTermExtension(ParserExtension):
+        def parse(self, q):
+            return Q.TermQuery(q.field, q.raw_term.lower())
+
+    exts = Extensions()
+    exts.add("testExt", LowercaseTermExtension())
+    return ExtendableQueryParser("content", exts), exts
+
+
+def test_ext_unknown_key_is_classic():
+    from lucene_spark.search import query as Q
+
+    p, _ = _ext_parser()
+    assert p.parse("other:hello") == Q.TermQuery("other", "hello")
+    assert p.parse("hello") == Q.TermQuery("content", "hello")
+
+
+def test_ext_default_field_dispatch():
+    from lucene_spark.search import query as Q
+
+    # '\:key:term' -> field part empty -> default field + extension
+    p, _ = _ext_parser()
+    assert p.parse(r"\:testExt:HELLO") == Q.TermQuery("content", "hello")
+
+
+def test_ext_explicit_field_dispatch():
+    from lucene_spark.search import query as Q
+
+    p, _ = _ext_parser()
+    assert p.parse(r"aField\:testExt:HELLO") == Q.TermQuery("aField", "hello")
+
+
+def test_ext_composes_with_boolean_grammar():
+    from lucene_spark.search import query as Q
+
+    p, _ = _ext_parser()
+    q = p.parse(r"+\:testExt:ABC normal")
+    # the extension query participates as a normal clause
+    flat = repr(q)
+    assert "abc" in flat and "normal" in flat
+
+
+def test_ext_build_split_roundtrip():
+    p, exts = _ext_parser()
+    built = exts.build_extension_field("testExt", "aField")
+    assert built == r"aField\:testExt"
+    # unescape like the parser does, then split
+    unescaped = built.replace("\\:", ":")
+    assert exts.split_extension_field("content", unescaped) == (
+        "aField", "testExt",
+    )
+    assert exts.split_extension_field("content", ":k") == ("content", "k")
+    assert exts.split_extension_field("content", "plain") == ("plain", None)
