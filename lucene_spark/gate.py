@@ -2549,9 +2549,18 @@ def gate_queries() -> dict[str, object]:
         ])
 
     def q_mlt_common(spark, sf):
+        # + FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java):
+        # fuzzified user text -> idf-ranked variant disjunction
+        from lucene_spark.search.fuzzylikethis import fuzzy_like_this_topk
+
+        flt = fuzzy_like_this_topk(
+            ensure_index(spark, sf), FIELD, "spork tble",
+            k=10, max_num_terms=8, max_edits=1, prefix_length=1,
+        )
         return _union([
             ("mlt", q_mlt(spark, sf)),
             ("common_terms", q_common_terms(spark, sf)),
+            ("flt", flt),
         ])
 
     return {
@@ -3398,9 +3407,15 @@ ORDER BY doc_id LIMIT 10"""
         ("graph_phrase", graph_phrase_sql),
         ("graph_q", graph_q_sql),
     ])
+    from lucene_spark.search.fuzzylikethis import fuzzy_like_this_sql
+
     one["q_mlt_common"] = _sql_tagged([
         ("mlt", one.pop("q_mlt")),
         ("common_terms", one.pop("q_common_terms")),
+        ("flt", f"WITH {_TOKS}," + fuzzy_like_this_sql(
+            ["spork", "tble"], k=10, max_num_terms=8,
+            max_edits=1, prefix_length=1,
+        )),
     ])
     one["q_facet_suite"] = _sql_tagged([
         ("hier", one.pop("q_facet_hier")),

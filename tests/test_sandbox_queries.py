@@ -162,3 +162,80 @@ def test_phrase_wildcard_shared_expansion_budget(built_index):
     # budget exhausted by slot 1 -> slot 2 expands to nothing -> no hits
     wq0 = Q.PhraseWildcardQuery("content", (p1, p2), max_expansions=n1)
     assert s.search(wq0, k=5).total_hits == 0
+
+
+# ---------------------------------------------------------------------------
+# FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_like_this_matches_python_replay(spark, built_index):
+    import math
+
+    from lucene_spark.search.fuzzylikethis import (
+        MAX_VARIANTS_PER_TERM,
+        fuzzy_like_this_topk,
+    )
+
+    r = built_index
+    text, max_edits, plen, mnt = "defx clsas", 1, 1, 6
+
+    # driver replay over the index's own term dictionary
+    rows = (
+        r.postings().select("term", "doc_freq").groupBy("term")
+        .agg({"doc_freq": "sum"}).collect()
+    )
+    vocab = {x["term"]: int(x["sum(doc_freq)"]) for x in rows}
+    num_docs = r.collection_stats("content").doc_count
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    chosen = []
+    for t in ["defx", "clsas"]:
+        vs = [
+            v for v in vocab
+            if v[:plen] == t[:plen] and ed(t, v) <= max_edits
+        ]
+        if not vs:
+            continue
+        scored = sorted(
+            ((1.0 if v == t else 1.0 - ed(t, v) / min(len(v), len(t))), v)
+            for v in vs
+        )
+        scored = sorted(scored, key=lambda bv: (-bv[0], bv[1]))[:MAX_VARIANTS_PER_TERM]
+        df = vocab.get(t, 0)
+        if df == 0:
+            df = sum(vocab[v] for v in vs) // len(vs)
+        idf = math.log((num_docs + 1) / (df + 1)) + 1.0
+        chosen += [(b * b * idf, v) for b, v in scored]
+    chosen.sort(key=lambda sv: (-sv[0], sv[1]))
+    qscores = {v: int(round(s * 1e6)) for s, v in chosen[:mnt]}
+
+    # expected per-doc sums over distinct matched variants
+    from lucene_spark.search.sqlpath import exploded_postings
+
+    want = {}
+
+    m = exploded_postings(r, "content", list(qscores)).select(
+        "term", "doc_id"
+    ).distinct().collect()
+    for row in m:
+        want[row["doc_id"]] = want.get(row["doc_id"], 0) + qscores[row["term"]]
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (x["doc_id"], x["score_x1e6"])
+        for x in fuzzy_like_this_topk(
+            r, "content", text, k=10, max_num_terms=mnt,
+            max_edits=max_edits, prefix_length=plen,
+        ).collect()
+    ]
+    assert got == [(d, s) for d, s in want_top]
+    assert len(got) > 0
