@@ -1741,7 +1741,16 @@ def gate_queries() -> dict[str, object]:
             F.col("bench_id").alias("b"),
             F.col("containment_x1e6").alias("v_x1e6"),
         )
-        return pairs.unionByName(dec)
+        # exact duplicate-substring accounting (Lee et al. suffix-array
+        # semantics via the positional-L-gram reduction): a=doc_id,
+        # b=covered positions, v=covered ratio
+        sub = dd.substring_dedup_stats(d, min_len=8, k=200).select(
+            F.lit("substr").alias("tag"),
+            F.col("doc_id").alias("a"),
+            F.col("n_dup_pos").alias("b"),
+            F.col("dup_ratio_x1e6").alias("v_x1e6"),
+        )
+        return pairs.unionByName(dec).unionByName(sub)
 
     def q_dedup_minhash(spark, sf):
         # batch self-dedup + incremental batch-vs-corpus dedup
@@ -3079,6 +3088,9 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
              "SELECT doc_id AS a, bench_id AS b, containment_x1e6 AS v_x1e6 FROM ("
              + dd.decontaminate_sql("doc_id % 37 = 0", n=5, threshold=0.4)
              + ")"),
+            ("substr",
+             "SELECT doc_id AS a, n_dup_pos AS b, dup_ratio_x1e6 AS v_x1e6 "
+             "FROM (" + dd.substring_dedup_stats_sql(min_len=8, k=200) + ")"),
         ]),
         "q_dedup_minhash": _sql_tagged_flat([
             ("batch", dd.minhash_lsh_sql(threshold=0.1)),

@@ -1127,3 +1127,156 @@ SELECT i.doc_id, i.bench_id,
 FROM inter i JOIN bsz s USING (bench_id)
 WHERE i.i * 1.0 / s.bsz >= {threshold}
 ORDER BY containment_x1e6 DESC, doc_id ASC, bench_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring detection / removal (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"). The
+# paper removes every substring of >= min_len tokens that appears more
+# than once in the corpus, found with a giant suffix array. The
+# distributed reduction here is EXACT for that membership question: a
+# token position sits inside a duplicated substring of length >=
+# min_len IFF it is covered by some duplicated min_len-gram (every
+# window of the long duplicate is itself duplicated, and the windows
+# cover all its positions). So the suffix array becomes one positional
+# n-gram groupBy:
+#
+#   positional grams -> global count > 1 -> covered positions = union
+#   of [start, start + min_len) over duplicated occurrences.
+#
+# 100-TB shape: one map-side-combinable count on the gram column, one
+# shuffle join back, and a bounded explode (min_len x duplicated
+# occurrences — duplicated grams are the minority in a deduplicated
+# corpus, and hot boilerplate grams cost O(their occurrences), not
+# O(n^2)). Interval merging instead of the explode is a constant-factor
+# option; the explode keeps both engines trivially identical.
+# ---------------------------------------------------------------------------
+
+
+def _positional_grams(docs: DataFrame, n: int) -> DataFrame:
+    """-> (doc_id, start, sh): EVERY n-gram occurrence with its 1-based
+    token start (within-doc repeats kept — the suffix array sees them)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_RX), lambda t: t != "")
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {n} + 1), "
+                    f"i -> struct(i AS start, "
+                    f"array_join(slice(_toks, i, {n}), ' ') AS sh))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.sh").alias("sh"))
+    )
+
+
+def substring_dedup_stats(
+    docs: DataFrame, min_len: int = 10, k: int = 200
+) -> DataFrame:
+    """Per-doc duplicated-span accounting
+    -> (doc_id, n_tokens, n_dup_pos, dup_ratio_x1e6): how many token
+    positions sit inside some corpus-duplicated substring of
+    >= min_len tokens (the paper's removal target)."""
+    grams = _positional_grams(docs, min_len)
+    dup = (
+        grams.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("sh")
+    )
+    covered = (
+        grams.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (min_len - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pos").alias("n_dup_pos"))
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_RX), lambda t: t != "")
+    base = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_pos"), F.lit(0)).cast("long").alias("n_dup_pos"),
+            F.round(
+                F.coalesce(F.col("n_dup_pos"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)) * 1e6
+            ).cast("long").alias("dup_ratio_x1e6"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def substring_dedup_stats_sql(min_len: int = 10, k: int = 200) -> str:
+    n = min_len
+    return f"""WITH tl AS (SELECT doc_id, {_toks_sql_expr()} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i AS start,
+         array_to_string(list_slice(toks, i, i + {n} - 1), ' ') AS sh
+  FROM tl, unnest(generate_series(1, len(toks) - {n} + 1)) AS t(i)
+  WHERE len(toks) >= {n}
+),
+dup AS (SELECT sh FROM grams GROUP BY sh HAVING count(*) > 1),
+covered AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_dup_pos FROM (
+    SELECT g.doc_id, unnest(generate_series(g.start, g.start + {n} - 1)) AS pos
+    FROM grams g JOIN dup d ON g.sh = d.sh
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       CAST(ROUND(coalesce(c.n_dup_pos, 0)
+            / greatest(len(t.toks), 1) * 1000000.0) AS BIGINT) AS dup_ratio_x1e6
+FROM tl t LEFT JOIN covered c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id LIMIT {k}"""
+
+
+def substring_dedup_clean(docs: DataFrame, min_len: int = 10) -> DataFrame:
+    """The removal op itself -> (doc_id, clean_text): tokens covered by
+    a duplicated >= min_len-gram dropped, survivors rejoined with
+    single spaces (the paper removes the span; token granularity here
+    because the engine's unit is the token)."""
+    grams = _positional_grams(docs, min_len)
+    dup = (
+        grams.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1).select("sh")
+    )
+    covered = (
+        grams.join(dup, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (min_len - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dead"))
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_RX), lambda t: t != "")
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.when(F.col("dead").isNull(), F.col("_toks")).otherwise(
+                    F.expr(
+                        "filter(transform(_toks, (t, i) -> "
+                        "struct(t AS t, i + 1 AS p)), "
+                        "s -> NOT array_contains(dead, s.p))"
+                    ).getField("t")
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
