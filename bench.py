@@ -33,6 +33,7 @@ def main() -> None:
 
     from lucene_spark.pipeline import dedup as dd
     from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline import packing as pk
     from lucene_spark.pipeline import similarity as sim
     from pyspark.sql.functions import col as _col
 
@@ -118,6 +119,13 @@ def main() -> None:
         "x_hnsw_ann": lambda: ga.ann_hnsw_topk(emb, query_id=0, k=10).collect(),
         "x_dedup_clusters": lambda: dd.dedup_clusters(
             dd.minhash_lsh_pairs(docs, threshold=0.1)
+        ).collect(),
+        # r4 final-session pipeline additions (each a full scan job)
+        "x_substr_dedup": lambda: dd.substring_dedup_stats(
+            docs, min_len=8, k=200
+        ).collect(),
+        "x_pack_sequences": lambda: pk.pack_sequences(
+            docs, 512, k=200
         ).collect(),
     }
 
