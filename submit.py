@@ -140,6 +140,26 @@ def cmd_split(args) -> None:
     print(json.dumps({"cmd": "split", "pass_docs": n_pass, "fail_docs": n_fail}))
 
 
+def cmd_multipass_split(args) -> None:
+    """MultiPassIndexSplitter role: N-way split, round-robin or -seq."""
+    from lucene_spark.index.addindexes import multipass_split_index
+
+    outs = args.out
+    counts = multipass_split_index(
+        _spark(), args.index, outs, sequential=args.seq
+    )
+    print(json.dumps({"cmd": "multipass_split", "parts": counts}))
+
+
+def cmd_replicate(args) -> None:
+    """ReplicaNode.sync role: pull the primary's newest version."""
+    from lucene_spark.index.nrtreplication import PrimaryNode, ReplicaNode
+
+    state = PrimaryNode(args.primary).copy_state()
+    out = ReplicaNode(args.replica).sync(state)
+    print(json.dumps({"cmd": "replicate", **out}))
+
+
 def cmd_upgrade(args) -> None:
     """IndexUpgrader role."""
     from lucene_spark.index.addindexes import upgrade_index
@@ -204,6 +224,19 @@ def main() -> None:
     sp_.add_argument("--predicate", required=True,
                      help="SQL predicate over the docs registry")
     sp_.set_defaults(fn=cmd_split)
+
+    mp = sub.add_parser("multipass_split")
+    mp.add_argument("--index", required=True)
+    mp.add_argument("--out", action="append", required=True,
+                    help="repeat once per output part (>= 2)")
+    mp.add_argument("--seq", action="store_true",
+                    help="contiguous ranges instead of round-robin")
+    mp.set_defaults(fn=cmd_multipass_split)
+
+    rp = sub.add_parser("replicate")
+    rp.add_argument("--primary", required=True)
+    rp.add_argument("--replica", required=True)
+    rp.set_defaults(fn=cmd_replicate)
 
     u = sub.add_parser("upgrade")
     u.add_argument("--index", required=True)

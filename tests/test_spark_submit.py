@@ -102,3 +102,29 @@ def test_spark_submit_inspect_split_upgrade(pyfiles, corpus, tmp_path):
     )
     assert rep["pass_docs"] + rep["fail_docs"] == len(corpus)
     assert rep["pass_docs"] > 0 and rep["fail_docs"] > 0
+
+
+def test_spark_submit_replicate(pyfiles, corpus, tmp_path):
+    """The replicator/nrt sync subcommand through real spark-submit:
+    replica converges to the primary's newest generation and the synced
+    directory passes CheckIndex."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "primary")
+    rep_dir = str(tmp_path / "replica")
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(corpus), f"{src}/part0.parquet")
+    _submit(pyfiles, "build", "--source", src, "--index", idx,
+            "--docs-per-segment", "200")
+
+    rep = _submit(pyfiles, "replicate", "--primary", idx,
+                  "--replica", rep_dir)
+    assert rep["generation"] >= 0 and rep["files_copied"] > 0
+    # second sync is incremental: nothing to move
+    rep2 = _submit(pyfiles, "replicate", "--primary", idx,
+                   "--replica", rep_dir)
+    assert rep2["files_copied"] == 0
+    chk = _submit(pyfiles, "check", "--index", rep_dir)
+    assert chk["ok"]
