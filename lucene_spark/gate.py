@@ -187,6 +187,20 @@ _RANGE_Q_WIT = [(0, 120), (0, 30)]
 _RANGE_Q_CON = [(100, 101), (10, 10)]
 _RANGE_Q_CRS = [(0, 120), (0, 30)]
 
+# RangeOnRangeFacetCounts label ranges (facet/rangeonrange/): counted
+# against the same synthesized stored ranges. Overlapping on purpose —
+# a doc may count toward many labels (the reference's per-range loop).
+_ROR_INT_LABELS = [
+    ("i0_low", [(0, 60), (0, 15)]),
+    ("i1_mid", [(60, 140), (10, 30)]),
+    ("i2_high", [(140, 240), (20, 60)]),
+]
+_ROR_CON_LABELS = [
+    ("c0", [(100, 102), (10, 11)]),
+    ("c1", [(50, 52), (20, 21)]),
+    ("c2", [(180, 185), (40, 42)]),
+]
+
 
 def ensure_range_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the RangeField index: the synthesized 2-dim ranges
@@ -1453,7 +1467,21 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, T_MID, "n_chars", [0, 150, 300, 450, 600]
         )
         dyn = sp.dynamic_range_facets(r, FIELD, T_MID, "n_chars", n_ranges=4)
-        parts = [("static", stat), ("dynamic", dyn)]
+        # RangeOnRangeFacetCounts (facet/rangeonrange/): per-label
+        # relation counts over the stored 2-dim range frame, one
+        # conditional-agg pass per relation
+        from lucene_spark.search.rangefield import range_on_range_facet_counts
+
+        rdf = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+            *_RANGE_EXPRS)
+        ror_i = range_on_range_facet_counts(
+            rdf, _RANGE_DIMS, _ROR_INT_LABELS, "intersects")
+        ror_c = range_on_range_facet_counts(
+            rdf, _RANGE_DIMS, _ROR_CON_LABELS, "contains")
+        ror_x = range_on_range_facet_counts(
+            rdf, _RANGE_DIMS, _ROR_INT_LABELS, "crosses")
+        parts = [("static", stat), ("dynamic", dyn),
+                 ("ror_int", ror_i), ("ror_con", ror_c), ("ror_crs", ror_x)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -2681,7 +2709,13 @@ SELECT printf('%02d_%06d_%06d_%09d', idx, MIN(v), MAX(v),
        count(*) AS cnt
 FROM g GROUP BY idx ORDER BY bucket)
 SELECT 'static' AS tag, * FROM t_static
-UNION ALL SELECT 'dynamic' AS tag, * FROM t_dynamic""",
+UNION ALL SELECT 'dynamic' AS tag, * FROM t_dynamic
+UNION ALL SELECT 'ror_int' AS tag, * FROM ({_rangefield.range_on_range_facet_sql(
+    _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_INT_LABELS, "intersects")})
+UNION ALL SELECT 'ror_con' AS tag, * FROM ({_rangefield.range_on_range_facet_sql(
+    _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_CON_LABELS, "contains")})
+UNION ALL SELECT 'ror_crs' AS tag, * FROM ({_rangefield.range_on_range_facet_sql(
+    _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_INT_LABELS, "crosses")})""",
         "q_grouped_topk": _sql_tagged_flat([
             ("grouped", _sql_grouped(T_MID, "lang", 2, 20)),
             # DiversifiedTopDocsCollector: global top-k with at most one

@@ -53,6 +53,8 @@ __all__ = [
     "write_range_index",
     "range_index_query_topk",
     "range_query_sql",
+    "range_on_range_facet_counts",
+    "range_on_range_facet_sql",
 ]
 
 RANGE_RELATIONS = ("intersects", "within", "contains", "crosses")
@@ -197,6 +199,103 @@ def range_index_query_topk(
     else:
         base = spark.read.schema(schema).parquet(*files)
     return range_query_topk(base, dims, query, relation, id_col, k=k)
+
+
+def range_on_range_facet_counts(
+    df: DataFrame,
+    dims: list[tuple[str, str]],
+    label_ranges: list[tuple[str, list[tuple[float, float]]]],
+    relation: str,
+    filter_expr: Column | None = None,
+) -> DataFrame:
+    """RangeOnRangeFacetCounts analog (facet/rangeonrange/
+    RangeOnRangeFacetCounts.java + Long/DoubleRangeOnRangeFacetCounts):
+    for each labeled query range, count the hit docs whose STORED range
+    relates to it under ``relation`` (the RangeFieldQuery.QueryType
+    matches test, RangeOnRangeFacetCounts.java:104-113). A doc may
+    count toward many labels; a doc matching none (or with missing
+    bounds) is the reference's ``missingCount`` and is excluded from
+    the total (RangeOnRangeFacetCounts.java:114-122), reported here as
+    the ``__total__`` row (FacetResult.value).
+
+    Scale shape: ONE aggregation pass — every label is a conditional
+    sum over the same scan (map-side combined, a single 1-row shuffle),
+    exactly the reference's one-iterator-pass structure; the per-label
+    predicates are flat codegen comparisons. -> (bucket, cnt) in label
+    order, total last.
+    """
+    preds = [
+        range_relation_expr(dims, q, relation) for _, q in label_ranges
+    ]
+    base = df.filter(filter_expr) if filter_expr is not None else df
+    any_pred = None
+    aggs = []
+    for (lab, _), p in zip(label_ranges, preds):
+        aggs.append(
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(lab)
+        )
+        cond = F.coalesce(p, F.lit(False))
+        any_pred = cond if any_pred is None else (any_pred | cond)
+    aggs.append(
+        F.sum(F.when(any_pred, 1).otherwise(0)).cast("long")
+        .alias("__total__")
+    )
+    row = base.agg(*aggs)
+    stack = ", ".join(
+        f"'{lab}', `{lab}`"
+        for lab in [lab for lab, _ in label_ranges] + ["__total__"]
+    )
+    n = len(label_ranges) + 1
+    return row.selectExpr(f"stack({n}, {stack}) AS (bucket, cnt)").select(
+        "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def range_on_range_facet_sql(
+    from_clause: str,
+    dims: list[tuple[str, str]],
+    label_ranges: list[tuple[str, list[tuple[float, float]]]],
+    relation: str,
+    where: str | None = None,
+) -> str:
+    """DuckDB oracle twin of range_on_range_facet_counts: the same
+    conditional sums over the same relation conjunctions."""
+
+    def conj(rel: str, query: list[tuple[float, float]]) -> str:
+        ps = []
+        for (mn, mx), (qlo, qhi) in zip(dims, query):
+            if rel == "intersects":
+                ps.append(f"({qhi!r} >= {mn} AND {qlo!r} <= {mx})")
+            elif rel == "within":
+                ps.append(f"({qlo!r} <= {mn} AND {qhi!r} >= {mx})")
+            elif rel == "contains":
+                ps.append(f"({mn} <= {qlo!r} AND {mx} >= {qhi!r})")
+        return " AND ".join(ps)
+
+    def pred(query: list[tuple[float, float]]) -> str:
+        if relation == "crosses":
+            return (f"(({conj('intersects', query)}) "
+                    f"AND NOT ({conj('within', query)}))")
+        return f"({conj(relation, query)})"
+
+    cols = [
+        f"SUM(CASE WHEN {pred(q)} THEN 1 ELSE 0 END) AS \"{lab}\""
+        for lab, q in label_ranges
+    ]
+    any_p = " OR ".join(
+        f"COALESCE({pred(q)}, FALSE)" for _, q in label_ranges
+    )
+    cols.append(f"SUM(CASE WHEN {any_p} THEN 1 ELSE 0 END) AS \"__total__\"")
+    w = f" WHERE {where}" if where else ""
+    selects = [
+        f"SELECT '{lab}' AS bucket, "
+        f"CAST(COALESCE(\"{lab}\", 0) AS BIGINT) AS cnt FROM a"
+        for lab, _ in label_ranges + [("__total__", None)]
+    ]
+    return (
+        f"WITH a AS (SELECT {', '.join(cols)} FROM {from_clause}{w}) "
+        + " UNION ALL ".join(selects)
+    )
 
 
 def range_query_sql(

@@ -197,3 +197,62 @@ def test_sql_twin_matches_engine(spark, ranges_df):
         sql = range_query_sql("ranges", DIMS_2, query, rel, "rid", k=50)
         want = [tuple(t) for t in con.execute(sql).fetchall()]
         assert got == want, rel
+
+
+def test_range_on_range_facet_counts_matches_replay(spark, ranges_df):
+    # RangeOnRangeFacetCounts (facet/rangeonrange/): per-label counts
+    # over overlapping query ranges; total = docs matching >= 1 label
+    # (missingCount excluded), replayed in Python as ground truth
+    from lucene_spark.search.rangefield import range_on_range_facet_counts
+
+    labels = [
+        ("low", [(0.0, 40.0), (0.0, 60.0)]),
+        ("mid", [(30.0, 90.0), (40.0, 120.0)]),
+        ("high", [(80.0, 200.0), (100.0, 200.0)]),
+    ]
+    for rel in RANGE_RELATIONS:
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in range_on_range_facet_counts(
+                ranges_df, DIMS_2, labels, rel
+            ).collect()
+        }
+        want = {lab: 0 for lab, _ in labels}
+        want["__total__"] = 0
+        for row in _rows_2d():
+            stored = [(row.a_min, row.a_max), (row.b_min, row.b_max)]
+            hit = False
+            for lab, q in labels:
+                if _matches(rel, stored, q):
+                    want[lab] += 1
+                    hit = True
+            if hit:
+                want["__total__"] += 1
+        assert got == want, rel
+
+
+def test_range_on_range_facet_sql_twin(spark, ranges_df):
+    import duckdb
+    import pandas as pd
+
+    from lucene_spark.search.rangefield import (
+        range_on_range_facet_counts,
+        range_on_range_facet_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("ranges", pd.DataFrame([r.asDict() for r in _rows_2d()]))
+    labels = [
+        ("a", [(10.0, 50.0), (20.0, 70.0)]),
+        ("b", [(45.0, 110.0), (60.0, 150.0)]),
+    ]
+    for rel in RANGE_RELATIONS:
+        got = sorted(
+            (r["bucket"], r["cnt"])
+            for r in range_on_range_facet_counts(
+                ranges_df, DIMS_2, labels, rel
+            ).collect()
+        )
+        sql = range_on_range_facet_sql("ranges", DIMS_2, labels, rel)
+        want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+        assert got == want, rel
