@@ -2030,12 +2030,21 @@ def gate_queries() -> dict[str, object]:
         ).select(
             F.concat_ws(",", F.col("col"), F.col("row")).alias("path"), "cnt"
         )
+        # LongValueFacetCounts: unique n_chars values of the hits,
+        # top-10 by count + totCount; StringValueFacetCounts: per-doc
+        # distinct values of the synthesized multi-valued string field
+        # array(lang, source), top-10 + totalDocCount
+        lval = sp.long_value_facet_counts(r, FIELD, T_MID, "n_chars", k=10)
+        sval = sp.string_value_facet_counts(
+            r, FIELD, T_MID, ["lang", "source"], k=10)
         return (
             hier.select(F.lit("hier").alias("tag"), "path", "cnt")
             .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
             .unionByName(fset.select(F.lit("fset").alias("tag"), "path", "cnt"))
             .unionByName(gfac.select(F.lit("gfac").alias("tag"), "path", "cnt"))
             .unionByName(heat.select(F.lit("heat").alias("tag"), "path", "cnt"))
+            .unionByName(lval.select(F.lit("lval").alias("tag"), "path", "cnt"))
+            .unionByName(sval.select(F.lit("sval").alias("tag"), "path", "cnt"))
         )
 
     def q_facet_assoc(spark, sf):
@@ -3490,6 +3499,31 @@ SELECT d.lang AS path, count(DISTINCT d.source) AS cnt
 FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY path LIMIT 20"""),
         ("heat", _heatmap_oracle()),
+        # LongValueFacetCounts: top-10 unique n_chars values by
+        # (count DESC, value ASC) + totCount (hits with a value)
+        ("lval", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+v AS (SELECT CAST(d.n_chars AS BIGINT) AS value
+      FROM documents d JOIN m ON d.doc_id = m.doc_id
+      WHERE d.n_chars IS NOT NULL),
+g AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY value)
+SELECT * FROM (SELECT printf('%06d', value) AS path, cnt FROM g
+  ORDER BY cnt DESC, value ASC LIMIT 10)
+UNION ALL SELECT '__total__', CAST(count(*) AS BIGINT) FROM v"""),
+        # StringValueFacetCounts over the multi-valued array(lang,
+        # source): per-doc distinct values, top-10 + totalDocCount
+        ("sval", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+pd AS (SELECT d.doc_id,
+         list_distinct(list_filter(
+           [CAST(d.lang AS VARCHAR), CAST(d.source AS VARCHAR)],
+           x -> x IS NOT NULL)) AS vs
+       FROM documents d JOIN m ON d.doc_id = m.doc_id),
+pd1 AS (SELECT * FROM pd WHERE len(vs) > 0),
+e AS (SELECT unnest(vs) AS value FROM pd1)
+SELECT * FROM (SELECT value AS path, CAST(count(*) AS BIGINT) AS cnt FROM e
+  GROUP BY value ORDER BY cnt DESC, value ASC LIMIT 10)
+UNION ALL SELECT '__total__', CAST(count(*) AS BIGINT) FROM pd1"""),
     ])
     # suggest/document completion oracle: shared entry CTE + the
     # TopSuggestDocsCollector dedup ladder (best entry per doc, then

@@ -871,6 +871,86 @@ def facet_counts(
     )
 
 
+def long_value_facet_counts(
+    reader: IndexReader, field: str, term: str, value_col: str, k: int = 10
+) -> DataFrame:
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java): counts for
+    every unique long value of ``value_col`` over the hit docs;
+    getTopChildren order = count DESC then value ASC
+    (LongValueFacetCounts.java:452-476), plus the FacetResult total —
+    the number of hits that had a value (totCount,
+    LongValueFacetCounts.java:66-70) — as a ``__total__`` row.
+
+    Scale shape: ONE rollup aggregation (map-side combined) yields both
+    the per-value counts and the grand total; the two consumers of the
+    grouped frame share the exchange (Spark ReusedExchange), so the
+    scan runs once. -> (path, cnt): path = zero-padded value.
+    """
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    vals = (
+        reader.docs()
+        .join(matched, "doc_id", "left_semi")
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("long").alias("value"))
+    )
+    agg = vals.rollup("value").agg(F.count("*").cast("long").alias("cnt"))
+    top = (
+        agg.where(F.col("value").isNotNull())
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(k)
+        .select(F.format_string("%06d", F.col("value")).alias("path"), "cnt")
+    )
+    total = agg.where(F.col("value").isNull()).select(
+        F.lit("__total__").alias("path"), "cnt"
+    )
+    return top.unionByName(total)
+
+
+def string_value_facet_counts(
+    reader: IndexReader, field: str, term: str,
+    value_cols: list[str], k: int = 10,
+) -> DataFrame:
+    """StringValueFacetCounts (facet/StringValueFacetCounts.java) over a
+    multi-valued string field: per-doc DISTINCT values (SortedSetDocValues
+    dedups within a doc), doc counts per value, top-k by count DESC then
+    value ASC (TopOrdAndIntQueue order), plus totalDocCount — docs with
+    at least one value (StringValueFacetCounts.java:76,419) — as a
+    ``__total__`` row. The multi-valued field is synthesized as
+    array(value_cols) per doc.
+
+    Scale shape: array_distinct + explode is a narrow op (no shuffle);
+    one groupBy(value) count for the children and one count for the
+    total — both map-side combined. -> (path, cnt).
+    """
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    per_doc = (
+        reader.docs()
+        .join(matched, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    F.array(*[F.col(c).cast("string") for c in value_cols]),
+                    lambda v: v.isNotNull(),
+                )
+            ).alias("vs"),
+        )
+        .where(F.size("vs") > 0)
+    )
+    exploded = per_doc.select("doc_id", F.explode("vs").alias("value"))
+    top = (
+        exploded.groupBy("value")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(k)
+        .select(F.col("value").alias("path"), "cnt")
+    )
+    total = per_doc.agg(F.count("*").cast("long").alias("cnt")).select(
+        F.lit("__total__").alias("path"), "cnt"
+    )
+    return top.unionByName(total)
+
+
 def taxonomy_facet_counts(
     reader: IndexReader,
     field: str,

@@ -75,3 +75,42 @@ def test_diversified_topk_one_per_key(spark):
     ).groupby("grp").head(1)
     merged = out.merge(best, on="grp", suffixes=("", "_best"))
     assert (merged.doc_id == merged.doc_id_best).all()
+
+
+def test_long_value_facet_counts_matches_bruteforce(spark):
+    # LongValueFacetCounts: unique n_chars counts over hits, top-10 by
+    # (count DESC, value ASC), __total__ = hits with a value
+    r = _reader(spark)
+    got = {row["path"]: row["cnt"] for row in sp.long_value_facet_counts(
+        r, "text", "data", "n_chars", k=10).collect()}
+    md = _matched_docs("data")
+    vals = md["n_chars"].dropna().astype(int)
+    vc = vals.value_counts()
+    want_top = sorted(
+        ((int(v), int(c)) for v, c in vc.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    want = {f"{v:06d}": c for v, c in want_top}
+    want["__total__"] = len(vals)
+    assert got == want
+
+
+def test_string_value_facet_counts_matches_bruteforce(spark):
+    # StringValueFacetCounts over array(lang, source): per-doc distinct
+    # values, doc counts, __total__ = docs with >= 1 value
+    r = _reader(spark)
+    got = {row["path"]: row["cnt"] for row in sp.string_value_facet_counts(
+        r, "text", "data", ["lang", "source"], k=10).collect()}
+    md = _matched_docs("data")
+    from collections import Counter
+    cnt = Counter()
+    total = 0
+    for _, row in md.iterrows():
+        vs = {v for v in (row["lang"], row["source"]) if pd.notna(v)}
+        if vs:
+            total += 1
+            cnt.update(vs)
+    want_top = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:10]
+    want = dict(want_top)
+    want["__total__"] = total
+    assert got == want
