@@ -1421,7 +1421,18 @@ def gate_queries() -> dict[str, object]:
             F.lit("hft").alias("tag"), "term",
             F.col("df").alias("v1"), F.col("ttf").alias("v2"),
         )
-        return cnt.unionByName(hft)
+        # IndexSortSortedNumericDocValuesRangeQuery count shortcut:
+        # fully-contained segments counted from the manifest alone,
+        # only boundary segments scanned
+        from lucene_spark.search.adaptive import index_sort_range_count
+
+        iscnt = index_sort_range_count(
+            ensure_sorted_index(spark, sf), "n_chars", 100, 400
+        ).select(
+            F.lit("isort_cnt").alias("tag"), F.lit("").alias("term"),
+            F.col("cnt").alias("v1"), F.lit(0).cast("long").alias("v2"),
+        )
+        return cnt.unionByName(hft).unionByName(iscnt)
 
     def q_facet_lang(spark, sf):
         r = ensure_index(spark, sf)
@@ -1911,9 +1922,18 @@ def gate_queries() -> dict[str, object]:
             spark, r, ensure_nchars_points_index(spark, sf),
             FIELD, T_MID, {"n_chars": (100, 300)}, k=20,
         )
+        # IndexSortSortedNumericDocValuesRangeQuery: the same range over
+        # the n_chars-sorted index — segments pruned from the manifest,
+        # value check only on the boundary segments
+        from lucene_spark.search.adaptive import index_sort_range_topk
+
+        isort = index_sort_range_topk(
+            ensure_sorted_index(spark, sf), "n_chars", 100, 200,
+            id_col="orig_id", k=20,
+        )
         return _union([
             ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
-            *rngs, ("iodv", iodv),
+            *rngs, ("iodv", iodv), ("isort", isort),
         ])
 
     def q_field_exists(spark, sf):
@@ -2908,6 +2928,10 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
             "FROM documents d JOIN m ON d.doc_id = m.doc_id "
             "WHERE d.n_chars BETWEEN 100 AND 300 "
             "ORDER BY d.doc_id LIMIT 20)"
+            " UNION ALL SELECT 'isort' AS tag, doc_id, "
+            "CAST(1000000 AS BIGINT) AS score_x1e6 FROM ("
+            "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 "
+            "ORDER BY doc_id LIMIT 20)"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
@@ -3180,7 +3204,10 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
             "CAST(count(*) AS BIGINT) AS v2 FROM toks GROUP BY tok "
             "ORDER BY v2 DESC, term ASC LIMIT 10) "
             "SELECT 'count' AS tag, * FROM t_count "
-            "UNION ALL SELECT 'hft' AS tag, * FROM t_hft"
+            "UNION ALL SELECT 'hft' AS tag, * FROM t_hft "
+            "UNION ALL SELECT 'isort_cnt' AS tag, '' AS term, "
+            "CAST(count(*) AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 "
+            "FROM documents WHERE n_chars BETWEEN 100 AND 400"
         ),
         "q_facet_lang": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')

@@ -36,7 +36,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["index_or_docvalues_range_topk"]
+__all__ = [
+    "index_or_docvalues_range_topk",
+    "index_sort_range_topk",
+    "index_sort_range_count",
+]
 
 
 def _lead_cost(reader, field: str, term: str) -> int:
@@ -108,4 +112,156 @@ def index_or_docvalues_range_topk(
         )
         .orderBy("doc_id")
         .limit(k)
+    )
+
+
+def _sorted_segments(reader, sort_col: str):
+    """Live segments of an index whose primary sort is ``sort_col``,
+    with their (first_doc_id, last_doc_id, sort_min, sort_max) — or
+    None when the sorted fast path cannot apply (different sort, NRT
+    appends without ranges, merged segments: the reference's
+    delegate-to-fallbackQuery conditions)."""
+    from lucene_spark.index import manifest as mani
+
+    m = reader.manifest
+    if m.get("sort_by") != sort_col:
+        return None
+    live = mani.live_segment_ids(m)
+    segs = []
+    for b in m.get("batches", []):
+        for s in b["segments"]:
+            if live is not None and s["segment_id"] not in live:
+                continue
+            if s.get("sort_min") is None or s.get("sort_max") is None:
+                return None
+            segs.append(s)
+    for mg in m.get("merges", []) or []:
+        for s in mg["segments"]:
+            if live is None or s["segment_id"] in live:
+                return None
+    return segs
+
+
+def index_sort_range_topk(
+    reader,
+    sort_col: str,
+    lower: float,
+    upper: float,
+    id_col: str = "doc_id",
+    k: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """IndexSortSortedNumericDocValuesRangeQuery (core/search/
+    IndexSortSortedNumericDocValuesRangeQuery.java): when the index's
+    primary sort is on the queried field, the matching docs form one
+    contiguous doc-id interval, located by binary search instead of a
+    full evaluation (:240-340 findFirstDoc/lastDoc; matchNone :416);
+    otherwise the search delegates to the equivalent fallbackQuery
+    (:53-65). Constant score, like the reference.
+
+    Spark mapping: the segment manifest IS the per-segment value
+    summary — disjoint segments are dropped driver-side before the scan
+    plan exists (matchNone per segment); a segment entirely inside
+    [lower, upper] contributes its whole doc-id interval with NO value
+    predicate (IteratorAndCount.all, :479); only the <= 2 boundary
+    segments carry the value check, where parquet row-group stats on
+    the sorted column prune like the binary search. Everything is a
+    pushed-down doc_id/value predicate — zero rows collected.
+
+    ``stats`` receives {path, segments_total, segments_kept,
+    fully_contained}.
+    """
+    docs = reader.docs()
+    segs = _sorted_segments(reader, sort_col)
+    if segs is None:
+        if stats is not None:
+            stats.update(path="fallback")
+        hits = docs.filter(F.col(sort_col).between(lower, upper))
+    else:
+        kept = [
+            s for s in segs
+            if s["sort_max"] >= lower and s["sort_min"] <= upper
+        ]
+        full = [
+            s for s in kept
+            if s["sort_min"] >= lower and s["sort_max"] <= upper
+        ]
+        if stats is not None:
+            stats.update(
+                path="index_sort", segments_total=len(segs),
+                segments_kept=len(kept), fully_contained=len(full),
+            )
+        if not kept:
+            hits = docs.filter(F.lit(False))
+        else:
+            cond = None
+            fullset = {s["segment_id"] for s in full}
+            for s in kept:
+                c = (F.col("doc_id") >= s["first_doc_id"]) & (
+                    F.col("doc_id") <= s["last_doc_id"]
+                )
+                if s["segment_id"] not in fullset:
+                    c = c & F.col(sort_col).between(lower, upper)
+                cond = c if cond is None else (cond | c)
+            hits = docs.filter(cond)
+    return (
+        hits.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(1_000_000).cast("long").alias("score_x1e6"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def index_sort_range_count(
+    reader,
+    sort_col: str,
+    lower: float,
+    upper: float,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Weight#count shortcut of the same query (the IteratorAndCount
+    plumbing, IndexSortSortedNumericDocValuesRangeQuery.java:155-214):
+    fully-contained segments are counted from the MANIFEST alone
+    (num_docs, no scan); only the boundary segments are scanned, and
+    only when deletes can't invalidate the arithmetic. -> 1 row (cnt).
+    """
+    docs = reader.docs()
+    segs = _sorted_segments(reader, sort_col)
+    n_del = int(reader.manifest.get("num_deleted", 0) or 0)
+    if segs is None or n_del:
+        if stats is not None:
+            stats.update(path="fallback", manifest_docs=0)
+        scanned = docs.filter(F.col(sort_col).between(lower, upper))
+        return scanned.agg(F.count("*").cast("long").alias("cnt"))
+    kept = [
+        s for s in segs if s["sort_max"] >= lower and s["sort_min"] <= upper
+    ]
+    full = [
+        s for s in kept if s["sort_min"] >= lower and s["sort_max"] <= upper
+    ]
+    fullset = {s["segment_id"] for s in full}
+    manifest_docs = sum(s["num_docs"] for s in full)
+    partial = [s for s in kept if s["segment_id"] not in fullset]
+    if stats is not None:
+        stats.update(
+            path="index_sort", manifest_docs=manifest_docs,
+            scanned_segments=len(partial),
+        )
+    if not partial:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [(manifest_docs,)], "cnt long"
+        )
+    cond = None
+    for s in partial:
+        c = (
+            (F.col("doc_id") >= s["first_doc_id"])
+            & (F.col("doc_id") <= s["last_doc_id"])
+            & F.col(sort_col).between(lower, upper)
+        )
+        cond = c if cond is None else (cond | c)
+    return docs.filter(cond).agg(
+        (F.count("*") + F.lit(manifest_docs)).cast("long").alias("cnt")
     )
