@@ -34,6 +34,7 @@ def main() -> None:
     from lucene_spark.pipeline import dedup as dd
     from lucene_spark.pipeline import graphann as ga
     from lucene_spark.pipeline import packing as pk
+    from lucene_spark.pipeline import pq as pqm
     from lucene_spark.pipeline import similarity as sim
     from pyspark.sql.functions import col as _col
 
@@ -126,6 +127,11 @@ def main() -> None:
         ).collect(),
         "x_pack_sequences": lambda: pk.pack_sequences(
             docs, 512, k=200
+        ).collect(),
+        # IVF-PQ query half: ADC over the codes table + exact refine
+        # (train+encode inside the timing: the full cold-path cost)
+        "x_ann_ivfpq": lambda: pqm.ann_pq_topk(
+            emb, query_id=0, k=10, m=16, refine=8
         ).collect(),
     }
 

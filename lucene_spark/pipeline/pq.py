@@ -1,0 +1,221 @@
+"""Product quantization (PQ) for approximate nearest neighbor at scale.
+
+Published method: Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the IVF-PQ/ADC family the
+reference's vector codecs approximate from the other direction
+(``core/codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java`` is
+the scalar little sibling; PQ is the vector-codebook generalization
+used by every large-scale ANN system). Everything here is the Spark
+re-expression; no reference code is involved.
+
+Shape of the method:
+
+- Split every d-dim vector into ``m`` subvectors of d/m dims.
+- Per subspace, k-means a codebook of ``n_codes`` centroids.
+- A vector's code is m small integers (one per subspace) — at
+  n_codes=256 that is m BYTES per vector: a 768-dim float32 embedding
+  (3 KB) compresses to 64 B at m=64, ~48x. At 100 TB of embeddings the
+  candidate scan reads ONLY the codes table.
+- Query time (ADC, asymmetric distance computation): one tiny
+  (m x n_codes) lookup table of query-subvector-to-centroid partial
+  distances, broadcast; each candidate's approximate distance is the
+  SUM of m table lookups — no float vector is touched until the final
+  exact re-rank of the top ``refine*k`` survivors.
+
+Spark scale shape: codebook training is ALL m subspace k-means runs in
+one DataFrame program (subspace id is just a key — the m Lloyd loops
+share every shuffle); encoding is one broadcast join + groupBy; ADC is
+one broadcast join + one map-side-combined sum groupBy; the exact
+re-rank touches refine*k rows. Vectors are unit-normalized first so
+ADC's L2 ordering equals cosine ordering (|a-b|^2 = 2 - 2cos on the
+unit sphere) and recall is measured against the brute-force cosine
+oracle the other ANN paths use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "pq_train_codebooks",
+    "pq_encode",
+    "ann_pq_topk",
+]
+
+
+def _unit_subvecs(emb: DataFrame, m: int, dims: int) -> DataFrame:
+    """-> (vec_id, sub, svec): each unit-normalized vector split into
+    ``m`` contiguous subvectors of dims/m components (narrow, no
+    shuffle)."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    w = dims // m
+    v = F.expr("CAST(embedding AS ARRAY<DOUBLE>)")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(unit, s * w + 1, w).alias("svec"),
+        ),
+    )
+    return (
+        emb.where(nrm > 0)
+        .select("vec_id", F.explode(subs).alias("x"))
+        .select("vec_id", "x.sub", "x.svec")
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _assign_codes(subvecs: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub): broadcast the (m x
+    n_codes) codebooks COMPONENT-exploded and join on (sub, pos), so
+    the squared-difference sum is flat codegen arithmetic (no
+    interpreted array lambdas in the n*n_codes hot path — the same
+    whole-stage-codegen rule the vecsim scorer follows); argmin L2,
+    ties to the lowest code. -> (vec_id, sub, code)."""
+    comp = subvecs.select(
+        "vec_id", "sub", F.posexplode("svec").alias("pos", "x")
+    )
+    bcomp = books.select("sub", "code", F.posexplode("cvec").alias("pos", "c"))
+    d = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    return (
+        comp.join(F.broadcast(bcomp), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(d).alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select("vec_id", "sub", F.col("best.code").alias("code"))
+    )
+
+
+def pq_train_codebooks(
+    emb: DataFrame, m: int = 8, n_codes: int = 16, iters: int = 1,
+    dims: int | None = None,
+) -> DataFrame:
+    """Train all ``m`` per-subspace codebooks in one DataFrame program:
+    deterministic md5-ordered seeding (the same estimator the IVF
+    coarse quantizer uses), then ``iters`` Lloyd rounds where the
+    subspace id rides as a grouping key — every assign/update shuffle
+    serves all m k-means runs at once. Empty codes keep their previous
+    centroid. -> (sub, code, cvec)."""
+    if dims is None:
+        dims = len(emb.select("embedding").head()["embedding"])
+    subvecs = _unit_subvecs(emb, m, dims)
+    seed_ids = (
+        emb.select(
+            "vec_id",
+            F.conv(F.substring(F.md5(F.concat_ws("_", F.col("vec_id"),
+                    F.lit("pq"))), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_codes)
+        .select("vec_id", (F.row_number().over(
+            Window.orderBy("h", "vec_id")) - 1).cast("int").alias("code"))
+    )
+    books = (
+        subvecs.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub", "code", F.col("svec").alias("cvec"))
+    )
+    for _ in range(max(0, iters)):
+        assign = _assign_codes(subvecs, books)
+        means = (
+            subvecs.join(assign, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
+                 .alias("pm"))
+            .select("sub", "code",
+                    F.transform("pm", lambda x: x["mu"]).alias("new_cvec"))
+        )
+        books = (
+            books.join(means, ["sub", "code"], "left")
+            .select("sub", "code",
+                    F.coalesce("new_cvec", "cvec").alias("cvec"))
+        )
+        # centroids are tiny (m*n_codes rows) — materialize them on the
+        # driver each round, exactly like a production k-means keeps
+        # centroids host-side and broadcasts: truncates the iteration
+        # lineage (otherwise round r re-evaluates rounds 0..r-1) and
+        # every downstream join broadcasts a literal frame
+        rows = books.collect()
+        books = emb.sparkSession.createDataFrame(
+            [(r["sub"], r["code"], list(r["cvec"])) for r in rows],
+            "sub int, code int, cvec array<double>",
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, books: DataFrame, m: int = 8, dims: int | None = None,
+) -> DataFrame:
+    """Encode every vector to its m-code PQ representation — the
+    compressed index a 100-TB deployment stores instead of the floats
+    (m bytes/vector at n_codes=256). -> (vec_id, sub, code)."""
+    if dims is None:
+        dims = len(emb.select("embedding").head()["embedding"])
+    return _assign_codes(_unit_subvecs(emb, m, dims), books)
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    refine: int = 4,
+    books: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ's query half (ADC + exact refine): broadcast the query's
+    (m x n_codes) partial-distance lookup table, score every encoded
+    vector as a sum of m lookups (one map-side-combined groupBy — the
+    only shuffle), keep the best ``refine*k`` candidates, then exact
+    cosine re-rank touching only those float vectors.
+    -> (vec_id, cos_x1e6). Pass pre-trained ``books``/``codes`` to
+    amortize training across queries, as a real deployment does."""
+    from lucene_spark.pipeline.similarity import cosine_topk
+
+    dims = len(emb.select("embedding").head()["embedding"])
+    if books is None:
+        books = pq_train_codebooks(emb, m, n_codes, iters, dims=dims)
+    if codes is None:
+        codes = pq_encode(emb, books, m, dims=dims)
+    qsub = _unit_subvecs(emb.where(F.col("vec_id") == query_id), m, dims)
+    lut = (
+        qsub.join(books, "sub")
+        .select("sub", "code",
+                _l2sq(F.col("svec"), F.col("cvec")).alias("partial"))
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("partial").alias("adist"))
+        .where(F.col("vec_id") != query_id)
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(refine * k)
+    )
+    if stats is not None:
+        stats.update(
+            lut_rows=m * n_codes,
+            candidates=refine * k,
+            code_bytes_per_vec=m,  # at n_codes <= 256
+        )
+    restricted = emb.join(approx.select("vec_id"), "vec_id", "left_semi")
+    return cosine_topk(
+        restricted.unionByName(emb.where(F.col("vec_id") == query_id)),
+        query_id, k,
+    )
