@@ -822,6 +822,52 @@ SELECT clazz,
 FROM raw ORDER BY score_x1e6 DESC, clazz ASC"""
 
 
+def _sql_bm25nb_classify(text: str) -> str:
+    """BM25NBClassifier oracle (BM25NBClassifier.java:101-183): per
+    class, ln(BM25 top-1 of MUST class) + sum of tf*ln(BM25 top-1 of
+    MUST class SHOULD word), softmax-normalized. The keyword class
+    field has doc_len 1 and avgdl 1, so every doc of class c scores
+    idf_c/(1+k1) — the prior max m_c; P(w|c) = greatest(m_c, max over
+    class docs containing w of m_c + wscore)."""
+    return f"""{_prefix_ctes([
+        _input_toks_cte(text),
+        "cls AS (SELECT lang AS clazz, CAST(count(*) AS DOUBLE) AS df_c FROM documents WHERE lang IS NOT NULL GROUP BY lang)",
+        "nk AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE lang IS NOT NULL)",
+        "mc AS (SELECT clazz, ln(1 + (nk.n - df_c + 0.5)/(df_c + 0.5)) / 2.2 AS m_c FROM cls CROSS JOIN nk)",
+        "tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks WHERE tok IN (SELECT tok FROM it) GROUP BY doc_id, tok)",
+        "dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)",
+    ])},
+wsc AS (
+  SELECT tf.doc_id, tf.tok, {_SCORE} AS wscore
+  FROM tf JOIN dfx d ON tf.tok = d.tok
+       JOIN dlq q ON tf.doc_id = q.doc_id
+       CROSS JOIN stats s
+),
+inn AS (
+  SELECT d.lang AS clazz, w.tok, MAX(m.m_c + w.wscore) AS i_cw
+  FROM wsc w JOIN documents d ON d.doc_id = w.doc_id
+       JOIN mc m ON m.clazz = d.lang
+  WHERE d.lang IS NOT NULL
+  GROUP BY d.lang, w.tok
+),
+grid AS (
+  SELECT m.clazz, m.m_c, i.tok, i.tf,
+         greatest(m.m_c, coalesce(x.i_cw, 0)) AS p
+  FROM mc m CROSS JOIN it i
+  LEFT JOIN inn x ON x.clazz = m.clazz AND x.tok = i.tok
+),
+rawn AS (
+  SELECT clazz, ln(any_value(m_c)) + SUM(tf * ln(p)) AS r
+  FROM grid GROUP BY clazz
+),
+lsen AS (
+  SELECT MAX(r) + ln(SUM(exp(r - (SELECT MAX(r) FROM rawn)))) AS v FROM rawn
+)
+SELECT clazz,
+  CAST(ROUND(exp(r - (SELECT v FROM lsen)) * 1000000) AS BIGINT) AS score_x1e6
+FROM rawn ORDER BY score_x1e6 DESC, clazz ASC"""
+
+
 def _sql_phrase(terms: list[str], k: int = 10) -> str:
     phrase = " ".join(terms)
     rx = r"\b" + phrase + r"\b"
@@ -2437,14 +2483,20 @@ def gate_queries() -> dict[str, object]:
         # add-one-smoothed likelihood, softmax-normalized) over the
         # documents index with `lang` as the class field
         from lucene_spark.search.classify import (
+            bm25nb_classify,
             knn_classify,
             naive_bayes_classify,
         )
 
         r = ensure_index(spark, sf)
+        # BM25NBClassifier runs on the multi-field index: the class is
+        # the indexed lang_kw keyword field, priors/likelihoods are
+        # BM25 top-1 scores
+        rmf = ensure_mf_index(spark, sf)
         return _union([
             ("knn", knn_classify(r, _CLS_TEXT, "lang", k=10, max_terms=5)),
             ("nb", naive_bayes_classify(r, _CLS_TEXT, "lang")),
+            ("bm25nb", bm25nb_classify(rmf, _CLS_TEXT, "lang_kw", "text")),
         ])
 
     def q_mlt(spark, sf):
@@ -3827,6 +3879,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
         ("nb", _sql_nb_classify(_CLS_TEXT)),
+        ("bm25nb", _sql_bm25nb_classify(_CLS_TEXT)),
     ])
     return one
 

@@ -208,3 +208,102 @@ def naive_bayes_classify(
         F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long").alias("score_x1e6"),
     )
     return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+
+def bm25nb_classify(
+    reader: IndexReader,
+    text: str,
+    class_field: str,
+    text_field: str | None = None,
+    tokenize=None,
+) -> DataFrame:
+    """BM25NBClassifier (classification/BM25NBClassifier.java): naive
+    Bayes whose probabilities are BM25 top-1 scores instead of counts.
+    Per class c (a term of the indexed ``class_field``):
+
+        prior(c)  = ln(top-1 BM25 score of {MUST c})          (:171-183)
+        P(w|c)    = top-1 BM25 score of {MUST c, SHOULD w}    (:147-169)
+        raw(c)    = prior(c) + sum over input tokens (with
+                    multiplicity) of ln(P(w|c))               (:139-145)
+
+    then the softmax normalization shared with the other NB classifier
+    (normClassificationResults, :101-123). Because SHOULD under a live
+    MUST doesn't constrain matching, {MUST c, SHOULD w}'s top-1 equals
+    max over docs of class c of cscore(doc,c) + wscore(doc,w) where a
+    doc without w contributes wscore = 0 — so
+    P(w|c) = greatest(M_c, max over docs of c containing w of
+    (cscore + wscore)) with M_c = the prior max.
+
+    Scale shape: one postings scan per field (class postings = one row
+    per live doc; word postings term-pruned to the input vocabulary),
+    one doc_id equi-join, two map-side-combined max/sum aggregations;
+    the class vocabulary rides a tiny driver collect (the reference's
+    TermsEnum loop over classes, bounded by label cardinality).
+    -> DataFrame(clazz, score_x1e6) ordered score DESC, clazz ASC."""
+    text_field = text_field or reader.manifest["field"]
+    toks = _tokenize(reader, text, tokenize)
+    spark = reader.spark
+    if not toks:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    classes = sorted(
+        r["term"]
+        for r in reader.term_stats_df()
+        .filter(F.col("field") == class_field)
+        .select("term").distinct().collect()
+    )
+    if not classes:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    from lucene_spark.search.sqlpath import (
+        _length_table_col,
+        _score_col,
+        _with_stats,
+        exploded_postings,
+    )
+
+    def _scored(field: str, terms: list[str]) -> DataFrame:
+        ep = exploded_postings(reader, field, terms)
+        df_df, n, avgdl = _with_stats(reader, field, terms)
+        dlq = _length_table_col(F.col("norm_code"))
+        return ep.join(F.broadcast(df_df), "term").select(
+            F.col("term"), F.col("doc_id"),
+            _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
+            .alias("tscore"),
+        )
+    csc = _scored(class_field, classes).select(
+        F.col("term").alias("clazz"), "doc_id",
+        F.col("tscore").alias("cscore"),
+    )
+    tf = Counter(toks)
+    wsc = _scored(text_field, sorted(tf)).select(
+        F.col("term").alias("tok"), "doc_id",
+        F.col("tscore").alias("wscore"),
+    )
+    mc = csc.groupBy("clazz").agg(F.max("cscore").alias("m_c"))
+    inner = (
+        csc.join(wsc, "doc_id")
+        .groupBy("clazz", "tok")
+        .agg(F.max(F.col("cscore") + F.col("wscore")).alias("i_cw"))
+    )
+    tfdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(tf.items())], "tok string, tf int"
+    )
+    grid = (
+        mc.crossJoin(F.broadcast(tfdf))
+        .join(inner, ["clazz", "tok"], "left")
+        .select(
+            "clazz", "m_c", "tf",
+            F.greatest(F.col("m_c"), F.coalesce("i_cw", F.lit(0.0)))
+            .alias("p_wc"),
+        )
+    )
+    raw = grid.groupBy("clazz", "m_c").agg(
+        F.sum(F.col("tf") * F.log("p_wc")).alias("loglik")
+    ).select("clazz", (F.log("m_c") + F.col("loglik")).alias("raw"))
+    win = Window.partitionBy()
+    smax = F.max("raw").over(win)
+    lse = smax + F.log(F.sum(F.exp(F.col("raw") - smax)).over(win))
+    return raw.select(
+        "clazz",
+        F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long")
+        .alias("score_x1e6"),
+    ).orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())

@@ -122,3 +122,30 @@ def test_nb_empty_text_returns_empty(spark, doc_reader):
     from lucene_spark.search.classify import naive_bayes_classify
 
     assert naive_bayes_classify(doc_reader, "???", "lang").count() == 0
+
+
+def test_bm25nb_probabilities_and_determinism(spark):
+    # BM25NBClassifier analog: one row per indexed class, softmax
+    # probabilities (~1.0 total), deterministic across invocations
+    from lucene_spark.gate import ensure_mf_index
+    from lucene_spark.search.classify import bm25nb_classify
+
+    r = ensure_mf_index(spark, SF)
+    text = "customer orders data from the supplier network"
+    rows = bm25nb_classify(r, text, "lang_kw", "text").collect()
+    langs = {
+        x[0] for x in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang").distinct().collect()
+    }
+    assert {row["clazz"] for row in rows} == langs
+    assert abs(sum(row["score_x1e6"] for row in rows) - 1_000_000) <= len(rows)
+    rows2 = bm25nb_classify(r, text, "lang_kw", "text").collect()
+    assert [tuple(x) for x in rows] == [tuple(x) for x in rows2]
+
+
+def test_bm25nb_empty_text_returns_empty(spark):
+    from lucene_spark.gate import ensure_mf_index
+    from lucene_spark.search.classify import bm25nb_classify
+
+    r = ensure_mf_index(spark, SF)
+    assert bm25nb_classify(r, "???", "lang_kw", "text").count() == 0
