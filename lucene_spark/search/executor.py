@@ -56,12 +56,22 @@ def _leaf(kind: str, field: str, terms: list[str], weight: float, **kw) -> dict:
 
 class IndexReader:
     """Open the committed index at index_dir (largest manifest generation
-    wins — SegmentInfos semantics)."""
+    wins — SegmentInfos semantics). Pass ``generation`` to open a PAST
+    commit point instead (DirectoryReader.open(IndexCommit) — what
+    SearcherLifetimeManager hands back for paging consistency): every
+    postings/doclens/docs read is already scoped to the opened
+    manifest's referenced batches and live segments, so the pinned
+    reader sees exactly that commit's docs. Corpus-level term/field
+    stats are NOT versioned per commit (they follow the newest build,
+    like tombstoned docs inflating stats until merge), so pinned
+    readers give point-in-time doc VISIBILITY with live-index scoring
+    stats — documented divergence."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 generation: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.manifest = mani.read_manifest(index_dir)
+        self.manifest = mani.read_manifest(index_dir, generation)
         rows = spark.read.parquet(f"{index_dir}/field_stats").collect()
         self._field_stats = {
             r["field"]: CollectionStats(
