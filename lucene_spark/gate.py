@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -866,6 +867,84 @@ lsen AS (
 SELECT clazz,
   CAST(ROUND(exp(r - (SELECT v FROM lsen)) * 1000000) AS BIGINT) AS score_x1e6
 FROM rawn ORDER BY score_x1e6 DESC, clazz ASC"""
+
+
+def _sql_knnfuzzy_classify(text: str, k: int = 10) -> str:
+    """KNearestFuzzyClassifier oracle (KNearestFuzzyClassifier.java +
+    utils/NearestFuzzyQuery.java): the FuzzyLikeThis variant ladder at
+    maxEdits=1/prefix=2/global-300, per-doc sum of quantized
+    variantScore * BM25(term | df=1) contributions + the class-exists
+    constant, KNN vote over the top-k."""
+    toks = [
+        t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+    ]
+    qt = ", ".join(f"('{t}')" for t in dict.fromkeys(toks))
+    # BM25 with artificial df = 1 (newTermQuery :202-216)
+    score_df1 = (
+        "ln(1 + (s.n - 1 + 0.5)/(1 + 0.5)) * tf.freq / "
+        "(tf.freq + 1.2*(0.25 + 0.75*q.dlq/(s.sumdl/s.n)))"
+    )
+    return f"""{_prefix_ctes([
+        "vocab AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)",
+        f"qt(src) AS (VALUES {qt})",
+    ])},
+var AS (
+  SELECT q.src, v.tok AS variant, v.df,
+    CASE WHEN v.tok = q.src THEN 1.0
+         ELSE 1.0 - levenshtein(q.src, v.tok) * 1.0
+              / least(length(v.tok), length(q.src)) END AS boost
+  FROM qt q JOIN vocab v
+    ON levenshtein(q.src, v.tok) <= 1
+   AND substr(v.tok, 1, 2) = substr(q.src, 1, 2)
+),
+rankedv AS (
+  SELECT *, row_number() OVER (PARTITION BY src
+    ORDER BY boost DESC, variant ASC) AS rk FROM var
+),
+top_var AS (SELECT * FROM rankedv WHERE rk <= 50),
+srcdf AS (
+  SELECT t.src,
+    coalesce((SELECT v.df FROM vocab v WHERE v.tok = t.src),
+             CAST(SUM(t.df) // COUNT(*) AS BIGINT)) AS df
+  FROM var t GROUP BY t.src
+),
+scoredv AS (
+  SELECT t.variant,
+    CAST(ROUND(t.boost * t.boost
+      * (ln((s.n + 1) / (d.df + 1)) + 1.0) * 1000000) AS BIGINT) AS vs
+  FROM top_var t JOIN srcdf d ON d.src = t.src CROSS JOIN stats s
+),
+chosen AS (
+  SELECT variant, vs FROM scoredv ORDER BY vs DESC, variant ASC LIMIT 300
+),
+tf AS (SELECT doc_id, tok, count(*) AS freq FROM toks
+       WHERE tok IN (SELECT variant FROM chosen) GROUP BY doc_id, tok),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ROUND((c.vs / 1000000.0) * ({score_df1}) * 1000000) AS BIGINT) AS cx
+  FROM tf JOIN chosen c ON c.variant = tf.tok
+       JOIN dlq q ON q.doc_id = tf.doc_id
+       CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id, CAST(SUM(cx) + 1000000 AS BIGINT) AS score_x1e6
+  FROM contrib GROUP BY doc_id
+  ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k}
+),
+lab AS (
+  SELECT t.score_x1e6/1000000.0 AS s, d.lang AS clazz
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE d.lang IS NOT NULL
+),
+v AS (
+  SELECT clazz, SUM(s / (SELECT MAX(s) FROM lab)) AS bsum
+  FROM lab GROUP BY clazz
+)
+SELECT clazz,
+  CAST(ROUND(bsum / least(CAST({k} AS DOUBLE),
+       (SELECT CAST(count(*) AS DOUBLE) FROM lab)) * 1000000) AS BIGINT)
+  AS score_x1e6
+FROM v ORDER BY score_x1e6 DESC, clazz ASC"""
 
 
 def _sql_phrase(terms: list[str], k: int = 10) -> str:
@@ -2485,6 +2564,7 @@ def gate_queries() -> dict[str, object]:
         from lucene_spark.search.classify import (
             bm25nb_classify,
             knn_classify,
+            knn_fuzzy_classify,
             naive_bayes_classify,
         )
 
@@ -2497,6 +2577,7 @@ def gate_queries() -> dict[str, object]:
             ("knn", knn_classify(r, _CLS_TEXT, "lang", k=10, max_terms=5)),
             ("nb", naive_bayes_classify(r, _CLS_TEXT, "lang")),
             ("bm25nb", bm25nb_classify(rmf, _CLS_TEXT, "lang_kw", "text")),
+            ("knnfz", knn_fuzzy_classify(r, _CLS_TEXT, "lang", k=10)),
         ])
 
     def q_mlt(spark, sf):
@@ -3880,6 +3961,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
         ("nb", _sql_nb_classify(_CLS_TEXT)),
         ("bm25nb", _sql_bm25nb_classify(_CLS_TEXT)),
+        ("knnfz", _sql_knnfuzzy_classify(_CLS_TEXT, k=10)),
     ])
     return one
 

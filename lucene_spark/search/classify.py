@@ -307,3 +307,93 @@ def bm25nb_classify(
         F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long")
         .alias("score_x1e6"),
     ).orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+
+def knn_fuzzy_classify(
+    reader: IndexReader,
+    text: str,
+    class_col: str,
+    field: str | None = None,
+    k: int = 10,
+    tokenize=None,
+) -> DataFrame:
+    """KNearestFuzzyClassifier (classification/KNearestFuzzyClassifier
+    .java + utils/NearestFuzzyQuery.java): the input is FUZZIFIED —
+    each analyzed term enumerates fuzzy variants (maxEdits=1,
+    prefixLength=2, top-50/term by FuzzyTermsEnum boost, rescored
+    boost^2 * idf with the source term's df, global top-300:
+    NearestFuzzyQuery.java:56-58,130-196, the FuzzyLikeThisQuery
+    ladder) — then each variant scores per doc as
+    ``variantScore * BM25(term, doc | artificial df = ttf = 1)``
+    (newTermQuery, :202-216) summed per doc, plus the constant 1.0 of
+    the class-exists wildcard MUST (knnSearch, :163-168). The top-k
+    docs vote exactly like KNearestNeighborClassifier
+    (buildListFromTopDocs): boost_c = sum(score/maxScore),
+    score(c) = boost_c / min(k, sumdoc).
+
+    Determinism: each per-(doc, variant) contribution is quantized to
+    1e-6 before summation, and the vote runs over the rounded
+    score_x1e6 — the engine and the SQL oracle add identical integers.
+    Scale shape: variant enumeration rides the term-dictionary
+    expansion; doc scoring is one term-pruned postings scan +
+    broadcast boost join + map-side-combined sum; the vote is a window
+    over <= k rows. -> DataFrame(clazz, score_x1e6)."""
+    from lucene_spark.search.fuzzylikethis import _variant_scores
+    from lucene_spark.search.sqlpath import (
+        _length_table_col,
+        _with_stats,
+    )
+
+    field = field or reader.manifest["field"]
+    toks = _tokenize(reader, text, tokenize)
+    spark = reader.spark
+    empty = spark.createDataFrame([], "clazz string, score_x1e6 long")
+    if not toks:
+        return empty
+    chosen = _variant_scores(
+        reader, field, toks, max_num_terms=300, max_edits=1,
+        prefix_length=2,
+    )
+    if not chosen:
+        return empty
+    boosts = spark.createDataFrame(chosen, "term string, s long")
+    ep = exploded_postings(reader, field, [v for v, _ in chosen])
+    _, n, avgdl = _with_stats(reader, field, [v for v, _ in chosen])
+    dlq = _length_table_col(F.col("norm_code"))
+    from lucene_spark.search.sqlpath import _score_col
+
+    contrib = ep.join(F.broadcast(boosts), "term").select(
+        "doc_id",
+        F.round(
+            (F.col("s") / 1e6)
+            * _score_col(F.col("freq"), dlq, F.lit(1.0), n, avgdl) * 1e6
+        ).cast("long").alias("c_x1e6"),
+    )
+    topk = (
+        contrib.groupBy("doc_id")
+        .agg((F.sum("c_x1e6") + F.lit(1_000_000)).alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    labeled = topk.join(
+        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
+        "doc_id",
+    ).filter(F.col("clazz").isNotNull())
+    w = F.col("score_x1e6") / F.lit(1e6)
+    win = Window.partitionBy()
+    voted = labeled.select(
+        "clazz",
+        (w / F.max(w).over(win)).alias("boost"),
+        F.count("*").over(win).alias("sumdoc"),
+    )
+    out = voted.groupBy("clazz", "sumdoc").agg(
+        F.sum("boost").alias("bsum")
+    ).select(
+        "clazz",
+        F.round(
+            F.col("bsum")
+            / F.least(F.lit(float(k)), F.col("sumdoc").cast("double"))
+            * 1e6
+        ).cast("long").alias("score_x1e6"),
+    )
+    return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())

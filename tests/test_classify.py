@@ -149,3 +149,20 @@ def test_bm25nb_empty_text_returns_empty(spark):
 
     r = ensure_mf_index(spark, SF)
     assert bm25nb_classify(r, "???", "lang_kw", "text").count() == 0
+
+
+def test_knn_fuzzy_matches_typo_text(spark, doc_reader):
+    # fuzzified input: typos within edit distance 1 (prefix 2 intact)
+    # still reach the right terms, so the vote is non-empty and sums
+    # to <= 1e6 per class frame
+    from lucene_spark.search.classify import knn_fuzzy_classify
+
+    rows = knn_fuzzy_classify(
+        doc_reader, "custoner ordars from the supplier", "lang", k=10
+    ).collect()
+    assert rows, "typo text should still classify"
+    assert all(0 < r["score_x1e6"] <= 1_000_000 for r in rows)
+    rows2 = knn_fuzzy_classify(
+        doc_reader, "custoner ordars from the supplier", "lang", k=10
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
