@@ -85,6 +85,12 @@ _POLY3D = [
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
 _CLS_TEXT = "the model data table spark rows"
+# BooleanPerceptron probe texts: weight-sum outputs checked exactly
+_PCPT_PROBES = [
+    "customer data orders from supplier",
+    "the model spark table of rows data",
+    "zzz qqq unseen tokens only",
+]
 _READERS: dict[str, IndexReader] = {}
 _MF_READERS: dict[str, IndexReader] = {}
 
@@ -945,6 +951,57 @@ SELECT clazz,
        (SELECT CAST(count(*) AS DOUBLE) FROM lab)) * 1000000) AS BIGINT)
   AS score_x1e6
 FROM v ORDER BY score_x1e6 DESC, clazz ASC"""
+
+
+def _sql_perceptron() -> str:
+    """BooleanPerceptronClassifier oracle (BooleanPerceptronClassifier
+    .java:33-164, batch variant): ttf-initialized weights, bias =
+    ttf/docCount, one epoch of classify-all + last-write-wins updates
+    over misclassified docs (weights floored at 0), then probe texts'
+    raw weight-sum outputs."""
+    probe_ctes, probe_sel = [], []
+    for i, p in enumerate(_PCPT_PROBES):
+        esc = p.replace("'", "''")
+        probe_ctes.append(
+            f"it{i} AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM ("
+            f"SELECT unnest(regexp_split_to_array(lower('{esc}'), "
+            f"'[^a-z0-9]+')) AS tok) WHERE tok <> '' GROUP BY tok)"
+        )
+        probe_ctes.append(
+            f"o{i} AS (SELECT CAST(coalesce(SUM(i.tf * w.w), 0) AS BIGINT)"
+            f" AS o FROM it{i} i JOIN w1 w ON w.term = i.tok)"
+        )
+        probe_sel.append(
+            f"SELECT 'p{i}:' || CASE WHEN o{i}.o >= st.ttf/st.dc "
+            f"THEN 'true' ELSE 'false' END AS clazz, "
+            f"o{i}.o AS score_x1e6 FROM o{i} CROSS JOIN st"
+        )
+    return f"""WITH {_TOKS},
+w0 AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS w
+       FROM toks GROUP BY tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS ttf,
+              CAST(count(DISTINCT doc_id) AS DOUBLE) AS dc FROM toks),
+tfd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY doc_id, tok),
+outd AS (SELECT t.doc_id, SUM(t.freq * w.w) AS o
+         FROM tfd t JOIN w0 w ON w.term = t.tok GROUP BY t.doc_id),
+lab AS (SELECT doc_id, (lang = 'en') AS correct FROM documents
+        WHERE lang IS NOT NULL),
+mis AS (SELECT o.doc_id, CASE WHEN l.correct THEN 1 ELSE -1 END AS modifier
+        FROM outd o JOIN lab l USING (doc_id) CROSS JOIN st
+        WHERE (o.o >= st.ttf/st.dc) <> l.correct),
+upd AS (SELECT tok AS term, modifier * freq AS delta FROM (
+          SELECT t.tok, m.modifier, t.freq,
+                 row_number() OVER (PARTITION BY t.tok
+                                    ORDER BY t.doc_id DESC) AS rk
+          FROM tfd t JOIN mis m ON m.doc_id = t.doc_id) WHERE rk = 1),
+w1 AS (SELECT w.term,
+         CAST(CASE WHEN u.delta IS NOT NULL
+                   THEN greatest(0, w.w + u.delta)
+                   ELSE w.w END AS BIGINT) AS w
+       FROM w0 w LEFT JOIN upd u ON u.term = w.term),
+{", ".join(probe_ctes)}
+{" UNION ALL ".join(probe_sel)}"""
 
 
 def _sql_phrase(terms: list[str], k: int = 10) -> str:
@@ -2578,7 +2635,33 @@ def gate_queries() -> dict[str, object]:
             ("nb", naive_bayes_classify(r, _CLS_TEXT, "lang")),
             ("bm25nb", bm25nb_classify(rmf, _CLS_TEXT, "lang_kw", "text")),
             ("knnfz", knn_fuzzy_classify(r, _CLS_TEXT, "lang", k=10)),
+            # BooleanPerceptronClassifier (batch variant): one training
+            # epoch over the whole corpus (class = lang=='en'), then
+            # the probe texts classify under the trained weights;
+            # score_x1e6 carries the raw weight-sum output — an exact
+            # integer check of the entire training pass
+            ("pcpt", _perceptron_rows(spark, r)),
         ])
+
+    def _perceptron_rows(spark, r):
+        from lucene_spark.search.classify import (
+            boolean_perceptron_classify,
+            boolean_perceptron_train,
+        )
+
+        w, bias = boolean_perceptron_train(r, "lang", "en", epochs=1)
+        out = None
+        for i, probe in enumerate(_PCPT_PROBES):
+            row = boolean_perceptron_classify(r, w, bias, probe).select(
+                F.concat(
+                    F.lit(f"p{i}:"),
+                    F.when(F.col("assigned"), F.lit("true"))
+                    .otherwise(F.lit("false")),
+                ).alias("clazz"),
+                F.col("output").alias("score_x1e6"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
 
     def q_mlt(spark, sf):
         r = ensure_index(spark, sf)
@@ -3962,6 +4045,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("nb", _sql_nb_classify(_CLS_TEXT)),
         ("bm25nb", _sql_bm25nb_classify(_CLS_TEXT)),
         ("knnfz", _sql_knnfuzzy_classify(_CLS_TEXT, k=10)),
+        ("pcpt", _sql_perceptron()),
     ])
     return one
 

@@ -397,3 +397,137 @@ def knn_fuzzy_classify(
         ).cast("long").alias("score_x1e6"),
     )
     return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+
+def _all_postings_tf(reader: IndexReader, field: str) -> DataFrame:
+    """(term, doc_id, freq) for EVERY term of ``field`` — the
+    perceptron trains on the whole vocabulary, so no term-list prune
+    (one decode pass over the postings table, Arrow-batched)."""
+    from lucene_spark.search.sqlpath import _decode_udf, _fmt
+
+    rows = reader.postings().filter(F.col("field") == field)
+    dec = rows.select(
+        "term", _decode_udf(_fmt(reader))("postings", "norms").alias("p")
+    )
+    out = dec.select(
+        "term", F.explode(F.arrays_zip("p.docs", "p.freqs")).alias("e")
+    ).select(
+        "term", F.col("e.docs").alias("doc_id"), F.col("e.freqs").alias("freq")
+    )
+    dels = reader.deleted_df()
+    if dels is not None:
+        out = out.join(dels, "doc_id", "left_anti")
+    return out
+
+
+def boolean_perceptron_train(
+    reader: IndexReader,
+    class_col: str,
+    true_value: str,
+    field: str | None = None,
+    epochs: int = 1,
+) -> tuple[DataFrame, float]:
+    """BooleanPerceptronClassifier training
+    (classification/BooleanPerceptronClassifier.java:46-139), batch
+    variant: weights initialize to each term's totalTermFreq (:46-52),
+    bias = sumTotalTermFreq/docCount (:33-40); each epoch classifies
+    EVERY labeled doc under the frozen weights (output = sum of
+    tf*weight >= bias), then updates each term from its misclassified
+    docs. The reference refreshes the frozen FST every ``batchSize``
+    docs and OVERWRITES a term's weight per doc update
+    (weights.put(max(0, frozenPrev + modifier*tf)), :96-126) — so
+    within a batch the LAST updating doc wins; this analog is exactly
+    that with batchSize = the whole pass (max_by doc_id), which is
+    what makes the epoch order-free and distributable: one postings
+    scan, one weight join (shuffle on term), one max_by aggregation.
+    Weights never go negative (:121). -> (weights(term, w), bias)."""
+    field = field or reader.manifest["field"]
+    coll = reader.collection_stats(field)
+    bias = coll.sum_total_term_freq / float(coll.doc_count)
+    w = (
+        reader.term_stats_df()
+        .filter(F.col("field") == field)
+        .select("term", F.col("total_term_freq").cast("long").alias("w"))
+    )
+    tfall = _all_postings_tf(reader, field)
+    labels = reader.docs().select(
+        "doc_id",
+        (F.col(class_col) == F.lit(true_value)).alias("correct"),
+    ).filter(F.col("correct").isNotNull())
+    for _ in range(max(0, epochs)):
+        outd = (
+            tfall.join(w, "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("freq") * F.col("w")).alias("out"))
+        )
+        mis = (
+            outd.join(labels, "doc_id")
+            .withColumn("assigned", F.col("out") >= F.lit(bias))
+            .filter(F.col("assigned") != F.col("correct"))
+            .select(
+                "doc_id",
+                F.when(F.col("correct"), F.lit(1)).otherwise(F.lit(-1))
+                .alias("modifier"),
+            )
+        )
+        upd = (
+            tfall.join(mis, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.max_by(
+                    F.struct("modifier", "freq"), F.col("doc_id")
+                ).alias("u")
+            )
+            .select(
+                "term",
+                (F.col("u.modifier") * F.col("u.freq")).alias("delta"),
+            )
+        )
+        w = (
+            w.join(upd, "term", "left")
+            .select(
+                "term",
+                F.when(
+                    F.col("delta").isNotNull(),
+                    F.greatest(F.lit(0), F.col("w") + F.col("delta")),
+                ).otherwise(F.col("w")).cast("long").alias("w"),
+            )
+        )
+    return w, bias
+
+
+def boolean_perceptron_classify(
+    reader: IndexReader,
+    weights: DataFrame,
+    bias: float,
+    text: str,
+    tokenize=None,
+) -> DataFrame:
+    """assignClass (:147-164): output = sum of weights over the input's
+    token OCCURRENCES; class = output >= bias;
+    score = 1 - exp(-|bias - output| / bias). -> 1 row
+    (assigned boolean, output long, score_x1e6 long)."""
+    toks = _tokenize(reader, text, tokenize)
+    spark = reader.spark
+    if not toks:
+        return spark.createDataFrame(
+            [], "assigned boolean, output long, score_x1e6 long"
+        )
+    tf = Counter(toks)
+    tfdf = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(tf.items())], "term string, tf int"
+    )
+    return (
+        weights.join(F.broadcast(tfdf), "term")
+        .agg(F.coalesce(F.sum(F.col("tf") * F.col("w")), F.lit(0))
+             .cast("long").alias("output"))
+        .select(
+            (F.col("output") >= F.lit(bias)).alias("assigned"),
+            "output",
+            F.round(
+                (F.lit(1.0)
+                 - F.exp(-F.abs(F.lit(bias) - F.col("output")) / F.lit(bias)))
+                * 1e6
+            ).cast("long").alias("score_x1e6"),
+        )
+    )

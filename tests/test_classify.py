@@ -166,3 +166,36 @@ def test_knn_fuzzy_matches_typo_text(spark, doc_reader):
         doc_reader, "custoner ordars from the supplier", "lang", k=10
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_perceptron_training_moves_weights_toward_labels(spark, doc_reader):
+    # one epoch must (a) keep the full vocabulary, (b) floor at 0,
+    # (c) change at least one weight when misclassifications exist,
+    # and classification must be deterministic
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.classify import (
+        boolean_perceptron_classify,
+        boolean_perceptron_train,
+    )
+
+    w0 = doc_reader.term_stats_df().filter(
+        F.col("field") == doc_reader.manifest["field"]
+    )
+    w, bias = boolean_perceptron_train(doc_reader, "lang", "en", epochs=1)
+    assert w.count() == w0.count()
+    assert w.agg(F.min("w")).head()[0] >= 0
+    joined = w.alias("a").join(
+        w0.selectExpr("term", "total_term_freq AS w0"), "term"
+    )
+    assert joined.filter(F.col("w") != F.col("w0")).count() > 0
+    r1 = boolean_perceptron_classify(
+        doc_reader, w, bias, "customer data orders"
+    ).head()
+    r2 = boolean_perceptron_classify(
+        doc_reader, w, bias, "customer data orders"
+    ).head()
+    assert tuple(r1) == tuple(r2)
+    # unseen vocabulary -> output 0, assigned False
+    r3 = boolean_perceptron_classify(doc_reader, w, bias, "zzzz qqqq").head()
+    assert r3["output"] == 0 and r3["assigned"] is False
