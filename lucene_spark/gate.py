@@ -2494,12 +2494,23 @@ def gate_queries() -> dict[str, object]:
             contexts={"en": (2.0, True), "es": (3.0, True)},
             k=5, skip_duplicates=True,
         ))
+        # DirectSpellChecker with a pluggable StringDistance
+        # (JaroWinklerDistance ranking; distance slot carries the
+        # quantized similarity)
+        from lucene_spark.search.spelldistance import suggest_terms_ranked
+
+        sjw = suggest_terms_ranked(
+            r, FIELD, "spork", distance="jaro_winkler", max_edits=2, k=5,
+        ).select(
+            "term", F.col("score_x1e6").cast("int").alias("distance"),
+            "doc_freq",
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
             ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
             ("docdict", dd), ("cqpfx", cqp), ("cqrgx", cqr),
-            ("cqfzy", cqf), ("cqctx", cqc),
+            ("cqfzy", cqf), ("cqctx", cqc), ("spell_jw", sjw),
         ]
         out = None
         for tag, df in parts:
@@ -3928,6 +3939,21 @@ SELECT surface AS term, CAST(0 AS INT) AS distance, weight AS doc_freq
 FROM dd WHERE surface LIKE 'src1%'
 ORDER BY doc_freq DESC, term ASC LIMIT 5"""),
         *_completion_oracles,
+        # DirectSpellChecker + JaroWinklerDistance: same candidate
+        # prefilter as 'spell', ranked by the Winkler-boosted Jaro
+        # similarity (quantized into the distance slot)
+        ("spell_jw", f"""WITH {_TOKS},
+dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq
+        FROM toks GROUP BY tok),
+pool AS (SELECT term, doc_freq FROM dfs
+         WHERE levenshtein(term, 'spork') <= 2 AND term <> 'spork'
+         ORDER BY doc_freq DESC, term ASC LIMIT 200)
+SELECT term,
+  CAST(ROUND(jaro_winkler_similarity('spork', term) * 1000000) AS INT)
+    AS distance,
+  doc_freq
+FROM pool
+ORDER BY distance DESC, doc_freq DESC, term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}
