@@ -84,6 +84,13 @@ class MergePolicy:
     def find_merges(self, segments: list[dict]) -> list[list[str]]:
         raise NotImplementedError
 
+    def find_full_flush_merges(
+        self, segments: list[dict]
+    ) -> list[list[str]]:
+        """Merges to run as part of a full flush/commit
+        (MergePolicy.findFullFlushMerges — default: none)."""
+        return []
+
 
 class TieredMergePolicy(MergePolicy):
     """The default (TieredMergePolicy.java, module docstring)."""
@@ -147,6 +154,34 @@ class LogDocMergePolicy(MergePolicy):
         return groups
 
 
+class MergeOnFlushMergePolicy(MergePolicy):
+    """sandbox/index/MergeOnFlushMergePolicy.java (a FilterMergePolicy):
+    normal merge selection delegates to the wrapped policy; at FULL
+    FLUSH every small segment (below the threshold — doc count is this
+    engine's segment-size metric, the reference uses bytes) merges into
+    ONE group so NRT refreshes after tiny appends don't accumulate
+    micro-segments (:33-52). At most one group, only when >= 2 small
+    segments exist."""
+
+    def __init__(self, wrapped="tiered",
+                 small_segment_threshold_docs: int = 1000, **kwargs):
+        self.wrapped = get_merge_policy(wrapped, **kwargs)
+        self.small_segment_threshold_docs = small_segment_threshold_docs
+
+    def find_merges(self, segments: list[dict]) -> list[list[str]]:
+        return self.wrapped.find_merges(segments)
+
+    def find_full_flush_merges(
+        self, segments: list[dict]
+    ) -> list[list[str]]:
+        small = [
+            s["segment_id"] for s in sorted(
+                segments, key=lambda x: x["segment_id"])
+            if s["num_docs"] < self.small_segment_threshold_docs
+        ]
+        return [small] if len(small) > 1 else []
+
+
 class NoMergePolicy(MergePolicy):
     """NoMergePolicy.java: never merges (read-only / externally
     managed indexes)."""
@@ -159,6 +194,7 @@ _MERGE_POLICIES = {
     "tiered": TieredMergePolicy,
     "log_doc": LogDocMergePolicy,
     "no_merge": NoMergePolicy,
+    "merge_on_flush": MergeOnFlushMergePolicy,
 }
 
 
@@ -381,12 +417,16 @@ def merge_round(
     salt_max_docs: int = 1_000_000,
     max_concurrent_merges: int = 4,
     policy: "str | MergePolicy | None" = None,
+    trigger: str = "explicit",
 ) -> int:
     """Run one merge round: apply every group the policy picks, commit
     one new manifest generation. Returns the number of merges executed.
     ``policy`` overrides the default tiered selection (a name from
     get_merge_policy or a MergePolicy instance); the tiered keyword
-    args above are ignored when a policy is given."""
+    args above are ignored when a policy is given. ``trigger`` selects
+    the policy hook: "explicit" = find_merges (MergeTrigger.EXPLICIT),
+    "full_flush" = find_full_flush_merges (the post-commit hook
+    MergeOnFlushMergePolicy implements)."""
     m = mani.read_manifest(index_dir)
     live = mani.live_segment_ids(m)
     seg_metrics: dict[str, dict] = {}
@@ -403,8 +443,14 @@ def merge_round(
         groups = find_merges(
             live_metrics, segs_per_tier, max_merge_at_once, max_merged_docs
         )
+        if trigger == "full_flush":
+            groups = []
     else:
-        groups = get_merge_policy(policy).find_merges(live_metrics)
+        p = get_merge_policy(policy)
+        groups = (
+            p.find_full_flush_merges(live_metrics)
+            if trigger == "full_flush" else p.find_merges(live_metrics)
+        )
     if not groups:
         return 0
 

@@ -292,3 +292,53 @@ def test_merge_round_with_policies(spark, corpus, tmp_path):
         ).collect()
     ]
     assert after == before  # merge is invisible to queries
+
+
+def test_merge_on_flush_policy(spark, corpus, tmp_path):
+    # sandbox/index/MergeOnFlushMergePolicy.java: at full flush every
+    # small segment merges into ONE group; normal selection delegates
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.merge import (
+        MergeOnFlushMergePolicy,
+        merge_round,
+    )
+    from lucene_spark.search.executor import IndexReader
+    from lucene_spark.search import sqlpath as sp
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus), idx,
+        IndexConfig(docs_per_segment=60, num_batches=2),
+    )
+    before = [
+        (r["doc_id"], r["score_x1e6"])
+        for r in sp.bool_bm25_topk(
+            IndexReader(spark, idx), "content", must=["def"], k=30
+        ).collect()
+    ]
+    m0 = mani.read_manifest(idx)
+    live0 = len([s for b in m0["batches"] for s in b["segments"]])
+    assert live0 > 2
+    pol = MergeOnFlushMergePolicy(small_segment_threshold_docs=10_000)
+    # full-flush trigger: all small segments -> one merge group
+    n = merge_round(spark, idx, policy=pol, trigger="full_flush")
+    assert n == 1
+    r = IndexReader(spark, idx)
+    live = mani.live_segment_ids(r.manifest)
+    assert len(live) == 1
+    after = [
+        (x["doc_id"], x["score_x1e6"])
+        for x in sp.bool_bm25_topk(r, "content", must=["def"], k=30).collect()
+    ]
+    assert after == before
+    # nothing small left -> no further full-flush merge
+    assert merge_round(spark, idx, policy=pol, trigger="full_flush") == 0
+    # explicit trigger delegates to the wrapped policy (tiered: one
+    # big segment -> nothing to merge)
+    assert merge_round(spark, idx, policy=pol) == 0
+    # a single small segment never merges alone
+    pol2 = MergeOnFlushMergePolicy(small_segment_threshold_docs=10_000)
+    assert pol2.find_full_flush_merges(
+        [{"segment_id": "a", "num_docs": 5}]
+    ) == []
