@@ -2000,10 +2000,19 @@ def gate_queries() -> dict[str, object]:
         return dd.simhash_pairs(_docs(spark, sf), max_hamming=6)
 
     def q_dedup_embcos(spark, sf):
-        # the SCALE path gates: multi-table LSH candidates -> exact
-        # verify (all-pairs variant stays as the library baseline)
-        return dd.embedding_near_dups_lsh(
+        # the SCALE paths gate: multi-table LSH candidates -> exact
+        # verify (all-pairs variant stays as the library baseline) +
+        # SemDeDup (cluster-bounded semantic dedup, keep-lowest
+        # exemplar per dropped vector)
+        lsh = dd.embedding_near_dups_lsh(
             _emb(spark, sf), threshold=0.4, n_planes=4, n_tables=6
+        )
+        sem = dd.semantic_dedup(_emb(spark, sf), threshold=0.4)
+        return (
+            lsh.select(F.lit("lsh").alias("tag"), "a", "b", "cos_x1e6")
+            .unionByName(
+                sem.select(F.lit("sem").alias("tag"), "a", "b", "cos_x1e6")
+            )
         )
 
     def q_ann_recall(spark, sf):
@@ -3398,8 +3407,12 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
             )),
         ]),
         "q_dedup_simhash": dd.simhash_pairs_sql(max_hamming=6),
-        "q_dedup_embcos": dd.embedding_near_dups_lsh_sql(
-            threshold=0.4, n_planes=4, n_tables=6
+        "q_dedup_embcos": (
+            "SELECT 'lsh' AS tag, * FROM ("
+            + dd.embedding_near_dups_lsh_sql(
+                threshold=0.4, n_planes=4, n_tables=6)
+            + ") UNION ALL SELECT 'sem' AS tag, * FROM ("
+            + dd.semantic_dedup_sql(threshold=0.4) + ")"
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
         "q_ann_lsh": sim.ann_lsh_topk_sql(query_id=0, k=10, n_planes=6),

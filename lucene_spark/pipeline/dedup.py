@@ -842,6 +842,138 @@ WHERE d.dot/(na.nrm*nb.nrm) >= {threshold}
 ORDER BY d.a, d.b LIMIT {k}"""
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.7,
+    k: int = 200,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with the deterministic coarse quantizer, compare pairs
+    ONLY within a cluster (the paper's trick that bounds the quadratic
+    term — sizing n_centroids ~ n/target keeps per-cluster occupancy
+    constant, so total work is O(n·c) not O(n^2)), and drop every
+    vector whose cosine to an earlier (lower-id) cluster-mate reaches
+    ``threshold`` (the paper keeps one exemplar per semantic-dup set;
+    keep-lowest-id is this engine's deterministic exemplar rule, the
+    same rule exact dedup uses). -> (a, b, cos_x1e6): b is dropped,
+    a is its smallest qualifying keeper, ordered (a, b).
+
+    Scale shape: one broadcast centroid assign, one (cid)-equi-join for
+    candidates (pairs bounded by cluster occupancy), component-exploded
+    codegen cosine on candidates only, one min-struct aggregation."""
+    from lucene_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    dims = len(emb.select("embedding").head()["embedding"])
+    assign = ivf_assign(emb, ivf_centroids(emb, n_centroids), dims)
+    pa = assign.select(F.col("vec_id").alias("a"), "cid")
+    pb = assign.select(F.col("vec_id").alias("b"), "cid")
+    cand = (
+        pa.join(pb, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    ca = comp.select(F.col("vec_id").alias("a"), "pos", F.col("v").alias("va"))
+    cb = comp.select(F.col("vec_id").alias("b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        cand.join(ca, "a")
+        .join(cb, ["b", "pos"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    pairs = (
+        dots.join(norms.select(F.col("vec_id").alias("a"),
+                               F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col("vec_id").alias("b"),
+                           F.col("nrm").alias("nb")), "b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "a", "b",
+            F.round(F.col("cos") * 1e6).cast("long").alias("cos_x1e6"),
+        )
+    )
+    # exemplar per dropped vector: the SMALLEST qualifying keeper
+    return (
+        pairs.groupBy("b")
+        .agg(F.min(F.struct("a", "cos_x1e6")).alias("m"))
+        .select(F.col("m.a").alias("a"), "b", F.col("m.cos_x1e6")
+                .alias("cos_x1e6"))
+        .orderBy("a", "b")
+        .limit(k)
+    )
+
+
+def semantic_dedup_sql(
+    n_centroids: int = 16, threshold: float = 0.7, k: int = 200
+) -> str:
+    """DuckDB twin: same seeded centroids, same argmax assignment, same
+    within-cluster pairwise + keep-lowest exemplar."""
+    return f"""WITH comp AS (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid FROM (
+    SELECT vec_id,
+      CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'_c'),1,8)) AS BIGINT) AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {n_centroids}
+  )
+),
+norms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM comp GROUP BY vec_id),
+cdots AS (
+  SELECT e.vec_id, c.vec_id AS cid, SUM(e.v * c.v) AS dot
+  FROM comp e JOIN comp c USING (pos) JOIN cent ON c.vec_id = cent.cid
+  GROUP BY e.vec_id, c.vec_id
+),
+ccos AS (
+  SELECT d.vec_id, d.cid, d.dot/(ne.nrm*nc.nrm) AS cos
+  FROM cdots d JOIN norms ne ON ne.vec_id = d.vec_id
+       JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM ccos
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM assign x JOIN assign y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, SUM(x.v * y.v) AS dot
+  FROM cand c JOIN comp x ON x.vec_id = c.a
+       JOIN comp y ON y.vec_id = c.b AND y.pos = x.pos
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT d.a, d.b,
+    CAST(ROUND(d.dot/(na.nrm*nb.nrm)*1000000) AS BIGINT) AS cos_x1e6
+  FROM dots d JOIN norms na ON na.vec_id = d.a
+       JOIN norms nb ON nb.vec_id = d.b
+  WHERE d.dot/(na.nrm*nb.nrm) >= {threshold}
+),
+rep AS (
+  SELECT b, MIN(struct_pack(a := a, c := cos_x1e6)) AS m
+  FROM pairs GROUP BY b
+)
+SELECT m.a AS a, b, m.c AS cos_x1e6 FROM rep
+ORDER BY a, b LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster canonicalization (pairs -> connected components)
 # ---------------------------------------------------------------------------

@@ -591,3 +591,50 @@ def test_unrolled_cosine_bit_identical_to_hof_and_codegen(spark):
     # "*(n) Project" = the projection is inside a WholeStageCodegen stage
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(1) Project" in plan, plan.splitlines()[0]
+
+
+def test_semantic_dedup_matches_bruteforce_within_clusters(spark):
+    # SemDeDup: a vector is dropped iff a lower-id CLUSTER-MATE reaches
+    # the threshold; exemplar = smallest such keeper — replay in numpy
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline.dedup import semantic_dedup
+    from lucene_spark.pipeline.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    th = 0.4
+    got = [
+        (r["a"], r["b"], r["cos_x1e6"])
+        for r in semantic_dedup(emb, threshold=th).collect()
+    ]
+    assign = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(emb, ivf_centroids(emb, 16), 64).collect()
+    }
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = list(pdf["vec_id"])
+    vecs = np.array([np.array(v, float) for v in pdf["embedding"]])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = {}
+    for bi, b in enumerate(ids):
+        best = None
+        for ai, a in enumerate(ids):
+            if a >= b or assign[a] != assign[b]:
+                continue
+            cos = float(vecs[ai] @ vecs[bi])
+            if cos >= th:
+                cx = round(cos * 1e6)
+                if best is None or a < best[0]:
+                    best = (a, cx)
+        if best is not None:
+            want[b] = best
+    assert {(a, b, c) for a, b, c in got} == {
+        (a, b, c) for b, (a, c) in want.items()
+    }
+    # the dropped set never contains a keeper
+    dropped = {b for _, b, _ in got}
+    keepers = {a for a, _, _ in got}
+    assert not (dropped & keepers) or all(
+        a < b for a, b, _ in got
+    )
