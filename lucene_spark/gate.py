@@ -2122,9 +2122,19 @@ def gate_queries() -> dict[str, object]:
             ensure_sorted_index(spark, sf), "n_chars", 100, 200,
             id_col="orig_id", k=20,
         )
+        # SortedNumeric/SortedSetDocValuesMultiRangeQuery: multi-valued
+        # docvalues, match if ANY value in ANY range (numeric + bytes)
+        ssmr_n = sp.dv_multi_range_topk(
+            r, ["n_chars", "n_chars % 211", "doc_id % 97"],
+            [(50, 90), (150, 180)], k=20,
+        )
+        ssmr_s = sp.dv_multi_range_topk(
+            r, ["lang", "source"], [("de", "en"), ("src2", "src4")], k=20,
+        )
         return _union([
             ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
             *rngs, ("iodv", iodv), ("isort", isort),
+            ("ssmr_num", ssmr_n), ("ssmr_str", ssmr_s),
         ])
 
     def q_field_exists(spark, sf):
@@ -3167,6 +3177,22 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
             " UNION ALL SELECT 'isort' AS tag, doc_id, "
             "CAST(1000000 AS BIGINT) AS score_x1e6 FROM ("
             "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200 "
+            "ORDER BY doc_id LIMIT 20)"
+            " UNION ALL SELECT 'ssmr_num' AS tag, doc_id, "
+            "CAST(1000000 AS BIGINT) AS score_x1e6 FROM ("
+            "SELECT doc_id FROM documents WHERE "
+            "(n_chars BETWEEN 50 AND 90) OR (n_chars BETWEEN 150 AND 180) "
+            "OR (n_chars % 211 BETWEEN 50 AND 90) "
+            "OR (n_chars % 211 BETWEEN 150 AND 180) "
+            "OR (doc_id % 97 BETWEEN 50 AND 90) "
+            "OR (doc_id % 97 BETWEEN 150 AND 180) "
+            "ORDER BY doc_id LIMIT 20)"
+            " UNION ALL SELECT 'ssmr_str' AS tag, doc_id, "
+            "CAST(1000000 AS BIGINT) AS score_x1e6 FROM ("
+            "SELECT doc_id FROM documents WHERE "
+            "(lang BETWEEN 'de' AND 'en') OR (lang BETWEEN 'src2' AND 'src4') "
+            "OR (source BETWEEN 'de' AND 'en') "
+            "OR (source BETWEEN 'src2' AND 'src4') "
             "ORDER BY doc_id LIMIT 20)"
         ),
         "q_field_exists": f"""WITH {_TOKS}

@@ -2246,3 +2246,41 @@ def high_freq_terms(
     )
     key = F.col("ttf") if order_by == "ttf" else F.col("df")
     return agg.orderBy(key.desc(), F.col("term").asc()).limit(n)
+
+
+def dv_multi_range_topk(
+    reader: IndexReader,
+    value_exprs: list[str],
+    ranges: list[tuple],
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SortedNumeric/SortedSetDocValuesMultiRangeQuery (sandbox/search/
+    DocValuesMultiRangeQuery.java + SortedNumericDocValuesMultiRange
+    Query.java / SortedSetDocValuesMultiRangeQuery.java): a doc with a
+    MULTI-VALUED docvalues field matches when ANY of its values falls
+    in ANY of the ranges (the unioned-clause contract; numeric and
+    bytes variants share it — bounds compare in the column's type).
+    The multi-valued field is the array of ``value_exprs`` over the
+    docs registry; matching is one F.exists over OR'd between-predicates
+    — flat codegen, no explode, no shuffle before the top-k. Constant
+    score. -> (doc_id, score_x1e6)."""
+    arr = F.array(*[F.expr(e) for e in value_exprs])
+
+    def in_any_range(v):
+        out = None
+        for lo, hi in ranges:
+            c = (v >= F.lit(lo)) & (v <= F.lit(hi))
+            out = c if out is None else (out | c)
+        return out
+
+    return (
+        reader.docs()
+        .filter(F.exists(arr, in_any_range))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(1_000_000).cast("long").alias("score_x1e6"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
