@@ -2513,6 +2513,27 @@ def gate_queries() -> dict[str, object]:
             contexts={"en": (2.0, True), "es": (3.0, True)},
             k=5, skip_duplicates=True,
         ))
+        # BlendedInfixSuggester: infix match blended with the first
+        # matched token's POSITION (linear 1-0.1*pos; startswith -> 1)
+        from lucene_spark.search.suggesters import blended_infix_suggest
+
+        bdict = (
+            _docs(spark, sf)
+            .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+            .select(
+                F.concat_ws(" ", "lang", "source").alias("surface"),
+                "n_chars",
+            )
+            .groupBy("surface")
+            .agg(F.max("n_chars").alias("weight"))
+        )
+        blen = blended_infix_suggest(
+            bdict, "src1", blender="linear", k=5
+        ).select(
+            F.col("surface").alias("term"),
+            F.lit(0).cast("int").alias("distance"),
+            F.col("score").cast("long").alias("doc_freq"),
+        )
         # DirectSpellChecker with a pluggable StringDistance
         # (JaroWinklerDistance ranking; distance slot carries the
         # quantized similarity)
@@ -2530,6 +2551,7 @@ def gate_queries() -> dict[str, object]:
             ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
             ("docdict", dd), ("cqpfx", cqp), ("cqrgx", cqr),
             ("cqfzy", cqf), ("cqctx", cqc), ("spell_jw", sjw),
+            ("blended", blen),
         ]
         out = None
         for tag, df in parts:
@@ -3993,6 +4015,36 @@ SELECT term,
   doc_freq
 FROM pool
 ORDER BY distance DESC, doc_freq DESC, term ASC LIMIT 5"""),
+        # BlendedInfixSuggester: two-token surfaces (lang + source),
+        # fragment 'src1' matches at position 1 -> linear coef 0.9;
+        # weight rules: 0 -> 1, |w| < 10 scales by 10
+        ("blended", """
+WITH bd AS (
+  SELECT lang || ' ' || source AS surface,
+         CAST(MAX(n_chars) AS BIGINT) AS weight
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT surface, weight,
+    CASE WHEN lower(surface) LIKE 'src1%' THEN 0
+         WHEN split_part(lower(surface), ' ', 2) LIKE 'src1%' THEN 1
+    END AS position
+  FROM bd
+),
+sc AS (
+  SELECT surface,
+    CAST(FLOOR(
+      (CASE WHEN weight = 0 THEN 1.0
+            WHEN weight < 10 AND weight > -10 THEN weight * 10.0
+            ELSE CAST(weight AS DOUBLE) END)
+      * (CASE WHEN lower(surface) LIKE 'src1%' THEN 1.0
+              ELSE 1.0 - 0.10 * position END)
+    ) AS BIGINT) AS score
+  FROM m WHERE position IS NOT NULL
+)
+SELECT surface AS term, CAST(0 AS INT) AS distance, score AS doc_freq
+FROM sc ORDER BY score DESC, term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}

@@ -166,3 +166,61 @@ def document_dictionary(
         .groupBy("surface")
         .agg(F.max("weight").alias("weight"))
     )
+
+
+def blended_infix_suggest(
+    suggestions: DataFrame,
+    typed: str,
+    blender: str = "linear",
+    exponent: float = 2.0,
+    analyzer: str = "simple",
+    k: int = 5,
+    surface_col: str = "surface",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+    .java): infix suggestions whose score BLENDS the stored weight with
+    the POSITION of the first matched token — linear
+    ``weight*(1 - 0.10*position)``, reciprocal ``weight/(1+position)``,
+    exponential_reciprocal ``weight/(1+position)^exponent`` (:21-29,
+    :246-263); coefficient 1 when the analyzed key starts with the
+    query (:177-181); weight 0 -> 1 and |weight| < 1/0.10 scales by
+    1/0.10 before blending (:182-188); score = long(weight*coef).
+    Matching = any analyzed token prefix-matches the typed fragment
+    (the reference's prefixToken path for a partial last token).
+    -> (surface, score) score DESC, surface ASC top-k. One narrow
+    tokenize pass + a posexplode aggregation — no shuffle beyond the
+    min-position groupBy."""
+    qkey = _analyze_query(analyzer, typed)
+    keyed = _with_key(suggestions, analyzer, surface_col)
+    toks = keyed.select(
+        surface_col, weight_col, "_key",
+        F.posexplode(F.split(F.col("_key"), " ")).alias("pos", "tok"),
+    )
+    matched = (
+        toks.filter(F.col("tok").startswith(qkey))
+        .groupBy(surface_col, weight_col, "_key")
+        .agg(F.min("pos").alias("position"))
+    )
+    w = F.col(weight_col).cast("double")
+    w = F.when(w == 0, F.lit(1.0)).otherwise(w)
+    w = F.when((w < 10.0) & (w > -10.0), w * 10.0).otherwise(w)
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * F.col("position")
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (F.lit(1.0) + F.col("position"))
+    elif blender == "exponential_reciprocal":
+        coef = F.lit(1.0) / F.pow(
+            F.lit(1.0) + F.col("position"), F.lit(float(exponent))
+        )
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    coef = F.when(F.col("_key").startswith(qkey), F.lit(1.0)).otherwise(coef)
+    return (
+        matched.select(
+            F.col(surface_col).alias("surface"),
+            F.floor(w * coef).cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("surface").asc())
+        .limit(k)
+    )

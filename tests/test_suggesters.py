@@ -103,3 +103,48 @@ def test_document_dictionary_dedup_and_null_skip(spark):
     assert got == {"alpha": 91, "beta": 41}
     out = analyzing_suggest(dd, "al", analyzer="simple", k=5).collect()
     assert [(r["surface"], r["weight"]) for r in out] == [("alpha", 9)]
+
+
+def test_blended_infix_positions_and_weight_rules(spark):
+    # BlendedInfixSuggester: coefficient by first-matched-token
+    # position; startswith -> 1; weight 0 -> 1; small weights scale x10
+    from lucene_spark.search.suggesters import blended_infix_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            ("alpha beta gamma", 100),   # 'beta' at pos 1
+            ("beta alpha", 100),         # startswith -> coef 1
+            ("x y beta", 100),           # pos 2
+            ("beta tiny", 5),            # startswith + small weight -> 50
+            ("beta zero", 0),            # weight 0 -> 1 -> x10 = 10
+            ("nothing here", 100),       # no match
+        ],
+        "surface string, weight long",
+    )
+    rows = {
+        r["surface"]: r["score"]
+        for r in blended_infix_suggest(sugg, "beta", "linear", k=10).collect()
+    }
+    assert rows == {
+        "beta alpha": 100,
+        "alpha beta gamma": 90,   # 100 * (1 - 0.1*1)
+        "x y beta": 80,           # 100 * (1 - 0.1*2)
+        "beta tiny": 50,          # 5 -> 50, coef 1
+        "beta zero": 10,          # 0 -> 1 -> 10, coef 1
+    }
+    recip = {
+        r["surface"]: r["score"]
+        for r in blended_infix_suggest(
+            sugg, "beta", "reciprocal", k=10
+        ).collect()
+    }
+    assert recip["alpha beta gamma"] == 50   # 100 / (1+1)
+    assert recip["x y beta"] == 33           # floor(100/3)
+    expo = {
+        r["surface"]: r["score"]
+        for r in blended_infix_suggest(
+            sugg, "beta", "exponential_reciprocal", exponent=2.0, k=10
+        ).collect()
+    }
+    assert expo["alpha beta gamma"] == 25    # 100 / 4
+    assert expo["x y beta"] == 11            # floor(100/9)
