@@ -605,3 +605,68 @@ register_analyzer(
     "delimited_termfreq", lambda: DelimitedTermFrequencyAnalyzer()
 )
 register_analyzer("concat_graph", lambda: ConcatenateGraphAnalyzer())
+
+
+# --------------------------------------------------------------------------
+# ICUNormalizer2Filter analog: Unicode NFKC_Casefold
+# --------------------------------------------------------------------------
+
+# Default_Ignorable_Code_Point ranges (Unicode DerivedCoreProperties —
+# the mapping-to-nothing part of the NFKC_Casefold property): soft
+# hyphen, CGJ, ALM, Hangul fillers, Mongolian FVS, zero-width and
+# directional formats, word joiner + invisibles, Hangul filler, VS1-16,
+# BOM, halfwidth filler, shorthand controls, musical beams, tags +
+# VS supplement plane-14 block.
+_DEFAULT_IGNORABLE = (
+    (0x00AD, 0x00AD), (0x034F, 0x034F), (0x061C, 0x061C),
+    (0x115F, 0x1160), (0x17B4, 0x17B5), (0x180B, 0x180E),
+    (0x200B, 0x200F), (0x202A, 0x202E), (0x2060, 0x2064),
+    (0x2066, 0x206F), (0x3164, 0x3164), (0xFE00, 0xFE0F),
+    (0xFEFF, 0xFEFF), (0xFFA0, 0xFFA0), (0xFFF0, 0xFFF8),
+    (0x1BCA0, 0x1BCA3), (0x1D173, 0x1D17A), (0xE0000, 0xE0FFF),
+)
+
+
+def _is_default_ignorable(c: str) -> bool:
+    cp = ord(c)
+    return any(lo <= cp <= hi for lo, hi in _DEFAULT_IGNORABLE)
+
+
+def nfkc_casefold(s: str) -> str:
+    """Unicode toNFKC_Casefold (the nfkc_cf normalizer
+    ICUNormalizer2Filter.java applies by default — analysis/icu/
+    ICUNormalizer2Filter.java:36-43): drop Default_Ignorable code
+    points (their NFKC_Casefold mapping is empty), then iterate
+    NFKC(casefold(x)) to the fixpoint (the property's
+    compose-casefold closure; stdlib unicodedata has no one-shot
+    nfkc_cf, the fixpoint gives the same stable form)."""
+    s = "".join(c for c in s if not _is_default_ignorable(c))
+    prev = None
+    while s != prev:
+        prev = s
+        s = unicodedata.normalize("NFKC", s.casefold())
+    return s
+
+
+class NFKCCaseFoldFilter(TokenFilter):
+    """ICUNormalizer2Filter analog: nfkc_cf every token (replaces
+    LowerCaseFilter in the reference's ICU analysis chains); empty
+    results drop."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out = []
+        for t in tokens:
+            n = nfkc_casefold(t)
+            if n:
+                out.append(n)
+        return out
+
+
+register_analyzer(
+    "icu_normalized",
+    lambda: FilteredAnalyzer(
+        CasePreservingStandardAnalyzer(),
+        [NFKCCaseFoldFilter()],
+        "icu_normalized",
+    ),
+)

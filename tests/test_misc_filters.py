@@ -338,3 +338,33 @@ def test_concat_graph_key():
     a = get_analyzer("concat_graph")
     assert a.tokenize_one("The quick  Brown-fox") == ["the quick brown fox"]
     assert a.tokenize_one("...") == []
+
+
+def test_nfkc_casefold_goldens():
+    # ICUNormalizer2Filter analog (nfkc_cf): compatibility folds, case
+    # folds, default-ignorable removal — Unicode toNFKC_Casefold
+    from lucene_spark.analysis.misc import nfkc_casefold
+
+    assert nfkc_casefold("ﬁre") == "fire"          # fi ligature
+    assert nfkc_casefold("Straße") == "strasse"    # sharp s
+    assert nfkc_casefold("ẞ") == "ss"              # capital sharp s
+    assert nfkc_casefold("²") == "2"               # superscript two
+    assert nfkc_casefold("㎒") == "mhz"             # square MHz
+    assert nfkc_casefold("Ⅸ") == "ix"              # roman numeral
+    assert nfkc_casefold("①") == "1"               # circled one
+    assert nfkc_casefold("Ｆｕｌｌ") == "full"  # fullwidth
+    assert nfkc_casefold("a‍b") == "ab"            # ZWJ removed
+    assert nfkc_casefold("a­b") == "ab"            # soft hyphen
+    assert nfkc_casefold("﻿x") == "x"              # BOM
+    assert nfkc_casefold("İstanbul") == "i̇stanbul"  # Turkish I
+
+
+def test_icu_normalized_analyzer_chain(spark):
+    from lucene_spark.analysis.analyzer import get_analyzer
+
+    a = get_analyzer("icu_normalized")
+    assert a.tokenize_one("ﬁre Straße a‍b Ｆｕｌｌ") == [
+        "fire", "strasse", "ab", "full",
+    ]
+    # plain ASCII unchanged vs the standard chain
+    assert a.tokenize_one("Hello World 42") == ["hello", "world", "42"]
