@@ -531,3 +531,88 @@ def boolean_perceptron_classify(
             ).cast("long").alias("score_x1e6"),
         )
     )
+
+
+class CachingNaiveBayesModel:
+    """CachingNaiveBayesClassifier (classification/
+    CachingNaiveBayesClassifier.java): SimpleNaiveBayes with the
+    per-(class, term) doc counts PRECOMPUTED once (reTrainModel builds
+    the word-class cache, :118-183) so repeated classifications skip
+    the postings join. Spark mapping: the cache is a persisted
+    (clazz, term, n_wc) frame over the WHOLE vocabulary plus the class
+    frame and scalars — train once, classify many. Results are
+    bit-identical to naive_bayes_classify (asserted in tests)."""
+
+    def __init__(self, reader: IndexReader, class_col: str,
+                 field: str | None = None):
+        self.reader = reader
+        self.field = field or reader.manifest["field"]
+        coll = reader.collection_stats(self.field)
+        self.avg_unique = (
+            float(reader.sum_doc_freq(self.field)) / float(coll.doc_count)
+        )
+        docs = reader.docs().select(
+            "doc_id", F.col(class_col).alias("clazz")
+        ).filter(F.col("clazz").isNotNull())
+        dels = reader.deleted_df()
+        if dels is not None:
+            docs = docs.join(dels, "doc_id", "left_anti")
+        self.cls = docs.groupBy("clazz").agg(
+            F.count("*").alias("df_c")
+        ).persist()
+        self.dwc = float(
+            self.cls.agg(F.sum("df_c")).head()[0] or 0
+        )
+        wc_all = (
+            _all_postings_tf(reader, self.field)
+            .select("term", "doc_id")
+            .join(docs, "doc_id")
+            .groupBy("clazz", "term")
+            .agg(F.count("*").alias("n_wc"))
+        )
+        self.wc = wc_all.persist()
+        self.wc.count()  # materialize the cache (reTrainModel)
+
+    def classify(self, text: str, tokenize=None) -> DataFrame:
+        """Same math as naive_bayes_classify, joined against the
+        cached counts — no postings scan per query."""
+        toks = _tokenize(self.reader, text, tokenize)
+        spark = self.reader.spark
+        if not toks:
+            return spark.createDataFrame([], "clazz string, score_x1e6 long")
+        tf = Counter(toks)
+        tfdf = spark.createDataFrame(
+            [(t, int(c)) for t, c in sorted(tf.items())], "term string, tf int"
+        )
+        grid = (
+            self.cls.crossJoin(F.broadcast(tfdf))
+            .join(self.wc, ["clazz", "term"], "left")
+            .fillna(0, subset=["n_wc"])
+        )
+        scored = grid.withColumn(
+            "ll",
+            F.col("tf")
+            * F.log(
+                (F.col("n_wc") + F.lit(1.0))
+                / (F.lit(self.avg_unique) * F.col("df_c") + F.lit(self.dwc))
+            ),
+        )
+        per_class = scored.groupBy("clazz", "df_c").agg(
+            F.sum("ll").alias("loglik")
+        ).select(
+            "clazz",
+            (F.log(F.col("df_c").cast("double")) - F.lit(math.log(self.dwc))
+             + F.col("loglik")).alias("raw"),
+        )
+        win = Window.partitionBy()
+        smax = F.max("raw").over(win)
+        lse = smax + F.log(F.sum(F.exp(F.col("raw") - smax)).over(win))
+        return per_class.select(
+            "clazz",
+            F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long")
+            .alias("score_x1e6"),
+        ).orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+    def unpersist(self) -> None:
+        self.cls.unpersist()
+        self.wc.unpersist()

@@ -199,3 +199,24 @@ def test_perceptron_training_moves_weights_toward_labels(spark, doc_reader):
     # unseen vocabulary -> output 0, assigned False
     r3 = boolean_perceptron_classify(doc_reader, w, bias, "zzzz qqqq").head()
     assert r3["output"] == 0 and r3["assigned"] is False
+
+
+def test_caching_nb_matches_simple_nb(spark, doc_reader):
+    from lucene_spark.search.classify import (
+        CachingNaiveBayesModel,
+        naive_bayes_classify,
+    )
+
+    model = CachingNaiveBayesModel(doc_reader, "lang")
+    try:
+        for text in ("the model data table spark rows",
+                     "customer orders data"):
+            got = [tuple(r) for r in model.classify(text).collect()]
+            want = [
+                tuple(r)
+                for r in naive_bayes_classify(doc_reader, text, "lang")
+                .collect()
+            ]
+            assert got == want, text
+    finally:
+        model.unpersist()
