@@ -68,6 +68,37 @@ def _unit_subvecs(emb: DataFrame, m: int, dims: int) -> DataFrame:
     )
 
 
+def _unit_comps(emb: DataFrame, m: int, dims: int) -> DataFrame:
+    """-> (vec_id, sub, pos, x): unit-normalized COMPONENTS with the
+    subspace id derived arithmetically (sub = i div w, pos = i mod w).
+    One posexplode — the expression tree stays tiny, so every stage
+    over it codegen-compiles in milliseconds (the array-of-slices form
+    compiled to a multi-second janino unit per stage at m=16)."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    w = dims // m
+    v = F.expr("CAST(embedding AS ARRAY<DOUBLE>)")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.where(nrm > 0)
+        .select("vec_id", F.posexplode(F.transform(v, lambda x: x / nrm))
+                .alias("i", "x"))
+        .select(
+            "vec_id",
+            (F.col("i") / w).cast("int").alias("sub"),
+            (F.col("i") % w).cast("int").alias("pos"),
+            "x",
+        )
+    )
+
+
+def _book_comps(books: DataFrame) -> DataFrame:
+    """(sub, code, cvec) -> (sub, code, pos, c) components."""
+    return books.select(
+        "sub", "code", F.posexplode("cvec").alias("pos", "c")
+    )
+
+
 def _l2sq(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -76,20 +107,16 @@ def _l2sq(a, b):
     )
 
 
-def _assign_codes(subvecs: DataFrame, books: DataFrame) -> DataFrame:
-    """Nearest codebook entry per (vec_id, sub): broadcast the (m x
-    n_codes) codebooks COMPONENT-exploded and join on (sub, pos), so
-    the squared-difference sum is flat codegen arithmetic (no
-    interpreted array lambdas in the n*n_codes hot path — the same
-    whole-stage-codegen rule the vecsim scorer follows); argmin L2,
-    ties to the lowest code. -> (vec_id, sub, code)."""
-    comp = subvecs.select(
-        "vec_id", "sub", F.posexplode("svec").alias("pos", "x")
-    )
-    bcomp = books.select("sub", "code", F.posexplode("cvec").alias("pos", "c"))
+def _assign_codes(comps: DataFrame, bcomps: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub) over COMPONENT frames:
+    broadcast the (m x n_codes x w) codebook components, join on
+    (sub, pos) — the squared-difference sum is flat codegen arithmetic
+    (no interpreted array lambdas and no giant sliced-array projection
+    in the n*n_codes hot path); argmin L2, ties to the lowest code.
+    -> (vec_id, sub, code)."""
     d = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
     return (
-        comp.join(F.broadcast(bcomp), ["sub", "pos"])
+        comps.join(F.broadcast(bcomps), ["sub", "pos"])
         .groupBy("vec_id", "sub", "code")
         .agg(F.sum(d).alias("d"))
         .groupBy("vec_id", "sub")
@@ -110,7 +137,7 @@ def pq_train_codebooks(
     centroid. -> (sub, code, cvec)."""
     if dims is None:
         dims = len(emb.select("embedding").head()["embedding"])
-    subvecs = _unit_subvecs(emb, m, dims)
+    comps = _unit_comps(emb, m, dims)
     seed_ids = (
         emb.select(
             "vec_id",
@@ -122,39 +149,43 @@ def pq_train_codebooks(
         .select("vec_id", (F.row_number().over(
             Window.orderBy("h", "vec_id")) - 1).cast("int").alias("code"))
     )
-    books = (
-        subvecs.join(F.broadcast(seed_ids), "vec_id")
-        .select("sub", "code", F.col("svec").alias("cvec"))
+    # seed + every Lloyd round live as COMPONENT rows (sub, code, pos,
+    # c); centroids are tiny (m*n_codes*w rows) — materialize them on
+    # the driver each round, exactly like a production k-means keeps
+    # centroids host-side and broadcasts: truncates the iteration
+    # lineage and every downstream join broadcasts a literal frame
+    spark = emb.sparkSession
+
+    def _materialize(bc_df):
+        rows = bc_df.collect()
+        return spark.createDataFrame(
+            [(r["sub"], r["code"], r["pos"], float(r["c"])) for r in rows],
+            "sub int, code int, pos int, c double",
+        )
+
+    bcomps = _materialize(
+        comps.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub", "code", "pos", F.col("x").alias("c"))
     )
     for _ in range(max(0, iters)):
-        assign = _assign_codes(subvecs, books)
+        assign = _assign_codes(comps, bcomps)
         means = (
-            subvecs.join(assign, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            comps.join(assign, ["vec_id", "sub"])
             .groupBy("sub", "code", "pos")
-            .agg(F.avg("val").alias("mu"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu")))
-                 .alias("pm"))
-            .select("sub", "code",
-                    F.transform("pm", lambda x: x["mu"]).alias("new_cvec"))
+            .agg(F.avg("x").alias("mu"))
         )
-        books = (
-            books.join(means, ["sub", "code"], "left")
-            .select("sub", "code",
-                    F.coalesce("new_cvec", "cvec").alias("cvec"))
+        bcomps = _materialize(
+            bcomps.join(means, ["sub", "code", "pos"], "left")
+            .select("sub", "code", "pos",
+                    F.coalesce("mu", "c").alias("c"))
         )
-        # centroids are tiny (m*n_codes rows) — materialize them on the
-        # driver each round, exactly like a production k-means keeps
-        # centroids host-side and broadcasts: truncates the iteration
-        # lineage (otherwise round r re-evaluates rounds 0..r-1) and
-        # every downstream join broadcasts a literal frame
-        rows = books.collect()
-        books = emb.sparkSession.createDataFrame(
-            [(r["sub"], r["code"], list(r["cvec"])) for r in rows],
-            "sub int, code int, cvec array<double>",
-        )
-    return books
+    # assemble the (sub, code, cvec) API form from the component rows
+    return (
+        bcomps.groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("sub", "code",
+                F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
 
 
 def pq_encode(
@@ -165,7 +196,7 @@ def pq_encode(
     (m bytes/vector at n_codes=256). -> (vec_id, sub, code)."""
     if dims is None:
         dims = len(emb.select("embedding").head()["embedding"])
-    return _assign_codes(_unit_subvecs(emb, m, dims), books)
+    return _assign_codes(_unit_comps(emb, m, dims), _book_comps(books))
 
 
 def ann_pq_topk(
@@ -194,11 +225,12 @@ def ann_pq_topk(
         books = pq_train_codebooks(emb, m, n_codes, iters, dims=dims)
     if codes is None:
         codes = pq_encode(emb, books, m, dims=dims)
-    qsub = _unit_subvecs(emb.where(F.col("vec_id") == query_id), m, dims)
+    qc = _unit_comps(emb.where(F.col("vec_id") == query_id), m, dims)
     lut = (
-        qsub.join(books, "sub")
-        .select("sub", "code",
-                _l2sq(F.col("svec"), F.col("cvec")).alias("partial"))
+        qc.join(_book_comps(books), ["sub", "pos"])
+        .groupBy("sub", "code")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+             .alias("partial"))
     )
     approx = (
         codes.join(F.broadcast(lut), ["sub", "code"])
