@@ -130,7 +130,78 @@ class VarintFormat:
         return docs[keep], freqs[keep]
 
 
-_FORMATS = {f.name: f for f in (For104Format, VarintFormat)}
+class SimpleTextFormat:
+    """codecs/simpletext/SimpleTextPostingsFormat.java role: the
+    postings blob is literal ASCII text — a header line plus one
+    ``doc <id> freq <f>`` line per posting — readable in any editor,
+    the debugging codec (the reference ships SimpleTextCodec "FOR
+    RECREATIONAL USE ONLY", never for production). Same per-256-block
+    skip/impact metadata columns as the packed formats, so search,
+    merge, WAND and CheckIndex work unchanged on top; selective decode
+    is full-decode + block slice (the honest cost of a text layout)."""
+
+    name = "simpletext"
+
+    @staticmethod
+    def encode(doc_ids, freqs, norm_codes=None):
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        n = len(doc_ids)
+        assert n > 0 and len(freqs) == n
+        if n > 1 and not (np.diff(doc_ids) > 0).all():
+            raise ValueError("docIDs must be strictly increasing")
+        if (freqs < 1).any():
+            raise ValueError("freqs must be >= 1")
+        if norm_codes is None:
+            norm_codes = np.zeros(n, dtype=np.int64)
+        lines = [f"n {n}"]
+        lines.extend(
+            f"doc {int(d)} freq {int(f)}" for d, f in zip(doc_ids, freqs)
+        )
+        blob = "\n".join(lines).encode("ascii")
+        block_last, imp_f, imp_n = [], [], []
+        for s in range(0, n, codec.BLOCK_SIZE):
+            e = min(s + codec.BLOCK_SIZE, n)
+            block_last.append(int(doc_ids[e - 1]))
+            sf, sn = codec.impacts_skyline(
+                freqs[s:e], np.asarray(norm_codes[s:e])
+            )
+            imp_f.append(sf)
+            imp_n.append(sn)
+        return blob, block_last, imp_f, imp_n
+
+    @staticmethod
+    def encode_single(doc: int, freq: int) -> bytes:
+        return f"n 1\ndoc {doc} freq {freq}".encode("ascii")
+
+    @staticmethod
+    def decode(blob: bytes):
+        lines = blob.decode("ascii").split("\n")
+        n = int(lines[0].split()[1])
+        docs = np.empty(n, dtype=np.int64)
+        freqs = np.empty(n, dtype=np.int64)
+        for i, ln in enumerate(lines[1 : n + 1]):
+            parts = ln.split()
+            docs[i] = int(parts[1])
+            freqs[i] = int(parts[3])
+        return docs, freqs
+
+    @staticmethod
+    def decode_selective(blob: bytes, block_last, mask):
+        docs, freqs = SimpleTextFormat.decode(blob)
+        keep = np.repeat(
+            np.asarray(mask, dtype=bool),
+            [
+                min(codec.BLOCK_SIZE, len(docs) - s)
+                for s in range(0, len(docs), codec.BLOCK_SIZE)
+            ],
+        )
+        return docs[keep], freqs[keep]
+
+
+_FORMATS = {
+    f.name: f for f in (For104Format, VarintFormat, SimpleTextFormat)
+}
 
 
 def get_postings_format(name: str | None):

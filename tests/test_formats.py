@@ -148,3 +148,44 @@ def test_merge_preserves_varint_results(spark, tmp_path_factory):
     assert force_merge(spark, path, max_segments=1) > 0
     after = _hits(IndexReader(spark, path), q)
     assert before == after
+
+
+def test_simpletext_index_matches_for104(spark, tmp_path_factory):
+    # the debugging codec: blobs are literal ASCII; results identical
+    from lucene_spark.search import sqlpath as sp
+
+    r1, _ = _build(spark, tmp_path_factory, "for104")
+    r3, p3 = _build(spark, tmp_path_factory, "simpletext")
+    assert r3.manifest["postings_format"] == "simpletext"
+    for terms in (["alpha"], ["alpha", "gamma"]):
+        a = sp.bool_bm25_topk(r1, "text", must=terms, k=20).collect()
+        b = sp.bool_bm25_topk(r3, "text", must=terms, k=20).collect()
+        assert [tuple(x) for x in a] == [tuple(x) for x in b], terms
+    # the blob really is readable text
+    row = r3.postings().select("postings").head()
+    assert row["postings"].startswith(b"n ")
+    assert b"doc " in row["postings"] and b"freq " in row["postings"]
+
+
+def test_simpletext_roundtrip_and_selective():
+    import numpy as np
+
+    from lucene_spark.index import codec
+    from lucene_spark.index.formats import get_postings_format
+
+    f = get_postings_format("simpletext")
+    rng = np.random.default_rng(5)
+    docs = np.cumsum(rng.integers(1, 9, size=700))
+    freqs = rng.integers(1, 30, size=700)
+    blob, bl, _, _ = f.encode(docs, freqs)
+    d, q = f.decode(blob)
+    assert (d == docs).all() and (q == freqs).all()
+    n_blocks = (len(docs) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    mask = [i % 2 == 0 for i in range(n_blocks)]
+    ds, qs = f.decode_selective(blob, bl, mask)
+    want = np.concatenate([
+        docs[s:s + codec.BLOCK_SIZE]
+        for i, s in enumerate(range(0, len(docs), codec.BLOCK_SIZE))
+        if mask[i]
+    ])
+    assert (ds == want).all()
