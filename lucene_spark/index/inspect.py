@@ -173,3 +173,26 @@ def overview(reader) -> dict:
         "b": m.get("b"),
         "sort_by": m.get("sort_by"),
     }
+
+
+def term_info(reader, field: str, term: str) -> dict:
+    """GetTermInfo (misc/GetTermInfo.java + TermStats): docFreq and
+    totalTermFreq of one (field, term) straight from the term
+    dictionary — one tiny filtered aggregate, no postings decoded."""
+    from pyspark.sql import functions as F
+
+    row = (
+        reader.term_stats_df()
+        .filter((F.col("field") == field) & (F.col("term") == term))
+        .agg(
+            F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("df"),
+            F.coalesce(F.sum("total_term_freq"), F.lit(0)).alias("ttf"),
+        )
+        .head()
+    )
+    return {
+        "field": field,
+        "term": term,
+        "doc_freq": int(row["df"]),
+        "total_term_freq": int(row["ttf"]),
+    }

@@ -668,3 +668,71 @@ def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1) -> i
         if did == 0:
             return rounds
         rounds += 1
+
+
+def force_merge_deletes(
+    spark: SparkSession,
+    index_dir: str,
+    deletes_pct_allowed: float = 10.0,
+    max_merge_at_once: int = 10,
+) -> int:
+    """IndexWriter.forceMergeDeletes via
+    TieredMergePolicy.findForcedDeletesMerges (TieredMergePolicy.java:
+    forceMergeDeletesPctAllowed, default 10%): rewrite every live
+    segment whose tombstone percentage EXCEEDS the threshold, purging
+    its deletes — eligible segments merge together in build order,
+    ``max_merge_at_once`` per group, a lone eligible segment rewrites
+    alone (the expunge case). Per-segment tombstone counts come from
+    ONE aggregation bucketing the tombstone doc_ids into the manifest's
+    [first_doc_id, last_doc_id] ranges — nothing but the <= one row per
+    segment summary reaches the driver. Returns merges executed."""
+    from lucene_spark.search.executor import IndexReader
+
+    m = mani.read_manifest(index_dir)
+    reader = IndexReader(spark, index_dir)
+    dels = reader.deleted_df()
+    if dels is None:
+        return 0
+    live = mani.live_segment_ids(m)
+    segs: list[dict] = []
+    for b in m["batches"]:
+        segs.extend(b["segments"])
+    for mg in m.get("merges", []) or []:
+        segs.extend(mg["segments"])
+    segs = [
+        s for s in sorted(segs, key=lambda x: x["segment_id"])
+        if live is None or s["segment_id"] in live
+    ]
+    ranges = spark.createDataFrame(
+        [(s["segment_id"], s["first_doc_id"], s["last_doc_id"]) for s in segs],
+        "segment_id string, lo long, hi long",
+    )
+    counts = {
+        r["segment_id"]: int(r["n_del"])
+        for r in dels.join(
+            F.broadcast(ranges),
+            (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
+        )
+        .groupBy("segment_id")
+        .agg(F.count("*").alias("n_del"))
+        .collect()
+    }
+    eligible = [
+        s["segment_id"]
+        for s in segs
+        if s["num_docs"] > 0
+        and counts.get(s["segment_id"], 0) * 100.0 / s["num_docs"]
+        > deletes_pct_allowed
+    ]
+    if not eligible:
+        return 0
+    groups = [
+        eligible[i:i + max_merge_at_once]
+        for i in range(0, len(eligible), max_merge_at_once)
+    ]
+
+    class _Forced(MergePolicy):
+        def find_merges(self, segments):
+            return groups
+
+    return merge_round(spark, index_dir, policy=_Forced())

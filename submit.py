@@ -115,6 +115,11 @@ def cmd_inspect(args) -> None:
 
     reader = IndexReader(_spark(), args.index)
     out = {"cmd": "inspect", "overview": overview(reader)}
+    if args.term and args.field:
+        # GetTermInfo (misc/GetTermInfo.java): df + ttf for one term
+        from lucene_spark.index.inspect import term_info
+
+        out["term_info"] = term_info(reader, args.field, args.term)
     if args.field:
         out["high_freq_terms"] = [
             r.asDict()
@@ -215,6 +220,7 @@ def main() -> None:
     i.add_argument("--field", default=None)
     i.add_argument("--top", type=int, default=20)
     i.add_argument("--by-ttf", action="store_true")
+    i.add_argument("--term", default=None)
     i.set_defaults(fn=cmd_inspect)
 
     sp_ = sub.add_parser("split")

@@ -108,3 +108,27 @@ def test_segment_report_after_deletes(spark, corpus, tmp_path):
     seg = segment_report(rd).toPandas()
     assert seg["deleted_docs"].sum() == n_del > 0
     assert overview(rd)["num_deleted_docs"] == n_del
+
+
+def test_term_info(spark, built_index):
+    # GetTermInfo: df/ttf from the term dictionary alone
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.inspect import term_info
+
+    reader = built_index
+    field = reader.manifest["field"]
+    some = reader.term_stats_df().filter(F.col("field") == field).orderBy(
+        F.col("doc_freq").desc()).head()
+    info = term_info(reader, field, some["term"])
+    want = (
+        reader.term_stats_df()
+        .filter((F.col("field") == field) & (F.col("term") == some["term"]))
+        .agg(F.sum("doc_freq"), F.sum("total_term_freq"))
+        .head()
+    )
+    assert info["doc_freq"] == int(want[0])
+    assert info["total_term_freq"] == int(want[1])
+    assert info["total_term_freq"] >= info["doc_freq"] > 0
+    missing = term_info(reader, field, "zzzz_not_a_term")
+    assert missing["doc_freq"] == 0 and missing["total_term_freq"] == 0

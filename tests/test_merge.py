@@ -342,3 +342,61 @@ def test_merge_on_flush_policy(spark, corpus, tmp_path):
     assert pol2.find_full_flush_merges(
         [{"segment_id": "a", "num_docs": 5}]
     ) == []
+
+
+def test_force_merge_deletes_expunges_only_deleted_segments(
+    spark, corpus, tmp_path
+):
+    # IndexWriter.forceMergeDeletes: only segments over the deletes-pct
+    # threshold rewrite; tombstones purge; results identical
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.builder import IndexConfig, build_index
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.index.merge import force_merge_deletes
+    from lucene_spark.search.executor import IndexReader
+    from lucene_spark.search import sqlpath as sp
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus), idx,
+        IndexConfig(docs_per_segment=60, num_batches=2),
+    )
+    r0 = IndexReader(spark, idx)
+    segs = sorted(
+        s["segment_id"] for b in r0.manifest["batches"] for s in b["segments"]
+    )
+    n_segs = len(segs)
+    # delete ~half the docs of the FIRST segment only
+    first = next(
+        s for b in r0.manifest["batches"] for s in b["segments"]
+        if s["segment_id"] == segs[0]
+    )
+    doomed = list(range(first["first_doc_id"],
+                        first["first_doc_id"] + first["num_docs"] // 2))
+    delete_by_ids(
+        spark, idx,
+        spark.createDataFrame([(d,) for d in doomed], "doc_id long"),
+    )
+    r1 = IndexReader(spark, idx)
+    before = {
+        x["doc_id"]
+        for x in sp.bool_bm25_topk(r1, "content", must=["def"], k=500).collect()
+    }
+    assert force_merge_deletes(spark, idx, deletes_pct_allowed=10.0) == 1
+    r2 = IndexReader(spark, idx)
+    live = mani.live_segment_ids(r2.manifest)
+    # exactly one segment rewrote: the other originals survive
+    assert len(live) == n_segs
+    assert segs[0] not in live
+    assert set(segs[1:]) <= live
+    # tombstones purged from the rewritten segment: the same doc set
+    # matches (scores legitimately shift — expunged docs stop counting
+    # toward the BM25 stats, the until-merge contract)
+    after = {
+        x["doc_id"]
+        for x in sp.bool_bm25_topk(r2, "content", must=["def"], k=500).collect()
+    }
+    assert after == before
+    assert not (after & set(doomed))
+    # below-threshold deletes are left alone
+    assert force_merge_deletes(spark, idx, deletes_pct_allowed=10.0) == 0
