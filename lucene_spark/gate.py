@@ -2258,6 +2258,14 @@ def gate_queries() -> dict[str, object]:
         lval = sp.long_value_facet_counts(r, FIELD, T_MID, "n_chars", k=10)
         sval = sp.string_value_facet_counts(
             r, FIELD, T_MID, ["lang", "source"], k=10)
+        # HistogramCollectorManager (sandbox/facet/plain/histograms):
+        # hist = single-valued doc counts per floorDiv(n_chars, 64)
+        # bucket; histm = multi-valued (n_chars, n_chars+40) with the
+        # per-doc distinct-bucket dedup (HistogramCollector.java:161-166
+        # — a doc whose two values share a bucket counts once)
+        hist = sp.histogram_facet_counts(r, FIELD, T_MID, ["n_chars"], 64)
+        histm = sp.histogram_facet_counts(
+            r, FIELD, T_MID, ["n_chars", "n_chars + 40"], 64)
         return (
             hier.select(F.lit("hier").alias("tag"), "path", "cnt")
             .unionByName(flat.select(F.lit("lang").alias("tag"), "path", "cnt"))
@@ -2266,6 +2274,8 @@ def gate_queries() -> dict[str, object]:
             .unionByName(heat.select(F.lit("heat").alias("tag"), "path", "cnt"))
             .unionByName(lval.select(F.lit("lval").alias("tag"), "path", "cnt"))
             .unionByName(sval.select(F.lit("sval").alias("tag"), "path", "cnt"))
+            .unionByName(hist.select(F.lit("hist").alias("tag"), "path", "cnt"))
+            .unionByName(histm.select(F.lit("histm").alias("tag"), "path", "cnt"))
         )
 
     def q_facet_assoc(spark, sf):
@@ -3839,6 +3849,24 @@ e AS (SELECT unnest(vs) AS value FROM pd1)
 SELECT * FROM (SELECT value AS path, CAST(count(*) AS BIGINT) AS cnt FROM e
   GROUP BY value ORDER BY cnt DESC, value ASC LIMIT 10)
 UNION ALL SELECT '__total__', CAST(count(*) AS BIGINT) FROM pd1"""),
+        # HistogramCollectorManager: floorDiv(value, 64) bucket doc
+        # counts; histm dedups same-bucket values within a doc
+        ("hist", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT printf('%06d', (d.n_chars - ((d.n_chars % 64) + 64) % 64) // 64) AS path,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1 ORDER BY path"""),
+        ("histm", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+pd AS (SELECT d.doc_id, list_distinct(list_transform(
+         list_filter([d.n_chars, d.n_chars + 40], x -> x IS NOT NULL),
+         v -> (v - ((v % 64) + 64) % 64) // 64)) AS bs
+       FROM documents d JOIN m ON d.doc_id = m.doc_id),
+e AS (SELECT unnest(bs) AS b FROM pd)
+SELECT printf('%06d', b) AS path, CAST(count(*) AS BIGINT) AS cnt
+FROM e GROUP BY b ORDER BY path"""),
     ])
     # suggest/document completion oracle: shared entry CTE + the
     # TopSuggestDocsCollector dedup ladder (best entry per doc, then

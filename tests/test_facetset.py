@@ -114,3 +114,60 @@ def test_string_value_facet_counts_matches_bruteforce(spark):
     want = dict(want_top)
     want["__total__"] = total
     assert got == want
+
+
+# --- HistogramCollectorManager (sandbox/facet/plain/histograms) ---
+
+
+def test_histogram_matches_bruteforce(spark):
+    r = _reader(spark)
+    got = (
+        sp.histogram_facet_counts(r, "text", "spark", ["n_chars"], 64)
+        .toPandas().set_index("path")["cnt"].to_dict()
+    )
+    md = _matched_docs("spark")
+    want = (
+        md.n_chars.dropna().astype(int).floordiv(64)
+        .value_counts().to_dict()
+    )
+    assert got == {f"{k:06d}": v for k, v in want.items()}
+
+
+def test_histogram_multivalue_dedups_same_bucket(spark):
+    # two values in the SAME bucket count the doc once
+    # (HistogramCollector.java:161-166); width 1024 puts n_chars and
+    # n_chars+40 in one bucket for most docs
+    r = _reader(spark)
+    single = (
+        sp.histogram_facet_counts(r, "text", "spark", ["n_chars"], 1024)
+        .toPandas().set_index("path")["cnt"].to_dict()
+    )
+    multi = (
+        sp.histogram_facet_counts(
+            r, "text", "spark", ["n_chars", "n_chars + 40"], 1024)
+        .toPandas().set_index("path")["cnt"].to_dict()
+    )
+    md = _matched_docs("spark")
+    v = md.n_chars.dropna().astype(int)
+    want = (
+        pd.concat([v.floordiv(1024), (v + 40).floordiv(1024)], axis=1)
+        .apply(lambda row: sorted(set(row)), axis=1).explode()
+        .value_counts().to_dict()
+    )
+    assert multi == {f"{int(k):06d}": v for k, v in want.items()}
+    # total docs never exceeds the doc count (dedup held)
+    assert sum(multi.values()) <= 2 * sum(single.values())
+
+
+def test_histogram_guards(spark):
+    import pytest as _pytest
+
+    r = _reader(spark)
+    with _pytest.raises(ValueError, match="bucketWidth"):
+        sp.histogram_facet_counts(r, "text", "spark", ["n_chars"], 1)
+    with _pytest.raises(ValueError, match="maxBuckets"):
+        sp.histogram_facet_counts(r, "text", "spark", ["n_chars"], 64,
+                                  max_buckets=0)
+    with _pytest.raises(RuntimeError, match="more than the configured"):
+        sp.histogram_facet_counts(r, "text", "spark", ["n_chars"], 2,
+                                  max_buckets=1)
