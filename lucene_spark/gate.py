@@ -1734,8 +1734,30 @@ def gate_queries() -> dict[str, object]:
         vsim = sp.vector_similarity_score_topk(
             r, FIELD, T_MID, _emb(spark, sf), query_id=0
         )
+        # FunctionRangeQuery: score IS the value, docs without a value
+        # never match; FunctionMatchQuery: double predicate as a
+        # non-scoring FILTER beside the BM25 MUST; ScaleFloatFunction:
+        # corpus-wide min/max scaling; RangeMapFloatFunction +
+        # ReciprocalFloatFunction: per-row value-source compositions
+        # whose SQL strings are shared verbatim with the oracle
+        frange = sp.function_range_topk(
+            r, "ln(1 + n_chars)", 5.0, 6.0,
+            include_lower=True, include_upper=False,
+        )
+        fmatch = sp.function_match_topk(r, FIELD, T_MID, "sqrt(n_chars) > 18")
+        scale = sp.scale_score_topk(
+            r, FIELD, T_MID, "ln(1 + n_chars)", 0.0, 2.0, mode="mult")
+        recip = sp.function_score_topk(
+            r, FIELD, T_MID, sp.reciprocal_expr("n_chars", 0.01, 2.0, 1.0),
+            mode="mult")
+        rngmap = sp.function_score_topk(
+            r, FIELD, T_MID,
+            sp.rangemap_expr("n_chars", 200, 400, "1.5", "0.5"),
+            mode="mult")
         parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
-                 ("jsexpr", jse), ("vecsim", vsim)]
+                 ("jsexpr", jse), ("vecsim", vsim), ("frange", frange),
+                 ("fmatch", fmatch), ("scale", scale), ("recip", recip),
+                 ("rngmap", rngmap)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -4113,6 +4135,48 @@ cosd AS (
 SELECT s.doc_id,
   CAST(ROUND(s.score_x1e6 * cosd.cos_x1e6 / 1000000.0) AS BIGINT) AS score_x1e6
 FROM scored s JOIN cosd ON cosd.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # FunctionRangeQuery: linear value scan, score = the value
+        ("frange", """SELECT doc_id,
+  CAST(ROUND(ln(1 + CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT) AS score_x1e6
+FROM documents
+WHERE n_chars IS NOT NULL
+  AND ln(1 + CAST(n_chars AS DOUBLE)) >= 5.0
+  AND ln(1 + CAST(n_chars AS DOUBLE)) < 6.0
+ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10"""),
+        # FunctionMatchQuery as non-scoring FILTER beside the BM25 MUST
+        ("fmatch", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id, s.score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE sqrt(CAST(d.n_chars AS DOUBLE)) > 18
+ORDER BY s.score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # ScaleFloatFunction: corpus-wide min/max, scale-0 degeneracy
+        ("scale", f"""{_scored_ctes(T_MID)},
+sc AS (SELECT min(v) AS mn, max(v) AS mx FROM (
+  SELECT ln(1 + CAST(n_chars AS DOUBLE)) AS v FROM documents
+  WHERE n_chars IS NOT NULL))
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0) *
+    ((ln(1 + CAST(d.n_chars AS DOUBLE)) - sc.mn)
+     * (CASE WHEN sc.mx = sc.mn THEN 0.0 ELSE (2.0 - 0.0)/(sc.mx - sc.mn) END)
+     + 0.0) * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id CROSS JOIN sc
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # Reciprocal / RangeMap value sources: the SAME SQL strings the
+        # Spark plan compiles (sqlpath.reciprocal_expr/rangemap_expr)
+        ("recip", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0)
+       * {sp.reciprocal_expr("CAST(d.n_chars AS DOUBLE)", 0.01, 2.0, 1.0)}
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("rngmap", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0)
+       * {sp.rangemap_expr("d.n_chars", 200, 400, "1.5", "0.5")}
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo

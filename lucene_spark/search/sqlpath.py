@@ -1577,6 +1577,136 @@ def function_score_topk(
     )
 
 
+def rangemap_expr(src: str, lo: float, hi: float,
+                  target: str, default: str | None = None) -> str:
+    """RangeMapFloatFunction (queries/function/valuesource/
+    RangeMapFloatFunction.java): values of ``src`` within [lo, hi]
+    INCLUSIVE map to ``target``, others to ``default`` (or pass through
+    when null — RangeMapFloatFunction.java:100-104). Returns one ANSI
+    SQL string shared verbatim by the Spark plan and the oracle."""
+    d = f"({src})" if default is None else f"({default})"
+    return (
+        f"(CASE WHEN ({src}) >= {lo} AND ({src}) <= {hi} "
+        f"THEN ({target}) ELSE {d} END)"
+    )
+
+
+def reciprocal_expr(src: str, m: float, a: float, b: float) -> str:
+    """ReciprocalFloatFunction (queries/function/valuesource/
+    ReciprocalFloatFunction.java): f(x) = a/(m*x+b) — the classic
+    recency boost shape. One ANSI SQL string for both engines."""
+    return f"({a} / ({m} * ({src}) + {b}))"
+
+
+def function_range_topk(
+    reader: IndexReader,
+    value_expr: str,
+    lower: float | None = None,
+    upper: float | None = None,
+    include_lower: bool = True,
+    include_upper: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java):
+    matches docs whose value-source value falls in the range; the SCORE
+    IS the value itself (ValueSourceScorer over
+    FunctionValues.getRangeScorer), docs without a value never match.
+    The reference javadoc calls it "a slow query if run by itself since
+    it must visit all docs" — here the linear scan is a single pruned
+    column pass with the range predicate pushed to the parquet scan,
+    so row groups outside the value range never decompress.
+    -> (doc_id, score_x1e6)."""
+    v = F.expr(value_expr).cast("double")
+    cond = v.isNotNull() & ~F.isnan(v)
+    if lower is not None:
+        cond = cond & ((v >= lower) if include_lower else (v > lower))
+    if upper is not None:
+        cond = cond & ((v <= upper) if include_upper else (v < upper))
+    return (
+        reader.docs()
+        .where(cond)
+        .select("doc_id", F.round(v * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def function_match_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    predicate_expr: str,
+    k: int = 10,
+) -> DataFrame:
+    """FunctionMatchQuery (queries/function/FunctionMatchQuery.java) in
+    its intended composition ("best used in conjunction with other
+    queries that can restrict the number of documents visited"): the
+    term query scores BM25 as the BooleanQuery MUST, the double
+    predicate joins as a non-scoring FILTER (ConstantScoreWeight — it
+    never contributes to the score). The predicate evaluates only on
+    the term's hits, the TwoPhaseIterator contract.
+    -> (doc_id, score_x1e6)."""
+    scored = term_scored(reader, field, term).join(reader.docs(), "doc_id")
+    return (
+        scored.where(F.expr(predicate_expr))
+        .select("doc_id", "score_x1e6")
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def scale_score_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    value_expr: str,
+    to_min: float,
+    to_max: float,
+    mode: str = "mult",
+    k: int = 10,
+) -> DataFrame:
+    """ScaleFloatFunction (queries/function/valuesource/
+    ScaleFloatFunction.java): scales the value source into
+    [to_min, to_max] using the CORPUS-WIDE min/max — the reference
+    "traverses all of the source values to obtain their min and max"
+    (createScaleInfo); docs without a value and non-finite values are
+    excluded from the stats (the raw-bits exponent check), an empty
+    corpus degrades to min=max=0, and a span-less corpus uses scale=0
+    so every doc scores to_min (ScaleFloatFunction.java:111-115).
+
+    Scale shape: the traversal is ONE map-side-combined min/max
+    aggregation over a single pruned column (a few bytes per partition
+    to the driver side of the exchange), broadcast back into the
+    scoring join — two tiny stages, no collect, no second full scan of
+    anything but the one column. -> (doc_id, score_x1e6)."""
+    docs = reader.docs()
+    v_all = F.expr(value_expr).cast("double")
+    finite = docs.where(
+        v_all.isNotNull() & ~F.isnan(v_all)
+        & (F.abs(v_all) != float("inf"))
+    )
+    stats = finite.agg(
+        F.coalesce(F.min(v_all), F.lit(0.0)).alias("__mn"),
+        F.coalesce(F.max(v_all), F.lit(0.0)).alias("__mx"),
+    )
+    base = term_scored(reader, field, term).join(docs, "doc_id")
+    j = base.crossJoin(F.broadcast(stats))
+    scale = F.when(F.col("__mx") == F.col("__mn"), F.lit(0.0)).otherwise(
+        (F.lit(float(to_max)) - F.lit(float(to_min)))
+        / (F.col("__mx") - F.col("__mn"))
+    )
+    scaled = (F.expr(value_expr).cast("double") - F.col("__mn")) * scale + F.lit(
+        float(to_min)
+    )
+    s = F.col("score_x1e6") / 1e6
+    new = {"mult": s * scaled, "sum": s + scaled, "replace": scaled}[mode]
+    return (
+        j.select("doc_id", F.round(new * 1e6).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def expression_score_topk(
     reader: IndexReader,
     field: str,
