@@ -2153,10 +2153,26 @@ def gate_queries() -> dict[str, object]:
         ssmr_s = sp.dv_multi_range_topk(
             r, ["lang", "source"], [("de", "en"), ("src2", "src4")], k=20,
         )
+        # HalfFloatPoint (sandbox/document/HalfFloatPoint.java): values
+        # quantized to fp16 sortable shorts at index time, the range is
+        # an inclusive smallint comparison; the reported value is the
+        # SORTABLE SHORT itself (like nn's distance, not a score) so
+        # the oracle independently re-derives the fp16 encoding of the
+        # exact-integer data from the closed form
+        from lucene_spark.util.halffloat import (
+            half_float_range_topk, with_half_float_point,
+        )
+
+        hfd = with_half_float_point(r.docs(), "n_chars", "n_chars_hf")
+        hf = half_float_range_topk(
+            hfd, "n_chars_hf", "doc_id", 100.0, 200.0, k=20
+        ).select(
+            "doc_id", F.col("hf_sortable").cast("long").alias("score_x1e6")
+        )
         return _union([
             ("range", single), ("multi", multi), ("bkd", bkd), ("nn", nn),
             *rngs, ("iodv", iodv), ("isort", isort),
-            ("ssmr_num", ssmr_n), ("ssmr_str", ssmr_s),
+            ("ssmr_num", ssmr_n), ("ssmr_str", ssmr_s), ("hf", hf),
         ])
 
     def q_field_exists(spark, sf):
@@ -3248,6 +3264,18 @@ ORDER BY score_x1e6 DESC, f.doc_id ASC LIMIT 10""",
             "OR (source BETWEEN 'de' AND 'en') "
             "OR (source BETWEEN 'src2' AND 'src4') "
             "ORDER BY doc_id LIMIT 20)"
+            # HalfFloatPoint: the oracle re-derives the fp16 sortable
+            # short of the exact-integer data from the closed form —
+            # for n in [2^k, 2^(k+1)), k <= 10, bits =
+            # ((15+k)<<10) + (n-2^k)*2^(10-k) (positive => sortable ==
+            # bits); an independent check of the encoder's bit algebra
+            " UNION ALL SELECT 'hf' AS tag, * FROM ("
+            "SELECT doc_id, CAST("
+            "(15 + FLOOR(LOG2(n_chars))) * 1024"
+            " + (n_chars - POWER(2, FLOOR(LOG2(n_chars))))"
+            " * POWER(2, 10 - FLOOR(LOG2(n_chars))) AS BIGINT) AS score_x1e6 "
+            "FROM documents WHERE n_chars BETWEEN 100 AND 200 "
+            "ORDER BY score_x1e6 ASC, doc_id ASC LIMIT 20)"
         ),
         "q_field_exists": f"""WITH {_TOKS}
 SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6
