@@ -81,6 +81,14 @@ _POLY3D = [
     [(0.0, -30.0), (40.0, 0.0), (10.0, 45.0), (-25.0, 10.0)],
     [(-50.0, 100.0), (-20.0, 130.0), (-45.0, 160.0)],
 ]
+# LatLonBoundingBox relation queries: (tag, relation,
+# (minLat, minLon, maxLat, maxLon))
+_BBX_QUERIES = [
+    ("int", "intersects", (10.0, -40.0, 55.0, 60.0)),
+    ("wit", "within", (-90.0, -180.0, 20.0, 40.0)),
+    ("con", "contains", (20.0, 30.0, 20.5, 30.5)),
+    ("crs", "crosses", (10.0, -40.0, 55.0, 60.0)),
+]
 
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
@@ -2634,6 +2642,7 @@ def gate_queries() -> dict[str, object]:
             )
 
         from lucene_spark.search import geo3d, shapes, xy
+        from lucene_spark.search import latlonbbox as llb
 
         from lucene_spark.search.prefixtree import geo_box_prefixtree
 
@@ -2697,6 +2706,15 @@ def gate_queries() -> dict[str, object]:
             ("poly3d", _h(
                 geo3d.geo3d_polygon_topk(d, _POLY3D, k=50)
             )),
+            # LatLonBoundingBox (sandbox/document/LatLonBoundingBox
+            # .java): stored geo boxes, both sides quantized through
+            # the shared GeoEncodingUtils encoder, all four relations
+            # (v1/v2 = encoded SW corner)
+            *[
+                (f"bbx_{t}", _h(llb.bbox_query_topk(
+                    llb.synthesize_boxes(d), rel, *q, k=50)))
+                for t, rel, q in _BBX_QUERIES
+            ],
             # LatLonPoint.nearest (NearestNeighbor.java): global k-NN,
             # best-first file traversal over the latlon z-order index
             ("nearest", _h(geo.geo_nearest_topk(
@@ -4209,6 +4227,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo
     from lucene_spark.search import xy as _xy
+    from lucene_spark.search import latlonbbox as _llb
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
     _PATH3D = [(10.0, -30.0), (25.0, 0.0), (40.0, 30.0)]
@@ -4276,6 +4295,13 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("xy_circ",
          "SELECT doc_id, clat_x1e3 AS v1, clon_x1e3 AS v2 FROM ("
          + _xy.xyshape_circle_sql("intersects", 10.0, 20.0, 28.0, k=50) + ")"),
+        # LatLonBoundingBox relations over synthesized stored boxes
+        *[
+            (f"bbx_{t}",
+             "SELECT doc_id, elat_min AS v1, elon_min AS v2 FROM ("
+             + _llb.bbox_query_sql(rel, *q, k=50) + ")")
+            for t, rel, q in _BBX_QUERIES
+        ],
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
