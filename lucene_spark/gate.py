@@ -139,6 +139,33 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+def ensure_idversion_sidecar(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the IDVersion dictionary over documents:
+    id = doc_id, version = doc_id % 7."""
+    import json as _json
+
+    from lucene_spark.index import idversion as idv
+
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_idv_{tag}"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    try:
+        with open(f"{idx}/_idv_meta.json") as f:
+            if _json.load(f).get("rows") == n:
+                return idx
+    except FileNotFoundError:
+        pass
+    idv.build_idversion_sidecar(
+        d.select("doc_id", (F.col("doc_id") % 7).alias("ver")),
+        "doc_id", "ver", idx, num_files=8,
+    )
+    os.makedirs(idx, exist_ok=True)
+    with open(f"{idx}/_idv_meta.json", "w") as f:
+        _json.dump({"rows": n}, f)
+    return idx
+
+
 def ensure_points_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the z-order points index over the events table
     (BKD-analog, SURVEY §2.1 Points sink): dims (user_id, value)."""
@@ -1971,7 +1998,35 @@ def gate_queries() -> dict[str, object]:
         return ts.fingerprints(_docs(spark, sf))
 
     def q_dedup_exact(spark, sf):
-        return dd.exact_dedup(_docs(spark, sf))
+        # tagged union: exact content-hash dedup + IDVersion optimistic
+        # -concurrency admission (sandbox/codecs/idversion/: an incoming
+        # row indexes only if its version STRICTLY exceeds the currently
+        # -indexed version for its id — the LiveFieldValues loop).
+        # Shared frame (doc_id, content_hash, group_size, is_canonical):
+        # for idver, content_hash = the id, group_size = the incoming
+        # version, is_canonical = admitted.
+        from lucene_spark.index import idversion as idv
+
+        exact = dd.exact_dedup(_docs(spark, sf)).select(
+            F.lit("exact").alias("tag"), "*"
+        )
+        side = ensure_idversion_sidecar(spark, sf)
+        batch = _docs(spark, sf).select(
+            "doc_id", ((F.col("doc_id") * 13) % 9).alias("new_version")
+        )
+        adm = (
+            idv.admit_batch(spark, side, batch, "doc_id", "new_version")
+            .select(
+                F.lit("idver").alias("tag"),
+                "doc_id",
+                F.col("id").alias("content_hash"),
+                F.col("new_version").cast("long").alias("group_size"),
+                F.col("admitted").alias("is_canonical"),
+            )
+            .orderBy("doc_id")
+            .limit(200)
+        )
+        return exact.unionByName(adm)
 
     def q_dedup_ngram(spark, sf):
         # tagged union: n-gram Jaccard near-dup pairs + benchmark
@@ -3508,7 +3563,20 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
         ]),
         "q_lang_id": ts.lang_id_sql(),
         "q_fingerprint": ts.fingerprints_sql(),
-        "q_dedup_exact": dd.exact_dedup_sql(),
+        "q_dedup_exact": _sql_tagged_flat([
+            ("exact", dd.exact_dedup_sql()),
+            # IDVersion admission: current version = doc_id % 7,
+            # incoming = (doc_id*13) % 9; admit iff strictly greater
+            ("idver", """WITH cur AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 7 AS cur_v FROM documents),
+b AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, (doc_id * 13) % 9 AS nv
+  FROM documents)
+SELECT b.doc_id, b.id AS content_hash, CAST(b.nv AS BIGINT) AS group_size,
+       (c.cur_v IS NULL OR b.nv > c.cur_v) AS is_canonical
+FROM b LEFT JOIN cur c USING (id)
+ORDER BY b.doc_id LIMIT 200"""),
+        ]),
         "q_dedup_ngram": _sql_tagged_flat([
             ("pairs",
              "SELECT a, b, jaccard_x1e6 AS v_x1e6 FROM ("
