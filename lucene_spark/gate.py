@@ -28,6 +28,7 @@ from lucene_spark.pipeline import dedup as dd
 from lucene_spark.pipeline import multimodal as mm
 from lucene_spark.pipeline import packing as _packing
 from lucene_spark.pipeline import sampling as _sampling
+from lucene_spark.pipeline import urlops as _uo
 from lucene_spark.pipeline import similarity as sim
 from lucene_spark.pipeline import textstats as ts
 from lucene_spark.search import sqlpath as sp
@@ -57,6 +58,17 @@ _PII_AUG_SQL = (
     "||CAST(doc_id % 256 AS VARCHAR)||'.'||CAST(doc_id % 100 AS VARCHAR)"
     "||' seen' ELSE '' END"
     " || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 ok' ELSE '' END"
+)
+
+
+# deterministic messy URLs for the urlops gate: mixed-case scheme/host,
+# www + default port, tracking params, fragment — one printf shared
+# VERBATIM by both engines (printf %s/%d exists in Spark SQL and DuckDB)
+_URL_SYNTH = (
+    "printf('HTTPS://WWW.%s%d.Example.COM:443/p/%d/"
+    "?utm_source=feed&q=%s&gclid=g%d#frag', "
+    "coalesce(source, 's0'), doc_id % 11, doc_id, "
+    "coalesce(lang, 'xx'), doc_id % 3)"
 )
 
 
@@ -1986,9 +1998,41 @@ def gate_queries() -> dict[str, object]:
             F.col("n_phone").alias("v3_x1e6"),
             F.col("redacted_len").alias("v4_x1e6"),
         )
+        # URL curation (pipeline/urlops.py): canonicalization + domain
+        # extraction (v1/v2 = md5-prefix fingerprints of the normalized
+        # url / domain — full-string equality via the _GEO_SQL md5
+        # convention, v3 = normalized length) and the skew-aware
+        # per-domain cap (cap=3 per synthesized domain)
+        from lucene_spark.pipeline import urlops as uo
+
+        _pfx = lambda c: F.conv(  # noqa: E731
+            F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+        nu = uo.normalize_urls(
+            d.select("doc_id", F.expr(_URL_SYNTH).alias("url")), "url"
+        )
+        url = nu.orderBy("doc_id").limit(300).select(
+            F.lit("url").alias("tag"), "doc_id",
+            _pfx(F.col("norm_url")).alias("v1_x1e6"),
+            _pfx(F.col("domain")).alias("v2_x1e6"),
+            F.length("norm_url").cast("long").alias("v3_x1e6"),
+            zero.alias("v4_x1e6"),
+        )
+        cap = (
+            uo.domain_cap_sample(
+                nu.select("doc_id", "domain"), "domain", "doc_id", cap=3
+            )
+            .orderBy("doc_id").limit(300)
+            .select(
+                F.lit("domcap").alias("tag"), "doc_id",
+                _pfx(F.col("domain")).alias("v1_x1e6"),
+                zero.alias("v2_x1e6"), zero.alias("v3_x1e6"),
+                zero.alias("v4_x1e6"),
+            )
+        )
         return (
             q.unionByName(r).unionByName(spl).unionByName(st)
             .unionByName(mix).unionByName(pii)
+            .unionByName(url).unionByName(cap)
         )
 
     def q_lang_id(spark, sf):
@@ -3560,6 +3604,25 @@ UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
              .replace("AS n_ipv4", "AS v2_x1e6")
              .replace("AS n_phone", "AS v3_x1e6")
              .replace("AS redacted_len", "AS v4_x1e6")),
+            ("url", f"""WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+n AS (SELECT doc_id, {_uo.normalize_url_sql("url")} AS nu,
+             {_uo.extract_domain_sql("url")} AS dom FROM u)
+SELECT doc_id,
+  CAST(('0x'||substr(md5(nu),1,8)) AS BIGINT) AS v1_x1e6,
+  CAST(('0x'||substr(md5(dom),1,8)) AS BIGINT) AS v2_x1e6,
+  CAST(length(nu) AS BIGINT) AS v3_x1e6,
+  CAST(0 AS BIGINT) AS v4_x1e6
+FROM n ORDER BY doc_id LIMIT 300"""),
+            ("domcap", f"""WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+n AS (SELECT doc_id, {_uo.extract_domain_sql("url")} AS domain FROM u),
+kept AS ({_uo.domain_cap_sql("n", "domain", "doc_id", 3)})
+SELECT doc_id,
+  CAST(('0x'||substr(md5(domain),1,8)) AS BIGINT) AS v1_x1e6,
+  CAST(0 AS BIGINT) AS v2_x1e6, CAST(0 AS BIGINT) AS v3_x1e6,
+  CAST(0 AS BIGINT) AS v4_x1e6
+FROM kept ORDER BY doc_id LIMIT 300"""),
         ]),
         "q_lang_id": ts.lang_id_sql(),
         "q_fingerprint": ts.fingerprints_sql(),
