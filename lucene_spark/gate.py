@@ -2424,9 +2424,23 @@ def gate_queries() -> dict[str, object]:
         )
 
     def q_facet_assoc(spark, sf):
-        # sum/max int associations per category (n_chars under lang)
+        # tagged union: sum/max INT associations per category (n_chars
+        # under lang, TaxonomyFacetIntAssociations.java) + FLOAT
+        # associations from a VALUE SOURCE (ln(1+n_chars),
+        # TaxonomyFacetFloatAssociations.java aggregateValues) — shared
+        # (category, sum_assoc, max_assoc) frame, float side x1e6
         r = ensure_index(spark, sf)
-        return sp.facet_associations(r, FIELD, T_MID, "lang", "n_chars")
+        i = sp.facet_associations(r, FIELD, T_MID, "lang", "n_chars").select(
+            F.lit("int").alias("tag"), "*"
+        )
+        f = sp.facet_float_associations(
+            r, FIELD, T_MID, "lang", "ln(1 + n_chars)"
+        ).select(
+            F.lit("vsrc").alias("tag"), "category",
+            F.col("sum_x1e6").alias("sum_assoc"),
+            F.col("max_x1e6").alias("max_assoc"),
+        )
+        return i.unionByName(f)
 
     def q_facet_sampled(spark, sf):
         # sampled facet counts (deterministic doc_id % 4 subsample)
@@ -3442,13 +3456,22 @@ SELECT path, cnt FROM (
          count(*) AS cnt
   FROM md GROUP BY source, lang
 ) ORDER BY path LIMIT 50""",
-        "q_facet_assoc": f"""WITH {_TOKS},
+        "q_facet_assoc": _sql_tagged_flat([
+            ("int", f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT d.lang AS category,
        CAST(SUM(d.n_chars) AS BIGINT) AS sum_assoc,
        CAST(MAX(d.n_chars) AS BIGINT) AS max_assoc
 FROM documents d JOIN m ON d.doc_id = m.doc_id
-GROUP BY d.lang ORDER BY category LIMIT 20""",
+GROUP BY d.lang ORDER BY category LIMIT 20"""),
+            ("vsrc", f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
+SELECT d.lang AS category,
+       CAST(SUM(CAST(ROUND(ln(1 + CAST(d.n_chars AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_assoc,
+       CAST(MAX(CAST(ROUND(ln(1 + CAST(d.n_chars AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS max_assoc
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.lang ORDER BY category LIMIT 20"""),
+        ]),
         "q_facet_sampled": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT d.lang AS category, count(*) AS sampled_cnt,

@@ -254,6 +254,92 @@ class MemoryIndex:
     def matches(self, q: Q.Query | str, default_field: str = "content") -> bool:
         return self.search(q, default_field) > 0.0
 
+    def payloads_for_query(
+        self, q: "Q.Query | str", default_field: str = "content"
+    ) -> list[float]:
+        """PayloadSpanUtil.getPayloadsForQuery (sandbox/payloads/
+        PayloadSpanUtil.java): the payloads at every leaf position of
+        the SPAN FORM of a standard query, over THE document — the
+        reference's own recommended deployment ("operates like
+        Highlighter — IndexReader should only contain doc of interest,
+        best to use MemoryIndex"). Conversion table carried from
+        queryToSpanQuery: BooleanQuery recurses its non-prohibited
+        clauses, PhraseQuery becomes SpanNear(terms, slop,
+        in_order=(slop==0)), TermQuery becomes SpanTerm,
+        DisjunctionMax recurses each arm, span queries pass through.
+
+        Supported span shapes are the payload-trackable ones (SpanTerm
+        / in-order SpanNear — executor._span_leaf_terms); the slop>0
+        phrase arm therefore runs IN-ORDER here where the reference
+        builds an unordered near (documented divergence: matches are a
+        subset for reordered phrases). Requires store_payloads fields;
+        returns [] when nothing matches."""
+        if isinstance(q, str):
+            from lucene_spark.search.queryparser import QueryParser
+
+            q = QueryParser(default_field).parse(q)
+        q = Q.rewrite_fixpoint(q)
+        pairs: list[tuple[str, Q.SpanSource]] = []
+
+        def convert(node) -> None:
+            if isinstance(node, Q.BooleanQuery):
+                for c in node.must + node.should + node.filter:
+                    convert(c)
+            elif isinstance(node, Q.DisjunctionMaxQuery):
+                for c in node.queries:
+                    convert(c)
+            elif isinstance(node, Q.PhraseQuery):
+                pairs.append((node.field, Q.SpanNear(
+                    tuple(Q.SpanTerm(t) for t in node.terms),
+                    slop=node.slop, in_order=True,
+                )))
+            elif isinstance(node, Q.TermQuery):
+                pairs.append((node.field, Q.SpanTerm(node.term)))
+            elif isinstance(node, Q.SpanQuery):
+                pairs.append((node.field, node.source))
+            elif isinstance(node, (Q.MatchAllQuery, Q.MatchNoDocsQuery)):
+                pass
+            else:
+                raise TypeError(
+                    f"PayloadSpanUtil cannot convert {type(node).__name__}"
+                )
+
+        convert(q)
+        pdf, _reader = self._freeze()
+        if pdf.empty or not pairs:
+            return []
+        from lucene_spark.search.executor import (
+            _gather_pos_payloads,
+            _pos_key_base,
+            _span_leaf_terms,
+            _spans_eval_leaves,
+        )
+
+        out: list[float] = []
+        docs = np.array([0], dtype=np.int64)
+        for field, src in pairs:
+            lt = _span_leaf_terms(src)
+            rows = pdf[
+                (pdf["field"] == field) & pdf["term"].isin(sorted(set(lt)))
+            ].reset_index(drop=True)
+            if rows.empty:
+                continue
+            ctx = _SegmentIndex(rows, fmt=self._fmt)
+            terms = [t for t in dict.fromkeys(lt) if ctx.has(t)]
+            if len(terms) < len(set(lt)):
+                continue
+            large = _pos_key_base(ctx, terms, len(lt) + 2)
+            s, _e, _g, leaves = _spans_eval_leaves(src, ctx, docs, large)
+            if len(s) == 0:
+                continue
+            for term, key_arr in zip(lt, leaves):
+                keys, vals = _gather_pos_payloads(ctx, term, docs, large)
+                out.extend(
+                    float(v)
+                    for v in vals[np.searchsorted(keys, key_arr)]
+                )
+        return out
+
     def match_offsets(
         self, q: Q.Query | str, default_field: str = "content"
     ) -> list[tuple[str, int, int]]:

@@ -1099,6 +1099,39 @@ def facet_associations(
     )
 
 
+def facet_float_associations(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    facet_col: str,
+    value_expr: str,
+    k: int = 20,
+) -> DataFrame:
+    """Float associations from a value source (facet/taxonomy/
+    TaxonomyFacetFloatAssociations.java aggregateValues(DoubleValuesSource)
+    + AssociationAggregationFunction SUM/MAX): aggregate an ARBITRARY
+    double expression per category of the matched docs — the value
+    source is a SQL expression (the engine's DoubleValuesSource
+    surface), so any reference composition is a one-liner and
+    ANSI-portable to the oracle. x1e6-quantized like every float path.
+    -> (category, sum_x1e6, max_x1e6)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    # per-doc x1e6 quantization BEFORE the sum: integer addition is
+    # order-free, so the distributed sum equals the oracle's regardless
+    # of partitioning (the FuzzyLikeThis cross-engine convention)
+    v = F.round(F.expr(value_expr).cast("double") * 1e6).cast("long")
+    return (
+        docs.groupBy(F.col(facet_col).alias("category"))
+        .agg(
+            F.sum(v).cast("long").alias("sum_x1e6"),
+            F.max(v).cast("long").alias("max_x1e6"),
+        )
+        .orderBy("category")
+        .limit(k)
+    )
+
+
 def vector_similarity_score_topk(
     reader: IndexReader,
     field: str,

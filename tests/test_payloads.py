@@ -339,3 +339,60 @@ def test_store_payloads_requires_payload_analyzer(spark, tmp_path):
         build_index(
             spark, spark.createDataFrame(pdf), str(tmp_path / "i"), cfg
         )
+
+
+# --- PayloadSpanUtil (sandbox/payloads/PayloadSpanUtil.java) ---------
+
+
+def test_payload_span_util_term_and_phrase():
+    from lucene_spark.memory.memindex import MemoryIndex
+    from lucene_spark.search import query as Q
+
+    m = MemoryIndex(analyzer="delimited_payload")
+    m.add_field("content", "fast|1.5 table|2.0 scan|0.25 fast|3.0")
+    # TermQuery -> SpanTerm: every occurrence's payload
+    got = sorted(m.payloads_for_query(Q.TermQuery("content", "fast")))
+    assert got == [1.5, 3.0]
+    # PhraseQuery slop=0 -> in-order SpanNear: payloads of BOTH leaves
+    # of the one matching span
+    got = sorted(m.payloads_for_query(
+        Q.PhraseQuery("content", ("fast", "table"))))
+    assert got == [1.5, 2.0]
+    # no match -> empty (in-order adjacency fails both ways here)
+    assert m.payloads_for_query(
+        Q.PhraseQuery("content", ("table", "fast"), slop=0)) == []
+    assert m.payloads_for_query(
+        Q.PhraseQuery("content", ("scan", "table"))) == []
+
+
+def test_payload_span_util_boolean_and_dismax():
+    from lucene_spark.memory.memindex import MemoryIndex
+    from lucene_spark.search import query as Q
+
+    m = MemoryIndex(analyzer="delimited_payload")
+    m.add_field("content", "alpha|1.0 beta|2.0 gamma|4.0")
+    b = Q.BooleanQuery(
+        must=(Q.TermQuery("content", "alpha"),),
+        should=(Q.TermQuery("content", "gamma"),),
+        must_not=(Q.TermQuery("content", "beta"),),  # prohibited: skipped
+    )
+    assert sorted(m.payloads_for_query(b)) == [1.0, 4.0]
+    d = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("content", "beta"), Q.TermQuery("content", "gamma"))
+    )
+    assert sorted(m.payloads_for_query(d)) == [2.0, 4.0]
+
+
+def test_payload_span_util_span_passthrough_and_errors():
+    import pytest as _pytest
+
+    from lucene_spark.memory.memindex import MemoryIndex
+    from lucene_spark.search import query as Q
+
+    m = MemoryIndex(analyzer="delimited_payload")
+    m.add_field("content", "a|0.5 b|1.5 c|2.5 a|3.5")
+    sq = Q.SpanQuery(field="content", source=Q.SpanNear(
+        (Q.SpanTerm("a"), Q.SpanTerm("b")), slop=0, in_order=True))
+    assert sorted(m.payloads_for_query(sq)) == [0.5, 1.5]
+    with _pytest.raises(TypeError, match="cannot convert"):
+        m.payloads_for_query(Q.FuzzyQuery("content", "ab", max_edits=1))
