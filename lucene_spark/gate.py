@@ -1801,10 +1801,21 @@ def gate_queries() -> dict[str, object]:
             r, FIELD, T_MID,
             sp.rangemap_expr("n_chars", 200, 400, "1.5", "0.5"),
             mode="mult")
+        # DistanceFeatureQuery (LongPoint/LatLonPoint
+        # newDistanceFeatureQuery): recency-style long distance and
+        # geo haversine distance, each a SHOULD boost beside the BM25
+        # MUST — weight * pivot / (pivot + distance)
+        dfl = sp.distance_feature_topk(
+            r, FIELD, T_MID,
+            "abs(CAST(n_chars AS DOUBLE) - 500.0)", 200.0, 2.0)
+        from lucene_spark.search import geo as _dfgeo
+        dfg = _dfgeo.geo_distance_feature_topk(
+            sp.term_scored(r, FIELD, T_MID), r.docs(),
+            20.0, 10.0, pivot_km=500.0, weight=1.5)
         parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
                  ("jsexpr", jse), ("vecsim", vsim), ("frange", frange),
                  ("fmatch", fmatch), ("scale", scale), ("recip", recip),
-                 ("rngmap", rngmap)]
+                 ("rngmap", rngmap), ("dfeat", dfl), ("dfeatgeo", dfg)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -4378,6 +4389,20 @@ SELECT s.doc_id,
        * 1000000) AS BIGINT) AS score_x1e6
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # DistanceFeatureQuery: the boost expression string is shared
+        # verbatim with the Spark plan (distance_feature_expr); the geo
+        # twin re-derives the haversine at the same 0.1 km quantization
+        ("dfeat", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0
+       + {sp.distance_feature_expr("abs(CAST(d.n_chars AS DOUBLE) - 500.0)", 200.0, 2.0)})
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("dfeatgeo", __import__(
+            "lucene_spark.search.geo", fromlist=["geo"]
+        ).geo_distance_feature_sql(
+            _scored_ctes(T_MID), 20.0, 10.0, pivot_km=500.0, weight=1.5)),
     ])
     from lucene_spark.search import geo as _geo
     from lucene_spark.search import xy as _xy

@@ -210,6 +210,73 @@ def geo_polygon_topk(
     )
 
 
+def geo_distance_feature_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    qlat: float,
+    qlon: float,
+    pivot_km: float,
+    weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """LatLonPoint.newDistanceFeatureQuery (core/document/
+    LatLonPointDistanceFeatureQuery.java:241-243 `weight *
+    (pivotDistance / (pivotDistance + distance))`) in its intended
+    SHOULD-beside-a-MUST composition: ``scored`` is the BM25 MUST's
+    (doc_id, score_x1e6) hit set; each hit gains
+    `weight * pivot / (pivot + haversine_km(doc, origin))`.
+
+    The haversine is quantized to 0.1 km BEFORE the saturation curve —
+    the same granularity the geo gates use — so double-trig ulp
+    differences between engines cannot flip the x1e6-rounded score.
+    One broadcast-sized join against the synthesized geo columns, flat
+    codegen boost, no shuffle beyond the MUST's own top-k.
+    -> (doc_id, score_x1e6)."""
+    g = synthesize_geo(docs)
+    dist10 = F.round(
+        _haversine_km(F.col("lat"), F.col("lon"), qlat, qlon) * 10
+    ).cast("long")
+    boost = (
+        F.lit(float(weight)) * F.lit(float(pivot_km))
+        / (F.lit(float(pivot_km)) + dist10 / F.lit(10.0))
+    )
+    total = F.col("score_x1e6") / 1e6 + boost
+    return (
+        scored.join(g, "doc_id")
+        .select(
+            "doc_id", F.round(total * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def geo_distance_feature_sql(
+    scored_ctes: str, qlat: float, qlon: float,
+    pivot_km: float, weight: float = 1.0, k: int = 10,
+) -> str:
+    """DuckDB twin of geo_distance_feature_topk: identical haversine,
+    identical 0.1 km quantization, identical saturation arithmetic.
+    ``scored_ctes`` must end in a `scored(doc_id, score_x1e6)` CTE."""
+    r = EARTH_RADIUS_KM
+    return f"""{scored_ctes},
+{_GEO_SQL},
+dfd AS (
+  SELECT doc_id, CAST(ROUND(2 * {r} * asin(sqrt(
+      sin(radians(lat - {qlat})/2) * sin(radians(lat - {qlat})/2)
+      + cos(radians({qlat})) * cos(radians(lat))
+        * sin(radians(lon - {qlon})/2) * sin(radians(lon - {qlon})/2)
+    )) * 10) AS BIGINT) AS dist10
+  FROM g
+)
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0
+       + {weight} * {pivot_km} / ({pivot_km} + dfd.dist10/10.0))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN dfd ON dfd.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT {k}"""
+
+
 def geo_polygon_sql(vertices: list[tuple[float, float]], k: int = 50) -> str:
     """DuckDB twin of geo_polygon_topk — identical crossing arithmetic."""
     terms = []

@@ -1631,6 +1631,45 @@ def reciprocal_expr(src: str, m: float, a: float, b: float) -> str:
     return f"({a} / ({m} * ({src}) + {b}))"
 
 
+def distance_feature_expr(dist_sql: str, pivot: float,
+                          weight: float = 1.0) -> str:
+    """DistanceFeatureQuery boost (core/document/
+    LongDistanceFeatureQuery.java:214-216 `weight * (float)
+    (pivotDistance / (pivotDistance + distance))`, built by
+    LongPoint#newDistanceFeatureQuery / LongField): a saturation curve
+    that scores 1·weight at the origin, weight/2 at the pivot distance
+    and decays hyperbolically beyond it. ``dist_sql`` is the distance
+    expression (e.g. ``abs(ts - origin)``). One ANSI SQL string shared
+    verbatim by the Spark plan and the DuckDB oracle."""
+    return f"({weight} * {pivot} / ({pivot} + ({dist_sql})))"
+
+
+def distance_feature_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    dist_sql: str,
+    pivot: float,
+    weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """LongPoint.newDistanceFeatureQuery in its intended composition
+    (LongDistanceFeatureQuery javadoc: "this query is typically useful
+    to boost results based on recency by adding this query to a
+    Should clause of a BooleanQuery"): the BM25 term query is the
+    MUST, the distance feature joins as a SHOULD whose contribution is
+    `weight * pivot / (pivot + |value − origin|)`. The boost is one
+    flat codegen projection over the docs registry — no per-doc work
+    beyond the MUST's own hit set, the reference's
+    DistanceFeatureWeight iterator-over-matching-docs contract.
+    -> (doc_id, score_x1e6)."""
+    return function_score_topk(
+        reader, field, term,
+        distance_feature_expr(dist_sql, pivot, weight),
+        mode="sum", k=k,
+    )
+
+
 def function_range_topk(
     reader: IndexReader,
     value_expr: str,
