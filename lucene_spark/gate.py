@@ -2359,7 +2359,23 @@ def gate_queries() -> dict[str, object]:
             .select("doc_id", "n_hits", "passage_start")
             .orderBy("doc_id")
         )
-        return _union([("retok", retok), ("offsets", offs)])
+        # classic Highlighter (QueryScorer distinct-term fragment
+        # scoring + SimpleFragmenter char cuts): best fragment per doc,
+        # identity = (distinct hit terms, source fragment index)
+        from lucene_spark.search.classic_highlight import classic_highlight
+
+        classic = (
+            classic_highlight(
+                docs, [T_HOT, T_MID], fragment_size=40, max_fragments=1
+            )
+            .select(
+                "doc_id",
+                (F.col("score_x1e3") / 1000).cast("int").alias("n_hits"),
+                F.col("frag").alias("passage_start"),
+            )
+            .orderBy("doc_id")
+        )
+        return _union([("retok", retok), ("offsets", offs), ("classic", classic)])
 
     def q_multi_phrase(spark, sf):
         r = ensure_index(spark, sf)
@@ -3585,8 +3601,27 @@ t_offsets AS (
   SELECT doc_id, CAST(nt AS INT) AS n_hits, CAST(s - 1 AS INT) AS passage_start
   FROM best2 WHERE rn = 1 ORDER BY doc_id
 )
+,
+off3 AS (
+  SELECT doc_id, tok, p,
+         sum(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY p) - 1 AS e
+  FROM pos
+),
+cfrag AS (
+  SELECT doc_id, CAST(floor(e / 40) AS INT) AS frag,
+         count(DISTINCT tok) FILTER (tok IN ('{T_HOT}', '{T_MID}')) AS nd
+  FROM off3 GROUP BY doc_id, frag
+),
+t_classic AS (
+  SELECT doc_id, CAST(nd AS INT) AS n_hits, frag AS passage_start
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY nd DESC, frag ASC) AS rn
+        FROM cfrag WHERE nd > 0)
+  WHERE rn = 1 ORDER BY doc_id
+)
 SELECT 'retok' AS tag, * FROM t_retok
-UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets""",
+UNION ALL SELECT 'offsets' AS tag, * FROM t_offsets
+UNION ALL SELECT 'classic' AS tag, * FROM t_classic""",
         "q_window_tumbling": sw.tumbling_counts_sql(),
         "q_window_sliding": sw.sliding_counts_sql(),
         "q_window_session": sw.session_counts_sql(),
