@@ -2181,6 +2181,33 @@ def gate_queries() -> dict[str, object]:
         r = ensure_mf_index(spark, sf)
         return sp.bool_bm25_topk(r, "lang_kw", must=["de"], k=100)
 
+    def q_multifield_parser(spark, sf):
+        # MultiFieldQueryParser end-to-end: fieldless "merge de" expands
+        # over (text, lang_kw) with a 2x boost on the keyword field;
+        # the parsed tree's SHOULD arms execute through the sql64
+        # cross-field disjunction (multifield_disjunction_topk). The
+        # text:'de' and lang_kw:'merge' arms match nothing (disjoint
+        # vocabularies) — exactly the reference behavior, not an error.
+        from lucene_spark.search.queryparser import MultiFieldQueryParser
+
+        r = ensure_mf_index(spark, sf)
+        p = MultiFieldQueryParser(
+            ["text", "lang_kw"], boosts={"lang_kw": 2.0}
+        )
+        tree = p.parse(f"{T_MID} de")
+
+        def flatten(q):
+            if isinstance(q, Q.TermQuery):
+                return [(q.field, q.term, q.boost)]
+            if isinstance(q, Q.BooleanQuery):
+                out = []
+                for s in q.should:
+                    out.extend(flatten(s))
+                return out
+            raise TypeError(q)
+
+        return sp.multifield_disjunction_topk(r, flatten(tree), k=10)
+
     def q_combined_field(spark, sf):
         # BM25F across text (w=1) and lang_kw (w=2) for one term
         r = ensure_mf_index(spark, sf)
@@ -3128,6 +3155,7 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_embcos": q_dedup_embcos,
         "q_blended_term": q_blended_term,
         "q_mf_keyword": q_mf_keyword,
+        "q_multifield_parser": q_multifield_parser,
         "q_combined_field": q_combined_field,
         "q_point_range": q_point_range,
         "q_field_exists": q_field_exists,
@@ -3334,6 +3362,26 @@ SELECT lt.doc_id,
 FROM lt CROSS JOIN dfl d CROSS JOIN statsl s
 WHERE lt.tok = 'de'
 ORDER BY score_x1e6 DESC, lt.doc_id ASC LIMIT 100""",
+        # MultiFieldQueryParser: text arm = full BM25 CTE, lang_kw arm =
+        # keyword-field BM25 (dl = avgdl = 1) with the parser's 2x field
+        # boost applied to the per-arm x1e6 quantum; per-doc sum
+        "q_multifield_parser": f"""{_scored_ctes(T_MID)},
+lt AS (SELECT doc_id, lower(lang) AS tok FROM documents),
+dfl AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM lt WHERE tok = 'de'),
+statsl AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS sumdl),
+langsc AS (
+  SELECT lt.doc_id,
+    2 * CAST(ROUND(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) * 1.0 /
+         (1.0 + 1.2*(0.25 + 0.75*1.0/(s.sumdl/s.n))) * 1000000) AS BIGINT)
+    AS score_x1e6
+  FROM lt CROSS JOIN dfl d CROSS JOIN statsl s
+  WHERE lt.tok = 'de'
+)
+SELECT doc_id, CAST(SUM(score_x1e6) AS BIGINT) AS score_x1e6
+FROM (SELECT * FROM scored UNION ALL SELECT * FROM langsc)
+GROUP BY doc_id
+ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
         "q_combined_field": f"""WITH {_TOKS},
 {_DL},
 {_sfranges()},

@@ -779,17 +779,30 @@ class IndexSearcher:
         node = self._compile(q)
         if node is None:
             return Q.TopDocs(total_hits=0, hits=[])
+        node_fields = _collect_fields(node)
+        if len(node_fields) > 1:
+            # cross-field boolean (MultiFieldQueryParser output): leaf
+            # lookups become field-qualified so one kernel pass scores
+            # every clause against its own field's rows
+            node = _qualify_node_fields(node)
+            field = None
+        else:
+            field = next(iter(node_fields))
         terms = sorted(_collect_terms(node))
-        field = _collect_field(node)
         plain = [t for t in terms if FIELD_SEP not in t]
-        cond = (F.col("field") == field) & (F.col("term").isin(plain))
+        cond = None
+        if plain:
+            cond = (F.col("field") == field) & (F.col("term").isin(plain))
         qualified: dict[str, list[str]] = {}
         for t in terms:
             if FIELD_SEP in t:
                 f, _, raw = t.partition(FIELD_SEP)
                 qualified.setdefault(f, []).append(raw)
-        for f, ts in qualified.items():  # masked-span real-field terms
-            cond = cond | ((F.col("field") == f) & (F.col("term").isin(ts)))
+        for f, ts in qualified.items():  # masked-span / cross-field terms
+            c = (F.col("field") == f) & (F.col("term").isin(ts))
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return Q.TopDocs(total_hits=0, hits=[])
         rows = self.reader.postings().filter(cond)
         # bloom sidecar gate (seekExact analog): drop segments whose
         # bitsets clear every query term; all-clear means no posting
@@ -949,6 +962,49 @@ def _collect_field(node: dict) -> str:
             "sqlpath.combined_field_topk (BM25F)"
         )
     return next(iter(fields))
+
+
+_QUALIFIABLE_LEAVES = (
+    "term", "syn", "phrase", "multi_phrase", "near", "const_set",
+)
+
+
+def _qualify_node_fields(node: dict) -> dict:
+    """Rewrite every term-bearing leaf's lookup keys to the
+    field-qualified form (``field\\x01term``) the per-segment kernel
+    already aliases for masked-span lookups (_SegmentIndex rows) — the
+    mechanism that lets ONE kernel invocation score a boolean tree
+    whose clauses read DIFFERENT fields (MultiFieldQueryParser
+    execution: each clause keeps its own field's postings, norms and
+    compile-time stats; only the row lookup key changes). Intervals /
+    spans / payload leaves keep their own fixField machinery and are
+    rejected here."""
+    k = node["kind"]
+    if k in _QUALIFIABLE_LEAVES:
+        f = node["field"]
+        q = lambda t: t if FIELD_SEP in t else f + FIELD_SEP + t  # noqa: E731
+        out = {**node, "terms": [q(t) for t in node["terms"]]}
+        if "slots" in node:
+            out["slots"] = [[q(t) for t in slot] for slot in node["slots"]]
+        return out
+    if k in ("intervals", "spans", "payload_score", "term_automaton"):
+        raise NotImplementedError(
+            f"cross-field boolean over {k} leaves: wrap the leaf in its "
+            "own single-field search, or use FieldMaskingSpanQuery"
+        )
+    if k == "const_wrap":
+        return {**node, "sub": _qualify_node_fields(node["sub"])}
+    if k == "dismax":
+        return {**node, "subs": [_qualify_node_fields(s) for s in node["subs"]]}
+    if k == "bool":
+        return {
+            **node,
+            **{
+                key: [_qualify_node_fields(s) for s in node[key]]
+                for key in ("must", "should", "must_not", "filter")
+            },
+        }
+    raise TypeError(k)
 
 
 # --------------------------------------------------------------------------

@@ -188,21 +188,13 @@ class QueryParser:
             terms = self.analyze(tok["text"])
             if not terms:
                 return None, toks[1:]
-            q: Q.Query
-            if len(terms) == 1:
-                q = Q.TermQuery(self.default_field, terms[0])
-            else:
-                q = Q.PhraseQuery(
-                    self.default_field, tuple(terms), slop=tok["slop"]
-                )
+            q = self._phrase_query(terms, tok["slop"])
             return self._boost(q, boost), toks[1:]
         if kind == "rangeq":
             _k, tok, boost = toks[0]
             lo = None if tok["lo"] == "*" else tok["lo"].lower()
             hi = None if tok["hi"] == "*" else tok["hi"].lower()
-            q = Q.TermRangeQuery(
-                self.default_field, lo, hi, tok["inc_lo"], tok["inc_hi"]
-            )
+            q = self._range_query(lo, hi, tok["inc_lo"], tok["inc_hi"])
             return self._boost(q, boost), toks[1:]
         if kind == "word":
             _k, word, boost = toks[0]
@@ -226,6 +218,17 @@ class QueryParser:
         """getFieldQuery hook (QueryParserBase#getFieldQuery) — the
         override point the ext module plugs into."""
         return self._termish(field, word)
+
+    def _phrase_query(self, terms: list[str], slop: int) -> Q.Query:
+        """Default-field phrase hook (MultiFieldQueryParser overrides
+        to expand fieldless phrases over its field list)."""
+        if len(terms) == 1:
+            return Q.TermQuery(self.default_field, terms[0])
+        return Q.PhraseQuery(self.default_field, tuple(terms), slop=slop)
+
+    def _range_query(self, lo, hi, inc_lo: bool, inc_hi: bool) -> Q.Query:
+        """Default-field range hook (MultiFieldQueryParser overrides)."""
+        return Q.TermRangeQuery(self.default_field, lo, hi, inc_lo, inc_hi)
 
     def _termish(self, field: str, word: str) -> Q.Query:
         fz = re.fullmatch(r"(.+)~(\d*)", word)
@@ -251,6 +254,95 @@ class QueryParser:
         if boost == 1.0:
             return q
         return Q.BoostQuery(q, boost)
+
+
+class MultiFieldQueryParser(QueryParser):
+    """Classic MultiFieldQueryParser (queryparser/classic/
+    MultiFieldQueryParser.java): clauses with NO explicit field expand
+    to a SHOULD-disjunction over ``fields``, each arm optionally
+    boosted by ``boosts[field]`` (the reference's getFieldQuery /
+    getFuzzyQuery / getPrefixQuery / getWildcardQuery / getRangeQuery
+    overrides all route through the same expansion); an explicit
+    ``field:`` prefix pins the clause to that field exactly as the
+    single-field parser would."""
+
+    def __init__(
+        self,
+        fields: list[str],
+        analyze: Callable[[str], list[str]] | None = None,
+        boosts: dict[str, float] | None = None,
+    ):
+        if not fields:
+            raise ValueError("MultiFieldQueryParser needs >= 1 field")
+        super().__init__(fields[0], analyze)
+        self.fields = list(fields)
+        self.boosts = dict(boosts or {})
+
+    def _expand(self, make: Callable[[str], Q.Query]) -> Q.Query:
+        arms = []
+        for f in self.fields:
+            q = make(f)
+            if isinstance(q, Q.MatchNoDocsQuery):
+                continue
+            b = self.boosts.get(f)
+            if b is not None and b != 1.0:
+                q = Q.BoostQuery(q, b)
+            arms.append(q)
+        if not arms:
+            return Q.MatchNoDocsQuery()
+        if len(arms) == 1:
+            return arms[0]
+        return Q.BooleanQuery(should=tuple(arms))
+
+    def _split_field(self, word: str) -> tuple[str | None, str]:
+        field, rest = super()._split_field(word)
+        if ":" not in word:
+            return None, rest  # fieldless -> expand
+        return field, rest
+
+    def _field_query(self, field: str | None, word: str) -> Q.Query:
+        if field is None:
+            return self._expand(lambda f: self._termish(f, word))
+        return self._termish(field, word)
+
+    def _phrase_query(self, terms: list[str], slop: int) -> Q.Query:
+        def mk(f: str) -> Q.Query:
+            if len(terms) == 1:
+                return Q.TermQuery(f, terms[0])
+            return Q.PhraseQuery(f, tuple(terms), slop=slop)
+
+        return self._expand(mk)
+
+    def _range_query(self, lo, hi, inc_lo: bool, inc_hi: bool) -> Q.Query:
+        return self._expand(
+            lambda f: Q.TermRangeQuery(f, lo, hi, inc_lo, inc_hi)
+        )
+
+
+def parse_multi(
+    queries: list[str],
+    fields: list[str],
+    flags: list[str] | None = None,
+    analyze: Callable[[str], list[str]] | None = None,
+) -> Q.Query:
+    """MultiFieldQueryParser's static ``parse(String[], String[],
+    BooleanClause.Occur[], Analyzer)``: query i parsed against field i,
+    combined with the given occur flag ('should' | 'must' |
+    'must_not'; default all 'should')."""
+    if len(queries) != len(fields):
+        raise ValueError("queries and fields must align")
+    flags = flags or ["should"] * len(queries)
+    if len(flags) != len(queries):
+        raise ValueError("flags must align with queries")
+    must, should, must_not = [], [], []
+    for qs, f, occ in zip(queries, fields, flags):
+        q = QueryParser(f, analyze).parse(qs)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            continue
+        {"must": must, "should": should, "must_not": must_not}[occ].append(q)
+    return Q.BooleanQuery(
+        must=tuple(must), should=tuple(should), must_not=tuple(must_not)
+    )
 
 
 class SimpleQueryParser:

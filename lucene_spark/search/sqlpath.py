@@ -1535,6 +1535,45 @@ def grouped_topk(
     )
 
 
+def multifield_disjunction_topk(
+    reader: IndexReader,
+    arms: list[tuple[str, str, float]],
+    k: int = 10,
+) -> DataFrame:
+    """Cross-field SHOULD execution — the sql64 twin of what the
+    exact32 searcher does for a MultiFieldQueryParser tree
+    (queryparser/classic/MultiFieldQueryParser.java getFieldQuery:
+    fieldless clauses expand to per-field arms, each with its own
+    field's stats, summed per doc). ``arms`` = [(field, term, boost)].
+
+    Identity contract: score_x1e6 = SUM over arms of
+    boost * ROUND(arm_bm25 * 1e6) — per-arm quantization BEFORE the
+    sum keeps the value engine-independent. Plan: one postings scan
+    per distinct field (term+field pushed to the parquet scan), each
+    a broadcast-stats join, then a single union + sum groupBy — the
+    shuffle is keyed by doc_id over only the matching docs."""
+    parts = []
+    for field, term, boost in arms:
+        s = term_scored(reader, field, term)
+        if boost != 1.0:
+            s = s.select(
+                "doc_id",
+                F.round(F.col("score_x1e6") * F.lit(float(boost)))
+                .cast("long")
+                .alias("score_x1e6"),
+            )
+        parts.append(s)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.sum("score_x1e6").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def rrf_topk(
     reader: IndexReader,
     field: str,

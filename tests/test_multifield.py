@@ -67,7 +67,38 @@ def test_search_each_field_independently(mf_index):
     assert ts != bs
 
 
-def test_cross_field_exact32_raises(mf_index):
+def test_cross_field_boolean_scores_sum_per_field(mf_index):
+    # cross-field booleans execute via field-qualified kernel lookups
+    # (MultiFieldQueryParser execution path); each clause scores
+    # against its OWN field's postings/norms/stats, summed per doc
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexSearcher
+
+    s = IndexSearcher(mf_index)
+    res = s.search(
+        Q.BooleanQuery(
+            must=(Q.TermQuery("title", "alpha"), Q.TermQuery("body", "alpha"))
+        ),
+        k=5,
+    )
+    assert {h.doc_id for h in res.hits} == {0, 2}  # title∩body matches
+    t = {h.doc_id: h.score for h in s.search(Q.TermQuery("title", "alpha"), k=10).hits}
+    b = {h.doc_id: h.score for h in s.search(Q.TermQuery("body", "alpha"), k=10).hits}
+    import numpy as np
+    for h in res.hits:
+        want = np.float32(np.float32(t[h.doc_id]) + np.float32(b[h.doc_id]))
+        assert np.float32(h.score) == want
+    # SHOULD across fields unions the hit sets
+    res2 = s.search(
+        Q.BooleanQuery(
+            should=(Q.TermQuery("title", "alpha"), Q.TermQuery("body", "alpha"))
+        ),
+        k=10,
+    )
+    assert {h.doc_id for h in res2.hits} == {0, 2, 4}
+
+
+def test_cross_field_intervals_still_raises(mf_index):
     from lucene_spark.search import query as Q
     from lucene_spark.search.executor import IndexSearcher
 
@@ -75,7 +106,10 @@ def test_cross_field_exact32_raises(mf_index):
     with pytest.raises(NotImplementedError, match="cross-field"):
         s.search(
             Q.BooleanQuery(
-                must=(Q.TermQuery("title", "alpha"), Q.TermQuery("body", "beta"))
+                must=(
+                    Q.IntervalQuery("title", Q.ITerm("alpha")),
+                    Q.TermQuery("body", "beta"),
+                )
             ),
             k=5,
         )
