@@ -1749,6 +1749,59 @@ def gate_queries() -> dict[str, object]:
             ))
         )
 
+    def q_grouping_suite(spark, sf):
+        # grouping-module completion (grouping/AllGroupsCollector.java,
+        # AllGroupHeadsCollector.java, LongRangeGroupSelector.java,
+        # ValueSourceGroupSelector.java, BlockGroupingCollector.java):
+        # one tagged union on (tag, g1, g2, id, score_x1e6, rn)
+        from lucene_spark.search import grouping as G
+
+        r = ensure_index(spark, sf)
+        z = F.lit(0).cast("long")
+        allg = G.all_groups(r, FIELD, T_MID, "lang").select(
+            F.lit("allgrp").alias("tag"), F.col("grp").alias("g1"),
+            z.alias("g2"), z.alias("id"), z.alias("score_x1e6"),
+            z.alias("rn"),
+        )
+        heads = G.all_group_heads(r, FIELD, T_MID, "lang").select(
+            F.lit("heads").alias("tag"), F.col("grp").alias("g1"),
+            z.alias("g2"), F.col("doc_id").cast("long").alias("id"),
+            "score_x1e6", F.lit(1).cast("long").alias("rn"),
+        )
+        lr = G.range_grouped_topk(
+            r, FIELD, T_MID, "n_chars", 200, 300, 1100, per_group=2
+        ).select(
+            F.lit("lrange").alias("tag"),
+            F.col("grp_lo").cast("string").alias("g1"),
+            F.col("grp_hi").cast("long").alias("g2"),
+            F.col("doc_id").cast("long").alias("id"), "score_x1e6",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        vs = G.value_source_grouped_topk(
+            r, FIELD, T_MID, "n_chars % 7", per_group=2
+        ).select(
+            F.lit("vsrc").alias("tag"),
+            F.col("grp").cast("string").alias("g1"),
+            z.alias("g2"), F.col("doc_id").cast("long").alias("id"),
+            "score_x1e6", F.col("rn").cast("long").alias("rn"),
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        blk = G.block_grouped_topk(
+            li, F.col("l_quantity") >= 48, F.col("l_extendedprice"),
+            "l_orderkey", "l_linenumber", group_limit=5, per_block=2,
+            score_scale=1_000_000,
+        ).select(
+            F.lit("block").alias("tag"),
+            F.col("blk").cast("string").alias("g1"),
+            F.col("grp_rank").cast("long").alias("g2"),
+            F.col("id").cast("long").alias("id"), "score_x1e6",
+            F.col("rn").cast("long").alias("rn"),
+        )
+        return (
+            allg.unionByName(heads).unionByName(lr).unionByName(vs)
+            .unionByName(blk)
+        )
+
     def q_rrf(spark, sf):
         r = ensure_index(spark, sf)
         return sp.rrf_topk(r, FIELD, T_HOT, T_MID, kconst=60, k=10, depth=100)
@@ -3170,6 +3223,7 @@ def gate_queries() -> dict[str, object]:
         "q_field_sort": q_field_sort,
         "q_range_facet": q_range_facet,
         "q_grouped_topk": q_grouped_topk,
+        "q_grouping_suite": q_grouping_suite,
         "q_rrf": q_rrf,
         "q_function_suite": q_function_suite,
         "q_block_join": q_block_join,
@@ -3260,6 +3314,66 @@ ranked AS (
 )
 SELECT grp, doc_id, score_x1e6, 1 AS rn FROM ranked
 WHERE rk <= 1 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 5"""),
+        ]),
+        # grouping-module completion, shared (g1,g2,id,score_x1e6,rn)
+        "q_grouping_suite": _sql_tagged_flat([
+            ("allgrp", f"""{_scored_ctes(T_MID)}
+SELECT DISTINCT d.lang AS g1, CAST(0 AS BIGINT) AS g2,
+  CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS score_x1e6,
+  CAST(0 AS BIGINT) AS rn
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id"""),
+            ("heads", f"""{_scored_ctes(T_MID)},
+rk AS (
+  SELECT d.lang AS g1, s.doc_id, s.score_x1e6,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score_x1e6 DESC, s.doc_id ASC) AS rk
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT g1, CAST(0 AS BIGINT) AS g2, doc_id AS id, score_x1e6,
+  CAST(1 AS BIGINT) AS rn
+FROM rk WHERE rk = 1"""),
+            # LongRangeFactory.getRange: min=200 width=300 max=1100,
+            # catch-alls [LONG_MIN,200) and [1100,LONG_MAX)
+            ("lrange", f"""{_scored_ctes(T_MID)},
+bk AS (
+  SELECT s.doc_id, s.score_x1e6,
+    CASE WHEN d.n_chars < 200 THEN (-9223372036854775807 - 1)
+         WHEN d.n_chars >= 1100 THEN 1100
+         ELSE 200 + ((d.n_chars - 200) // 300) * 300 END AS grp_lo,
+    CASE WHEN d.n_chars < 200 THEN 200
+         WHEN d.n_chars >= 1100 THEN 9223372036854775807
+         ELSE 500 + ((d.n_chars - 200) // 300) * 300 END AS grp_hi
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY grp_lo
+            ORDER BY score_x1e6 DESC, doc_id ASC) AS rn FROM bk)
+SELECT CAST(grp_lo AS VARCHAR) AS g1, CAST(grp_hi AS BIGINT) AS g2,
+  doc_id AS id, score_x1e6, rn
+FROM rk WHERE rn <= 2"""),
+            ("vsrc", f"""{_scored_ctes(T_MID)},
+rk AS (
+  SELECT d.n_chars % 7 AS grp, s.doc_id, s.score_x1e6,
+         row_number() OVER (PARTITION BY d.n_chars % 7
+                            ORDER BY s.score_x1e6 DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT CAST(grp AS VARCHAR) AS g1, CAST(0 AS BIGINT) AS g2,
+  doc_id AS id, score_x1e6, rn
+FROM rk WHERE rn <= 2"""),
+            ("block", """WITH ch AS (
+  SELECT l_orderkey AS blk, l_linenumber AS id,
+         CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS score_x1e6
+  FROM lineitem WHERE l_quantity >= 48),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY blk
+            ORDER BY score_x1e6 DESC, id ASC) AS rn FROM ch),
+kept AS (SELECT * FROM rk WHERE rn <= 2),
+tb AS (SELECT blk, score_x1e6 AS head FROM kept WHERE rn = 1
+       ORDER BY head DESC, blk ASC LIMIT 5),
+tbr AS (SELECT blk,
+        row_number() OVER (ORDER BY head DESC, blk ASC) AS grp_rank
+        FROM tb)
+SELECT CAST(k.blk AS VARCHAR) AS g1, CAST(t.grp_rank AS BIGINT) AS g2,
+  CAST(k.id AS BIGINT) AS id, k.score_x1e6, k.rn
+FROM kept k JOIN tbr t ON k.blk = t.blk"""),
         ]),
         "q_rrf": _sql_rrf(T_HOT, T_MID, 60, 10, 100),
         "q_rescore": f"""{_scored_ctes(T_MID)},
