@@ -2821,13 +2821,37 @@ def gate_queries() -> dict[str, object]:
             "term", F.col("score_x1e6").cast("int").alias("distance"),
             "doc_freq",
         )
+        # FSTCompletionLookup (bucketed weights, exactFirst) and
+        # WFSTCompletionLookup (exact weights) over the term-stats
+        # dictionary; bucket / weight ride the doc_freq slot
+        from lucene_spark.search.suggesters import (
+            fst_completion_build,
+            fst_completion_lookup,
+            wfst_lookup,
+        )
+
+        ent = (
+            r.term_stats_df()
+            .filter(F.col("field") == FIELD)
+            .select("term", F.col("doc_freq").cast("long").alias("weight"))
+        )
+        fstc = fst_completion_lookup(
+            fst_completion_build(ent, buckets=10), "data", num=5,
+        ).select(
+            "term", F.lit(0).cast("int").alias("distance"),
+            F.col("bucket").cast("long").alias("doc_freq"),
+        )
+        wfst = wfst_lookup(ent, "data", num=5).select(
+            "term", F.lit(0).cast("int").alias("distance"),
+            F.col("weight").cast("long").alias("doc_freq"),
+        )
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
             ("wordcombine", wc), ("analyzing", anz), ("fuzzy", fz),
             ("docdict", dd), ("cqpfx", cqp), ("cqrgx", cqr),
             ("cqfzy", cqf), ("cqctx", cqc), ("spell_jw", sjw),
-            ("blended", blen),
+            ("blended", blen), ("fstc", fstc), ("wfst", wfst),
         ]
         out = None
         for tag, df in parts:
@@ -4503,6 +4527,28 @@ sc AS (
 )
 SELECT surface AS term, CAST(0 AS INT) AS distance, score AS doc_freq
 FROM sc ORDER BY score DESC, term ASC LIMIT 5"""),
+        # FSTCompletionLookup: bucket(w) = (#strictly-smaller * 10)
+        # div n; exactFirst promotes 'data'; bucket rides doc_freq
+        ("fstc", f"""WITH {_TOKS},
+entries AS (SELECT tok AS term, count(DISTINCT doc_id) AS weight
+            FROM toks GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM entries),
+wc AS (SELECT weight, count(*) AS c FROM entries GROUP BY weight),
+cum AS (SELECT weight, COALESCE(SUM(c) OVER (ORDER BY weight
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt
+        FROM wc),
+bk AS (SELECT e.term, (c.cnt_lt * 10) // nn.n AS bucket
+       FROM entries e JOIN cum c ON e.weight = c.weight CROSS JOIN nn)
+SELECT term, CAST(0 AS INT) AS distance, CAST(bucket AS BIGINT) AS doc_freq
+FROM bk WHERE term LIKE 'data%'
+ORDER BY (term = 'data') DESC, bucket DESC, term ASC LIMIT 5"""),
+        # WFSTCompletionLookup: exact weights, weight-desc
+        ("wfst", f"""WITH {_TOKS},
+entries AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT)
+            AS weight FROM toks GROUP BY tok)
+SELECT term, CAST(0 AS INT) AS distance, weight AS doc_freq
+FROM entries WHERE term LIKE 'data%'
+ORDER BY (term = 'data') DESC, weight DESC, term ASC LIMIT 5"""),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}

@@ -224,3 +224,70 @@ def blended_infix_suggest(
         .orderBy(F.col("score").desc(), F.col("surface").asc())
         .limit(k)
     )
+
+
+def fst_completion_build(
+    entries: DataFrame, buckets: int = 10
+) -> DataFrame:
+    """FSTCompletionLookup.build (suggest/fst/FSTCompletionLookup.java:
+    185-240): weights are DISCRETIZED — entries sorted by weight
+    ascending, bucket = line * buckets / count, with equal weights
+    sharing the bucket of their run's first line. That per-line rule
+    collapses to a per-weight value: bucket(w) = (count of entries with
+    strictly smaller weight) * buckets div n — which is how it's
+    computed here without a global sort. Shape: one weight-histogram
+    groupBy (the only shuffle over the dictionary), a cumulative window
+    over the tiny distinct-weight table, and a broadcast join back.
+    ``entries`` = (term, weight) -> adds ``bucket``."""
+    from pyspark.sql.window import Window
+
+    n = entries.count()
+    if n == 0:
+        return entries.withColumn("bucket", F.lit(0).cast("long"))
+    wc = entries.groupBy("weight").agg(F.count("*").alias("c"))
+    w = Window.orderBy("weight").rowsBetween(Window.unboundedPreceding, -1)
+    cum = wc.withColumn(
+        "cnt_lt", F.coalesce(F.sum("c").over(w), F.lit(0))
+    ).select(
+        "weight",
+        F.expr(f"(cnt_lt * {int(buckets)}) div {int(n)}")
+        .cast("long")
+        .alias("bucket"),
+    )
+    return entries.join(F.broadcast(cum), "weight").select(
+        "term", "weight", "bucket"
+    )
+
+
+def fst_completion_lookup(
+    built: DataFrame, key: str, num: int = 5, exact_first: bool = True
+) -> DataFrame:
+    """FSTCompletion.lookup (suggest/fst/FSTCompletion.java:148-199,
+    higher-weights-first mode): prefix matches ordered by bucket
+    descending, then alphabetically within a bucket (the FST walk is
+    lexicographic per root arc); ``exact_first`` promotes the exact
+    key to the top across buckets (checkExistingAndReorder).
+    -> (term, bucket)."""
+    m = built.filter(F.col("term").startswith(key))
+    order = [F.col("bucket").desc(), F.col("term").asc()]
+    if exact_first:
+        order = [(F.col("term") == key).desc()] + order
+    return m.select("term", "bucket").orderBy(*order).limit(num)
+
+
+def wfst_lookup(
+    entries: DataFrame, key: str, num: int = 5, exact_first: bool = True
+) -> DataFrame:
+    """WFSTCompletionLookup.lookup (suggest/fst/WFSTCompletionLookup.
+    java:151-214): EXACT long weights (no discretization — the class
+    doc's stated contrast with FSTCompletionLookup), results by weight
+    descending via shortest-path over cost = MAX - weight, ties broken
+    by the lexicographic order of the remaining suffix; ``exact_first``
+    pops the exact key first. TSTLookup and the deprecated
+    JaspellLookup share this exact-weight contract and are subsumed by
+    the same scan. -> (term, weight)."""
+    m = entries.filter(F.col("term").startswith(key))
+    order = [F.col("weight").desc(), F.col("term").asc()]
+    if exact_first:
+        order = [(F.col("term") == key).desc()] + order
+    return m.select("term", "weight").orderBy(*order).limit(num)
