@@ -1802,6 +1802,44 @@ def gate_queries() -> dict[str, object]:
             .unionByName(blk)
         )
 
+    def q_ip_point(spark, sf):
+        # InetAddressPoint + BigIntegerPoint (core/document/
+        # InetAddressPoint.java, sandbox/document/BigIntegerPoint.java):
+        # deterministic per-doc values (ip = 10.<doc_id bytes>, big =
+        # (doc_id-300)*9999991) queried through the sortable-hex point
+        # encodings; the oracle recomputes membership arithmetically
+        from lucene_spark.search import ippoint as ipp
+
+        d = _docs(spark, sf).select("doc_id").withColumn(
+            "ipstr",
+            F.format_string(
+                "10.%d.%d.%d",
+                F.expr("shiftright(doc_id, 16) % 256"),
+                F.expr("shiftright(doc_id, 8) % 256"),
+                F.expr("doc_id % 256"),
+            ),
+        ).withColumn("bigv", F.expr("(doc_id - 300) * 9999991"))
+        iph = ipp.ipv4_hex_column(F.col("ipstr"))
+        bh = ipp.bigint_hex_column(F.col("bigv"))
+        parts = [
+            ("ipx", ipp.ip_exact(iph, "10.0.0.57")),
+            ("ipr", ipp.ip_range(iph, "10.0.0.100", "10.0.1.44")),
+            ("cidr", ipp.ip_prefix(iph, "10.0.1.7", 24)),
+            ("ipset", ipp.ip_set(
+                iph, ["10.0.0.5", "10.0.2.77", "8.8.8.8"])),
+            ("bx", ipp.bigint_exact(bh, (123 - 300) * 9999991)),
+            ("br", ipp.bigint_range(bh, -(10**9), 10**9)),
+            ("bs", ipp.bigint_set(
+                bh, [(7 - 300) * 9999991, 0, (4000 - 300) * 9999991])),
+        ]
+        out = None
+        for tag, cond in parts:
+            t = d.filter(cond).select(
+                F.lit(tag).alias("tag"), "doc_id"
+            )
+            out = t if out is None else out.unionByName(t)
+        return out
+
     def q_rrf(spark, sf):
         r = ensure_index(spark, sf)
         return sp.rrf_topk(r, FIELD, T_HOT, T_MID, kconst=60, k=10, depth=100)
@@ -3248,6 +3286,7 @@ def gate_queries() -> dict[str, object]:
         "q_range_facet": q_range_facet,
         "q_grouped_topk": q_grouped_topk,
         "q_grouping_suite": q_grouping_suite,
+        "q_ip_point": q_ip_point,
         "q_rrf": q_rrf,
         "q_function_suite": q_function_suite,
         "q_block_join": q_block_join,
@@ -3338,6 +3377,26 @@ ranked AS (
 )
 SELECT grp, doc_id, score_x1e6, 1 AS rn FROM ranked
 WHERE rk <= 1 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 5"""),
+        ]),
+        # ip/bigint points: membership recomputed arithmetically
+        # (ip is doc_id's low 24 bits under the fixed 10/8 first octet)
+        "q_ip_point": _sql_tagged_flat([
+            ("ipx", "SELECT doc_id FROM documents "
+                    "WHERE doc_id % 16777216 = 57"),
+            ("ipr", "SELECT doc_id FROM documents "
+                    "WHERE doc_id % 16777216 BETWEEN 100 AND 300"),
+            ("cidr", "SELECT doc_id FROM documents "
+                     "WHERE doc_id % 16777216 BETWEEN 256 AND 511"),
+            ("ipset", "SELECT doc_id FROM documents "
+                      "WHERE doc_id % 16777216 IN (5, 589)"),
+            ("bx", "SELECT doc_id FROM documents "
+                   "WHERE (doc_id - 300) * 9999991 = -1769998407"),
+            ("br", "SELECT doc_id FROM documents WHERE "
+                   "(doc_id - 300) * 9999991 "
+                   "BETWEEN -1000000000 AND 1000000000"),
+            ("bs", "SELECT doc_id FROM documents WHERE "
+                   "(doc_id - 300) * 9999991 IN "
+                   "(-2929997363, 0, 36999966700)"),
         ]),
         # grouping-module completion, shared (g1,g2,id,score_x1e6,rn)
         "q_grouping_suite": _sql_tagged_flat([
