@@ -161,6 +161,57 @@ def _required_term_sets(q: Q.Query, passes: int) -> list[set[str]]:
     return [one] if one else []
 
 
+def decompose(q: Q.Query) -> list[Q.Query]:
+    """QueryDecomposer (monitor/QueryDecomposer.java:42-117): split a
+    top-level disjunction into separately-fingerprinted subqueries so
+    the presearcher prunes each arm independently. Boolean: SHOULD arms
+    decompose when minShouldMatch <= 1 and there is no MUST/FILTER
+    beside them; a single MUST with no SHOULD decomposes the MUST;
+    MUST_NOT clauses are re-attached to every decomposed arm. DisMax
+    decomposes every disjunct; a boost re-wraps each part."""
+    if isinstance(q, Q.BoostQuery):
+        subs = decompose(q.query)
+        if q.boost == 1.0:
+            return subs
+        return [Q.BoostQuery(s, q.boost) for s in subs]
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        out: list[Q.Query] = []
+        for s in q.queries:
+            out.extend(decompose(s))
+        return out
+    if isinstance(q, Q.BooleanQuery):
+        if q.min_should > 1:
+            return [q]
+        mandatory = list(q.must) + list(q.filter)
+        subs: list[Q.Query] = []
+        for s in q.should:
+            subs.extend(decompose(s))
+        if len(mandatory) > 1 or (mandatory and subs):
+            return [q]
+        if len(mandatory) == 1:
+            subs.extend(decompose(mandatory[0]))
+        if not q.must_not:
+            return subs
+        return [
+            Q.BooleanQuery(must=(s,), must_not=tuple(q.must_not))
+            for s in subs
+        ]
+    return [q]
+
+
+def _regexp_static_substring(pattern: str) -> str:
+    """RegexpQueryHandler.selectLongestSubstring (RegexpQueryHandler.
+    java:136-144): the longest run of the pattern with no '.', '*' or
+    optional ('X?') operators — a substring every match must contain."""
+    import re as _re
+
+    selected = ""
+    for sub in _re.split(r"\.|\*|.\?", pattern):
+        if len(sub) > len(selected):
+            selected = sub
+    return selected
+
+
 def _within_edits(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein <= k (the LevenshteinAutomata acceptance
     test, k <= 2 in practice so the band is tiny)."""
@@ -251,25 +302,56 @@ def _matches(q: Q.Query, toks: list[str], tokset: set[str]) -> bool:
     raise TypeError(f"unsupported standing query {type(q).__name__}")
 
 
-def _candidates(tokset, prefilter, need, always):
-    """A doc's candidate query ids: every pass set must intersect."""
-    seen: dict[str, set[int]] = {}
+def _candidates(tokset, pre):
+    """A doc's candidate query ids. Keys in the prefilter are
+    (query_id, subquery_index) — with decomposition a query is a
+    candidate when ANY of its decomposed arms has EVERY pass set
+    intersected. Regexp arms (RegexpQueryHandler role) are candidates
+    when some doc token CONTAINS the pattern's longest static
+    substring, or some token exceeds max_token_size (the reference's
+    __WILDCARD__ any-token: SuffixingNGramTokenFilter emits it for
+    over-long tokens and every regexp query tree accepts it)."""
+    prefilter, need, always, re_filters, max_tok = pre
+    seen: dict[tuple[str, int], set[int]] = {}
     for t in tokset:
-        for qid, i in prefilter.get(t, ()):
-            seen.setdefault(qid, set()).add(i)
+        for key, i in prefilter.get(t, ()):
+            seen.setdefault(key, set()).add(i)
     out = set(always)
-    for qid, ps in seen.items():
-        if len(ps) == need[qid]:
-            out.add(qid)
+    for key, ps in seen.items():
+        if len(ps) == need[key]:
+            out.add(key[0])
+    if re_filters:
+        has_long = any(len(t) > max_tok for t in tokset)
+        for (qid, _j), sel in re_filters.items():
+            if qid in out:
+                continue
+            if has_long or any(
+                sel in t for t in tokset if len(t) <= max_tok
+            ):
+                out.add(qid)
     return out
 
 
 class Monitor:
     """Standing-query registry + batch/stream matcher."""
 
-    def __init__(self, analyzer: str = "standard", passes: int = 1):
+    def __init__(
+        self,
+        analyzer: str = "standard",
+        passes: int = 1,
+        decompose_queries: bool = True,
+        regexp_ngrams: bool = False,
+        max_token_size: int = 30,
+    ):
         self.analyzer_name = analyzer
         self.passes = passes
+        # QueryDecomposer (decompose() above): on by default, as the
+        # reference Monitor's default MonitorQuerySerializer path
+        self.decompose_queries = decompose_queries
+        # RegexpQueryHandler: fingerprint regexp arms by their longest
+        # static substring instead of always-candidate
+        self.regexp_ngrams = regexp_ngrams
+        self.max_token_size = max_token_size
         self.queries: dict[str, Q.Query] = {}
 
     def register(self, query_id: str, q: Q.Query | str, default_field: str = "content") -> None:
@@ -280,32 +362,43 @@ class Monitor:
         self.queries[query_id] = Q.rewrite_fixpoint(q)
 
     def _presearcher(self, queries: dict):
-        """term -> {(query_id, pass_index)} + per-query pass count +
-        the always-candidate set (TermFilteredPresearcher role; with
-        self.passes > 1 the MultipassTermFilteredPresearcher role — a
-        doc is a candidate only if its tokens hit EVERY pass set, so a
-        conjunction/phrase over k terms needs all of them present
-        instead of any one)."""
-        prefilter: dict[str, set[tuple[str, int]]] = {}
-        need: dict[str, int] = {}
+        """term -> {((query_id, sub_idx), pass_index)} + per-arm pass
+        count + the always-candidate set (TermFilteredPresearcher role;
+        with self.passes > 1 the MultipassTermFilteredPresearcher role
+        — a doc is a candidate only if its tokens hit EVERY pass set).
+        Queries are first split by the QueryDecomposer so each
+        disjunction arm gets its own selective fingerprint; regexp arms
+        go to the RegexpQueryHandler substring filter when enabled.
+        Matching always evaluates the FULL parent query, so candidates
+        only need recall 1.0, never precision."""
+        prefilter: dict[str, set[tuple[tuple[str, int], int]]] = {}
+        need: dict[tuple[str, int], int] = {}
         always: set[str] = set()
+        re_filters: dict[tuple[str, int], str] = {}
         for qid, q in queries.items():
-            sets = _required_term_sets(q, self.passes)
-            if not sets:
-                always.add(qid)
-                continue
-            need[qid] = len(sets)
-            for i, ts in enumerate(sets):
-                for t in ts:
-                    prefilter.setdefault(t, set()).add((qid, i))
-        return prefilter, need, always
+            subs = decompose(q) if self.decompose_queries else [q]
+            for j, sub in enumerate(subs):
+                if self.regexp_ngrams and isinstance(sub, Q.RegexpQuery):
+                    sel = _regexp_static_substring(sub.regexp)
+                    if sel:
+                        re_filters[(qid, j)] = sel
+                        continue
+                sets = _required_term_sets(sub, self.passes)
+                if not sets:
+                    always.add(qid)
+                    continue
+                need[(qid, j)] = len(sets)
+                for i, ts in enumerate(sets):
+                    for t in ts:
+                        prefilter.setdefault(t, set()).add(((qid, j), i))
+        return prefilter, need, always, re_filters, self.max_token_size
 
     def match_df(self, docs: DataFrame, content_col: str = "content") -> DataFrame:
         """-> (doc_id, query_id) for every (live doc, matching standing
         query) pair. Same code path for batch and streaming inputs."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, need, always = self._presearcher(queries)
+        pre = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             an = get_analyzer(analyzer_name)
@@ -314,7 +407,7 @@ class Monitor:
                 tok_series = an.tokenize(pdf[content_col])
                 for did, toks in zip(pdf["doc_id"], tok_series):
                     tokset = set(toks)
-                    cands = _candidates(tokset, prefilter, need, always)
+                    cands = _candidates(tokset, pre)
                     for qid in sorted(cands):
                         if _matches(queries[qid], toks, tokset):
                             rows.append((int(did), qid))
@@ -343,7 +436,7 @@ class Monitor:
         broadcast term->query map; no shuffle, no driver state."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, need, always = self._presearcher(queries)
+        pre = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lucene_spark.memory import MemoryIndex
@@ -355,7 +448,7 @@ class Monitor:
                 for did, text, toks in zip(
                     pdf["doc_id"], pdf[content_col], tok_series
                 ):
-                    cands = _candidates(set(toks), prefilter, need, always)
+                    cands = _candidates(set(toks), pre)
                     if not cands:
                         continue
                     mi = MemoryIndex(analyzer_name)
@@ -384,7 +477,7 @@ class Monitor:
         track offsets. -> (doc_id, query_id, term, start, end)."""
         queries = dict(self.queries)
         analyzer_name = self.analyzer_name
-        prefilter, need, always = self._presearcher(queries)
+        pre = self._presearcher(queries)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from lucene_spark.memory import MemoryIndex
@@ -396,7 +489,7 @@ class Monitor:
                 for did, text, toks in zip(
                     pdf["doc_id"], pdf[content_col], tok_series
                 ):
-                    cands = _candidates(set(toks), prefilter, need, always)
+                    cands = _candidates(set(toks), pre)
                     if not cands:
                         continue
                     mi = MemoryIndex(analyzer_name)

@@ -280,7 +280,7 @@ def test_multipass_prunes_candidates_keeps_matches(spark):
         results[passes] = sorted(
             (r["doc_id"], r["query_id"]) for r in m.match_df(docs).collect()
         )
-        prefilter, need, always = m._presearcher(m.queries)
+        pre = m._presearcher(m.queries)
         an_toks = [
             set(t.split()) for t in [
                 "spark table scan", "fast cars on the road",
@@ -288,7 +288,7 @@ def test_multipass_prunes_candidates_keeps_matches(spark):
             ]
         ]
         cand_counts[passes] = sum(
-            len(_candidates(ts, prefilter, need, always)) for ts in an_toks
+            len(_candidates(ts, pre)) for ts in an_toks
         )
     assert results[1] == results[2] == [(2, "p")]
     assert cand_counts[2] < cand_counts[1]  # 2 docs vs 3 docs admitted
