@@ -1840,6 +1840,48 @@ def gate_queries() -> dict[str, object]:
             out = t if out is None else out.unionByName(t)
         return out
 
+    def q_datetools(spark, sf):
+        # DateTools (core/document/DateTools.java): resolution-truncated
+        # sortable date strings over the events timeline — encode,
+        # per-month counts, mixed-resolution range, round
+        from lucene_spark.util import datetools as DT
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        enc = ev.select(
+            "event_id",
+            DT.date_to_string_column(F.col("ts"), "millisecond").alias("e"),
+        )
+        encd = enc.filter(F.col("event_id") < 20).select(
+            F.lit("encd").alias("tag"),
+            F.col("event_id").cast("long").alias("id"),
+            F.col("e").alias("val"),
+        )
+        mon = (
+            ev.select(
+                DT.date_to_string_column(F.col("ts"), "month").alias("m")
+            )
+            .groupBy("m")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.lit("mon").alias("tag"),
+                F.col("c").cast("long").alias("id"),
+                F.col("m").alias("val"),
+            )
+        )
+        rng = enc.filter(
+            DT.date_range(F.col("e"), "20240115", "202401")
+        ).select(
+            F.lit("rng").alias("tag"),
+            F.col("event_id").cast("long").alias("id"),
+            F.lit("").alias("val"),
+        )
+        rnd = ev.filter(F.col("event_id") < 10).select(
+            F.lit("rnd").alias("tag"),
+            F.col("event_id").cast("long").alias("id"),
+            DT.round_column(F.col("ts"), "hour").cast("string").alias("val"),
+        )
+        return encd.unionByName(mon).unionByName(rng).unionByName(rnd)
+
     def q_rrf(spark, sf):
         r = ensure_index(spark, sf)
         return sp.rrf_topk(r, FIELD, T_HOT, T_MID, kconst=60, k=10, depth=100)
@@ -3287,6 +3329,7 @@ def gate_queries() -> dict[str, object]:
         "q_grouped_topk": q_grouped_topk,
         "q_grouping_suite": q_grouping_suite,
         "q_ip_point": q_ip_point,
+        "q_datetools": q_datetools,
         "q_rrf": q_rrf,
         "q_function_suite": q_function_suite,
         "q_block_join": q_block_join,
@@ -3397,6 +3440,23 @@ WHERE rk <= 1 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 5"""),
             ("bs", "SELECT doc_id FROM documents WHERE "
                    "(doc_id - 300) * 9999991 IN "
                    "(-2929997363, 0, 36999966700)"),
+        ]),
+        # DateTools: encode / per-month counts / mixed-resolution
+        # range (day lo, month hi extends with '9' padding) / round
+        "q_datetools": _sql_tagged_flat([
+            ("encd", "SELECT CAST(event_id AS BIGINT) AS id, "
+                     "strftime(ts, '%Y%m%d%H%M%S%g') AS val "
+                     "FROM events WHERE event_id < 20"),
+            ("mon", "SELECT CAST(count(*) AS BIGINT) AS id, "
+                    "strftime(ts, '%Y%m') AS val FROM events "
+                    "GROUP BY strftime(ts, '%Y%m')"),
+            ("rng", "SELECT CAST(event_id AS BIGINT) AS id, '' AS val "
+                    "FROM events WHERE ts >= TIMESTAMP '2024-01-15' "
+                    "AND ts < TIMESTAMP '2024-02-01'"),
+            ("rnd", "SELECT CAST(event_id AS BIGINT) AS id, "
+                    "strftime(date_trunc('hour', ts), "
+                    "'%Y-%m-%d %H:%M:%S') AS val "
+                    "FROM events WHERE event_id < 10"),
         ]),
         # grouping-module completion, shared (g1,g2,id,score_x1e6,rn)
         "q_grouping_suite": _sql_tagged_flat([
