@@ -87,6 +87,12 @@ class FilteredAnalyzer(Analyzer):
                 raise NotImplementedError(
                     f"{self.name}: {type(f).__name__} cannot track offsets"
                 )
+            hook = getattr(f, "apply_with_offsets", None)
+            if hook is not None:
+                # offset-aware stream filters (FixBrokenOffsets, limit-by-
+                # offset) rewrite the (token, start, end) triples directly
+                toks, starts, ends = hook(toks, starts, ends)
+                continue
             ot, os_, oe = [], [], []
             # per-token application == batch application for offsets_safe
             # filters (stateless); outputs inherit the source span (the

@@ -71,6 +71,15 @@ from lucene_spark.analysis.filters import (
 
 __all__ = [
     "ApostropheFilter",
+    "CodepointCountFilter",
+    "ConditionalTokenFilter",
+    "DateRecognizerFilter",
+    "FixBrokenOffsetsFilter",
+    "LimitTokenOffsetFilter",
+    "LimitTokenPositionFilter",
+    "ProtectedTermFilter",
+    "TypeAsSynonymStandardAnalyzer",
+    "TypeTokenStandardAnalyzer",
     "CasePreservingStandardAnalyzer",
     "CommonGramsFilter",
     "CommonGramsQueryFilter",
@@ -670,3 +679,236 @@ register_analyzer(
         "icu_normalized",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# Pack 4 — stream-shape / gating filters
+# (miscellaneous/CodepointCountFilter.java, DateRecognizerFilter.java,
+#  LimitTokenOffsetFilter.java, LimitTokenPositionFilter.java,
+#  ConditionalTokenFilter.java, ProtectedTermFilter.java,
+#  FixBrokenOffsetsFilter.java, core/TypeTokenFilter.java,
+#  miscellaneous/TypeAsSynonymFilter.java)
+# --------------------------------------------------------------------------
+
+
+class CodepointCountFilter(TokenFilter):
+    """Drop tokens whose codepoint count is outside [min, max]
+    (miscellaneous/CodepointCountFilter.java:28-71 — length counted in
+    Unicode codepoints, unlike LengthFilter's UTF-16 units; Python str
+    length is already codepoints, so no surrogate arithmetic needed).
+    Argument validation mirrors the reference constructor."""
+
+    def __init__(self, min_len: int, max_len: int):
+        if min_len < 0:
+            raise ValueError("minimum length must be greater than or equal to zero")
+        if min_len > max_len:
+            raise ValueError("maximum length must not be greater than minimum length")
+        self.min_len = min_len
+        self.max_len = max_len
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t for t in tokens if self.min_len <= len(t) <= self.max_len]
+
+
+class DateRecognizerFilter(TokenFilter):
+    """Keep only tokens that parse as dates
+    (miscellaneous/DateRecognizerFilter.java:27-63 — FilteringTokenFilter
+    whose accept() is dateFormat.parse() success; reference default is
+    DateFormat.DEFAULT/Locale.ENGLISH i.e. 'MMM d, yyyy'). Our analog
+    takes strptime formats; a token is kept when ANY format parses the
+    whole token. Default formats cover the reference default's
+    no-whitespace forms plus ISO dates (tokens that reach a filter have
+    already been split on spaces by the tokenizer)."""
+
+    def __init__(self, date_formats: tuple[str, ...] = ("%Y-%m-%d", "%m/%d/%Y", "%m/%d/%y")):
+        self.date_formats = tuple(date_formats)
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        import datetime as _dt
+
+        out = []
+        for t in tokens:
+            for fmt in self.date_formats:
+                try:
+                    _dt.datetime.strptime(t, fmt)
+                    out.append(t)
+                    break
+                except ValueError:
+                    pass
+        return out
+
+
+class LimitTokenPositionFilter(TokenFilter):
+    """Emit only tokens whose position is <= max_token_position, then end
+    the stream (miscellaneous/LimitTokenPositionFilter.java:42-100; first
+    token has position 1). In the flat batch chain position == ordinal —
+    exact for gap-free chains (StandardAnalyzer's default stop set is
+    empty); chains that need stop-gap positions should apply the limit
+    before the stop filter, mirroring the reference's factory order
+    advice. consumeAllTokens only changes laziness, not output, so it has
+    no batch analog."""
+
+    def __init__(self, max_token_position: int):
+        if max_token_position < 1:
+            raise ValueError("maxTokenPosition must be greater than zero")
+        self.max_token_position = max_token_position
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return tokens[: self.max_token_position]
+
+
+class ConditionalTokenFilter(TokenFilter):
+    """Apply the wrapped filter only to tokens for which predicate(token)
+    is True; other tokens pass through untouched
+    (miscellaneous/ConditionalTokenFilter.java:35-90 — shouldFilter()
+    routes each token either through the wrapped chain or around it).
+    Batch analog routes each selected token through inner.apply([t]),
+    which is exactly equivalent for the per-token filters (stemmers,
+    foldings) the reference wraps; stream-stateful inners (shingles)
+    are rejected via offsets_safe."""
+
+    def __init__(self, predicate, inner: TokenFilter):
+        if not inner.offsets_safe:
+            raise ValueError(
+                "ConditionalTokenFilter requires a per-token inner filter"
+            )
+        self.predicate = predicate
+        self.inner = inner
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in tokens:
+            if self.predicate(t):
+                out.extend(self.inner.apply([t]))
+            else:
+                out.append(t)
+        return out
+
+
+class ProtectedTermFilter(ConditionalTokenFilter):
+    """ConditionalTokenFilter that skips the wrapped filter for terms in
+    a protected set (miscellaneous/ProtectedTermFilter.java:30-55 —
+    shouldFilter() == term not in protectedTerms; the set is
+    ignore-case CharArraySet in the factory, so we casefold)."""
+
+    def __init__(self, protected_terms, inner: TokenFilter):
+        prot = frozenset(t.lower() for t in protected_terms)
+        super().__init__(lambda t: t.lower() not in prot, inner)
+        self.protected_terms = prot
+
+
+class FixBrokenOffsetsFilter(TokenFilter):
+    """Clamp offsets that illegally go backwards
+    (miscellaneous/FixBrokenOffsetsFilter.java:31-73: startOffset :=
+    max(startOffset, lastStartOffset); endOffset := max(endOffset,
+    startOffset)). Token text is untouched, so the plain path is the
+    identity; the offsets path rewrites the spans via the
+    apply_with_offsets hook."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return tokens
+
+    def apply_with_offsets(self, tokens, starts, ends):
+        out_s, out_e = [], []
+        last_start = 0
+        for s, e in zip(starts, ends):
+            if s < last_start:
+                s = last_start
+            if e < s:
+                e = s
+            out_s.append(s)
+            out_e.append(e)
+            last_start = s
+        return tokens, out_s, out_e
+
+
+class LimitTokenOffsetFilter(TokenFilter):
+    """Pass tokens until one has start offset > max_start_offset; that
+    token and everything after it is dropped and the stream ends
+    (miscellaneous/LimitTokenOffsetFilter.java:27-75). Offsets-only by
+    nature; the plain path raises like any offset-requiring chain."""
+
+    def __init__(self, max_start_offset: int):
+        if max_start_offset < 0:
+            raise ValueError("maxStartOffset must be >= zero")
+        self.max_start_offset = max_start_offset
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        raise NotImplementedError(
+            "LimitTokenOffsetFilter needs offsets; use an offsets-capable chain"
+        )
+
+    def apply_with_offsets(self, tokens, starts, ends):
+        n = len(tokens)
+        for i, s in enumerate(starts):
+            if s > self.max_start_offset:
+                n = i
+                break
+        return tokens[:n], starts[:n], ends[:n]
+
+
+class TypeTokenStandardAnalyzer(Analyzer):
+    """StandardTokenizer -> TypeTokenFilter -> LowerCase
+    (core/TypeTokenFilter.java:25-59: accept() == useWhiteList ==
+    stopTypes.contains(type)). Types are the StandardTokenizer type
+    strings ('<ALPHANUM>', '<NUM>', ... — uax29.TOKEN_TYPES). The type
+    attribute lives on the tokenizer, so this is an analyzer, not a
+    list-filter: the flat chain drops types after tokenization."""
+
+    def __init__(self, stop_types, use_whitelist: bool = False):
+        self.stop_types = frozenset(stop_types)
+        self.use_whitelist = use_whitelist
+        self.name = "type_token"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        out = []
+        for s, e, ttype in uax29.scan(text):
+            if (uax29.TOKEN_TYPES[ttype] in self.stop_types) == self.use_whitelist:
+                out.append(text[s:e].lower())
+        return out
+
+    def tokenize_with_offsets_one(self, text: str):
+        toks, starts, ends = [], [], []
+        for s, e, ttype in uax29.scan(text):
+            if (uax29.TOKEN_TYPES[ttype] in self.stop_types) == self.use_whitelist:
+                toks.append(text[s:e].lower())
+                starts.append(s)
+                ends.append(e)
+        return toks, starts, ends
+
+
+class TypeAsSynonymStandardAnalyzer(Analyzer):
+    """StandardTokenizer -> TypeAsSynonymFilter -> LowerCase
+    (miscellaneous/TypeAsSynonymFilter.java:35-120: after each token,
+    emit its type string — optionally prefixed — as a synonym at the
+    same position, unless the type is in the ignore set). Flat-stream
+    analog emits the synonym right after its token (posInc-0 adjacency,
+    same span), matching how the flat chain already represents
+    KeywordRepeat-style stacked tokens."""
+
+    def __init__(self, prefix: str = "", ignore=frozenset()):
+        self.prefix = prefix
+        self.ignore = frozenset(ignore)
+        self.name = "type_as_synonym"
+
+    def tokenize_one(self, text: str) -> list[str]:
+        out = []
+        for s, e, ttype in uax29.scan(text):
+            tname = uax29.TOKEN_TYPES[ttype]
+            out.append(text[s:e].lower())
+            if tname not in self.ignore:
+                out.append(self.prefix + tname)
+        return out
+
+    def tokenize_with_offsets_one(self, text: str):
+        toks, starts, ends = [], [], []
+        for s, e, ttype in uax29.scan(text):
+            tname = uax29.TOKEN_TYPES[ttype]
+            toks.append(text[s:e].lower())
+            starts.append(s)
+            ends.append(e)
+            if tname not in self.ignore:
+                toks.append(self.prefix + tname)
+                starts.append(s)
+                ends.append(e)
+        return toks, starts, ends

@@ -368,3 +368,129 @@ def test_icu_normalized_analyzer_chain(spark):
     ]
     # plain ASCII unchanged vs the standard chain
     assert a.tokenize_one("Hello World 42") == ["hello", "world", "42"]
+
+
+# --- Pack 4: stream-shape / gating filters ---------------------------------
+
+
+def test_codepoint_count_filter():
+    # TestCodepointCountFilter.java testFilterWithPosIncr: WhitespaceTok
+    # ("short toolong evenmuchlongertext a") min=2 max=6 -> short, a? no:
+    # a has 1 codepoint < 2 -> only "short" survives of those out of range
+    from lucene_spark.analysis.misc import CodepointCountFilter
+
+    f = CodepointCountFilter(2, 6)
+    assert f.apply("short toolong evenmuchlongertext a".split()) == ["short"]
+    # supplementary characters count as ONE codepoint (the filter's whole
+    # point vs LengthFilter's UTF-16 units)
+    g = CodepointCountFilter(1, 2)
+    assert g.apply(["\U0001D11E", "\U0001D11Ex", "\U0001D11Exy"]) == [
+        "\U0001D11E", "\U0001D11Ex",
+    ]
+    with pytest.raises(ValueError):
+        CodepointCountFilter(-1, 5)
+    with pytest.raises(ValueError):
+        CodepointCountFilter(4, 3)
+
+
+def test_date_recognizer_filter():
+    # TestDateRecognizerFilter.java: only date-parseable tokens survive
+    from lucene_spark.analysis.misc import DateRecognizerFilter
+
+    f = DateRecognizerFilter()
+    toks = "the following dates 2018-01-04 and 01/04/2018 were important".split()
+    assert f.apply(toks) == ["2018-01-04", "01/04/2018"]
+    # non-dates in date-ish shapes rejected (month 13)
+    assert f.apply(["13/45/2020", "2020-13-01"]) == []
+    # custom format list
+    g = DateRecognizerFilter(("%d.%m.%Y",))
+    assert g.apply(["04.01.2018", "2018-01-04"]) == ["04.01.2018"]
+
+
+def test_limit_token_position_filter():
+    # TestLimitTokenPositionFilter.java: max=3 over "1 2 3 4 5" -> 1 2 3
+    from lucene_spark.analysis.misc import LimitTokenPositionFilter
+
+    f = LimitTokenPositionFilter(3)
+    assert f.apply(["1", "2", "3", "4", "5"]) == ["1", "2", "3"]
+    assert f.apply(["1"]) == ["1"]
+    with pytest.raises(ValueError):
+        LimitTokenPositionFilter(0)
+
+
+def test_conditional_and_protected_term_filter():
+    # TestProtectedTermFilter.java: Porter runs on everything except the
+    # protected set
+    from lucene_spark.analysis.misc import ConditionalTokenFilter, ProtectedTermFilter
+    from lucene_spark.analysis.filters import PorterStemFilter
+
+    f = ProtectedTermFilter(["running"], PorterStemFilter())
+    assert f.apply(["running", "jumping", "walks"]) == ["running", "jump", "walk"]
+    # ConditionalTokenFilter with a custom predicate: stem only >4-char terms
+    c = ConditionalTokenFilter(lambda t: len(t) > 4, PorterStemFilter())
+    assert c.apply(["cats", "running"]) == ["cats", "run"]
+
+
+def test_fix_broken_offsets_filter():
+    # FixBrokenOffsetsFilter.java fixOffsets(): backwards starts clamp to
+    # the previous start, ends clamp to their start
+    from lucene_spark.analysis.misc import FixBrokenOffsetsFilter
+
+    f = FixBrokenOffsetsFilter()
+    toks, starts, ends = f.apply_with_offsets(
+        ["a", "b", "c"], [5, 2, 9], [7, 1, 12]
+    )
+    assert toks == ["a", "b", "c"]
+    assert starts == [5, 5, 9]
+    assert ends == [7, 5, 12]
+
+
+def test_limit_token_offset_filter():
+    # TestLimitTokenOffsetFilter.java: max start offset 3 over
+    # "0 2 4 6 8 A C E" (whitespace offsets 0,2,4,...) -> "0 2"
+    from lucene_spark.analysis.misc import LimitTokenOffsetFilter
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+    from lucene_spark.analysis.analyzer import WhitespaceAnalyzer
+
+    a = FilteredAnalyzer(
+        WhitespaceAnalyzer(), [LimitTokenOffsetFilter(3)], "lim_off"
+    )
+    toks, starts, ends = a.tokenize_with_offsets_one("0 2 4 6 8 A C E")
+    assert toks == ["0", "2"]
+    assert starts == [0, 2]
+    with pytest.raises(ValueError):
+        LimitTokenOffsetFilter(-1)
+
+
+def test_type_token_standard_analyzer():
+    # TestTypeTokenFilter.java testStopPositons: numbers filtered out /
+    # whitelisted in
+    from lucene_spark.analysis.misc import TypeTokenStandardAnalyzer
+
+    text = "the 1 quick 22 fox 333 jumps"
+    block = TypeTokenStandardAnalyzer({"<NUM>"})
+    assert block.tokenize_one(text) == ["the", "quick", "fox", "jumps"]
+    allow = TypeTokenStandardAnalyzer({"<NUM>"}, use_whitelist=True)
+    assert allow.tokenize_one(text) == ["1", "22", "333"]
+    # offsets ride along
+    toks, starts, ends = allow.tokenize_with_offsets_one(text)
+    assert toks == ["1", "22", "333"]
+    assert starts == [4, 12, 19]
+
+
+def test_type_as_synonym_standard_analyzer():
+    # TestTypeAsSynonymFilter.java: type emitted at the same position,
+    # with prefix, ignore set respected
+    from lucene_spark.analysis.misc import TypeAsSynonymStandardAnalyzer
+
+    a = TypeAsSynonymStandardAnalyzer(prefix="_type_")
+    assert a.tokenize_one("foo 42") == [
+        "foo", "_type_<ALPHANUM>", "42", "_type_<NUM>",
+    ]
+    b = TypeAsSynonymStandardAnalyzer(prefix="_type_", ignore={"<ALPHANUM>"})
+    assert b.tokenize_one("foo 42") == ["foo", "42", "_type_<NUM>"]
+    # synonym inherits the source token's span
+    toks, starts, ends = a.tokenize_with_offsets_one("foo 42")
+    assert toks == ["foo", "_type_<ALPHANUM>", "42", "_type_<NUM>"]
+    assert starts == [0, 0, 4, 4]
+    assert ends == [3, 3, 6, 6]
