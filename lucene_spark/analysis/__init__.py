@@ -83,3 +83,7 @@ from lucene_spark.analysis.phonetic import (  # noqa: F401  (registers
     metaphone,
     nysiis,
 )
+from lucene_spark.analysis.classic import (  # noqa: F401  (registers
+    ClassicAnalyzer,  # classic / uax29_urlemail on import)
+    UAX29URLEmailAnalyzer,
+)
