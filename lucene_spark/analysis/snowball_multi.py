@@ -1,10 +1,14 @@
-"""Snowball Danish / Norwegian / Dutch stemmers (SURVEY.md §2.2
-analysis/common zoo — the snowball language pack beyond English).
+"""Snowball Danish / Norwegian / Dutch / Irish / Armenian / Nepali
+stemmers (SURVEY.md §2.2 analysis/common zoo — the snowball language
+pack beyond English).
 
 Reference contract: the generated stemmers
 ``analysis/common/src/java/org/tartarus/snowball/ext/DanishStemmer.java``,
-``NorwegianStemmer.java``, ``DutchStemmer.java`` (used by
-``analysis/common/.../da/DanishAnalyzer.java`` etc. via SnowballFilter).
+``NorwegianStemmer.java``, ``DutchStemmer.java``, ``IrishStemmer.java``,
+``ArmenianStemmer.java``, ``NepaliStemmer.java`` (used by
+``analysis/common/.../da/DanishAnalyzer.java``, ``ga/IrishAnalyzer.java``,
+``hy/ArmenianAnalyzer.java``, ``ne/NepaliAnalyzer.java`` etc. via
+SnowballFilter).
 These are mechanical compilations of the published Snowball algorithms
 (snowballstem.org); the Python below implements the published algorithms
 directly as suffix ladders — same idiom as the r3 light-stemmer pack,
@@ -29,7 +33,9 @@ from lucene_spark.analysis.filters import (
 
 __all__ = [
     "danish_stem", "norwegian_stem", "dutch_stem",
+    "irish_stem", "armenian_stem", "nepali_stem",
     "DanishStemFilter", "NorwegianStemFilter", "DutchStemFilter",
+    "IrishStemFilter", "ArmenianStemFilter", "NepaliStemFilter",
 ]
 
 
@@ -342,4 +348,285 @@ register_analyzer(
 register_analyzer(
     "dutch",
     lambda: FilteredAnalyzer(StandardAnalyzer(), [DutchStemFilter()], "dutch"),
+)
+
+
+# --------------------------------------------------------------------------
+# Irish (IrishStemmer.java; snowballstem.org/algorithms/irish) — used by
+# analysis/common/.../ga/IrishAnalyzer.java via SnowballFilter
+# --------------------------------------------------------------------------
+
+_GA_V = frozenset("aeiouáéíóú")
+
+# initial mutation/eclipsis prefixes: (prefix, replacement), longest first
+_GA_PREFIX = sorted(
+    [("b'", ""), ("bhf", "f"), ("bh", "b"), ("bp", "p"), ("ch", "c"),
+     ("d'fh", "f"), ("d'", ""), ("dh", "d"), ("dt", "t"), ("fh", "f"),
+     ("gc", "c"), ("gh", "g"), ("h-", ""), ("m'", ""), ("mb", "b"),
+     ("mh", "m"), ("n-", ""), ("nd", "d"), ("ng", "g"), ("ph", "p"),
+     ("sh", "s"), ("t-", ""), ("th", "t"), ("ts", "s")],
+    key=lambda kv: len(kv[0]), reverse=True,
+)
+
+_GA_NOUN_R1 = ("íochta", "aíochta", "abh", "eabh", "ibh", "aibh", "amh",
+               "eamh", "imh", "aimh", "íocht", "aíocht")
+_GA_NOUN_R2 = ("ire", "aire", "irí", "airí")
+_GA_DERIV = {  # suffix -> (replacement, needs_R2)
+    **{s: ("", True) for s in ("achta", "eachta", "ach", "each", "acht",
+                               "eacht", "achtúil", "eachtúil")},
+    **{s: ("arc", False) for s in ("arcachta", "arcacht", "arcachtaí")},
+    **{s: ("gin", False) for s in ("gineach", "gineas", "ginis")},
+    **{s: ("graf", False) for s in ("grafaíochta", "grafaíoch",
+                                    "grafaíocht", "grafaíochtaí")},
+    **{s: ("paite", False) for s in ("patacha", "paite", "patach", "pataigh")},
+    **{s: ("óid", False) for s in ("óideacha", "óideach", "óidigh")},
+}
+_GA_DERIV_ORDER = sorted(_GA_DERIV, key=len, reverse=True)
+_GA_VERB_RV = ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+_GA_VERB_R1 = ("adh", "eadh", "áil", "ain", "tear", "tar")
+
+
+def _regions_v(w: str, vowels: frozenset[str]) -> tuple[int, int, int]:
+    """pV = after the first vowel; p1 = after the first non-vowel that
+    follows it; p2 = one vowel/non-vowel pair later (limit when the
+    pattern runs off the end)."""
+    n = len(w)
+    pV = p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    pV = i
+    while i < n and w[i] in vowels:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    p1 = i
+    while i < n and w[i] not in vowels:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i >= n:
+        return pV, p1, p2
+    p2 = i + 1
+    return pV, p1, p2
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    for pre, rep in _GA_PREFIX:
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    pV, p1, p2 = _regions_v(w, _GA_V)
+
+    def _longest(sufs):
+        best = None
+        for s in sufs:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best = s
+        return best
+
+    # noun suffixes
+    s = _longest(_GA_NOUN_R1 + _GA_NOUN_R2)
+    if s is not None:
+        start = len(w) - len(s)
+        if s in _GA_NOUN_R2:
+            if start >= p2:
+                w = w[:start]
+        elif start >= p1:
+            w = w[:start]
+    # derivational suffixes
+    for s in _GA_DERIV_ORDER:
+        if w.endswith(s):
+            rep, needs_r2 = _GA_DERIV[s]
+            start = len(w) - len(s)
+            if not needs_r2 or start >= p2:
+                w = w[:start] + rep
+            break
+    # verb suffixes
+    s = None
+    for cand in sorted(_GA_VERB_RV + _GA_VERB_R1, key=len, reverse=True):
+        if w.endswith(cand):
+            s = cand
+            break
+    if s is not None:
+        start = len(w) - len(s)
+        if s in _GA_VERB_RV:
+            if start >= pV:
+                w = w[:start]
+        elif start >= p1:
+            w = w[:start]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Armenian (ArmenianStemmer.java; snowballstem.org) — hy/ArmenianAnalyzer
+# --------------------------------------------------------------------------
+
+_HY_V = frozenset("աեէըիուօ")
+
+_HY_ADJ = ("րորդ", "երորդ", "ալի", "ակի", "որակ", "եղ", "ական", "արան",
+           "են", "եկեն", "երեն", "որէն", "ին", "գին", "ովին", "լայն",
+           "վուն", "պես", "իվ", "ատ", "ավետ", "կոտ", "բար")
+_HY_VERB = ("ա", "ացա", "եցա", "վե", "ացրի", "ացի", "եցի", "վեցի", "ալ",
+            "ըալ", "անալ", "ենալ", "ացնալ", "ել", "ըել", "նել", "ցնել",
+            "եցնել", "չել", "վել", "ացվել", "եցվել", "տել", "ատել",
+            "ոտել", "կոտել", "ված", "ում", "վում", "ան", "ցան", "ացան",
+            "ացրին", "ացին", "եցին", "վեցին", "ալիս", "ելիս", "ավ",
+            "ացավ", "եցավ", "ալով", "ելով", "ար", "ացար", "եցար",
+            "ացրիր", "ացիր", "եցիր", "վեցիր", "աց", "եց", "ացրեց",
+            "ալուց", "ելուց", "ալու", "ելու", "աք", "ցաք", "ացաք",
+            "ացրիք", "ացիք", "եցիք", "վեցիք", "անք", "ցանք", "ացանք",
+            "ացրինք", "ացինք", "եցինք", "վեցինք")
+_HY_NOUN = ("որդ", "ույթ", "ուհի", "ցի", "իլ", "ակ", "յակ", "անակ",
+            "իկ", "ուկ", "ան", "պան", "ստան", "արան", "եղէն", "յուն",
+            "ություն", "ածո", "իչ", "ուս", "ուստ", "գար", "վոր",
+            "ավոր", "ոց", "անօց", "ու", "ք", "չեք", "իք", "ալիք",
+            "անիք", "վածք", "ույք", "ենք", "ոնք", "ունք", "մունք",
+            "իչք", "արք")
+_HY_ENDING = ("սա", "վա", "ամբ", "դ", "անդ", "ությանդ", "վանդ", "ոջդ",
+              "երդ", "ներդ", "ուդ", "ը", "անը", "ությանը", "վանը",
+              "ոջը", "երը", "ները", "ի", "վի", "երի", "ների", "անում",
+              "երում", "ներում", "ն", "ան", "ության", "վան", "ին",
+              "երին", "ներին", "ությանն", "երն", "ներն", "ուն", "ոջ",
+              "ությանս", "վանս", "ոջս", "ով", "անով", "վով", "երով",
+              "ներով", "եր", "ներ", "ց", "ից", "վանից", "ոջից", "վից",
+              "երից", "ներից", "ցից", "ոց", "ուց")
+
+
+def armenian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # pV = after the first vowel; p2 = after the second vowel's
+    # following non-vowel (ArmenianStemmer.java r_mark_regions)
+    pV = p2 = n
+    i = 0
+    while i < n and w[i] not in _HY_V:
+        i += 1
+    if i < n:
+        pV = i + 1
+        i += 1
+        while i < n and w[i] in _HY_V:
+            i += 1
+        if i < n:
+            i += 1  # first non-vowel
+            while i < n and w[i] not in _HY_V:
+                i += 1
+            if i < n:
+                i += 1  # second vowel
+                while i < n and w[i] in _HY_V:
+                    i += 1
+                if i < n:
+                    p2 = i + 1
+
+    def _cut(sufs, needs_r2: bool) -> None:
+        nonlocal w
+        best = None
+        for s in sufs:
+            # whole suffix within [pV, end) — limit_backward = I_pV
+            if w.endswith(s) and len(w) - len(s) >= pV and (
+                best is None or len(s) > len(best)
+            ):
+                best = s
+        if best is not None and (not needs_r2 or len(w) - len(best) >= p2):
+            w = w[: len(w) - len(best)]
+
+    _cut(_HY_ENDING, True)
+    _cut(_HY_VERB, False)
+    _cut(_HY_ADJ, False)
+    _cut(_HY_NOUN, False)
+    return w
+
+
+# --------------------------------------------------------------------------
+# Nepali (NepaliStemmer.java; snowballstem.org) — ne/NepaliAnalyzer
+# --------------------------------------------------------------------------
+
+_NE_CAT1 = sorted(
+    ["लाइ", "लाई", "सँग", "संग", "मार्फत", "रत", "का", "मा", "द्वारा",
+     "कि", "पछि", "की", "ले", "कै", "सँगै", "मै", "को"],
+    key=len, reverse=True,
+)
+_NE_CAT1_COND = frozenset(["का", "कि", "की", "कै", "को"])
+_NE_CAT3 = sorted(
+    ["थिए", "छ", "इछ", "एछ", "िछ", "ेछ", "नेछ", "हुनेछ", "इन्छ", "िन्छ",
+     "हुन्छ", "एका", "इएका", "िएका", "ेका", "नेका", "दा", "इदा", "िदा",
+     "देखि", "माथि", "एकी", "इएकी", "िएकी", "ेकी", "देखी", "थी", "दी",
+     "छु", "एछु", "ेछु", "नेछु", "नु", "हरु", "हरू", "छे", "थे", "ने",
+     "एकै", "ेकै", "नेकै", "दै", "इदै", "िदै", "एको", "इएको", "िएको",
+     "ेको", "नेको", "दो", "इदो", "िदो", "यो", "इयो", "भयो", "ियो",
+     "थियो", "दियो", "थ्यो", "छौ", "इछौ", "एछौ", "िछौ", "ेछौ", "नेछौ",
+     "यौ", "थियौ", "छ्यौ", "थ्यौ", "छन्", "इछन्", "एछन्", "िछन्",
+     "ेछन्", "नेछन्", "लान्", "छिन्", "थिन्", "पर्", "इस्", "थिइस्",
+     "छस्", "इछस्", "एछस्", "िछस्", "ेछस्", "नेछस्", "िस्", "थिस्",
+     "छेस्", "होस्"],
+    key=len, reverse=True,
+)
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    # category 1: postpositions; का-family kept after ए / े
+    for s in _NE_CAT1:
+        if w.endswith(s):
+            pre = w[: len(w) - len(s)]
+            if s in _NE_CAT1_COND:
+                if not (pre.endswith("ए") or pre.endswith("े")):
+                    w = pre
+            else:
+                w = pre
+            break
+    # repeat: conditional nasal/ai trim (category 2), then the verb/TAM
+    # suffix table (category 3); loop while category 3 keeps firing
+    while True:
+        if w.endswith("ँ") or w.endswith("ं"):
+            pre = w[:-1]
+            if pre.endswith(("यौ", "छौ", "नौ", "थे")):
+                w = pre
+        elif w.endswith("ै"):
+            pre = w[:-1]
+            if pre.endswith("त्र"):
+                w = pre
+        for s in _NE_CAT3:
+            if w.endswith(s):
+                w = w[: len(w) - len(s)]
+                break
+        else:
+            break
+    return w
+
+
+class IrishStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [irish_stem(t) for t in tokens]
+
+
+class ArmenianStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [armenian_stem(t) for t in tokens]
+
+
+class NepaliStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [nepali_stem(t) for t in tokens]
+
+
+register_analyzer(
+    "irish",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [IrishStemFilter()], "irish"),
+)
+register_analyzer(
+    "armenian",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [ArmenianStemFilter()], "armenian"),
+)
+register_analyzer(
+    "nepali",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [NepaliStemFilter()], "nepali"),
 )

@@ -119,3 +119,67 @@ def test_analyzers_registered():
     assert get_analyzer("dutch").tokenize_one("Lichamelijke boompje") == [
         "licham", "boompj",
     ]
+
+
+# --- Irish / Armenian / Nepali (same differential-replay policy; each
+# verified against the generated reference stemmer over ~12k grid words
+# + ~13k random pseudo-words, exact match on every word) ---------------
+
+from lucene_spark.analysis.snowball_multi import (  # noqa: E402
+    armenian_stem,
+    irish_stem,
+    nepali_stem,
+)
+
+IRISH = {
+    # initial mutation / eclipsis stripping
+    "bhfear": "fear", "gcath": "cath", "shúil": "súil",
+    "t-arán": "arán", "d'fhear": "fear",
+    # noun/derivational/verb suffixes with pV/R1/R2 conditions
+    "filíochta": "fil", "grafaíochta": "graf", "arcachta": "arc",
+    "gineach": "gin", "óideach": "óid", "patach": "paite",
+    "bainimid": "bain", "tógfaidh": "tóg", "molaimid": "mol",
+    "bualadh": "bual", "feiceáil": "feice", "síceolaíocht": "síceol",
+    "claonadh": "claon",
+    # unchanged when the region conditions fail
+    "scoileanna": "scoileanna", "ceoltóirí": "ceoltóirí",
+    "leabhair": "leabhair",
+}
+
+ARMENIAN = {
+    "ժողովուրդների": "ժողովուրդ", "հայկական": "հայկ", "երգեցին": "երգ",
+    "կարդալով": "կարդ", "աշխատանքները": "աշխ", "գիտությունների": "գիտ",
+    "տներում": "տներ", "մարդկանց": "մարդկ", "հասկանալի": "հասկ",
+    "վազեցինք": "վազ", "ուսանողներին": "ուսանող",
+    # ending needs R2; pV bounds every match
+    "գրքերից": "գրքերից", "բարձրագույն": "բարձրագույ",
+}
+
+NEPALI = {
+    "गरेको": "गर", "गरिएको": "गर", "पुस्तकहरू": "पुस्तक",
+    "नेपालको": "नेपाल", "लेखेकी": "लेख", "खेल्दै": "खेल्",
+    "भन्छन्": "भन्", "गएछ": "ग", "हेरेर": "हेरेर",
+    # category-3 loop can consume everything (faithful to the reference)
+    "हुनेछ": "",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(IRISH.items()))
+def test_irish_golden(word, stem):
+    assert irish_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(ARMENIAN.items()))
+def test_armenian_golden(word, stem):
+    assert armenian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(NEPALI.items()))
+def test_nepali_golden(word, stem):
+    assert nepali_stem(word) == stem
+
+
+def test_new_analyzers_registered():
+    assert get_analyzer("irish").tokenize_one("bhfear tógfaidh") == ["fear", "tóg"]
+    assert get_analyzer("armenian").tokenize_one("երգեցին") == ["երգ"]
+    assert get_analyzer("nepali").tokenize_one("नेपालको") == ["नेपाल"]
