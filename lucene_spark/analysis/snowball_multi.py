@@ -630,3 +630,122 @@ register_analyzer(
     "nepali",
     lambda: FilteredAnalyzer(StandardAnalyzer(), [NepaliStemFilter()], "nepali"),
 )
+
+
+# --------------------------------------------------------------------------
+# Lithuanian (LithuanianStemmer.java; snowballstem.org) — lt/
+# LithuanianAnalyzer.java via SnowballFilter
+# --------------------------------------------------------------------------
+
+_LT_V = frozenset("aeiouyąėęįūų")
+
+# inflectional endings (a_0): delete the longest one inside R1
+_LT_STEP1 = sorted(
+    ['a', 'ia', 'eria', 'osna', 'iosna', 'uosna', 'iuosna', 'ysna', 'ėsna',
+     'e', 'ie', 'enie', 'erie', 'oje', 'ioje', 'uje', 'iuje', 'yje',
+     'enyje', 'eryje', 'ėje', 'ame', 'iame', 'sime', 'ome', 'ėme',
+     'tumėme', 'ose', 'iose', 'uose', 'iuose', 'yse', 'enyse', 'eryse',
+     'ėse', 'ate', 'iate', 'ite', 'kite', 'site', 'ote', 'tute', 'ėte',
+     'tumėte', 'i', 'ai', 'iai', 'eriai', 'ei', 'tumei', 'ki', 'imi',
+     'erimi', 'umi', 'iumi', 'si', 'asi', 'iasi', 'esi', 'iesi', 'siesi',
+     'isi', 'aisi', 'eisi', 'tumeisi', 'uisi', 'osi', 'ėjosi', 'uosi',
+     'iuosi', 'siuosi', 'usi', 'ausi', 'čiausi', 'ąsi', 'ėsi', 'ųsi',
+     'tųsi', 'ti', 'enti', 'inti', 'oti', 'ioti', 'uoti', 'iuoti', 'auti',
+     'iauti', 'yti', 'ėti', 'telėti', 'inėti', 'terėti', 'ui', 'iui',
+     'eniui', 'oj', 'ėj', 'k', 'am', 'iam', 'iem', 'im', 'sim', 'om',
+     'tum', 'ėm', 'tumėm', 'an', 'on', 'ion', 'un', 'iun', 'ėn', 'o',
+     'io', 'enio', 'ėjo', 'uo', 's', 'as', 'ias', 'es', 'ies', 'is',
+     'ais', 'iais', 'tumeis', 'imis', 'enimis', 'omis', 'iomis', 'umis',
+     'ėmis', 'enis', 'asis', 'ysis', 'ams', 'iams', 'iems', 'ims',
+     'enims', 'erims', 'oms', 'ioms', 'ums', 'ėms', 'ens', 'os', 'ios',
+     'uos', 'iuos', 'ers', 'us', 'aus', 'iaus', 'ius', 'ys', 'enys',
+     'erys', 'ąs', 'iąs', 'ės', 'amės', 'iamės', 'imės', 'kimės',
+     'simės', 'omės', 'ėmės', 'tumėmės', 'atės', 'iatės', 'sitės',
+     'otės', 'ėtės', 'tumėtės', 'įs', 'ūs', 'tųs', 'at', 'iat', 'it',
+     'sit', 'ot', 'ėt', 'tumėt', 'u', 'au', 'iau', 'čiau', 'iu', 'eniu',
+     'siu', 'y', 'ą', 'ią', 'ė', 'ę', 'į', 'enį', 'erį', 'ų', 'ių',
+     'erų'],
+    key=len, reverse=True,
+)
+# derivational endings (a_1): deleted repeatedly inside R1
+_LT_STEP2 = sorted(
+    ['ing', 'aj', 'iaj', 'iej', 'oj', 'ioj', 'uoj', 'iuoj', 'auj', 'ąj',
+     'iąj', 'ėj', 'ųj', 'iųj', 'ok', 'iok', 'iuk', 'uliuk', 'učiuk',
+     'išk', 'iul', 'yl', 'ėl', 'am', 'dam', 'jam', 'zgan', 'ain', 'esn',
+     'op', 'iop', 'ias', 'ies', 'ais', 'iais', 'os', 'ios', 'uos',
+     'iuos', 'aus', 'iaus', 'ąs', 'iąs', 'ęs', 'utėait', 'ant', 'iant',
+     'siant', 'int', 'ot', 'uot', 'iuot', 'yt', 'ėt', 'ykšt', 'iau',
+     'dav', 'sv', 'šv', 'ykšč', 'ę', 'ėję'],
+    key=len, reverse=True,
+)
+# conflict normalizations (a_2): suffix -> canonical replacement
+_LT_CONFLICTS = [
+    ("okatės", "okatė"), ("aitės", "aitė"), ("uotės", "uotė"),
+    ("ojime", "ojimas"), ("ėjime", "ėjimas"), ("avime", "avimas"),
+    ("okate", "okatė"), ("aite", "aitė"), ("uote", "uotė"),
+    ("asius", "asys"), ("esiu", "esys"),
+]
+
+
+def lithuanian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # R1, with a one-letter skip for long a- prefixed words
+    start = 1 if (w.startswith("a") and n > 6) else 0
+    p1 = n
+    i = start
+    while i < n and w[i] not in _LT_V:
+        i += 1
+    if i < n:
+        while i < n and w[i] in _LT_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+
+    # fix_conflicts (longest suffix, unrestricted)
+    best = None
+    for s, rep in _LT_CONFLICTS:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, rep)
+    if best is not None:
+        w = w[: len(w) - len(best[0])] + best[1]
+
+    # step1: one longest inflectional ending inside R1
+    for s in _LT_STEP1:
+        if w.endswith(s) and len(w) - len(s) >= p1:
+            w = w[: len(w) - len(s)]
+            break
+
+    def _chdz(x: str) -> str:
+        if x.endswith("dž"):
+            return x[:-2] + "d"
+        if x.endswith("č"):
+            return x[:-1] + "t"
+        return x
+
+    w = _chdz(w)
+    # step2: repeatedly strip derivational endings inside R1
+    while True:
+        for s in _LT_STEP2:
+            if w.endswith(s) and len(w) - len(s) >= p1:
+                w = w[: len(w) - len(s)]
+                break
+        else:
+            break
+    w = _chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+class LithuanianStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [lithuanian_stem(t) for t in tokens]
+
+
+register_analyzer(
+    "lithuanian",
+    lambda: FilteredAnalyzer(
+        StandardAnalyzer(), [LithuanianStemFilter()], "lithuanian"
+    ),
+)

