@@ -92,3 +92,7 @@ from lucene_spark.analysis.snowball_multi import (  # noqa: F401  (registers
     dutch_stem,
     norwegian_stem,
 )
+from lucene_spark.analysis.snowball_romance import (  # noqa: F401  (registers
+    catalan_stem,  # romanian / catalan analyzers on import)
+    romanian_stem,
+)

