@@ -1,4 +1,4 @@
-"""Snowball Romanian and Catalan stemmers (SURVEY.md §2.2 analysis zoo).
+"""Snowball Romanian, Catalan and Basque stemmers (SURVEY.md §2.2 analysis zoo).
 
 Reference contract: the generated
 ``org/tartarus/snowball/ext/RomanianStemmer.java`` /
@@ -19,8 +19,8 @@ from lucene_spark.analysis.filters import (
     register_analyzer,
 )
 
-__all__ = ["romanian_stem", "catalan_stem",
-           "RomanianStemFilter", "CatalanStemFilter"]
+__all__ = ["romanian_stem", "catalan_stem", "basque_stem",
+           "RomanianStemFilter", "CatalanStemFilter", "BasqueStemFilter"]
 
 
 def _p1_p2(w: str, V: frozenset[str]) -> tuple[int, int]:
@@ -377,4 +377,143 @@ register_analyzer(
 register_analyzer(
     "catalan",
     lambda: FilteredAnalyzer(StandardAnalyzer(), [CatalanStemFilter()], "catalan"),
+)
+
+
+# --------------------------------------------------------------------------
+# Basque (BasqueStemmer.java; snowballstem.org) — eu/BasqueAnalyzer.java
+# --------------------------------------------------------------------------
+
+_EU_V = frozenset("aeiou")
+
+# verb suffixes (aditzak): suffix -> (replacement|None=delete, region)
+_EU_ADITZAK = {
+    **{s: (None, "rv") for s in (
+        "idea", "bidea", "kidea", "pidea", "kundea", "galea", "tailea",
+        "tzailea", "gunea", "kunea", "tzaga", "gaia", "aldia", "taldia",
+        "karia", "karria", "ka", "tzaka", "la", "mena", "pena", "kina",
+        "ezina", "tezina", "kuna", "tuna", "kizuna", "era", "bera",
+        "kera", "pera", "orra", "korra", "dura", "gura", "kura", "tura",
+        "eta", "keta", "gailua", "eza", "erreza", "gaitza", "kaitza",
+        "kuntza", "ide", "bide", "kide", "pide", "kunde", "tzake",
+        "tzeke", "le", "gale", "taile", "tzaile", "gune", "kune", "tze",
+        "atze", "gai", "aldi", "taldi", "ki", "ari", "kari", "lari",
+        "tari", "etari", "karri", "arazi", "tarazi", "an", "ean",
+        "rean", "kan", "etan", "men", "pen", "kin", "rekin", "ezin",
+        "tezin", "tun", "kizun", "go", "ago", "tio", "dako", "or",
+        "kor", "tzat", "du", "gailu", "tu", "atu", "aldatu", "tatu",
+        "ez", "errez", "tzez", "gaitz", "kaitz")},
+    **{s: (None, "r2") for s in ("garria", "tza", "garri")},
+    "atseden": ("atseden", None), "arabera": ("arabera", None),
+    "baditu": ("baditu", None),
+}
+# noun suffixes (izenak)
+_EU_IZENAK = {
+    **{s: (None, "rv") for s in (
+        "ada", "kada", "anda", "denda", "gabea", "kabea", "aldea",
+        "kaldea", "taldea", "ordea", "zalea", "tzalea", "gilea", "emea",
+        "kumea", "nea", "enea", "zionea", "unea", "gunea", "pea",
+        "aurrea", "tea", "kotea", "artea", "ostea", "etxea", "ga",
+        "anga", "gaia", "aldia", "taldia", "handia", "mendia", "geia",
+        "egia", "degia", "tegia", "nahia", "ohia", "kia", "tokia",
+        "oia", "koia", "aria", "karia", "laria", "taria", "eria",
+        "keria", "teria", "larria", "kirria", "duria", "asia", "tia",
+        "ezia", "bizia", "ontzia", "ka", "ska", "xka", "zka", "gibela",
+        "gela", "kaila", "skila", "tila", "ola", "na", "kana", "ena",
+        "garrena", "gerrena", "urrena", "zaina", "tzaina", "kina",
+        "mina", "garna", "una", "duna", "asuna", "tasuna", "ondoa",
+        "kondoa", "ngoa", "zioa", "koa", "takoa", "zkoa", "noa",
+        "zinoa", "aroa", "taroa", "zaroa", "eroa", "oroa", "osoa",
+        "toa", "ttoa", "ztoa", "txoa", "tzoa", "ñoa", "ra", "ara",
+        "dara", "liara", "tiara", "tara", "etara", "tzara", "bera",
+        "kera", "pera", "tzarra", "korra", "tra", "sa", "osa", "ta",
+        "eta", "keta", "sta", "dua", "mendua", "ordua", "lekua",
+        "burua", "durua", "tsua", "tua", "mentua", "estua", "txua",
+        "zua", "tzua", "za", "eza", "eroza", "koitza", "antza",
+        "gintza", "kintza", "kuntza", "gabe", "kabe", "kide", "alde",
+        "kalde", "talde", "orde", "ge", "zale", "tzale", "gile", "eme",
+        "kume", "ne", "zione", "une", "gune", "pe", "aurre", "te",
+        "kote", "arte", "oste", "etxe", "gai", "di", "aldi", "taldi",
+        "handi", "mendi", "gei", "egi", "degi", "tegi", "nahi", "ohi",
+        "ki", "toki", "oi", "goi", "koi", "ari", "kari", "lari",
+        "tari", "larri", "kirri", "duri", "asi", "ti", "ontzi", "ñi",
+        "ak", "ek", "tarik", "gibel", "ail", "kail", "kan", "tan",
+        "etan", "garren", "gerren", "urren", "zain", "tzain", "kin",
+        "min", "dun", "asun", "tasun", "aizun", "ondo", "kondo", "go",
+        "ngo", "zio", "ko", "tako", "etako", "eko", "tariko", "sko",
+        "tuko", "zko", "no", "zino", "ro", "aro", "taro", "zaro",
+        "ero", "giro", "oro", "oso", "to", "tto", "zto", "txo", "tzo",
+        "gintzo", "ño", "zp", "ar", "dar", "behar", "liar", "tiar",
+        "tar", "tzar", "kor", "os", "ket", "du", "mendu", "ordu",
+        "leku", "duru", "tsu", "tu", "mentu", "estu", "txu", "zu",
+        "tzu", "gintzu", "z", "ez", "eroz", "tz", "koitz")},
+    **{s: (None, "r2") for s in ("garria", "ora", "tza", "garri", "ren",
+                                 "or", "buru")},
+    "joka": ("jok", None),
+    **{s: (None, "r1") for s in ("en", "ten", "tzen", "tatu")},
+    "trako": ("tra", None), "minutuko": ("minutu", None),
+    "zehar": ("zehar", None), "geldi": ("geldi", None),
+    "igaro": ("igaro", None), "aurka": ("aurka", None),
+}
+# adjective suffixes (adjetiboak)
+_EU_ADJ = {
+    **{s: (None, "rv") for s in (
+        "keria", "la", "era", "dade", "tade", "date", "tate", "gi",
+        "ki", "ik", "lanik", "rik", "larik", "ztik", "go", "ro", "ero",
+        "to")},
+    "zlea": ("z", None),
+}
+_EU_ADITZAK_ORDER = sorted(_EU_ADITZAK, key=len, reverse=True)
+_EU_IZENAK_ORDER = sorted(_EU_IZENAK, key=len, reverse=True)
+_EU_ADJ_ORDER = sorted(_EU_ADJ, key=len, reverse=True)
+
+
+def basque_stem(word: str) -> str:
+    """BasqueStemmer.java: repeat aditzak, repeat izenak, one
+    adjetiboak pass. The repeat loops do NOT re-anchor at the word end:
+    each success leaves the match anchor at the start of the removed or
+    replaced region, so self-replacements like atseden/zehar act as
+    stop anchors rather than looping."""
+    w = word
+    rv = _rv_romance(w, _EU_V)
+    p1, p2 = _p1_p2(w, _EU_V)
+    end = len(w)
+
+    def attempt(order, table) -> bool:
+        nonlocal w, end
+        seg = w[:end]
+        best = None
+        for s in order:
+            if seg.endswith(s) and (best is None or len(s) > len(best)):
+                best = s
+        if best is None:
+            return False
+        start = end - len(best)
+        rep, region = table[best]
+        if region == "rv" and start < rv:
+            return False
+        if region == "r1" and start < p1:
+            return False
+        if region == "r2" and start < p2:
+            return False
+        w = w[:start] + (rep or "") + w[end:]
+        end = start
+        return True
+
+    while attempt(_EU_ADITZAK_ORDER, _EU_ADITZAK):
+        pass
+    while attempt(_EU_IZENAK_ORDER, _EU_IZENAK):
+        pass
+    attempt(_EU_ADJ_ORDER, _EU_ADJ)
+    return w
+
+
+class BasqueStemFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [basque_stem(t) for t in tokens]
+
+
+register_analyzer(
+    "basque",
+    lambda: FilteredAnalyzer(StandardAnalyzer(), [BasqueStemFilter()], "basque"),
 )

