@@ -96,3 +96,6 @@ from lucene_spark.analysis.snowball_romance import (  # noqa: F401  (registers
     catalan_stem,  # romanian / catalan analyzers on import)
     romanian_stem,
 )
+from lucene_spark.analysis.indonesian import (  # noqa: F401  (registers
+    indonesian_stem,  # the indonesian analyzer on import)
+)
