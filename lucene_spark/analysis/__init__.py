@@ -99,3 +99,7 @@ from lucene_spark.analysis.snowball_romance import (  # noqa: F401  (registers
 from lucene_spark.analysis.indonesian import (  # noqa: F401  (registers
     indonesian_stem,  # the indonesian analyzer on import)
 )
+from lucene_spark.analysis.indic import (  # noqa: F401  (registers
+    bengali_stem,  # bengali / telugu analyzers on import)
+    telugu_stem,
+)
