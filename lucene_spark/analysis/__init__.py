@@ -103,3 +103,6 @@ from lucene_spark.analysis.indic import (  # noqa: F401  (registers
     bengali_stem,  # bengali / telugu analyzers on import)
     telugu_stem,
 )
+from lucene_spark.analysis.greek import (  # noqa: F401  (registers
+    greek_stem,  # the greek analyzer on import)
+)
