@@ -106,3 +106,6 @@ from lucene_spark.analysis.indic import (  # noqa: F401  (registers
 from lucene_spark.analysis.greek import (  # noqa: F401  (registers
     greek_stem,  # the greek analyzer on import)
 )
+from lucene_spark.analysis.estonian import (  # noqa: F401  (registers
+    estonian_stem,  # the estonian analyzer on import)
+)

