@@ -1699,6 +1699,17 @@ def gate_queries() -> dict[str, object]:
                 after_val=450, after_doc=0, ascending=False)),
         ])
 
+    def q_sort_selector(spark, sf):
+        # SortedSetSelector (min/max/middle_min/middle_max over the
+        # doc's sorted set of distinct terms) + SortedNumericSelector
+        # (min/max over the doc's term lengths), one tagged union
+        r = ensure_index(spark, sf)
+        return _union([
+            (sel, sp.selector_sort_topk(r, _docs(spark, sf), FIELD, T_MID, sel))
+            for sel in ("ss_min", "ss_max", "ss_middle_min",
+                        "ss_middle_max", "sn_min", "sn_max")
+        ])
+
     def q_range_facet(spark, sf):
         # static LongRangeFacetCounts + DynamicRangeUtil equal-weight
         # ranges, one tagged union (shared schema: bucket, cnt)
@@ -3325,6 +3336,7 @@ def gate_queries() -> dict[str, object]:
         "q_window_session": q_window_session,
         "q_media_meta": q_media_meta,
         "q_field_sort": q_field_sort,
+        "q_sort_selector": q_sort_selector,
         "q_range_facet": q_range_facet,
         "q_grouped_topk": q_grouped_topk,
         "q_grouping_suite": q_grouping_suite,
@@ -3380,6 +3392,38 @@ t_after AS (
 SELECT 'docvalues' AS tag, * FROM t_docvalues
 UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted
 UNION ALL SELECT 'after' AS tag, * FROM t_after""",
+        "q_sort_selector": f"""WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+arrs AS (
+  SELECT t.doc_id,
+         list_sort(list(DISTINCT t.tok)) AS arr,
+         CAST(MIN(length(t.tok)) AS VARCHAR) AS sn_min,
+         CAST(MAX(length(t.tok)) AS VARCHAR) AS sn_max
+  FROM toks t JOIN m ON t.doc_id = m.doc_id GROUP BY t.doc_id),
+sel AS (
+  SELECT doc_id, arr[1] AS ss_min, arr[-1] AS ss_max,
+         arr[CAST((len(arr) + 1) // 2 AS INT)] AS ss_middle_min,
+         arr[CAST(len(arr) // 2 AS INT) + 1] AS ss_middle_max,
+         sn_min, sn_max
+  FROM arrs)
+SELECT 'ss_min' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, ss_min AS sel_val FROM sel
+   ORDER BY ss_min ASC, doc_id ASC LIMIT 10)
+UNION ALL SELECT 'ss_max' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, ss_max AS sel_val FROM sel
+   ORDER BY ss_max ASC, doc_id ASC LIMIT 10)
+UNION ALL SELECT 'ss_middle_min' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, ss_middle_min AS sel_val FROM sel
+   ORDER BY ss_middle_min ASC, doc_id ASC LIMIT 10)
+UNION ALL SELECT 'ss_middle_max' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, ss_middle_max AS sel_val FROM sel
+   ORDER BY ss_middle_max ASC, doc_id ASC LIMIT 10)
+UNION ALL SELECT 'sn_min' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, sn_min AS sel_val FROM sel
+   ORDER BY sn_min ASC, doc_id ASC LIMIT 10)
+UNION ALL SELECT 'sn_max' AS tag, doc_id, sel_val FROM
+  (SELECT doc_id, sn_max AS sel_val FROM sel
+   ORDER BY sn_max ASC, doc_id ASC LIMIT 10)""",
         "q_range_facet": f"""WITH t_static AS (WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT bucket, count(*) AS cnt FROM (

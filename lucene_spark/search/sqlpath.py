@@ -1397,6 +1397,60 @@ def field_sort_topk(
     )
 
 
+def selector_sort_topk(
+    reader: IndexReader,
+    stored: DataFrame,
+    field: str,
+    term: str,
+    selector: str,
+    ascending: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """SortedSetSelector / SortedNumericSelector sort
+    (core/search/SortedSetSelector.java:26-104,
+    SortedNumericSelector.java): order docs matching `term` by ONE value
+    selected from a multi-valued per-doc set — the doc's sorted set of
+    distinct terms (SORTED_SET string ords) or its term-length values
+    (SORTED_NUMERIC). Selectors: ss_min / ss_max / ss_middle_min /
+    ss_middle_max (even-sized sets pick the lower / higher middle —
+    SortedSetSelector.java Type docs) and sn_min / sn_max.
+
+    100-TB shape: the multi-value set is computed from the stored doc
+    row AFTER the match semi-join (docvalues are per-doc columns, not
+    postings), entirely in JVM expressions — split/array_distinct/
+    array_sort/element_at — so the plan is scan → semi-join →
+    TakeOrderedAndProject with no Python and no extra shuffle.
+    `stored` is the stored-fields table carrying (doc_id, <field>).
+    -> (doc_id, sel_val string)."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = stored.join(matched, "doc_id", "left_semi")
+    toks = F.filter(
+        F.split(F.lower(F.col(field)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    ss = F.array_sort(F.array_distinct(toks))
+    n = F.size(ss)
+    if selector == "ss_min":
+        val = F.element_at(ss, 1)
+    elif selector == "ss_max":
+        val = F.element_at(ss, -1)
+    elif selector == "ss_middle_min":
+        val = F.element_at(ss, F.floor((n + 1) / 2).cast("int"))
+    elif selector == "ss_middle_max":
+        val = F.element_at(ss, F.floor(n / 2).cast("int") + 1)
+    elif selector == "sn_min":
+        val = F.array_min(F.transform(toks, F.length)).cast("string")
+    elif selector == "sn_max":
+        val = F.array_max(F.transform(toks, F.length)).cast("string")
+    else:
+        raise ValueError(f"unknown selector {selector!r}")
+    order = F.col("sel_val").asc() if ascending else F.col("sel_val").desc()
+    return (
+        docs.select("doc_id", val.alias("sel_val"))
+        .orderBy(order, F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def multi_range_topk(
     reader: IndexReader,
     num_col: str,
