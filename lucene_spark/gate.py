@@ -255,6 +255,16 @@ _ROR_CON_LABELS = [
     ("c2", [(180, 185), (40, 42)]),
 ]
 
+# LongRangeFacetCounts over arbitrary LongRange objects (facet/range/
+# LongRange.java): overlapping spans, exclusive bounds, and a
+# zero-count range — each counts matched docs independently.
+_LROVL_RANGES = [
+    ("r_low", 0, True, 200, False),        # [0, 199]
+    ("r_wide", 100, True, 500, True),      # [100, 500] — overlaps r_low
+    ("r_excl", 150, False, 450, False),    # (150, 450) -> [151, 449]
+    ("r_zero", 5000, True, 9000, True),    # zero-count, still reports
+]
+
 
 def ensure_range_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the RangeField index: the synthesized 2-dim ranges
@@ -1731,8 +1741,13 @@ def gate_queries() -> dict[str, object]:
             rdf, _RANGE_DIMS, _ROR_CON_LABELS, "contains")
         ror_x = range_on_range_facet_counts(
             rdf, _RANGE_DIMS, _ROR_INT_LABELS, "crosses")
+        # arbitrary LongRange objects: overlapping + exclusive bounds +
+        # a zero-count range all report independently
+        ovl = sp.long_range_facet_counts(
+            r, FIELD, T_MID, "n_chars", _LROVL_RANGES)
         parts = [("static", stat), ("dynamic", dyn),
-                 ("ror_int", ror_i), ("ror_con", ror_c), ("ror_crs", ror_x)]
+                 ("ror_int", ror_i), ("ror_con", ror_c), ("ror_crs", ror_x),
+                 ("lrovl", ovl)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -3450,7 +3465,16 @@ UNION ALL SELECT 'ror_int' AS tag, * FROM ({_rangefield.range_on_range_facet_sql
 UNION ALL SELECT 'ror_con' AS tag, * FROM ({_rangefield.range_on_range_facet_sql(
     _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_CON_LABELS, "contains")})
 UNION ALL SELECT 'ror_crs' AS tag, * FROM ({_rangefield.range_on_range_facet_sql(
-    _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_INT_LABELS, "crosses")})""",
+    _RANGE_SQL_BASE, _RANGE_DIMS, _ROR_INT_LABELS, "crosses")})
+UNION ALL SELECT 'lrovl' AS tag, * FROM (WITH {_TOKS},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
+md AS (SELECT d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id)
+{" UNION ALL ".join(
+    f"SELECT '{label}' AS bucket, count(*) FILTER ("
+    f"WHERE n_chars >= {lo if lo_i else lo + 1} "
+    f"AND n_chars <= {hi if hi_i else hi - 1}) AS cnt FROM md"
+    for label, lo, lo_i, hi, hi_i in _LROVL_RANGES)}
+ORDER BY bucket)""",
         "q_grouped_topk": _sql_tagged_flat([
             ("grouped", _sql_grouped(T_MID, "lang", 2, 20)),
             # DiversifiedTopDocsCollector: global top-k with at most one

@@ -1500,6 +1500,46 @@ def range_facet_counts(
     )
 
 
+def long_range_facet_counts(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    num_col: str,
+    ranges: list[tuple[str, int, bool, int, bool]],
+) -> DataFrame:
+    """LongRangeFacetCounts over ARBITRARY LongRange objects
+    (facet/range/LongRange.java:54-63, LongRangeFacetCounts.java):
+    ranges carry inclusive/exclusive bounds and MAY OVERLAP — every
+    range counts matching docs independently (a doc can land in
+    several), and zero-count ranges still report. `ranges` rows are
+    (label, min, min_inclusive, max, max_inclusive); exclusive bounds
+    are normalized to inclusive by +-1 exactly as the constructor does.
+
+    100-TB shape: one conditional aggregation per range inside a SINGLE
+    single-row agg pass (map-side combined; the shuffle carries one
+    len(ranges)-wide row per task), then a stack() unpivot — no explode
+    of docs x ranges, no per-range scan. -> (bucket, cnt) by bucket."""
+    matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
+    docs = reader.docs().join(matched, "doc_id", "left_semi")
+    c = F.col(num_col)
+    aggs = []
+    for i, (label, lo, lo_incl, hi, hi_incl) in enumerate(ranges):
+        lo = lo if lo_incl else lo + 1
+        hi = hi if hi_incl else hi - 1
+        aggs.append(
+            F.sum(F.when((c >= lo) & (c <= hi), 1).otherwise(0))
+            .cast("long").alias(f"_r{i}")
+        )
+    pairs = ", ".join(
+        f"'{label}', _r{i}" for i, (label, *_rest) in enumerate(ranges)
+    )
+    return (
+        docs.agg(*aggs)
+        .selectExpr(f"stack({len(ranges)}, {pairs}) AS (bucket, cnt)")
+        .orderBy("bucket")
+    )
+
+
 def dynamic_range_facets(
     reader: IndexReader,
     field: str,
