@@ -1991,6 +1991,7 @@ def gate_queries() -> dict[str, object]:
         # every child) — join/.../ToParentBlockJoinQuery.java,
         # ToChildBlockJoinQuery.java
         from lucene_spark.search.joins import (
+            block_join_sort_topk,
             parent_children_block_join,
             to_child_block_join,
             to_parent_block_join,
@@ -2035,7 +2036,38 @@ def gate_queries() -> dict[str, object]:
             F.col("id2").cast("long"),
             "score_x1e6",
         )
-        return parent.unionByName(child).unionByName(pc)
+        # ToParentBlockJoinSortField: ALL parents ordered by min/max of
+        # matching-children sort values; parents with no matching child
+        # carry the missingValue sentinel (asc -> they surface first,
+        # exercising the missing path)
+        def _sort_branch(tag, sel, asc):
+            return block_join_sort_topk(
+                orders, "o_orderkey", li, F.col("l_quantity") >= 49,
+                F.col("l_extendedprice"), "l_orderkey",
+                selector=sel, ascending=asc,
+            ).select(
+                F.lit(tag).alias("tag"),
+                F.col("parent_id").cast("long").alias("id1"),
+                F.col("n_children").cast("long").alias("id2"),
+                F.col("sel_x1e6").alias("score_x1e6"),
+            )
+
+        smin = _sort_branch("sortmin", "min", True)
+        smax = _sort_branch("sortmax", "max", False)
+        # DiversifyingChildrenFloatKnnVectorQuery: top-k PARENTS (label
+        # groups), each by its single best child vector
+        dkn = sim.diversifying_children_topk(
+            _emb(spark, sf), "label", query_id=0, k=10
+        ).select(
+            F.lit("divknn").alias("tag"),
+            F.col("parent").cast("long").alias("id1"),
+            F.col("vec_id").cast("long").alias("id2"),
+            F.col("cos_x1e6").alias("score_x1e6"),
+        )
+        return (
+            parent.unionByName(child).unionByName(pc)
+            .unionByName(smin).unionByName(smax).unionByName(dkn)
+        )
 
     def q_join_util(spark, sf):
         # tagged union: JoinUtil semi-join (ScoreMode.None) + scoring
@@ -3623,7 +3655,49 @@ t_pc AS (
   ORDER BY score_x1e6 DESC, id2 ASC LIMIT 10)
 SELECT 'parent' AS tag, * FROM t_parent
 UNION ALL SELECT 'child' AS tag, * FROM t_child
-UNION ALL SELECT 'pc' AS tag, * FROM t_pc""",
+UNION ALL SELECT 'pc' AS tag, * FROM t_pc
+UNION ALL SELECT 'sortmin' AS tag, * FROM (
+  WITH cagg AS (
+    SELECT l_orderkey, MIN(l_extendedprice) AS sel, count(*) AS nc
+    FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey)
+  SELECT CAST(o.o_orderkey AS BIGINT) AS id1,
+         CAST(COALESCE(c.nc, 0) AS BIGINT) AS id2,
+         CAST(ROUND(COALESCE(c.sel, -1.0)*1000000) AS BIGINT) AS score_x1e6
+  FROM orders o LEFT JOIN cagg c ON c.l_orderkey = o.o_orderkey
+  ORDER BY score_x1e6 ASC, id1 ASC LIMIT 10)
+UNION ALL SELECT 'sortmax' AS tag, * FROM (
+  WITH cagg AS (
+    SELECT l_orderkey, MAX(l_extendedprice) AS sel, count(*) AS nc
+    FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey)
+  SELECT CAST(o.o_orderkey AS BIGINT) AS id1,
+         CAST(COALESCE(c.nc, 0) AS BIGINT) AS id2,
+         CAST(ROUND(COALESCE(c.sel, -1.0)*1000000) AS BIGINT) AS score_x1e6
+  FROM orders o LEFT JOIN cagg c ON c.l_orderkey = o.o_orderkey
+  ORDER BY score_x1e6 DESC, id1 ASC LIMIT 10)
+UNION ALL SELECT 'divknn' AS tag, * FROM (
+  WITH comp AS (
+    SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings),
+  qc AS (SELECT pos, v FROM comp WHERE vec_id = 0),
+  nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+  dots AS (
+    SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+    FROM comp c JOIN qc q USING (pos)
+    WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+  scored AS (
+    SELECT e.label, d.vec_id,
+           CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos
+    FROM dots d JOIN embeddings e USING (vec_id) CROSS JOIN nq),
+  ranked AS (
+    SELECT label, vec_id, cos,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored)
+  SELECT CAST(label AS BIGINT) AS id1, CAST(vec_id AS BIGINT) AS id2,
+         cos AS score_x1e6
+  FROM ranked WHERE rk = 1
+  ORDER BY cos DESC, id1 ASC LIMIT 10)""",
         "q_join_util": """WITH t_semi AS (
   SELECT CAST(c_custkey AS BIGINT) AS id1, CAST(0 AS BIGINT) AS score_x1e6
   FROM customer

@@ -123,6 +123,47 @@ FROM dots d CROSS JOIN nq
 ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""
 
 
+def diversifying_children_topk(
+    emb: DataFrame, parent_col: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """DiversifyingChildrenFloatKnnVectorQuery (join/.../
+    DiversifyingChildrenFloatKnnVectorQuery.java +
+    DiversifyingNearestChildrenKnnCollector.java): nearest child
+    vectors DEDUPLICATED to the single best child per parent — the
+    result is top-k PARENTS, each represented by its best child's
+    similarity (so one hot parent cannot fill the whole top-k).
+    `parent_col` is the child row's parent key (the reference derives
+    it from block adjacency; relationally it is the foreign key).
+    -> (parent, vec_id, cos_x1e6), (cos DESC, parent ASC) top-k.
+
+    100-TB shape: exact scoring is one codegen projection; the
+    per-parent dedup is a WindowGroupLimit (rank-1 per parent) that
+    prunes map-side BEFORE the single shuffle, then
+    TakeOrderedAndProject — the same diversified-top-k plan as
+    sqlpath.diversified_topk. Approximate variant: route the children
+    through ann_hnsw_topk with oversampling, then apply the same
+    rank-1 window (recall-gated, not exactness-gated)."""
+    from pyspark.sql import Window
+
+    qv = _query_vec(emb, query_id)
+    cos = cosine_lit_col("embedding", qv)
+    scored = emb.filter(F.col("vec_id") != query_id).select(
+        F.col(parent_col).alias("parent"),
+        "vec_id",
+        F.round(cos * 1e6).cast("long").alias("cos_x1e6"),
+    )
+    w = Window.partitionBy("parent").orderBy(
+        F.col("cos_x1e6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy(F.col("cos_x1e6").desc(), F.col("parent").asc())
+        .limit(k)
+    )
+
+
 def _planes_df(spark, n_planes: int, dims: int) -> DataFrame:
     """(p, pos, w): deterministic integer hyperplane components."""
     rows = spark.range(n_planes * dims).select(

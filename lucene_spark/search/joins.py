@@ -104,6 +104,57 @@ def to_child_block_join(
     )
 
 
+def block_join_sort_topk(
+    parents: DataFrame,
+    parent_key: str,
+    children: DataFrame,
+    child_filter: Column,
+    child_val: Column,
+    child_parent_key: str,
+    selector: str = "min",
+    ascending: bool = True,
+    k: int = 10,
+    missing_val: float = -1.0,
+) -> DataFrame:
+    """ToParentBlockJoinSortField (join/.../ToParentBlockJoinSortField.java
+    + BlockJoinSelector.java wrap): PARENT hits ordered by ONE value
+    selected — min or max — from their matching children's sort values.
+    Parents whose children all fail `child_filter` still rank, carrying
+    `missing_val` (the comparator's missingValue slot; the reference
+    defaults it to the type's MIN/MAX sentinel so missing parents sink
+    to one end). -> (parent_id, n_children, sel_x1e6) top-k by
+    (sel asc/desc, parent_id asc).
+
+    100-TB shape: the child side is one filter + map-side-combined
+    groupBy on the parent key (one shuffle), LEFT-joined back to the
+    parents (broadcastable once aggregated), then
+    TakeOrderedAndProject — never a per-parent scan of child blocks."""
+    if selector not in ("min", "max"):
+        raise ValueError(f"unknown selector {selector!r}")
+    agg_fn = _SCORE_MODES[selector]
+    cagg = (
+        children.filter(child_filter)
+        .select(
+            F.col(child_parent_key).alias("parent_id"),
+            child_val.cast("double").alias("_v"),
+        )
+        .groupBy("parent_id")
+        .agg(agg_fn("_v").alias("_sel"), F.count("*").alias("n_children"))
+    )
+    out = (
+        parents.select(F.col(parent_key).alias("parent_id"))
+        .join(cagg, "parent_id", "left")
+        .select(
+            "parent_id",
+            F.coalesce("n_children", F.lit(0)).cast("long").alias("n_children"),
+            F.round(F.coalesce("_sel", F.lit(float(missing_val))) * 1e6)
+            .cast("long").alias("sel_x1e6"),
+        )
+    )
+    order = F.col("sel_x1e6").asc() if ascending else F.col("sel_x1e6").desc()
+    return out.orderBy(order, F.col("parent_id").asc()).limit(k)
+
+
 def join_util_semi(
     from_df: DataFrame,
     from_filter: Column,
