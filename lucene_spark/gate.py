@@ -1971,10 +1971,21 @@ def gate_queries() -> dict[str, object]:
         dfg = _dfgeo.geo_distance_feature_topk(
             sp.term_scored(r, FIELD, T_MID), r.docs(),
             20.0, 10.0, pivot_km=500.0, weight=1.5)
+        # term/index-statistic value sources (queries/function/
+        # valuesource/ TermFreq/IDF/Norm/SumTotalTermFreq*.java):
+        # per-doc tf of a SECOND term, constant idf, the decoded
+        # length norm, and the field-wide token-count constant
+        vtf = sp.term_stat_score_topk(r, FIELD, T_MID, T_HOT, "termfreq")
+        vidf = sp.term_stat_score_topk(r, FIELD, T_MID, T_HOT, "idf")
+        vnorm = sp.term_stat_score_topk(r, FIELD, T_MID, T_HOT, "norm")
+        vsttf = sp.term_stat_score_topk(
+            r, FIELD, T_MID, T_HOT, "sumtotaltermfreq")
         parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
                  ("jsexpr", jse), ("vecsim", vsim), ("frange", frange),
                  ("fmatch", fmatch), ("scale", scale), ("recip", recip),
-                 ("rngmap", rngmap), ("dfeat", dfl), ("dfeatgeo", dfg)]
+                 ("rngmap", rngmap), ("dfeat", dfl), ("dfeatgeo", dfg),
+                 ("vtf", vtf), ("vidf", vidf), ("vnorm", vnorm),
+                 ("vsttf", vsttf)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -4907,6 +4918,37 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
             "lucene_spark.search.geo", fromlist=["geo"]
         ).geo_distance_feature_sql(
             _scored_ctes(T_MID), 20.0, 10.0, pivot_km=500.0, weight=1.5)),
+        # term/index-statistic value sources: tf of a second term,
+        # idf/sumTotalTermFreq constants, the decoded length norm
+        ("vtf", f"""{_scored_ctes(T_MID)},
+tf2 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f2 FROM toks
+        WHERE tok = '{T_HOT}' GROUP BY doc_id)
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0) * COALESCE(t.f2, 0.0)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s LEFT JOIN tf2 t ON t.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("vidf", f"""{_scored_ctes(T_MID)},
+df2 AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok = '{T_HOT}')
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0)
+       * (ln((st.n + 1)/(df2.df + 1)) + 1.0)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s CROSS JOIN df2 CROSS JOIN stats st
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("vnorm", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0) * (1.0 / sqrt(CAST(q.dlq AS DOUBLE)))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN dlq q ON q.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("vsttf", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0) * st.sumdl
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s CROSS JOIN stats st
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo
     from lucene_spark.search import xy as _xy

@@ -1334,6 +1334,83 @@ def term_scored(reader: IndexReader, field: str, term: str) -> DataFrame:
     )
 
 
+def term_stat_score_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    stat_term: str,
+    source: str,
+    k: int = 10,
+) -> DataFrame:
+    """Term/index-STATISTIC value sources under FunctionScoreQuery
+    (queries/function/valuesource/TermFreqValueSource.java,
+    TFValueSource.java, DocFreqValueSource.java, IDFValueSource.java,
+    TotalTermFreqValueSource.java, SumTotalTermFreqValueSource.java,
+    NormValueSource.java, MaxDocValueSource.java,
+    NumDocsValueSource.java): docs matching `term` BM25-scored, the
+    score multiplied by a value source reading index statistics rather
+    than docvalues columns.
+
+    Per-doc sources: 'termfreq' = raw tf(stat_term) (0 when absent);
+    'tf' = sqrt(tf) (TFValueSource under ClassicSimilarity's tf());
+    'norm' = 1/sqrt(quantized doc length) (NormValueSource decoding the
+    stored length norm through the TFIDF lengthNorm — the engine's
+    SmallFloat-quantized length is the stored norm). Per-index
+    constants: 'docfreq'; 'idf' = ln((docCount+1)/(df+1)) + 1
+    (TFIDFSimilarity.idf); 'totaltermfreq'; 'sumtotaltermfreq';
+    'maxdoc'; 'numdocs'.
+
+    100-TB shape: constants come from the bounded driver term-stats
+    cache (the same path BM25 df resolution uses) and fold into ONE
+    literal; per-doc tf sources add one LEFT postings join (the
+    stat-term side is a term-sliced scan, broadcastable); 'norm' joins
+    the doclens table on (doc_id) — never a second corpus scan.
+    -> (doc_id, score_x1e6)."""
+    scored = term_scored(reader, field, term)
+    if source in ("termfreq", "tf"):
+        tfdf = exploded_postings(reader, field, [stat_term]).select(
+            "doc_id", F.col("freq").alias("_f")
+        )
+        fr = F.coalesce(F.col("_f"), F.lit(0)).cast("double")
+        v = fr if source == "termfreq" else F.sqrt(fr)
+        base = scored.join(tfdf, "doc_id", "left")
+    elif source == "norm":
+        dl = reader.doclens().filter(F.col("field") == field).select(
+            "doc_id", _length_table_col(F.col("doc_len_code")).alias("_dlq")
+        )
+        v = F.lit(1.0) / F.sqrt(F.col("_dlq"))
+        base = scored.join(dl, "doc_id")
+    else:
+        coll = reader.collection_stats(field)
+        if source in ("docfreq", "idf", "totaltermfreq"):
+            ts = reader.term_stats(field, [stat_term]).get(stat_term)
+            df_ = ts.doc_freq if ts else 0
+            ttf = ts.total_term_freq if ts else 0
+            const = {
+                "docfreq": float(df_),
+                "idf": math.log((coll.doc_count + 1) / (df_ + 1)) + 1.0,
+                "totaltermfreq": float(ttf),
+            }[source]
+        elif source == "sumtotaltermfreq":
+            const = float(coll.sum_total_term_freq)
+        elif source == "maxdoc":
+            const = float(coll.max_doc)
+        elif source == "numdocs":
+            const = float(coll.doc_count)
+        else:
+            raise ValueError(f"unknown value source {source!r}")
+        v = F.lit(const)
+        base = scored
+    new = (F.col("score_x1e6") / 1e6) * v
+    return (
+        base.select(
+            "doc_id", F.round(new * 1e6).cast("long").alias("score_x1e6")
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def match_all_topk(reader: IndexReader, k: int = 10) -> DataFrame:
     """MatchAllDocsQuery (MatchAllDocsQuery.java:23): every live doc,
     constant score 1, doc_id order. Live = doclens minus tombstones
