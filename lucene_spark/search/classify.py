@@ -613,6 +613,179 @@ class CachingNaiveBayesModel:
             .alias("score_x1e6"),
         ).orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
 
+    def classify_df(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        """Distributed batch classification — EVERY input row argmaxed
+        in one plan (the shape ConfusionMatrixGenerator needs: the
+        reference loops classify() per doc on an executor pool,
+        ConfusionMatrixGenerator.java:75-120; at 100 TB that loop is a
+        groupBy). Tokenization is the index analyzer's own vectorized
+        pandas path, so tokens match classify() exactly.
+        -> (id_col, clazz) with the same (max raw, min clazz) argmax
+        tie-break as the single-text path."""
+        from pyspark.sql import types as T
+
+        from lucene_spark.analysis.analyzer import get_analyzer
+
+        name = self.reader.manifest.get("analyzer", "standard")
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def toks(s):
+            return get_analyzer(name).tokenize(s)
+
+        tf = (
+            docs.select(F.col(id_col).alias("_id"), toks(F.col(text_col)).alias("_t"))
+            .select("_id", F.explode("_t").alias("term"))
+            .groupBy("_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        grid = (
+            tf.crossJoin(F.broadcast(self.cls))
+            .join(self.wc, ["clazz", "term"], "left")
+            .fillna(0, subset=["n_wc"])
+        )
+        scored = grid.withColumn(
+            "ll",
+            F.col("tf")
+            * F.log(
+                (F.col("n_wc") + F.lit(1.0))
+                / (F.lit(self.avg_unique) * F.col("df_c") + F.lit(self.dwc))
+            ),
+        )
+        per = scored.groupBy("_id", "clazz", "df_c").agg(
+            F.sum("ll").alias("loglik")
+        ).select(
+            "_id", "clazz",
+            (F.log(F.col("df_c").cast("double")) - F.lit(math.log(self.dwc))
+             + F.col("loglik")).alias("raw"),
+        )
+        w = Window.partitionBy("_id").orderBy(
+            F.col("raw").desc(), F.col("clazz").asc()
+        )
+        return (
+            per.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_id").alias(id_col), "clazz")
+        )
+
     def unpersist(self) -> None:
         self.cls.unpersist()
         self.wc.unpersist()
+
+
+def confusion_matrix_df(
+    pred: DataFrame, actual_col: str = "actual", predicted_col: str = "predicted"
+) -> DataFrame:
+    """Linearized confusion matrix (classification/utils/
+    ConfusionMatrixGenerator.java:163-180): keys are the CORRECT
+    answers, values the predicted answers' counts. One
+    map-side-combined groupBy. -> (actual, predicted, cnt)."""
+    return (
+        pred.groupBy(
+            F.col(actual_col).alias("actual"),
+            F.col(predicted_col).alias("predicted"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("actual", "predicted")
+    )
+
+
+class ConfusionMatrix:
+    """Metric surface of ConfusionMatrixGenerator.ConfusionMatrix
+    (ConfusionMatrixGenerator.java:183-320), replicated formula-exact —
+    including the idiosyncratic accuracy denominator that counts a
+    'tn' unit per (class, actual-row) pair whose row lacks the class,
+    and the >0 guards that zero precision/recall/F1 instead of NaN.
+    Operates on the COLLECTED matrix (|classes|^2 rows — driver-tiny
+    regardless of corpus size; the corpus-sized work happened in
+    confusion_matrix_df's one groupBy)."""
+
+    def __init__(self, matrix_df: DataFrame):
+        self.m: dict[str, dict[str, int]] = {}
+        for r in matrix_df.collect():
+            self.m.setdefault(r["actual"], {})[r["predicted"]] = int(r["cnt"])
+
+    def precision(self, klass: str) -> float:
+        classifications = self.m.get(klass)
+        tp = den = 0.0
+        if classifications is not None:
+            tp = float(classifications.get(klass, 0))
+            for values in self.m.values():
+                if klass in values:
+                    den += values[klass]
+        return tp / den if tp > 0 else 0.0
+
+    def recall(self, klass: str) -> float:
+        classifications = self.m.get(klass)
+        tp = fn = 0.0
+        if classifications is not None:
+            for pred, cnt in classifications.items():
+                if pred == klass:
+                    tp += cnt
+                else:
+                    fn += cnt
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    def f1(self, klass: str) -> float:
+        r, p = self.recall(klass), self.precision(klass)
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+    def macro_precision(self) -> float:
+        return sum(self.precision(k) for k in self.m) / len(self.m)
+
+    def macro_recall(self) -> float:
+        return sum(self.recall(k) for k in self.m) / len(self.m)
+
+    def macro_f1(self) -> float:
+        r, p = self.macro_recall(), self.macro_precision()
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+    def accuracy(self) -> float:
+        tp = tn = tfp = fn = 0.0
+        for klass, values in self.m.items():
+            for pred, cnt in values.items():
+                if pred == klass:
+                    tp += cnt
+                else:
+                    fn += cnt
+            for row in self.m.values():
+                if klass in row:
+                    tfp += row[klass]
+                else:
+                    tn += 1
+        return (tp + tn) / (tfp + fn + tn)
+
+
+def dataset_splitter(
+    docs: DataFrame,
+    class_col: str,
+    test_ratio: float,
+    cv_ratio: float,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """DatasetSplitter (classification/utils/DatasetSplitter.java:
+    136-166): per-CLASS (stratified) deterministic split. The reference
+    walks each class's docs with a counter b, sending even-b docs to
+    test while test is under totalHits*testRatio, then filling cv, then
+    train. That sequential walk has a closed form — even b goes to test
+    iff b/2 < testSize; cv fills in walk order among the remaining docs
+    while under cvSize — so the split is two window ranks per class:
+    one shuffle, no driver iteration, identical assignments.
+    -> docs + 'split' column in {'test', 'cv', 'train'}."""
+    cw = Window.partitionBy(class_col).orderBy(F.col(order_col).asc())
+    total = F.count("*").over(Window.partitionBy(class_col))
+    b = F.row_number().over(cw) - 1
+    test_size = total * float(test_ratio)
+    cv_size = total * float(cv_ratio)
+    is_test = ((b % 2) == 0) & ((b / 2) < test_size)
+    with_b = docs.withColumn("_b", b).withColumn("_istest", is_test) \
+                 .withColumn("_cvsize", cv_size)
+    ntw = Window.partitionBy(class_col).orderBy(F.col("_b").asc())
+    nt_rank = F.sum(F.when(~F.col("_istest"), 1).otherwise(0)).over(ntw)
+    split = (
+        F.when(F.col("_istest"), F.lit("test"))
+        .when((nt_rank - 1) < F.col("_cvsize"), F.lit("cv"))
+        .otherwise(F.lit("train"))
+    )
+    return with_b.withColumn("split", split).drop("_b", "_istest", "_cvsize")
