@@ -2551,10 +2551,17 @@ def gate_queries() -> dict[str, object]:
         )
 
     def q_drill_sideways(spark, sf):
+        # single-value selections + the MultiFacetQuery form (repeated
+        # DrillDownQuery.add on one dim = OR of paths), one tagged union
         r = ensure_index(spark, sf)
-        return sp.drill_sideways(
-            r, FIELD, T_MID, {"lang": "en"}, ["lang", "source"], k_per_dim=8
-        )
+        return _union([
+            ("single", sp.drill_sideways(
+                r, FIELD, T_MID, {"lang": "en"},
+                ["lang", "source"], k_per_dim=8)),
+            ("multi", sp.drill_sideways(
+                r, FIELD, T_MID, {"lang": ["en", "de"]},
+                ["lang", "source"], k_per_dim=8)),
+        ])
 
     def q_grouped_distinct(spark, sf):
         r = ensure_index(spark, sf)
@@ -3915,9 +3922,19 @@ lang_counts AS (
 src_counts AS (
   SELECT 'source' AS dim, source AS value, count(*) AS cnt
   FROM md WHERE lang = 'en' GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 8
+),
+m_src_counts AS (
+  SELECT 'source' AS dim, source AS value, count(*) AS cnt
+  FROM md WHERE lang IN ('en', 'de')
+  GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 8
 )
-SELECT dim, value, cnt FROM (SELECT * FROM lang_counts UNION ALL SELECT * FROM src_counts)
-ORDER BY dim, cnt DESC, value""",
+SELECT 'single' AS tag, dim, value, cnt FROM (
+  SELECT * FROM (SELECT * FROM lang_counts UNION ALL SELECT * FROM src_counts)
+  ORDER BY dim, cnt DESC, value)
+UNION ALL
+SELECT 'multi' AS tag, dim, value, cnt FROM (
+  SELECT * FROM (SELECT * FROM lang_counts UNION ALL SELECT * FROM m_src_counts)
+  ORDER BY dim, cnt DESC, value)""",
         "q_grouped_distinct": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
 SELECT d.lang AS grp, count(DISTINCT d.source) AS n_distinct

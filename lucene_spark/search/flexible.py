@@ -729,3 +729,129 @@ class StandardQueryParser:
             return Q.ITerm(terms[0])
         # AnalyzedText.java: multi-token arg becomes a phrase source
         return Q.IPhrase(tuple(Q.ITerm(t) for t in terms))
+
+
+class _PrecedenceSyntaxParser(_SyntaxParser):
+    """flexible/precedence grammar: the StandardSyntaxParser.jj
+    precedence ladder KEPT in the tree instead of flattened —
+    Query ::= DisjQuery+ (juxtaposition, loosest), DisjQuery ::=
+    ConjQuery (OR ConjQuery)*, ConjQuery ::= ModClause (AND
+    ModClause)*. Modifier resolution follows
+    precedence/processors/BooleanModifiersQueryNodeProcessor.java:
+    AND-group children become MUST unless already modified; OR-group
+    children stay SHOULD; plain juxtaposition groups become MUST only
+    when the default operator is AND."""
+
+    def __init__(self, s: str, default_and: bool = False):
+        super().__init__(s)
+        self.default_and = default_and
+
+    # -- keyword lookahead (consume only the wanted connector) ---------------
+
+    def _try_kw(self, want: str) -> bool:
+        self._ws()
+        save = self.i
+        kw = self._keyword()
+        if kw == want:
+            return True
+        self.i = save
+        return False
+
+    def _at_end(self) -> bool:
+        self._ws()
+        return self.i >= len(self.s) or self._peek() == ")"
+
+    # -- grammar --------------------------------------------------------------
+
+    @staticmethod
+    def _occur(mod: str | None, default: str) -> str:
+        if mod == "-":
+            return "must_not"
+        if mod == "+":
+            return "must"
+        return default
+
+    def _query(self) -> _Node:
+        groups: list[tuple[str | None, _Node]] = []
+        while not self._at_end():
+            got = self._disj()
+            if got is not None:
+                groups.append(got)
+        if not groups:
+            return BooleanNode(())
+        default = "must" if self.default_and else "should"
+        if len(groups) == 1:
+            mod, node = groups[0]
+            if mod != "-":
+                return node
+            return BooleanNode((("must_not", node),))
+        return BooleanNode(
+            tuple((self._occur(m, default), n) for m, n in groups)
+        )
+
+    def _disj(self) -> tuple[str | None, _Node] | None:
+        parts = [self._conj()]
+        while self._try_kw("or"):
+            parts.append(self._conj())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return (None, BooleanNode(
+            tuple((self._occur(m, "should"), n) for m, n in parts)
+        ))
+
+    def _conj(self) -> tuple[str | None, _Node] | None:
+        parts = [self._mod_clause()]
+        while self._try_kw("and"):
+            parts.append(self._mod_clause())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return (None, BooleanNode(
+            tuple((self._occur(m, "must"), n) for m, n in parts)
+        ))
+
+    def _mod_clause(self) -> tuple[str | None, _Node] | None:
+        self._ws()
+        mod: str | None = None
+        if self._try_kw("not"):
+            mod = "-"
+            self._ws()
+        elif self._peek() in "+-":
+            mod = self._peek()
+            self.i += 1
+            self._ws()
+        node = self._clause()
+        if node is None:
+            return None
+        return (mod, node)
+
+
+class PrecedenceQueryParser(StandardQueryParser):
+    """flexible/precedence/PrecedenceQueryParser.java: classic syntax
+    with boolean PRECEDENCE kept — 'A AND B OR C AND D' parses as
+    '(A AND B) OR (C AND D)', and OR binds tighter than juxtaposition
+    ('A OR B C' == '(A B) C'). Default operator OR, switchable to AND
+    (setDefaultOperator), which promotes only plain juxtaposition
+    groups (BooleanModifiersQueryNodeProcessor.java:87-99)."""
+
+    def __init__(self, *args, default_operator: str = "or", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.default_operator = default_operator
+
+    def set_default_operator(self, op: str) -> None:
+        if op not in ("or", "and"):
+            raise ValueError(f"unknown operator {op!r}")
+        self.default_operator = op
+
+    def parse(self, s: str, default_field: str | None = None) -> Q.Query:
+        node = _PrecedenceSyntaxParser(
+            s, default_and=self.default_operator == "and"
+        ).parse()
+        node = self._expand_fields(node, default_field or self.default_field)
+        q = self._build(node)
+        return Q.rewrite_fixpoint(q)

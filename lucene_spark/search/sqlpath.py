@@ -2523,7 +2523,12 @@ def drill_sideways(
     One pass per dimension over the matched set (Lucene runs one
     DrillSidewaysScorer pass; relationally each dim is an independent
     groupBy over a differently-filtered semi-join — still
-    broadcast-sized filters over one base match)."""
+    broadcast-sized filters over one base match).
+
+    A selection value may be a LIST: DrillDownQuery.add(dim, path)
+    called repeatedly for one dim ORs the paths (DrillDownQuery.java
+    'add' javadoc; MultiFacetQuery.java is the same disjunction) —
+    multi-value dims become one IN predicate, still pushable."""
     matched = exploded_postings(reader, field, [term]).select("doc_id").distinct()
     docs = reader.docs().join(matched, "doc_id", "left_semi")
     outs = []
@@ -2531,7 +2536,12 @@ def drill_sideways(
         d = docs
         for sdim, sval in selections.items():
             if sdim != dim:
-                d = d.filter(F.col(sdim) == sval)
+                vals = (
+                    list(sval)
+                    if isinstance(sval, (list, tuple, set))
+                    else [sval]
+                )
+                d = d.filter(F.col(sdim).isin(vals))
         outs.append(
             d.groupBy(F.col(dim).alias("value"))
             .agg(F.count("*").alias("cnt"))
