@@ -63,6 +63,29 @@ def _analyze_query(analyzer: str, typed: str) -> str:
     return " ".join(get_analyzer(analyzer).tokenize_one(typed))
 
 
+def suggest_stop_key(
+    typed: str, stop_words, analyzer: str = "simple"
+) -> str:
+    """SuggestStopFilter (suggest/analyzing/SuggestStopFilter.java:
+    30-115): StopFilter for the QUERY side of a suggester that KEEPS a
+    final stopword not followed by a token separator — 'find the'
+    preserves 'the' (the user may be mid-word: 'theory'), 'find the '
+    (trailing separator) and 'find the popsicle' drop it. The
+    preserved token is keyword-marked in the reference so stemmers
+    skip it; here the returned key is final. Detection mirrors the
+    reference exactly: the stopword survives iff its end offset equals
+    the stream's final offset (= len(typed))."""
+    an = get_analyzer(analyzer)
+    toks, _starts, ends = an.tokenize_with_offsets_one(typed)
+    stop = {s.lower() for s in stop_words}
+    out = [
+        t for i, t in enumerate(toks)
+        if t not in stop
+        or (i == len(toks) - 1 and ends[i] == len(typed))
+    ]
+    return " ".join(out)
+
+
 def analyzing_suggest(
     suggestions: DataFrame,
     typed: str,
@@ -70,10 +93,38 @@ def analyzing_suggest(
     k: int = 5,
     surface_col: str = "surface",
     weight_col: str = "weight",
+    stop_words=None,
 ) -> DataFrame:
     """-> (surface, weight), weight DESC then surface ASC top-k, for
     dictionary entries whose analyzed key starts with the analyzed
-    query (AnalyzingSuggester.lookup: exactFirst/prefix walk)."""
+    query (AnalyzingSuggester.lookup: exactFirst/prefix walk).
+
+    ``stop_words`` wires the reference's suggester stop setup
+    (SuggestStopFilter javadoc): the DICTIONARY side drops every
+    stopword (ordinary StopFilter in the index analyzer), the QUERY
+    side keeps a final partially-typed stopword (suggest_stop_key)."""
+    if stop_words is not None:
+        qkey = suggest_stop_key(typed, stop_words, analyzer)
+        stop = sorted({s.lower() for s in stop_words})
+        keyed = _with_key(suggestions, analyzer, surface_col).withColumn(
+            "_key",
+            F.array_join(
+                F.filter(
+                    F.split(F.col("_key"), " "),
+                    lambda t: ~t.isin(stop),
+                ),
+                " ",
+            ),
+        )
+        return (
+            keyed.filter(F.col("_key").startswith(qkey))
+            .select(
+                F.col(surface_col).alias("surface"),
+                F.col(weight_col).alias("weight"),
+            )
+            .orderBy(F.col("weight").desc(), F.col("surface").asc())
+            .limit(k)
+        )
     qkey = _analyze_query(analyzer, typed)
     keyed = _with_key(suggestions, analyzer, surface_col)
     return (
