@@ -104,6 +104,35 @@ def to_child_block_join(
     )
 
 
+def check_join_index(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+) -> None:
+    """CheckJoinIndex.check (join/CheckJoinIndex.java:37-80) mapped to
+    the relational block contract. Lucene's invariants — every segment
+    block ends with a parent, live bits agree across a block — become:
+    every child row references an existing parent key (an orphaned
+    child is exactly a block whose parent doc is missing/deleted).
+    One LEFT-ANTI join (the distinct parent-key side broadcasts);
+    raises like the reference's IllegalStateException on violation."""
+    keys = parents.select(
+        F.col(parent_key).alias(child_parent_key)
+    ).distinct()
+    orphan = (
+        children.join(F.broadcast(keys), child_parent_key, "left_anti")
+        .select(child_parent_key)
+        .first()
+    )
+    if orphan is not None:
+        raise ValueError(
+            f"orphaned child rows: {child_parent_key}="
+            f"{orphan[child_parent_key]!r} has no parent "
+            f"(CheckJoinIndex contract)"
+        )
+
+
 def block_join_sort_topk(
     parents: DataFrame,
     parent_key: str,

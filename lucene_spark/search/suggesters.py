@@ -30,6 +30,7 @@ broadcast-sized side table; nothing here shuffles.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -61,6 +62,21 @@ def _with_key(
 
 def _analyze_query(analyzer: str, typed: str) -> str:
     return " ".join(get_analyzer(analyzer).tokenize_one(typed))
+
+
+def file_dictionary(spark, path: str, delimiter: str = "\t") -> DataFrame:
+    """FileDictionary (suggest/FileDictionary.java:38-66): plain-text
+    suggestion entries, one per line — ``suggestion [delim weight
+    [delim payload]]`` — with weight defaulting to 1 when absent.
+    Parsed distributed (spark.read.text + one split projection), so a
+    100-TB dictionary never routes through the driver.
+    -> (surface, weight, payload)."""
+    parts = F.split(F.col("value"), re.escape(delimiter))
+    return spark.read.text(path).select(
+        F.get(parts, 0).alias("surface"),
+        F.coalesce(F.get(parts, 1).cast("long"), F.lit(1)).alias("weight"),
+        F.coalesce(F.get(parts, 2), F.lit("")).alias("payload"),
+    )
 
 
 def suggest_stop_key(

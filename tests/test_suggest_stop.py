@@ -36,3 +36,41 @@ def test_analyzing_suggest_with_stop_words(spark):
     got = analyzing_suggest(d, "find the ", stop_words=STOPS, k=5)
     assert [r["surface"] for r in got.collect()] == [
         "find the theory", "find popsicle", "find the port"]
+
+
+def test_file_dictionary(spark, tmp_path):
+    from lucene_spark.search.suggesters import analyzing_suggest, file_dictionary
+
+    p = tmp_path / "dict.txt"
+    p.write_text(
+        "word1 word2\t100\tpayload1\n"
+        "word3\t101\n"
+        "word4 word3\n"
+        "word5\t20\n"
+    )
+    d = file_dictionary(spark, str(p))
+    rows = {r["surface"]: (r["weight"], r["payload"]) for r in d.collect()}
+    assert rows == {
+        "word1 word2": (100, "payload1"),
+        "word3": (101, ""),
+        "word4 word3": (1, ""),   # missing weight defaults to 1
+        "word5": (20, ""),
+    }
+    got = analyzing_suggest(d, "word", k=2)
+    assert [r["surface"] for r in got.collect()] == ["word3", "word1 word2"]
+
+
+def test_check_join_index(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_spark.search.joins import check_join_index
+
+    parents = spark.createDataFrame(pd.DataFrame({"pid": [1, 2]}))
+    ok_children = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 1, 2], "v": [1, 2, 3]}))
+    check_join_index(parents, ok_children, "pid", "pid")  # silent
+    bad_children = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 3], "v": [1, 2]}))
+    with _pytest.raises(ValueError, match="orphaned child"):
+        check_join_index(parents, bad_children, "pid", "pid")
