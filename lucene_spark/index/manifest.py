@@ -41,6 +41,30 @@ def read_manifest(index_dir: str, generation: int | None = None) -> dict[str, An
         return json.load(f)
 
 
+def set_commit_user_data(index_dir: str, data: dict[str, str]) -> int:
+    """IndexWriter.setLiveCommitData + SegmentInfos#getUserData
+    (core/index/IndexWriter.java:3589-3616, SegmentInfos.java userData):
+    opaque string->string metadata carried ON a commit point —
+    consumers store replication checkpoints or ingest sequence numbers
+    and read them back from the commit they open. As in the reference,
+    the data becomes durable only with a commit: this commits a new
+    generation whose sole change is the user data. Later commits
+    (merges, deletes) CARRY the map forward untouched — dict(m) keeps
+    unknown manifest keys. Returns the new generation."""
+    m = read_manifest(index_dir)
+    m["user_data"] = {str(k): str(v) for k, v in data.items()}
+    return commit_manifest(index_dir, m)
+
+
+def get_commit_user_data(
+    index_dir: str, generation: int | None = None
+) -> dict[str, str]:
+    """IndexReader.getIndexCommit().getUserData() — per-generation, so
+    a snapshot/paging reader pinned to an older commit sees THAT
+    commit's map."""
+    return dict(read_manifest(index_dir, generation).get("user_data") or {})
+
+
 def live_segment_ids(manifest: dict[str, Any]) -> set[str] | None:
     """Segments a reader may see: every segment from `batches` plus
     every merge output, minus every merge input. Returns None when no
