@@ -109,3 +109,6 @@ from lucene_spark.analysis.greek import (  # noqa: F401  (registers
 from lucene_spark.analysis.estonian import (  # noqa: F401  (registers
     estonian_stem,  # the estonian analyzer on import)
 )
+from lucene_spark.analysis.tamil import (  # noqa: F401  (registers
+    tamil_stem,  # the tamil analyzer on import)
+)
