@@ -112,3 +112,6 @@ from lucene_spark.analysis.estonian import (  # noqa: F401  (registers
 from lucene_spark.analysis.tamil import (  # noqa: F401  (registers
     tamil_stem,  # the tamil analyzer on import)
 )
+from lucene_spark.analysis.yiddish import (  # noqa: F401  (registers
+    yiddish_stem,  # the yiddish analyzer on import)
+)
