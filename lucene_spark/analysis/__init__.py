@@ -115,3 +115,6 @@ from lucene_spark.analysis.tamil import (  # noqa: F401  (registers
 from lucene_spark.analysis.yiddish import (  # noqa: F401  (registers
     yiddish_stem,  # the yiddish analyzer on import)
 )
+from lucene_spark.analysis.turkish_stem import (  # noqa: F401  (registers
+    turkish_stem,  # the turkish_snowball analyzer on import)
+)

@@ -435,8 +435,10 @@ def _stem_program(word: str) -> tuple[str, bool]:
 
 
 def tamil_stem(word: str) -> str:
-    out, ok = _stem_program(word)
-    return out if ok else word
+    # SnowballFilter takes getCurrent() regardless of stem()'s return
+    # (SnowballFilter.java:96-102), so the modified buffer IS the token
+    # even when the min-length bail fired after the initial ending fix
+    return _stem_program(word)[0]
 
 
 class TamilStemFilter(TokenFilter):
