@@ -50,6 +50,7 @@ _SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 _STRAT_FR = {"en": 0.3, "es": 0.6}
 _MIX_W = {"en": 0.5, "es": 0.3, "de": 0.2}
 _MIX_BUDGET = 0.3
+_TEMP_ALPHA, _TEMP_BUDGET = 0.5, 0.4
 # deterministic planted PII so both engines see identical text
 _PII_AUG_SQL = (
     "text || CASE WHEN doc_id % 7 = 0 THEN ' mail u'||CAST(doc_id AS VARCHAR)"
@@ -2202,6 +2203,20 @@ def gate_queries() -> dict[str, object]:
                 zero.alias("v4_x1e6"),
             )
         )
+        # temperature reweighting (p_d ~ n_d^alpha): alpha 0.5 upweights
+        # the small language strata against the en head
+        from lucene_spark.pipeline.sampling import temperature_sample
+
+        temp = (
+            temperature_sample(d, "lang", _TEMP_ALPHA, _TEMP_BUDGET)
+            .orderBy("doc_id").limit(300)
+            .select(
+                F.lit("temp").alias("tag"), "doc_id",
+                F.col("bucket").alias("v1_x1e6"),
+                zero.alias("v2_x1e6"), zero.alias("v3_x1e6"),
+                zero.alias("v4_x1e6"),
+            )
+        )
         pii = ts.pii_stats(
             d.select("doc_id", _pii_aug_spark().alias("text")), k=250
         ).select(
@@ -2244,7 +2259,7 @@ def gate_queries() -> dict[str, object]:
         )
         return (
             q.unionByName(r).unionByName(spl).unionByName(st)
-            .unionByName(mix).unionByName(pii)
+            .unionByName(mix).unionByName(temp).unionByName(pii)
             .unionByName(url).unionByName(cap)
         )
 
@@ -4141,6 +4156,13 @@ UNION ALL SELECT 'classic' AS tag, * FROM t_classic""",
              "CAST(0 AS BIGINT) AS v2_x1e6, CAST(0 AS BIGINT) AS v3_x1e6, "
              "CAST(0 AS BIGINT) AS v4_x1e6 "
              "FROM (" + _sampling.mixture_sample_sql("lang", _MIX_W, _MIX_BUDGET)
+             + ") ORDER BY doc_id LIMIT 300"),
+            ("temp",
+             "SELECT doc_id, bucket AS v1_x1e6, "
+             "CAST(0 AS BIGINT) AS v2_x1e6, CAST(0 AS BIGINT) AS v3_x1e6, "
+             "CAST(0 AS BIGINT) AS v4_x1e6 "
+             "FROM (" + _sampling.temperature_sample_sql(
+                 "lang", _TEMP_ALPHA, _TEMP_BUDGET)
              + ") ORDER BY doc_id LIMIT 300"),
             ("pii", ts.pii_stats_sql(
                 text_expr=f"({_PII_AUG_SQL})", k=250)

@@ -227,6 +227,78 @@ def mixture_sample(
     )
 
 
+def _temp_threshold_sql(budget_frac: float, alpha: float) -> str:
+    """Per-stratum keep threshold for temperature resampling, ONE
+    shared SQL string: keep min(1, budget*total*(c^a/sum c^a)/c)."""
+    return (
+        f"LEAST({_SPACE}, CAST(ROUND({_SPACE}.0 * {float(budget_frac)!r} "
+        f"* total_n * (POWER(cnt, {float(alpha)!r}) / wsum) / cnt) "
+        f"AS BIGINT))"
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float,
+    budget_frac: float,
+    salt: str = "temp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain reweighting — the multilingual-corpus
+    sampling rule p_d proportional to n_d^alpha (exponentiated
+    smoothing, the mBERT/XLM-R recipe; alpha < 1 upweights small
+    domains, alpha = 1 is proportional, alpha = 0 is uniform): keep
+    fraction per stratum = min(1, budget * total * (n_s^alpha /
+    sum_d n_d^alpha) / n_s), realized as deterministic salted-hash
+    bucket thresholds so reruns and engines agree row-for-row.
+
+    100-TB shape: one O(#strata) count aggregate broadcast back, one
+    filtered pass — identical plan to mixture_sample; the weights are
+    just DERIVED from the counts instead of supplied.
+    -> (doc_id, stratum, bucket)."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(strata_col).cast("string").alias("stratum"),
+        hash_bucket(id_col, salt).alias("bucket"),
+    )
+    cnts = base.groupBy("stratum").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.agg(
+        F.sum("cnt").alias("total_n"),
+        F.sum(F.pow(F.col("cnt").cast("double"), float(alpha))).alias("wsum"),
+    )
+    thr = F.expr(_temp_threshold_sql(budget_frac, alpha))
+    return (
+        base.join(F.broadcast(cnts), "stratum")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", "stratum", "bucket")
+    )
+
+
+def temperature_sample_sql(
+    strata_col: str,
+    alpha: float,
+    budget_frac: float,
+    salt: str = "temp",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    b = _bucket_sql(id_col, salt)
+    thr = _temp_threshold_sql(budget_frac, alpha)
+    return f"""WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc_id,
+         CAST({strata_col} AS VARCHAR) AS stratum, {b} AS bucket
+  FROM {table}
+),
+c AS (SELECT stratum, count(*) AS cnt FROM base GROUP BY stratum),
+t AS (SELECT SUM(cnt) AS total_n,
+             SUM(POWER(cnt, {float(alpha)!r})) AS wsum FROM c)
+SELECT b.doc_id, b.stratum, b.bucket
+FROM base b JOIN c ON b.stratum = c.stratum CROSS JOIN t
+WHERE b.bucket < {thr}"""
+
+
 def mixture_sample_sql(
     strata_col: str,
     target_weights: dict[str, float],

@@ -194,3 +194,45 @@ def test_mixture_matches_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == want and len(got) > 500
+
+
+def test_temperature_sample_upweights_small_strata(spark):
+    import pandas as pd
+
+    from lucene_spark.pipeline.sampling import temperature_sample
+
+    # 900 'big' docs vs 100 'small' docs; alpha=0.5 flattens the mix
+    rows = pd.DataFrame({
+        "doc_id": range(1000),
+        "lang": ["big"] * 900 + ["small"] * 100,
+    })
+    d = spark.createDataFrame(rows)
+    out = temperature_sample(d, "lang", alpha=0.5, budget_frac=0.4)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy(out.stratum.alias("lang")).agg(
+               __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+           ).collect()}
+    # expected keep fractions: w_big = 30/40, w_small = 10/40;
+    # keep_big = .4*1000*(3/4)/900 = 1/3; keep_small = .4*1000*(1/4)/100 = 1
+    assert got["small"] == 100          # capped at 1: keep all
+    assert abs(got["big"] - 300) < 40   # ~1/3 of 900, hash-exact per salt
+    # alpha=1 reduces to proportional sampling: both strata ~40%
+    prop = temperature_sample(d, "lang", alpha=1.0, budget_frac=0.4)
+    gp = {r["stratum"]: 1 for r in prop.collect()}
+    n = prop.count()
+    assert abs(n - 400) < 40
+
+
+def test_temperature_sample_deterministic(spark):
+    import pandas as pd
+
+    from lucene_spark.pipeline.sampling import temperature_sample
+
+    rows = pd.DataFrame({"doc_id": range(200),
+                         "lang": ["a", "b"] * 100})
+    d = spark.createDataFrame(rows)
+    a = sorted(r["doc_id"] for r in
+               temperature_sample(d, "lang", 0.7, 0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(d, "lang", 0.7, 0.5).collect())
+    assert a == b and len(a) > 0
