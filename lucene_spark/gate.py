@@ -1981,12 +1981,20 @@ def gate_queries() -> dict[str, object]:
         vnorm = sp.term_stat_score_topk(r, FIELD, T_MID, T_HOT, "norm")
         vsttf = sp.term_stat_score_topk(
             r, FIELD, T_MID, T_HOT, "sumtotaltermfreq")
+        # FeatureField saturation/sigmoid scoring functions
+        # (FeatureField.java:398/:442; log is q_feature's branch)
+        fsat = sp.feature_topk(
+            r, FIELD, T_MID, "n_chars", weight=0.5,
+            function="saturation", pivot=300.0)
+        fsig = sp.feature_topk(
+            r, FIELD, T_MID, "n_chars", weight=0.5,
+            function="sigmoid", pivot=300.0, exponent=2.0)
         parts = [("fscore", fs), ("rescore", resc), ("feature", feat),
                  ("jsexpr", jse), ("vecsim", vsim), ("frange", frange),
                  ("fmatch", fmatch), ("scale", scale), ("recip", recip),
                  ("rngmap", rngmap), ("dfeat", dfl), ("dfeatgeo", dfg),
                  ("vtf", vtf), ("vidf", vidf), ("vnorm", vnorm),
-                 ("vsttf", vsttf)]
+                 ("vsttf", vsttf), ("fsat", fsat), ("fsig", fsig)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -4987,6 +4995,24 @@ SELECT s.doc_id,
   CAST(ROUND((s.score_x1e6/1000000.0) * st.sumdl
        * 1000000) AS BIGINT) AS score_x1e6
 FROM scored s CROSS JOIN stats st
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        # FeatureField saturation / sigmoid boosts (additive)
+        ("fsat", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0
+       + 0.5 * (CAST(d.n_chars AS DOUBLE)
+                / (CAST(d.n_chars AS DOUBLE) + 300.0)))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("fsig", f"""{_scored_ctes(T_MID)}
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0
+       + 0.5 * (POWER(CAST(d.n_chars AS DOUBLE), 2.0)
+                / (POWER(CAST(d.n_chars AS DOUBLE), 2.0)
+                   + POWER(300.0, 2.0))))
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     ])
     from lucene_spark.search import geo as _geo

@@ -2060,15 +2060,32 @@ def feature_topk(
     num_col: str,
     weight: float = 0.5,
     k: int = 10,
+    function: str = "log",
+    pivot: float = 1.0,
+    exponent: float = 1.0,
 ) -> DataFrame:
-    """FeatureField/FeatureQuery analog (FeatureField.java): BM25 term
-    score plus a static per-doc feature folded in as
-    weight * ln(1 + feature). -> (doc_id, score_x1e6)."""
+    """FeatureField/FeatureQuery analog (FeatureField.java — the three
+    published scoring functions, newLogQuery:353 / newSaturationQuery:
+    398 / newSigmoidQuery:442): BM25 term score plus the static
+    per-doc feature S folded in as
+    'log'        weight * ln(1 + S)
+    'saturation' weight * S / (S + pivot)
+    'sigmoid'    weight * S^a / (S^a + pivot^a)
+    -> (doc_id, score_x1e6)."""
     scored = term_scored(reader, field, term)
     docs = reader.docs().select("doc_id", F.col(num_col).cast("double").alias("feat"))
+    s_ = F.col("feat")
+    if function == "log":
+        boost = F.log(F.lit(1.0) + s_)
+    elif function == "saturation":
+        boost = s_ / (s_ + F.lit(float(pivot)))
+    elif function == "sigmoid":
+        sa = F.pow(s_, float(exponent))
+        boost = sa / (sa + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(f"unknown feature function {function!r}")
     j = scored.join(docs, "doc_id").withColumn(
-        "total",
-        F.col("score_x1e6") / 1e6 + F.lit(weight) * F.log(F.lit(1.0) + F.col("feat")),
+        "total", F.col("score_x1e6") / 1e6 + F.lit(weight) * boost,
     )
     return (
         j.select(
