@@ -441,3 +441,42 @@ def compile_expression(source: str) -> Expression:
     ast = _Parser(_lex(source)).parse()
     _validate(ast)
     return Expression(source, ast)
+
+
+class SimpleBindings:
+    """expressions/SimpleBindings.java: map free variable names to
+    value sources — here a Spark Column, a column name, or ANOTHER
+    compiled Expression (expressions referencing expressions resolve
+    recursively). ``validate()`` walks the binding graph rejecting
+    cycles and dangling references exactly like the reference
+    (SimpleBindings.java:81-112: 'Recursion error: Cycle detected' /
+    'Invalid reference'); unresolved names also raise at ``resolve``
+    time, matching getDoubleValuesSource. Use with
+    ``Expression.column(bindings.resolve)``."""
+
+    def __init__(self):
+        self._map: dict[str, object] = {}
+
+    def add(self, name: str, target) -> None:
+        """target: a Column, a column-name string, or an Expression."""
+        self._map[name] = target
+
+    def resolve(self, name: str, _seen: tuple = ()) -> Column:
+        if name in _seen:
+            raise ValueError(
+                f"Recursion error: Cycle detected {list(_seen)}->{name}"
+            )
+        if name not in self._map:
+            raise ValueError(f"Invalid reference '{name}'")
+        t = self._map[name]
+        if isinstance(t, Expression):
+            return t.column(
+                lambda n, s=_seen + (name,): self.resolve(n, s)
+            )
+        if isinstance(t, str):
+            return F.col(t)
+        return t  # a ready Column
+
+    def validate(self) -> None:
+        for name in self._map:
+            self.resolve(name)

@@ -127,3 +127,35 @@ def test_constant_shift_folding(spark):
     e = compile_expression("a << (1 + 2)")
     df = spark.createDataFrame(pd.DataFrame({"a": [3.0]}))
     assert df.select(e.column()).collect()[0][0] == 24.0
+
+
+def test_simple_bindings_expression_composition(spark):
+    from lucene_spark.search.expressions import SimpleBindings, compile_expression
+
+    b = SimpleBindings()
+    b.add("popularity", "n")
+    b.add("recency", compile_expression("sqrt(popularity) + 1"))
+    e = compile_expression("recency * 2 + popularity")
+    b.validate()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"n": [4.0, 9.0]}))
+    got = [r[0] for r in df.select(e.column(b.resolve)).collect()]
+    assert got == [(2 + 1) * 2 + 4, (3 + 1) * 2 + 9]
+
+
+def test_simple_bindings_cycle_and_dangling(spark):
+    import pytest as _pytest
+
+    from lucene_spark.search.expressions import SimpleBindings, compile_expression
+
+    b = SimpleBindings()
+    b.add("a", compile_expression("b + 1"))
+    b.add("b", compile_expression("a + 1"))
+    with _pytest.raises(ValueError, match="Cycle detected"):
+        b.validate()
+    d = SimpleBindings()
+    d.add("x", compile_expression("missing + 1"))
+    with _pytest.raises(ValueError, match="Invalid reference 'missing'"):
+        d.validate()
