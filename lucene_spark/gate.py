@@ -2397,6 +2397,23 @@ def gate_queries() -> dict[str, object]:
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
+    def q_late_interaction(spark, sf):
+        # LateInteractionRescorer SUM_MAX_SIM (core/search/
+        # LateInteractionFloatValuesSource.java:151-181): docs =
+        # vec_id % 50 groups of token vectors, query = a 2-token
+        # multi-vector, per-pair similarity (1 + cosine)/2
+        from lucene_spark.pipeline.lateinteraction import (
+            late_interaction_rescore_flat,
+        )
+        from lucene_spark.pipeline.similarity import _query_vec
+
+        emb = _emb(spark, sf)
+        qvs = [_query_vec(emb, 0), _query_vec(emb, 1)]
+        toks = emb.select((F.col("vec_id") % 50).alias("gid"), "embedding")
+        return late_interaction_rescore_flat(
+            toks, "gid", "embedding", qvs, k=10
+        )
+
     def q_blended_term(spark, sf):
         r = ensure_mf_index(spark, sf)
         return sp.blended_term_topk(r, ["text", "lang_kw"], "en", k=10)
@@ -3444,6 +3461,7 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_lsh": q_ann_lsh,
+        "q_late_interaction": q_late_interaction,
     }
 
 
@@ -4246,6 +4264,31 @@ ORDER BY b.doc_id LIMIT 200"""),
             + dd.semantic_dedup_sql(threshold=0.4) + ")"
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
+        "q_late_interaction": """WITH comp AS (
+  SELECT vec_id, vec_id % 50 AS gid,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings),
+q0 AS (SELECT pos, v FROM comp WHERE vec_id = 0),
+n0 AS (SELECT sqrt(SUM(v*v)) AS nq FROM q0),
+q1 AS (SELECT pos, v FROM comp WHERE vec_id = 1),
+n1 AS (SELECT sqrt(SUM(v*v)) AS nq FROM q1),
+d0 AS (
+  SELECT c.vec_id, ANY_VALUE(c.gid) AS gid,
+         SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN q0 q USING (pos) GROUP BY c.vec_id),
+d1 AS (
+  SELECT c.vec_id, ANY_VALUE(c.gid) AS gid,
+         SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN q1 q USING (pos) GROUP BY c.vec_id),
+m0 AS (SELECT gid, MAX((1 + d.dot/(d.na*n0.nq)) / 2) AS m
+       FROM d0 d CROSS JOIN n0 GROUP BY gid),
+m1 AS (SELECT gid, MAX((1 + d.dot/(d.na*n1.nq)) / 2) AS m
+       FROM d1 d CROSS JOIN n1 GROUP BY gid)
+SELECT m0.gid AS doc_id,
+       CAST(ROUND((m0.m + m1.m) * 1000000) AS BIGINT) AS score_x1e6
+FROM m0 JOIN m1 USING (gid)
+ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
         "q_ann_lsh": sim.ann_lsh_topk_sql(query_id=0, k=10, n_planes=6),
         "q_ann_recall": sim.ann_recall_sql(query_id=0, k=10, n_planes=6),
         "q_ann_ivf": sim.ann_ivf_topk_sql(query_id=0, k=10, n_centroids=16, n_probe=4),
