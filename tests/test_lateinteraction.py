@@ -67,3 +67,14 @@ def test_flat_form_is_codegen_and_one_shuffle(spark, mv):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_empty_multivector_scores_zero(spark):
+    rows = pd.DataFrame({"doc_id": [1, 2],
+                         "mvec": [[[1.0, 0.0]], []]})
+    mv = spark.createDataFrame(rows, "doc_id long, mvec array<array<double>>")
+    first = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
+    got = {r["doc_id"]: r["score_x1e6"]
+           for r in late_interaction_rescore(
+               first, mv, "mvec", [[1.0, 0.0]], k=10).collect()}
+    assert got[2] == 0 and got[1] == 1_000_000

@@ -79,3 +79,16 @@ def test_analyzer_registered():
 
     an = get_analyzer("turkish_snowball")
     assert an.tokenize_one("evlerindekilerden kitaplar") == ["ev", "kitap"]
+
+
+def test_arbitrary_input_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=24))
+    def run(w):
+        out = turkish_stem(w)
+        assert isinstance(out, str)
+
+    run()
