@@ -34,8 +34,10 @@ def main() -> None:
     from lucene_spark.pipeline import dedup as dd
     from lucene_spark.pipeline import graphann as ga
     from lucene_spark.pipeline import packing as pk
+    from lucene_spark.pipeline import lateinteraction as _li
     from lucene_spark.pipeline import pq as pqm
     from lucene_spark.pipeline import similarity as sim
+    from lucene_spark.pipeline.similarity import _query_vec as _qv
     from pyspark.sql.functions import col as _col
 
     spark = get_spark("bench", cores=CPUS)
@@ -132,6 +134,12 @@ def main() -> None:
         # (train+encode inside the timing: the full cold-path cost)
         "x_ann_ivfpq": lambda: pqm.ann_pq_topk(
             emb, query_id=0, k=10, m=16, refine=8
+        ).collect(),
+        # ColBERT-style SUM_MAX_SIM rescoring over vec_id%50 groups
+        "x_late_interaction": lambda: _li.late_interaction_rescore_flat(
+            emb.select((_col("vec_id") % 50).alias("gid"), "embedding"),
+            "gid", "embedding",
+            [_qv(emb, 0), _qv(emb, 1)], k=10,
         ).collect(),
     }
 
