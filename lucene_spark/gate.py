@@ -2394,6 +2394,21 @@ def gate_queries() -> dict[str, object]:
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
 
+    def q_ann_threshold(spark, sf):
+        # FloatVectorSimilarityQuery (core/search/
+        # AbstractVectorSimilarityQuery.java): ALL vectors above a
+        # lucene-normalized cosine threshold — exact codegen path,
+        # unfiltered + pre-filtered (the graph traversal twin is
+        # recall-tested in tests/test_vector_similarity.py)
+        e = _emb(spark, sf)
+        return _union([
+            ("all", sim.vector_similarity_all(
+                e, query_id=0, result_similarity=0.6)),
+            ("filt", sim.vector_similarity_all(
+                e, query_id=0, result_similarity=0.55,
+                filter_expr="label = 1")),
+        ])
+
     def q_ann_lsh(spark, sf):
         return sim.ann_lsh_topk(_emb(spark, sf), query_id=0, k=10, n_planes=6)
 
@@ -3460,6 +3475,7 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine": q_ann_cosine,
+        "q_ann_threshold": q_ann_threshold,
         "q_ann_lsh": q_ann_lsh,
         "q_late_interaction": q_late_interaction,
     }
@@ -4264,6 +4280,16 @@ ORDER BY b.doc_id LIMIT 200"""),
             + dd.semantic_dedup_sql(threshold=0.4) + ")"
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
+        "q_ann_threshold": (
+            "SELECT 'all' AS tag, * FROM ("
+            + sim.vector_similarity_all_sql(
+                query_id=0, result_similarity=0.6)
+            + ") UNION ALL SELECT 'filt' AS tag, * FROM ("
+            + sim.vector_similarity_all_sql(
+                query_id=0, result_similarity=0.55,
+                filter_expr="label = 1")
+            + ")"
+        ),
         "q_late_interaction": """WITH comp AS (
   SELECT vec_id, vec_id % 50 AS gid,
          unnest(generate_series(1, len(embedding))) - 1 AS pos,

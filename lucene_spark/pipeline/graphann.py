@@ -476,3 +476,434 @@ def ann_hnsw_topk(
         .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-threshold search (core/search/AbstractVectorSimilarityQuery.java
+# + VectorSimilarityCollector.java), patience-based early termination
+# (core/search/PatienceKnnVectorQuery.java + HnswQueueSaturationCollector
+# .java) and seeded entry points (core/search/SeededKnnVectorQuery.java).
+# All similarities below are in LUCENE-NORMALIZED cosine units
+# ((1 + cos) / 2, VectorSimilarityFunction.COSINE.compare) unless the
+# name says cos.
+# ---------------------------------------------------------------------------
+
+
+def _lucene_sim(cos: float) -> float:
+    return (1.0 + cos) / 2.0
+
+
+def _search_layer_similarity(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    eps: list[int],
+    traversal_sim: float,
+    result_sim: float,
+    accept: np.ndarray | None = None,
+    visit_limit: int | None = None,
+) -> tuple[list[tuple[float, int]], int, bool]:
+    """VectorSimilarityCollector traversal (VectorSimilarityCollector
+    .java:55-66): the graph is walked while better-scoring candidates
+    exist OR the best candidate is still above ``traversal_sim``
+    (minCompetitiveSimilarity = min(traversalSimilarity,
+    maxSimilarity)); EVERY visited node with similarity >=
+    ``result_sim`` is collected — the result set is unbounded, unlike
+    the ef-beam.  Similarities are lucene-normalized.  ``accept``
+    restricts COLLECTION (never traversal) and ``visit_limit`` bounds
+    scored nodes (AbstractVectorSimilarityQuery.java:46: with a filter,
+    traverse at most the filter's cost then fall back to exact) —
+    -> (results, visited, completed)."""
+    import heapq
+
+    seen: set[int] = set()
+    cand: list[tuple[float, int]] = []  # max-heap (negated)
+    results: list[tuple[float, int]] = []
+    max_sim = float("-inf")
+    visited = 0
+
+    def _collect(node: int, sim: float) -> None:
+        nonlocal max_sim
+        max_sim = max(max_sim, sim)
+        if sim >= result_sim and (accept is None or accept[node]):
+            results.append((sim, node))
+
+    for s in eps:
+        if s in seen:
+            continue
+        seen.add(s)
+        visited += 1
+        sv = _lucene_sim(float(mat[s] @ q))
+        heapq.heappush(cand, (-sv, s))
+        _collect(s, sv)
+    while cand:
+        negsim, u = heapq.heappop(cand)
+        if -negsim < min(traversal_sim, max_sim):
+            break
+        for v in adj[u]:
+            if v in seen:
+                continue
+            seen.add(v)
+            visited += 1
+            if visit_limit is not None and visited > visit_limit:
+                return results, visited, False
+            sv = _lucene_sim(float(mat[v] @ q))
+            # push only candidates still competitive (HnswGraphSearcher
+            # searchLevel: friendSimilarity > minAcceptedSimilarity);
+            # result_sim >= traversal_sim so no collectable node is lost
+            if sv > min(traversal_sim, max_sim) or sv >= result_sim:
+                heapq.heappush(cand, (-sv, v))
+                _collect(v, sv)
+    return results, visited, True
+
+
+def vector_similarity_graph(
+    emb: DataFrame,
+    query_id: int = 0,
+    traversal_similarity: float = 0.5,
+    result_similarity: float = 0.7,
+    m: int = 8,
+    ef_construction: int = 48,
+    partitions: int | None = None,
+    filter_expr: str | None = None,
+    hnsw_threshold: int = 1024,
+) -> DataFrame:
+    """FloatVectorSimilarityQuery approximate path
+    (core/search/FloatVectorSimilarityQuery.java +
+    AbstractVectorSimilarityQuery.java): ALL vectors whose
+    lucene-normalized cosine ((1+cos)/2) reaches
+    ``result_similarity``, found by per-partition graph traversal that
+    keeps expanding while the frontier stays above
+    ``traversal_similarity``.  Partitions at or below
+    ``hnsw_threshold`` rows use the exact scan (the reference's
+    exactSearch fallback does the same work).  With ``filter_expr``
+    the visit budget is the filter's cardinality; exhausting it falls
+    back to the exact filtered scan (AbstractVectorSimilarityQuery
+    .java:44-47).  -> (vec_id, sim_x1e6), unordered set semantics.
+
+    At 100 TB: one narrow mapInPandas per segment, no shuffle — the
+    per-segment graphs are the Lucene99Hnsw per-leaf decomposition and
+    the union of per-leaf result sets IS the query answer (no merge
+    rank needed, the collector is threshold-based not top-k)."""
+    if traversal_similarity > result_similarity:
+        raise ValueError("traversalSimilarity should be <= resultSimilarity")
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    src = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.expr(filter_expr) if filter_expr is not None else F.lit(True)
+        ).alias("acc"),
+    )
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+    rs, ts = float(result_similarity), float(traversal_similarity)
+
+    def _exact_threshold(mat, accept, qn):
+        ids = np.flatnonzero(accept)
+        if len(ids) == 0:
+            return []
+        sims = (mat[ids] @ qn + 1.0) / 2.0
+        keep = sims >= rs
+        return [(float(s), int(i)) for s, i in zip(sims[keep], ids[keep])]
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            accept = pdf["acc"].to_numpy().astype(bool)
+            n_acc = int(accept.sum())
+            if n_acc == 0:
+                continue
+            filtered = n_acc < len(mat)
+            if len(mat) <= hnsw_threshold:
+                res = _exact_threshold(mat, accept, qn)
+            else:
+                levels, graphs, entry, entry_level = _build_hnsw(
+                    mat, m, ef_construction, seed=42
+                )
+                eps = [entry]
+                for lvl in range(entry_level, 0, -1):
+                    eps = [max(
+                        _search_layer(mat, graphs[lvl], qn, eps, 1),
+                        key=lambda x: x[0],
+                    )[1]]
+                res, _vis, completed = _search_layer_similarity(
+                    mat, graphs[0], qn, eps, ts, rs,
+                    accept=accept if filtered else None,
+                    visit_limit=n_acc if filtered else None,
+                )
+                if not completed:
+                    res = _exact_threshold(mat, accept, qn)
+            if not res:
+                continue
+            idx = np.array([t[1] for t in res], dtype=np.int64)
+            sims = np.array([t[0] for t in res], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "sim_x1e6": np.round(sims * 1e6).astype(np.int64),
+                }
+            )
+
+    out = src.mapInPandas(run, schema="vec_id long, sim_x1e6 long")
+    return out.filter(F.col("vec_id") != query_id).orderBy("vec_id")
+
+
+def default_patience(k: int) -> int:
+    """PatienceKnnVectorQuery.defaultPatience (PatienceKnnVectorQuery
+    .java:175-177): max(7, k * 0.3)."""
+    return max(7, int(k * 0.3))
+
+
+def _search_layer_patience(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    eps: list[int],
+    ef: int,
+    saturation_threshold: float = 0.995,
+    patience: int | None = None,
+    accept: np.ndarray | None = None,
+    visit_limit: int | None = None,
+) -> tuple[list[tuple[float, int]], int, bool]:
+    """ef-beam with queue-saturation early exit
+    (HnswQueueSaturationCollector.java:47-60 nextCandidate, called once
+    per popped candidate exactly as HnswGraphSearcher does): per pop,
+    queueSaturation = min(cur, prev)/cur over the result-queue size;
+    ``patience`` consecutive saturated pops (>= ``saturation_threshold``)
+    end the search with the queue as-is.  A patience exit reports
+    completed=True — the reference marks its TopDocs EQUAL_TO precisely
+    so the filtered path does NOT fall back to exact search
+    (HnswQueueSaturationCollector.java:34-45).
+    -> (results, visited, completed)."""
+    import heapq
+
+    if patience is None:
+        patience = default_patience(ef)
+    seen: set[int] = set()
+    cand: list[tuple[float, int]] = []
+    best: list[tuple[float, int]] = []
+    visited = 0
+    cur_q = 0
+    prev_q = 0
+    saturated = 0
+
+    def _push(node: int, sv: float) -> None:
+        nonlocal cur_q
+        heapq.heappush(cand, (-sv, node))
+        if accept is None or accept[node]:
+            if len(best) < ef or sv > best[0][0]:
+                heapq.heappush(best, (sv, node))
+                cur_q += 1
+                if len(best) > ef:
+                    heapq.heappop(best)
+
+    for s in eps:
+        if s in seen:
+            continue
+        seen.add(s)
+        visited += 1
+        _push(s, float(mat[s] @ q))
+    while cand:
+        if visit_limit is not None and visited > visit_limit:
+            return best, visited, False
+        negsim, u = heapq.heappop(cand)
+        if len(best) >= ef and -negsim < best[0][0]:
+            break
+        # nextCandidate(): saturation bookkeeping per popped candidate
+        if cur_q > 0:
+            if min(cur_q, prev_q) / cur_q >= saturation_threshold:
+                saturated += 1
+            else:
+                saturated = 0
+            prev_q = cur_q
+            if saturated > patience:
+                return best, visited, True
+        for v in adj[u]:
+            if v in seen:
+                continue
+            seen.add(v)
+            visited += 1
+            sv = float(mat[v] @ q)
+            if len(best) < ef or sv > best[0][0]:
+                _push(v, sv)
+    return best, visited, True
+
+
+def ann_patience_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    ef: int = 48,
+    ef_construction: int = 48,
+    saturation_threshold: float = 0.995,
+    patience: int | None = None,
+    partitions: int | None = None,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """PatienceKnnVectorQuery (PatienceKnnVectorQuery.java): the HNSW
+    top-k search wrapped in the queue-saturation early-exit collector —
+    identical results on saturated graphs, fewer visited nodes on
+    corpora where the beam stops improving early.  Composes with the
+    filtered-kNN contract the same way the reference's strategy rewrap
+    does (HnswQueueSaturationCollector.getSearchStrategy).
+    -> (vec_id, cos_x1e6) top-k."""
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    if patience is None:
+        patience = default_patience(k)
+    qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    src = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.expr(filter_expr) if filter_expr is not None else F.lit(True)
+        ).alias("acc"),
+    )
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            accept = pdf["acc"].to_numpy().astype(bool)
+            n_acc = int(accept.sum())
+            if n_acc == 0:
+                continue
+            filtered = n_acc < len(mat)
+            if n_acc <= k + 1:
+                top = _exact_accepted(mat, accept, qn, k + 1)
+            else:
+                levels, graphs, entry, entry_level = _build_hnsw(
+                    mat, m, ef_construction, seed=42
+                )
+                eps = [entry]
+                for lvl in range(entry_level, 0, -1):
+                    eps = [max(
+                        _search_layer(mat, graphs[lvl], qn, eps, 1),
+                        key=lambda x: x[0],
+                    )[1]]
+                top, _vis, completed = _search_layer_patience(
+                    mat, graphs[0], qn, eps, max(ef, k + 1),
+                    saturation_threshold=saturation_threshold,
+                    patience=patience,
+                    accept=accept if filtered else None,
+                    visit_limit=n_acc if filtered else None,
+                )
+                if not completed:
+                    top = _exact_accepted(mat, accept, qn, k + 1)
+            top = sorted(top, key=lambda x: (-x[0], x[1]))[: k + 1]
+            idx = np.array([t[1] for t in top], dtype=np.int64)
+            sims = np.array([t[0] for t in top], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "cos_x1e6": np.round(sims * 1e6).astype(np.int64),
+                }
+            )
+
+    out = src.mapInPandas(run, schema="vec_id long, cos_x1e6 long")
+    return (
+        out.filter(F.col("vec_id") != query_id)
+        .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ann_seeded_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    seed_expr: str | None = None,
+    n_entry_points: int | None = None,
+    m: int = 8,
+    ef: int = 48,
+    ef_construction: int = 48,
+    partitions: int | None = None,
+) -> DataFrame:
+    """SeededKnnVectorQuery (core/search/SeededKnnVectorQuery.java +
+    knn/KnnSearchStrategy.Seeded): the seed query's matching docs act
+    as layer-0 entry points, REPLACING the hierarchy descent — when the
+    seeds already sit near the answer (e.g. a cheap metadata filter or
+    a previous query's results) the beam converges with fewer hops.
+    ``seed_expr`` is a SQL boolean over the embeddings columns (the
+    seed weight is AND-ed with FieldExists exactly as createSeedWeight
+    builds it, SeededKnnVectorQuery.java:74-86); the first
+    ``n_entry_points`` (default k) matching rows per partition seed the
+    beam, doc order — the iteration order of a constant-score seed
+    scorer.  Partitions with no seed match fall back to the default
+    entry-point descent (the reference falls back to the delegate
+    strategy).  -> (vec_id, cos_x1e6) top-k."""
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    n_ep = n_entry_points if n_entry_points is not None else k
+    qv = np.asarray(_query_vec(emb, query_id), dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    src = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.expr(seed_expr) if seed_expr is not None else F.lit(False)
+        ).alias("seed"),
+    )
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            if len(mat) <= k + 1:
+                sims = mat @ qn
+                idx = np.argsort(-sims, kind="stable")
+            else:
+                levels, graphs, entry, entry_level = _build_hnsw(
+                    mat, m, ef_construction, seed=42
+                )
+                seeds = np.flatnonzero(
+                    pdf["seed"].to_numpy().astype(bool)
+                )[:n_ep]
+                if len(seeds) > 0:
+                    eps = [int(s) for s in seeds]
+                else:
+                    eps = [entry]
+                    for lvl in range(entry_level, 0, -1):
+                        eps = [max(
+                            _search_layer(mat, graphs[lvl], qn, eps, 1),
+                            key=lambda x: x[0],
+                        )[1]]
+                best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
+                top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
+                idx = np.array([t[1] for t in top], dtype=np.int64)
+                sims = np.array([t[0] for t in top], dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy()[idx],
+                        "cos_x1e6": np.round(sims * 1e6).astype(np.int64),
+                    }
+                )
+                continue
+            top = idx[: k + 1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[top],
+                    "cos_x1e6": np.round(sims[top] * 1e6).astype(np.int64),
+                }
+            )
+
+    out = src.mapInPandas(run, schema="vec_id long, cos_x1e6 long")
+    return (
+        out.filter(F.col("vec_id") != query_id)
+        .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

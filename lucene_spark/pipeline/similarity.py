@@ -758,3 +758,64 @@ dots AS (
 SELECT d.vec_id, CAST(ROUND(d.dot/(d.na*nq.nq)*1000000) AS BIGINT) AS cos_x1e6
 FROM dots d CROSS JOIN nq
 ORDER BY cos_x1e6 DESC, d.vec_id ASC LIMIT {k}"""
+
+
+def vector_similarity_all(
+    emb: DataFrame,
+    query_id: int = 0,
+    result_similarity: float = 0.7,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """FloatVectorSimilarityQuery exact path
+    (core/search/FloatVectorSimilarityQuery.java +
+    AbstractVectorSimilarityQuery.java): EVERY vector whose
+    lucene-normalized cosine similarity ((1 + cos) / 2,
+    VectorSimilarityFunction.COSINE.compare) reaches
+    ``result_similarity`` — a threshold query, not a top-k.  The
+    membership test runs on the ROUNDED x1e6 similarity so the oracle
+    and the engine agree bit-for-bit at the boundary.  One codegen
+    filter over a narrow scan — at 100 TB this is an embarrassingly
+    parallel map with the filter inside WholeStageCodegen; no shuffle
+    at all (the orderBy exists only for the deterministic gate hash).
+    -> (vec_id, sim_x1e6)."""
+    qv = _query_vec(emb, query_id)
+    sim = (cosine_lit_col("embedding", qv) + F.lit(1.0)) / F.lit(2.0)
+    out = emb.filter(F.col("vec_id") != query_id)
+    if filter_expr:
+        out = out.filter(F.expr(filter_expr))
+    thr = int(round(float(result_similarity) * 1e6))
+    return (
+        out.select(
+            "vec_id", F.round(sim * 1e6).cast("long").alias("sim_x1e6")
+        )
+        .filter(F.col("sim_x1e6") >= F.lit(thr))
+        .orderBy("vec_id")
+    )
+
+
+def vector_similarity_all_sql(
+    query_id: int = 0,
+    result_similarity: float = 0.7,
+    filter_expr: str | None = None,
+) -> str:
+    """DuckDB twin of vector_similarity_all."""
+    thr = int(round(float(result_similarity) * 1e6))
+    fpred = (
+        f" AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE ({filter_expr}))"
+        if filter_expr
+        else ""
+    )
+    return f"""WITH {_COMP_SQL},
+qc AS (SELECT pos, v FROM comp WHERE vec_id = {query_id}),
+nq AS (SELECT sqrt(SUM(v*v)) AS nq FROM qc),
+dots AS (
+  SELECT c.vec_id, SUM(c.v * q.v) AS dot, sqrt(SUM(c.v * c.v)) AS na
+  FROM comp c JOIN qc q USING (pos)
+  WHERE c.vec_id <> {query_id}{fpred}
+  GROUP BY c.vec_id
+)
+SELECT vec_id, sim_x1e6 FROM (
+  SELECT d.vec_id,
+         CAST(ROUND((d.dot/(d.na*nq.nq) + 1)/2*1000000) AS BIGINT) AS sim_x1e6
+  FROM dots d CROSS JOIN nq
+) WHERE sim_x1e6 >= {thr} ORDER BY vec_id"""
