@@ -103,6 +103,17 @@ _BBX_QUERIES = [
     ("crs", "crosses", (10.0, -40.0, 55.0, 60.0)),
 ]
 
+# SpatialArgsParser strings (spatial-extras query/SpatialArgsParser
+# .java): Operation(ENVELOPE(minX, maxX, maxY, minY) [opts]) — alias
+# and option parsing exercised on purpose
+_SARGS_QUERIES = [
+    ("sargs_int", "Intersects(ENVELOPE(-10, 30, 40, 20))"),
+    ("sargs_ov", "Overlaps(ENVELOPE(-10, 30, 40, 20))"),
+    ("sargs_cov", "BBoxCoveredBy(ENVELOPE(-30, 60, 55, 0))"),
+    ("sargs_dis", "IsDisjointTo(ENVELOPE(-10, 30, 40, 20) distErrPct=0.25)"),
+]
+_BBXRATIO_Q = (-10.0, 30.0, 20.0, 40.0)  # min_x max_x min_y max_y
+
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
 _CLS_TEXT = "the model data table spark rows"
@@ -3098,6 +3109,7 @@ def gate_queries() -> dict[str, object]:
 
         from lucene_spark.search import geo3d, shapes, xy
         from lucene_spark.search import latlonbbox as llb
+        from lucene_spark.search import spatialargs as sargs
 
         from lucene_spark.search.prefixtree import geo_box_prefixtree
 
@@ -3170,6 +3182,17 @@ def gate_queries() -> dict[str, object]:
                     llb.synthesize_boxes(d), rel, *q, k=50)))
                 for t, rel, q in _BBX_QUERIES
             ],
+            # SpatialArgs parse-and-execute (spatial-extras
+            # query/SpatialOperation.java predicates incl. aliases)
+            # + BBoxOverlapRatio ranking (bbox/
+            # BBoxOverlapRatioValueSource.java) over the same boxes
+            *[
+                (t, _h(sargs.spatial_query_topk(
+                    llb.synthesize_boxes(d), s, k=50)))
+                for t, s in _SARGS_QUERIES
+            ],
+            ("bbxratio", _h(sargs.bbox_overlap_ratio_topk(
+                llb.synthesize_boxes(d), sargs.Rect(*_BBXRATIO_Q), k=20))),
             # LatLonPoint.nearest (NearestNeighbor.java): global k-NN,
             # best-first file traversal over the latlon z-order index
             ("nearest", _h(geo.geo_nearest_topk(
@@ -5087,6 +5110,7 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
     from lucene_spark.search import geo as _geo
     from lucene_spark.search import xy as _xy
     from lucene_spark.search import latlonbbox as _llb
+    from lucene_spark.search import spatialargs as _sargs
 
     _POLY = [(0.0, -60.0), (50.0, -20.0), (35.0, 45.0), (-20.0, 30.0)]
     _PATH3D = [(10.0, -30.0), (25.0, 0.0), (40.0, 30.0)]
@@ -5161,6 +5185,16 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
              + _llb.bbox_query_sql(rel, *q, k=50) + ")")
             for t, rel, q in _BBX_QUERIES
         ],
+        *[
+            (t,
+             "SELECT doc_id, lat_x1e3 AS v1, lon_x1e3 AS v2 FROM ("
+             + _sargs.spatial_query_sql(s, k=50) + ")")
+            for t, s in _SARGS_QUERIES
+        ],
+        ("bbxratio",
+         "SELECT doc_id, score_x1e6 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _sargs.bbox_overlap_ratio_sql(
+             _sargs.Rect(*_BBXRATIO_Q), k=20) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),
