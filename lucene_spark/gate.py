@@ -114,6 +114,21 @@ _SARGS_QUERIES = [
 ]
 _BBXRATIO_Q = (-10.0, 30.0, 20.0, 40.0)  # min_x max_x min_y max_y
 
+
+def _date_range_oracle() -> str:
+    """DuckDB oracle for q_date_range (facet tiers mapped onto the
+    intersects columns: tier->r_start, cell->r_end, count->doc_id)."""
+    from lucene_spark.search import daterange as dr
+
+    i = dr.date_range_intersects_sql("2014-03-01", "2014-03-31", k=50)
+    fd = dr.date_range_facets_sql("2014-03-01", "2014-10-31", "day")
+    fm = dr.date_range_facets_sql("2013-01-01", "2015-12-01", "month")
+    return (
+        "SELECT 'int' AS tag, doc_id, r_start, r_end FROM (" + i + ")"
+        ' UNION ALL SELECT \'fday\', "count", tier, cell FROM (' + fd + ")"
+        ' UNION ALL SELECT \'fmon\', "count", tier, cell FROM (' + fm + ")"
+    )
+
 FIELD = "text"
 # classification input: deterministic text built from corpus vocabulary
 _CLS_TEXT = "the model data table spark rows"
@@ -2405,6 +2420,34 @@ def gate_queries() -> dict[str, object]:
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
 
+    def q_date_range(spark, sf):
+        # NumberRangePrefixTreeStrategy + DateRangePrefixTree
+        # (spatial-extras prefix/): per-doc date RANGES — intersects
+        # query + the three-tier calcFacets response at day and month
+        # detail (closed-form of the prefix-tree term walk; identity
+        # proved in tests/test_daterange.py)
+        from lucene_spark.search import daterange as dr
+
+        rg = dr.synthesize_ranges(_docs(spark, sf))
+        return _union([
+            ("int", dr.date_range_intersects(
+                rg, "2014-03-01", "2014-03-31", k=50)),
+            ("fday", dr.date_range_facets(
+                rg, "2014-03-01", "2014-10-31", detail="day"
+            ).select(
+                F.col("tier").alias("r_start"),
+                F.col("cell").alias("r_end"),
+                F.col("count").alias("doc_id"),
+            )),
+            ("fmon", dr.date_range_facets(
+                rg, "2013-01-01", "2015-12-01", detail="month"
+            ).select(
+                F.col("tier").alias("r_start"),
+                F.col("cell").alias("r_end"),
+                F.col("count").alias("doc_id"),
+            )),
+        ])
+
     def q_ann_threshold(spark, sf):
         # FloatVectorSimilarityQuery (core/search/
         # AbstractVectorSimilarityQuery.java): ALL vectors above a
@@ -3499,6 +3542,7 @@ def gate_queries() -> dict[str, object]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine": q_ann_cosine,
         "q_ann_threshold": q_ann_threshold,
+        "q_date_range": q_date_range,
         "q_ann_lsh": q_ann_lsh,
         "q_late_interaction": q_late_interaction,
     }
@@ -4303,6 +4347,7 @@ ORDER BY b.doc_id LIMIT 200"""),
             + dd.semantic_dedup_sql(threshold=0.4) + ")"
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
+        "q_date_range": _date_range_oracle(),
         "q_ann_threshold": (
             "SELECT 'all' AS tag, * FROM ("
             + sim.vector_similarity_all_sql(
