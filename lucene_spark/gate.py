@@ -115,6 +115,30 @@ _SARGS_QUERIES = [
 _BBXRATIO_Q = (-10.0, 30.0, 20.0, 40.0)  # min_x max_x min_y max_y
 
 
+_NAMED_QUERIES = {
+    "hot": ["table"],
+    "conj": ["table", "query"],
+    "mid": ["spark"],
+}
+
+
+def _named_matches_oracle(named: dict[str, list[str]], k: int = 50) -> str:
+    arms = []
+    for name, ts in sorted(named.items()):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(ts)))
+        arms.append(
+            f"SELECT '{name}' AS name, doc_id FROM ("
+            f"SELECT doc_id FROM (SELECT DISTINCT doc_id, tok FROM toks"
+            f" WHERE tok IN ({tl})) GROUP BY doc_id"
+            f" HAVING count(*) = {len(set(ts))})"
+        )
+    return f"""WITH {_TOKS},
+namedsets AS ({' UNION ALL '.join(arms)})
+SELECT doc_id, string_agg(name, ',' ORDER BY name) AS names,
+       count(DISTINCT name) AS n_names
+FROM namedsets GROUP BY doc_id ORDER BY doc_id LIMIT {k}"""
+
+
 def _date_range_oracle() -> str:
     """DuckDB oracle for q_date_range (facet tiers mapped onto the
     intersects columns: tier->r_start, cell->r_end, count->doc_id)."""
@@ -1943,6 +1967,29 @@ def gate_queries() -> dict[str, object]:
         r = ensure_index(spark, sf)
         return sp.rescore_topk(r, FIELD, T_MID, "n_chars", weight=1.0, first_n=40)
 
+    def q_rescorer_suite(spark, sf):
+        # the other Rescorer shapes beside QueryRescorer: SortRescorer
+        # re-orders the first pass by a doc-values Sort KEEPING the
+        # original scores (core/search/SortRescorer.java:64-66);
+        # DoubleValuesSourceRescorer rescores through an abstract
+        # combine — multiply exercised here (core/search/
+        # DoubleValuesSourceRescorer.java)
+        r = ensure_index(spark, sf)
+        z = F.lit(0).cast("long")
+        return _union([
+            ("srt", sp.sort_rescore_topk(
+                r, FIELD, T_MID, "n_chars", first_n=40, k=10
+            ).select(
+                "doc_id",
+                F.col("score_x1e6").alias("rescored_x1e6"),
+                "v",
+            )),
+            ("dvs", sp.dvs_rescore_topk(
+                r, FIELD, T_MID, "ln(1 + n_chars)", combine="multiply",
+                first_n=40, k=10,
+            ).select("doc_id", "rescored_x1e6", z.alias("v"))),
+        ])
+
     def q_function_suite(spark, sf):
         # generic value-source composition (FunctionScoreQuery + 59
         # value sources via expr()) + the two fixed shapes, one union
@@ -2419,6 +2466,12 @@ def gate_queries() -> dict[str, object]:
 
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
+
+    def q_named_matches(spark, sf):
+        # NamedMatches (core/search/NamedMatches.java): which named
+        # sub-queries matched each doc
+        r = ensure_index(spark, sf)
+        return sp.named_matches_topk(r, FIELD, _NAMED_QUERIES, k=50)
 
     def q_date_range(spark, sf):
         # NumberRangePrefixTreeStrategy + DateRangePrefixTree
@@ -3543,6 +3596,8 @@ def gate_queries() -> dict[str, object]:
         "q_ann_cosine": q_ann_cosine,
         "q_ann_threshold": q_ann_threshold,
         "q_date_range": q_date_range,
+        "q_named_matches": q_named_matches,
+        "q_rescorer_suite": q_rescorer_suite,
         "q_ann_lsh": q_ann_lsh,
         "q_late_interaction": q_late_interaction,
     }
@@ -3768,6 +3823,21 @@ SELECT f.doc_id,
        AS BIGINT) AS rescored_x1e6
 FROM first_n f JOIN documents d ON d.doc_id = f.doc_id
 ORDER BY rescored_x1e6 DESC, f.doc_id ASC LIMIT 10""",
+        "q_rescorer_suite": _sql_tagged_flat([
+            ("srt", f"""{_scored_ctes(T_MID)},
+first_n AS (SELECT * FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 40)
+SELECT f.doc_id, f.score_x1e6 AS rescored_x1e6,
+       CAST(d.n_chars AS BIGINT) AS v
+FROM first_n f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY v DESC, f.doc_id ASC LIMIT 10"""),
+            ("dvs", f"""{_scored_ctes(T_MID)},
+first_n AS (SELECT * FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 40)
+SELECT f.doc_id,
+  CAST(ROUND((f.score_x1e6/1000000.0 * ln(1 + CAST(d.n_chars AS DOUBLE)))*1000000)
+       AS BIGINT) AS rescored_x1e6, CAST(0 AS BIGINT) AS v
+FROM first_n f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY rescored_x1e6 DESC, f.doc_id ASC LIMIT 10"""),
+        ]),
         "q_feature": f"""{_scored_ctes(T_MID)}
 SELECT s.doc_id,
   CAST(ROUND((s.score_x1e6/1000000.0 + 0.5*ln(1 + CAST(d.n_chars AS DOUBLE)))*1000000)
@@ -4347,6 +4417,7 @@ ORDER BY b.doc_id LIMIT 200"""),
             + dd.semantic_dedup_sql(threshold=0.4) + ")"
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
+        "q_named_matches": _named_matches_oracle(_NAMED_QUERIES, k=50),
         "q_date_range": _date_range_oracle(),
         "q_ann_threshold": (
             "SELECT 'all' AS tag, * FROM ("

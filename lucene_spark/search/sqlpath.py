@@ -2806,3 +2806,130 @@ def dv_multi_range_topk(
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+def named_matches_topk(
+    reader: IndexReader,
+    field: str,
+    named: dict[str, list[str]],
+    k: int = 50,
+) -> DataFrame:
+    """NamedMatches (core/search/NamedMatches.java: wrapQuery +
+    findNamedMatches): wrap each sub-query with a name, run the SHOULD
+    union, and report PER DOCUMENT which named sub-queries matched —
+    the "which clause fired" diagnostic ES-style named queries expose.
+    Each named query here is a term conjunction (MUST of its terms).
+    -> (doc_id, names, n_names) ordered by doc_id, first k.
+
+    Scale shape: ONE postings scan for the union of all named terms
+    (term-dictionary pushdown), a per-name distinct-term count (the
+    conjunction test), then a single groupBy doc collect_set — two
+    map-side-combined shuffles regardless of how many names there are.
+    """
+    all_terms = sorted({t for ts in named.values() for t in ts})
+    ep = exploded_postings(reader, field, all_terms).select(
+        "term", "doc_id"
+    ).distinct()
+    name_rows = [
+        (name, t) for name, ts in named.items() for t in set(ts)
+    ]
+    spark = ep.sparkSession
+    nm = spark.createDataFrame(name_rows, "name string, term string")
+    need = nm.groupBy("name").count().withColumnRenamed("count", "need")
+    hit = (
+        ep.join(F.broadcast(nm), "term")
+        .groupBy("doc_id", "name")
+        .agg(F.countDistinct("term").alias("got"))
+        .join(F.broadcast(need), "name")
+        .filter(F.col("got") == F.col("need"))
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("name")), ","
+            ).alias("names"),
+            F.countDistinct("name").alias("n_names"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def sort_rescore_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    sort_col: str,
+    ascending: bool = False,
+    first_n: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """SortRescorer (core/search/SortRescorer.java): re-order the
+    first-pass top-N by a Sort over a doc-values column; the returned
+    hits keep their ORIGINAL first-pass scores
+    (SortRescorer.java:64-66 copies scores from the input ScoreDocs).
+    -> (doc_id, score_x1e6, v = the sort value), top k by
+    (sort value, doc_id).  Second pass touches only first_n rows —
+    broadcast-sized at any corpus scale."""
+    first = (
+        term_scored(reader, field, term)
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(first_n)
+    )
+    docs = reader.docs().select(
+        "doc_id", F.col(sort_col).cast("long").alias("v")
+    )
+    srt = F.col("v").asc() if ascending else F.col("v").desc()
+    return (
+        first.join(docs, "doc_id")
+        .orderBy(srt, F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score_x1e6", "v")
+    )
+
+
+def dvs_rescore_topk(
+    reader: IndexReader,
+    field: str,
+    term: str,
+    value_expr: str,
+    combine: str = "sum",
+    first_n: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """DoubleValuesSourceRescorer (core/search/
+    DoubleValuesSourceRescorer.java): the first-pass top-N rescored by
+    combine(firstPassScore, valuePresent, sourceValue) — the combine is
+    the abstract injection point; the stock forms here are 'sum',
+    'multiply' and 'replace'.  A NULL source value plays the
+    advanceExact-false branch (valuePresent=false -> sourceValue 0).
+    -> (doc_id, rescored_x1e6)."""
+    first = (
+        term_scored(reader, field, term)
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(first_n)
+    )
+    docs = reader.docs().selectExpr(
+        "doc_id", f"CAST(({value_expr}) AS DOUBLE) AS src"
+    )
+    j = first.join(docs, "doc_id").withColumn(
+        "srcv", F.coalesce(F.col("src"), F.lit(0.0))
+    )
+    s = F.col("score_x1e6") / 1e6
+    if combine == "sum":
+        res = s + F.col("srcv")
+    elif combine == "multiply":
+        res = s * F.col("srcv")
+    elif combine == "replace":
+        res = F.col("srcv")
+    else:
+        raise ValueError(f"unknown combine {combine!r}")
+    return (
+        j.select(
+            "doc_id",
+            F.round(res * 1e6).cast("long").alias("rescored_x1e6"),
+        )
+        .orderBy(F.col("rescored_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
