@@ -3163,6 +3163,26 @@ def gate_queries() -> dict[str, object]:
             "term", F.lit(0).cast("int").alias("distance"),
             F.col("weight").cast("long").alias("doc_freq"),
         )
+        # classic n-gram SpellChecker (suggest/spell/SpellChecker
+        # .java): gram-candidate pool + StringDistance ranking +
+        # SuggestMode; distance slot = score_x1e6, freq in doc_freq
+        from lucene_spark.search.spelldistance import spellchecker_suggest
+
+        def _spcframe(df):
+            return df.select(
+                F.col("word").alias("term"),
+                F.col("score_x1e6").cast("int").alias("distance"),
+                F.col("freq").alias("doc_freq"),
+            )
+
+        spc = _spcframe(spellchecker_suggest(
+            r, FIELD, "spork", num_sug=5, suggest_mode="always",
+            accuracy=0.4,
+        ))
+        spcp = _spcframe(spellchecker_suggest(
+            r, FIELD, "tabel", num_sug=5, suggest_mode="more_popular",
+            accuracy=0.4,
+        ))
         parts = [
             ("spell", spell), ("prefix", prefix), ("infix", infix),
             ("freetext", ft), ("wordbreak", wb1), ("wordbreak2", wb2),
@@ -3170,6 +3190,7 @@ def gate_queries() -> dict[str, object]:
             ("docdict", dd), ("cqpfx", cqp), ("cqrgx", cqr),
             ("cqfzy", cqf), ("cqctx", cqc), ("spell_jw", sjw),
             ("blended", blen), ("fstc", fstc), ("wfst", wfst),
+            ("spc", spc), ("spcp", spcp),
         ]
         out = None
         for tag, df in parts:
@@ -4912,6 +4933,8 @@ ORDER BY doc_freq DESC, term ASC, distance ASC LIMIT 5"""
             "AND context IN ('en', 'es'))"
         )),
     ]
+    from lucene_spark.search import spelldistance as _spd
+
     one["q_suggest_suite"] = _sql_tagged([
         ("spell", one.pop("q_suggest")),
         ("prefix", f"""WITH {_TOKS},
@@ -5076,6 +5099,18 @@ entries AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT)
 SELECT term, CAST(0 AS INT) AS distance, weight AS doc_freq
 FROM entries WHERE term LIKE 'data%'
 ORDER BY (term = 'data') DESC, weight DESC, term ASC LIMIT 5"""),
+        ("spc",
+         "SELECT word AS term, CAST(score_x1e6 AS INT) AS distance,"
+         " freq AS doc_freq FROM ("
+         + _spd.spellchecker_suggest_sql(
+             "spork", num_sug=5, suggest_mode="always", accuracy=0.4)
+         + ")"),
+        ("spcp",
+         "SELECT word AS term, CAST(score_x1e6 AS INT) AS distance,"
+         " freq AS doc_freq FROM ("
+         + _spd.spellchecker_suggest_sql(
+             "tabel", num_sug=5, suggest_mode="more_popular", accuracy=0.4)
+         + ")"),
     ])
     one["q_function_suite"] = _sql_tagged([
         ("fscore", f"""{_scored_ctes(T_MID)}
