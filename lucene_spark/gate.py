@@ -1909,6 +1909,25 @@ def gate_queries() -> dict[str, object]:
             ("bs", ipp.bigint_set(
                 bh, [(7 - 300) * 9999991, 0, (4000 - 300) * 9999991])),
         ]
+        # InetAddressRange (core/document/InetAddressRange.java):
+        # stored ranges [ip(doc_id), ip(doc_id + (doc_id%7)*3)] vs a
+        # query range, all four relations
+        d = d.withColumn(
+            "iphi",
+            F.format_string(
+                "10.%d.%d.%d",
+                F.expr("shiftright(doc_id + (doc_id % 7) * 3, 16) % 256"),
+                F.expr("shiftright(doc_id + (doc_id % 7) * 3, 8) % 256"),
+                F.expr("(doc_id + (doc_id % 7) * 3) % 256"),
+            ),
+        )
+        lo_h = ipp.ipv4_hex_column(F.col("ipstr"))
+        hi_h = ipp.ipv4_hex_column(F.col("iphi"))
+        parts += [
+            (f"r{rel[:3]}", ipp.ip_range_relation(
+                lo_h, hi_h, rel, "10.0.0.100", "10.0.1.44"))
+            for rel in ("intersects", "within", "contains", "crosses")
+        ]
         out = None
         for tag, cond in parts:
             t = d.filter(cond).select(
@@ -2821,6 +2840,17 @@ def gate_queries() -> dict[str, object]:
         ).select(
             F.concat_ws(",", F.col("col"), F.col("row")).alias("path"), "cnt"
         )
+        # the same heatmap over a QuadPrefixTree level-4 grid
+        # (prefix/tree/QuadPrefixTree.java cells are regular
+        # 360/2^L-degree squares)
+        from lucene_spark.search.prefixtree import quad_heatmap_facet_counts
+
+        heatq = quad_heatmap_facet_counts(
+            _geo.synthesize_geo(_docs(spark, sf)), 4,
+            10.0, 55.0, -40.0, 60.0,
+        ).select(
+            F.concat_ws(",", F.col("col"), F.col("row")).alias("path"), "cnt"
+        )
         # LongValueFacetCounts: unique n_chars values of the hits,
         # top-10 by count + totCount; StringValueFacetCounts: per-doc
         # distinct values of the synthesized multi-valued string field
@@ -2842,6 +2872,7 @@ def gate_queries() -> dict[str, object]:
             .unionByName(fset.select(F.lit("fset").alias("tag"), "path", "cnt"))
             .unionByName(gfac.select(F.lit("gfac").alias("tag"), "path", "cnt"))
             .unionByName(heat.select(F.lit("heat").alias("tag"), "path", "cnt"))
+            .unionByName(heatq.select(F.lit("heatq").alias("tag"), "path", "cnt"))
             .unionByName(lval.select(F.lit("lval").alias("tag"), "path", "cnt"))
             .unionByName(sval.select(F.lit("sval").alias("tag"), "path", "cnt"))
             .unionByName(hist.select(F.lit("hist").alias("tag"), "path", "cnt"))
@@ -3514,6 +3545,9 @@ def gate_queries() -> dict[str, object]:
             ("ax_f3exp", sp.axiomatic_topk(r, FIELD, T_MID, "f3exp")),
             ("dfi_sat", sp.dfi_topk(r, FIELD, T_MID, independence="saturated")),
             ("indri", sp.indri_topk(r, FIELD, T_MID)),
+            # IndriAndQuery: disjunctive candidates, every clause
+            # scores (absent terms via smoothingScore = tf 0)
+            ("indri_and", sp.indri_and_topk(r, FIELD, [T_MID, T_RARE])),
         ])
 
     def q_phrase_suite(spark, sf):
@@ -3758,6 +3792,18 @@ WHERE rk <= 1 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 5"""),
             ("bs", "SELECT doc_id FROM documents WHERE "
                    "(doc_id - 300) * 9999991 IN "
                    "(-2929997363, 0, 36999966700)"),
+            # stored ip ranges: lo = doc_id, hi = doc_id+(doc_id%7)*3
+            # on the 10.0.0.0+N line; query [100, 300]
+            ("rint", "SELECT doc_id FROM documents WHERE "
+                     "doc_id <= 300 AND doc_id + (doc_id % 7) * 3 >= 100"),
+            ("rwit", "SELECT doc_id FROM documents WHERE "
+                     "doc_id >= 100 AND doc_id + (doc_id % 7) * 3 <= 300"),
+            ("rcon", "SELECT doc_id FROM documents WHERE "
+                     "doc_id <= 100 AND doc_id + (doc_id % 7) * 3 >= 300"),
+            ("rcro", "SELECT doc_id FROM documents WHERE "
+                     "(doc_id <= 300 AND doc_id + (doc_id % 7) * 3 >= 100)"
+                     " AND NOT (doc_id >= 100"
+                     " AND doc_id + (doc_id % 7) * 3 <= 300)"),
         ]),
         # DateTools: encode / per-month counts / mixed-resolution
         # range (day lo, month hi extends with '9' padding) / round
@@ -4525,6 +4571,15 @@ GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC LIMIT 20""",
             f" cnt FROM ({inner})"
         )
 
+    def _quad_heatmap_oracle() -> str:
+        from lucene_spark.search.prefixtree import quad_heatmap_sql
+
+        inner = quad_heatmap_sql(4, 10.0, 55.0, -40.0, 60.0)
+        return (
+            "SELECT CAST(col AS VARCHAR)||','||CAST(row AS VARCHAR) AS path,"
+            f" cnt FROM ({inner})"
+        )
+
     def _sql_tagged(parts):
         """Tagged UNION ALL of complete per-branch SELECTs (each branch
         keeps its own ORDER/LIMIT inside a CTE)."""
@@ -4712,6 +4767,25 @@ SELECT tf.doc_id,
        / (CAST(q.dlq AS DOUBLE) + 2000.0)) * 1000000) AS BIGINT) AS score_x1e6
 FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfq t CROSS JOIN stats s
 ORDER BY score_x1e6 DESC, tf.doc_id ASC LIMIT 10"""),
+        ("indri_and", f"""{_prefix_ctes([
+            f"cand AS (SELECT DISTINCT doc_id FROM toks WHERE tok IN ('{T_MID}', '{T_RARE}'))",
+            f"tfa AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_MID}' GROUP BY doc_id)",
+            f"tfb AS (SELECT doc_id, count(*) AS freq FROM toks WHERE tok = '{T_RARE}' GROUP BY doc_id)",
+            f"ttfa AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_MID}')",
+            f"ttfb AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM toks WHERE tok = '{T_RARE}')",
+        ])}
+SELECT c.doc_id,
+  CAST(ROUND((
+    (1.0 * ln((CAST(COALESCE(ta.freq, 0) AS DOUBLE) + 2000.0 * ((xa.ttf+1)/(s.sumdl+1)))
+         / (CAST(q.dlq AS DOUBLE) + 2000.0))
+   + 1.0 * ln((CAST(COALESCE(tb.freq, 0) AS DOUBLE) + 2000.0 * ((xb.ttf+1)/(s.sumdl+1)))
+         / (CAST(q.dlq AS DOUBLE) + 2000.0))) / 2.0
+  ) * 1000000) AS BIGINT) AS score_x1e6
+FROM cand c JOIN dlq q ON q.doc_id = c.doc_id
+LEFT JOIN tfa ta ON ta.doc_id = c.doc_id
+LEFT JOIN tfb tb ON tb.doc_id = c.doc_id
+CROSS JOIN ttfa xa CROSS JOIN ttfb xb CROSS JOIN stats s
+ORDER BY score_x1e6 DESC, c.doc_id ASC LIMIT 10"""),
     ])
     _NORM_CTE = (
         "norm AS (SELECT doc_id, array_to_string("
@@ -4826,6 +4900,7 @@ SELECT d.lang AS path, count(DISTINCT d.source) AS cnt
 FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY path LIMIT 20"""),
         ("heat", _heatmap_oracle()),
+        ("heatq", _quad_heatmap_oracle()),
         # LongValueFacetCounts: top-10 unique n_chars values by
         # (count DESC, value ASC) + totCount (hits with a value)
         ("lval", f"""WITH {_TOKS},

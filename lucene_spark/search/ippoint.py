@@ -171,3 +171,33 @@ def bigint_range(col: Column, lo: int, hi: int) -> Column:
 def bigint_set(col: Column, vals: list[int]) -> Column:
     """newSetQuery."""
     return col.isin([encode_bigint(v) for v in vals])
+
+
+def ip_range_relation(
+    lo_col: Column,
+    hi_col: Column,
+    relation: str,
+    lo_ip: str,
+    hi_ip: str,
+) -> Column:
+    """InetAddressRange (core/document/InetAddressRange.java): a STORED
+    ip range [lo_col, hi_col] related to the query range [lo_ip, hi_ip]
+    — the RangeFieldQuery relation algebra (INTERSECTS / WITHIN /
+    CONTAINS / CROSSES = intersects AND NOT within) evaluated on the
+    16-byte sortable-hex encoding, where byte order == string order, so
+    every relation is a flat codegen conjunction of string compares."""
+    qlo, qhi = encode_ip(lo_ip), encode_ip(hi_ip)
+    if qlo > qhi:
+        raise ValueError("min value cannot be greater than max")
+    inter = (lo_col <= F.lit(qhi)) & (hi_col >= F.lit(qlo))
+    within = (lo_col >= F.lit(qlo)) & (hi_col <= F.lit(qhi))
+    contains = (lo_col <= F.lit(qlo)) & (hi_col >= F.lit(qhi))
+    if relation == "intersects":
+        return inter
+    if relation == "within":
+        return within
+    if relation == "contains":
+        return contains
+    if relation == "crosses":
+        return inter & ~within
+    raise ValueError(f"unknown relation {relation!r}")

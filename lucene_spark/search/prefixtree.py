@@ -313,3 +313,141 @@ SELECT col, row, COUNT(*) AS cnt FROM (
 )
 WHERE col >= 0 AND col < {columns} AND row >= 0 AND row < {rows}
 GROUP BY col, row"""
+
+
+# ---------------------------------------------------------------------------
+# QuadPrefixTree (spatial-extras prefix/tree/QuadPrefixTree.java +
+# PackedQuadPrefixTree.java): the alternative grid beside geohash —
+# every level splits the cell in four (A/B/C/D letters in the legacy
+# tree; interleaved y,x bit pairs in the packed tree).  A level-L quad
+# cell is a regular 360/2^L x 180/2^L degree square, so the heatmap /
+# facet machinery reuses the corner-anchored sparse-grid shape.
+# ---------------------------------------------------------------------------
+
+
+def quad_cell_size(level: int) -> tuple[float, float]:
+    """(cell width, cell height) of a level-`level` quad cell over the
+    geo world bounds (QuadPrefixTree.java:58-66: levelW[i] =
+    gridW / 2^(i+1) — level L cells are gridW/2^L wide)."""
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    return 360.0 / (1 << level), 180.0 / (1 << level)
+
+
+def quad_cell_token(lat: float, lon: float, level: int) -> str:
+    """The legacy QuadCell letter token of the level-`level` cell
+    containing the point (QuadPrefixTree.java makeShape:302-335 run in
+    reverse): per level, A=upper-left, B=upper-right, C=lower-left,
+    D=lower-right of the parent cell.  Points on the world's max edges
+    clamp into the last cell (the reference's grid never emits an
+    out-of-range cell for a valid point)."""
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    n = 1 << level
+    ix = min(int((lon + 180.0) / (360.0 / n)), n - 1)
+    iy = min(int((lat + 90.0) / (180.0 / n)), n - 1)
+    out = []
+    for i in range(level - 1, -1, -1):
+        xb = (ix >> i) & 1
+        yb = (iy >> i) & 1
+        out.append("CD"[xb] if yb == 0 else "AB"[xb])
+    return "".join(out)
+
+
+def packed_quad_token(lat: float, lon: float, level: int) -> int:
+    """PackedQuadPrefixTree.java cell identity: the interleaved
+    (y, x) bit pairs of the cell coordinates — identical information
+    to the letter token, packed into an integer (the packed tree
+    exists precisely because the letters waste 6 bits/level)."""
+    if level < 1:
+        raise ValueError("level must be >= 1")
+    n = 1 << level
+    ix = min(int((lon + 180.0) / (360.0 / n)), n - 1)
+    iy = min(int((lat + 90.0) / (180.0 / n)), n - 1)
+    out = 0
+    for i in range(level - 1, -1, -1):
+        out = (out << 2) | (((iy >> i) & 1) << 1) | ((ix >> i) & 1)
+    return out
+
+
+def quad_cell_rect(token: str) -> tuple[float, float, float, float]:
+    """QuadCell.makeShape (QuadPrefixTree.java:302-335) verbatim:
+    token -> (min_lat, min_lon, max_lat, max_lon)."""
+    xmin, ymin = -180.0, -90.0
+    level_w = [360.0 / (1 << (i + 1)) for i in range(len(token))]
+    level_h = [180.0 / (1 << (i + 1)) for i in range(len(token))]
+    for i, c in enumerate(token):
+        if c == "A":
+            ymin += level_h[i]
+        elif c == "B":
+            xmin += level_w[i]
+            ymin += level_h[i]
+        elif c == "D":
+            xmin += level_w[i]
+        elif c != "C":
+            raise ValueError(f"unexpected char: {c}")
+    w = level_w[-1] if token else 360.0
+    h = level_h[-1] if token else 180.0
+    return ymin, xmin, ymin + h, xmin + w
+
+
+def quad_heatmap_facet_counts(
+    geo: DataFrame,
+    level: int,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+    accept: DataFrame | None = None,
+) -> DataFrame:
+    """HeatmapFacetCounter over a QuadPrefixTree grid instead of the
+    geohash grid: -> (col, row, cnt) of non-zero level-`level` quad
+    cells intersecting the rect, corner-cell coordinate frame,
+    whole-cell counting (see heatmap_facet_counts for the contract).
+    One floor-quantize + map-side-combined groupBy — the same single
+    shuffle regardless of grid flavor."""
+    if min_lon > max_lon:
+        raise ValueError("dateline-crossing heatmap rect: split it first")
+    cw, ch = quad_cell_size(level)
+    cx0 = int((min_lon + 180.0) // cw)
+    cy0 = int((min_lat + 90.0) // ch)
+    columns = int((max_lon + 180.0) // cw) - cx0 + 1
+    rows = int((max_lat + 90.0) // ch) - cy0 + 1
+    g = geo
+    if accept is not None:
+        g = g.join(accept.select("doc_id"), "doc_id", "left_semi")
+    col = F.floor((F.col("lon") + 180.0) / cw).cast("long") - cx0
+    row = F.floor((F.col("lat") + 90.0) / ch).cast("long") - cy0
+    return (
+        g.select(col.alias("col"), row.alias("row"))
+        .filter(
+            (F.col("col") >= 0) & (F.col("col") < columns)
+            & (F.col("row") >= 0) & (F.col("row") < rows)
+        )
+        .groupBy("col", "row")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quad_heatmap_sql(
+    level: int,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> str:
+    """DuckDB twin over the shared geo CTE (g)."""
+    from lucene_spark.search.geo import _GEO_SQL
+
+    cw, ch = quad_cell_size(level)
+    cx0 = int((min_lon + 180.0) // cw)
+    cy0 = int((min_lat + 90.0) // ch)
+    columns = int((max_lon + 180.0) // cw) - cx0 + 1
+    rows = int((max_lat + 90.0) // ch) - cy0 + 1
+    return f"""WITH {_GEO_SQL}
+SELECT col, row, count(*) AS cnt FROM (
+  SELECT CAST(FLOOR((lon + 180.0) / {cw!r}) AS BIGINT) - {cx0} AS col,
+         CAST(FLOOR((lat + 90.0) / {ch!r}) AS BIGINT) - {cy0} AS row
+  FROM g
+) WHERE col >= 0 AND col < {columns} AND row >= 0 AND row < {rows}
+GROUP BY col, row"""

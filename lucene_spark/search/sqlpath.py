@@ -2933,3 +2933,73 @@ def dvs_rescore_topk(
         .orderBy(F.col("rescored_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def indri_and_topk(
+    reader: IndexReader,
+    field: str,
+    terms: list[str],
+    boosts: list[float] | None = None,
+    mu: float = 2000.0,
+    k: int = 10,
+) -> DataFrame:
+    """IndriAndQuery (core/search/IndriAndQuery.java + IndriAndScorer
+    .java:scoreDoc + IndriDisjunctionScorer.java): the Indri soft-AND —
+    candidates are the UNION of the clause matches (a disjunction
+    iterator), but EVERY clause contributes to every candidate's score:
+    a clause whose term is present scores ln((tf + mu*P(w|C)) /
+    (dlq + mu)) (IndriDirichletSimilarity.java:69-73, the engine's
+    +1-smoothed collection model); an absent clause contributes its
+    smoothingScore — the SAME formula with tf = 0 (the "idf-like"
+    background probability).  Per-clause boosts weight the sum and the
+    final score divides by the boost sum (IndriAndScorer.java:45-60).
+    -> (doc_id, score_x1e6).
+
+    Scale shape: ONE postings scan for all clause terms (pushed term
+    set), candidates from a map-side-combined groupBy carrying the
+    shared norm code, then |terms| broadcast-sized left joins of
+    per-term tf frames — no per-row Python, codegen arithmetic."""
+    if not terms:
+        raise ValueError("IndriAndQuery needs at least one clause")
+    if boosts is None:
+        boosts = [1.0] * len(terms)
+    if len(boosts) != len(terms):
+        raise ValueError("boosts must align with terms")
+    ep = exploded_postings(reader, field, list(dict.fromkeys(terms)))
+    cand = ep.groupBy("doc_id").agg(
+        F.first("norm_code").alias("norm_code")
+    )
+    dlq = _length_table_col(F.col("norm_code")).cast("double")
+    cand = cand.select("doc_id", dlq.alias("dlq"))
+
+    stats = reader.term_stats(field, list(dict.fromkeys(terms)))
+    coll = reader.collection_stats(field)
+    sumttf = float(coll.sum_total_term_freq)
+
+    out = cand
+    score_terms = []
+    for i, (t, b) in enumerate(zip(terms, boosts)):
+        tf_t = (
+            ep.filter(F.col("term") == t)
+            .select("doc_id", F.col("freq").alias(f"tf_{i}"))
+        )
+        out = out.join(tf_t, "doc_id", "left")
+        ttf = float(stats[t].total_term_freq) if t in stats else 0.0
+        p_wc = (ttf + 1.0) / (sumttf + 1.0)
+        tf = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        score_terms.append(
+            F.lit(float(b))
+            * F.log((tf + F.lit(mu * p_wc)) / (F.col("dlq") + F.lit(mu)))
+        )
+    total = score_terms[0]
+    for s in score_terms[1:]:
+        total = total + s
+    total = total / F.lit(float(sum(boosts)))
+    return (
+        out.select(
+            "doc_id",
+            F.round(total * 1e6).cast("long").alias("score_x1e6"),
+        )
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
