@@ -789,3 +789,197 @@ def dataset_splitter(
         .otherwise(F.lit("train"))
     )
     return with_b.withColumn("split", split).drop("_b", "_istest", "_cvsize")
+
+
+def _parse_field_boosts(fields: list[str]) -> list[tuple[str, float]]:
+    """'title^2' -> ('title', 2.0) (the DocumentClassifier field-boost
+    notation, KNearestNeighborDocumentClassifier.java:102-108)."""
+    out = []
+    for f in fields:
+        if "^" in f:
+            name, _, b = f.partition("^")
+            out.append((name, float(b)))
+        else:
+            out.append((f, 1.0))
+    return out
+
+
+def knn_classify_document(
+    reader: IndexReader,
+    doc: dict[str, str],
+    class_col: str,
+    fields: list[str],
+    k: int = 10,
+    max_terms: int = 5,
+    tokenize=None,
+) -> DataFrame:
+    """KNearestNeighborDocumentClassifier (classification/document/
+    KNearestNeighborDocumentClassifier.java knnSearch:118-139): the
+    multi-FIELD variant of the kNN classifier — per text field, MLT
+    term selection runs on THAT field's content against THAT field's
+    statistics (the per-field analyzer slot is ``tokenize``), the
+    per-field term clauses are SHOULD-combined, and a trailing
+    '^boost' on a field name multiplies that field's contribution
+    (mlt.setBoostFactor).  Neighbour voting is the base classifier's
+    rank vote (KNearestNeighborClassifier.java:218-233).
+    -> (clazz, score_x1e6) ordered score DESC, clazz ASC.
+
+    Scale shape: one term-pruned scored frame per (field, term) —
+    shared postings scan per field — summed per doc in a single
+    map-side-combined groupBy; the vote runs over <= k rows."""
+    from lucene_spark.search.sqlpath import term_scored
+
+    fb = _parse_field_boosts(fields)
+    spark = reader.spark
+    scored_parts = []
+    for fname, boost in fb:
+        content = doc.get(fname, "")
+        terms = mlt_terms_for_text(
+            reader, content, fname, max_terms, tokenize
+        )
+        for t in terms:
+            s = term_scored(reader, fname, t).select(
+                "doc_id",
+                (F.col("score_x1e6") * F.lit(float(boost))).alias("s"),
+            )
+            scored_parts.append(s)
+    if not scored_parts:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    allsc = scored_parts[0]
+    for p in scored_parts[1:]:
+        allsc = allsc.unionByName(p)
+    topk = (
+        allsc.groupBy("doc_id")
+        .agg(F.round(F.sum("s")).cast("long").alias("score_x1e6"))
+        .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    labeled = topk.join(
+        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
+        "doc_id",
+    ).filter(F.col("clazz").isNotNull())
+    w = F.col("score_x1e6") / F.lit(1e6)
+    win = Window.partitionBy()
+    voted = labeled.select(
+        "clazz",
+        (w / F.max(w).over(win)).alias("boost"),
+        F.count("*").over(win).alias("sumdoc"),
+    )
+    out = voted.groupBy("clazz", "sumdoc").agg(
+        F.sum("boost").alias("bsum")
+    ).select(
+        "clazz",
+        F.round(
+            F.col("bsum")
+            / F.least(F.lit(float(k)), F.col("sumdoc").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("score_x1e6"),
+    )
+    return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
+
+
+def naive_bayes_classify_document(
+    reader: IndexReader,
+    doc: dict[str, str],
+    class_col: str,
+    fields: list[str],
+    tokenize=None,
+) -> DataFrame:
+    """SimpleNaiveBayesDocumentClassifier (classification/document/
+    SimpleNaiveBayesDocumentClassifier.java assignNormClasses:109-137):
+    classScore(c) = sum over fields of
+    [ logPrior(c) + logLikelihood(field tokens | c, field) * boost ]
+    — the prior is added once PER FIELD (the reference's exact loop
+    shape, .java:126-129), each field's likelihood uses that field's
+    own statistics, and a '^boost' suffix multiplies only the
+    likelihood.  Softmax normalization as in the single-field
+    classifier.  -> (clazz, score_x1e6) ordered score DESC, clazz ASC.
+    """
+    spark = reader.spark
+    fb = _parse_field_boosts(fields)
+    docs = reader.docs().select(
+        "doc_id", F.col(class_col).alias("clazz")
+    ).filter(F.col("clazz").isNotNull())
+    dels = reader.deleted_df()
+    if dels is not None:
+        docs = docs.join(dels, "doc_id", "left_anti")
+    cls = docs.groupBy("clazz").agg(F.count("*").alias("df_c"))
+    dwc = docs.agg(F.count("*").alias("dwc"))
+
+    n_fields_with_tokens = 0
+    ll_parts = []
+    for fname, boost in fb:
+        toks = _tokenize(reader, doc.get(fname, ""), tokenize)
+        if not toks:
+            continue
+        n_fields_with_tokens += 1
+        coll = reader.collection_stats(fname)
+        avg_unique = float(reader.sum_doc_freq(fname)) / float(
+            coll.doc_count
+        )
+        tf = Counter(toks)
+        ep = exploded_postings(reader, fname, sorted(tf)).select(
+            "term", "doc_id"
+        )
+        wc = ep.join(docs, "doc_id").groupBy("clazz", "term").agg(
+            F.count("*").alias("n_wc")
+        )
+        tfdf = spark.createDataFrame(
+            [(t, int(c)) for t, c in sorted(tf.items())],
+            "term string, tf int",
+        )
+        grid = (
+            cls.crossJoin(F.broadcast(tfdf))
+            .join(wc, ["clazz", "term"], "left")
+            .fillna(0, subset=["n_wc"])
+            .crossJoin(F.broadcast(dwc))
+        )
+        ll = grid.select(
+            "clazz",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.col("n_wc") + F.lit(1.0))
+                    / (
+                        F.lit(avg_unique) * F.col("df_c")
+                        + F.col("dwc")
+                    )
+                )
+                * F.lit(float(boost))
+            ).alias("ll"),
+        )
+        ll_parts.append(ll)
+    if not ll_parts:
+        return spark.createDataFrame([], "clazz string, score_x1e6 long")
+    allll = ll_parts[0]
+    for p in ll_parts[1:]:
+        allll = allll.unionByName(p)
+    # prior added once per field-with-tokens (the reference loop shape)
+    raw = (
+        allll.groupBy("clazz")
+        .agg(F.sum("ll").alias("llsum"))
+        .join(cls, "clazz")
+        .crossJoin(F.broadcast(dwc))
+        .select(
+            "clazz",
+            (
+                F.lit(float(n_fields_with_tokens))
+                * (F.log(F.col("df_c")) - F.log(F.col("dwc")))
+                + F.col("llsum")
+            ).alias("raw"),
+        )
+    )
+    # normClassificationResults: the same logsumexp softmax as the
+    # single-field classifier
+    win = Window.partitionBy()
+    smax = F.max("raw").over(win)
+    lse = smax + F.log(F.sum(F.exp(F.col("raw") - smax)).over(win))
+    out = raw.select(
+        "clazz",
+        F.round(F.exp(F.col("raw") - lse) * 1e6).cast("long").alias(
+            "score_x1e6"
+        ),
+    )
+    return out.orderBy(F.col("score_x1e6").desc(), F.col("clazz").asc())
