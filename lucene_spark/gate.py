@@ -2317,6 +2317,14 @@ def gate_queries() -> dict[str, object]:
                 zero.alias("v4_x1e6"),
             )
         )
+        # Gopher quality rules (Rae et al. 2021 A1.1) — integer-exact
+        gop = ts.gopher_rules(_docs(spark, sf), k=250).select(
+            F.lit("gopher").alias("tag"), "doc_id",
+            F.col("n_words").alias("v1_x1e6"),
+            F.col("sum_wlen").alias("v2_x1e6"),
+            F.col("fail_mask").alias("v3_x1e6"),
+            F.col("kept").alias("v4_x1e6"),
+        )
         pii = ts.pii_stats(
             d.select("doc_id", _pii_aug_spark().alias("text")), k=250
         ).select(
@@ -2358,9 +2366,9 @@ def gate_queries() -> dict[str, object]:
             )
         )
         return (
-            q.unionByName(r).unionByName(spl).unionByName(st)
-            .unionByName(mix).unionByName(temp).unionByName(pii)
-            .unionByName(url).unionByName(cap)
+            q.unionByName(r).unionByName(gop).unionByName(spl)
+            .unionByName(st).unionByName(mix).unionByName(temp)
+            .unionByName(pii).unionByName(url).unionByName(cap)
         )
 
     def q_lang_id(spark, sf):
@@ -4384,6 +4392,11 @@ UNION ALL SELECT 'classic' AS tag, * FROM t_classic""",
              .replace("AS top2gram_x1e6", "AS v2_x1e6")
              .replace("AS dup5gram_x1e6", "AS v3_x1e6")
              .replace("AS rep_score_x1e6", "AS v4_x1e6")),
+            ("gopher", ts.gopher_rules_sql(k=250)
+             .replace("AS n_words", "AS v1_x1e6")
+             .replace("AS sum_wlen", "AS v2_x1e6")
+             .replace("AS fail_mask", "AS v3_x1e6")
+             .replace("AS kept", "AS v4_x1e6")),
             ("split",
              "SELECT doc_id, bucket AS v1_x1e6, "
              "CAST(CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 "

@@ -458,3 +458,131 @@ def pii_stats_sql(
         f"SELECT doc_id, {counts}, CAST(length({red}) AS BIGINT) "
         f"AS redacted_len FROM {table} ORDER BY doc_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", appendix A1.1 — the published rule set every
+# large-scale text pipeline reimplements)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Per-document Gopher rule evaluation. Rules (A1.1):
+
+      bit 1  — word count within [50, 100,000]
+      bit 2  — mean word length within [3, 10]
+      bit 4  — symbol-to-word ratio ('#' or '...') <= 0.1
+      bit 8  — < 90% of lines start with a bullet ('-', '*', '•')
+      bit 16 — <= 30% of lines end with an ellipsis ('...' / '…')
+      bit 32 — >= 80% of words contain an alphabetic character
+      bit 64 — >= 2 of the 8 Gopher stop words present
+
+    Every ratio test is an integer cross-multiplication (10*sym <=
+    n_words, not sym/n <= 0.1), so the engine and the oracle agree
+    bit-for-bit with zero float ops.  -> (doc_id, n_words, sum_wlen,
+    fail_mask, kept) for the first k docs by doc_id.  One narrow
+    codegen projection per doc — embarrassingly parallel at any scale.
+    """
+    words = "filter(split(text, '\\\\s+'), x -> x != '')"
+    lines = "filter(split(text, '\\n'), x -> trim(x) != '')"
+    n_words = f"size({words})"
+    sum_wlen = f"aggregate({words}, 0, (a, x) -> a + length(x))"
+    n_hash = "(length(text) - length(replace(text, '#', '')))"
+    n_ell = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    n_lines = f"size({lines})"
+    n_bullet = (
+        f"size(filter({lines}, x -> startswith(trim(x), '-')"
+        " OR startswith(trim(x), '*') OR startswith(trim(x), '•')))"
+    )
+    n_ellend = (
+        f"size(filter({lines}, x -> endswith(rtrim(x), '...')"
+        " OR endswith(rtrim(x), '…')))"
+    )
+    n_alpha = f"size(filter({words}, x -> x rlike '[a-zA-Z]'))"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_stop = (
+        f"size(filter(array({stop_arr}),"
+        f" s -> array_contains(transform({words}, w -> lower(w)), s)))"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(n_words).cast("long").alias("n_words"),
+        F.expr(sum_wlen).cast("long").alias("sum_wlen"),
+        F.expr(n_hash).cast("long").alias("n_hash"),
+        F.expr(n_ell).cast("long").alias("n_ell"),
+        F.expr(n_lines).cast("long").alias("n_lines"),
+        F.expr(n_bullet).cast("long").alias("n_bullet"),
+        F.expr(n_ellend).cast("long").alias("n_ellend"),
+        F.expr(n_alpha).cast("long").alias("n_alpha"),
+        F.expr(n_stop).cast("long").alias("n_stop"),
+    )
+    n, s = F.col("n_words"), F.col("sum_wlen")
+    fails = (
+        F.when((n < 50) | (n > 100_000), 1).otherwise(0)
+        + F.when((s < 3 * n) | (s > 10 * n), 2).otherwise(0)
+        + F.when(
+            10 * (F.col("n_hash") + F.col("n_ell")) > n, 4
+        ).otherwise(0)
+        + F.when(10 * F.col("n_bullet") >= 9 * F.col("n_lines"), 8)
+        .otherwise(0)
+        + F.when(10 * F.col("n_ellend") > 3 * F.col("n_lines"), 16)
+        .otherwise(0)
+        + F.when(5 * F.col("n_alpha") < 4 * n, 32).otherwise(0)
+        + F.when(F.col("n_stop") < 2, 64).otherwise(0)
+    )
+    return (
+        base.select(
+            "doc_id", "n_words", "sum_wlen",
+            fails.cast("long").alias("fail_mask"),
+        )
+        .withColumn(
+            "kept", (F.col("fail_mask") == 0).cast("long")
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def gopher_rules_sql(k: int = 200) -> str:
+    """DuckDB twin — identical integer arithmetic."""
+    words = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    lines = "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""WITH c AS (
+  SELECT doc_id,
+    len({words}) AS c_words,
+    list_sum(list_transform({words}, x -> length(x))) AS c_wlen,
+    (length(text) - length(replace(text, '#', ''))) AS n_hash,
+    ((length(text) - length(replace(text, '...', ''))) / 3) AS n_ell,
+    len({lines}) AS n_lines,
+    len(list_filter({lines}, x -> starts_with(trim(x), '-')
+        OR starts_with(trim(x), '*') OR starts_with(trim(x), '•'))) AS n_bullet,
+    len(list_filter({lines}, x -> ends_with(rtrim(x), '...')
+        OR ends_with(rtrim(x), '…'))) AS n_ellend,
+    len(list_filter({words}, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+    len(list_filter([{stop_arr}],
+        s -> list_contains(list_transform({words}, w -> lower(w)), s))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(c_words AS BIGINT) AS n_words,
+  CAST(COALESCE(c_wlen, 0) AS BIGINT) AS sum_wlen,
+  CAST((CASE WHEN c_words < 50 OR c_words > 100000 THEN 1 ELSE 0 END)
+   + (CASE WHEN COALESCE(c_wlen, 0) < 3 * c_words
+           OR COALESCE(c_wlen, 0) > 10 * c_words THEN 2 ELSE 0 END)
+   + (CASE WHEN 10 * (n_hash + n_ell) > c_words THEN 4 ELSE 0 END)
+   + (CASE WHEN 10 * n_bullet >= 9 * n_lines THEN 8 ELSE 0 END)
+   + (CASE WHEN 10 * n_ellend > 3 * n_lines THEN 16 ELSE 0 END)
+   + (CASE WHEN 5 * n_alpha < 4 * c_words THEN 32 ELSE 0 END)
+   + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS BIGINT) AS fail_mask,
+  CAST((CASE WHEN c_words >= 50 AND c_words <= 100000
+    AND COALESCE(c_wlen, 0) >= 3 * c_words
+    AND COALESCE(c_wlen, 0) <= 10 * c_words
+    AND 10 * (n_hash + n_ell) <= c_words
+    AND 10 * n_bullet < 9 * n_lines
+    AND 10 * n_ellend <= 3 * n_lines
+    AND 5 * n_alpha >= 4 * c_words
+    AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM c ORDER BY doc_id LIMIT {k}"""
