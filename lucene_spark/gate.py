@@ -202,6 +202,47 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return r
 
 
+_SPLIT_READERS: dict = {}
+
+
+def ensure_split_indexes(spark: SparkSession, sf_dir: str):
+    """Build (once) TWO half-corpus indexes over the documents table —
+    the MultiReader fixture.  Half B's ids are locally 0-based so the
+    composite's doc-base re-basing (BaseCompositeReader.readerBase)
+    restores the global ids, making the composite directly comparable
+    to the single-corpus oracle."""
+    key = os.path.abspath(sf_dir)
+    if key in _SPLIT_READERS:
+        return _SPLIT_READERS[key]
+    tag = key.strip("/").replace("/", "_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    mid = n // 2
+    readers = []
+    for part, df in (
+        ("a", docs.filter(F.col("doc_id") < mid)),
+        ("b", docs.filter(F.col("doc_id") >= mid).withColumn(
+            "doc_id", F.col("doc_id") - mid)),
+    ):
+        idx = f"/tmp/lucene_spark_idx_{tag}_half{part}"
+        fresh = False
+        try:
+            m = mani.read_manifest(idx)
+            fresh = m.get("num_docs_total") == df.count()
+        except FileNotFoundError:
+            pass
+        if not fresh:
+            cfg = IndexConfig(
+                field=FIELD, content_col="text", analyzer="simple",
+                doc_id_col="doc_id", docs_per_segment=100_000,
+                num_batches=1,
+            )
+            build_index(spark, df, idx, cfg)
+        readers.append(IndexReader(spark, idx))
+    _SPLIT_READERS[key] = readers
+    return readers
+
+
 def ensure_idversion_sidecar(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the IDVersion dictionary over documents:
     id = doc_id, version = doc_id % 7."""
@@ -2494,6 +2535,23 @@ def gate_queries() -> dict[str, object]:
     def q_ann_cosine(spark, sf):
         return sim.cosine_topk(_emb(spark, sf), query_id=0, k=10)
 
+    def q_composite(spark, sf):
+        # MultiReader (core/index/MultiReader.java +
+        # BaseCompositeReader doc re-basing, summed statistics): two
+        # half-corpus physical indexes searched as one — the oracle is
+        # the SINGLE-corpus SQL, so equality proves both the re-basing
+        # and the composite-statistics contract
+        from lucene_spark.search.composite import MultiReader
+
+        mr = MultiReader(ensure_split_indexes(spark, sf))
+        return _union([
+            ("bool", sp.bool_bm25_topk(
+                mr, FIELD, must=[T_MID], should=[T_HOT], k=20)),
+            ("or", sp.bool_bm25_topk(
+                mr, FIELD, should=[T_HOT, T_MID, T_RARE],
+                min_should=1, k=20)),
+        ])
+
     def q_named_matches(spark, sf):
         # NamedMatches (core/search/NamedMatches.java): which named
         # sub-queries matched each doc
@@ -3660,6 +3718,7 @@ def gate_queries() -> dict[str, object]:
         "q_ann_threshold": q_ann_threshold,
         "q_date_range": q_date_range,
         "q_named_matches": q_named_matches,
+        "q_composite": q_composite,
         "q_rescorer_suite": q_rescorer_suite,
         "q_ann_lsh": q_ann_lsh,
         "q_late_interaction": q_late_interaction,
@@ -4498,6 +4557,11 @@ ORDER BY b.doc_id LIMIT 200"""),
         ),
         "q_ann_cosine": sim.cosine_topk_sql(query_id=0, k=10),
         "q_named_matches": _named_matches_oracle(_NAMED_QUERIES, k=50),
+        "q_composite": _sql_tagged_flat([
+            ("bool", _sql_bool(must=[T_MID], should=[T_HOT], k=20)),
+            ("or", _sql_bool(should=[T_HOT, T_MID, T_RARE],
+                             min_should=1, k=20)),
+        ]),
         "q_date_range": _date_range_oracle(),
         "q_ann_threshold": (
             "SELECT 'all' AS tag, * FROM ("

@@ -75,7 +75,14 @@ def _decode_udf(fmt_name: str = "for104"):
 def exploded_postings(reader: IndexReader, field: str, terms: list[str]) -> DataFrame:
     """-> DataFrame(term, doc_id, freq, norm_code): decode once in Python
     (Arrow-batched), explode JVM-side. Tombstoned docs are anti-joined
-    out (liveDocs role); BM25 stats still count them until merge."""
+    out (liveDocs role); BM25 stats still count them until merge.
+
+    Composite readers (search/composite.py MultiReader /
+    ParallelReader — the BaseCompositeReader role) provide their own
+    doc-base-rebased decode; the duck-typed hook keeps every sqlpath
+    scoring function working over composites unchanged."""
+    if hasattr(reader, "exploded_postings"):
+        return reader.exploded_postings(field, terms)
     rows = reader.term_rows(field, terms)
     dec = rows.select(
         "term",
