@@ -2366,6 +2366,14 @@ def gate_queries() -> dict[str, object]:
             F.col("fail_mask").alias("v3_x1e6"),
             F.col("kept").alias("v4_x1e6"),
         )
+        # C4 line/page heuristics (Raffel et al. 2020 section 2.2)
+        c4 = ts.c4_filters(_docs(spark, sf), k=250).select(
+            F.lit("c4").alias("tag"), "doc_id",
+            F.col("n_lines").alias("v1_x1e6"),
+            F.col("n_kept").alias("v2_x1e6"),
+            F.col("page_kept").alias("v3_x1e6"),
+            F.lit(0).cast("long").alias("v4_x1e6"),
+        )
         pii = ts.pii_stats(
             d.select("doc_id", _pii_aug_spark().alias("text")), k=250
         ).select(
@@ -2407,7 +2415,8 @@ def gate_queries() -> dict[str, object]:
             )
         )
         return (
-            q.unionByName(r).unionByName(gop).unionByName(spl)
+            q.unionByName(r).unionByName(gop).unionByName(c4)
+            .unionByName(spl)
             .unionByName(st).unionByName(mix).unionByName(temp)
             .unionByName(pii).unionByName(url).unionByName(cap)
         )
@@ -3576,6 +3585,16 @@ def gate_queries() -> dict[str, object]:
             ("inset", q_term_in_set(spark, sf)),
             ("regexp", q_regexp(spark, sf)),
             ("match_all", q_match_all(spark, sf)),
+            # DocValuesRewriteMethod: the same multi-term semantics
+            # verified per-document on a doc-values column (source),
+            # no term expansion (core/search/DocValuesRewriteMethod
+            # .java)
+            ("dv_pfx", sp.docvalues_rewrite_topk(
+                ensure_index(spark, sf), "source", "prefix", "src1")),
+            ("dv_wild", sp.docvalues_rewrite_topk(
+                ensure_index(spark, sf), "source", "wildcard", "src?2")),
+            ("dv_re", sp.docvalues_rewrite_topk(
+                ensure_index(spark, sf), "source", "regexp", "src[0-9]")),
         ])
 
     def q_term_scoring_suite(spark, sf):
@@ -4456,6 +4475,9 @@ UNION ALL SELECT 'classic' AS tag, * FROM t_classic""",
              .replace("AS sum_wlen", "AS v2_x1e6")
              .replace("AS fail_mask", "AS v3_x1e6")
              .replace("AS kept", "AS v4_x1e6")),
+            ("c4", "SELECT doc_id, n_lines AS v1_x1e6, n_kept AS v2_x1e6,"
+             " page_kept AS v3_x1e6, CAST(0 AS BIGINT) AS v4_x1e6 FROM ("
+             + ts.c4_filters_sql(k=250) + ")"),
             ("split",
              "SELECT doc_id, bucket AS v1_x1e6, "
              "CAST(CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 "
@@ -4700,6 +4722,15 @@ ORDER BY score_x1e6 DESC, sc.doc_id ASC LIMIT 10"""
         ("inset", one.pop("q_term_in_set")),
         ("regexp", one.pop("q_regexp")),
         ("match_all", one.pop("q_match_all")),
+        ("dv_pfx", "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6"
+         " FROM documents WHERE source LIKE 'src1%'"
+         " ORDER BY doc_id LIMIT 50"),
+        ("dv_wild", "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6"
+         " FROM documents WHERE source LIKE 'src_2'"
+         " ORDER BY doc_id LIMIT 50"),
+        ("dv_re", "SELECT doc_id, CAST(1000000 AS BIGINT) AS score_x1e6"
+         " FROM documents WHERE regexp_matches(source, '^(src[0-9])$')"
+         " ORDER BY doc_id LIMIT 50"),
     ])
     one["q_term_scoring_suite"] = _sql_tagged([
         ("term", one.pop("q_term_bm25")),

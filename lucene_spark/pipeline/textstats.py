@@ -586,3 +586,83 @@ SELECT doc_id, CAST(c_words AS BIGINT) AS n_words,
     AND 5 * n_alpha >= 4 * c_words
     AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept
 FROM c ORDER BY doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", section 2.2 — the published line/page rules)
+# ---------------------------------------------------------------------------
+
+
+def c4_filters(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Per-document C4 rule evaluation:
+
+    line rules (a line SURVIVES when all hold):
+      - ends in a terminal punctuation mark ('.', '!', '?', '"')
+      - contains at least 5 words
+      - does not contain the word 'javascript' (case-insensitive)
+
+    page rules (the page is DROPPED when any holds):
+      - fewer than 3 surviving sentences/lines
+      - contains 'lorem ipsum' (case-insensitive)
+      - contains a curly brace '{'
+
+    The paper's bad-words page rule needs its external word list
+    (data, not an algorithm) and is deliberately not transcribed —
+    the hook is the same contains-any test as the rules above.  The
+    three-sentence-span dedup lives in pipeline/dedup.py
+    (duplicate-substring removal).
+
+    -> (doc_id, n_lines, n_kept, page_kept) for the first k docs;
+    integer counts only, so engine and oracle agree exactly.  One
+    narrow projection per doc, no shuffle."""
+    lines = "filter(split(text, '\\n'), x -> trim(x) != '')"
+    survive = (
+        f"size(filter({lines}, x -> "
+        "(endswith(rtrim(x), '.') OR endswith(rtrim(x), '!')"
+        " OR endswith(rtrim(x), '?') OR endswith(rtrim(x), '\"'))"
+        " AND size(filter(split(x, '\\\\s+'), w -> w != '')) >= 5"
+        " AND NOT lower(x) rlike 'javascript'))"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(survive).cast("long").alias("n_kept"),
+        F.expr("lower(text) rlike 'lorem ipsum'").alias("lorem"),
+        F.expr("contains(text, '{')").alias("brace"),
+    )
+    return (
+        base.select(
+            "doc_id", "n_lines", "n_kept",
+            (
+                (F.col("n_kept") >= 3)
+                & ~F.col("lorem")
+                & ~F.col("brace")
+            ).cast("long").alias("page_kept"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def c4_filters_sql(k: int = 200) -> str:
+    """DuckDB twin — identical counts."""
+    lines = "list_filter(string_split(text, chr(10)), x -> trim(x) <> '')"
+    return f"""WITH c AS (
+  SELECT doc_id,
+    len({lines}) AS c_lines,
+    len(list_filter({lines}, x ->
+      (ends_with(rtrim(x), '.') OR ends_with(rtrim(x), '!')
+       OR ends_with(rtrim(x), '?') OR ends_with(rtrim(x), '"'))
+      AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+              w -> w <> '')) >= 5
+      AND NOT regexp_matches(lower(x), 'javascript'))) AS c_kept,
+    regexp_matches(lower(text), 'lorem ipsum') AS lorem,
+    contains(text, '{{') AS brace
+  FROM documents
+)
+SELECT doc_id, CAST(c_lines AS BIGINT) AS n_lines,
+  CAST(c_kept AS BIGINT) AS n_kept,
+  CAST((CASE WHEN c_kept >= 3 AND NOT lorem AND NOT brace
+        THEN 1 ELSE 0 END) AS BIGINT) AS page_kept
+FROM c ORDER BY doc_id LIMIT {k}"""

@@ -3010,3 +3010,57 @@ def indri_and_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard (* any run, ? single char) -> SQL LIKE, escaping
+    LIKE's own metacharacters."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def docvalues_rewrite_topk(
+    reader: IndexReader,
+    dv_col: str,
+    kind: str,
+    pattern: str,
+    k: int = 50,
+) -> DataFrame:
+    """DocValuesRewriteMethod (core/search/DocValuesRewriteMethod.java):
+    a MultiTermQuery answered by PER-DOCUMENT verification of the
+    pattern against a doc-values column instead of expanding the term
+    dictionary through postings — constant score (the rewrite produces
+    a ConstantScoreQuery; scores are 1.0 * boost).  kinds: ``prefix``,
+    ``wildcard`` (Lucene * and ?), ``regexp`` (anchored full-match, the
+    RegExp contract).  -> (doc_id, score_x1e6) first k by doc_id.
+
+    Scale trade-off, exactly the reference's: the postings rewrite
+    explodes on huge term sets (TooManyClauses) but touches only
+    matching postings; the DV rewrite is ONE codegen predicate scan of
+    the column — linear in docs, immune to term-set size.  Pair with
+    IndexOrDocValuesQuery-style leads when a cheap pre-filter exists."""
+    col = F.col(dv_col)
+    if kind == "prefix":
+        pred = col.startswith(pattern)
+    elif kind == "wildcard":
+        pred = col.like(_wildcard_to_like(pattern))
+    elif kind == "regexp":
+        pred = col.rlike(f"^(?:{pattern})$")
+    else:
+        raise ValueError(f"unknown multiterm kind {kind!r}")
+    return (
+        reader.docs()
+        .filter(col.isNotNull() & pred)
+        .select("doc_id", F.lit(1_000_000).cast("long").alias("score_x1e6"))
+        .orderBy("doc_id")
+        .limit(k)
+    )

@@ -63,3 +63,48 @@ def test_clean_doc_kept(spark):
     )
     got = _eval(spark, [t])
     assert got[0].fail_mask == 0 and got[0].kept == 1
+
+
+# --------------------------- C4 heuristics -----------------------------
+
+
+def _c4(spark, texts):
+    from lucene_spark.pipeline.textstats import c4_filters
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = c4_filters(df, k=100).toPandas()
+    return {r.doc_id: r for r in out.itertuples()}
+
+
+def test_c4_line_rules(spark):
+    good = "This sentence has at least five words here."
+    short = "Too short."                       # < 5 words
+    nopunct = "this line has five words but no terminal"
+    js = "Please enable javascript to view this page content."
+    page = "\n".join([good, good, good, short, nopunct, js])
+    got = _c4(spark, [page])
+    assert got[0].n_lines == 6
+    assert got[0].n_kept == 3
+    assert got[0].page_kept == 1
+
+
+def test_c4_page_rules(spark):
+    good = "This sentence has at least five words here."
+    two = "\n".join([good, good])              # < 3 surviving lines
+    lorem = "\n".join([good] * 4) + "\nLorem Ipsum dolor sit amet."
+    brace = "\n".join([good] * 4) + "\nfunction f() { return 1; }"
+    got = _c4(spark, [two, lorem, brace, "\n".join([good] * 3)])
+    assert got[0].page_kept == 0
+    assert got[1].page_kept == 0
+    assert got[2].page_kept == 0
+    assert got[3].page_kept == 1
+
+
+def test_c4_quote_terminal(spark):
+    q = 'He said the whole thing was "absolutely fine and normal."'
+    qq = 'She replied that everything would be "handled by tomorrow evening."'
+    r = "A third sentence with plenty of words to survive."
+    got = _c4(spark, ["\n".join([q, qq, r])])
+    assert got[0].n_kept == 3 and got[0].page_kept == 1
