@@ -150,23 +150,29 @@ def date_range_facets(
         raise ValueError("detail must be 'day' or 'month'")
     fs, fe = f"DATE'{facet_start}'", f"DATE'{facet_end}'"
     spark = ranges.sparkSession
+    # Plan shape (see BENCH/PLANS.md): every tier is an EXPLODE of the
+    # doc's facet-clipped calendar sequence followed by one map-side
+    # -combined groupBy — no join against a spine at all, so the 100x
+    # plan is a narrow scan + one shuffle of O(matching cells) rows.
+    clipped = ranges.filter(
+        F.expr(f"r_start <= {fe} AND r_end >= {fs}")
+    )
     if detail == "day":
-        spine = spark.range(1).select(
-            F.explode(
-                F.expr(f"sequence({fs}, {fe}, interval 1 day)")
-            ).alias("cell_d")
-        )
-        cover_parent = (
-            "r_start <= date_trunc('MONTH', cell_d)"
-            " AND r_end >= last_day(cell_d)"
-        )
         child = (
-            spine.join(
-                ranges,
+            clipped.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(greatest(r_start, {fs}),"
+                        f" least(r_end, {fe}), interval 1 day)"
+                    )
+                ).alias("cell_d"),
+                "r_start", "r_end",
+            )
+            .filter(
                 F.expr(
-                    "r_start <= cell_d AND r_end >= cell_d"
-                    f" AND NOT ({cover_parent})"
-                ),
+                    "NOT (r_start <= date_trunc('MONTH', cell_d)"
+                    " AND r_end >= last_day(cell_d))"
+                )
             )
             .groupBy("cell_d")
             .count()
@@ -176,23 +182,24 @@ def date_range_facets(
                 F.col("count"),
             )
         )
-        mspine = spark.range(1).select(
-            F.explode(
-                F.expr(
-                    f"sequence(date_trunc('MONTH', {fs}),"
-                    f" date_trunc('MONTH', {fe}), interval 1 month)"
-                )
-            ).alias("m")
-        )
         parent = (
-            mspine.join(
-                ranges,
+            clipped.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(date_trunc('MONTH', greatest(r_start, {fs})),"
+                        f" date_trunc('MONTH', least(r_end, {fe})),"
+                        " interval 1 month)"
+                    )
+                ).alias("m"),
+                "r_start", "r_end",
+            )
+            .filter(
                 F.expr(
                     "r_start <= m AND r_end >= last_day(m)"
                     " AND NOT (r_start <= date_trunc('YEAR', m)"
                     " AND r_end >= date_add(date_trunc('YEAR',"
                     " add_months(m, 12)), -1))"
-                ),
+                )
             )
             .groupBy("m")
             .count()
@@ -202,45 +209,53 @@ def date_range_facets(
                 F.col("count"),
             )
         )
-        yspine = spark.range(1).select(
-            F.explode(
-                F.expr(
-                    f"sequence(date_trunc('YEAR', {fs}),"
-                    f" date_trunc('YEAR', {fe}), interval 1 year)"
-                )
-            ).alias("y")
-        )
+        # topLeaves: one counted row per (doc, fully-covered year in
+        # the facet window) — the explode is at most a few cells/doc
         top = (
-            yspine.join(
-                ranges,
+            clipped.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(date_trunc('YEAR', greatest(r_start, {fs})),"
+                        f" date_trunc('YEAR', least(r_end, {fe})),"
+                        " interval 1 year)"
+                    )
+                ).alias("y"),
+                "r_start", "r_end",
+            )
+            .filter(
                 F.expr(
                     "r_start <= y AND r_end >="
                     " date_add(date_trunc('YEAR', add_months(y, 12)), -1)"
-                ),
-                "left",
+                )
             )
-            .agg(F.count("doc_id").alias("count"))
+            .agg(F.count(F.lit(1)).alias("count"))
             .select(
                 F.lit("top").alias("tier"),
                 F.lit("").alias("cell"),
-                F.col("count"),
+                F.col("count").cast("long").alias("count"),
             )
         )
     else:  # month detail, parents = years, topLeaves = world leaves = 0
-        spine = spark.range(1).select(
-            F.explode(
-                F.expr(f"sequence({fs}, {fe}, interval 1 month)")
-            ).alias("m")
-        )
         child = (
-            spine.join(
-                ranges,
+            clipped.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(date_trunc('MONTH', greatest(r_start, {fs})),"
+                        f" date_trunc('MONTH', least(r_end, {fe})),"
+                        " interval 1 month)"
+                    )
+                ).alias("m"),
+                "r_start", "r_end",
+            )
+            .filter(
                 F.expr(
-                    "r_start <= last_day(m) AND r_end >= m"
+                    "m >= date_trunc('MONTH', " + fs + ")"
+                    " AND m <= " + fe + ""
+                    " AND r_start <= last_day(m) AND r_end >= m"
                     " AND NOT (r_start <= date_trunc('YEAR', m)"
                     " AND r_end >= date_add(date_trunc('YEAR',"
                     " add_months(m, 12)), -1))"
-                ),
+                )
             )
             .groupBy("m")
             .count()
@@ -250,21 +265,22 @@ def date_range_facets(
                 F.col("count"),
             )
         )
-        yspine = spark.range(1).select(
-            F.explode(
-                F.expr(
-                    f"sequence(date_trunc('YEAR', {fs}),"
-                    f" date_trunc('YEAR', {fe}), interval 1 year)"
-                )
-            ).alias("y")
-        )
         parent = (
-            yspine.join(
-                ranges,
+            clipped.select(
+                F.explode(
+                    F.expr(
+                        f"sequence(date_trunc('YEAR', greatest(r_start, {fs})),"
+                        f" date_trunc('YEAR', least(r_end, {fe})),"
+                        " interval 1 year)"
+                    )
+                ).alias("y"),
+                "r_start", "r_end",
+            )
+            .filter(
                 F.expr(
                     "r_start <= y AND r_end >="
                     " date_add(date_trunc('YEAR', add_months(y, 12)), -1)"
-                ),
+                )
             )
             .groupBy("y")
             .count()

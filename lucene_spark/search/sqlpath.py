@@ -2972,28 +2972,30 @@ def indri_and_topk(
         boosts = [1.0] * len(terms)
     if len(boosts) != len(terms):
         raise ValueError("boosts must align with terms")
-    ep = exploded_postings(reader, field, list(dict.fromkeys(terms)))
-    cand = ep.groupBy("doc_id").agg(
-        F.first("norm_code").alias("norm_code")
-    )
+    uniq = list(dict.fromkeys(terms))
+    ep = exploded_postings(reader, field, uniq)
+    # ONE decode pass, ONE map-side-combined shuffle: per-doc term
+    # freqs come out of a conditional aggregation (tf_i = sum(freq
+    # where term = t_i)) instead of per-term self-joins that would
+    # re-decode the postings once per clause
+    aggs = [F.first("norm_code").alias("norm_code")] + [
+        F.sum(F.when(F.col("term") == t, F.col("freq"))).alias(f"tf_{i}")
+        for i, t in enumerate(uniq)
+    ]
+    out = ep.groupBy("doc_id").agg(*aggs)
     dlq = _length_table_col(F.col("norm_code")).cast("double")
-    cand = cand.select("doc_id", dlq.alias("dlq"))
+    out = out.withColumn("dlq", dlq)
 
-    stats = reader.term_stats(field, list(dict.fromkeys(terms)))
+    stats = reader.term_stats(field, uniq)
     coll = reader.collection_stats(field)
     sumttf = float(coll.sum_total_term_freq)
 
-    out = cand
+    idx_of = {t: i for i, t in enumerate(uniq)}
     score_terms = []
-    for i, (t, b) in enumerate(zip(terms, boosts)):
-        tf_t = (
-            ep.filter(F.col("term") == t)
-            .select("doc_id", F.col("freq").alias(f"tf_{i}"))
-        )
-        out = out.join(tf_t, "doc_id", "left")
+    for t, b in zip(terms, boosts):
         ttf = float(stats[t].total_term_freq) if t in stats else 0.0
         p_wc = (ttf + 1.0) / (sumttf + 1.0)
-        tf = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        tf = F.coalesce(F.col(f"tf_{idx_of[t]}"), F.lit(0)).cast("double")
         score_terms.append(
             F.lit(float(b))
             * F.log((tf + F.lit(mu * p_wc)) / (F.col("dlq") + F.lit(mu)))
