@@ -195,3 +195,64 @@ class TermAutomatonBuilder:
             accept=tuple(accept2),
             boost=float(boost),
         )
+
+
+def token_stream_to_term_automaton(
+    field: str,
+    stream,
+    preserve_position_increments: bool = True,
+    boost: float = 1.0,
+) -> TermAutomaton:
+    """TokenStreamToTermAutomatonQuery (sandbox/search/
+    TokenStreamToTermAutomatonQuery.java toQuery:34-75): a (graph)
+    token stream becomes a TermAutomatonQuery — states are positions,
+    each token is a transition position -> position + posLength, the
+    literal term ``*`` becomes an ANY transition, and the LAST state is
+    the sole accept state.  Holes (posInc > 1) raise the reference's
+    exact error unless ``preserve_position_increments`` is False (then
+    they collapse to 1, .java:44-46).
+
+    ``stream`` accepts either analysis.graph.FlatToken objects or
+    (term, posInc, posLen) triples (graph.to_stream's view), so a
+    GraphAnalyzer's query-side graph feeds straight in — the bridge
+    from multi-word-synonym / word-delimiter graphs to proximity
+    automata."""
+    b = TermAutomatonBuilder(field)
+    pos = -1
+    max_pos = -1
+    states: list[int] = []
+
+    def _state(n: int) -> int:
+        while len(states) <= n:
+            states.append(b.create_state())
+        return states[n]
+
+    triples = []
+    prev = -1
+    for t in stream:
+        if hasattr(t, "position"):
+            triples.append((t.term, t.position - prev, t.pos_len))
+            prev = t.position
+        else:
+            triples.append(tuple(t))
+    for term, pos_inc, pos_len in triples:
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term"
+            )
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + max(1, int(pos_len))
+        _state(pos)
+        _state(end_pos)
+        if term == "*":
+            b.add_any_transition(states[pos], states[end_pos])
+        else:
+            b.add_transition(states[pos], states[end_pos], term)
+        max_pos = max(max_pos, end_pos)
+    if max_pos < 0:
+        raise ValueError("empty token stream")
+    b.set_accept(states[max_pos], True)
+    return b.finish(boost=boost)

@@ -258,3 +258,92 @@ def test_builder_invariants():
     b.set_accept(s2)
     with pytest.raises(ValueError, match="end with an ANY"):
         b.finish()
+
+
+# ---------------------------------------------------------------------------
+# TokenStreamToTermAutomatonQuery (sandbox/search/
+# TokenStreamToTermAutomatonQuery.java)
+# ---------------------------------------------------------------------------
+
+
+def test_ts2a_linear_stream_is_phrase(ta_index):
+    """A plain linear stream converts to the exact phrase automaton."""
+    from lucene_spark.search.automaton import (
+        token_stream_to_term_automaton,
+    )
+
+    reader, docs = ta_index
+    auto = token_stream_to_term_automaton(
+        "text", [("aa", 1, 1), ("bb", 1, 1)]
+    )
+    got = _engine_freqs(reader, auto)
+    import re
+
+    want = {
+        i: len(re.findall(r"(?<![a-z])aa bb(?![a-z])", d))
+        for i, d in enumerate(docs)
+    }
+    want = {i: c for i, c in want.items() if c > 0}
+    assert got == {i: float(c) for i, c in want.items()}
+
+
+def test_ts2a_graph_stream_multiword_synonym(ta_index):
+    """A graph stream (single token 'cc' stacked over the two-token
+    path 'aa bb' — the SynonymGraphFilter shape) matches either form."""
+    from lucene_spark.search.automaton import (
+        token_stream_to_term_automaton,
+    )
+
+    reader, docs = ta_index
+    # posLen 2 token first (side path), then the two 1-len tokens
+    auto = token_stream_to_term_automaton(
+        "text", [("cc", 1, 2), ("aa", 0, 1), ("bb", 1, 1)]
+    )
+    got = _engine_freqs(reader, auto)
+    import re
+
+    for i, d in enumerate(docs):
+        n = len(re.findall(r"(?<![a-z])aa bb(?![a-z])", d)) + len(
+            re.findall(r"(?<![a-z])cc(?![a-z])", d)
+        )
+        if n > 0:
+            assert got.get(i, 0) == float(n), (i, d)
+        else:
+            assert i not in got
+
+
+def test_ts2a_any_token_and_flat_tokens(ta_index):
+    from lucene_spark.analysis.graph import FlatToken
+    from lucene_spark.search.automaton import (
+        token_stream_to_term_automaton,
+    )
+
+    reader, docs = ta_index
+    # 'aa * cc' via FlatToken objects
+    flat = [
+        FlatToken("aa", 0, 1, 0, 2),
+        FlatToken("*", 1, 1, 3, 4),
+        FlatToken("cc", 2, 1, 5, 7),
+    ]
+    auto = token_stream_to_term_automaton("text", flat)
+    got = _engine_freqs(reader, auto)
+    assert isinstance(got, dict)  # executes through the kernel
+
+
+def test_ts2a_hole_raises_unless_collapsed():
+    import pytest as _pytest
+
+    from lucene_spark.search.automaton import (
+        token_stream_to_term_automaton,
+    )
+
+    with _pytest.raises(ValueError, match="cannot handle holes"):
+        token_stream_to_term_automaton(
+            "text", [("aa", 1, 1), ("bb", 2, 1)]
+        )
+    # preservePositionIncrements=False collapses the hole (.java:44-46)
+    auto = token_stream_to_term_automaton(
+        "text", [("aa", 1, 1), ("bb", 2, 1)],
+        preserve_position_increments=False,
+    )
+    assert auto is not None
