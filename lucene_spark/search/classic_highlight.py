@@ -218,3 +218,116 @@ def classic_highlight(
     return docs.select("doc_id", content_col).mapInPandas(
         run, schema="doc_id long, frag int, score_x1e3 long, snippet string"
     )
+
+
+# ---------------------------------------------------------------------------
+# GradientFormatter / SpanGradientFormatter (highlighter/highlight/
+# GradientFormatter.java, SpanGradientFormatter.java): score-colored
+# term markup — the interpolation arithmetic kept exactly (int
+# truncation, min(maxScore, score)/maxScore relative scale, two-digit
+# upper-case hex)
+# ---------------------------------------------------------------------------
+
+
+def _hex_to_int(h: str) -> int:
+    """GradientFormatter.hexToInt — raises on non-hex like the
+    reference's NumberFormatException."""
+    if len(h) > 16:
+        raise ValueError("hex too long")
+    v = 0
+    for ch in h:
+        c = int(ch, 16)
+        v = (v << 4) | c
+    return v
+
+
+def _int_to_hex(i: int) -> str:
+    digits = "0123456789ABCDEF"
+    return digits[(i & 0xF0) >> 4] + digits[i & 0x0F]
+
+
+class GradientFormatter:
+    """highlightTerm wraps a scoring token in <font color/bgcolor>
+    whose channels interpolate from the min color to the max color by
+    score / maxScore (GradientFormatter.java:100-108 getColorVal:
+    min(colorMin, colorMax) + int(|min-max| * relScore))."""
+
+    def __init__(
+        self,
+        max_score: float,
+        min_foreground: str | None = None,
+        max_foreground: str | None = None,
+        min_background: str | None = None,
+        max_background: str | None = None,
+    ):
+        def parse(c):
+            if len(c) != 7:
+                raise ValueError(
+                    "color is not 7 bytes long eg a hex RGB value"
+                    " such as #FFFFFF"
+                )
+            return (
+                _hex_to_int(c[1:3]), _hex_to_int(c[3:5]), _hex_to_int(c[5:7])
+            )
+
+        self.max_score = float(max_score)
+        self.fg = (
+            (parse(min_foreground), parse(max_foreground))
+            if min_foreground and max_foreground
+            else None
+        )
+        self.bg = (
+            (parse(min_background), parse(max_background))
+            if min_background and max_background
+            else None
+        )
+
+    def _color_val(self, lo: int, hi: int, score: float) -> int:
+        if lo == hi:
+            return lo
+        scale = abs(lo - hi)
+        rel = min(self.max_score, score) / self.max_score
+        return min(lo, hi) + int(scale * rel)
+
+    def _color(self, pair, score: float) -> str:
+        lo, hi = pair
+        return "#" + "".join(
+            _int_to_hex(self._color_val(a, b, score))
+            for a, b in zip(lo, hi)
+        )
+
+    def foreground(self, score: float) -> str:
+        return self._color(self.fg, score)
+
+    def background(self, score: float) -> str:
+        return self._color(self.bg, score)
+
+    def highlight_term(self, original: str, score: float) -> str:
+        if score == 0:
+            return original
+        parts = ["<font "]
+        if self.fg:
+            parts.append(f'color="{self.foreground(score)}" ')
+        if self.bg:
+            parts.append(f'bgcolor="{self.background(score)}" ')
+        parts.append(">")
+        parts.append(original)
+        parts.append("</font>")
+        return "".join(parts)
+
+
+class SpanGradientFormatter(GradientFormatter):
+    """SpanGradientFormatter.java: the CSS form — <span style="...">
+    instead of the deprecated font tag."""
+
+    def highlight_term(self, original: str, score: float) -> str:
+        if score == 0:
+            return original
+        style = []
+        if self.fg:
+            style.append(f"color: {self.foreground(score)}; ")
+        if self.bg:
+            style.append(f"background: {self.background(score)}; ")
+        return (
+            '<span style="' + "".join(style) + '">' + original + "</span>"
+        )

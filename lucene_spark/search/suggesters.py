@@ -358,3 +358,37 @@ def wfst_lookup(
     if exact_first:
         order = [(F.col("term") == key).desc()] + order
     return m.select("term", "weight").orderBy(*order).limit(num)
+
+
+def high_frequency_dictionary(
+    reader, field: str, thresh: float
+) -> DataFrame:
+    """HighFrequencyDictionary (suggest/spell/HighFrequencyDictionary
+    .java): the field's terms whose docFreq >= thresh * numDocs
+    (minNumDocs = int(thresh * numDocs), isFrequent uses >=), as a
+    (surface, weight=docFreq) dictionary frame any suggester here
+    accepts.  LuceneDictionary (spell/LuceneDictionary.java) is the
+    thresh=0 special case — every term.  One filtered scan of the
+    term-stats table; no postings are touched."""
+    coll = reader.collection_stats(field)
+    min_docs = int(float(thresh) * float(coll.doc_count))
+    return (
+        reader.term_stats_df()
+        .filter(F.col("field") == field)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("weight"))
+        .filter(F.col("weight") >= F.lit(min_docs))
+        .select(F.col("term").alias("surface"), "weight")
+    )
+
+
+def plain_text_dictionary(spark, path: str) -> DataFrame:
+    """PlainTextDictionary (suggest/spell/PlainTextDictionary.java):
+    one word per line, weight 1 — the trivial file-backed dictionary
+    (FileDictionary handles the delimited weighted form)."""
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("surface"))
+        .filter(F.col("surface") != "")
+        .withColumn("weight", F.lit(1).cast("long"))
+    )
