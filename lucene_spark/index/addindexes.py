@@ -11,6 +11,12 @@ fresh batch directory, stats are recomputed over the union, and one
 manifest generation publishes the import (two-phase as always).
 
 Source tombstones, if any, are imported shifted as well.
+
+
+Covers-also note: misc/IndexMergeTool.java (the command-line "merge N
+indexes into one" utility) is add_indexes + forceMerge behind
+submit.py — the same copy-then-merge flow with the manifest commit at
+the end.
 """
 
 from __future__ import annotations

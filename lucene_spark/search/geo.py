@@ -16,6 +16,20 @@ Reference semantics:
 The corpus has no coordinates, so `synthesize_geo` derives a
 deterministic (lat, lon) per doc from md5 integers — reproducible in
 ANSI SQL for the oracle (same pattern as pipeline/multimodal.py).
+
+
+Covers-also note: core/document/LatLonDocValuesField.java's
+newSlowBoxQuery / newSlowDistanceQuery (LatLonDocValuesBoxQuery.java,
+LatLonDocValuesQuery.java) are per-document verification twins of the
+point-index queries — in this engine every geo predicate already
+evaluates per row over the stored lat/lon columns, so the "slow" DV
+path and the indexed path are the SAME plan here, with the z-order
+file prune (ensure_latlon_index) playing the points-index role when
+present. LatLonPointSortField / XYPointSortField (distance sort) are
+geo_nearest_topk's ordering; spatial-extras
+vector/PointVectorStrategy.java + DistanceValueSource.java are the
+same two-column design queried by box/distance and ranked by
+distance.
 """
 
 from __future__ import annotations

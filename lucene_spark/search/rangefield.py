@@ -38,6 +38,16 @@ prune applies the SAME per-cell outside tests as ``compare``:
 comparisons — whole-stage codegen'd and pushed into the Parquet scan
 (row-group stats prune the leaf level), with the manifest pruning whole
 files before the plan exists. No Python in the match path.
+
+
+Covers-also note: the doc-values range family
+(core/document/IntRangeDocValuesField.java ..
+DoubleRangeDocValuesField.java, BinaryRangeDocValuesField.java +
+the *SlowRangeQuery classes) verifies the same four relations per
+document over stored range bounds — which is precisely how
+range_relation_expr executes here (a codegen predicate over the
+stored min/max columns); InetAddressRange gets the same treatment in
+ippoint.ip_range_relation.
 """
 
 from __future__ import annotations

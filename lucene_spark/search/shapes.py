@@ -38,6 +38,23 @@ Relation semantics on convex shapes (triangle T, box B):
   T-edge properly crosses a B-edge — exact for convex-convex overlap
 - DISJOINT: NOT INTERSECTS
 
+Covers-also note (same semantics, different reference packaging): the
+doc-values shape family — core/document/ShapeDocValuesField.java /
+LatLonShapeDocValuesField.java / LatLonShapeDocValuesQuery.java /
+XYShapeDocValuesField.java / XYShapeDocValuesQuery.java /
+BaseShapeDocValuesQuery.java and spatial-extras
+serialized/SerializedDVStrategy.java — stores the tessellation PER
+DOCUMENT and verifies the relation per document instead of walking a
+points index. That is exactly what the stored-triangle columns here
+are: the relation predicate runs per row over the doc's own geometry
+(a docvalues read), and `read_shape_index(bbox=None)` IS the
+no-index-prune, verify-everything path those classes implement. The
+composite strategy (spatial-extras composite/CompositeSpatialStrategy
+.java + IntersectsRPTVerifyQuery.java: prefix-tree candidates ->
+exact DV verify) is the same two-phase shape as
+prefixtree.geo_box_prefixtree (grid-term candidates -> boundary
+refine).
+
 Beyond the box (r4): polygon (concave-safe even-odd containment),
 line, and distance (haversine vertices + equirectangular edge
 proximity) query geometries, each unrolled from a literal query shape
@@ -325,7 +342,24 @@ def polygon_relation_expr(
       crossings (the crossing guard is what makes it concave-safe);
     - CONTAINS (tri contains poly): all poly vertices inside the
       triangle (sufficient — the triangle is convex);
-    - DISJOINT: NOT INTERSECTS.
+    - DISJOINT: NOT INTERSECTS
+
+Covers-also note (same semantics, different reference packaging): the
+doc-values shape family — core/document/ShapeDocValuesField.java /
+LatLonShapeDocValuesField.java / LatLonShapeDocValuesQuery.java /
+XYShapeDocValuesField.java / XYShapeDocValuesQuery.java /
+BaseShapeDocValuesQuery.java and spatial-extras
+serialized/SerializedDVStrategy.java — stores the tessellation PER
+DOCUMENT and verifies the relation per document instead of walking a
+points index. That is exactly what the stored-triangle columns here
+are: the relation predicate runs per row over the doc's own geometry
+(a docvalues read), and `read_shape_index(bbox=None)` IS the
+no-index-prune, verify-everything path those classes implement. The
+composite strategy (spatial-extras composite/CompositeSpatialStrategy
+.java + IntersectsRPTVerifyQuery.java: prefix-tree candidates ->
+exact DV verify) is the same two-phase shape as
+prefixtree.geo_box_prefixtree (grid-term candidates -> boundary
+refine)..
     """
     pl = [(float(x), float(y)) for x, y in poly]
     tri_in_poly = [_pt_in_poly(x, y, pl) for x, y in _V]
@@ -363,7 +397,24 @@ def line_relation_expr(
       properly crosses a triangle edge;
     - CONTAINS (tri contains line): every line vertex inside (convexity
       of the triangle makes that sufficient);
-    - DISJOINT: NOT INTERSECTS;
+    - DISJOINT: NOT INTERSECTS
+
+Covers-also note (same semantics, different reference packaging): the
+doc-values shape family — core/document/ShapeDocValuesField.java /
+LatLonShapeDocValuesField.java / LatLonShapeDocValuesQuery.java /
+XYShapeDocValuesField.java / XYShapeDocValuesQuery.java /
+BaseShapeDocValuesQuery.java and spatial-extras
+serialized/SerializedDVStrategy.java — stores the tessellation PER
+DOCUMENT and verifies the relation per document instead of walking a
+points index. That is exactly what the stored-triangle columns here
+are: the relation predicate runs per row over the doc's own geometry
+(a docvalues read), and `read_shape_index(bbox=None)` IS the
+no-index-prune, verify-everything path those classes implement. The
+composite strategy (spatial-extras composite/CompositeSpatialStrategy
+.java + IntersectsRPTVerifyQuery.java: prefix-tree candidates ->
+exact DV verify) is the same two-phase shape as
+prefixtree.geo_box_prefixtree (grid-term candidates -> boundary
+refine).;
     - WITHIN is identically FALSE for full-area triangles vs a
       zero-area line (kept callable for QueryRelation parity).
     """
@@ -418,7 +469,24 @@ def distance_relation_expr(
       whole triangle is in, so the vertex test is exact;
     - CONTAINS: the triangle contains the whole circle: center inside
       AND every edge at least radius away;
-    - DISJOINT: NOT INTERSECTS.
+    - DISJOINT: NOT INTERSECTS
+
+Covers-also note (same semantics, different reference packaging): the
+doc-values shape family — core/document/ShapeDocValuesField.java /
+LatLonShapeDocValuesField.java / LatLonShapeDocValuesQuery.java /
+XYShapeDocValuesField.java / XYShapeDocValuesQuery.java /
+BaseShapeDocValuesQuery.java and spatial-extras
+serialized/SerializedDVStrategy.java — stores the tessellation PER
+DOCUMENT and verifies the relation per document instead of walking a
+points index. That is exactly what the stored-triangle columns here
+are: the relation predicate runs per row over the doc's own geometry
+(a docvalues read), and `read_shape_index(bbox=None)` IS the
+no-index-prune, verify-everything path those classes implement. The
+composite strategy (spatial-extras composite/CompositeSpatialStrategy
+.java + IntersectsRPTVerifyQuery.java: prefix-tree candidates ->
+exact DV verify) is the same two-phase shape as
+prefixtree.geo_box_prefixtree (grid-term candidates -> boundary
+refine)..
     """
     lit_r = _LIT(radius_m)
     verts_in = [f"({_haversine_m(x, y, qlat, qlon)} <= {lit_r})" for x, y in _V]

@@ -121,3 +121,38 @@ def test_storage_footprint_is_quartered(spark, emb, bounds, tmp_path):
 
     ratio = size(i8) / size(f32)
     assert ratio < 0.5, ratio  # ~4x cut minus parquet overhead
+
+
+def test_diversifying_children_over_byte_vectors(spark):
+    """DiversifyingChildrenByteKnnVectorQuery (join/
+    DiversifyingChildrenByteKnnVectorQuery.java): the byte-vector
+    variant is the float query composed over the quantized table —
+    sq_dequant_df feeds diversifying_children_topk unchanged, and the
+    per-parent dedup still holds (one row per parent, parents
+    distinct)."""
+    from lucene_spark.pipeline.quantize import (
+        sq_dequant_df,
+        sq_quantize,
+        sq_train,
+    )
+    from lucene_spark.pipeline.similarity import (
+        diversifying_children_topk,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo, hi = sq_train(emb, confidence=0.9)
+    qemb = sq_dequant_df(sq_quantize(emb, lo, hi), lo, hi).withColumn(
+        "parent", F.col("vec_id") % 20
+    )
+    got = diversifying_children_topk(qemb, "parent", query_id=0, k=8)
+    pdf = got.toPandas()
+    assert len(pdf) == 8
+    assert pdf.parent.nunique() == 8  # one best child per parent
+    # recall vs the float32 diversified result
+    femb = emb.withColumn("parent", F.col("vec_id") % 20)
+    want = diversifying_children_topk(
+        femb, "parent", query_id=0, k=8
+    ).toPandas()
+    overlap = len(set(pdf.parent) & set(want.parent))
+    assert overlap >= 6, (sorted(pdf.parent), sorted(want.parent))
