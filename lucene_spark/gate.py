@@ -2114,6 +2114,14 @@ def gate_queries() -> dict[str, object]:
         vnorm = sp.term_stat_score_topk(r, FIELD, T_MID, T_HOT, "norm")
         vsttf = sp.term_stat_score_topk(
             r, FIELD, T_MID, T_HOT, "sumtotaltermfreq")
+        # JoinDocFreqValueSource: the doc's docvalues string looked up
+        # as a term, value = its docFreq (even docs carry the hot
+        # term, odd docs a never-indexed token -> df 0)
+        vjdf = sp.term_stat_score_topk(
+            r, FIELD, T_MID,
+            f"CASE WHEN doc_id % 2 = 0 THEN '{T_HOT}'"
+            " ELSE 'zz_no_such_term' END",
+            "joindf")
         # FeatureField saturation/sigmoid scoring functions
         # (FeatureField.java:398/:442; log is q_feature's branch)
         fsat = sp.feature_topk(
@@ -2127,7 +2135,8 @@ def gate_queries() -> dict[str, object]:
                  ("fmatch", fmatch), ("scale", scale), ("recip", recip),
                  ("rngmap", rngmap), ("dfeat", dfl), ("dfeatgeo", dfg),
                  ("vtf", vtf), ("vidf", vidf), ("vnorm", vnorm),
-                 ("vsttf", vsttf), ("fsat", fsat), ("fsig", fsig)]
+                 ("vsttf", vsttf), ("vjdf", vjdf),
+                 ("fsat", fsat), ("fsig", fsig)]
         out = None
         for tag, df in parts:
             t = df.select(F.lit(tag).alias("tag"), "*")
@@ -5421,6 +5430,15 @@ SELECT s.doc_id,
   CAST(ROUND((s.score_x1e6/1000000.0) * st.sumdl
        * 1000000) AS BIGINT) AS score_x1e6
 FROM scored s CROSS JOIN stats st
+ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
+        ("vjdf", f"""{_scored_ctes(T_MID)},
+jdf AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+        WHERE tok = '{T_HOT}')
+SELECT s.doc_id,
+  CAST(ROUND((s.score_x1e6/1000000.0)
+       * (CASE WHEN s.doc_id % 2 = 0 THEN jdf.df ELSE 0.0 END)
+       * 1000000) AS BIGINT) AS score_x1e6
+FROM scored s CROSS JOIN jdf
 ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         # FeatureField saturation / sigmoid boosts (additive)
         ("fsat", f"""{_scored_ctes(T_MID)}

@@ -1387,6 +1387,31 @@ def term_stat_score_topk(
         )
         v = F.lit(1.0) / F.sqrt(F.col("_dlq"))
         base = scored.join(dl, "doc_id")
+    elif source == "joindf":
+        # JoinDocFreqValueSource (queries/function/valuesource/
+        # JoinDocFreqValueSource.java): the doc's STRING value from a
+        # docvalues column (stat_term is a column name or SQL
+        # expression over the registry),
+        # looked up as a term in `field` — value = that term's
+        # docFreq. One broadcast join against the term dictionary.
+        vals = reader.docs().selectExpr(
+            "doc_id", f"({stat_term}) AS _jv"
+        )
+        dfs = (
+            reader.term_stats_df()
+            .filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("_jdf"))
+        )
+        base = (
+            scored.join(vals, "doc_id")
+            .join(
+                F.broadcast(dfs),
+                F.col("_jv") == F.col("term"),
+                "left",
+            )
+        )
+        v = F.coalesce(F.col("_jdf"), F.lit(0)).cast("double")
     else:
         coll = reader.collection_stats(field)
         if source in ("docfreq", "idf", "totaltermfreq"):
