@@ -141,6 +141,11 @@ def main() -> None:
             "gid", "embedding",
             [_qv(emb, 0), _qv(emb, 1)], k=10,
         ).collect(),
+        # vector-similarity THRESHOLD query (exact codegen scan,
+        # result set not top-k) — continuation-session addition
+        "x_vecsim_threshold": lambda: sim.vector_similarity_all(
+            emb, query_id=0, result_similarity=0.6
+        ).collect(),
     }
 
     def _time(fns):
