@@ -353,13 +353,84 @@ class Monitor:
         self.regexp_ngrams = regexp_ngrams
         self.max_token_size = max_token_size
         self.queries: dict[str, Q.Query] = {}
+        # original string forms, for MonitorQuerySerializer-style
+        # durability (only string-registered queries are persistable —
+        # the reference's fromParser contract stores the string and
+        # re-parses on load, MonitorQuerySerializer.java)
+        self._sources: dict[str, tuple[str, str]] = {}
 
     def register(self, query_id: str, q: Q.Query | str, default_field: str = "content") -> None:
         if isinstance(q, str):
             from lucene_spark.search.queryparser import QueryParser
 
+            self._sources[query_id] = (q, default_field)
             q = QueryParser(default_field).parse(q)
+        else:
+            self._sources.pop(query_id, None)
         self.queries[query_id] = Q.rewrite_fixpoint(q)
+
+    def deregister(self, query_id: str) -> None:
+        """Monitor.deleteById."""
+        self.queries.pop(query_id, None)
+        self._sources.pop(query_id, None)
+
+    # ---- durability (MonitorQuerySerializer.fromParser +
+    # WritableQueryIndex / ReadonlyQueryIndex roles) -------------------
+
+    def save(self, path: str) -> None:
+        """Persist the registry as JSON — query strings + the monitor
+        configuration, the exact information the reference's
+        string-based serializer commits to its internal query index.
+        Raises if any registered query was NOT built from a string
+        (the serializer cannot reconstruct an arbitrary Query object —
+        same failure mode as the reference without a serializer)."""
+        import json as _json
+        import os as _os
+
+        missing = sorted(set(self.queries) - set(self._sources))
+        if missing:
+            raise ValueError(
+                "cannot serialize object-registered queries: "
+                + ", ".join(missing)
+            )
+        payload = {
+            "config": {
+                "analyzer": self.analyzer_name,
+                "passes": self.passes,
+                "decompose_queries": self.decompose_queries,
+                "regexp_ngrams": self.regexp_ngrams,
+                "max_token_size": self.max_token_size,
+            },
+            "queries": {
+                qid: {"query": s, "default_field": f}
+                for qid, (s, f) in sorted(self._sources.items())
+            },
+        }
+        tmp = path + ".tmp"
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        _os.replace(tmp, path)  # readable registry at every instant
+
+    @classmethod
+    def load(cls, path: str) -> "Monitor":
+        """ReadonlyQueryIndex role: rebuild the monitor by re-parsing
+        the persisted query strings under the persisted config."""
+        import json as _json
+
+        with open(path) as fh:
+            payload = _json.load(fh)
+        cfg = payload["config"]
+        m = cls(
+            analyzer=cfg["analyzer"],
+            passes=cfg["passes"],
+            decompose_queries=cfg["decompose_queries"],
+            regexp_ngrams=cfg["regexp_ngrams"],
+            max_token_size=cfg["max_token_size"],
+        )
+        for qid, spec in payload["queries"].items():
+            m.register(qid, spec["query"], spec["default_field"])
+        return m
 
     def _presearcher(self, queries: dict):
         """term -> {((query_id, sub_idx), pass_index)} + per-arm pass

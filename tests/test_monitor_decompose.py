@@ -126,3 +126,70 @@ def test_end_to_end_match_df(spark):
         .values.tolist()
     )
     assert got == [[0, "disj"], [1, "conj"], [1, "disj"], [2, "rex"]]
+
+
+# ---------------------------------------------------------------------------
+# MonitorQuerySerializer durability (monitor/MonitorQuerySerializer
+# .java fromParser + WritableQueryIndex / ReadonlyQueryIndex)
+# ---------------------------------------------------------------------------
+
+
+def test_monitor_save_load_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor(analyzer="simple", passes=2, regexp_ngrams=True)
+    m.register("q1", "alpha AND beta", "content")
+    m.register("q2", '"exact phrase"', "content")
+    p = str(tmp_path / "monitor.json")
+    m.save(p)
+    m2 = Monitor.load(p)
+    assert set(m2.queries) == {"q1", "q2"}
+    assert m2.passes == 2 and m2.analyzer_name == "simple"
+    assert m2.regexp_ngrams is True
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "content": [
+                    "alpha beta gamma",
+                    "only alpha here",
+                    "an exact phrase appears",
+                ],
+            }
+        )
+    )
+    got = {
+        (r.doc_id, r.query_id)
+        for r in m2.match_df(docs).collect()
+    }
+    want = {
+        (r.doc_id, r.query_id)
+        for r in m.match_df(docs).collect()
+    }
+    assert got == want and (0, "q1") in got and (2, "q2") in got
+
+
+def test_monitor_save_object_query_raises(tmp_path):
+    import pytest as _pytest
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor()
+    m.register("obj", Q.TermQuery("content", "alpha"))
+    with _pytest.raises(ValueError, match="object-registered"):
+        m.save(str(tmp_path / "m.json"))
+
+
+def test_monitor_deregister(tmp_path):
+    from lucene_spark.streaming.percolator import Monitor
+
+    m = Monitor()
+    m.register("a", "alpha")
+    m.register("b", "beta")
+    m.deregister("a")
+    p = str(tmp_path / "m.json")
+    m.save(p)
+    assert set(Monitor.load(p).queries) == {"b"}
