@@ -204,7 +204,17 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs("BENCH", exist_ok=True)
+    # PRESERVE hand-written sections after the regen marker: the file
+    # holds A/B tables and closing notes that a re-run must not clobber
+    _MARK = "Regenerate with `python scaling_bench.py`.\n"
+    extra = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        prev = open("BENCH/BASELINE.md").read()
+        if _MARK in prev:
+            extra = prev.split(_MARK, 1)[1]
     with open("BENCH/BASELINE.md", "w") as f:
+        if extra:
+            pass  # appended below
         f.write(
             f"""# BENCH/BASELINE — scaling-efficiency evidence
 
@@ -246,6 +256,7 @@ flat across the whole practical range.
 Regenerate with `python scaling_bench.py`.
 """
         )
+        f.write(extra)
 
 
 if __name__ == "__main__":
