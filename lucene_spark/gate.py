@@ -3425,6 +3425,14 @@ def gate_queries() -> dict[str, object]:
             ],
             ("bbxratio", _h(sargs.bbox_overlap_ratio_topk(
                 llb.synthesize_boxes(d), sargs.Rect(*_BBXRATIO_Q), k=20))),
+            # ShapeAreaValueSource (flat + geodetic) and
+            # DistanceToShapeValueSource over the same stored boxes
+            ("sarea", _h(sargs.shape_area_topk(
+                llb.synthesize_boxes(d), geodetic=False, k=20))),
+            ("sareag", _h(sargs.shape_area_topk(
+                llb.synthesize_boxes(d), geodetic=True, k=20))),
+            ("dshape", _h(sargs.distance_to_shape_topk(
+                llb.synthesize_boxes(d), 20.0, 10.0, k=20))),
             # LatLonPoint.nearest (NearestNeighbor.java): global k-NN,
             # best-first file traversal over the latlon z-order index
             ("nearest", _h(geo.geo_nearest_topk(
@@ -5547,6 +5555,15 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
          "SELECT doc_id, score_x1e6 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
          + _sargs.bbox_overlap_ratio_sql(
              _sargs.Rect(*_BBXRATIO_Q), k=20) + ")"),
+        ("sarea",
+         "SELECT doc_id, area_x1e3 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _sargs.shape_area_sql(geodetic=False, k=20) + ")"),
+        ("sareag",
+         "SELECT doc_id, area_x1e3 AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _sargs.shape_area_sql(geodetic=True, k=20) + ")"),
+        ("dshape",
+         "SELECT doc_id, dist_x10km AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+         + _sargs.distance_to_shape_sql(20.0, 10.0, k=20) + ")"),
     ])
     one["q_classify_suite"] = _sql_tagged_flat([
         ("knn", _sql_knn_classify(_CLS_TEXT, k=10, max_terms=5)),

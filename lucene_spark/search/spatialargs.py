@@ -389,3 +389,108 @@ SELECT doc_id, score_x1e6 FROM (
   FROM bx
 ) WHERE score_x1e6 IS NOT NULL
 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Shape value sources (spatial-extras util/ShapeAreaValueSource.java,
+# util/DistanceToShapeValueSource.java) over the stored boxes
+# ---------------------------------------------------------------------------
+
+from lucene_spark.search.geo import EARTH_RADIUS_KM as _EARTH_R_KM  # noqa: E402
+
+
+def shape_area_topk(
+    boxes: DataFrame, geodetic: bool = False, k: int = 20
+) -> DataFrame:
+    """ShapeAreaValueSource (spatial-extras util/ShapeAreaValueSource
+    .java): rank documents by their shape's area.  geodetic=False is
+    the flat width*height degree^2 area (the non-geo SpatialContext
+    form); geodetic=True is the spherical zone area of a lat-lon rect,
+    R^2 * dLonRadians * (sin(maxLat) - sin(minLat)) km^2 — the
+    standard spherical-excess formula spatial4j's GeoSurface area
+    implements.  -> (doc_id, area_x1e3), (area DESC, doc_id ASC)."""
+    if geodetic:
+        area = (
+            F.lit(_EARTH_R_KM * _EARTH_R_KM)
+            * F.radians(F.col("max_lon") - F.col("min_lon"))
+            * (
+                F.sin(F.radians(F.col("max_lat")))
+                - F.sin(F.radians(F.col("min_lat")))
+            )
+        )
+    else:
+        area = (F.col("max_lon") - F.col("min_lon")) * (
+            F.col("max_lat") - F.col("min_lat")
+        )
+    return (
+        boxes.select(
+            "doc_id",
+            F.round(area * 1e3).cast("long").alias("area_x1e3"),
+        )
+        .orderBy(F.col("area_x1e3").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def shape_area_sql(geodetic: bool = False, k: int = 20) -> str:
+    from lucene_spark.search.latlonbbox import boxes_sql
+
+    if geodetic:
+        area = (
+            f"{_EARTH_R_KM * _EARTH_R_KM!r}"
+            " * radians(max_lon - min_lon)"
+            " * (sin(radians(max_lat)) - sin(radians(min_lat)))"
+        )
+    else:
+        area = "(max_lon - min_lon) * (max_lat - min_lat)"
+    return f"""WITH {boxes_sql()}
+SELECT doc_id, CAST(ROUND(({area}) * 1000) AS BIGINT) AS area_x1e3
+FROM bx ORDER BY area_x1e3 DESC, doc_id ASC LIMIT {k}"""
+
+
+def distance_to_shape_topk(
+    boxes: DataFrame, qlat: float, qlon: float, k: int = 20
+) -> DataFrame:
+    """DistanceToShapeValueSource (spatial-extras util/
+    DistanceToShapeValueSource.java): the distance from the query
+    point to each document's shape — 0 when the point is inside; else
+    the haversine distance to the box's nearest point (the clamp of
+    the query point into the box, exact for non-dateline rectangles).
+    -> (doc_id, dist_x10km), (dist ASC, doc_id ASC)."""
+    from lucene_spark.search.geo import _haversine_km
+
+    nlat = F.greatest(
+        F.col("min_lat"), F.least(F.col("max_lat"), F.lit(float(qlat)))
+    )
+    nlon = F.greatest(
+        F.col("min_lon"), F.least(F.col("max_lon"), F.lit(float(qlon)))
+    )
+    dist = _haversine_km(nlat, nlon, float(qlat), float(qlon))
+    return (
+        boxes.select(
+            "doc_id",
+            F.round(dist * 10).cast("long").alias("dist_x10km"),
+        )
+        .orderBy(F.col("dist_x10km").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def distance_to_shape_sql(qlat: float, qlon: float, k: int = 20) -> str:
+    from lucene_spark.search.latlonbbox import boxes_sql
+
+    r = _EARTH_R_KM
+    return f"""WITH {boxes_sql()},
+n AS (
+  SELECT doc_id,
+    GREATEST(min_lat, LEAST(max_lat, {qlat!r})) AS nlat,
+    GREATEST(min_lon, LEAST(max_lon, {qlon!r})) AS nlon
+  FROM bx
+)
+SELECT doc_id, CAST(ROUND(
+  2 * {r!r} * asin(sqrt(
+    sin(radians(nlat - {qlat!r})/2) * sin(radians(nlat - {qlat!r})/2)
+    + cos(radians({qlat!r})) * cos(radians(nlat))
+      * sin(radians(nlon - {qlon!r})/2) * sin(radians(nlon - {qlon!r})/2)
+  )) * 10) AS BIGINT) AS dist_x10km
+FROM n ORDER BY dist_x10km ASC, doc_id ASC LIMIT {k}"""

@@ -312,3 +312,56 @@ def test_bbox_overlap_ratio_topk_spark(spark):
     assert (out.score_x1e6.values[:-1] >= out.score_x1e6.values[1:]).all()
     assert (out.score_x1e6 <= 1_000_000).all()
     assert (out.score_x1e6 > 0).all()
+
+
+# ------------------ shape value sources ------------------------------
+
+
+def test_shape_area_flat_vs_geodetic(spark):
+    import math
+
+    from lucene_spark.search.latlonbbox import synthesize_boxes
+    from lucene_spark.search.spatialargs import shape_area_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boxes = synthesize_boxes(docs)
+    flat = shape_area_topk(boxes, geodetic=False, k=5).toPandas()
+    geo = shape_area_topk(boxes, geodetic=True, k=5).toPandas()
+    assert (flat.area_x1e3.values[:-1] >= flat.area_x1e3.values[1:]).all()
+    # geodetic area of one box matches the zone formula by hand
+    b = boxes.orderBy("doc_id").limit(1).collect()[0]
+    from lucene_spark.search.geo import EARTH_RADIUS_KM
+
+    want = (
+        EARTH_RADIUS_KM ** 2
+        * math.radians(b.max_lon - b.min_lon)
+        * (math.sin(math.radians(b.max_lat)) - math.sin(math.radians(b.min_lat)))
+    )
+    got = {
+        r.doc_id: r.area_x1e3
+        for r in shape_area_topk(boxes, geodetic=True, k=10_000).collect()
+    }
+    assert abs(got[b.doc_id] - round(want * 1e3)) <= 1
+
+
+def test_distance_to_shape_zero_inside(spark):
+    from lucene_spark.search.latlonbbox import synthesize_boxes
+    from lucene_spark.search.spatialargs import distance_to_shape_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boxes = synthesize_boxes(docs)
+    pdf = boxes.toPandas()
+    # pick a point inside the first box
+    b = pdf.iloc[0]
+    qlat = (b.min_lat + b.max_lat) / 2
+    qlon = (b.min_lon + b.max_lon) / 2
+    got = {
+        r.doc_id: r.dist_x10km
+        for r in distance_to_shape_topk(
+            boxes, qlat, qlon, k=10_000
+        ).collect()
+    }
+    assert got[b.doc_id] == 0
+    # every distance is the clamp-haversine (monotone sanity: the
+    # containing box is at 0, others nonnegative)
+    assert min(got.values()) == 0
