@@ -134,16 +134,48 @@ def _on_disk_batches(index_dir: str, table: str) -> set[int]:
     return out
 
 
-def gc_index(index_dir: str) -> dict[str, Any]:
-    """Delete batch directories and manifest files referenced by neither
-    the latest commit nor any snapshotted generation (IndexFileDeleter
-    with KeepOnlyLastCommit + SnapshotDeletionPolicy). Returns
-    {"removed_dirs": [...], "removed_manifests": [...], "kept_gens": [...]}.
-    """
+def gc_index(
+    index_dir: str, policy: str = "keep_last", keep_n: int = 1
+) -> dict[str, Any]:
+    """Delete batch directories and manifest files referenced by
+    neither the retained commits nor any snapshotted generation
+    (IndexFileDeleter under a pluggable IndexDeletionPolicy).
+    Policies, mirroring core/index/:
+
+    - ``keep_last``   — KeepOnlyLastCommitDeletionPolicy.java (the
+      IndexWriterConfig default): only the latest commit survives;
+    - ``keep_last_n`` — KeepLastNCommitsDeletionPolicy.java: the
+      newest ``keep_n`` generations survive;
+    - ``none``        — NoDeletionPolicy.java: every commit survives
+      (the GC is a no-op beyond reporting).
+
+    Snapshots always pin their generations on top of the policy —
+    and because _read_snapshots/_write_snapshots keep the pin set in
+    a FILE next to the manifests, the snapshot policy here is the
+    PERSISTENT form (PersistentSnapshotDeletionPolicy.java: snapshots
+    survive process restarts).
+
+    Returns {"removed_dirs": [...], "removed_manifests": [...],
+    "kept_gens": [...]}."""
     latest = mani.latest_generation(index_dir)
     if latest < 0:
         raise FileNotFoundError(f"no committed manifest in {index_dir}")
-    keep_gens = sorted({latest, *_read_snapshots(index_dir)})
+    all_gens = sorted(
+        int(m.group(1))
+        for f in os.listdir(index_dir)
+        if (m := mani._GEN_RE.match(f))
+    )
+    if policy == "keep_last":
+        retained = {latest}
+    elif policy == "keep_last_n":
+        if keep_n < 1:
+            raise ValueError("keep_n must be >= 1")
+        retained = set(all_gens[-keep_n:]) | {latest}
+    elif policy == "none":
+        retained = set(all_gens)
+    else:
+        raise ValueError(f"unknown deletion policy {policy!r}")
+    keep_gens = sorted(retained | set(_read_snapshots(index_dir)))
     keep: dict[str, set[int]] = {}
     for gen in keep_gens:
         for table, batches in referenced_batches(

@@ -125,3 +125,50 @@ def test_replicate_is_incremental_and_identical(spark, corpus, tmp_path):
     assert rep2["generation"] > rep1["generation"]
     replica2 = IndexReader(spark, str(dst))
     assert _topk(replica2, ["def", "return"]) == want2 == want
+
+
+def test_deletion_policies(spark, corpus, tmp_path):
+    """KeepLastN / NoDeletionPolicy (core/index/
+    KeepLastNCommitsDeletionPolicy.java, NoDeletionPolicy.java,
+    KeepOnlyLastCommitDeletionPolicy.java): the GC's retained
+    generation set follows the policy; snapshots pin on top."""
+    import os as _os
+
+    from lucene_spark.index import lifecycle as lc
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.merge import force_merge
+
+    idx = tmp_path / "idx"
+    _build(spark, corpus, idx)
+    force_merge(spark, str(idx), max_segments=1)
+    force_merge(spark, str(idx), max_segments=1)
+    gens = sorted(
+        int(m.group(1))
+        for f in _os.listdir(str(idx))
+        if (m := mani._GEN_RE.match(f))
+    )
+    assert len(gens) >= 3
+
+    # none: nothing removed
+    rep = lc.gc_index(str(idx), policy="none")
+    assert rep["removed_manifests"] == []
+    assert sorted(rep["kept_gens"]) == gens
+
+    # keep_last_n: newest two survive
+    rep2 = lc.gc_index(str(idx), policy="keep_last_n", keep_n=2)
+    assert rep2["kept_gens"] == gens[-2:]
+    left = sorted(
+        int(m.group(1))
+        for f in _os.listdir(str(idx))
+        if (m := mani._GEN_RE.match(f))
+    )
+    assert left == gens[-2:]
+
+    # default keep_last: only the latest remains
+    rep3 = lc.gc_index(str(idx))
+    assert rep3["kept_gens"] == [gens[-1]]
+
+    with __import__("pytest").raises(ValueError, match="unknown deletion"):
+        lc.gc_index(str(idx), policy="bogus")
+    with __import__("pytest").raises(ValueError, match="keep_n"):
+        lc.gc_index(str(idx), policy="keep_last_n", keep_n=0)
