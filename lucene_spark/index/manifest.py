@@ -100,3 +100,99 @@ def commit_manifest(index_dir: str, manifest: dict[str, Any]) -> int:
         os.fsync(f.fileno())
     os.rename(pending, final)  # atomic publish (IndexWriter.commit analog)
     return gen
+
+
+# ---------------------------------------------------------------------------
+# TwoPhaseCommit surface (core/index/TwoPhaseCommit.java +
+# TwoPhaseCommitTool.java): the prepare/commit/rollback split exposed
+# per index, and the multi-resource coordinator.
+# ---------------------------------------------------------------------------
+
+
+class PrepareCommitFailError(IOError):
+    """TwoPhaseCommitTool.PrepareCommitFailException."""
+
+
+class CommitFailError(IOError):
+    """TwoPhaseCommitTool.CommitFailException."""
+
+
+class ManifestTwoPhaseCommit:
+    """One index's manifest as a TwoPhaseCommit object:
+    prepare_commit writes+fsyncs the pending file, commit atomically
+    renames it (the split inside commit_manifest, exposed), rollback
+    deletes the pending file — the IndexWriter
+    prepareCommit/commit/rollback contract."""
+
+    def __init__(self, index_dir: str, manifest: dict[str, Any]):
+        self.index_dir = index_dir
+        self.manifest = dict(manifest)
+        self._gen: int | None = None
+        self._pending: str | None = None
+
+    def prepare_commit(self) -> int:
+        if self._pending is not None:
+            raise ValueError("prepareCommit was already called")
+        os.makedirs(self.index_dir, exist_ok=True)
+        gen = latest_generation(self.index_dir) + 1
+        m = dict(self.manifest)
+        m["generation"] = gen
+        m["committed_at"] = time.time()
+        pending = os.path.join(
+            self.index_dir, f"_pending-manifest-{gen}.json"
+        )
+        with open(pending, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        self._gen, self._pending = gen, pending
+        return gen
+
+    def commit(self) -> int:
+        if self._pending is None:
+            raise ValueError("commit without prepareCommit")
+        final = os.path.join(
+            self.index_dir, f"manifest-{self._gen}.json"
+        )
+        os.rename(self._pending, final)
+        self._pending = None
+        return self._gen
+
+    def rollback(self) -> None:
+        if self._pending is not None and os.path.exists(self._pending):
+            os.remove(self._pending)
+        self._pending = None
+
+
+def execute_two_phase(objects: list) -> None:
+    """TwoPhaseCommitTool.execute (TwoPhaseCommitTool.java:58-93):
+    prepare ALL objects first; any prepare failure rolls back every
+    object (rollback exceptions swallowed) and raises
+    PrepareCommitFailError.  Then commit all; any commit failure rolls
+    back every object and raises CommitFailError.  None entries are
+    skipped, as in the reference."""
+
+    def _rollback_all():
+        for o in objects:
+            if o is not None:
+                try:
+                    o.rollback()
+                except Exception:
+                    pass
+
+    for o in objects:
+        try:
+            if o is not None:
+                o.prepare_commit()
+        except Exception as ex:
+            _rollback_all()
+            raise PrepareCommitFailError(
+                f"prepareCommit() failed on {o!r}"
+            ) from ex
+    for o in objects:
+        try:
+            if o is not None:
+                o.commit()
+        except Exception as ex:
+            _rollback_all()
+            raise CommitFailError(f"commit() failed on {o!r}") from ex
