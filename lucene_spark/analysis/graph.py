@@ -503,3 +503,135 @@ register_analyzer(
         lowercase=True,
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Synonym rule-file parsers (analysis/synonym/SolrSynonymParser.java,
+# WordnetSynonymParser.java): text rule formats -> SynonymGraphMap
+# ---------------------------------------------------------------------------
+
+
+def _split_escaped(s: str, sep: str) -> list[str]:
+    """Split on sep honoring backslash escapes (SynonymMap.Builder's
+    rule unescaping)."""
+    out, cur, i = [], [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == sep:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def parse_solr_synonyms(
+    text: str,
+    expand: bool = True,
+    tokenize=None,
+) -> SynonymGraphMap:
+    """SolrSynonymParser.java: one rule per line, '#' comments.
+
+    - ``a, b, c``        — an equivalence set: with expand=True every
+      term maps to EVERY term (incl. itself — the reference adds the
+      full cross product); with expand=False every term maps to the
+      FIRST term only (SolrSynonymParser.java:73-95).
+    - ``a, b => c, d``   — explicit: each LHS input maps to all RHS
+      outputs (keepOrig False — the input is replaced).
+    - multi-word entries split on whitespace (``tokenize`` overrides,
+      the parser's analyze() hook); ``\\,`` and ``\\=`` escape.
+    """
+    tok = tokenize or (lambda s: s.split())
+    smap = SynonymGraphMap()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        # un-escaped '=>' split (scan for it outside escapes)
+        arrow = None
+        i = 0
+        while i < len(line) - 1:
+            if line[i] == "\\":
+                i += 2
+                continue
+            if line[i : i + 2] == "=>":
+                arrow = i
+                break
+            i += 1
+        if arrow is not None:
+            lhs = [
+                tuple(tok(p.strip()))
+                for p in _split_escaped(line[:arrow], ",")
+                if p.strip()
+            ]
+            rhs = [
+                tuple(tok(p.strip()))
+                for p in _split_escaped(line[arrow + 2 :], ",")
+                if p.strip()
+            ]
+            if not lhs or not rhs:
+                raise ValueError(f"invalid synonym rule: {raw}")
+            for inp in lhs:
+                for out in rhs:
+                    smap.add(inp, out, keep_orig=False)
+        else:
+            terms = [
+                tuple(tok(p.strip()))
+                for p in _split_escaped(line, ",")
+                if p.strip()
+            ]
+            if len(terms) < 2:
+                raise ValueError(f"invalid synonym rule: {raw}")
+            if expand:
+                for a in terms:
+                    for b in terms:
+                        if a != b:
+                            smap.add(a, b, keep_orig=True)
+            else:
+                first = terms[0]
+                for a in terms[1:]:
+                    smap.add(a, first, keep_orig=False)
+    return smap
+
+
+def parse_wordnet_synonyms(
+    text: str, expand: bool = True, tokenize=None
+) -> SynonymGraphMap:
+    """WordnetSynonymParser.java: prolog lines
+    ``s(<synset>,<num>,'<word>',<pos>,<sense>,<tag>).`` — words
+    sharing a synset id are synonyms; '' inside a word escapes a
+    quote.  expand semantics as in the Solr parser."""
+    import re as _re
+
+    tok = tokenize or (lambda s: s.split())
+    pat = _re.compile(r"^s\(\s*(\d+)\s*,\s*\d+\s*,\s*'(.*)'\s*,")
+    synsets: dict[str, list[tuple[str, ...]]] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or not line.startswith("s("):
+            continue
+        m = pat.match(line)
+        if not m:
+            raise ValueError(f"invalid wordnet line: {raw}")
+        sid, word = m.group(1), m.group(2).replace("''", "'")
+        synsets.setdefault(sid, []).append(tuple(tok(word)))
+    smap = SynonymGraphMap()
+    for words in synsets.values():
+        if len(words) < 2:
+            continue
+        if expand:
+            for a in words:
+                for b in words:
+                    if a != b:
+                        smap.add(a, b, keep_orig=True)
+        else:
+            first = words[0]
+            for a in words[1:]:
+                smap.add(a, first, keep_orig=False)
+    return smap

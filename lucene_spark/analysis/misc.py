@@ -912,3 +912,81 @@ class TypeAsSynonymStandardAnalyzer(Analyzer):
                 starts.append(s)
                 ends.append(e)
         return toks, starts, ends
+
+
+# ---------------------------------------------------------------------------
+# Norwegian / Serbian normalization + UpperCase (no/
+# NorwegianNormalizationFilter.java, sr/SerbianNormalizationFilter
+# .java, sr/SerbianNormalizationRegularFilter.java, core/
+# UpperCaseFilter.java) — the Norwegian filter reuses the existing
+# configurable scandinavian_normalize above.
+# ---------------------------------------------------------------------------
+
+
+class NorwegianNormalizationFilter(TokenFilter):
+    """no/NorwegianNormalizationFilter.java:42: the same normalizer
+    restricted to EnumSet.of(AE, OE, AA) — no ao/oo contractions."""
+
+    _F = frozenset({"AE", "OE", "AA"})
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [scandinavian_normalize(t, self._F) for t in tokens]
+
+
+# ---------------------------------------------------------------------------
+# Serbian normalization (sr/SerbianNormalizationFilter.java — cyrillic
+# -> bald latin incl. digraph expansions and latin diacritic folding;
+# sr/SerbianNormalizationRegularFilter.java — cyrillic -> REGULAR
+# latin keeping diacritics). These are the standard transliteration
+# tables, not the descoped SerbianStemmer rule data.
+# ---------------------------------------------------------------------------
+
+_SR_BALD = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+    "ђ": "dj", "đ": "dj", "е": "e", "ж": "z", "з": "z", "ž": "z",
+    "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj", "м": "m",
+    "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c",
+    "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}
+
+_SR_REGULAR = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ",
+    "е": "e", "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "l", "м": "m", "н": "n", "њ": "n", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "ć", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č", "џ": "dž", "ш": "š",
+}
+
+
+def serbian_normalize(w: str) -> str:
+    """SerbianNormalizationFilter.java: cyrillic -> bald (ascii-ish)
+    latin; ђ/đ->dj, љ->lj, њ->nj, џ->dz, and the latin diacritics
+    ž/č/ć/š fold too."""
+    return "".join(_SR_BALD.get(c, c) for c in w)
+
+
+def serbian_normalize_regular(w: str) -> str:
+    """SerbianNormalizationRegularFilter.java: cyrillic -> regular
+    latin with diacritics preserved.  Quirk kept faithfully: unlike
+    the bald filter, the regular filter maps љ and њ to SINGLE l / n
+    (only џ expands, to dž) — the reference's exact switch table."""
+    return "".join(_SR_REGULAR.get(c, c) for c in w)
+
+
+class SerbianNormalizationFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [serbian_normalize(t) for t in tokens]
+
+
+class SerbianNormalizationRegularFilter(TokenFilter):
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [serbian_normalize_regular(t) for t in tokens]
+
+
+class UpperCaseFilter(TokenFilter):
+    """core/UpperCaseFilter.java (the LowerCaseFilter mirror; the
+    javadoc's warning that it is NOT a normalization filter noted)."""
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        return [t.upper() for t in tokens]
