@@ -1275,3 +1275,20 @@ register_analyzer(
         StandardAnalyzer(), [LatvianStemFilter()], "latvian"
     ),
 )
+
+
+class FixedShingleFilter(ShingleFilter):
+    """shingle/FixedShingleFilter.java: shingles of EXACTLY one size,
+    no unigrams — the simpler cousin used by phrase-speedup fields
+    (and by intervals' wrapped-field tricks). shingle_size 2..4 per
+    the reference's guard (FixedShingleFilter.java:48-50)."""
+
+    def __init__(self, shingle_size: int = 2, sep: str = " "):
+        if not 2 <= shingle_size <= 4:
+            raise ValueError(
+                f"Shingle size must be between 2 and 4, got {shingle_size}"
+            )
+        super().__init__(
+            min_size=shingle_size, max_size=shingle_size,
+            sep=sep, output_unigrams=False,
+        )

@@ -156,3 +156,18 @@ def test_solr_rules_drive_the_graph_analyzer():
     ga = GraphAnalyzer(WhitespaceAnalyzer(), SynonymGraphFilter(smap))
     toks = ga.tokenize_one("visit ny today")
     assert "new" in toks and "york" in toks
+
+
+def test_fixed_shingle_filter():
+    # shingle/FixedShingleFilter.java: one exact size, no unigrams,
+    # size guard 2..4
+    from lucene_spark.analysis.filters import FixedShingleFilter
+
+    assert FixedShingleFilter(2).apply(["a", "b", "c"]) == ["a b", "b c"]
+    assert FixedShingleFilter(3).apply(["a", "b", "c", "d"]) == [
+        "a b c", "b c d"
+    ]
+    with pytest.raises(ValueError, match="between 2 and 4"):
+        FixedShingleFilter(5)
+    with pytest.raises(ValueError, match="between 2 and 4"):
+        FixedShingleFilter(1)
