@@ -152,6 +152,23 @@ class SpatialArgs:
                 "Only distErr or distErrPct can be specified."
             )
 
+    def resolve_dist_err(self, default_dist_err_pct: float = 0.025) -> float:
+        """SpatialArgs.resolveDistErr + calcDistanceFromErrPct
+        (SpatialArgs.java:91-118): an explicit distErr wins; otherwise
+        the allowed error is distErrPct times the distance from the
+        shape's bbox center to its nearer-the-equator corner (the
+        "closest corner for greater precision" rule), haversine
+        metric.  distErrPct outside [0, 0.5] raises; points and pct 0
+        resolve to 0."""
+        if self.dist_err is not None:
+            return self.dist_err
+        pct = (
+            self.dist_err_pct
+            if self.dist_err_pct is not None
+            else default_dist_err_pct
+        )
+        return calc_distance_from_err_pct(self.shape, pct)
+
     def __str__(self) -> str:
         # SpatialArgsParser.writeSpatialArgs
         out = f"{self.operation}({self.shape}"
@@ -494,3 +511,31 @@ SELECT doc_id, CAST(ROUND(
       * sin(radians(nlon - {qlon!r})/2) * sin(radians(nlon - {qlon!r})/2)
   )) * 10) AS BIGINT) AS dist_x10km
 FROM n ORDER BY dist_x10km ASC, doc_id ASC LIMIT {k}"""
+
+
+def calc_distance_from_err_pct(shape: Rect, dist_err_pct: float) -> float:
+    """SpatialArgs.calcDistanceFromErrPct (SpatialArgs.java:91-108):
+    bbox-center to the corner on the equator side (y = maxY when the
+    center is in the northern hemisphere, minY otherwise), times the
+    percentage; haversine km metric (the geo SpatialContext distance
+    calculator)."""
+    import math
+
+    from lucene_spark.search.geo import EARTH_RADIUS_KM
+
+    if dist_err_pct < 0 or dist_err_pct > 0.5:
+        raise ValueError(
+            f"distErrPct {dist_err_pct} must be between [0 to 0.5]"
+        )
+    if dist_err_pct == 0 or (shape.width == 0 and shape.height == 0):
+        return 0.0
+    cy = (shape.min_y + shape.max_y) / 2.0
+    cx = (shape.min_x + shape.max_x) / 2.0
+    y = shape.max_y if cy >= 0 else shape.min_y
+    la1, lo1 = math.radians(cy), math.radians(cx)
+    la2, lo2 = math.radians(y), math.radians(shape.max_x)
+    a = (
+        math.sin((la2 - la1) / 2) ** 2
+        + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(a)) * dist_err_pct

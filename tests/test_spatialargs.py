@@ -365,3 +365,46 @@ def test_distance_to_shape_zero_inside(spark):
     # every distance is the clamp-haversine (monotone sanity: the
     # containing box is at 0, others nonnegative)
     assert min(got.values()) == 0
+
+
+# ------------------- resolveDistErr ------------------------------------
+
+
+def test_calc_distance_from_err_pct():
+    import math
+
+    from lucene_spark.search.geo import EARTH_RADIUS_KM
+    from lucene_spark.search.spatialargs import calc_distance_from_err_pct
+
+    # point -> 0; pct 0 -> 0 (SpatialArgs.java:98-100)
+    assert calc_distance_from_err_pct(Rect(5, 5, 7, 7), 0.1) == 0.0
+    assert calc_distance_from_err_pct(Rect(0, 10, 0, 10), 0.0) == 0.0
+    with pytest.raises(ValueError, match=r"between \[0 to 0.5\]"):
+        calc_distance_from_err_pct(Rect(0, 10, 0, 10), 0.6)
+    # northern-hemisphere center -> the maxY corner is used
+    r = Rect(0.0, 10.0, 0.0, 10.0)   # center (5, 5), corner (10, 10)
+    d = calc_distance_from_err_pct(r, 0.1)
+    la1, lo1 = math.radians(5.0), math.radians(5.0)
+    la2, lo2 = math.radians(10.0), math.radians(10.0)
+    a = (math.sin((la2 - la1) / 2) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+    want = 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a)) * 0.1
+    assert d == pytest.approx(want)
+    # southern center -> minY corner (the "closest corner" rule)
+    rs = Rect(0.0, 10.0, -10.0, 0.0)
+    ds = calc_distance_from_err_pct(rs, 0.1)
+    assert ds == pytest.approx(d)  # symmetric case
+
+
+def test_resolve_dist_err_precedence():
+    from lucene_spark.search.spatialargs import SpatialArgs
+
+    r = Rect(0.0, 10.0, 0.0, 10.0)
+    # explicit distErr wins
+    assert SpatialArgs("Intersects", r, dist_err=42.0).resolve_dist_err() == 42.0
+    # explicit pct used, else the default pct
+    a = SpatialArgs("Intersects", r, dist_err_pct=0.1)
+    b = SpatialArgs("Intersects", r)
+    assert a.resolve_dist_err() == pytest.approx(
+        b.resolve_dist_err(default_dist_err_pct=0.1))
+    assert b.resolve_dist_err(0.0) == 0.0
