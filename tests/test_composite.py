@@ -187,3 +187,41 @@ def test_parallel_size_mismatch_raises(halves, parallel_ix):
     t, _, _ = parallel_ix
     with pytest.raises(ValueError, match="same documents"):
         ParallelReader([a, t])
+
+
+def test_multireader_tombstones_rebase(spark, halves, tmp_path):
+    """A doc tombstoned in sub-index B must disappear from the
+    composite under its RE-BASED id (BaseCompositeReader doc bases
+    apply to liveDocs too)."""
+    import shutil
+
+    from lucene_spark.index.deletes import delete_by_ids
+    from lucene_spark.search import sqlpath as sp
+    from lucene_spark.search.composite import MultiReader
+    from lucene_spark.search.executor import IndexReader
+
+    a, b, full = halves
+    # work on COPIES so the module-scoped fixture readers stay clean
+    ca, cb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    shutil.copytree(a.index_dir, ca)
+    shutil.copytree(b.index_dir, cb)
+    ra, rb = IndexReader(spark, ca), IndexReader(spark, cb)
+    mr0 = MultiReader([ra, rb])
+    base_b = mr0.bases[1]
+    hits = sp.bool_bm25_topk(mr0, full.manifest["field"],
+                             must=["return"], k=50).collect()
+    victim_global = next(r.doc_id for r in hits if r.doc_id >= base_b)
+    victim_local = victim_global - base_b
+    delete_by_ids(
+        spark, cb,
+        spark.createDataFrame([(victim_local,)], "doc_id long"),
+    )
+    mr = MultiReader([IndexReader(spark, ca), IndexReader(spark, cb)])
+    after = {
+        r.doc_id
+        for r in sp.bool_bm25_topk(mr, full.manifest["field"],
+                                   must=["return"], k=50).collect()
+    }
+    assert victim_global not in after
+    # untouched sub-index A hits survive
+    assert any(d < base_b for d in after)
