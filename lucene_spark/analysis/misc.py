@@ -953,7 +953,7 @@ _SR_BALD = {
 _SR_REGULAR = {
     "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ",
     "е": "e", "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k",
-    "л": "l", "љ": "l", "м": "m", "н": "n", "њ": "n", "о": "o",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
     "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "ć", "у": "u",
     "ф": "f", "х": "h", "ц": "c", "ч": "č", "џ": "dž", "ш": "š",
 }
@@ -968,9 +968,10 @@ def serbian_normalize(w: str) -> str:
 
 def serbian_normalize_regular(w: str) -> str:
     """SerbianNormalizationRegularFilter.java: cyrillic -> regular
-    latin with diacritics preserved.  Quirk kept faithfully: unlike
-    the bald filter, the regular filter maps љ and њ to SINGLE l / n
-    (only џ expands, to dž) — the reference's exact switch table."""
+    latin with diacritics preserved.  Like the bald filter, the
+    digraph letters expand: љ->lj, њ->nj, џ->dž (the reference
+    resizes the term buffer and inserts the second letter,
+    SerbianNormalizationRegularFilter.java:84-106)."""
     return "".join(_SR_REGULAR.get(c, c) for c in w)
 
 

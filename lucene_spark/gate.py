@@ -929,7 +929,7 @@ lab AS (
   WHERE d.lang IS NOT NULL
 ),
 v AS (
-  SELECT clazz, SUM(s / (SELECT MAX(s) FROM lab)) AS bsum
+  SELECT clazz, SUM(s / (SELECT MAX(score_x1e6)/1000000.0 FROM topk)) AS bsum
   FROM lab GROUP BY clazz
 )
 SELECT clazz,
@@ -1092,7 +1092,7 @@ lab AS (
   WHERE d.lang IS NOT NULL
 ),
 v AS (
-  SELECT clazz, SUM(s / (SELECT MAX(s) FROM lab)) AS bsum
+  SELECT clazz, SUM(s / (SELECT MAX(score_x1e6)/1000000.0 FROM topk)) AS bsum
   FROM lab GROUP BY clazz
 )
 SELECT clazz,

@@ -475,7 +475,9 @@ def gopher_rules(docs: DataFrame, k: int = 200) -> DataFrame:
       bit 1  — word count within [50, 100,000]
       bit 2  — mean word length within [3, 10]
       bit 4  — symbol-to-word ratio ('#' or '...') <= 0.1
-      bit 8  — < 90% of lines start with a bullet ('-', '*', '•')
+      bit 8  — <= 90% of lines start with a bullet ('-', '*', '•')
+               (Rae et al. A1.1 removes only MORE than 90%, so the
+               fail test is strict >, matching the ellipsis rule)
       bit 16 — <= 30% of lines end with an ellipsis ('...' / '…')
       bit 32 — >= 80% of words contain an alphabetic character
       bit 64 — >= 2 of the 8 Gopher stop words present
@@ -526,7 +528,7 @@ def gopher_rules(docs: DataFrame, k: int = 200) -> DataFrame:
         + F.when(
             10 * (F.col("n_hash") + F.col("n_ell")) > n, 4
         ).otherwise(0)
-        + F.when(10 * F.col("n_bullet") >= 9 * F.col("n_lines"), 8)
+        + F.when(10 * F.col("n_bullet") > 9 * F.col("n_lines"), 8)
         .otherwise(0)
         + F.when(10 * F.col("n_ellend") > 3 * F.col("n_lines"), 16)
         .otherwise(0)
@@ -573,7 +575,7 @@ SELECT doc_id, CAST(c_words AS BIGINT) AS n_words,
    + (CASE WHEN COALESCE(c_wlen, 0) < 3 * c_words
            OR COALESCE(c_wlen, 0) > 10 * c_words THEN 2 ELSE 0 END)
    + (CASE WHEN 10 * (n_hash + n_ell) > c_words THEN 4 ELSE 0 END)
-   + (CASE WHEN 10 * n_bullet >= 9 * n_lines THEN 8 ELSE 0 END)
+   + (CASE WHEN 10 * n_bullet > 9 * n_lines THEN 8 ELSE 0 END)
    + (CASE WHEN 10 * n_ellend > 3 * n_lines THEN 16 ELSE 0 END)
    + (CASE WHEN 5 * n_alpha < 4 * c_words THEN 32 ELSE 0 END)
    + (CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) AS BIGINT) AS fail_mask,
@@ -581,7 +583,7 @@ SELECT doc_id, CAST(c_words AS BIGINT) AS n_words,
     AND COALESCE(c_wlen, 0) >= 3 * c_words
     AND COALESCE(c_wlen, 0) <= 10 * c_words
     AND 10 * (n_hash + n_ell) <= c_words
-    AND 10 * n_bullet < 9 * n_lines
+    AND 10 * n_bullet <= 9 * n_lines
     AND 10 * n_ellend <= 3 * n_lines
     AND 5 * n_alpha >= 4 * c_words
     AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept

@@ -74,6 +74,27 @@ def mlt_terms_for_text(
     return [t for t, _ in scored[:max_terms]]
 
 
+def _knn_vote(topk: DataFrame, reader, class_col: str) -> DataFrame:
+    """buildListFromTopDocs vote prep shared by the KNN classifiers:
+    maxScore is topDocs.scoreDocs[0].score — the overall best hit
+    whether or not it carries a class value (KNearestNeighbor
+    Classifier.java:195) — so it is taken over the FULL top-k frame
+    BEFORE the clazz-not-null filter; sumdoc counts only the labeled
+    hits.  One unpartitioned window over <= k rows (tiny frame)."""
+    maxed = topk.withColumn(
+        "max_s", F.max("score_x1e6").over(Window.partitionBy())
+    )
+    labeled = maxed.join(
+        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
+        "doc_id",
+    ).filter(F.col("clazz").isNotNull())
+    return labeled.select(
+        "clazz",
+        (F.col("score_x1e6") / F.col("max_s")).alias("boost"),
+        F.count("*").over(Window.partitionBy()).alias("sumdoc"),
+    )
+
+
 def knn_classify(
     reader: IndexReader,
     text: str,
@@ -100,19 +121,7 @@ def knn_classify(
     if not terms:
         return spark.createDataFrame([], "clazz string, score_x1e6 long")
     topk = bool_bm25_topk(reader, field, should=terms, k=k)
-    labeled = topk.join(
-        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
-        "doc_id",
-    ).filter(F.col("clazz").isNotNull())
-    # one unpartitioned window over the <=k labeled hits (tiny frame):
-    # maxScore and sumdoc without re-running the scoring query
-    w = F.col("score_x1e6") / F.lit(1e6)
-    win = Window.partitionBy()
-    voted = labeled.select(
-        "clazz",
-        (w / F.max(w).over(win)).alias("boost"),
-        F.count("*").over(win).alias("sumdoc"),
-    )
+    voted = _knn_vote(topk, reader, class_col)
     out = voted.groupBy("clazz", "sumdoc").agg(
         F.sum("boost").alias("bsum")
     ).select(
@@ -375,17 +384,7 @@ def knn_fuzzy_classify(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
-    labeled = topk.join(
-        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
-        "doc_id",
-    ).filter(F.col("clazz").isNotNull())
-    w = F.col("score_x1e6") / F.lit(1e6)
-    win = Window.partitionBy()
-    voted = labeled.select(
-        "clazz",
-        (w / F.max(w).over(win)).alias("boost"),
-        F.count("*").over(win).alias("sumdoc"),
-    )
+    voted = _knn_vote(topk, reader, class_col)
     out = voted.groupBy("clazz", "sumdoc").agg(
         F.sum("boost").alias("bsum")
     ).select(
@@ -854,17 +853,7 @@ def knn_classify_document(
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
-    labeled = topk.join(
-        reader.docs().select("doc_id", F.col(class_col).alias("clazz")),
-        "doc_id",
-    ).filter(F.col("clazz").isNotNull())
-    w = F.col("score_x1e6") / F.lit(1e6)
-    win = Window.partitionBy()
-    voted = labeled.select(
-        "clazz",
-        (w / F.max(w).over(win)).alias("boost"),
-        F.count("*").over(win).alias("sumdoc"),
-    )
+    voted = _knn_vote(topk, reader, class_col)
     out = voted.groupBy("clazz", "sumdoc").agg(
         F.sum("boost").alias("bsum")
     ).select(

@@ -373,7 +373,11 @@ def bbox_overlap_ratio_topk(
     min_side_length: float = 0.0,
     k: int = 20,
 ) -> DataFrame:
-    """Intersecting boxes ranked by the overlap-ratio score.
+    """Boxes ranked by the overlap-ratio score.  Non-intersecting
+    boxes score 0 (BBoxOverlapRatioValueSource.score returns 0 for
+    them, spatial-extras bbox/BBoxOverlapRatioValueSource.java:155),
+    so when fewer than k docs intersect the query box the remainder
+    still rank at 0 — same as the reference.
     -> (doc_id, score_x1e6), (score DESC, doc_id ASC)."""
     score = _overlap_ratio_score_sql(
         q, query_target_proportion, min_side_length
@@ -381,9 +385,10 @@ def bbox_overlap_ratio_topk(
     return (
         boxes.select(
             "doc_id",
-            F.round(F.expr(score) * 1e6).cast("long").alias("score_x1e6"),
+            F.coalesce(
+                F.round(F.expr(score) * 1e6).cast("long"), F.lit(0)
+            ).alias("score_x1e6"),
         )
-        .filter(F.col("score_x1e6").isNotNull())
         .orderBy(F.col("score_x1e6").desc(), F.col("doc_id").asc())
         .limit(k)
     )
@@ -402,9 +407,10 @@ def bbox_overlap_ratio_sql(
     )
     return f"""WITH {boxes_sql()}
 SELECT doc_id, score_x1e6 FROM (
-  SELECT doc_id, CAST(ROUND({score} * 1000000) AS BIGINT) AS score_x1e6
+  SELECT doc_id,
+    COALESCE(CAST(ROUND({score} * 1000000) AS BIGINT), 0) AS score_x1e6
   FROM bx
-) WHERE score_x1e6 IS NOT NULL
+)
 ORDER BY score_x1e6 DESC, doc_id ASC LIMIT {k}"""
 
 

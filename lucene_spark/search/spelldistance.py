@@ -246,8 +246,9 @@ def spellchecker_suggest(
     - SuggestMode (suggest/spell/SuggestMode.java):
       * not_in_index — if the word itself is in the field, suggest it
         alone (SpellChecker.java:331-334);
-      * more_popular — only candidates with docFreq > the word's
-        (goalFreq, SpellChecker.java:327-329, 389-394);
+      * more_popular — only candidates as frequent or more frequent
+        than the word (skip iff goalFreq > sugWord.freq,
+        SpellChecker.java:327-329, 390);
       * always — no frequency gate beyond presence in the field.
 
     Documented deviation: the reference cuts the pool at
@@ -291,7 +292,7 @@ def spellchecker_suggest(
         contains = c if contains is None else (contains | c)
     cand = dic.filter(contains).filter(F.col("term") != word)
     if suggest_mode == "more_popular":
-        cand = cand.filter(F.col("freq") > goal_freq)
+        cand = cand.filter(F.col("freq") >= goal_freq)
 
     # distance via Arrow-batched pandas UDF (the pack's bit-validated
     # python metrics); levenshtein additionally has a JVM twin but the
@@ -354,7 +355,7 @@ def spellchecker_suggest_sql(
     popular = ""
     if suggest_mode == "more_popular":
         popular = (
-            f" AND freq > (SELECT COALESCE((SELECT freq FROM dic"
+            f" AND freq >= (SELECT COALESCE((SELECT freq FROM dic"
             f" WHERE term = '{esc(word)}'), 0))"
         )
     return f"""WITH toks AS (

@@ -69,9 +69,11 @@ def test_serbian_regular_keeps_diacritics():
     assert serbian_normalize_regular("ђак") == "đak"
     assert serbian_normalize_regular("џеп") == "džep"
     assert serbian_normalize_regular("ш") == "š"
-    # the reference's single-letter quirk for љ/њ in the regular table
-    assert serbian_normalize_regular("љубав") == "lubav"
-    assert serbian_normalize_regular("њега") == "nega"
+    # the regular table expands the digraph letters too
+    # (SerbianNormalizationRegularFilter.java:84-106 resizes the
+    # buffer and inserts the 'j')
+    assert serbian_normalize_regular("љубав") == "ljubav"
+    assert serbian_normalize_regular("њега") == "njega"
     assert SerbianNormalizationRegularFilter().apply(["чај"]) == ["čaj"]
 
 

@@ -307,11 +307,15 @@ def test_bbox_overlap_ratio_topk_spark(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     boxes = synthesize_boxes(docs)
     out = bbox_overlap_ratio_topk(boxes, R(-10, 30, 20, 40), k=20).toPandas()
-    # sf0.001 has ~9 intersecting boxes; all of them rank
-    assert len(out) > 0
+    # sf0.001 has ~9 intersecting boxes; they rank first, and the
+    # non-intersecting remainder fills out the top-k at score 0
+    # (BBoxOverlapRatioValueSource.score returns 0, .java:155)
+    assert len(out) == 20
     assert (out.score_x1e6.values[:-1] >= out.score_x1e6.values[1:]).all()
     assert (out.score_x1e6 <= 1_000_000).all()
-    assert (out.score_x1e6 > 0).all()
+    assert (out.score_x1e6 >= 0).all()
+    assert (out.score_x1e6 > 0).any()
+    assert (out.score_x1e6 == 0).any()
 
 
 # ------------------ shape value sources ------------------------------

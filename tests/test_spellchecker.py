@@ -57,8 +57,9 @@ def test_misspelling_finds_correction(reader):
 
 
 def test_more_popular_gates_on_goal_freq(reader):
-    """SpellChecker.java:389-394: with SUGGEST_MORE_POPULAR only
-    candidates strictly more frequent than the query word pass."""
+    """SpellChecker.java:390: with SUGGEST_MORE_POPULAR only
+    candidates as frequent or more frequent than the query word pass
+    (the reference skips iff goalFreq > sugWord.freq)."""
     from pyspark.sql import functions as F
 
     dic = (
@@ -76,7 +77,8 @@ def test_more_popular_gates_on_goal_freq(reader):
     ).toPandas()
     goal = freqs[word]
     for r in out.itertuples():
-        assert r.freq > goal
+        assert r.freq >= goal
+        assert r.word != word
 
 
 def test_accuracy_floor(reader):
