@@ -2980,12 +2980,17 @@ def gate_queries() -> dict[str, object]:
             F.col("sum_x1e6").alias("sum_assoc"),
             F.col("max_x1e6").alias("max_assoc"),
         )
-        return i.unionByName(f)
-
-    def q_facet_sampled(spark, sf):
         # sampled facet counts (deterministic doc_id % 4 subsample)
-        r = ensure_index(spark, sf)
-        return sp.sampled_facet_counts(r, FIELD, T_MID, "lang", sample_mod=4)
+        # joined into the association frame: sum slot = sampled count,
+        # max slot = amortized (scaled) count
+        s = sp.sampled_facet_counts(
+            r, FIELD, T_MID, "lang", sample_mod=4
+        ).select(
+            F.lit("sampled").alias("tag"), "category",
+            F.col("sampled_cnt").alias("sum_assoc"),
+            F.col("scaled_cnt").alias("max_assoc"),
+        )
+        return i.unionByName(f).unionByName(s)
 
     def q_stemmed_term(spark, sf):
         # analysis zoo, tagged: Porter-stemmed index (simple_porter, the
@@ -3694,9 +3699,140 @@ def gate_queries() -> dict[str, object]:
             ("flt", flt),
         ])
 
+    # --- r5 consolidation suites: the driver records only the first
+    # ~50 registry keys, so the homogeneous window/media/dedup/ann
+    # families each gate as ONE schema-harmonized tagged union (every
+    # branch still value-verified row-for-row against its own oracle,
+    # exactly like the r4 tagged-union policy) ---
+
+    def q_window_suite(spark, sf):
+        # tumbling + sliding + session windowed aggregations in one
+        # (tag, c1, c2, cnt, v_x1e6) frame
+        t = q_window_tumbling(spark, sf).select(
+            F.lit("tumbling").alias("tag"),
+            F.col("win_start").alias("c1"),
+            F.col("event_type").alias("c2"),
+            "cnt", F.col("sum_value_x1e6").alias("v_x1e6"),
+        )
+        s = q_window_sliding(spark, sf).select(
+            F.lit("sliding").alias("tag"),
+            F.col("win_start").alias("c1"), F.lit("").alias("c2"),
+            "cnt", F.lit(0).cast("long").alias("v_x1e6"),
+        )
+        se = q_window_session(spark, sf).select(
+            F.lit("session").alias("tag"),
+            F.col("user_id").cast("string").alias("c1"),
+            F.col("sess_start").alias("c2"),
+            "cnt", F.lit(0).cast("long").alias("v_x1e6"),
+        )
+        return t.unionByName(s).unionByName(se)
+
+    def q_media_suite(spark, sf):
+        # multimodal metadata + pandas-UDF byte-stat decode in one
+        # (tag, media_id, kind, n_bytes, v1, v2, s) frame
+        m = q_media_meta(spark, sf).select(
+            F.lit("meta").alias("tag"), "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.col("width").cast("long").alias("v1"),
+            F.col("height").cast("long").alias("v2"),
+            F.col("payload_md5").alias("s"),
+        )
+        d = q_media_decode(spark, sf).select(
+            F.lit("decode").alias("tag"), "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.col("mean_byte_x1e6").cast("long").alias("v1"),
+            F.col("max_byte").cast("long").alias("v2"),
+            F.col("checksum").cast("string").alias("s"),
+        )
+        return m.unionByName(d)
+
+    def q_dedup_suite(spark, sf):
+        # the whole dedup family — exact+idver, ngram pairs +
+        # decontamination + substring stats, minhash batch/
+        # incremental/clusters, simhash, embedding lsh+semdedup — in
+        # one (tag, a, b, v_x1e6, flag) frame; member tags are unique
+        # across the five branches
+        ex = q_dedup_exact(spark, sf).select(
+            "tag", F.col("doc_id").alias("a"),
+            F.col("content_hash").alias("b"),
+            F.col("group_size").alias("v_x1e6"),
+            F.col("is_canonical").cast("long").alias("flag"),
+        )
+        ng = q_dedup_ngram(spark, sf).select(
+            "tag", "a", F.col("b").cast("string").alias("b"),
+            "v_x1e6", F.lit(0).cast("long").alias("flag"),
+        )
+        mh = q_dedup_minhash(spark, sf).select(
+            "tag", "a", F.col("b").cast("string").alias("b"),
+            F.col("jaccard_x1e6").alias("v_x1e6"),
+            F.lit(0).cast("long").alias("flag"),
+        )
+        sh = q_dedup_simhash(spark, sf).select(
+            F.lit("simhash").alias("tag"), "a",
+            F.col("b").cast("string").alias("b"),
+            F.col("hamming").cast("long").alias("v_x1e6"),
+            F.lit(0).cast("long").alias("flag"),
+        )
+        ec = q_dedup_embcos(spark, sf).select(
+            "tag", "a", F.col("b").cast("string").alias("b"),
+            F.col("cos_x1e6").alias("v_x1e6"),
+            F.lit(0).cast("long").alias("flag"),
+        )
+        return (
+            ex.unionByName(ng).unionByName(mh)
+            .unionByName(sh).unionByName(ec)
+        )
+
+    def q_ann_suite(spark, sf):
+        # ANN family — LSH recall gate, IVF, brute cosine, LSH top-k,
+        # similarity-threshold (all + pre-filtered) — in one
+        # (tag, c1, v_x1e6) frame
+        rc = q_ann_recall(spark, sf).select(
+            F.lit("recall").alias("tag"),
+            F.col("method").alias("c1"),
+            F.col("recall_x1e6").alias("v_x1e6"),
+        )
+        parts = [rc]
+        for tag, df in [
+            ("ivf", q_ann_ivf(spark, sf)),
+            ("cosine", q_ann_cosine(spark, sf)),
+            ("lsh", q_ann_lsh(spark, sf)),
+        ]:
+            parts.append(df.select(
+                F.lit(tag).alias("tag"),
+                F.col("vec_id").cast("string").alias("c1"),
+                F.col("cos_x1e6").alias("v_x1e6"),
+            ))
+        thr = q_ann_threshold(spark, sf).select(
+            F.concat(F.lit("thr_"), F.col("tag")).alias("tag"),
+            F.col("vec_id").cast("string").alias("c1"),
+            F.col("sim_x1e6").alias("v_x1e6"),
+        )
+        parts.append(thr)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     return {
-        # never-driver-verified + new entries lead (r01 found the
-        # driver records only the first ~50 dict keys)
+        # the driver records only the first ~50 registry keys, so the
+        # 5 entries that had never had a driver correctness row by r4
+        # (q_date_range, q_named_matches, q_composite,
+        # q_rescorer_suite, q_late_interaction) lead, followed by the
+        # consolidated family suites (q_ann_suite carries the
+        # previously-unverified threshold branches as thr_* tags);
+        # long-green standalone entries rotate to the tail —
+        # len(gate_queries()) stays <= 50 permanently
+        "q_date_range": q_date_range,
+        "q_named_matches": q_named_matches,
+        "q_composite": q_composite,
+        "q_rescorer_suite": q_rescorer_suite,
+        "q_late_interaction": q_late_interaction,
+        "q_ann_suite": q_ann_suite,
+        "q_dedup_suite": q_dedup_suite,
+        "q_window_suite": q_window_suite,
+        "q_media_suite": q_media_suite,
+        "q_facet_assoc": q_facet_assoc,
         "q_bool_suite": q_bool_suite,
         "q_multiterm_suite": q_multiterm_suite,
         "q_term_scoring_suite": q_term_scoring_suite,
@@ -3710,13 +3846,7 @@ def gate_queries() -> dict[str, object]:
         "q_geo_suite": q_geo_suite,
         "q_classify_suite": q_classify_suite,
         "q_suggest_suite": q_suggest_suite,
-        "q_facet_assoc": q_facet_assoc,
-        "q_facet_sampled": q_facet_sampled,
-        "q_ann_recall": q_ann_recall,
-        "q_ann_ivf": q_ann_ivf,
         "q_highlight": q_highlight,
-        "q_media_decode": q_media_decode,
-        "q_dedup_embcos": q_dedup_embcos,
         "q_blended_term": q_blended_term,
         "q_mf_keyword": q_mf_keyword,
         "q_multifield_parser": q_multifield_parser,
@@ -3727,10 +3857,6 @@ def gate_queries() -> dict[str, object]:
         "q_drill_sideways": q_drill_sideways,
         "q_grouped_distinct": q_grouped_distinct,
         "q_near": q_near,
-        "q_window_tumbling": q_window_tumbling,
-        "q_window_sliding": q_window_sliding,
-        "q_window_session": q_window_session,
-        "q_media_meta": q_media_meta,
         "q_field_sort": q_field_sort,
         "q_sort_selector": q_sort_selector,
         "q_range_facet": q_range_facet,
@@ -3746,18 +3872,6 @@ def gate_queries() -> dict[str, object]:
         "q_quality": q_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram": q_dedup_ngram,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_ann_cosine": q_ann_cosine,
-        "q_ann_threshold": q_ann_threshold,
-        "q_date_range": q_date_range,
-        "q_named_matches": q_named_matches,
-        "q_composite": q_composite,
-        "q_rescorer_suite": q_rescorer_suite,
-        "q_ann_lsh": q_ann_lsh,
-        "q_late_interaction": q_late_interaction,
     }
 
 
@@ -4337,14 +4451,14 @@ SELECT d.lang AS category,
        CAST(MAX(CAST(ROUND(ln(1 + CAST(d.n_chars AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS max_assoc
 FROM documents d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.lang ORDER BY category LIMIT 20"""),
-        ]),
-        "q_facet_sampled": f"""WITH {_TOKS},
+            ("sampled", f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')
-SELECT d.lang AS category, count(*) AS sampled_cnt,
-       CAST(count(*) * 4 AS BIGINT) AS scaled_cnt
+SELECT d.lang AS category, count(*) AS sum_assoc,
+       CAST(count(*) * 4 AS BIGINT) AS max_assoc
 FROM documents d JOIN m ON d.doc_id = m.doc_id
 WHERE d.doc_id % 4 = 0
-GROUP BY d.lang ORDER BY category LIMIT 20""",
+GROUP BY d.lang ORDER BY category LIMIT 20"""),
+        ]),
         "q_suggest": f"""WITH {_TOKS},
 dfs AS (SELECT tok AS term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT term, levenshtein(term, 'spork') AS distance, doc_freq
@@ -5572,6 +5686,78 @@ ORDER BY score_x1e6 DESC, s.doc_id ASC LIMIT 10"""),
         ("knnfz", _sql_knnfuzzy_classify(_CLS_TEXT, k=10)),
         ("pcpt", _sql_perceptron()),
     ])
+
+    # --- r5 consolidation suites: wrap each family member's existing
+    # oracle in the same schema-harmonizing projection the Spark suite
+    # uses, then retire the standalone keys so queries() and
+    # oracle_sql() stay aligned at <= 50 entries ---
+    one["q_window_suite"] = _sql_tagged_flat([
+        ("tumbling",
+         "SELECT win_start AS c1, event_type AS c2, cnt,"
+         " sum_value_x1e6 AS v_x1e6 FROM ("
+         + one["q_window_tumbling"] + ")"),
+        ("sliding",
+         "SELECT win_start AS c1, '' AS c2, cnt,"
+         " CAST(0 AS BIGINT) AS v_x1e6 FROM ("
+         + one["q_window_sliding"] + ")"),
+        ("session",
+         "SELECT CAST(user_id AS VARCHAR) AS c1, sess_start AS c2,"
+         " cnt, CAST(0 AS BIGINT) AS v_x1e6 FROM ("
+         + one["q_window_session"] + ")"),
+    ])
+    one["q_media_suite"] = _sql_tagged_flat([
+        ("meta",
+         "SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,"
+         " CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,"
+         " payload_md5 AS s FROM (" + one["q_media_meta"] + ")"),
+        ("decode",
+         "SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,"
+         " mean_byte_x1e6 AS v1, CAST(max_byte AS BIGINT) AS v2,"
+         " CAST(checksum AS VARCHAR) AS s FROM ("
+         + one["q_media_decode"] + ")"),
+    ])
+    # dedup + ann members are already internally tagged, so re-project
+    # each branch's full (tagged) result and UNION ALL the branches
+    one["q_dedup_suite"] = "\nUNION ALL ".join([
+        "SELECT tag, doc_id AS a, content_hash AS b,"
+        " group_size AS v_x1e6, CAST(is_canonical AS BIGINT) AS flag"
+        " FROM (" + one["q_dedup_exact"] + ")",
+        "SELECT tag, a, CAST(b AS VARCHAR) AS b, v_x1e6,"
+        " CAST(0 AS BIGINT) AS flag FROM ("
+        + one["q_dedup_ngram"] + ")",
+        "SELECT tag, a, CAST(b AS VARCHAR) AS b,"
+        " jaccard_x1e6 AS v_x1e6, CAST(0 AS BIGINT) AS flag FROM ("
+        + one["q_dedup_minhash"] + ")",
+        "SELECT 'simhash' AS tag, a, CAST(b AS VARCHAR) AS b,"
+        " CAST(hamming AS BIGINT) AS v_x1e6,"
+        " CAST(0 AS BIGINT) AS flag FROM ("
+        + one["q_dedup_simhash"] + ")",
+        "SELECT tag, a, CAST(b AS VARCHAR) AS b, cos_x1e6 AS v_x1e6,"
+        " CAST(0 AS BIGINT) AS flag FROM ("
+        + one["q_dedup_embcos"] + ")",
+    ])
+    one["q_ann_suite"] = "\nUNION ALL ".join([
+        "SELECT 'recall' AS tag, method AS c1,"
+        " recall_x1e6 AS v_x1e6 FROM (" + one["q_ann_recall"] + ")",
+        "SELECT 'ivf' AS tag, CAST(vec_id AS VARCHAR) AS c1,"
+        " cos_x1e6 AS v_x1e6 FROM (" + one["q_ann_ivf"] + ")",
+        "SELECT 'cosine' AS tag, CAST(vec_id AS VARCHAR) AS c1,"
+        " cos_x1e6 AS v_x1e6 FROM (" + one["q_ann_cosine"] + ")",
+        "SELECT 'lsh' AS tag, CAST(vec_id AS VARCHAR) AS c1,"
+        " cos_x1e6 AS v_x1e6 FROM (" + one["q_ann_lsh"] + ")",
+        "SELECT concat('thr_', tag) AS tag,"
+        " CAST(vec_id AS VARCHAR) AS c1, sim_x1e6 AS v_x1e6 FROM ("
+        + one["q_ann_threshold"] + ")",
+    ])
+    for retired in (
+        "q_window_tumbling", "q_window_sliding", "q_window_session",
+        "q_media_meta", "q_media_decode",
+        "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
+        "q_dedup_simhash", "q_dedup_embcos",
+        "q_ann_recall", "q_ann_ivf", "q_ann_cosine", "q_ann_lsh",
+        "q_ann_threshold",
+    ):
+        del one[retired]
     return one
 
 
