@@ -68,9 +68,30 @@ def main() -> None:
         doc_id_col="doc_id", docs_per_segment=max(1000, n_docs // (2 * CPUS)),
         num_batches=1,
     )
-    t0 = time.time()
-    build_index(spark, docs, idx, cfg)
-    build_sec = time.time() - t0
+    # warm the ENGINE path too: one tiny throwaway build exercises the
+    # invert closure's unpickle + module imports inside the reused
+    # Python workers and the staging plan's JVM codegen — one-time
+    # per-session costs (~3.5 s, and growing with the package) that are
+    # not build throughput.  Then time best-of-3 full builds, the same
+    # estimator policy _time() documents for the queries: this host is
+    # co-tenant, and a SINGLE cold build timing has measured 2-5x
+    # inflation under load spikes (the r1->r4 driver-side build
+    # "decline" — 689->205 files/s while interleaved same-host A/B held
+    # 841~846 — was exactly this: one cold single-shot sample).  Every
+    # rep is a full from-scratch build of all n_docs; all reps and the
+    # 1-minute load average are reported so a noisy run is readable.
+    warm_idx = f"{idx}_warm"
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(spark, docs.limit(64), warm_idx, cfg)
+    shutil.rmtree(warm_idx, ignore_errors=True)
+
+    build_reps: list[float] = []
+    for _ in range(3):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, idx, cfg)
+        build_reps.append(round(time.time() - t0, 3))
+    build_sec = min(build_reps)
     reader = IndexReader(spark, idx)
     searcher = IndexSearcher(reader)
 
@@ -226,8 +247,12 @@ def main() -> None:
         "queries_extra": extra,
         "sf": SF_DIR,
         "cpus": CPUS,
+        "load_avg_1m": float(
+            open("/proc/loadavg").read().split()[0]
+        ),
         "build": {
             "build_sec": round(build_sec, 3),
+            "build_reps_sec": build_reps,
             "num_docs": n_docs,
             "files_per_sec": round(n_docs / build_sec, 1),
         },

@@ -270,6 +270,48 @@ def ensure_idversion_sidecar(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def ensure_delq_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (once) a dedicated documents index and apply ONE
+    delete-by-query — IndexWriter.deleteDocuments(Query...) analog
+    (CORE/index/IndexWriter.java:1816): tombstone docs containing
+    T_RARE but not T_HOT (a MUST + MUST_NOT boolean resolved as a
+    distributed set-algebra plan, index/deletes.py matching_ids).
+    Separate dir from ensure_index so the shared gate index stays
+    unmutated."""
+    from lucene_spark.index.deletes import delete_by_query
+
+    key = os.path.abspath(sf_dir)
+    ck = ("delq", key)
+    if ck in _READERS:
+        return _READERS[ck]
+    tag = key.strip("/").replace("/", "_")
+    idx = f"/tmp/lucene_spark_delq_{tag}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    fresh = False
+    try:
+        m = mani.read_manifest(idx)
+        fresh = (
+            m.get("num_docs_total") == n and m.get("delete_batches")
+        )
+    except FileNotFoundError:
+        pass
+    if not fresh:
+        cfg = IndexConfig(
+            field=FIELD, content_col="text", analyzer="simple",
+            doc_id_col="doc_id", docs_per_segment=100_000,
+            num_batches=1,
+        )
+        build_index(spark, docs, idx, cfg)
+        delete_by_query(spark, idx, Q.BooleanQuery(
+            must=(Q.TermQuery(FIELD, T_RARE),),
+            must_not=(Q.TermQuery(FIELD, T_HOT),),
+        ))
+    r = IndexReader(spark, idx)
+    _READERS[ck] = r
+    return r
+
+
 def ensure_points_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the z-order points index over the events table
     (BKD-analog, SURVEY §2.1 Points sink): dims (user_id, value)."""
@@ -1763,7 +1805,19 @@ def gate_queries() -> dict[str, object]:
             F.lit("isort_cnt").alias("tag"), F.lit("").alias("term"),
             F.col("cnt").alias("v1"), F.lit(0).cast("long").alias("v2"),
         )
-        return cnt.unionByName(hft).unionByName(iscnt)
+        # delete-by-query (IndexWriter.deleteDocuments(Query...),
+        # CORE/index/IndexWriter.java:1816): the dedicated index had
+        # (customer AND NOT table) tombstoned; v1 = live hit count of
+        # T_MID (the with-deletions Weight#count fallback path),
+        # v2 = the exact tombstone count from the manifest accounting
+        rq = ensure_delq_index(spark, sf)
+        dq = sp.term_count(rq, FIELD, T_MID).select(
+            F.lit("delq").alias("tag"), F.lit("").alias("term"),
+            F.col("cnt").cast("long").alias("v1"),
+            F.lit(int(rq.manifest.get("num_deleted", 0)))
+            .cast("long").alias("v2"),
+        )
+        return cnt.unionByName(hft).unionByName(iscnt).unionByName(dq)
 
     def q_facet_lang(spark, sf):
         r = ensure_index(spark, sf)
@@ -1799,7 +1853,31 @@ def gate_queries() -> dict[str, object]:
             ("after", sp.field_sort_search_after(
                 r, FIELD, T_MID, "n_chars",
                 after_val=450, after_doc=0, ascending=False)),
+            # ICUCollationKeyAnalyzer role (analysis/icu/collation/):
+            # matched docs sorted under the ICU 'de' collation of a
+            # deterministic accented key (umlauts sort next to their
+            # base letters, unlike binary order); sort_val carries the
+            # RANK so the order itself is value-verified by the
+            # order-insensitive row-set compare
+            ("collate", _collate_sort(spark, sf)),
         ])
+
+    def _collate_sort(spark, sf):
+        from lucene_spark.search.collation import collation_sort_topk
+
+        r = ensure_index(spark, sf)
+        matched = sp.exploded_postings(
+            r, FIELD, [T_MID]
+        ).select("doc_id").distinct()
+        named = _docs(spark, sf).join(matched, "doc_id").select(
+            "doc_id",
+            F.expr(
+                "translate(substring(text, 1, 8), 'aeoun', 'äéöüñ')"
+            ).alias("nm"),
+        )
+        return collation_sort_topk(named, "nm", "de", k=10).select(
+            "doc_id", F.col("rank").alias("sort_val")
+        )
 
     def q_sort_selector(spark, sf):
         # SortedSetSelector (min/max/middle_min/middle_max over the
@@ -3904,10 +3982,19 @@ t_after AS (
   SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS sort_val
   FROM documents d JOIN m ON d.doc_id = m.doc_id
   WHERE d.n_chars < 450 OR (d.n_chars = 450 AND d.doc_id > 0)
-  ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10)
+  ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10),
+t_collate AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY nm COLLATE de, doc_id)
+              AS BIGINT) AS sort_val
+  FROM (SELECT d.doc_id,
+               translate(substr(d.text, 1, 8), 'aeoun', 'äéöüñ') AS nm
+        FROM documents d JOIN m ON d.doc_id = m.doc_id)
+  ORDER BY nm COLLATE de, doc_id LIMIT 10)
 SELECT 'docvalues' AS tag, * FROM t_docvalues
 UNION ALL SELECT 'sorted' AS tag, * FROM t_sorted
-UNION ALL SELECT 'after' AS tag, * FROM t_after""",
+UNION ALL SELECT 'after' AS tag, * FROM t_after
+UNION ALL SELECT 'collate' AS tag, * FROM t_collate""",
         "q_sort_selector": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}'),
 arrs AS (
@@ -4779,11 +4866,19 @@ ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 10""",
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS v1, "
             "CAST(count(*) AS BIGINT) AS v2 FROM toks GROUP BY tok "
             "ORDER BY v2 DESC, term ASC LIMIT 10) "
+            ", t_delq AS (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE tok = '{T_RARE}' AND doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_HOT}')) "
             "SELECT 'count' AS tag, * FROM t_count "
             "UNION ALL SELECT 'hft' AS tag, * FROM t_hft "
             "UNION ALL SELECT 'isort_cnt' AS tag, '' AS term, "
             "CAST(count(*) AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 "
-            "FROM documents WHERE n_chars BETWEEN 100 AND 400"
+            "FROM documents WHERE n_chars BETWEEN 100 AND 400 "
+            "UNION ALL SELECT 'delq' AS tag, '' AS term, "
+            "(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM toks "
+            f"WHERE tok = '{T_MID}' "
+            "AND doc_id NOT IN (SELECT doc_id FROM t_delq)) AS v1, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM t_delq) AS v2"
         ),
         "q_facet_lang": f"""WITH {_TOKS},
 m AS (SELECT DISTINCT doc_id FROM toks WHERE tok = '{T_MID}')

@@ -103,3 +103,107 @@ def live_doc_count(spark: SparkSession, index_dir: str) -> int:
     total = m["num_docs_total"] - int(m.get("purged_docs", 0))
     dels = deleted_ids_df(spark, index_dir, m)
     return total - (dels.count() if dels is not None else 0)
+
+
+def matching_ids(reader, q) -> DataFrame:
+    """The UNSCORED relational match set of a query: DataFrame(doc_id)
+    of every live-or-dead doc matching ``q`` — the doc-id resolution
+    step of ``IndexWriter.deleteDocuments(Query...)``
+    (CORE/index/IndexWriter.java:1816; the reference resolves the
+    query lazily per segment at flush — here the resolution is one
+    distributed set-algebra plan over the term-pruned postings scan,
+    never a driver-side candidate list).
+
+    Supported query family (the delete-by-query shapes): Term,
+    Synonym, the multi-term rewrites (Prefix/Wildcard/Regexp/Fuzzy/
+    TermRange/TermInSet), MatchAll/MatchNoDocs, Constant/Boost
+    wrappers (scoreless here), and arbitrarily nested BooleanQuery
+    (MUST intersect, FILTER intersect, SHOULD with minimum-should-
+    match, MUST_NOT anti-join). Positional and other scoring-only
+    queries raise — compose those via the searcher + delete_by_ids.
+    """
+    from lucene_spark.search import query as Q
+    from lucene_spark.search import sqlpath as sp
+
+    spark = reader.spark
+    q = Q.rewrite_fixpoint(q)
+
+    def ids(node) -> DataFrame:
+        if isinstance(node, (Q.ConstantScoreQuery, Q.BoostQuery)):
+            return ids(node.query)
+        if isinstance(node, Q.MatchAllQuery):
+            return reader.docs().select("doc_id")
+        if isinstance(node, Q.MatchNoDocsQuery):
+            return spark.createDataFrame([], "doc_id long")
+        if isinstance(node, Q.TermQuery):
+            return (
+                sp.exploded_postings(reader, node.field, [node.term])
+                .select("doc_id").distinct()
+            )
+        if isinstance(node, Q.SynonymQuery):
+            return (
+                sp.exploded_postings(
+                    reader, node.field, sorted(set(node.terms))
+                ).select("doc_id").distinct()
+            )
+        if isinstance(node, (
+            Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
+            Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery,
+        )):
+            terms = reader.expand(node)
+            if not terms:
+                return spark.createDataFrame([], "doc_id long")
+            return (
+                sp.exploded_postings(reader, node.field, sorted(terms))
+                .select("doc_id").distinct()
+            )
+        if isinstance(node, Q.BooleanQuery):
+            out = None
+            for c in list(node.must) + list(node.filter):
+                ci = ids(c)
+                out = ci if out is None else out.join(ci, "doc_id")
+            if node.should:
+                m = max(node.min_should, 0 if out is not None else 1)
+                parts = [
+                    ids(c).withColumn("_cl", F.lit(i))
+                    for i, c in enumerate(node.should)
+                ]
+                u = parts[0]
+                for p in parts[1:]:
+                    u = u.unionByName(p)
+                sh = (
+                    u.groupBy("doc_id")
+                    .agg(F.countDistinct("_cl").alias("_n"))
+                    .filter(F.col("_n") >= m)
+                    .select("doc_id")
+                )
+                out = sh if out is None else out.join(sh, "doc_id")
+            if out is None:
+                raise ValueError("BooleanQuery with no positive clause")
+            for c in node.must_not:
+                out = out.join(ids(c), "doc_id", "left_anti")
+            return out
+        raise TypeError(
+            f"delete-by-query does not support {type(node).__name__}; "
+            "run the query through the searcher and use delete_by_ids"
+        )
+
+    return ids(q)
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, q) -> int:
+    """``IndexWriter.deleteDocuments(Query...)`` analog
+    (CORE/index/IndexWriter.java:1816): tombstone every LIVE doc
+    matching the query. Already-deleted docs are excluded before the
+    tombstone batch is staged, so ``num_deleted`` accounting stays
+    exact across repeated deletes. Same two-phase contract as
+    delete_by_ids: tombstone parquet first, one manifest generation
+    publish second."""
+    from lucene_spark.search.executor import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    ids = matching_ids(reader, q)
+    dead = deleted_ids_df(spark, index_dir)
+    if dead is not None:
+        ids = ids.join(dead, "doc_id", "left_anti")
+    return delete_by_ids(spark, index_dir, ids)

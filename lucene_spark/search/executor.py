@@ -899,12 +899,22 @@ class IndexSearcher:
         return _explain_node(node, ctx, int(doc_id))
 
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
+        # Weight#count shortcut (Weight.java:198,
+        # MatchAllDocsQuery.java): total hits ride the manifest's doc
+        # accounting — num_docs_total minus merge-purged docs minus
+        # live tombstones — so the no-deletions path runs ZERO count
+        # jobs (only the k-row collect below). With tombstones present
+        # the tombstone set must be deduplicated (the only frame
+        # scanned — never the doclens), mirroring term_count's
+        # with-deletions fallback (sqlpath.py term_count).
+        m = self.reader.manifest
+        total = int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
         # distinct: doclens hold one row per (doc, field)
         dl = self.reader.doclens().select("doc_id").distinct()
         dels = self.reader.deleted_df()
         if dels is not None:
+            total -= dels.select("doc_id").distinct().count()
             dl = dl.join(dels, "doc_id", "left_anti")
-        total = dl.count()
         rows = dl.orderBy("doc_id").limit(k).collect()
         return Q.TopDocs(
             total_hits=total,

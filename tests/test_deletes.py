@@ -217,3 +217,128 @@ def test_merge_purge_respects_segment_ranges(spark, corpus, tmp_path):
     # and the doc stays invisible to search
     total = IndexSearcher(r).search(Q.MatchAllQuery(), k=1).total_hits
     assert total == m["num_docs_total"] - 1
+
+
+# ------------------- delete-by-query (IndexWriter.java:1816) -----------
+
+
+def _postings_docs(reader, term):
+    from lucene_spark.search import sqlpath as sp
+
+    return {
+        r["doc_id"]
+        for r in sp.exploded_postings(reader, "content", [term])
+        .select("doc_id").collect()
+    }
+
+
+def _two_terms(reader):
+    """Two mid-frequency terms from the live term dictionary."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        reader.term_stats_df()
+        .filter(F.col("field") == "content")
+        .groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        .filter((F.col("df") >= 5) & (F.col("df") <= 200))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(2)
+        .collect()
+    )
+    assert len(rows) == 2
+    return rows[0]["term"], rows[1]["term"]
+
+
+def test_matching_ids_boolean_algebra(spark, idx):
+    from lucene_spark.index.deletes import matching_ids
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader
+
+    path, reader = idx
+    t1, t2 = _two_terms(reader)
+    d1, d2 = _postings_docs(reader, t1), _postings_docs(reader, t2)
+
+    got = {
+        r["doc_id"]
+        for r in matching_ids(reader, Q.BooleanQuery(
+            must=(Q.TermQuery("content", t1),),
+            must_not=(Q.TermQuery("content", t2),),
+        )).collect()
+    }
+    assert got == d1 - d2
+
+    # minimum-should-match 2 of 2 == intersection
+    got2 = {
+        r["doc_id"]
+        for r in matching_ids(reader, Q.BooleanQuery(
+            should=(Q.TermQuery("content", t1), Q.TermQuery("content", t2)),
+            min_should=2,
+        )).collect()
+    }
+    assert got2 == d1 & d2
+
+    # nested: (t1 OR t2) AND NOT (t1 AND t2) == symmetric difference
+    got3 = {
+        r["doc_id"]
+        for r in matching_ids(reader, Q.BooleanQuery(
+            must=(Q.BooleanQuery(
+                should=(Q.TermQuery("content", t1),
+                        Q.TermQuery("content", t2)),
+                min_should=1,
+            ),),
+            must_not=(Q.BooleanQuery(
+                must=(Q.TermQuery("content", t1),
+                      Q.TermQuery("content", t2)),
+            ),),
+        )).collect()
+    }
+    assert got3 == d1 ^ d2
+
+
+def test_matching_ids_unsupported_raises(spark, idx):
+    import pytest
+
+    from lucene_spark.index.deletes import matching_ids
+    from lucene_spark.search import query as Q
+
+    _, reader = idx
+    with pytest.raises(TypeError):
+        matching_ids(reader, Q.PhraseQuery("content", ("a", "b")))
+
+
+def test_delete_by_query_removes_matches_and_accounts_exactly(spark, idx):
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.deletes import delete_by_query
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    path, reader = idx
+    t1, t2 = _two_terms(reader)
+    d1, d2 = _postings_docs(reader, t1), _postings_docs(reader, t2)
+    expect = d1 - d2
+    assert expect
+
+    g1 = delete_by_query(spark, path, Q.BooleanQuery(
+        must=(Q.TermQuery("content", t1),),
+        must_not=(Q.TermQuery("content", t2),),
+    ))
+    m = mani.read_manifest(path)
+    assert m["generation"] == g1
+    assert int(m["num_deleted"]) == len(expect)
+
+    # every query path skips the tombstoned docs now
+    r2 = IndexReader(spark, path)
+    live = _postings_docs(r2, t1)
+    assert live == d1 & d2
+    hits = IndexSearcher(r2).search(Q.TermQuery("content", t1), k=400).hits
+    assert {h.doc_id for h in hits} == d1 & d2
+
+    # repeating the same delete is a no-op: live matches are excluded
+    # before staging, so accounting does not double-count
+    g2 = delete_by_query(spark, path, Q.BooleanQuery(
+        must=(Q.TermQuery("content", t1),),
+        must_not=(Q.TermQuery("content", t2),),
+    ))
+    m2 = mani.read_manifest(path)
+    assert g2 == g1
+    assert int(m2["num_deleted"]) == len(expect)

@@ -198,6 +198,22 @@ def test_match_all(built_index, oracle_index):
     assert [h.doc_id for h in td.hits] == [0, 1, 2, 3, 4]
 
 
+def test_match_all_count_rides_manifest(built_index, monkeypatch):
+    """Weight#count shortcut (Weight.java:198): with no deletions the
+    MatchAll total comes from the manifest arithmetic — ZERO count
+    jobs run (only the k-row collect)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("count() job ran on the MatchAll path")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    searcher = IndexSearcher(built_index)
+    td = searcher.search(Q.MatchAllQuery(), k=5)
+    assert td.total_hits == built_index.manifest["num_docs_total"]
+    assert [h.doc_id for h in td.hits] == [0, 1, 2, 3, 4]
+
+
 def test_ties_break_by_doc_id(built_index):
     """Constant-score queries produce maximal ties: order must be doc_id ASC."""
     searcher = IndexSearcher(built_index)
