@@ -787,3 +787,123 @@ def _persian_analyzer():
 
 register_analyzer("hindi", _hindi_analyzer)
 register_analyzer("persian", _persian_analyzer)
+
+
+# --------------------------------------------------------------------------
+# ICUTransformFilter — the ALGORITHMIC transform subset
+# (analysis/icu/src/java/org/apache/lucene/analysis/icu/
+# ICUTransformFilter.java wraps any compiled ICU Transliterator; the
+# rule-data transliterators (Any-Latin tailorings etc.) are permanently
+# descoped as data-bound — SURVEY §12. The transforms below are pure
+# codepoint arithmetic / canonical-decomposition inverses, so they
+# rebuild without transcribing ICU rule data.)
+# --------------------------------------------------------------------------
+
+
+def _half_kana_inverse() -> dict[str, str]:
+    """fullwidth kana char -> halfwidth form, derived at import time by
+    inverting the NFKC decompositions of U+FF61..U+FF9F (no table is
+    transcribed: Unicode's own normalization data IS the mapping)."""
+    import unicodedata
+
+    inv: dict[str, str] = {}
+    for cp in range(0xFF61, 0xFFA0):
+        h = chr(cp)
+        f = unicodedata.normalize("NFKC", h)
+        if f != h:
+            inv[f] = h
+    return inv
+
+
+class ScriptTransformFilter(TokenFilter):
+    """ICUTransformFilter role for the algorithmic transform ids:
+
+    - ``Katakana-Hiragana`` / ``Hiragana-Katakana``: the kana blocks
+      are congruent at a fixed 0x60 codepoint offset
+      (U+30A1..U+30F6 <-> U+3041..U+3096) plus the iteration marks
+      (U+30FD/30FE <-> U+309D/309E); the prolonged sound mark U+30FC
+      maps to itself, exactly as ICU's transliterator leaves it.
+    - ``Fullwidth-Halfwidth``: fullwidth ASCII (U+FF01..U+FF5E) to
+      basic latin, ideographic space U+3000 to space, and fullwidth
+      kana to the halfwidth kana block via the inverted NFKC
+      decompositions (voiced kana decompose NFD-first so ガ becomes
+      the two-char halfwidth ｶﾞ, matching ICU).
+    - ``Halfwidth-Fullwidth``: NFKC over the halfwidth/fullwidth
+      block with NFC recomposition (the CJKWidthFilter fold plus
+      latin -> fullwidth is NOT included: ICU widens latin too, but
+      search analyzers never want that direction; documented subset).
+    """
+
+    _KATA_HIRA = {0x30FD: 0x309D, 0x30FE: 0x309E}
+    _IDS = (
+        "Katakana-Hiragana", "Hiragana-Katakana",
+        "Fullwidth-Halfwidth", "Halfwidth-Fullwidth",
+    )
+
+    def __init__(self, transform_id: str = "Katakana-Hiragana"):
+        if transform_id not in self._IDS:
+            raise ValueError(
+                f"unsupported transform {transform_id!r}; "
+                f"algorithmic subset: {self._IDS}"
+            )
+        self.transform_id = transform_id
+
+    def _kata_to_hira(self, t: str) -> str:
+        out = []
+        for ch in t:
+            cp = ord(ch)
+            if 0x30A1 <= cp <= 0x30F6:
+                out.append(chr(cp - 0x60))
+            elif cp in self._KATA_HIRA:
+                out.append(chr(self._KATA_HIRA[cp]))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _hira_to_kata(self, t: str) -> str:
+        inv = {v: k for k, v in self._KATA_HIRA.items()}
+        out = []
+        for ch in t:
+            cp = ord(ch)
+            if 0x3041 <= cp <= 0x3096:
+                out.append(chr(cp + 0x60))
+            elif cp in inv:
+                out.append(chr(inv[cp]))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _full_to_half(self, t: str) -> str:
+        import unicodedata
+
+        inv = _half_kana_inverse()
+        out = []
+        for ch in unicodedata.normalize("NFD", t):
+            cp = ord(ch)
+            if 0xFF01 <= cp <= 0xFF5E:
+                out.append(chr(cp - 0xFEE0))
+            elif cp == 0x3000:
+                out.append(" ")
+            elif ch in inv:
+                out.append(inv[ch])
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _half_to_full(self, t: str) -> str:
+        import unicodedata
+
+        if any("＀" <= ch <= "￯" for ch in t):
+            return unicodedata.normalize(
+                "NFC", unicodedata.normalize("NFKC", t)
+            )
+        return t
+
+    def apply(self, tokens: list[str]) -> list[str]:
+        fn = {
+            "Katakana-Hiragana": self._kata_to_hira,
+            "Hiragana-Katakana": self._hira_to_kata,
+            "Fullwidth-Halfwidth": self._full_to_half,
+            "Halfwidth-Fullwidth": self._half_to_full,
+        }[self.transform_id]
+        return [fn(t) for t in tokens]

@@ -99,3 +99,45 @@ def test_ambiguous_reading_both_recalled():
     indexed = _index_tokens("数学部長谷川")
     for tok in ["数学", "部長", "谷川", "部", "長谷川"]:
         assert set(_query_grams(tok)) <= indexed
+
+
+# ---------------- ICUTransformFilter algorithmic subset ----------------
+
+
+def test_kana_transforms_roundtrip():
+    from lucene_spark.analysis.extras import ScriptTransformFilter
+
+    k2h = ScriptTransformFilter("Katakana-Hiragana")
+    h2k = ScriptTransformFilter("Hiragana-Katakana")
+    # ICU Katakana-Hiragana: コンピューター -> こんぴゅーたー (prolonged
+    # mark preserved), ヽ/ヾ -> ゝ/ゞ
+    assert k2h.apply(["コンピューター"]) == ["こんぴゅーたー"]
+    assert k2h.apply(["ヽヾ"]) == ["ゝゞ"]
+    assert h2k.apply(["こんぴゅーたー"]) == ["コンピューター"]
+    # roundtrip over the whole congruent block
+    kana = "".join(chr(c) for c in range(0x30A1, 0x30F7))
+    assert h2k.apply(k2h.apply([kana])) == [kana]
+
+
+def test_width_transforms():
+    from lucene_spark.analysis.extras import ScriptTransformFilter
+
+    f2h = ScriptTransformFilter("Fullwidth-Halfwidth")
+    h2f = ScriptTransformFilter("Halfwidth-Fullwidth")
+    assert f2h.apply(["Ｔｅｓｔ１２３"]) == ["Test123"]
+    # fullwidth katakana -> halfwidth block; voiced kana split into
+    # base + halfwidth voicing mark (ガ -> ｶﾞ), as ICU does
+    assert f2h.apply(["カタカナ"]) == ["ｶﾀｶﾅ"]
+    assert f2h.apply(["ガギ"]) == ["ｶﾞｷﾞ"]
+    # inverse direction recomposes
+    assert h2f.apply(["ｶﾞｷﾞ"]) == ["ガギ"]
+    assert h2f.apply(["ｶﾀｶﾅ"]) == ["カタカナ"]
+
+
+def test_unknown_transform_rejected():
+    import pytest
+
+    from lucene_spark.analysis.extras import ScriptTransformFilter
+
+    with pytest.raises(ValueError):
+        ScriptTransformFilter("Any-Latin")
