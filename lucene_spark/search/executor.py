@@ -856,6 +856,46 @@ class IndexSearcher:
         ]
         return Q.TopDocs(total_hits=total, hits=hits)
 
+    def count(self, q: Q.Query) -> int:
+        """``IndexSearcher.count(Query)``
+        (core/search/IndexSearcher.java count: a TotalHitCountCollector
+        pass that takes every Weight#count shortcut available,
+        Weight.java:198). Shortcut ladder here:
+
+        - MatchAll -> manifest arithmetic (zero jobs without
+          tombstones; one tombstone-frame count otherwise);
+        - TermQuery without tombstones -> term-dictionary doc_freq
+          (the TermQuery.java:260 shortcut, no postings touched);
+        - any set-algebra query (bool/multi-term/synonym) -> the
+          UNSCORED relational match set counted distributively
+          (index/deletes.py matching_ids — one count job, never the
+          scoring kernel);
+        - positional/scoring-only shapes -> the kernel with prune=False
+          (exact seg_total, the collector fallback).
+        """
+        q = Q.rewrite_fixpoint(q)
+        m = self.reader.manifest
+        if isinstance(q, Q.MatchAllQuery):
+            total = int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
+            dels = self.reader.deleted_df()
+            if dels is not None:
+                total -= dels.select("doc_id").distinct().count()
+            return total
+        has_dels = bool(m.get("delete_batches"))
+        if isinstance(q, Q.TermQuery) and not has_dels:
+            st = self.reader.term_stats(q.field, [q.term])
+            return int(st[q.term].doc_freq) if q.term in st else 0
+        from lucene_spark.index.deletes import matching_ids
+
+        try:
+            ids = matching_ids(self.reader, q)
+        except TypeError:
+            return int(self.search(q, k=1, prune=False).total_hits)
+        dels = self.reader.deleted_df()
+        if dels is not None:
+            ids = ids.join(dels, "doc_id", "left_anti")
+        return ids.count()
+
     def explain(self, q: Q.Query, doc_id: int) -> dict:
         """Score explanation for one document — the Explanation tree of
         IndexSearcher.explain (CheckHits contract: the explained value

@@ -221,3 +221,28 @@ def test_ties_break_by_doc_id(built_index):
     docs = [h.doc_id for h in td.hits]
     assert docs == sorted(docs)
     assert len(set(h.score for h in td.hits)) == 1
+
+
+def test_searcher_count_matches_exact_totals(built_index):
+    """IndexSearcher.count(Query): every shortcut tier agrees with the
+    exact (prune=False) collector total."""
+    s = IndexSearcher(built_index)
+    queries = [
+        Q.MatchAllQuery(),
+        Q.TermQuery(F, "class"),
+        Q.BooleanQuery(
+            must=(Q.TermQuery(F, "class"),),
+            must_not=(Q.TermQuery(F, "import"),),
+        ),
+        Q.BooleanQuery(
+            should=(Q.TermQuery(F, "class"), Q.TermQuery(F, "import"),
+                    Q.TermQuery(F, "def")),
+            min_should=2,
+        ),
+        Q.PrefixQuery(F, "parse"),
+        # positional: exercises the kernel fallback tier
+        Q.PhraseQuery(F, ("class", "import")),
+    ]
+    for q in queries:
+        want = s.search(q, k=1, prune=False).total_hits
+        assert s.count(q) == want, q
