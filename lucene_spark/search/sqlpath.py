@@ -139,6 +139,45 @@ def _with_stats(reader: IndexReader, field: str, scored_terms: list[str]) -> tup
     return df_df, n, avgdl
 
 
+# cap on the literal-df fast path: beyond this many terms the map
+# literal bloats the plan more than the broadcast join costs
+_DF_LITERAL_MAX_TERMS = 64
+
+
+def _attach_df(
+    reader: IndexReader, field: str, ep: DataFrame, df_df: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Attach the per-term docFreq column to the exploded postings.
+
+    Fast path: for few-term queries the doc freqs come from the
+    reader's driver term cache (zero jobs warm; a <= n_terms-row
+    pushed-down collect cold) and ride the plan as a LITERAL map
+    lookup — removing the broadcast-exchange job the lazy join costs
+    on EVERY query. ep only ever holds terms present in the index, so
+    the literal map is total over ep's term column and the semantics
+    are identical to the inner join. Fallback (many-term expansions,
+    readers without the cache path): the lazy broadcast join —
+    plan-size-bounded, one exchange."""
+    ts = sorted(set(terms))
+    if 0 < len(ts) <= _DF_LITERAL_MAX_TERMS:
+        try:
+            st = reader.term_stats(field, ts)
+        except Exception:
+            st = None
+        if st is not None:
+            pairs: list = []
+            for t in ts:
+                if t in st:
+                    pairs += [F.lit(t), F.lit(float(st[t].doc_freq))]
+            if not pairs:
+                return ep.withColumn("df", F.lit(0.0))
+            return ep.withColumn(
+                "df", F.element_at(F.create_map(*pairs), F.col("term"))
+            )
+    return ep.join(F.broadcast(df_df), "term")
+
+
 def bool_bm25_topk(
     reader: IndexReader,
     field: str,
@@ -163,7 +202,7 @@ def bool_bm25_topk(
     ep = exploded_postings(reader, field, scoring)
     df_df, n, avgdl = _with_stats(reader, field, scoring)
     dlq = _length_table_col(F.col("norm_code"))
-    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+    scored = _attach_df(reader, field, ep, df_df, scoring).withColumn(
         "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
     )
     is_must = F.col("term").isin(must) if must else F.lit(False)
@@ -321,7 +360,9 @@ def covering_topk(
     ep = exploded_postings(reader, field, sorted(set(terms)))
     df_df, n, avgdl = _with_stats(reader, field, sorted(set(terms)))
     dlq = _length_table_col(F.col("norm_code"))
-    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+    scored = _attach_df(
+        reader, field, ep, df_df, sorted(set(terms))
+    ).withColumn(
         "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
     )
     agg = scored.groupBy("doc_id").agg(
@@ -827,7 +868,9 @@ def dismax_topk(
     ep = exploded_postings(reader, field, terms)
     df_df, n, avgdl = _with_stats(reader, field, sorted(set(terms)))
     dlq = _length_table_col(F.col("norm_code"))
-    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+    scored = _attach_df(
+        reader, field, ep, df_df, sorted(set(terms))
+    ).withColumn(
         "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
     )
     agg = scored.groupBy("doc_id").agg(
@@ -1333,7 +1376,7 @@ def term_scored(reader: IndexReader, field: str, term: str) -> DataFrame:
     ep = exploded_postings(reader, field, [term])
     df_df, n, avgdl = _with_stats(reader, field, [term])
     dlq = _length_table_col(F.col("norm_code"))
-    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+    scored = _attach_df(reader, field, ep, df_df, [term]).withColumn(
         "score", _score_col(F.col("freq"), dlq, F.col("df"), n, avgdl)
     )
     return scored.select(
@@ -2417,7 +2460,7 @@ def common_terms_topk(
     ep = exploded_postings(reader, field, present)
     df_df, n_col, avgdl = _with_stats(reader, field, present)
     dlq = _length_table_col(F.col("norm_code"))
-    scored = ep.join(F.broadcast(df_df), "term").withColumn(
+    scored = _attach_df(reader, field, ep, df_df, present).withColumn(
         "tscore", _score_col(F.col("freq"), dlq, F.col("df"), n_col, avgdl)
     )
     agg = scored.groupBy("doc_id").agg(
