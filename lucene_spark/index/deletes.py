@@ -163,21 +163,26 @@ def matching_ids(reader, q) -> DataFrame:
                 ci = ids(c)
                 out = ci if out is None else out.join(ci, "doc_id")
             if node.should:
+                # a should-only boolean needs >= 1 clause; with MUST/
+                # FILTER present, minShouldMatch=0 means the SHOULD
+                # clauses are scoring-only and do NOT constrain the
+                # match set (BooleanQuery.java required-clause rule)
                 m = max(node.min_should, 0 if out is not None else 1)
-                parts = [
-                    ids(c).withColumn("_cl", F.lit(i))
-                    for i, c in enumerate(node.should)
-                ]
-                u = parts[0]
-                for p in parts[1:]:
-                    u = u.unionByName(p)
-                sh = (
-                    u.groupBy("doc_id")
-                    .agg(F.countDistinct("_cl").alias("_n"))
-                    .filter(F.col("_n") >= m)
-                    .select("doc_id")
-                )
-                out = sh if out is None else out.join(sh, "doc_id")
+                if m >= 1:
+                    parts = [
+                        ids(c).withColumn("_cl", F.lit(i))
+                        for i, c in enumerate(node.should)
+                    ]
+                    u = parts[0]
+                    for p in parts[1:]:
+                        u = u.unionByName(p)
+                    sh = (
+                        u.groupBy("doc_id")
+                        .agg(F.countDistinct("_cl").alias("_n"))
+                        .filter(F.col("_n") >= m)
+                        .select("doc_id")
+                    )
+                    out = sh if out is None else out.join(sh, "doc_id")
             if out is None:
                 raise ValueError("BooleanQuery with no positive clause")
             for c in node.must_not:

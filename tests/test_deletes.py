@@ -342,3 +342,81 @@ def test_delete_by_query_removes_matches_and_accounts_exactly(spark, idx):
     m2 = mani.read_manifest(path)
     assert g2 == g1
     assert int(m2["num_deleted"]) == len(expect)
+
+
+def test_matching_ids_random_boolean_trees(spark, idx):
+    """12 seeded random boolean trees over real dictionary terms:
+    matching_ids' distributed set algebra must equal a driver-side
+    set evaluation of the same tree (the brute-force oracle)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.deletes import matching_ids
+    from lucene_spark.search import query as Q
+
+    path, reader = idx
+    rows = (
+        reader.term_stats_df()
+        .filter(F.col("field") == "content")
+        .groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        .filter(F.col("df") >= 3)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(12)
+        .collect()
+    )
+    terms = [r["term"] for r in rows]
+    docs = {t: _postings_docs(reader, t) for t in terms}
+    all_ids = {
+        r["doc_id"] for r in reader.docs().select("doc_id").collect()
+    }
+
+    def gen(rng, depth):
+        if depth == 0 or rng.random() < 0.4:
+            return Q.TermQuery("content", rng.choice(terms))
+        kids = [gen(rng, depth - 1) for _ in range(rng.randint(2, 3))]
+        mode = rng.choice(["must", "should", "mixed"])
+        if mode == "must":
+            return Q.BooleanQuery(must=tuple(kids))
+        if mode == "should":
+            m = rng.randint(1, len(kids))
+            return Q.BooleanQuery(should=tuple(kids), min_should=m)
+        return Q.BooleanQuery(
+            must=(kids[0],), must_not=(kids[1],),
+            should=tuple(kids[2:]),
+        )
+
+    def ev(node):
+        if isinstance(node, Q.TermQuery):
+            return docs[node.term]
+        if isinstance(node, Q.MatchAllQuery):
+            return set(all_ids)
+        if isinstance(node, Q.MatchNoDocsQuery):
+            return set()
+        assert isinstance(node, Q.BooleanQuery)
+        out = None
+        for c in list(node.must) + list(node.filter):
+            s = ev(c)
+            out = s if out is None else out & s
+        if node.should:
+            need = max(node.min_should, 0 if out is not None else 1)
+            if need > 0 or out is None:
+                from collections import Counter
+
+                cnt = Counter()
+                for c in node.should:
+                    for d in ev(c):
+                        cnt[d] += 1
+                sh = {d for d, n in cnt.items() if n >= need}
+                out = sh if out is None else out & sh
+        for c in node.must_not:
+            out = out - ev(c)
+        return out
+
+    rng = random.Random(20260821)
+    for i in range(12):
+        q = gen(rng, 2)
+        # the engine rewrites first, exactly like delete_by_query does
+        want = ev(Q.rewrite_fixpoint(q))
+        got = {r["doc_id"] for r in matching_ids(reader, q).collect()}
+        assert got == want, (i, q)
