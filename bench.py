@@ -141,6 +141,12 @@ def main() -> None:
     # headline total (these rebuild their index/graph per call by design)
     extra_queries = {
         "x_hnsw_ann": lambda: ga.ann_hnsw_topk(emb, query_id=0, k=10).collect(),
+        # IVF-routed HNSW (r5): router prunes to n_probe lists before
+        # any graph work — the every-partition vs routed comparison
+        # against x_hnsw_ann is the 100-TB fan-out evidence
+        "x_routed_hnsw": lambda: ga.ann_routed_hnsw_topk(
+            emb, query_id=0, k=10, n_centroids=16, n_probe=4
+        ).collect(),
         "x_dedup_clusters": lambda: dd.dedup_clusters(
             dd.minhash_lsh_pairs(docs, threshold=0.1)
         ).collect(),

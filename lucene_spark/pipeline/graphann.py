@@ -907,3 +907,86 @@ def ann_seeded_topk(
         .orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ann_routed_hnsw_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ef: int = 48,
+    ef_construction: int = 48,
+    kmeans_iters: int = 0,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """IVF-routed hierarchical-graph ANN — the cluster-scale answer to
+    the documented per-partition-graphs-no-routing limitation of
+    ``ann_hnsw_topk``: a coarse quantizer (seeded deterministic
+    centroids, optionally Lloyd-refined — pipeline/similarity.py's IVF
+    trainer) routes the query to its ``n_probe`` nearest inverted
+    lists, the probed vectors repartition BY LIST so each list is
+    exactly one graph partition, and only those lists run the layered
+    beam search. The driver merges n_probe list-local top-k rows.
+
+    Read cost ~ n_probe/n_centroids of the corpus (the IVF S-curve)
+    TIMES the sublinear beam inside each list — at 100 TB the router
+    prunes partitions before any graph work starts, where
+    ann_hnsw_topk must beam-search EVERY partition. Reference roles:
+    Lucene99HnswVectorsFormat per-segment graphs + the coarse-
+    quantizer routing of the IVF literature (the reference's own
+    quantized formats pair HNSW with scalar/binary quantization; the
+    router here plays the segment-pruning role the BKD/manifest bounds
+    play for points).
+
+    -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC), query row excluded.
+    """
+    from lucene_spark.pipeline.similarity import (
+        _query_vec,
+        cosine_lit_col,
+        ivf_assign,
+        ivf_centroids,
+        ivf_train_kmeans,
+    )
+
+    qv = _query_vec(emb, query_id)
+    dims = len(qv)
+    cents = (
+        ivf_train_kmeans(emb, n_centroids, kmeans_iters, dims=dims)
+        if kmeans_iters > 0
+        else ivf_centroids(emb, n_centroids)
+    )
+    assign = ivf_assign(emb, cents, dims)
+    probe = (
+        cents.select(
+            "cid",
+            cosine_lit_col("CAST(cvec AS ARRAY<DOUBLE>)", qv).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    routed = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != query_id)
+    )
+    # one graph partition per probed list (the list IS the segment);
+    # the query row rides along so the downstream search can read its
+    # vector, and is excluded from the result by ann_hnsw_topk itself
+    routed = (
+        routed.repartition(n_probe, "cid")
+        .drop("cid")
+        .unionByName(emb.filter(F.col("vec_id") == query_id))
+    )
+    return ann_hnsw_topk(
+        routed,
+        query_id=query_id,
+        k=k,
+        m=m,
+        ef=ef,
+        ef_construction=ef_construction,
+        partitions=None,  # keep the by-list placement
+        filter_expr=filter_expr,
+    )

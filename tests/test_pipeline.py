@@ -638,3 +638,44 @@ def test_semantic_dedup_matches_bruteforce_within_clusters(spark):
     assert not (dropped & keepers) or all(
         a < b for a, b, _ in got
     )
+
+
+def test_routed_hnsw_recall_and_pruning(spark):
+    """IVF-routed HNSW (r5): the coarse router must prune the corpus —
+    only the probed lists' vectors are searched — while recall vs the
+    exact top-k stays high, and scores remain exact cosines."""
+    from lucene_spark.pipeline.graphann import ann_routed_hnsw_topk
+    from lucene_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dims = len(emb.select("embedding").head()["embedding"])
+
+    got = ann_routed_hnsw_topk(
+        emb, query_id=0, k=10, n_centroids=16, n_probe=6, m=8, ef=64
+    ).collect()
+    assert len(got) == 10
+    exact = {
+        r["vec_id"]: r["cos_x1e6"]
+        for r in cosine_topk(emb, 0, 500).collect()
+    }
+    # scores are exact cosines for every returned id
+    hit = 0
+    exact10 = set(list(exact)[:10])
+    for r in got:
+        assert r["vec_id"] in exact
+        assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
+        hit += r["vec_id"] in exact10
+    assert hit >= 7, f"routed recall@10 too low: {hit}/10"
+
+    # pruning actually happened: the probed lists hold a strict subset
+    cents = ivf_centroids(emb, 16)
+    sizes = (
+        ivf_assign(emb, cents, dims).groupBy("cid").count().collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    top6 = sum(sorted((r["count"] for r in sizes), reverse=True)[:6])
+    assert top6 < total
