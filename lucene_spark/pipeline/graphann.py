@@ -183,12 +183,15 @@ def graph_recall(
     method: str = "nsw",
     **kw,
 ) -> float:
-    """Mean recall@k of a graph path ('nsw' flat / 'hnsw' hierarchical)
-    vs brute force over the given queries — the
-    HnswGraphSearcher-recall-test analog."""
+    """Mean recall@k of a graph path ('nsw' flat / 'hnsw' hierarchical
+    / 'routed' IVF-routed hierarchical) vs brute force over the given
+    queries — the HnswGraphSearcher-recall-test analog."""
     from lucene_spark.pipeline.similarity import cosine_topk
 
-    fn = ann_hnsw_topk if method == "hnsw" else ann_graph_topk
+    fn = {
+        "hnsw": ann_hnsw_topk,
+        "routed": lambda *a, **k2: ann_routed_hnsw_topk(*a, **k2),
+    }.get(method, ann_graph_topk)
     total = 0.0
     for qid in query_ids:
         exact = {r["vec_id"] for r in cosine_topk(emb, qid, k).collect()}

@@ -420,3 +420,57 @@ def test_matching_ids_random_boolean_trees(spark, idx):
         want = ev(Q.rewrite_fixpoint(q))
         got = {r["doc_id"] for r in matching_ids(reader, q).collect()}
         assert got == want, (i, q)
+
+
+def test_delete_by_query_two_phase_crash_is_invisible(spark, idx, monkeypatch):
+    """Two-phase contract: a crash AFTER the tombstone parquet is
+    staged but BEFORE the manifest publish leaves readers on the old
+    generation with zero visible deletes (the orphan batch is
+    unreferenced); the retried delete reuses the batch slot
+    (mode=overwrite) and publishes exactly once."""
+    from lucene_spark.index import manifest as mani
+    from lucene_spark.index.deletes import delete_by_query
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.executor import IndexReader, IndexSearcher
+
+    path, reader = idx
+    t1, t2 = _two_terms(reader)
+    expect = _postings_docs(reader, t1) - _postings_docs(reader, t2)
+    assert expect
+    gen0 = mani.read_manifest(path)["generation"]
+    n0 = IndexSearcher(IndexReader(spark, path)).count(Q.MatchAllQuery())
+
+    real_commit = mani.commit_manifest
+
+    def boom(index_dir, m):
+        raise RuntimeError("injected crash before manifest publish")
+
+    monkeypatch.setattr(mani, "commit_manifest", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        delete_by_query(spark, path, Q.BooleanQuery(
+            must=(Q.TermQuery("content", t1),),
+            must_not=(Q.TermQuery("content", t2),),
+        ))
+    monkeypatch.setattr(mani, "commit_manifest", real_commit)
+
+    # the failed delete is INVISIBLE: same generation, same live count
+    m = mani.read_manifest(path)
+    assert m["generation"] == gen0
+    assert not m.get("delete_batches")
+    assert IndexSearcher(
+        IndexReader(spark, path)
+    ).count(Q.MatchAllQuery()) == n0
+
+    # the retry publishes once, with exact accounting
+    g = delete_by_query(spark, path, Q.BooleanQuery(
+        must=(Q.TermQuery("content", t1),),
+        must_not=(Q.TermQuery("content", t2),),
+    ))
+    m2 = mani.read_manifest(path)
+    assert m2["generation"] == g > gen0
+    assert int(m2["num_deleted"]) == len(expect)
+    assert IndexSearcher(
+        IndexReader(spark, path)
+    ).count(Q.MatchAllQuery()) == n0 - len(expect)
