@@ -184,6 +184,77 @@ def cmd_reorder(args) -> None:
     print(json.dumps({"cmd": "reorder", "out": args.out, "generation": gen}))
 
 
+def cmd_dedup(args) -> None:
+    """Curation-pipeline dedup pass over a documents parquet: exact
+    (content hash), minhash (banded LSH pairs + CC canonical ids), or
+    lines-kept stats; writes the result parquet."""
+    from lucene_spark.pipeline import dedup as dd
+
+    spark = _spark()
+    docs = spark.read.parquet(args.source)
+    if args.method == "exact":
+        out = dd.exact_dedup(docs, k=args.limit)
+    elif args.method == "minhash":
+        pairs = dd.minhash_lsh_pairs(
+            docs, threshold=args.threshold, k=args.limit
+        )
+        out = dd.dedup_clusters(pairs) if args.clusters else pairs
+    elif args.method == "simhash":
+        out = dd.simhash_pairs(
+            docs, max_hamming=args.max_hamming, k=args.limit
+        )
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"cmd": "dedup", "method": args.method,
+                      "out": args.out, "rows": n}))
+
+
+def cmd_quality(args) -> None:
+    """Quality scoring pass: Gopher rule bitmask + C4 heuristics +
+    token stats joined on doc_id, written as one parquet."""
+    from lucene_spark.pipeline import textstats as ts
+
+    spark = _spark()
+    docs = spark.read.parquet(args.source)
+    g = ts.gopher_rules(docs, k=args.limit)
+    c = ts.c4_filters(docs, k=args.limit)
+    t = ts.token_stats(docs, k=args.limit)
+    out = g.join(c, "doc_id").join(t, "doc_id")
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"cmd": "quality", "out": args.out, "rows": n}))
+
+
+def cmd_ann(args) -> None:
+    """ANN query over an embeddings parquet: brute cosine, IVF, HNSW,
+    or IVF-routed HNSW."""
+    from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline import similarity as sim
+
+    spark = _spark()
+    emb = spark.read.parquet(args.source)
+    if args.method == "cosine":
+        out = sim.cosine_topk(emb, args.query_id, args.k)
+    elif args.method == "ivf":
+        out = sim.ann_ivf_topk(
+            emb, args.query_id, args.k,
+            n_centroids=args.n_centroids, n_probe=args.n_probe,
+        )
+    elif args.method == "hnsw":
+        out = ga.ann_hnsw_topk(emb, args.query_id, args.k)
+    elif args.method == "routed":
+        out = ga.ann_routed_hnsw_topk(
+            emb, args.query_id, args.k,
+            n_centroids=args.n_centroids, n_probe=args.n_probe,
+        )
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    rows = [(r["vec_id"], r["cos_x1e6"]) for r in out.collect()]
+    print(json.dumps({"cmd": "ann", "method": args.method, "hits": rows}))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="submit.py")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -255,6 +326,33 @@ def main() -> None:
     ro.add_argument("--field", default=None)
     ro.add_argument("--max-iters", type=int, default=20)
     ro.set_defaults(fn=cmd_reorder)
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--source", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", default="minhash",
+                    choices=["exact", "minhash", "simhash"])
+    dd.add_argument("--threshold", type=float, default=0.2)
+    dd.add_argument("--max-hamming", type=int, default=6)
+    dd.add_argument("--clusters", action="store_true")
+    dd.add_argument("--limit", type=int, default=1_000_000)
+    dd.set_defaults(fn=cmd_dedup)
+
+    q = sub.add_parser("quality")
+    q.add_argument("--source", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--limit", type=int, default=1_000_000)
+    q.set_defaults(fn=cmd_quality)
+
+    an = sub.add_parser("ann")
+    an.add_argument("--source", required=True)
+    an.add_argument("--method", default="routed",
+                    choices=["cosine", "ivf", "hnsw", "routed"])
+    an.add_argument("--query-id", type=int, default=0)
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--n-centroids", type=int, default=16)
+    an.add_argument("--n-probe", type=int, default=4)
+    an.set_defaults(fn=cmd_ann)
 
     args = p.parse_args()
     args.fn(args)

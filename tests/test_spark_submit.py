@@ -128,3 +128,25 @@ def test_spark_submit_replicate(pyfiles, corpus, tmp_path):
     assert rep2["files_copied"] == 0
     chk = _submit(pyfiles, "check", "--index", rep_dir)
     assert chk["ok"]
+
+
+def test_spark_submit_pipeline_subcommands(pyfiles, tmp_path):
+    """dedup / quality / ann through real spark-submit — the curation
+    pipeline's production entrypoints (north rule: spark-submit
+    --py-files)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    d = _submit(pyfiles, "dedup", "--source", src,
+                "--out", str(tmp_path / "dd"), "--method", "exact")
+    assert d["rows"] > 0
+
+    q = _submit(pyfiles, "quality", "--source", src,
+                "--out", str(tmp_path / "q"))
+    assert q["rows"] == 500
+
+    a = _submit(pyfiles, "ann", "--source", emb, "--method", "routed",
+                "--k", "5")
+    assert len(a["hits"]) == 5
+    sims = [h[1] for h in a["hits"]]
+    assert sims == sorted(sims, reverse=True)
