@@ -146,9 +146,16 @@ def matching_ids(reader, q) -> DataFrame:
                     reader, node.field, sorted(set(node.terms))
                 ).select("doc_id").distinct()
             )
+        if isinstance(node, Q.TermInSetQuery):
+            # literal term set — no dictionary expansion needed
+            terms = sorted(set(node.terms))
+            return (
+                sp.exploded_postings(reader, node.field, terms)
+                .select("doc_id").distinct()
+            )
         if isinstance(node, (
             Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
-            Q.FuzzyQuery, Q.TermRangeQuery, Q.TermInSetQuery,
+            Q.FuzzyQuery, Q.TermRangeQuery,
         )):
             terms = reader.expand(node)
             if not terms:

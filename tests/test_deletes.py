@@ -474,3 +474,24 @@ def test_delete_by_query_two_phase_crash_is_invisible(spark, idx, monkeypatch):
     assert IndexSearcher(
         IndexReader(spark, path)
     ).count(Q.MatchAllQuery()) == n0 - len(expect)
+
+
+def test_matching_ids_multiterm_and_wrappers(spark, idx):
+    """Every supported leaf shape resolves: literal term sets need no
+    dictionary expansion, pattern queries expand through the term
+    dictionary, and scoreless wrappers unwrap."""
+    from lucene_spark.index.deletes import matching_ids
+    from lucene_spark.search import query as Q
+
+    _, reader = idx
+    t1, _ = _two_terms(reader)
+    base = _postings_docs(reader, t1)
+    for q in [
+        Q.TermInSetQuery("content", (t1,)),
+        Q.ConstantScoreQuery(Q.TermQuery("content", t1), 2.0),
+        Q.BoostQuery(Q.TermInSetQuery("content", (t1, "zz_absent")), 3.0),
+        Q.PrefixQuery("content", t1),
+        Q.TermRangeQuery("content", t1, t1 + "￿"),
+    ]:
+        got = {r["doc_id"] for r in matching_ids(reader, q).collect()}
+        assert got >= base, q
