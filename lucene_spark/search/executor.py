@@ -875,13 +875,29 @@ class IndexSearcher:
         """
         q = Q.rewrite_fixpoint(q)
         m = self.reader.manifest
+        subs = getattr(self.reader, "readers", None)
         if isinstance(q, Q.MatchAllQuery):
-            total = int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
+            if subs is not None:
+                # composite (MultiReader): sum sub-manifests — the
+                # copied manifest only describes sub-reader 0
+                total = sum(
+                    int(r.manifest["num_docs_total"])
+                    - int(r.manifest.get("purged_docs", 0))
+                    for r in subs
+                )
+            else:
+                total = (
+                    int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
+                )
             dels = self.reader.deleted_df()
             if dels is not None:
                 total -= dels.select("doc_id").distinct().count()
             return total
-        has_dels = bool(m.get("delete_batches"))
+        has_dels = (
+            any(bool(r.manifest.get("delete_batches")) for r in subs)
+            if subs is not None
+            else bool(m.get("delete_batches"))
+        )
         if isinstance(q, Q.TermQuery) and not has_dels:
             st = self.reader.term_stats(q.field, [q.term])
             return int(st[q.term].doc_freq) if q.term in st else 0

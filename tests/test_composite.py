@@ -225,3 +225,21 @@ def test_multireader_tombstones_rebase(spark, halves, tmp_path):
     assert victim_global not in after
     # untouched sub-index A hits survive
     assert any(d < base_b for d in after)
+
+
+def test_searcher_count_over_multireader(spark):
+    """IndexSearcher.count on a composite: MatchAll sums the
+    sub-manifests (not sub-reader 0's copy), and term counts come from
+    the summed statistics path."""
+    from lucene_spark.gate import ensure_index, ensure_split_indexes
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.composite import MultiReader
+    from lucene_spark.search.executor import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    mr = MultiReader(ensure_split_indexes(spark, sf))
+    single = ensure_index(spark, sf)
+    s_mr, s_one = IndexSearcher(mr), IndexSearcher(single)
+    assert s_mr.count(Q.MatchAllQuery()) == s_one.count(Q.MatchAllQuery())
+    q = Q.TermQuery("text", "customer")
+    assert s_mr.count(q) == s_one.count(q)
