@@ -800,19 +800,25 @@ register_analyzer("persian", _persian_analyzer)
 # --------------------------------------------------------------------------
 
 
+_HALF_KANA_INV: dict[str, str] | None = None
+
+
 def _half_kana_inverse() -> dict[str, str]:
-    """fullwidth kana char -> halfwidth form, derived at import time by
+    """fullwidth kana char -> halfwidth form, derived ONCE lazily by
     inverting the NFKC decompositions of U+FF61..U+FF9F (no table is
     transcribed: Unicode's own normalization data IS the mapping)."""
-    import unicodedata
+    global _HALF_KANA_INV
+    if _HALF_KANA_INV is None:
+        import unicodedata
 
-    inv: dict[str, str] = {}
-    for cp in range(0xFF61, 0xFFA0):
-        h = chr(cp)
-        f = unicodedata.normalize("NFKC", h)
-        if f != h:
-            inv[f] = h
-    return inv
+        inv: dict[str, str] = {}
+        for cp in range(0xFF61, 0xFFA0):
+            h = chr(cp)
+            f = unicodedata.normalize("NFKC", h)
+            if f != h:
+                inv[f] = h
+        _HALF_KANA_INV = inv
+    return _HALF_KANA_INV
 
 
 class ScriptTransformFilter(TokenFilter):

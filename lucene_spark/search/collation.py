@@ -69,6 +69,7 @@ def collation_range_filter(
     under the collation, so e.g. 'ä' falls inside ['a','b') under
     'de') -> (doc_id) of docs whose value is in [lo, hi)."""
     key = _collated(name_col, locale)
-    lo_k = F.expr(f"collate('{lo}', '{locale}')")
-    hi_k = F.expr(f"collate('{hi}', '{locale}')")
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")
+    lo_k = F.expr(f"collate('{esc(lo)}', '{locale}')")
+    hi_k = F.expr(f"collate('{esc(hi)}', '{locale}')")
     return docs.filter((key >= lo_k) & (key < hi_k)).select("doc_id")
