@@ -834,10 +834,15 @@ class ScriptTransformFilter(TokenFilter):
       kana to the halfwidth kana block via the inverted NFKC
       decompositions (voiced kana decompose NFD-first so ガ becomes
       the two-char halfwidth ｶﾞ, matching ICU).
-    - ``Halfwidth-Fullwidth``: NFKC over the halfwidth/fullwidth
-      block with NFC recomposition (the CJKWidthFilter fold plus
-      latin -> fullwidth is NOT included: ICU widens latin too, but
-      search analyzers never want that direction; documented subset).
+    - ``Halfwidth-Fullwidth``: halfwidth kana block (U+FF61..FF9F,
+      incl. kana punctuation) widened via the inverted decompositions,
+      voiced/semivoiced marks NFC-composed onto their kana (ｶﾞ -> ガ).
+      ICU's transform additionally widens latin/digits; that direction
+      is a documented exclusion (search analyzers never want it), and
+      non-kana text passes byte-identical.  Both width transforms
+      touch ONLY their target codepoints — no whole-token
+      renormalization, so unrelated accented/compatibility text is
+      never rewritten.
     """
 
     _KATA_HIRA = {0x30FD: 0x309D, 0x30FE: 0x309E}
@@ -884,26 +889,49 @@ class ScriptTransformFilter(TokenFilter):
 
         inv = _half_kana_inverse()
         out = []
-        for ch in unicodedata.normalize("NFD", t):
+        for ch in t:
             cp = ord(ch)
             if 0xFF01 <= cp <= 0xFF5E:
                 out.append(chr(cp - 0xFEE0))
-            elif cp == 0x3000:
+                continue
+            if cp == 0x3000:
                 out.append(" ")
-            elif ch in inv:
+                continue
+            if ch in inv:  # unvoiced fullwidth kana / kana punctuation
                 out.append(inv[ch])
-            else:
-                out.append(ch)
+                continue
+            # precomposed voiced kana: canonical-decompose THIS char
+            # only (ガ -> カ + U+3099 -> ｶﾞ); any char whose
+            # decomposition does not fully map stays byte-identical —
+            # non-target text (e.g. 'café') is never renormalized
+            dec = unicodedata.normalize("NFD", ch)
+            if len(dec) > 1 and all(c in inv for c in dec):
+                out.extend(inv[c] for c in dec)
+                continue
+            out.append(ch)
         return "".join(out)
 
     def _half_to_full(self, t: str) -> str:
         import unicodedata
 
-        if any("＀" <= ch <= "￯" for ch in t):
-            return unicodedata.normalize(
-                "NFC", unicodedata.normalize("NFKC", t)
-            )
-        return t
+        fwd = {h: f for f, h in _half_kana_inverse().items()}
+        out: list[str] = []
+        for ch in t:
+            f = fwd.get(ch)
+            if f is None:  # not halfwidth kana: untouched (the latin/
+                # digit widening of ICU's full transform is a
+                # documented exclusion — search analyzers never want it)
+                out.append(ch)
+                continue
+            if out and f in ("゙", "゚"):
+                # voiced/semivoiced mark composes with the preceding
+                # kana (NFC canonical composition: ｶ + ﾞ -> ガ)
+                comp = unicodedata.normalize("NFC", out[-1] + f)
+                if len(comp) == 1:
+                    out[-1] = comp
+                    continue
+            out.append(f)
+        return "".join(out)
 
     def apply(self, tokens: list[str]) -> list[str]:
         fn = {

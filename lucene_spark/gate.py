@@ -288,15 +288,27 @@ def ensure_delq_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     idx = f"/tmp/lucene_spark_delq_{tag}"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
+    # freshness includes the DELETE-QUERY FINGERPRINT: the cached
+    # tombstones are only valid for the exact query that staged them —
+    # a doc-count match alone would silently reuse a stale delete if
+    # the gate's terms change between rounds
+    fp = f"must={T_RARE};must_not={T_HOT};n={n}"
+    meta = os.path.join(idx, "_delq_meta.json")
     fresh = False
     try:
         m = mani.read_manifest(idx)
-        fresh = (
-            m.get("num_docs_total") == n and m.get("delete_batches")
-        )
-    except FileNotFoundError:
+        with open(meta) as f:
+            fresh = (
+                m.get("num_docs_total") == n
+                and m.get("delete_batches")
+                and json.load(f).get("fp") == fp
+            )
+    except (FileNotFoundError, json.JSONDecodeError):
         pass
     if not fresh:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
         cfg = IndexConfig(
             field=FIELD, content_col="text", analyzer="simple",
             doc_id_col="doc_id", docs_per_segment=100_000,
@@ -307,6 +319,8 @@ def ensure_delq_index(spark: SparkSession, sf_dir: str) -> IndexReader:
             must=(Q.TermQuery(FIELD, T_RARE),),
             must_not=(Q.TermQuery(FIELD, T_HOT),),
         ))
+        with open(meta, "w") as f:
+            json.dump({"fp": fp}, f)
     r = IndexReader(spark, idx)
     _READERS[ck] = r
     return r

@@ -41,6 +41,16 @@ def deleted_ids_df(spark: SparkSession, index_dir: str, m: dict | None = None) -
     ).select("doc_id").distinct()
 
 
+def live_total(m: dict, dels: DataFrame | None) -> int:
+    """The live-doc arithmetic shared by IndexSearcher.count(MatchAll),
+    the MatchAll collector total and live_doc_count: manifest total
+    minus merge-purged docs minus distinct live tombstones."""
+    total = int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
+    if dels is not None:
+        total -= dels.select("doc_id").distinct().count()
+    return total
+
+
 def delete_by_ids(spark: SparkSession, index_dir: str, ids: DataFrame) -> int:
     """Tombstone the given doc ids (DataFrame with a doc_id column).
     Returns the new manifest generation. Two-phase: parquet first,
@@ -100,9 +110,7 @@ def update_document(
 def live_doc_count(spark: SparkSession, index_dir: str) -> int:
     """numDocs analog: maxDoc-ish total minus current tombstones."""
     m = mani.read_manifest(index_dir)
-    total = m["num_docs_total"] - int(m.get("purged_docs", 0))
-    dels = deleted_ids_df(spark, index_dir, m)
-    return total - (dels.count() if dels is not None else 0)
+    return live_total(m, deleted_ids_df(spark, index_dir, m))
 
 
 def matching_ids(reader, q) -> DataFrame:
@@ -157,7 +165,22 @@ def matching_ids(reader, q) -> DataFrame:
             Q.PrefixQuery, Q.WildcardQuery, Q.RegexpQuery,
             Q.FuzzyQuery, Q.TermRangeQuery,
         )):
-            terms = reader.expand(node)
+            if hasattr(reader, "expand"):
+                terms = reader.expand(node)
+            else:
+                # composite readers expand through their sub-readers'
+                # term dictionaries (union — MultiTermQuery rewrite
+                # over the logical union dictionary)
+                subs = getattr(reader, "readers", None)
+                if subs is None:
+                    raise TypeError(
+                        f"reader {type(reader).__name__} cannot expand "
+                        f"{type(node).__name__}"
+                    )
+                acc: set[str] = set()
+                for r in subs:
+                    acc.update(r.expand(node))
+                terms = sorted(acc)
             if not terms:
                 return spark.createDataFrame([], "doc_id long")
             return (

@@ -873,26 +873,30 @@ class IndexSearcher:
         - positional/scoring-only shapes -> the kernel with prune=False
           (exact seg_total, the collector fallback).
         """
+        from lucene_spark.index.deletes import live_total, matching_ids
+
         q = Q.rewrite_fixpoint(q)
         m = self.reader.manifest
         subs = getattr(self.reader, "readers", None)
+        # doc-stacking composites (MultiReader) re-base doc ids and
+        # carry `bases`; a ParallelReader's sub-readers hold the SAME
+        # documents, so its copied manifest is already the right doc
+        # accounting — treat it like a plain reader here
+        stacked = subs if getattr(self.reader, "bases", None) else None
         if isinstance(q, Q.MatchAllQuery):
-            if subs is not None:
-                # composite (MultiReader): sum sub-manifests — the
-                # copied manifest only describes sub-reader 0
+            dels = self.reader.deleted_df()
+            if stacked is not None:
+                # sum sub-manifests — the copied manifest only
+                # describes sub-reader 0
                 total = sum(
                     int(r.manifest["num_docs_total"])
                     - int(r.manifest.get("purged_docs", 0))
-                    for r in subs
+                    for r in stacked
                 )
-            else:
-                total = (
-                    int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
-                )
-            dels = self.reader.deleted_df()
-            if dels is not None:
-                total -= dels.select("doc_id").distinct().count()
-            return total
+                if dels is not None:
+                    total -= dels.select("doc_id").distinct().count()
+                return total
+            return live_total(m, dels)
         has_dels = (
             any(bool(r.manifest.get("delete_batches")) for r in subs)
             if subs is not None
@@ -901,8 +905,6 @@ class IndexSearcher:
         if isinstance(q, Q.TermQuery) and not has_dels:
             st = self.reader.term_stats(q.field, [q.term])
             return int(st[q.term].doc_freq) if q.term in st else 0
-        from lucene_spark.index.deletes import matching_ids
-
         try:
             ids = matching_ids(self.reader, q)
         except TypeError:
@@ -963,13 +965,13 @@ class IndexSearcher:
         # the tombstone set must be deduplicated (the only frame
         # scanned — never the doclens), mirroring term_count's
         # with-deletions fallback (sqlpath.py term_count).
-        m = self.reader.manifest
-        total = int(m["num_docs_total"]) - int(m.get("purged_docs", 0))
+        from lucene_spark.index.deletes import live_total
+
         # distinct: doclens hold one row per (doc, field)
         dl = self.reader.doclens().select("doc_id").distinct()
         dels = self.reader.deleted_df()
+        total = live_total(self.reader.manifest, dels)
         if dels is not None:
-            total -= dels.select("doc_id").distinct().count()
             dl = dl.join(dels, "doc_id", "left_anti")
         rows = dl.orderBy("doc_id").limit(k).collect()
         return Q.TopDocs(

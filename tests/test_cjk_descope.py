@@ -132,6 +132,17 @@ def test_width_transforms():
     # inverse direction recomposes
     assert h2f.apply(["ｶﾞｷﾞ"]) == ["ガギ"]
     assert h2f.apply(["ｶﾀｶﾅ"]) == ["カタカナ"]
+    # scope discipline: only target codepoints are touched — fullwidth
+    # latin is NOT narrowed by Halfwidth-Fullwidth, precomposed accents
+    # are NOT decomposed by Fullwidth-Halfwidth, and compatibility
+    # chars (circled digits, ligatures) are left alone by both
+    assert h2f.apply(["Ｔｅｓｔ", "Test"]) == ["Ｔｅｓｔ", "Test"]
+    assert f2h.apply(["café"]) == ["café"]
+    assert len(f2h.apply(["café"])[0]) == 4
+    assert f2h.apply(["①ﬁ"]) == ["①ﬁ"]
+    assert h2f.apply(["①ﬁ"]) == ["①ﬁ"]
+    # mixed: kana narrows, the accent survives composed
+    assert f2h.apply(["カcafé"]) == ["ｶcafé"]
 
 
 def test_unknown_transform_rejected():

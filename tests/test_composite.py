@@ -243,3 +243,24 @@ def test_searcher_count_over_multireader(spark):
     assert s_mr.count(Q.MatchAllQuery()) == s_one.count(Q.MatchAllQuery())
     q = Q.TermQuery("text", "customer")
     assert s_mr.count(q) == s_one.count(q)
+
+
+def test_searcher_count_parallel_reader_and_multiterm(spark):
+    """ParallelReader holds the SAME docs N times — count(MatchAll)
+    must NOT multiply; multi-term counts on composites expand through
+    the sub-readers' dictionaries instead of crashing."""
+    from lucene_spark.gate import ensure_index, ensure_split_indexes
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.composite import MultiReader, ParallelReader
+    from lucene_spark.search.executor import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    single = ensure_index(spark, sf)
+    n = IndexSearcher(single).count(Q.MatchAllQuery())
+
+    pr = ParallelReader([single, single])
+    assert IndexSearcher(pr).count(Q.MatchAllQuery()) == n
+
+    mr = MultiReader(ensure_split_indexes(spark, sf))
+    q = Q.PrefixQuery("text", "cust")
+    assert IndexSearcher(mr).count(q) == IndexSearcher(single).count(q)
