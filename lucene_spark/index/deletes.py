@@ -115,8 +115,10 @@ def live_doc_count(spark: SparkSession, index_dir: str) -> int:
 
 def matching_ids(reader, q) -> DataFrame:
     """The UNSCORED relational match set of a query: DataFrame(doc_id)
-    of every live-or-dead doc matching ``q`` — the doc-id resolution
-    step of ``IndexWriter.deleteDocuments(Query...)``
+    of every LIVE doc matching ``q`` (tombstoned docs are excluded on
+    every branch — the term paths inherit exploded_postings' liveDocs
+    anti-join and the MatchAll branch applies it explicitly) — the
+    doc-id resolution step of ``IndexWriter.deleteDocuments(Query...)``
     (CORE/index/IndexWriter.java:1816; the reference resolves the
     query lazily per segment at flush — here the resolution is one
     distributed set-algebra plan over the term-pruned postings scan,
@@ -140,7 +142,11 @@ def matching_ids(reader, q) -> DataFrame:
         if isinstance(node, (Q.ConstantScoreQuery, Q.BoostQuery)):
             return ids(node.query)
         if isinstance(node, Q.MatchAllQuery):
-            return reader.docs().select("doc_id")
+            alive = reader.docs().select("doc_id")
+            dead = reader.deleted_df()
+            if dead is not None:
+                alive = alive.join(dead, "doc_id", "left_anti")
+            return alive
         if isinstance(node, Q.MatchNoDocsQuery):
             return spark.createDataFrame([], "doc_id long")
         if isinstance(node, Q.TermQuery):
@@ -229,16 +235,11 @@ def matching_ids(reader, q) -> DataFrame:
 def delete_by_query(spark: SparkSession, index_dir: str, q) -> int:
     """``IndexWriter.deleteDocuments(Query...)`` analog
     (CORE/index/IndexWriter.java:1816): tombstone every LIVE doc
-    matching the query. Already-deleted docs are excluded before the
-    tombstone batch is staged, so ``num_deleted`` accounting stays
-    exact across repeated deletes. Same two-phase contract as
-    delete_by_ids: tombstone parquet first, one manifest generation
-    publish second."""
+    matching the query (matching_ids is live-only, so ``num_deleted``
+    accounting stays exact across repeated deletes). Same two-phase
+    contract as delete_by_ids: tombstone parquet first, one manifest
+    generation publish second."""
     from lucene_spark.search.executor import IndexReader
 
     reader = IndexReader(spark, index_dir)
-    ids = matching_ids(reader, q)
-    dead = deleted_ids_df(spark, index_dir)
-    if dead is not None:
-        ids = ids.join(dead, "doc_id", "left_anti")
-    return delete_by_ids(spark, index_dir, ids)
+    return delete_by_ids(spark, index_dir, matching_ids(reader, q))

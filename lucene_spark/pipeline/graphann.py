@@ -190,7 +190,7 @@ def graph_recall(
 
     fn = {
         "hnsw": ann_hnsw_topk,
-        "routed": lambda *a, **k2: ann_routed_hnsw_topk(*a, **k2),
+        "routed": ann_routed_hnsw_topk,
     }.get(method, ann_graph_topk)
     total = 0.0
     for qid in query_ids:
@@ -929,9 +929,11 @@ def ann_routed_hnsw_topk(
     ``ann_hnsw_topk``: a coarse quantizer (seeded deterministic
     centroids, optionally Lloyd-refined — pipeline/similarity.py's IVF
     trainer) routes the query to its ``n_probe`` nearest inverted
-    lists, the probed vectors repartition BY LIST so each list is
-    exactly one graph partition, and only those lists run the layered
-    beam search. The driver merges n_probe list-local top-k rows.
+    lists, the probed vectors are RANGE-placed by list so each graph
+    partition holds whole lists (~1 list each; co-located small lists
+    just merge into one still-valid graph), and only those lists run
+    the layered beam search. The driver merges the list-local top-k
+    rows.
 
     Read cost ~ n_probe/n_centroids of the corpus (the IVF S-curve)
     TIMES the sublinear beam inside each list — at 100 TB the router
@@ -975,11 +977,17 @@ def ann_routed_hnsw_topk(
         .join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != query_id)
     )
-    # one graph partition per probed list (the list IS the segment);
-    # the query row rides along so the downstream search can read its
-    # vector, and is excluded from the result by ann_hnsw_topk itself
+    # RANGE-place the probed lists so each partition holds whole
+    # lists (hash placement of n_probe keys into n_probe partitions
+    # collides for most key sets — most runs would merge lists into
+    # one graph and leave partitions empty); with n_probe distinct
+    # cids and n_probe ranges the placement is ~1 list per partition,
+    # and if range sampling ever co-locates two small lists the only
+    # effect is one merged (still valid) graph — recall unaffected.
+    # The query row rides along so the downstream search can read its
+    # vector, and is excluded from the result by ann_hnsw_topk itself.
     routed = (
-        routed.repartition(n_probe, "cid")
+        routed.repartitionByRange(n_probe, "cid")
         .drop("cid")
         .unionByName(emb.filter(F.col("vec_id") == query_id))
     )

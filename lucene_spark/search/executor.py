@@ -873,30 +873,13 @@ class IndexSearcher:
         - positional/scoring-only shapes -> the kernel with prune=False
           (exact seg_total, the collector fallback).
         """
-        from lucene_spark.index.deletes import live_total, matching_ids
+        from lucene_spark.index.deletes import matching_ids
 
         q = Q.rewrite_fixpoint(q)
         m = self.reader.manifest
         subs = getattr(self.reader, "readers", None)
-        # doc-stacking composites (MultiReader) re-base doc ids and
-        # carry `bases`; a ParallelReader's sub-readers hold the SAME
-        # documents, so its copied manifest is already the right doc
-        # accounting — treat it like a plain reader here
-        stacked = subs if getattr(self.reader, "bases", None) else None
         if isinstance(q, Q.MatchAllQuery):
-            dels = self.reader.deleted_df()
-            if stacked is not None:
-                # sum sub-manifests — the copied manifest only
-                # describes sub-reader 0
-                total = sum(
-                    int(r.manifest["num_docs_total"])
-                    - int(r.manifest.get("purged_docs", 0))
-                    for r in stacked
-                )
-                if dels is not None:
-                    total -= dels.select("doc_id").distinct().count()
-                return total
-            return live_total(m, dels)
+            return self._live_total()
         has_dels = (
             any(bool(r.manifest.get("delete_batches")) for r in subs)
             if subs is not None
@@ -906,12 +889,11 @@ class IndexSearcher:
             st = self.reader.term_stats(q.field, [q.term])
             return int(st[q.term].doc_freq) if q.term in st else 0
         try:
+            # matching_ids is live-only on every branch — no further
+            # tombstone join needed
             ids = matching_ids(self.reader, q)
         except TypeError:
             return int(self.search(q, k=1, prune=False).total_hits)
-        dels = self.reader.deleted_df()
-        if dels is not None:
-            ids = ids.join(dels, "doc_id", "left_anti")
         return ids.count()
 
     def explain(self, q: Q.Query, doc_id: int) -> dict:
@@ -956,6 +938,33 @@ class IndexSearcher:
         ctx = _SegmentIndex(pdf, fmt=_reader_fmt(self.reader))
         return _explain_node(node, ctx, int(doc_id))
 
+    def _live_total(self) -> int:
+        """Live doc count from manifest arithmetic (Weight#count,
+        Weight.java:198): zero count jobs without tombstones.
+        Doc-stacking composites (MultiReader, which re-bases doc ids
+        and carries ``bases``) sum every sub-manifest — the copied
+        manifest only describes sub-reader 0; a ParallelReader's
+        sub-readers hold the SAME documents, so its copied manifest is
+        already the right accounting."""
+        from lucene_spark.index.deletes import live_total
+
+        dels = self.reader.deleted_df()
+        stacked = (
+            self.reader.readers
+            if getattr(self.reader, "bases", None)
+            else None
+        )
+        if stacked is not None:
+            total = sum(
+                int(r.manifest["num_docs_total"])
+                - int(r.manifest.get("purged_docs", 0))
+                for r in stacked
+            )
+            if dels is not None:
+                total -= dels.select("doc_id").distinct().count()
+            return total
+        return live_total(self.reader.manifest, dels)
+
     def _match_all(self, k: int, boost: float, after) -> Q.TopDocs:
         # Weight#count shortcut (Weight.java:198,
         # MatchAllDocsQuery.java): total hits ride the manifest's doc
@@ -965,14 +974,18 @@ class IndexSearcher:
         # the tombstone set must be deduplicated (the only frame
         # scanned — never the doclens), mirroring term_count's
         # with-deletions fallback (sqlpath.py term_count).
-        from lucene_spark.index.deletes import live_total
-
+        total = self._live_total()
         # distinct: doclens hold one row per (doc, field)
         dl = self.reader.doclens().select("doc_id").distinct()
         dels = self.reader.deleted_df()
-        total = live_total(self.reader.manifest, dels)
         if dels is not None:
             dl = dl.join(dels, "doc_id", "left_anti")
+        if after is not None:
+            # searchAfter on a constant-score scan: every hit ties on
+            # score, so the cursor reduces to doc_id — resume STRICTLY
+            # after it (total_hits still counts every match, the
+            # TopDocs totalHits contract)
+            dl = dl.filter(F.col("doc_id") > int(after[1]))
         rows = dl.orderBy("doc_id").limit(k).collect()
         return Q.TopDocs(
             total_hits=total,

@@ -264,3 +264,20 @@ def test_searcher_count_parallel_reader_and_multiterm(spark):
     mr = MultiReader(ensure_split_indexes(spark, sf))
     q = Q.PrefixQuery("text", "cust")
     assert IndexSearcher(mr).count(q) == IndexSearcher(single).count(q)
+
+
+def test_match_all_total_over_multireader(spark):
+    """search(MatchAll) over a doc-stacking composite: total_hits sums
+    the sub-manifests (not sub-reader 0's copy)."""
+    from lucene_spark.gate import ensure_index, ensure_split_indexes
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.composite import MultiReader
+    from lucene_spark.search.executor import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    mr = MultiReader(ensure_split_indexes(spark, sf))
+    single = ensure_index(spark, sf)
+    a = IndexSearcher(mr).search(Q.MatchAllQuery(), k=3)
+    b = IndexSearcher(single).search(Q.MatchAllQuery(), k=3)
+    assert a.total_hits == b.total_hits
+    assert [h.doc_id for h in a.hits] == [h.doc_id for h in b.hits]

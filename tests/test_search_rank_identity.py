@@ -246,3 +246,15 @@ def test_searcher_count_matches_exact_totals(built_index):
     for q in queries:
         want = s.search(q, k=1, prune=False).total_hits
         assert s.count(q) == want, q
+
+
+def test_match_all_search_after(built_index):
+    """MatchAll pagination: the constant-score cursor resumes strictly
+    after the last doc id; total_hits still counts every match."""
+    searcher = IndexSearcher(built_index)
+    page1 = searcher.search(Q.MatchAllQuery(), k=5)
+    after = (page1.hits[-1].score, page1.hits[-1].doc_id)
+    page2 = searcher.search(Q.MatchAllQuery(), k=5, search_after=after)
+    assert [h.doc_id for h in page1.hits] == [0, 1, 2, 3, 4]
+    assert [h.doc_id for h in page2.hits] == [5, 6, 7, 8, 9]
+    assert page2.total_hits == page1.total_hits
