@@ -801,6 +801,7 @@ register_analyzer("persian", _persian_analyzer)
 
 
 _HALF_KANA_INV: dict[str, str] | None = None
+_HALF_KANA_FWD: dict[str, str] | None = None
 
 
 def _half_kana_inverse() -> dict[str, str]:
@@ -819,6 +820,15 @@ def _half_kana_inverse() -> dict[str, str]:
                 inv[f] = h
         _HALF_KANA_INV = inv
     return _HALF_KANA_INV
+
+
+def _half_kana_forward() -> dict[str, str]:
+    """halfwidth kana char -> fullwidth form (cached inverse of
+    _half_kana_inverse; built once, not per token)."""
+    global _HALF_KANA_FWD
+    if _HALF_KANA_FWD is None:
+        _HALF_KANA_FWD = {h: f for f, h in _half_kana_inverse().items()}
+    return _HALF_KANA_FWD
 
 
 class ScriptTransformFilter(TokenFilter):
@@ -846,6 +856,7 @@ class ScriptTransformFilter(TokenFilter):
     """
 
     _KATA_HIRA = {0x30FD: 0x309D, 0x30FE: 0x309E}
+    _HIRA_KATA = {v: k for k, v in _KATA_HIRA.items()}
     _IDS = (
         "Katakana-Hiragana", "Hiragana-Katakana",
         "Fullwidth-Halfwidth", "Halfwidth-Fullwidth",
@@ -872,14 +883,13 @@ class ScriptTransformFilter(TokenFilter):
         return "".join(out)
 
     def _hira_to_kata(self, t: str) -> str:
-        inv = {v: k for k, v in self._KATA_HIRA.items()}
         out = []
         for ch in t:
             cp = ord(ch)
             if 0x3041 <= cp <= 0x3096:
                 out.append(chr(cp + 0x60))
-            elif cp in inv:
-                out.append(chr(inv[cp]))
+            elif cp in self._HIRA_KATA:
+                out.append(chr(self._HIRA_KATA[cp]))
             else:
                 out.append(ch)
         return "".join(out)
@@ -914,7 +924,7 @@ class ScriptTransformFilter(TokenFilter):
     def _half_to_full(self, t: str) -> str:
         import unicodedata
 
-        fwd = {h: f for f, h in _half_kana_inverse().items()}
+        fwd = _half_kana_forward()
         out: list[str] = []
         for ch in t:
             f = fwd.get(ch)

@@ -298,9 +298,11 @@ def ensure_delq_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     try:
         m = mani.read_manifest(idx)
         with open(meta) as f:
+            # the fingerprint is written only AFTER the delete ran, so
+            # fp+doc-count match marks the cache reusable even when the
+            # delete legitimately matched zero docs (no batch exists)
             fresh = (
                 m.get("num_docs_total") == n
-                and m.get("delete_batches")
                 and json.load(f).get("fp") == fp
             )
     except (FileNotFoundError, json.JSONDecodeError):

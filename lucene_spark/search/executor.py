@@ -955,11 +955,9 @@ class IndexSearcher:
             else None
         )
         if stacked is not None:
-            total = sum(
-                int(r.manifest["num_docs_total"])
-                - int(r.manifest.get("purged_docs", 0))
-                for r in stacked
-            )
+            # per-manifest arithmetic via the same shared helper; the
+            # composite's (rebased, unioned) tombstones subtract once
+            total = sum(live_total(r.manifest, None) for r in stacked)
             if dels is not None:
                 total -= dels.select("doc_id").distinct().count()
             return total

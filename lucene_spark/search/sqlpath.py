@@ -166,13 +166,20 @@ def _attach_df(
         except Exception:
             st = None
         if st is not None:
+            present = [t for t in ts if t in st]
+            if not present:
+                # inner-join semantics: no stats -> no scored rows
+                return ep.filter(F.lit(False)).withColumn(
+                    "df", F.lit(0.0)
+                )
             pairs: list = []
-            for t in ts:
-                if t in st:
-                    pairs += [F.lit(t), F.lit(float(st[t].doc_freq))]
-            if not pairs:
-                return ep.withColumn("df", F.lit(0.0))
-            return ep.withColumn(
+            for t in present:
+                pairs += [F.lit(t), F.lit(float(st[t].doc_freq))]
+            # restrict to keyed terms FIRST so (a) rows whose term has
+            # no stats drop exactly like the inner join did, and
+            # (b) element_at never sees a missing key (ANSI mode
+            # throws on map misses)
+            return ep.filter(F.col("term").isin(present)).withColumn(
                 "df", F.element_at(F.create_map(*pairs), F.col("term"))
             )
     return ep.join(F.broadcast(df_df), "term")
