@@ -137,6 +137,27 @@ def main() -> None:
         "q10_ann_cosine": lambda: sim.cosine_topk(emb, query_id=0, k=10).collect(),
     }
 
+    # persisted-HNSW fixture: built ONCE (untimed — it is the write
+    # path; x_hnsw_persisted_query times the read path)
+    _hnsw_dir = f"{idx}_hnsw"
+    _hnsw_built = {}
+
+    def _hnsw_idx():
+        if not _hnsw_built:
+            shutil.rmtree(_hnsw_dir, ignore_errors=True)
+            ga.hnsw_index_write(emb, _hnsw_dir)
+            _hnsw_built["done"] = True
+        return _hnsw_dir
+
+    _qv_cache = {}
+
+    def _qv0():
+        if "v" not in _qv_cache:
+            from lucene_spark.pipeline.similarity import _query_vec
+
+            _qv_cache["v"] = _query_vec(emb, 0)
+        return _qv_cache["v"]
+
     # r3 additions, reported separately: NOT part of the round-comparable
     # headline total (these rebuild their index/graph per call by design)
     extra_queries = {
@@ -146,6 +167,13 @@ def main() -> None:
         # against x_hnsw_ann is the 100-TB fan-out evidence
         "x_routed_hnsw": lambda: ga.ann_routed_hnsw_topk(
             emb, query_id=0, k=10, n_centroids=16, n_probe=4
+        ).collect(),
+        # persisted-graph query (r5): the Lucene99HnswVectorsFormat
+        # read path — graphs stored at build time, queries only read;
+        # the gap to x_hnsw_ann is the per-call rebuild cost the
+        # persisted index amortizes
+        "x_hnsw_persisted_query": lambda: ga.hnsw_index_topk(
+            spark, _hnsw_idx(), _qv0(), k=10, exclude_vec_id=0
         ).collect(),
         "x_dedup_clusters": lambda: dd.dedup_clusters(
             dd.minhash_lsh_pairs(docs, threshold=0.1)

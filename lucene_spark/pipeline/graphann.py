@@ -1001,3 +1001,152 @@ def ann_routed_hnsw_topk(
         partitions=None,  # keep the by-list placement
         filter_expr=filter_expr,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted per-segment HNSW index — the Lucene99HnswVectorsFormat role
+# (core/codecs/lucene99/Lucene99HnswVectorsFormat.java: graphs are
+# built at FLUSH time and stored beside the vectors in .vex/.vec files;
+# queries only ever READ them). The fused ann_hnsw_topk above rebuilds
+# per call because the gate corpus is tiny; this pair is the 100-TB
+# shape: build once per partition-segment, then every query is a pure
+# read + beam.
+# ---------------------------------------------------------------------------
+
+_HNSW_ROW_SCHEMA = (
+    "pid int, row_type int, layer int, local_id int, vec_id long, "
+    "v array<double>, nbrs array<int>, entry int, entry_level int"
+)
+
+
+def hnsw_index_write(
+    emb: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    ef_construction: int = 48,
+    partitions: int | None = None,
+) -> None:
+    """Build one hierarchical graph per partition and persist it:
+    row_type 0 = vector rows (local_id, vec_id, unit-normalized v),
+    row_type 1 = adjacency rows (layer, local_id, nbrs),
+    row_type 2 = one meta row per partition (entry, entry_level).
+    One mapInPandas pass, one parquet write — the flush-time graph
+    build of the reference's HNSW codec."""
+    import json as _json
+    import os as _os
+
+    from pyspark import TaskContext
+
+    src = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if partitions:
+        src = src.repartition(partitions, "vec_id")
+
+    def build(it):
+        pid = TaskContext.get().partitionId()
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf["v"].to_numpy()))
+            vec_ids = pdf["vec_id"].to_numpy()
+            p = len(mat)
+            levels, graphs, entry, entry_level = _build_hnsw(
+                mat, m, ef_construction, seed=42
+            )
+            rows = {
+                "pid": [], "row_type": [], "layer": [], "local_id": [],
+                "vec_id": [], "v": [], "nbrs": [],
+                "entry": [], "entry_level": [],
+            }
+
+            def emit(rt, layer=-1, lid=-1, vid=-1, v=None, nbrs=None,
+                     e=-1, el=-1):
+                rows["pid"].append(pid)
+                rows["row_type"].append(rt)
+                rows["layer"].append(layer)
+                rows["local_id"].append(lid)
+                rows["vec_id"].append(int(vid))
+                rows["v"].append(v)
+                rows["nbrs"].append(nbrs)
+                rows["entry"].append(e)
+                rows["entry_level"].append(el)
+
+            for i in range(p):
+                emit(0, lid=i, vid=vec_ids[i], v=list(map(float, mat[i])))
+            for layer, adj in enumerate(graphs):
+                for i in range(p):
+                    if adj[i] or int(levels[i]) >= layer:
+                        emit(1, layer=layer, lid=i,
+                             nbrs=[int(x) for x in adj[i]])
+            emit(2, e=int(entry), el=int(entry_level))
+            yield pd.DataFrame(rows)
+
+    (
+        src.mapInPandas(build, schema=_HNSW_ROW_SCHEMA)
+        .write.mode("overwrite").partitionBy("pid")
+        .parquet(f"{index_dir}/graph")
+    )
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/_hnsw_meta.json", "w") as f:
+        _json.dump({"m": m, "ef_construction": ef_construction}, f)
+
+
+def hnsw_index_topk(
+    spark,
+    index_dir: str,
+    qv: list[float],
+    k: int = 10,
+    ef: int = 48,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query the persisted graphs: per partition, reconstruct the
+    adjacency from the stored rows (NO graph build — the read path of
+    the HNSW codec), greedy-descend the layers, ef-beam layer 0, and
+    TakeOrdered-merge the partition-local top-k.
+    -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
+    qn = np.asarray(qv, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    rows = spark.read.parquet(f"{index_dir}/graph")
+
+    def search(key, pdf):
+        vec = pdf[pdf.row_type == 0].sort_values("local_id")
+        if len(vec) == 0:
+            return pd.DataFrame({"vec_id": [], "cos_x1e6": []})
+        mat = np.stack(vec["v"].to_numpy())
+        vec_ids = vec["vec_id"].to_numpy()
+        meta = pdf[pdf.row_type == 2].iloc[0]
+        entry, entry_level = int(meta["entry"]), int(meta["entry_level"])
+        p = len(mat)
+        graphs: list[list[list[int]]] = [
+            [[] for _ in range(p)] for _ in range(entry_level + 1)
+        ]
+        adj = pdf[pdf.row_type == 1]
+        for layer, lid, nbrs in zip(
+            adj["layer"].to_numpy(), adj["local_id"].to_numpy(),
+            adj["nbrs"].to_numpy(),
+        ):
+            if layer <= entry_level:
+                graphs[layer][lid] = [int(x) for x in nbrs]
+        eps = [entry]
+        for l in range(entry_level, 0, -1):
+            eps = [max(
+                _search_layer(mat, graphs[l], qn, eps, 1),
+                key=lambda x: x[0],
+            )[1]]
+        best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
+        top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
+        return pd.DataFrame({
+            "vec_id": [int(vec_ids[i]) for _s, i in top],
+            "cos_x1e6": [int(round(s * 1e6)) for s, _i in top],
+        })
+
+    out = rows.groupBy("pid").applyInPandas(
+        search, schema="vec_id long, cos_x1e6 long"
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.orderBy(F.col("cos_x1e6").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

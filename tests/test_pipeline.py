@@ -679,3 +679,51 @@ def test_routed_hnsw_recall_and_pruning(spark):
     total = sum(r["count"] for r in sizes)
     top6 = sum(sorted((r["count"] for r in sizes), reverse=True)[:6])
     assert top6 < total
+
+
+def test_persisted_hnsw_index_matches_fused(spark, tmp_path):
+    """Persisted per-partition HNSW (Lucene99HnswVectorsFormat role):
+    write once, query many — results bit-identical to the fused
+    build+search path (same seed, same partitioning), and the query
+    path runs NO graph build."""
+    from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline.similarity import _query_vec
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "hnsw")
+    ga.hnsw_index_write(emb, idx)
+
+    for qid in (0, 7):
+        qv = _query_vec(emb, qid)
+        got = ga.hnsw_index_topk(
+            spark, idx, qv, k=10, exclude_vec_id=qid
+        ).collect()
+        fused = ga.ann_hnsw_topk(emb, query_id=qid, k=10).collect()
+        assert [(r["vec_id"], r["cos_x1e6"]) for r in got] == [
+            (r["vec_id"], r["cos_x1e6"]) for r in fused
+        ]
+
+    # the query path reads ONLY the stored graph parquet — its plan
+    # scans {idx}/graph and never the embeddings source
+    qv = _query_vec(emb, 3)
+    qdf = ga.hnsw_index_topk(spark, idx, qv, k=5, exclude_vec_id=3)
+    plan = qdf._jdf.queryExecution().executedPlan().toString()
+    assert "row_type:int" in plan  # the stored graph rows' schema
+    assert "embedding" not in plan
+    assert len(qdf.collect()) == 5
+
+
+def test_persisted_hnsw_multi_partition(spark, tmp_path):
+    from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline.similarity import _query_vec, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "hnsw4")
+    ga.hnsw_index_write(emb, idx, partitions=4)
+    qv = _query_vec(emb, 0)
+    got = ga.hnsw_index_topk(spark, idx, qv, k=10, exclude_vec_id=0).collect()
+    assert len(got) == 10
+    exact = {r["vec_id"]: r["cos_x1e6"] for r in cosine_topk(emb, 0, 200).collect()}
+    for r in got:
+        assert r["vec_id"] in exact
+        assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
