@@ -251,3 +251,58 @@ def ann_pq_topk(
         restricted.unionByName(emb.where(F.col("vec_id") == query_id)),
         query_id, k,
     )
+
+
+def pq_index_write(
+    emb: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+) -> None:
+    """Persist the PQ index: trained codebooks + the m-byte-per-vector
+    codes table, as parquet (the compressed artifact a 100-TB
+    deployment stores and scans INSTEAD of the float vectors; the
+    reference's quantized vector formats persist their codebook +
+    quantized values the same way at flush). Train + encode run once
+    here; every query after is ADC over the stored codes."""
+    import json as _json
+    import os as _os
+
+    dims = len(emb.select("embedding").head()["embedding"])
+    books = pq_train_codebooks(emb, m, n_codes, iters, dims=dims)
+    books.write.mode("overwrite").parquet(f"{index_dir}/books")
+    books_r = emb.sparkSession.read.parquet(f"{index_dir}/books")
+    pq_encode(emb, books_r, m, dims=dims).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/codes")
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/_pq_meta.json", "w") as f:
+        _json.dump(
+            {"m": m, "n_codes": n_codes, "iters": iters, "dims": dims}, f
+        )
+
+
+def pq_index_topk(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    refine: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Query the persisted PQ index: ADC over the stored codes + exact
+    refine over the refine*k survivors' float vectors (the only rows
+    of ``emb`` the query touches). -> (vec_id, cos_x1e6)."""
+    import json as _json
+
+    with open(f"{index_dir}/_pq_meta.json") as f:
+        meta = _json.load(f)
+    books = spark.read.parquet(f"{index_dir}/books")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    return ann_pq_topk(
+        emb, query_id=query_id, k=k, m=meta["m"],
+        n_codes=meta["n_codes"], refine=refine,
+        books=books, codes=codes, stats=stats,
+    )

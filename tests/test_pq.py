@@ -106,3 +106,24 @@ def test_pq_training_is_deterministic(emb):
     r1 = sorted((r["sub"], r["code"], tuple(r["cvec"])) for r in b1.collect())
     r2 = sorted((r["sub"], r["code"], tuple(r["cvec"])) for r in b2.collect())
     assert r1 == r2
+
+
+def test_persisted_pq_index_matches_fused(spark, tmp_path):
+    """Persisted PQ (codebooks + codes parquet): query results equal
+    the fused train+encode+query path with the same parameters."""
+    from lucene_spark.pipeline.pq import (
+        ann_pq_topk,
+        pq_index_topk,
+        pq_index_write,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "pq")
+    pq_index_write(emb, idx, m=8, n_codes=16, iters=1)
+    got = pq_index_topk(spark, emb, idx, query_id=0, k=10).collect()
+    fused = ann_pq_topk(
+        emb, query_id=0, k=10, m=8, n_codes=16, iters=1
+    ).collect()
+    assert [(r["vec_id"], r["cos_x1e6"]) for r in got] == [
+        (r["vec_id"], r["cos_x1e6"]) for r in fused
+    ]
