@@ -1025,13 +1025,24 @@ def hnsw_index_write(
     m: int = 8,
     ef_construction: int = 48,
     partitions: int | None = None,
+    cluster_by: int | None = None,
 ) -> None:
     """Build one hierarchical graph per partition and persist it:
     row_type 0 = vector rows (local_id, vec_id, unit-normalized v),
     row_type 1 = adjacency rows (layer, local_id, nbrs),
-    row_type 2 = one meta row per partition (entry, entry_level).
+    row_type 2 = one meta row per partition (entry, entry_level),
+    row_type 3 = the partition's mean unit vector (the routing
+    centroid hnsw_index_topk's ``n_probe`` uses).
     One mapInPandas pass, one parquet write — the flush-time graph
-    build of the reference's HNSW codec."""
+    build of the reference's HNSW codec.
+
+    ``cluster_by=N``: coarse-quantize the vectors into N IVF lists and
+    RANGE-place each list into its own partition-segment, so the
+    stored centroids are tight and query-time routing (``n_probe``)
+    prunes partitions effectively. Without it (hash placement) every
+    partition is a random mixture, the centroids are all near the
+    global mean, and routing would only hurt recall — query with
+    n_probe=None in that case."""
     import json as _json
     import os as _os
 
@@ -1040,7 +1051,20 @@ def hnsw_index_write(
     src = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    if partitions:
+    if cluster_by:
+        from lucene_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        dims = len(emb.select("embedding").head()["embedding"])
+        assign = ivf_assign(emb, ivf_centroids(emb, cluster_by), dims)
+        src = (
+            src.join(assign, "vec_id")
+            .repartitionByRange(cluster_by, "cid")
+            .drop("cid")
+        )
+    elif partitions:
         src = src.repartition(partitions, "vec_id")
 
     def build(it):
@@ -1080,6 +1104,9 @@ def hnsw_index_write(
                         emit(1, layer=layer, lid=i,
                              nbrs=[int(x) for x in adj[i]])
             emit(2, e=int(entry), el=int(entry_level))
+            cen = mat.mean(axis=0)
+            cen = cen / (np.linalg.norm(cen) or 1.0)
+            emit(3, v=list(map(float, cen)))
             yield pd.DataFrame(rows)
 
     (
@@ -1099,15 +1126,36 @@ def hnsw_index_topk(
     k: int = 10,
     ef: int = 48,
     exclude_vec_id: int | None = None,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Query the persisted graphs: per partition, reconstruct the
     adjacency from the stored rows (NO graph build — the read path of
     the HNSW codec), greedy-descend the layers, ef-beam layer 0, and
     TakeOrdered-merge the partition-local top-k.
+
+    ``n_probe``: route via the STORED per-partition centroids — one
+    tiny centroid read picks the n_probe nearest partition-segments
+    and the main scan filters on ``pid``, which the parquet layout
+    (partitionBy pid) turns into PHYSICAL partition pruning: only the
+    probed segments' files are read. Meaningful when the index was
+    written with ``cluster_by`` (tight lists); see hnsw_index_write.
     -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
     qn = np.asarray(qv, dtype=np.float64)
     qn = qn / (np.linalg.norm(qn) or 1.0)
     rows = spark.read.parquet(f"{index_dir}/graph")
+    if n_probe is not None:
+        cents = rows.filter(F.col("row_type") == 3).select(
+            "pid", "v"
+        ).collect()
+        ranked = sorted(
+            (
+                (float(np.dot(qn, np.asarray(r["v"]))), int(r["pid"]))
+                for r in cents
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        probed = [pid for _s, pid in ranked[:n_probe]]
+        rows = rows.filter(F.col("pid").isin(probed))
 
     def search(key, pdf):
         vec = pdf[pdf.row_type == 0].sort_values("local_id")

@@ -727,3 +727,47 @@ def test_persisted_hnsw_multi_partition(spark, tmp_path):
     for r in got:
         assert r["vec_id"] in exact
         assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
+
+
+def test_persisted_hnsw_routed_query(spark, tmp_path):
+    """Cluster-partitioned persisted index + stored-centroid routing:
+    the probed scan reads only n_probe of the cluster_by partition
+    directories (physical partition pruning on pid), recall stays
+    high, scores stay exact."""
+    from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline.similarity import _query_vec, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "hnsw_routed")
+    ga.hnsw_index_write(emb, idx, cluster_by=8)
+
+    routed = ga.hnsw_index_topk(
+        spark, idx, _query_vec(emb, 0), k=10, ef=64,
+        exclude_vec_id=0, n_probe=6,
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # physical pruning: the pid partition filter reaches the scan
+    assert "pid" in plan and (
+        "PartitionFilters" in plan or "pid IN" in plan.replace("#", " ")
+    )
+
+    # mean recall over several queries (the synthetic embeddings are
+    # near-uniform, so clusters are weak — the honest setting measures
+    # the routing trade, not one lucky query); scores stay exact
+    hits_tot = 0
+    for qid in (0, 3, 7, 11):
+        qv = _query_vec(emb, qid)
+        got = ga.hnsw_index_topk(
+            spark, idx, qv, k=10, ef=64, exclude_vec_id=qid, n_probe=6
+        ).collect()
+        assert len(got) == 10
+        exact = {
+            r["vec_id"]: r["cos_x1e6"]
+            for r in cosine_topk(emb, qid, 500).collect()
+        }
+        exact10 = set(list(exact)[:10])
+        for r in got:
+            assert r["vec_id"] in exact
+            assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
+            hits_tot += r["vec_id"] in exact10
+    assert hits_tot >= 34, f"routed persisted recall: {hits_tot}/40"
