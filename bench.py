@@ -153,9 +153,9 @@ def main() -> None:
 
     def _qv0():
         if "v" not in _qv_cache:
-            from lucene_spark.pipeline.similarity import _query_vec
+            from lucene_spark.pipeline.similarity import query_vec
 
-            _qv_cache["v"] = _query_vec(emb, 0)
+            _qv_cache["v"] = query_vec(emb, 0)
         return _qv_cache["v"]
 
     _pq_dir = f"{idx}_pq"

@@ -146,12 +146,7 @@ def ann_graph_topk(
                 levels, graphs, entry, entry_level = _build_hnsw(
                     mat, m, max(ef, 48), seed=42
                 )
-                eps = [entry]
-                for l in range(entry_level, 0, -1):
-                    eps = [max(
-                        _search_layer(mat, graphs[l], qn, eps, 1),
-                        key=lambda x: x[0],
-                    )[1]]
+                eps = _descend(mat, graphs, qn, entry, entry_level)
                 best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
                 top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
                 idx = np.array([t[1] for t in top], dtype=np.int64)
@@ -341,6 +336,20 @@ def _exact_accepted(
     return [(float(sims[i]), int(ids[i])) for i in sel]
 
 
+def _descend(mat, graphs, q, entry, entry_level, stop_level=0):
+    """Greedy ef=1 upper-layer descent (HnswGraphSearcher: searchLevel
+    with ef=1 from the entry point down to, exclusive, stop_level) —
+    the shared prologue of every graph search and of each build
+    insert. -> entry point list for the next layer down."""
+    eps = [entry]
+    for l in range(entry_level, stop_level, -1):
+        eps = [max(
+            _search_layer(mat, graphs[l], q, eps, 1),
+            key=lambda x: x[0],
+        )[1]]
+    return eps
+
+
 def _build_hnsw(
     mat: np.ndarray, m: int, ef_construction: int, seed: int
 ):
@@ -368,13 +377,8 @@ def _build_hnsw(
     for node in range(1, p):
         q = mat[node]
         lvl = int(levels[node])
-        eps = [entry]
         # greedy descent with ef=1 above the node's top level
-        for l in range(entry_level, lvl, -1):
-            eps = [max(
-                _search_layer(mat, graphs[l], q, eps, 1),
-                key=lambda x: x[0],
-            )[1]]
+        eps = _descend(mat, graphs, q, entry, entry_level, stop_level=lvl)
         # insert on each of the node's layers
         for l in range(min(entry_level, lvl), -1, -1):
             found = _search_layer(
@@ -451,12 +455,7 @@ def ann_hnsw_topk(
                 levels, graphs, entry, entry_level = _build_hnsw(
                     mat, m, ef_construction, seed=42
                 )
-                eps = [entry]
-                for l in range(entry_level, 0, -1):
-                    eps = [max(
-                        _search_layer(mat, graphs[l], qn, eps, 1),
-                        key=lambda x: x[0],
-                    )[1]]
+                eps = _descend(mat, graphs, qn, entry, entry_level)
                 best, _visited, completed = _search_layer_filtered(
                     mat, graphs[0], qn, eps, max(ef, k + 1), accept, n_acc
                 )
@@ -629,12 +628,7 @@ def vector_similarity_graph(
                 levels, graphs, entry, entry_level = _build_hnsw(
                     mat, m, ef_construction, seed=42
                 )
-                eps = [entry]
-                for lvl in range(entry_level, 0, -1):
-                    eps = [max(
-                        _search_layer(mat, graphs[lvl], qn, eps, 1),
-                        key=lambda x: x[0],
-                    )[1]]
+                eps = _descend(mat, graphs, qn, entry, entry_level)
                 res, _vis, completed = _search_layer_similarity(
                     mat, graphs[0], qn, eps, ts, rs,
                     accept=accept if filtered else None,
@@ -789,12 +783,7 @@ def ann_patience_topk(
                 levels, graphs, entry, entry_level = _build_hnsw(
                     mat, m, ef_construction, seed=42
                 )
-                eps = [entry]
-                for lvl in range(entry_level, 0, -1):
-                    eps = [max(
-                        _search_layer(mat, graphs[lvl], qn, eps, 1),
-                        key=lambda x: x[0],
-                    )[1]]
+                eps = _descend(mat, graphs, qn, entry, entry_level)
                 top, _vis, completed = _search_layer_patience(
                     mat, graphs[0], qn, eps, max(ef, k + 1),
                     saturation_threshold=saturation_threshold,
@@ -879,12 +868,7 @@ def ann_seeded_topk(
                 if len(seeds) > 0:
                     eps = [int(s) for s in seeds]
                 else:
-                    eps = [entry]
-                    for lvl in range(entry_level, 0, -1):
-                        eps = [max(
-                            _search_layer(mat, graphs[lvl], qn, eps, 1),
-                            key=lambda x: x[0],
-                        )[1]]
+                    eps = _descend(mat, graphs, qn, entry, entry_level)
                 best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
                 top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
                 idx = np.array([t[1] for t in top], dtype=np.int64)
@@ -1048,6 +1032,11 @@ def hnsw_index_write(
 
     from pyspark import TaskContext
 
+    if cluster_by and partitions:
+        raise ValueError(
+            "pass either cluster_by (IVF-list placement) or partitions "
+            "(hash placement), not both"
+        )
     src = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1069,9 +1058,13 @@ def hnsw_index_write(
 
     def build(it):
         pid = TaskContext.get().partitionId()
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
+        # mapInPandas iterates ARROW BATCHES (default 10k rows), not
+        # whole partitions: buffer them all so one partition builds
+        # exactly ONE graph — per-batch graphs would collide on
+        # (pid, local_id) and silently corrupt the stored index
+        bufs = [b for b in it if len(b)]
+        if bufs:
+            pdf = pd.concat(bufs, ignore_index=True)
             mat = _normalize(np.stack(pdf["v"].to_numpy()))
             vec_ids = pdf["vec_id"].to_numpy()
             p = len(mat)
@@ -1114,9 +1107,19 @@ def hnsw_index_write(
         .write.mode("overwrite").partitionBy("pid")
         .parquet(f"{index_dir}/graph")
     )
+    # the routing centroids ALSO land in their own tiny parquet so the
+    # n_probe read never scans the vector rows (row-group stats cannot
+    # prune row_type inside the big files)
+    g = emb.sparkSession.read.parquet(f"{index_dir}/graph")
+    g.filter(F.col("row_type") == 3).select("pid", "v").write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
     _os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/_hnsw_meta.json", "w") as f:
-        _json.dump({"m": m, "ef_construction": ef_construction}, f)
+        _json.dump({
+            "m": m, "ef_construction": ef_construction,
+            "clustered": bool(cluster_by),
+        }, f)
 
 
 def hnsw_index_topk(
@@ -1140,13 +1143,15 @@ def hnsw_index_topk(
     probed segments' files are read. Meaningful when the index was
     written with ``cluster_by`` (tight lists); see hnsw_index_write.
     -> (vec_id, cos_x1e6), (cos DESC, vec_id ASC)."""
+    import json as _json
+
+    with open(f"{index_dir}/_hnsw_meta.json") as f:
+        _json.load(f)  # fail fast on a missing/partial index dir
     qn = np.asarray(qv, dtype=np.float64)
     qn = qn / (np.linalg.norm(qn) or 1.0)
     rows = spark.read.parquet(f"{index_dir}/graph")
     if n_probe is not None:
-        cents = rows.filter(F.col("row_type") == 3).select(
-            "pid", "v"
-        ).collect()
+        cents = spark.read.parquet(f"{index_dir}/centroids").collect()
         ranked = sorted(
             (
                 (float(np.dot(qn, np.asarray(r["v"]))), int(r["pid"]))
@@ -1176,12 +1181,7 @@ def hnsw_index_topk(
         ):
             if layer <= entry_level:
                 graphs[layer][lid] = [int(x) for x in nbrs]
-        eps = [entry]
-        for l in range(entry_level, 0, -1):
-            eps = [max(
-                _search_layer(mat, graphs[l], qn, eps, 1),
-                key=lambda x: x[0],
-            )[1]]
+        eps = _descend(mat, graphs, qn, entry, entry_level)
         best = _search_layer(mat, graphs[0], qn, eps, max(ef, k + 1))
         top = sorted(best, key=lambda x: (-x[0], x[1]))[: k + 1]
         return pd.DataFrame({

@@ -210,6 +210,7 @@ def ann_pq_topk(
     books: DataFrame | None = None,
     codes: DataFrame | None = None,
     stats: dict | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF-PQ's query half (ADC + exact refine): broadcast the query's
     (m x n_codes) partial-distance lookup table, score every encoded
@@ -220,7 +221,8 @@ def ann_pq_topk(
     amortize training across queries, as a real deployment does."""
     from lucene_spark.pipeline.similarity import cosine_topk
 
-    dims = len(emb.select("embedding").head()["embedding"])
+    if dims is None:
+        dims = len(emb.select("embedding").head()["embedding"])
     if books is None:
         books = pq_train_codebooks(emb, m, n_codes, iters, dims=dims)
     if codes is None:
@@ -304,5 +306,5 @@ def pq_index_topk(
     return ann_pq_topk(
         emb, query_id=query_id, k=k, m=meta["m"],
         n_codes=meta["n_codes"], refine=refine,
-        books=books, codes=codes, stats=stats,
+        books=books, codes=codes, stats=stats, dims=meta["dims"],
     )

@@ -43,6 +43,14 @@ def _query_vec(emb: DataFrame, query_id: int) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def query_vec(emb: DataFrame, vec_id: int) -> list[float]:
+    """Public accessor: the stored embedding of one vec_id as a float
+    list — the query-vector input the persisted ANN indexes
+    (graphann.hnsw_index_topk, pq.pq_index_topk) take. One pushed-down
+    single-row lookup."""
+    return _query_vec(emb, vec_id)
+
+
 def _dlit(x: float) -> str:
     """Shortest-roundtrip SQL double literal. repr() of a Python float
     is the shortest decimal that parses back to the same IEEE-754

@@ -771,3 +771,51 @@ def test_persisted_hnsw_routed_query(spark, tmp_path):
             assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
             hits_tot += r["vec_id"] in exact10
     assert hits_tot >= 34, f"routed persisted recall: {hits_tot}/40"
+
+
+def test_persisted_hnsw_partition_larger_than_arrow_batch(spark, tmp_path):
+    """A partition above spark.sql.execution.arrow.maxRecordsPerBatch
+    (10k default) arrives at mapInPandas as MULTIPLE pandas batches —
+    the build must buffer them into ONE graph (one meta row, one
+    centroid row, unique local ids) or the stored index silently
+    corrupts. Regression for the per-batch-graph bug."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.pipeline import graphann as ga
+    from lucene_spark.pipeline.similarity import cosine_topk, query_vec
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    big = emb
+    for i in (1, 2, 3, 4, 5):
+        big = big.unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                "embedding", *[c for c in emb.columns
+                               if c not in ("vec_id", "embedding")],
+            )
+        )
+    assert big.count() > 10_000
+    idx = str(tmp_path / "big")
+    ga.hnsw_index_write(big, idx, partitions=1)
+
+    g = spark.read.parquet(f"{idx}/graph")
+    meta_rows = g.filter(F.col("row_type") == 2).count()
+    assert meta_rows == 1, f"one graph per partition, got {meta_rows}"
+    vec_rows = g.filter(F.col("row_type") == 0)
+    assert vec_rows.count() == big.count()
+    assert (
+        vec_rows.select("local_id").distinct().count() == big.count()
+    ), "local ids must be unique within the partition"
+
+    got = ga.hnsw_index_topk(
+        spark, idx, query_vec(big, 0), k=10, exclude_vec_id=0
+    ).collect()
+    assert len(got) == 10
+    exact = {
+        r["vec_id"]: r["cos_x1e6"]
+        for r in cosine_topk(big, 0, 200).collect()
+    }
+    for r in got:
+        assert r["vec_id"] in exact
+        assert abs(r["cos_x1e6"] - exact[r["vec_id"]]) <= 1
